@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.mutable
+
+/** Registration plumbing shared by the per-category query modules.
+  *
+  * Each declared query is a named `(SparkSession, sfDir) => DataFrame`
+  * with an optional DuckDB-dialect oracle SQL computing the identical
+  * result over the same parquet tables (the driver's `t2` contract —
+  * SURVEY.md §5.3). Queries without an oracle get the driver's weaker
+  * rows-only check (kernels and hash-seeded ops that ANSI SQL can't
+  * reproduce).
+  */
+trait QueryRegistry {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val reg = mutable.LinkedHashMap.empty[String, (Q, Option[String])]
+
+  /** Declare an oracle-checked query. */
+  protected def q(name: String, sql: String)(fn: Q): Unit =
+    reg(name) = (fn, Some(sql.stripMargin.trim))
+
+  /** Declare a rows-only query (no SQL-expressible oracle). */
+  protected def qNoOracle(name: String)(fn: Q): Unit =
+    reg(name) = (fn, None)
+
+  def queries: Map[String, Q] = reg.map { case (k, (f, _)) => k -> f }.toMap
+
+  def oracleSql: Map[String, String] =
+    reg.collect { case (k, (_, Some(s))) => k -> s }.toMap
+}

@@ -1,0 +1,44 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dataset catalog over the driver testdata layout (`TESTDATA.md`):
+  * one parquet per table under a scale-factor directory. Plays the role of
+  * the reference's named-collection open
+  * (`calculations/polytrend.py:456`, `calculations/dbest.py:495` — S1 in
+  * SURVEY.md §2.1), with parquet scan + Catalyst pushdown instead of a
+  * remote lazy collection.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  /** Lazy scan of one table; filters/projections push down to parquet.
+    *
+    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects; we read it as nanos-since-epoch
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and surface `ts` as a
+    * microsecond TimestampType column (UTC session), keeping `ts_ns` for
+    * full-precision ordering.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(path(dir, name))
+      raw
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros(floor(col("ts_ns") / 1000L).cast("long")))
+        .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
+    } else spark.read.parquet(path(dir, name))
+  }
+
+  /** Register every table as a temp view so `spark.sql` works against the
+    * same names the DuckDB oracle uses.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

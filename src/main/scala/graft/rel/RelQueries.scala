@@ -1,0 +1,641 @@
+package graft.rel
+
+import graft.QueryRegistry
+import graft.io.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The declared relational surface (SURVEY.md §2.1–2.6, §2.8): every
+  * operator the reference exercises plus the harness-declared built-in
+  * suite (joins, set ops, rollup/cube, ranking windows), each as an
+  * idiomatic DataFrame combinator with a DuckDB oracle.
+  *
+  * Reference citations per operator are in SURVEY.md §2; the headline
+  * analogs: temporal filter = `calculations/polytrend.py:458`, bbox
+  * filter = `calculations/dbest.py:497`, tumbling mean composite =
+  * `calculations/polytrend.py:375-399` / `calculations/dbest.py:34-62`,
+  * quality gate = `calculations/polytrend.py:284`, categorical stats =
+  * `calculations/utils.py:37-64`, cumsum = `calculations/polytrend.py:79-80`.
+  */
+object RelQueries extends QueryRegistry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---------------------------------------------------------------- scans
+
+  q("s1_scan_count",
+    "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem") { (s, d) =>
+    t(s, d, "lineitem").agg(count(lit(1)).as("n_rows"))
+  }
+
+  q("s6_probe_first",
+    """SELECT CAST(min(l_orderkey) AS BIGINT) AS first_key,
+      |       CAST(count(*) AS BIGINT) AS n FROM lineitem""") { (s, d) =>
+    t(s, d, "lineitem").agg(
+      min("l_orderkey").as("first_key"), count(lit(1)).as("n"))
+  }
+
+  // --------------------------------------------------------------- filters
+
+  // F1: temporal range filter (partition-prunable at scale).
+  q("f1_time_range",
+    """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+      |       CAST(o_orderdate AS DATE) AS od, o_totalprice
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1996-01-01'""") { (s, d) =>
+    t(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp_ntz"))
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("od"),
+        col("o_totalprice"))
+  }
+
+  // F2: 2-D range (bbox analog: lon/lat between → two numeric betweens).
+  q("f2_range_2d",
+    """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_acctbal,
+      |       CAST(c_nationkey AS INT) AS c_nationkey
+      |FROM customer
+      |WHERE c_acctbal BETWEEN 1000 AND 5000
+      |  AND c_nationkey BETWEEN 5 AND 15""") { (s, d) =>
+    t(s, d, "customer")
+      .filter(col("c_acctbal").between(1000, 5000) &&
+        col("c_nationkey").between(5, 15))
+      .select("c_custkey", "c_acctbal", "c_nationkey")
+  }
+
+  // F3: band projection (column pruning reaches the scan).
+  q("f3_projection",
+    """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+      |       CAST(l_linenumber AS INT) AS l_linenumber, l_quantity
+      |FROM lineitem WHERE l_orderkey < 1000""") { (s, d) =>
+    t(s, d, "lineitem").filter(col("l_orderkey") < 1000)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+  }
+
+  // F4 + A7: group-quality gate — drop a whole series if ANY value ≤ θ,
+  // expressed as min-over-group (the water-mask semantics).
+  q("f4_quality_gate",
+    """SELECT CAST(user_id AS BIGINT) AS user_id,
+      |       CAST(count(*) AS BIGINT) AS n, min(value) AS mn
+      |FROM events GROUP BY user_id HAVING min(value) > 1.0""") { (s, d) =>
+    t(s, d, "events").groupBy("user_id")
+      .agg(count(lit(1)).as("n"), min("value").as("mn"))
+      .filter(col("mn") > 1.0)
+  }
+
+  // F5: equality selection.
+  q("f5_equality",
+    """SELECT CAST(event_id AS BIGINT) AS event_id,
+      |       CAST(user_id AS BIGINT) AS user_id, value
+      |FROM events WHERE event_type = 'purchase'""") { (s, d) =>
+    t(s, d, "events").filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "value")
+  }
+
+  // F6: column rename.
+  q("f6_rename",
+    """SELECT CAST(p_partkey AS BIGINT) AS pk, p_name AS pname,
+      |       CAST(p_size AS INT) AS psize
+      |FROM part WHERE p_size = 10""") { (s, d) =>
+    t(s, d, "part").filter(col("p_size") === 10)
+      .withColumnRenamed("p_partkey", "pk")
+      .withColumnRenamed("p_name", "pname")
+      .withColumnRenamed("p_size", "psize")
+      .select("pk", "pname", "psize")
+  }
+
+  // F7 + A6 + W1-normalizer: computed column with window total
+  // (pie-wedge angle = share * 2π, `calculations/polytrend.py:64-65`).
+  q("f7_computed_angle",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |       round(count(*) * 2 * pi() /
+      |             (SELECT count(*) FROM events), 6) AS angle
+      |FROM events GROUP BY event_type""") { (s, d) =>
+    val counts = t(s, d, "events").groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+    counts.withColumn("angle",
+      round(col("n") * lit(2) * lit(math.Pi) /
+        sum("n").over(Window.partitionBy()), 6))
+  }
+
+  // ----------------------------------------------------------------- joins
+
+  q("j_inner",
+    """SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust,
+      |       round(sum(c_acctbal), 2) AS total_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name""") { (s, d) =>
+    t(s, d, "customer")
+      .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("total_bal"))
+  }
+
+  q("j_left",
+    """SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
+      |       CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+      |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      |GROUP BY c.c_custkey""") { (s, d) =>
+    t(s, d, "customer").join(t(s, d, "orders"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("n_orders"))
+  }
+
+  q("j_right",
+    """SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
+      |       round(coalesce(sum(o.o_totalprice), 0), 2) AS spend
+      |FROM orders o RIGHT JOIN customer c ON c.c_custkey = o.o_custkey
+      |GROUP BY c.c_custkey""") { (s, d) =>
+    t(s, d, "orders").join(t(s, d, "customer"),
+        col("c_custkey") === col("o_custkey"), "right")
+      .groupBy("c_custkey")
+      .agg(round(coalesce(sum("o_totalprice"), lit(0)), 2).as("spend"))
+  }
+
+  q("j_full",
+    """WITH hc AS (SELECT c_nationkey AS k, count(*) AS n_cust
+      |            FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
+      |     hs AS (SELECT s_nationkey AS k, count(*) AS n_supp
+      |            FROM supplier WHERE s_acctbal > 8000 GROUP BY 1)
+      |SELECT CAST(coalesce(hc.k, hs.k) AS INT) AS nationkey,
+      |       CAST(coalesce(n_cust, 0) AS BIGINT) AS n_cust,
+      |       CAST(coalesce(n_supp, 0) AS BIGINT) AS n_supp
+      |FROM hc FULL OUTER JOIN hs ON hc.k = hs.k""") { (s, d) =>
+    val hc = t(s, d, "customer").filter(col("c_acctbal") > 9000)
+      .groupBy(col("c_nationkey").as("ck")).agg(count(lit(1)).as("n_cust"))
+    val hs = t(s, d, "supplier").filter(col("s_acctbal") > 8000)
+      .groupBy(col("s_nationkey").as("sk")).agg(count(lit(1)).as("n_supp"))
+    hc.join(hs, col("ck") === col("sk"), "full")
+      .select(coalesce(col("ck"), col("sk")).cast("int").as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+  }
+
+  q("j_semi",
+    """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 300000)""") { (s, d) =>
+    val bigOrders = t(s, d, "orders").filter(col("o_totalprice") > 300000)
+    t(s, d, "customer").join(bigOrders,
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_mktsegment")
+  }
+
+  q("j_anti",
+    """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_acctbal
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_totalprice > 300000)""") { (s, d) =>
+    t(s, d, "customer")
+      .join(t(s, d, "orders").filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_acctbal")
+  }
+
+  q("j_cross",
+    """SELECT r_name, s AS status FROM region
+      |CROSS JOIN (SELECT DISTINCT o_orderstatus AS s FROM orders)""") { (s, d) =>
+    t(s, d, "region").select("r_name")
+      .crossJoin(t(s, d, "orders").select(col("o_orderstatus").as("status")).distinct())
+  }
+
+  // Broadcast join: dimension ships to every executor — no shuffle of the
+  // fact side at 100 TB.
+  q("j_broadcast",
+    """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand""") { (s, d) =>
+    t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+  }
+
+  // Theta join: equi key + inequality residual.
+  q("j_theta",
+    """SELECT CAST(s_nationkey AS INT) AS nationkey,
+      |       CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM supplier JOIN customer
+      |  ON s_nationkey = c_nationkey AND s_acctbal < c_acctbal
+      |GROUP BY s_nationkey""") { (s, d) =>
+    t(s, d, "supplier").join(t(s, d, "customer"),
+        col("s_nationkey") === col("c_nationkey") &&
+          col("s_acctbal") < col("c_acctbal"))
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  // ------------------------------------------------------------ aggregates
+
+  // A1 (monthly): the DBEST tumbling mean composite
+  // (`calculations/dbest.py:34-62`) keyed by series id + month bucket.
+  q("a1_monthly_composite",
+    """SELECT CAST(user_id AS BIGINT) AS user_id,
+      |       CAST(date_trunc('month', ts) AS DATE) AS month,
+      |       round(avg(value), 6) AS avg_value,
+      |       CAST(count(*) AS BIGINT) AS n_obs
+      |FROM events GROUP BY 1, 2""") { (s, d) =>
+    t(s, d, "events")
+      .groupBy(col("user_id"),
+        date_trunc("month", col("ts")).cast("date").as("month"))
+      .agg(round(avg("value"), 6).as("avg_value"), count(lit(1)).as("n_obs"))
+  }
+
+  // A1 (annual): the PolyTrend annual composite
+  // (`calculations/polytrend.py:375-399`).
+  q("a1_annual_composite",
+    """SELECT CAST(year(l_shipdate) AS INT) AS yr,
+      |       round(avg(l_quantity), 6) AS avg_qty,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY 1""") { (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy(year(col("l_shipdate")).as("yr"))
+      .agg(round(avg("l_quantity"), 6).as("avg_qty"), count(lit(1)).as("n"))
+  }
+
+  // A3: exact distinct count (the reference's manual id-dedup loop,
+  // `calculations/polytrend.py:271-277`).
+  q("a3_distinct_count",
+    """SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+      |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+      |FROM lineitem GROUP BY 1""") { (s, d) =>
+    t(s, d, "lineitem").groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("n_parts"),
+        countDistinct("l_suppkey").as("n_supps"))
+  }
+
+  // A3 approximate variant (HLL): scale path; no oracle (sketch-specific).
+  qNoOracle("a3_approx_distinct") { (s, d) =>
+    t(s, d, "lineitem").groupBy("l_returnflag")
+      .agg(approx_count_distinct("l_partkey").as("approx_parts"))
+  }
+
+  // A4: categorical counts via one-pass conditional aggregation
+  // (`calculations/utils.py:39-54`).
+  q("a4_conditional_counts",
+    """SELECT CAST(count(*) AS BIGINT) AS n_total,
+      |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+      |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+      |FROM events""") { (s, d) =>
+    def cnt(tp: String) =
+      sum(when(col("event_type") === tp, 1).otherwise(0)).as(s"n_$tp")
+    t(s, d, "events").agg(count(lit(1)).as("n_total"),
+      cnt("click"), cnt("view"), cnt("error"), cnt("signup"), cnt("purchase"))
+  }
+
+  // A5: share-of-total percentages (`calculations/utils.py:56-63`).
+  q("a5_share_pct",
+    """SELECT event_type,
+      |       round(count(*) * 100.0 / (SELECT count(*) FROM events), 1) AS pct
+      |FROM events GROUP BY 1""") { (s, d) =>
+    t(s, d, "events").groupBy("event_type").agg(count(lit(1)).as("n"))
+      .withColumn("pct",
+        round(col("n") * 100.0 / sum("n").over(Window.partitionBy()), 1))
+      .drop("n")
+  }
+
+  // Rollup over the region→nation hierarchy.
+  q("agg_rollup",
+    """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_supp
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)""") { (s, d) =>
+    t(s, d, "supplier")
+      .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name")
+      // Column-based rollup: the String overload trips Spark 4.1's
+      // ambiguous-self-join detection on post-join lineage.
+      .rollup(col("r_name"), col("n_name")).agg(count(lit(1)).as("n_supp"))
+  }
+
+  q("agg_cube",
+    """SELECT o_orderstatus, o_orderpriority,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""") { (s, d) =>
+    t(s, d, "orders").cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+  }
+
+  // --------------------------------------------------------------- windows
+
+  // W1: cumulative sum (pie cumsum, `calculations/polytrend.py:79-80`),
+  // over a deterministic pre-aggregated monthly series.
+  q("w1_cumsum",
+    """WITH m AS (SELECT event_type,
+      |                  CAST(ts AS DATE) AS day,
+      |                  sum(value) AS s
+      |           FROM events GROUP BY 1, 2)
+      |SELECT event_type, day, round(s, 4) AS daily,
+      |       round(sum(s) OVER (PARTITION BY event_type ORDER BY day
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum
+      |FROM m""") { (s, d) =>
+    val m = t(s, d, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(sum("value").as("s"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m.select(col("event_type"), col("day"), round(col("s"), 4).as("daily"),
+      round(sum("s").over(w), 4).as("cum"))
+  }
+
+  // W2: keyed row_number replaces the reference's positional stride
+  // segmentation (`calculations/polytrend.py:282-283`).
+  q("w2_row_number",
+    """SELECT CAST(event_id AS BIGINT) AS event_id,
+      |       CAST(user_id AS BIGINT) AS user_id,
+      |       CAST(row_number() OVER (PARTITION BY user_id
+      |            ORDER BY ts, event_id) AS INT) AS rn
+      |FROM events""") { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t(s, d, "events")
+      .select(col("event_id"), col("user_id"), row_number().over(w).as("rn"))
+  }
+
+  // Ranking windows (declared built-ins, SURVEY §2.5).
+  q("w4_rank",
+    """SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+      |       CAST(c_nationkey AS INT) AS c_nationkey,
+      |       CAST(rank() OVER (PARTITION BY c_nationkey
+      |            ORDER BY c_acctbal DESC) AS INT) AS rnk,
+      |       CAST(dense_rank() OVER (PARTITION BY c_nationkey
+      |            ORDER BY c_acctbal DESC) AS INT) AS drnk
+      |FROM customer""") { (s, d) =>
+    val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc)
+    t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"),
+      rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
+  }
+
+  // lag/lead delta over the monthly composite (needed by DBEST level-shift
+  // detection internally — SURVEY §2.5).
+  q("w5_lag_delta",
+    """WITH m AS (SELECT event_type,
+      |                  CAST(ts AS DATE) AS day,
+      |                  avg(value) AS a
+      |           FROM events GROUP BY 1, 2)
+      |SELECT event_type, day, round(a, 6) AS avg_value,
+      |       round(a - lag(a) OVER (PARTITION BY event_type ORDER BY day), 6) AS delta,
+      |       round(lead(a) OVER (PARTITION BY event_type ORDER BY day) - a, 6) AS next_delta
+      |FROM m""") { (s, d) =>
+    val m = t(s, d, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(avg("value").as("a"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    m.select(col("event_type"), col("day"), round(col("a"), 6).as("avg_value"),
+      round(col("a") - lag("a", 1).over(w), 6).as("delta"),
+      round(lead("a", 1).over(w) - col("a"), 6).as("next_delta"))
+  }
+
+  // Sliding frame: 3-month moving average.
+  q("w6_moving_avg",
+    """WITH m AS (SELECT event_type,
+      |                  CAST(ts AS DATE) AS day,
+      |                  avg(value) AS a
+      |           FROM events GROUP BY 1, 2)
+      |SELECT event_type, day,
+      |       round(avg(a) OVER (PARTITION BY event_type ORDER BY day
+      |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3
+      |FROM m""") { (s, d) =>
+    val m = t(s, d, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(avg("value").as("a"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-2, Window.currentRow)
+    m.select(col("event_type"), col("day"),
+      round(avg("a").over(w), 6).as("ma3"))
+  }
+
+  // ------------------------------------------- sorts / limits / set ops
+
+  q("o1_topk",
+    """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""") { (s, d) =>
+    t(s, d, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_orderkey", "o_totalprice").limit(10)
+  }
+
+  q("set_union",
+    """SELECT CAST(c_nationkey AS INT) AS k FROM customer
+      |UNION
+      |SELECT CAST(s_nationkey AS INT) AS k FROM supplier""") { (s, d) =>
+    t(s, d, "customer").select(col("c_nationkey").as("k"))
+      .union(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+      .distinct()
+  }
+
+  q("set_intersect",
+    """SELECT CAST(c_nationkey AS INT) AS k FROM customer WHERE c_acctbal > 9000
+      |INTERSECT
+      |SELECT CAST(s_nationkey AS INT) AS k FROM supplier WHERE s_acctbal > 5000""") { (s, d) =>
+    t(s, d, "customer").filter(col("c_acctbal") > 9000)
+      .select(col("c_nationkey").as("k"))
+      .intersect(t(s, d, "supplier").filter(col("s_acctbal") > 5000)
+        .select(col("s_nationkey").as("k")))
+  }
+
+  q("set_except",
+    """SELECT CAST(n_nationkey AS INT) AS k FROM nation
+      |EXCEPT
+      |SELECT CAST(s_nationkey AS INT) AS k FROM supplier WHERE s_acctbal > 8000""") { (s, d) =>
+    t(s, d, "nation").select(col("n_nationkey").as("k"))
+      .except(t(s, d, "supplier").filter(col("s_acctbal") > 8000)
+        .select(col("s_nationkey").as("k")))
+  }
+
+  q("d1_distinct",
+    """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem""") { (s, d) =>
+    t(s, d, "lineitem").select("l_returnflag", "l_linestatus").dropDuplicates()
+  }
+
+  // ------------------------------------------------------ scalar functions
+
+  // X2/X3/X4/date part extraction + date arithmetic.
+  q("x_datetime",
+    """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+      |       CAST(year(o_orderdate) AS INT) AS yr,
+      |       CAST(month(o_orderdate) AS INT) AS mon,
+      |       CAST(day(o_orderdate) AS INT) AS dom,
+      |       CAST(make_date(CAST(year(o_orderdate) AS INT), 1, 1) AS DATE) AS y0,
+      |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS next_month,
+      |       CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since
+      |FROM orders WHERE o_orderkey < 500""") { (s, d) =>
+    val od = col("o_orderdate")
+    t(s, d, "orders").filter(col("o_orderkey") < 500).select(
+      col("o_orderkey"),
+      year(od).as("yr"), month(od).as("mon"), dayofmonth(od).as("dom"),
+      make_date(year(od), lit(1), lit(1)).as("y0"),
+      add_months(od.cast("date"), 1).as("next_month"),
+      datediff(od.cast("date"), lit("1992-01-01").cast("date")).as("days_since"))
+  }
+
+  // X5: integer sequence generation.
+  q("x_sequence",
+    "SELECT CAST(unnest(generate_series(1, 12)) AS INT) AS m") { (s, _) =>
+    s.range(1, 13).select(col("id").cast("int").as("m"))
+  }
+
+  // X6/X7/X8: string build/strip/split+cast.
+  q("x_strings",
+    """SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+      |       regexp_replace(c_name, '[^0-9]', '', 'g') AS digits,
+      |       concat(c_mktsegment, '-', CAST(CAST(c_nationkey AS INT) AS VARCHAR)) AS seg_nation
+      |FROM customer WHERE c_custkey <= 100""") { (s, d) =>
+    t(s, d, "customer").filter(col("c_custkey") <= 100).select(
+      col("c_custkey"),
+      regexp_replace(col("c_name"), "[^0-9]", "").as("digits"),
+      concat(col("c_mktsegment"), lit("-"),
+        col("c_nationkey").cast("string")).as("seg_nation"))
+  }
+
+  // X17: JSON field extraction over events.props.
+  q("x17_json",
+    """SELECT CAST(event_id AS BIGINT) AS event_id,
+      |       CAST(json_extract_string(props, '$.k') AS INT) AS k
+      |FROM events WHERE event_id < 1000""") { (s, d) =>
+    t(s, d, "events").filter(col("event_id") < 1000).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k"))
+  }
+
+  // X12-X15: array ops over tokenized documents (split, element_at ±,
+  // distinct, transform, flatten, size).
+  q("x_array_ops",
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |       string_split(text, ' ')[1] AS first_tok,
+      |       string_split(text, ' ')[-1] AS last_tok,
+      |       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq,
+      |       CAST(len(flatten([string_split(text, ' '), string_split(text, ' ')])) AS INT) AS n_doubled,
+      |       list_transform(string_split(text, ' '), x -> upper(x))[1] AS first_upper
+      |FROM documents""") { (s, d) =>
+    val toks = split(col("text"), " ")
+    t(s, d, "documents").select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      element_at(toks, 1).as("first_tok"),
+      element_at(toks, -1).as("last_tok"),
+      size(array_distinct(toks)).as("n_uniq"),
+      size(flatten(array(toks, toks))).as("n_doubled"),
+      element_at(transform(toks, x => upper(x)), 1).as("first_upper"))
+  }
+
+  // ------------------------------------------------------- TPC-H classics
+
+  q("q1_agg",
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       round(sum(l_extendedprice), 2) AS sum_base_price,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |       round(avg(l_quantity), 4) AS avg_qty,
+      |       round(avg(l_extendedprice), 4) AS avg_price,
+      |       round(avg(l_discount), 4) AS avg_disc,
+      |       CAST(count(*) AS BIGINT) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus""") { (s, d) =>
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  q("q3_shipping_priority",
+    """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       CAST(o_orderdate AS DATE) AS od
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1995-03-15'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""") { (s, d) =>
+    t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp_ntz"))
+      .join(t(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp_ntz"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("od"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .select("l_orderkey", "revenue", "od")
+      .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+  }
+
+  q("q5_local_supplier",
+    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name""") { (s, d) =>
+    t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(t(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, d, "supplier"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+  }
+
+  q("q6_forecast_revenue",
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      |  AND l_shipdate < TIMESTAMP '1995-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""") { (s, d) =>
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1995-01-01").cast("timestamp_ntz") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+  }
+
+  // K1 projection oracle: per-series linear slope/intercept, cross-checked
+  // against DuckDB's regr_* (SURVEY §5.3).
+  q("k1_regr_slope",
+    """SELECT CAST(user_id AS BIGINT) AS user_id,
+      |       round(regr_slope(value, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))), 6) AS slope,
+      |       round(regr_intercept(value, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))), 6) AS icept
+      |FROM events GROUP BY user_id""") { (s, d) =>
+    val x = datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+    t(s, d, "events").groupBy("user_id")
+      .agg(round(regr_slope(col("value"), x), 6).as("slope"),
+        round(regr_intercept(col("value"), x), 6).as("icept"))
+  }
+}
