@@ -1,0 +1,230 @@
+package graft.pipeline
+
+import graft.ts.{Dbest, PolyTrendAgg, Stl}
+import graft.model.TV
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's two query lifecycles (SURVEY.md §3) as Spark-native
+  * pipelines: scan → temporal/spatial filter → tumbling mean composite →
+  * per-key kernel aggregation → summary stats → optional CSV sink, all
+  * one lazy Catalyst plan (boundaries #5/#7 of §3.1 dissolved).
+  */
+object TrendPipeline {
+
+  /** Engine-side argument validation (F8 — the reference's client-side
+    * checks, `static/utils.js:43-82`, done once at the API boundary).
+    */
+  final case class PolyTrendParams(
+      startDate: String, // ISO yyyy-MM-dd inclusive
+      endDate: String, // exclusive
+      bbox: Option[(Double, Double, Double, Double)] = None, // x1,x2,y1,y2
+      alpha: Double = 0.05,
+      threshold: Double = 0.1) {
+    require(startDate <= endDate, s"start $startDate after end $endDate")
+    require(alpha > 0 && alpha < 1, s"alpha out of (0,1): $alpha")
+  }
+
+  final case class DbestPipelineParams(
+      startDate: String,
+      endDate: String,
+      bbox: Option[(Double, Double, Double, Double)] = None,
+      threshold: Double = 0.1,
+      kernel: Dbest.Params = Dbest.Params()) {
+    require(startDate <= endDate, s"start $startDate after end $endDate")
+  }
+
+  private def applyFilters(
+      obs: DataFrame, start: String, end: String,
+      bbox: Option[(Double, Double, Double, Double)]): DataFrame = {
+    // F1 + F2 (`calculations/polytrend.py:458`): pushed to the parquet
+    // scan; at scale the observation store is date-partitioned so F1
+    // prunes files (SURVEY §4 O2).
+    val timeFiltered = obs.filter(
+      col("time") >= lit(start).cast("timestamp") &&
+        col("time") < lit(end).cast("timestamp"))
+    bbox match {
+      case Some((x1, x2, y1, y2)) =>
+        timeFiltered.filter(col("longitude").between(x1, x2) &&
+          col("latitude").between(y1, y2))
+      case None => timeFiltered
+    }
+  }
+
+  /** Annual mean composite (A1, `calculations/polytrend.py:375-399`):
+    * one row per (pixel, year). Partial aggregation happens map-side;
+    * the single shuffle is keyed by pixel+year.
+    */
+  def annualComposite(obs: DataFrame): DataFrame =
+    obs.groupBy(col("longitude"), col("latitude"),
+        year(col("time")).as("yr"))
+      .agg(avg(col("value")).as("value"))
+
+  /** Monthly mean composite (A1, `calculations/dbest.py:34-62`). */
+  def monthlyComposite(obs: DataFrame): DataFrame =
+    obs.groupBy(col("longitude"), col("latitude"),
+        (year(col("time")) * 12 + month(col("time"))).as("bucket"))
+      .agg(avg(col("value")).as("value"))
+
+  /** Hourly mean composite — finer tumbling window for high-frequency
+    * sources (the harness `events` table); same A1 semantics.
+    */
+  def hourlyComposite(obs: DataFrame): DataFrame =
+    obs.groupBy(col("longitude"), col("latitude"),
+        floor(unix_timestamp(col("time")) / 3600).as("bucket"))
+      .agg(avg(col("value")).as("value"))
+
+  /** PolyTrend-for-region (§3.1 stages 3-8): returns the per-pixel
+    * classification table
+    * (schema `calculations/polytrend.py:291-297`).
+    */
+  def polyTrend(spark: SparkSession, obs: DataFrame,
+      params: PolyTrendParams): DataFrame = {
+    import spark.implicits._
+    val annual = annualComposite(
+      applyFilters(obs, params.startDate, params.endDate, params.bbox))
+    val pt = udaf(new PolyTrendAgg(params.alpha))
+    annual
+      .groupBy(col("longitude"), col("latitude"))
+      // F4 quality gate (min > θ ≡ all > θ, `calculations/polytrend.py:284`)
+      // rides the same shuffle as the kernel — one aggregation, two outputs.
+      .agg(min(col("value")).as("mn"),
+        pt(col("yr").cast("double"), col("value")).as("pt"))
+      .filter(col("mn") > params.threshold && col("pt").isNotNull)
+      .select(col("longitude"), col("latitude"), col("pt.trend_type"),
+        col("pt.slope"), col("pt.direction"), col("pt.significance"),
+        col("pt.degree"))
+  }
+
+  /** Group-count statistics over PolyTrend results
+    * (`calculations/utils.py:37-64`): counts and percentages per
+    * trend_type and direction, one pass.
+    */
+  def ptStatistics(results: DataFrame): DataFrame = {
+    def cnt(c: Column, v: Int, as: String) =
+      sum(when(c === v, 1).otherwise(0)).as(as)
+    def pct(c: Column) = round(c * 100.0 / col("n_total"), 1)
+    results.agg(
+      count(lit(1)).as("n_total"),
+      cnt(col("trend_type"), 1, "n_linear"),
+      cnt(col("trend_type"), 2, "n_quadratic"),
+      cnt(col("trend_type"), 3, "n_cubic"),
+      cnt(col("trend_type"), -1, "n_concealed"),
+      cnt(col("trend_type"), 0, "n_no_trend"),
+      cnt(col("direction"), 1, "n_positive"),
+      cnt(col("direction"), -1, "n_negative"))
+      .withColumn("pct_linear", pct(col("n_linear")))
+      .withColumn("pct_quadratic", pct(col("n_quadratic")))
+      .withColumn("pct_cubic", pct(col("n_cubic")))
+      .withColumn("pct_concealed", pct(col("n_concealed")))
+      .withColumn("pct_no_trend", pct(col("n_no_trend")))
+  }
+
+  /** DBEST-for-region: monthly composite → per-pixel STL + breakpoint
+    * detection. Returns one row per pixel with the first (largest)
+    * change, matching the reference's polygon decode
+    * (`calculations/dbest.py:133-143`).
+    */
+  def dbestChange(spark: SparkSession, obs: DataFrame,
+      params: DbestPipelineParams,
+      composite: DataFrame => DataFrame = monthlyComposite): DataFrame = {
+    val kp = params.kernel
+    val monthly = composite(
+      applyFilters(obs, params.startDate, params.endDate, params.bbox))
+    val detect = udf { (values: Seq[Double]) =>
+      if (values == null || values.length < 6) None
+      else {
+        val r = Dbest.changeDetection(values.toArray, kp)
+        val first = r.changes.headOption
+        Some((r.breakpointNo, r.segmentNo,
+          first.map(_.start).getOrElse(-1),
+          first.map(c => c.end - c.start).getOrElse(0),
+          first.map(_.end).getOrElse(-1),
+          first.map(_.change).getOrElse(0.0),
+          first.map(_.changeType).getOrElse(0),
+          first.map(_.significance).getOrElse(-1)))
+      }
+    }
+    seriesByPixel(monthly)
+      .filter(col("mn") > params.threshold)
+      .withColumn("r", detect(col("series")))
+      .filter(col("r").isNotNull)
+      .select(col("longitude"), col("latitude"),
+        col("r._1").as("breakpoint_no"), col("r._2").as("segment_no"),
+        col("r._3").as("start"), col("r._4").as("duration"),
+        col("r._5").as("end"), col("r._6").as("change"),
+        col("r._7").as("change_type"), col("r._8").as("significance"))
+  }
+
+  /** DBEST generalization per pixel (decode
+    * `calculations/dbest.py:385-394`).
+    */
+  def dbestGeneralization(spark: SparkSession, obs: DataFrame,
+      params: DbestPipelineParams,
+      composite: DataFrame => DataFrame = monthlyComposite): DataFrame = {
+    val kp = params.kernel
+    val monthly = composite(
+      applyFilters(obs, params.startDate, params.endDate, params.bbox))
+    val gen = udf { (values: Seq[Double]) =>
+      if (values == null || values.length < 6) None
+      else {
+        val r = Dbest.generalization(values.toArray, kp)
+        Some((r.segmentNo, r.rmse, r.mad))
+      }
+    }
+    seriesByPixel(monthly)
+      .filter(col("mn") > params.threshold)
+      .withColumn("r", gen(col("series")))
+      .filter(col("r").isNotNull)
+      .select(col("longitude"), col("latitude"),
+        col("r._1").as("segment_no"), col("r._2").as("rmse"),
+        col("r._3").as("mad"))
+  }
+
+  /** STL components per pixel (K5 exposed standalone; consumed by the
+    * reference at `calculations/dbest.py:325-331`). Explodes one row per
+    * (pixel, bucket) with trend/seasonal/remainder — the UDTF analog.
+    */
+  def stlComponents(spark: SparkSession, obs: DataFrame, period: Int,
+      composite: DataFrame => DataFrame = monthlyComposite): DataFrame = {
+    val stl = udf { (values: Seq[Double]) =>
+      if (values == null || values.length < 2 * period) None
+      else {
+        val d = Stl.decompose(values.toArray, period)
+        Some(d.trend.indices.map(i =>
+          (i, d.trend(i), d.seasonal(i), d.remainder(i))))
+      }
+    }
+    seriesByPixel(composite(obs))
+      .withColumn("comp", explode(stl(col("series"))))
+      .select(col("longitude"), col("latitude"),
+        col("comp._1").as("idx"), col("comp._2").as("trend"),
+        col("comp._3").as("seasonal"), col("comp._4").as("remainder"))
+  }
+
+  /** W3 series assembly: per-pixel time-ordered value vector + min for
+    * the quality gate, in one aggregation.
+    */
+  private def seriesByPixel(composite: DataFrame): DataFrame =
+    composite.groupBy(col("longitude"), col("latitude"))
+      .agg(min(col("value")).as("mn"),
+        transform(
+          sort_array(collect_list(struct(col("bucket"), col("value")))),
+          s => s.getField("value")).as("series"))
+
+  /** S3/S4 CSV sink (`calculations/polytrend.py:483,491`). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Adapt the harness `events` table to the canonical observation shape
+    * (TESTDATA.md role mapping: user_id plays pixel, hourly buckets play
+    * the composite's time axis).
+    */
+  def eventsAsObservations(spark: SparkSession, dir: String): DataFrame =
+    graft.io.Tables.load(spark, dir, "events").select(
+      col("event_id").cast("string").as("id"),
+      col("user_id").cast("double").as("longitude"),
+      lit(0.0).as("latitude"),
+      col("ts").as("time"),
+      col("value"))
+}

@@ -1,0 +1,113 @@
+package graft.ts
+
+import graft.QueryRegistry
+import graft.io.Tables
+import graft.pipeline.TrendPipeline
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Driver-contract entries for the time-series kernels (SURVEY §2.7),
+  * run over the harness `events` table with `user_id` as the series key
+  * and hourly mean composites as the time axis (TESTDATA.md role
+  * mapping). The statistical classifications have no ANSI-SQL
+  * equivalent, so most entries are rows-only; the K1/K2 linear
+  * projections are oracle-checked through DuckDB's regr_* aggregates.
+  */
+object KernelQueries extends QueryRegistry {
+
+  /** Hourly mean composite per user: (user_id, hbucket, value). */
+  private def hourlySeries(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.load(s, d, "events")
+      .groupBy(col("user_id"),
+        floor(unix_timestamp(col("ts")) / 3600).as("hbucket"))
+      .agg(avg(col("value")).as("value"))
+
+  // K1 full classification (rows-only: R-package semantics, no SQL oracle).
+  qNoOracle("k1_polytrend") { (s, d) =>
+    val pt = udaf(new PolyTrendAgg(alpha = 0.05))
+    hourlySeries(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(col("value")).as("mn"),
+        pt(col("hbucket").cast("double"), col("value")).as("pt"))
+      .filter(col("pt").isNotNull)
+      .select(col("user_id"), col("pt.trend_type").as("trend_type"),
+        round(col("pt.slope"), 6).as("slope"),
+        col("pt.direction").as("direction"),
+        col("pt.significance").as("significance"),
+        col("pt.degree").as("degree"))
+  }
+
+  // PolyTrend summary statistics (`calculations/utils.py:37-64`).
+  qNoOracle("k1_pt_statistics") { (s, d) =>
+    val pt = udaf(new PolyTrendAgg(alpha = 0.05))
+    val results = hourlySeries(s, d)
+      .groupBy(col("user_id"))
+      .agg(pt(col("hbucket").cast("double"), col("value")).as("pt"))
+      .filter(col("pt").isNotNull)
+      .select(col("pt.trend_type").as("trend_type"),
+        col("pt.direction").as("direction"))
+    TrendPipeline.ptStatistics(results)
+  }
+
+  // K2: linear fit + eval at the series endpoints — oracle-checked via
+  // DuckDB regr_slope/regr_intercept (same x = epoch-day index).
+  q("k2_linear_eval",
+    """WITH x AS (SELECT user_id, value,
+      |                  date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS xi
+      |           FROM events)
+      |SELECT CAST(user_id AS BIGINT) AS user_id,
+      |       round(regr_intercept(value, xi) + regr_slope(value, xi) * min(xi), 6) AS yhat_first,
+      |       round(regr_intercept(value, xi) + regr_slope(value, xi) * max(xi), 6) AS yhat_last
+      |FROM x GROUP BY user_id""") { (s, d) =>
+    val xi = datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+    Tables.load(s, d, "events")
+      .select(col("user_id"), col("value"), xi.as("xi"))
+      .groupBy("user_id")
+      .agg(round(regr_intercept(col("value"), col("xi")) +
+        regr_slope(col("value"), col("xi")) * min(col("xi")), 6).as("yhat_first"),
+        round(regr_intercept(col("value"), col("xi")) +
+          regr_slope(col("value"), col("xi")) * max(col("xi")), 6).as("yhat_last"))
+  }
+
+  // K3: DBEST change detection per user over the hourly composite
+  // (seasonality 24 = daily cycle).
+  qNoOracle("k3_dbest_change") { (s, d) =>
+    val obs = TrendPipeline.eventsAsObservations(s, d)
+    TrendPipeline.dbestChange(s, obs,
+      TrendPipeline.DbestPipelineParams(
+        startDate = "2024-01-01", endDate = "2026-01-01",
+        threshold = -1e18,
+        kernel = Dbest.Params(seasonality = 24, duration = 24,
+          firstLevelShift = 0.5, secondLevelShift = 0.5)),
+      composite = TrendPipeline.hourlyComposite)
+      .select(col("longitude").cast("long").as("user_id"),
+        col("breakpoint_no"), col("segment_no"), col("start"),
+        col("duration"), col("end"), round(col("change"), 4).as("change"),
+        col("change_type"), col("significance"))
+  }
+
+  // K4: DBEST generalization (piecewise-linear trend + error stats).
+  qNoOracle("k4_dbest_generalization") { (s, d) =>
+    val obs = TrendPipeline.eventsAsObservations(s, d)
+    TrendPipeline.dbestGeneralization(s, obs,
+      TrendPipeline.DbestPipelineParams(
+        startDate = "2024-01-01", endDate = "2026-01-01",
+        threshold = -1e18,
+        kernel = Dbest.Params(seasonality = 24)),
+      composite = TrendPipeline.hourlyComposite)
+      .select(col("longitude").cast("long").as("user_id"),
+        col("segment_no"), round(col("rmse"), 4).as("rmse"),
+        round(col("mad"), 4).as("mad"))
+  }
+
+  // K5: STL decomposition components, exploded one row per bucket.
+  qNoOracle("k5_stl_components") { (s, d) =>
+    val obs = TrendPipeline.eventsAsObservations(s, d)
+    TrendPipeline.stlComponents(s, obs, period = 24,
+      composite = TrendPipeline.hourlyComposite)
+      .select(col("longitude").cast("long").as("user_id"), col("idx"),
+        round(col("trend"), 4).as("trend"),
+        round(col("seasonal"), 4).as("seasonal"),
+        round(col("remainder"), 4).as("remainder"))
+  }
+}

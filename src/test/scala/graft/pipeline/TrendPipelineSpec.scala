@@ -1,0 +1,119 @@
+package graft.pipeline
+
+import graft.model.Observation
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** End-to-end PolyTrend/DBEST lifecycle over synthetic observations
+  * (FIXTURES.md A1): scan → filter → composite → kernel → stats → sink.
+  */
+class TrendPipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** P pixels × 20 annual observations, 2 images per year (to exercise
+    * the mean composite): pixel (0,0) linear rising, (1,0) flat,
+    * (2,0) has one below-threshold value → dropped whole (F4).
+    */
+  private def fixtureObs() = {
+    import spark.implicits._
+    val rows = for {
+      (lon, kind) <- Seq((0.0, "linear"), (1.0, "flat"), (2.0, "masked"))
+      yr <- 2000 to 2019
+      sub <- Seq(0, 1) // two images per year
+    } yield {
+      val i = yr - 2000 + 1
+      val base = kind match {
+        case "linear" => 0.2 + 0.02 * i
+        case "flat" => 0.5
+        case "masked" => if (yr == 2010) 0.05 else 0.5 // one bad value
+      }
+      // sub-annual offset cancels in the annual mean
+      val v = base + (if (sub == 0) 0.01 else -0.01)
+      Observation(s"img_${yr}_$sub", lon, 0.0,
+        Timestamp.valueOf(s"$yr-0${1 + sub * 5}-15 00:00:00"), v)
+    }
+    rows.toDF()
+  }
+
+  test("PolyTrend pipeline classifies pixels and applies the quality gate") {
+    val params = TrendPipeline.PolyTrendParams(
+      startDate = "2000-01-01", endDate = "2020-01-01",
+      bbox = Some((-10.0, 10.0, -10.0, 10.0)),
+      alpha = 0.05, threshold = 0.1)
+    val out = TrendPipeline.polyTrend(spark, fixtureObs(), params)
+      .collect().map(r => (r.getDouble(0), r.getInt(2), r.getInt(4)))
+      .sortBy(_._1)
+    // masked pixel (lon=2) dropped by F4
+    assert(out.map(_._1).toSeq == Seq(0.0, 1.0))
+    val byLon = out.map(t => t._1 -> t).toMap
+    assert(byLon(0.0)._2 == 1, s"linear pixel: $out") // linear trend
+    assert(byLon(0.0)._3 == 1) // positive direction
+    assert(byLon(1.0)._2 == 0, s"flat pixel: $out") // no trend
+  }
+
+  test("ptStatistics counts sum to total and percentages are consistent") {
+    val params = TrendPipeline.PolyTrendParams(
+      startDate = "2000-01-01", endDate = "2020-01-01",
+      alpha = 0.05, threshold = 0.1)
+    val results = TrendPipeline.polyTrend(spark, fixtureObs(), params)
+    val s = TrendPipeline.ptStatistics(results).collect()(0)
+    val total = s.getAs[Long]("n_total")
+    val parts = Seq("n_linear", "n_quadratic", "n_cubic", "n_concealed",
+      "n_no_trend").map(s.getAs[Long](_)).sum
+    assert(total == 2 && parts == total)
+    assert(s.getAs[Long]("n_positive") + s.getAs[Long]("n_negative") == total)
+  }
+
+  test("temporal filter restricts the composite range") {
+    val params = TrendPipeline.PolyTrendParams(
+      startDate = "2005-01-01", endDate = "2015-01-01",
+      alpha = 0.05, threshold = 0.1)
+    val annual = TrendPipeline.annualComposite(fixtureObs()
+      .filter(org.apache.spark.sql.functions.col("time") >=
+        org.apache.spark.sql.functions.lit("2005-01-01").cast("timestamp")))
+    assert(annual.agg(org.apache.spark.sql.functions.min("yr"))
+      .collect()(0).getInt(0) >= 2005)
+  }
+
+  test("CSV sink round-trips the result schema (S3/S4)") {
+    val dir = java.nio.file.Files.createTempDirectory("ptcsv").toString
+    val params = TrendPipeline.PolyTrendParams(
+      startDate = "2000-01-01", endDate = "2020-01-01",
+      alpha = 0.05, threshold = 0.1)
+    val results = TrendPipeline.polyTrend(spark, fixtureObs(), params)
+    TrendPipeline.writeCsv(results, dir)
+    val back = spark.read.option("header", "true").csv(dir)
+    assert(back.count() == 2)
+    assert(back.columns.toSet.contains("trend_type"))
+  }
+
+  test("DBEST pipeline detects the step pixel") {
+    import spark.implicits._
+    // one pixel, 10 years monthly, sine(12) + step at month 60
+    val rows = for (m <- 0 until 120) yield {
+      val yr = 2000 + m / 12
+      val mo = m % 12 + 1
+      val v = 10.0 + (if (m >= 60) 5.0 else 0.0) +
+        2.0 * math.sin(2 * math.Pi * m / 12)
+      Observation(s"img_$m", 0.0, 0.0,
+        Timestamp.valueOf(f"$yr-$mo%02d-15 00:00:00"), v)
+    }
+    val params = TrendPipeline.DbestPipelineParams(
+      startDate = "2000-01-01", endDate = "2010-01-01",
+      threshold = -100.0,
+      kernel = graft.ts.Dbest.Params(seasonality = 12, duration = 12,
+        firstLevelShift = 0.3, secondLevelShift = 1.0))
+    val out = TrendPipeline.dbestChange(spark, rows.toDF(), params).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Int]("change_type") == 1, s"expected abrupt: $r")
+    assert(math.abs(r.getAs[Double]("change")) > 3.0)
+  }
+}
