@@ -12,7 +12,8 @@ object SparkEntry {
 
   private def registries: Seq[QueryRegistry] = Seq(
     graft.rel.RelQueries,
-    graft.ts.KernelQueries)
+    graft.ts.KernelQueries,
+    graft.pipeline.PipelineQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full PolyTrend lifecycle (filter → composite → kernel) over the

@@ -1,0 +1,264 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline (SURVEY §7.5):
+  * exact (hash-groupBy), MinHash+LSH banding, SimHash, exact n-gram
+  * Jaccard, and embedding-cosine near-dup. Hash functions are seeded and
+  * platform-independent so results are deterministic across runs and
+  * cluster layouts.
+  *
+  * Scale notes (100 TB):
+  *  - exact dedup is one hash-shuffle on a 64-bit digest, not the text;
+  *  - MinHash/SimHash signatures are computed map-side (one pass per
+  *    document), candidates come from an LSH-band shuffle whose key
+  *    cardinality is tunable (bands × rows); only candidate pairs —
+  *    not all O(n²) pairs — are verified;
+  *  - oversized LSH buckets (degenerate content) are capped to keep the
+  *    per-bucket pair blowup bounded.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------- exact
+
+  /** Exact dedup: keep the smallest doc_id per identical text. The
+    * shuffle key is a 64-bit xxhash of the text, so the wide string
+    * column never routes through the exchange.
+    */
+  def exactDedup(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val h = xxhash64(col(textCol))
+    docs
+      .groupBy(h.as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  // ----------------------------------------------------------- minhash
+
+  /** FNV-1a 64-bit over a string — deterministic shingle hash. */
+  private def fnv1a(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** splitmix64 — seeds the per-function universal hash params. */
+  private def splitmix(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** k-shingles of the token array (joined with spaces). */
+  private def shingleHashes(toks: Seq[String], k: Int): Array[Long] = {
+    if (toks.length < k) Array(fnv1a(toks.mkString(" ")))
+    else {
+      val out = new Array[Long](toks.length - k + 1)
+      var i = 0
+      while (i + k <= toks.length) {
+        out(i) = fnv1a(toks.slice(i, i + k).mkString(" "))
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** MinHash signature: numHashes permutations h_i(x) = a_i·x + b_i over
+    * the shingle hash set (odd a_i from splitmix64 of the seed).
+    */
+  private[graft] def minhashSignature(
+      toks: Seq[String], numHashes: Int, shingleK: Int,
+      seed: Long): Array[Long] = {
+    val sh = shingleHashes(toks, shingleK)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var f = 0
+    while (f < numHashes) {
+      val a = splitmix(seed + 2L * f) | 1L
+      val b = splitmix(seed + 2L * f + 1)
+      var m = Long.MaxValue
+      var i = 0
+      while (i < sh.length) {
+        val v = a * sh(i) + b
+        if (v < m) m = v
+        i += 1
+      }
+      sig(f) = m
+      f += 1
+    }
+    sig
+  }
+
+  /** MinHash-LSH candidate pairs with estimated Jaccard.
+    *
+    * @param bands       LSH bands; rows-per-band = numHashes / bands
+    * @param minEstJaccard filter on the signature-agreement estimate
+    * @param maxBucket   skip degenerate buckets above this size
+    */
+  def minhashCandidates(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", numHashes: Int = 32, bands: Int = 8,
+      shingleK: Int = 3, seed: Long = 42L, minEstJaccard: Double = 0.5,
+      maxBucket: Int = 64): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sigUdf = udf { (toks: Seq[String]) =>
+      minhashSignature(toks, numHashes, shingleK, seed)
+    }
+    val bandUdf = udf { (sig: Seq[Long]) =>
+      sig.grouped(rowsPerBand).zipWithIndex.map { case (slice, b) =>
+        (b, slice.foldLeft(0xcbf29ce484222325L)((h, v) =>
+          (h ^ v) * 0x100000001b3L))
+      }.toSeq
+    }
+    val estUdf = udf { (s1: Seq[Long], s2: Seq[Long]) =>
+      s1.zip(s2).count { case (a, b) => a == b }.toDouble / s1.length
+    }
+    val signed = docs
+      .select(col(idCol).as("doc_id"),
+        sigUdf(split(col(textCol), " ")).as("sig"))
+    val bucketed = signed
+      .select(col("doc_id"), col("sig"), explode(bandUdf(col("sig"))).as("bb"))
+      .select(col("doc_id"), col("sig"),
+        col("bb._1").as("band"), col("bb._2").as("bucket"))
+    // pairs within each (band, bucket); buckets above maxBucket skipped
+    val grouped = bucketed.groupBy("band", "bucket")
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    val pairUdf = udf { (members: Seq[org.apache.spark.sql.Row]) =>
+      val sorted = members.map(r =>
+        (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+      for {
+        i <- sorted.indices
+        j <- (i + 1) until sorted.length
+      } yield (sorted(i)._1, sorted(j)._1,
+        sorted(i)._2.zip(sorted(j)._2).count(t => t._1 == t._2).toDouble /
+          sorted(i)._2.length)
+    }
+    grouped
+      .select(explode(pairUdf(col("members"))).as("p"))
+      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"),
+        col("p._3").as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
+  // ----------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over token FNV hashes. */
+  private[graft] def simhash64(toks: Seq[String]): Long = {
+    val acc = new Array[Int](64)
+    toks.foreach { t =>
+      val h = fnv1a(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** SimHash near-dup candidates: 4 bands of 16 bits — any shared band
+    * makes a candidate (catches Hamming distance ≤ 3 with high recall);
+    * candidates verified by exact Hamming distance.
+    */
+  def simhashCandidates(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxHamming: Int = 8,
+      maxBucket: Int = 64): DataFrame = {
+    val shUdf = udf { (toks: Seq[String]) => simhash64(toks) }
+    val signed = docs.select(col(idCol).as("doc_id"),
+      shUdf(split(col(textCol), " ")).as("simhash"))
+    val banded = signed.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bucket",
+        expr("(simhash >> (band * 16)) & 65535"))
+    val grouped = banded.groupBy("band", "bucket")
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    val pairUdf = udf { (members: Seq[org.apache.spark.sql.Row]) =>
+      val sorted = members.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      for {
+        i <- sorted.indices
+        j <- (i + 1) until sorted.length
+      } yield (sorted(i)._1, sorted(j)._1,
+        java.lang.Long.bitCount(sorted(i)._2 ^ sorted(j)._2))
+    }
+    grouped.select(explode(pairUdf(col("members"))).as("p"))
+      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"),
+        col("p._3").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ----------------------------------------- exact n-gram Jaccard
+
+  /** Exact token-n-gram Jaccard over candidate pairs, pure relational
+    * algebra (shingle explode → equi-join → count ratio) so it is
+    * DuckDB-oracle checkable and Catalyst-optimizable end to end.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
+      minJaccard: Double = 0.8): DataFrame = {
+    val toks = split(col("text"), " ")
+    val grams = docs.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(1, greatest(size(toks) - ${n - 1}, 1)), " +
+            s"i -> array_join(slice(toks, i, $n), ' '))")).as("g"))
+      .distinct()
+    val counts = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val a = grams.as("ga")
+    val b = grams.as("gb")
+    val inter = a.join(b,
+        col("ga.g") === col("gb.g") &&
+          col("ga.doc_id") < col("gb.doc_id"))
+      .groupBy(col("ga.doc_id").as("doc_a"), col("gb.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_grams", "n_a"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_grams", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  // ------------------------------------- embedding cosine near-dup
+
+  /** Cosine of two double arrays as a pure column expression
+    * (zip_with + aggregate — codegen'd, no UDF).
+    */
+  def cosineCol(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Brute-force cosine near-dup pairs above a threshold. O(n²/2) —
+    * the verification baseline; the LSH route in [[graft.sim.Similarity]]
+    * is the scale path.
+    */
+  def cosineNearDup(embeddings: DataFrame, minCosine: Double): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("vec_a"),
+      transform(col("embedding"), _.cast("double")).as("ea"))
+    val b = embeddings.select(col("vec_id").as("vec_b"),
+      transform(col("embedding"), _.cast("double")).as("eb"))
+    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", round(cosineCol(col("ea"), col("eb")), 6))
+      .filter(col("cosine") >= minCosine)
+      .select("vec_a", "vec_b", "cosine")
+  }
+}

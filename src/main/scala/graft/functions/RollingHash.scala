@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 64-bit polynomial rolling hash of a string — the document
+  * fingerprinting primitive (SURVEY §7.5 text analysis). Implemented as
+  * a native Catalyst `Expression` with `doGenCode` so it stays inside
+  * whole-stage codegen on the hot path (preferred over a Scala UDF,
+  * which would box every row).
+  *
+  * h = Σ byte_i · B^(n−1−i) mod 2^64 with B = 1000003 (deterministic,
+  * platform-independent; multiplication wraps in Long arithmetic).
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"rolling_hash needs a string input, got ${child.dataType}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = h * 1000003L + (bytes(i) & 0xff)
+      i += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val b = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+         |byte[] $b = $c.getBytes();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $b.length; $i++) {
+         |  $h = $h * 1000003L + ($b[$i] & 0xff);
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+object RollingHash {
+  /** Column-level entry point: `rolling_hash($"text")`. */
+  def rolling_hash(c: Column): Column =
+    ColumnBridge.toColumn(RollingHash(ColumnBridge.toExpression(c)))
+}

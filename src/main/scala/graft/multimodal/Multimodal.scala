@@ -1,0 +1,70 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY §7.5): media payloads travel as
+  * opaque `binary` columns beside typed metadata; decode/feature steps
+  * run batch-wise per partition so a real decoder (image/audio codec)
+  * drops in without touching the Spark plan.
+  *
+  * The decode itself is STUBBED — this container ships no media codecs —
+  * with a deterministic fake that preserves the real data flow: schema,
+  * partitioning, batch shape, and feature projection are all live and
+  * tested; only `decodeStub` would be replaced in production.
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte],
+      media_type: String, n_bytes: Int)
+
+  final case class MediaFeatures(doc_id: Long, n_bytes: Int,
+      checksum: Long, width: Int, height: Int, mean_intensity: Double)
+
+  /** Build a media table from the documents corpus: the text bytes play
+    * the opaque payload; metadata is typed columns.
+    */
+  def payloads(spark: SparkSession, dir: String): DataFrame =
+    graft.io.Tables.load(spark, dir, "documents").select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      lit("text/fake").as("media_type"),
+      octet_length(col("text").cast("binary")).as("n_bytes"))
+
+  /** STUB decode: a real implementation would decode the payload with a
+    * codec and return pixel/sample features. The fake derives
+    * deterministic pseudo-features from the bytes so the pipeline is
+    * end-to-end testable.
+    */
+  private[multimodal] def decodeStub(payload: Array[Byte]): (Int, Int, Double) = {
+    var checksum = 0L
+    var i = 0
+    while (i < payload.length) {
+      checksum = checksum * 31 + (payload(i) & 0xff)
+      i += 1
+    }
+    val width = 16 + (math.abs(checksum) % 48).toInt // fake dims
+    val height = 16 + (math.abs(checksum >> 8) % 48).toInt
+    val mean =
+      if (payload.isEmpty) 0.0
+      else payload.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / payload.length
+    (width, height, mean)
+  }
+
+  /** Batch feature extraction over partitions: one JVM-level pass per
+    * partition (where a codec would amortize its setup), typed output.
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition: real decoders initialize once here
+        rows.map { case (id, payload) =>
+          var checksum = 0L
+          payload.foreach(b => checksum = checksum * 31 + (b & 0xff))
+          val (w, h, mean) = decodeStub(payload)
+          MediaFeatures(id, payload.length, checksum, w, h, mean)
+        }
+      }
+  }
+}

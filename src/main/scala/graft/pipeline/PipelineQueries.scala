@@ -1,0 +1,175 @@
+package graft.pipeline
+
+import graft.QueryRegistry
+import graft.dedup.Dedup
+import graft.functions.RollingHash.rolling_hash
+import graft.io.Tables
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Driver-contract entries for the training-data pipeline operators
+  * (SURVEY §7.5): text analysis, dedup family, similarity search, and
+  * multimodal plumbing over the `documents`/`embeddings` tables.
+  */
+object PipelineQueries extends QueryRegistry {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.load(s, d, "documents")
+  private def embs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.load(s, d, "embeddings")
+
+  // ------------------------------------------------------ text analysis
+
+  q("t_tokens",
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq,
+      |       CAST(length(text) AS INT) AS n_chars_measured
+      |FROM documents""") { (s, d) =>
+    val toks = TextAnalysis.tokens(col("text"))
+    docs(s, d).select(col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_uniq"),
+      length(col("text")).as("n_chars_measured"))
+  }
+
+  q("t_quality",
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |       CAST(length(text) AS INT) AS n_chars_measured,
+      |       CAST(len(list_filter(string_split(text, ' '), x -> x IN
+      |         ('the','a','an','of','and','or','to','in','is','it',
+      |          'for','on','with','as','at','by'))) AS INT) AS n_stop,
+      |       round(len(list_filter(string_split(text, ' '), x -> x IN
+      |         ('the','a','an','of','and','or','to','in','is','it',
+      |          'for','on','with','as','at','by'))) /
+      |         len(string_split(text, ' ')), 4) AS stop_ratio,
+      |       round((length(text) - (len(string_split(text, ' ')) - 1)) /
+      |         len(string_split(text, ' ')), 4) AS mean_tok_len,
+      |       round(least(len(list_filter(string_split(text, ' '), x -> x IN
+      |         ('the','a','an','of','and','or','to','in','is','it',
+      |          'for','on','with','as','at','by'))) /
+      |         len(string_split(text, ' ')) * 2.5, 1.0) * 0.5 +
+      |         least((length(text) - (len(string_split(text, ' ')) - 1)) /
+      |         len(string_split(text, ' ')) / 8.0, 1.0) * 0.5, 4) AS quality_score
+      |FROM documents""") { (s, d) =>
+    TextAnalysis.qualityProjection(docs(s, d))
+  }
+
+  // Language heuristic: Scala-side marker voting — no SQL oracle.
+  qNoOracle("t_langid") { (s, d) =>
+    TextAnalysis.withLangId(docs(s, d))
+      .select(col("doc_id"), col("lang").as("lang_declared"),
+        col("lang_pred"))
+  }
+
+  // BPE-ish token count: lookbehind regex (Java) not expressible in RE2.
+  qNoOracle("t_bpeish_tokens") { (s, d) =>
+    docs(s, d).select(col("doc_id"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"))
+  }
+
+  q("t_fingerprint_md5",
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS fp
+      |FROM documents""") { (s, d) =>
+    docs(s, d).select(col("doc_id"), md5(col("text")).as("fp"))
+  }
+
+  // Rolling-hash fingerprint via the native Catalyst expression.
+  qNoOracle("t_fingerprint_rolling") { (s, d) =>
+    docs(s, d).select(col("doc_id"), rolling_hash(col("text")).as("fp64"))
+  }
+
+  // ------------------------------------------------------------- dedup
+
+  q("dd_exact",
+    """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+      |       CAST(count(*) AS BIGINT) AS n_copies
+      |FROM documents GROUP BY text""") { (s, d) =>
+    Dedup.exactDedup(docs(s, d)).select("keep_id", "n_copies")
+  }
+
+  qNoOracle("dd_minhash_lsh") { (s, d) =>
+    Dedup.minhashCandidates(docs(s, d), minEstJaccard = 0.5)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  qNoOracle("dd_simhash") { (s, d) =>
+    Dedup.simhashCandidates(docs(s, d), maxHamming = 8)
+  }
+
+  q("dd_ngram_jaccard",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |grams AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS g
+      |          FROM toks, unnest(generate_series(1, greatest(len(l) - 2, 1))) AS t(i)),
+      |cnt AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+      |       round(n_inter / (ca.n_grams + cb.n_grams - n_inter), 4) AS jaccard
+      |FROM inter
+      |JOIN cnt ca ON ca.doc_id = doc_a
+      |JOIN cnt cb ON cb.doc_id = doc_b
+      |WHERE round(n_inter / (ca.n_grams + cb.n_grams - n_inter), 4) >= 0.8""") { (s, d) =>
+    Dedup.ngramJaccardPairs(docs(s, d), n = 3, minJaccard = 0.8)
+  }
+
+  q("dd_cosine_neardup",
+    """SELECT CAST(a.vec_id AS BIGINT) AS vec_a,
+      |       CAST(b.vec_id AS BIGINT) AS vec_b,
+      |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |             CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |      CAST(b.embedding AS DOUBLE[])), 6) >= 0.4""") { (s, d) =>
+    Dedup.cosineNearDup(embs(s, d), minCosine = 0.4)
+  }
+
+  // -------------------------------------------------------- similarity
+
+  q("sim_cosine_topk",
+    """WITH scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                CAST(c.embedding AS DOUBLE[])) AS cos_raw
+      |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < 20),
+      |ranked AS (
+      |  SELECT query_id, cand_id, cos_raw,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY cos_raw DESC, cand_id) AS rank
+      |  FROM scored)
+      |SELECT CAST(query_id AS BIGINT) AS query_id,
+      |       CAST(cand_id AS BIGINT) AS cand_id,
+      |       round(cos_raw, 6) AS cosine, CAST(rank AS INT) AS rank
+      |FROM ranked WHERE rank <= 5""") { (s, d) =>
+    val all = embs(s, d)
+    Similarity.bruteForceTopK(all.filter(col("vec_id") < 20), all, k = 5)
+  }
+
+  qNoOracle("sim_lsh_topk") { (s, d) =>
+    Similarity.lshTopK(embs(s, d), k = 5)
+  }
+
+  // -------------------------------------------------------- multimodal
+
+  q("mm_media_meta",
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |       CAST(length(text) AS INT) AS n_bytes,
+      |       sha256(text) AS digest
+      |FROM documents""") { (s, d) =>
+    Multimodal.payloads(s, d).select(col("doc_id"),
+      col("n_bytes"), sha2(col("payload"), 256).as("digest"))
+  }
+
+  qNoOracle("mm_media_features") { (s, d) =>
+    Multimodal.extractFeatures(s, Multimodal.payloads(s, d)).toDF()
+      .select(col("doc_id"), col("n_bytes"), col("checksum"),
+        col("width"), col("height"), round(col("mean_intensity"), 4)
+          .as("mean_intensity"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.sim
+
+import graft.dedup.Dedup.cosineCol
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY §7.5): brute-force cosine top-k as the correctness baseline,
+  * and a random-hyperplane LSH-bucketed variant as the scale path (probe
+  * only vectors sharing a signature prefix bucket instead of all n).
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k: every query vector against the full
+    * corpus. The corpus side is broadcast when small; at scale the
+    * queries×corpus product is the bottleneck — use [[lshTopK]].
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      transform(col("embedding"), _.cast("double")).as("eq"))
+    val c = corpus.select(col("vec_id").as("cand_id"),
+      transform(col("embedding"), _.cast("double")).as("ec"))
+    val scored = q.join(broadcast(c), col("query_id") =!= col("cand_id"))
+      .withColumn("cosine", cosineCol(col("eq"), col("ec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (seed, plane,
+    * dim) — splitmix64 mapped to ±1.
+    */
+  private def planeSign(seed: Long, plane: Int, dim: Int): Double = {
+    var x = seed + plane.toLong * 1315423911L + dim.toLong * 2654435761L +
+      0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x = x ^ (x >>> 31)
+    if ((x & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** Random-hyperplane signature: `planes` sign bits packed in a Long. */
+  private[sim] def hyperplaneSig(vec: Seq[Double], planes: Int, seed: Long): Long = {
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      var acc = 0.0
+      var d = 0
+      while (d < vec.length) {
+        acc += vec(d) * planeSign(seed, p, d)
+        d += 1
+      }
+      if (acc >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** LSH-bucketed approximate top-k: vectors sharing any of the `tables`
+    * signature buckets are candidates; exact cosine re-ranks. Recall is
+    * tunable via planes/tables; each table is one shuffle key, so cost
+    * scales with bucket occupancy instead of n².
+    */
+  def lshTopK(embeddings: DataFrame, k: Int, planes: Int = 12,
+      tables: Int = 4, seed: Long = 42L): DataFrame = {
+    val sigUdf = udf { (vec: Seq[Double], table: Int) =>
+      hyperplaneSig(vec, planes, seed + table * 0x51ab61c3L)
+    }
+    val base = embeddings.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("e"))
+    val tablesDf = base
+      .withColumn("tbl", explode(sequence(lit(0), lit(tables - 1))))
+      .withColumn("bucket", sigUdf(col("e"), col("tbl")))
+    val a = tablesDf.select(col("tbl"), col("bucket"),
+      col("vec_id").as("query_id"), col("e").as("eq"))
+    val b = tablesDf.select(col("tbl").as("tbl_b"), col("bucket").as("bucket_b"),
+      col("vec_id").as("cand_id"), col("e").as("ec"))
+    val cands = a.join(b,
+        col("tbl") === col("tbl_b") && col("bucket") === col("bucket_b") &&
+          col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id", "eq", "ec")
+      .dropDuplicates("query_id", "cand_id")
+      .withColumn("cosine", cosineCol(col("eq"), col("ec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("cand_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+}

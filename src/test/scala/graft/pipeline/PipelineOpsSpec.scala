@@ -1,0 +1,171 @@
+package graft.pipeline
+
+import graft.dedup.Dedup
+import graft.functions.RollingHash
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
+import graft.text.TextAnalysis
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the training-data pipeline operators: dedup family,
+  * similarity, text analysis, fingerprinting, multimodal plumbing.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docsDf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup collapses identical texts to min doc_id") {
+    val df = docsDf(
+      (1L, "aa bb cc"), (2L, "aa bb cc"), (3L, "dd ee ff"))
+    val out = Dedup.exactDedup(df).collect()
+      .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies")))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash estimate ≈ jaccard: identical=1, disjoint=0") {
+    val a = Seq.tabulate(40)(i => s"tok$i")
+    val b = Seq.tabulate(40)(i => s"other$i")
+    val sa = Dedup.minhashSignature(a, 64, 3, 42L)
+    val sa2 = Dedup.minhashSignature(a, 64, 3, 42L)
+    val sb = Dedup.minhashSignature(b, 64, 3, 42L)
+    assert(sa.sameElements(sa2))
+    assert(sa.zip(sb).count(t => t._1 == t._2) <= 3) // ~0 matches
+  }
+
+  test("minhash LSH surfaces a planted near-duplicate pair") {
+    val base = Seq.tabulate(50)(i => s"w$i")
+    val nearDup = base.updated(10, "CHANGED") // jaccard ~0.9
+    val far = Seq.tabulate(50)(i => s"z$i")
+    val df = docsDf(
+      (1L, base.mkString(" ")), (2L, nearDup.mkString(" ")),
+      (3L, far.mkString(" ")))
+    val pairs = Dedup.minhashCandidates(df, minEstJaccard = 0.5).collect()
+    assert(pairs.exists(r =>
+      r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L),
+      s"got ${pairs.mkString(";")}")
+    assert(!pairs.exists(r => r.getAs[Long]("doc_b") == 3L))
+  }
+
+  test("simhash: identical → hamming 0; near-dup small; far large") {
+    val base = Seq.tabulate(60)(i => s"w$i")
+    val near = base.updated(5, "x")
+    val h1 = Dedup.simhash64(base)
+    val h2 = Dedup.simhash64(near)
+    val h3 = Dedup.simhash64(Seq.tabulate(60)(i => s"q$i"))
+    assert(java.lang.Long.bitCount(h1 ^ h1) == 0)
+    val dNear = java.lang.Long.bitCount(h1 ^ h2)
+    val dFar = java.lang.Long.bitCount(h1 ^ h3)
+    assert(dNear < dFar, s"near $dNear !< far $dFar")
+  }
+
+  test("ngram jaccard computes the exact overlap ratio") {
+    // doc1: tokens a b c d e → 3-grams {abc,bcd,cde}; doc2 shares 2 of 3
+    val df = docsDf(
+      (1L, "a b c d e"), (2L, "a b c d x"), (3L, "p q r s t"))
+    val out = Dedup.ngramJaccardPairs(df, n = 3, minJaccard = 0.1).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    // grams1 = {abc,bcd,cde}, grams2 = {abc,bcd,cdx}: inter 2, union 4
+    assert(math.abs(r.getAs[Double]("jaccard") - 0.5) < 1e-9)
+  }
+
+  test("cosine near-dup and brute-force top-k agree on a planted cluster") {
+    import spark.implicits._
+    val v1 = Array.tabulate(8)(i => (i + 1).toFloat)
+    val v2 = v1.map(x => x * 2.0f) // same direction → cosine 1
+    val v3 = Array.tabulate(8)(i => if (i == 0) 1.0f else 0.0f)
+    val df = Seq((1L, v1.toSeq, 0), (2L, v2.toSeq, 0), (3L, v3.toSeq, 1))
+      .toDF("vec_id", "embedding", "label")
+    val nd = Dedup.cosineNearDup(df, 0.99).collect()
+    assert(nd.length == 1 && nd(0).getAs[Long]("vec_a") == 1L &&
+      nd(0).getAs[Long]("vec_b") == 2L)
+    val topk = Similarity.bruteForceTopK(df.filter($"vec_id" === 1L), df, 2)
+      .collect().sortBy(_.getAs[Int]("rank"))
+    assert(topk(0).getAs[Long]("cand_id") == 2L)
+    assert(math.abs(topk(0).getAs[Double]("cosine") - 1.0) < 1e-6)
+  }
+
+  test("LSH top-k achieves high recall vs brute force on clustered data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // 10 cluster centers × 10 members with small perturbations
+    val rows = for {
+      c <- 0 until 10
+      m <- 0 until 10
+    } yield {
+      val center = Array.tabulate(16)(d =>
+        math.sin(c * 16 + d).toFloat * 5)
+      val vec = center.map(x => x + rnd.nextGaussian().toFloat * 0.1f)
+      ((c * 10 + m).toLong, vec.toSeq, c)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val brute = Similarity.bruteForceTopK(df, df, 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val lsh = Similarity.lshTopK(df, 3, planes = 8, tables = 6).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall > 0.8, s"LSH recall $recall")
+  }
+
+  test("rolling_hash matches reference implementation and runs codegen") {
+    def ref(s: String): Long = {
+      var h = 0L
+      s.getBytes("UTF-8").foreach(b => h = h * 1000003L + (b & 0xff))
+      h
+    }
+    val df = docsDf((1L, "hello world"), (2L, ""), (3L, "αβγ"))
+    val out = df.select(col("doc_id"),
+      RollingHash.rolling_hash(col("text")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == ref("hello world"))
+    assert(out(2L) == 0L)
+    assert(out(3L) == ref("αβγ")) // multi-byte UTF-8 path
+    // null-safety
+    import spark.implicits._
+    val withNull = Seq((1L, "x"), (2L, null)).toDF("doc_id", "text")
+    val got = withNull.select(RollingHash.rolling_hash($"text")).collect()
+    assert(got(1).isNullAt(0))
+  }
+
+  test("language heuristic votes on marker stopwords and scripts") {
+    val df = docsDf(
+      (1L, "el que de la casa y los perros en madrid"),
+      (2L, "the cat sat of the mat and it is warm"),
+      (3L, "der hund und die katze ist von den bergen"),
+      (4L, "数据 处理 引擎 分布式 计算 系统 内存 管理"))
+    val out = TextAnalysis.withLangId(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(out(1L) == "es")
+    assert(out(2L) == "en")
+    assert(out(3L) == "de")
+    assert(out(4L) == "zh")
+  }
+
+  test("multimodal feature extraction is deterministic and typed") {
+    import spark.implicits._
+    val media = Seq((1L, "payload-bytes"), (2L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+      .sortBy(_.doc_id)
+    assert(feats(0).n_bytes == "payload-bytes".getBytes.length)
+    assert(feats(1).n_bytes == 0)
+    val again = Multimodal.extractFeatures(spark, media).collect()
+      .sortBy(_.doc_id)
+    assert(feats.toSeq == again.toSeq)
+  }
+}
