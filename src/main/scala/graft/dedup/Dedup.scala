@@ -211,11 +211,14 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
       minJaccard: Double = 0.8): DataFrame = {
     val toks = split(col("text"), " ")
+    // join key = xxhash64 of the gram: the equi-join and distinct route
+    // 8-byte keys through the exchanges instead of gram strings (same
+    // result barring 2^-64 collisions)
     val grams = docs.select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"),
         explode(expr(
           s"transform(sequence(1, greatest(size(toks) - ${n - 1}, 1)), " +
-            s"i -> array_join(slice(toks, i, $n), ' '))")).as("g"))
+            s"i -> xxhash64(array_join(slice(toks, i, $n), ' ')))")).as("g"))
       .distinct()
     val counts = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val a = grams.as("ga")

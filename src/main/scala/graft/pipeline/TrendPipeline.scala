@@ -70,8 +70,12 @@ object TrendPipeline {
     * sources (the harness `events` table); same A1 semantics.
     */
   def hourlyComposite(obs: DataFrame): DataFrame =
+    timeBucketComposite(obs, 3600)
+
+  /** Tumbling mean composite with an arbitrary bucket width in seconds. */
+  def timeBucketComposite(obs: DataFrame, seconds: Long): DataFrame =
     obs.groupBy(col("longitude"), col("latitude"),
-        floor(unix_timestamp(col("time")) / 3600).as("bucket"))
+        floor(unix_timestamp(col("time")) / seconds).as("bucket"))
       .agg(avg(col("value")).as("value"))
 
   /** PolyTrend-for-region (§3.1 stages 3-8): returns the per-pixel

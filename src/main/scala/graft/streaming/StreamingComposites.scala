@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming composites (SURVEY §2.10): the A1 tumbling
+  * mean composite as an event-time windowed aggregation with a
+  * watermark — the streaming twin of the batch pipeline; late data past
+  * the watermark is dropped, state is bounded by (keys × open windows).
+  *
+  * The reference is strictly batch (`calculations/routes.py:22-33`);
+  * this is the additive scope the composite operator earns for free on
+  * Spark.
+  */
+object StreamingComposites {
+
+  /** Schema of the canonical observation stream (FIXTURES.md A1). */
+  val observationSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("longitude", DoubleType),
+    StructField("latitude", DoubleType),
+    StructField("time", TimestampType),
+    StructField("value", DoubleType)))
+
+  /** File-source observation stream over a parquet directory. */
+  def readObservationStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(observationSchema).parquet(dir)
+
+  /** Tumbling event-time mean composite with watermark: one output row
+    * per (pixel, window) once the watermark passes the window end.
+    */
+  def tumblingComposite(obs: DataFrame, windowLength: String,
+      watermarkDelay: String): DataFrame =
+    obs
+      .withWatermark("time", watermarkDelay)
+      .groupBy(col("longitude"), col("latitude"),
+        window(col("time"), windowLength).as("w"))
+      .agg(avg(col("value")).as("value"), count(lit(1)).as("n_obs"))
+      .select(col("longitude"), col("latitude"),
+        col("w.start").as("bucket_start"), col("value"), col("n_obs"))
+
+  /** Per-event-type running counters (the A4 stats block as a streaming
+    * aggregation in update mode).
+    */
+  def runningTypeCounts(events: DataFrame, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"),
+        col("total"))
+}

@@ -128,20 +128,18 @@ object Dbest {
       }
       (best, bestD)
     }
-    var changed = true
-    while (changed) {
-      changed = false
-      val vs = vertices.sorted
-      var k = 0
-      while (k < vs.length - 1 && !changed) {
-        val (idx, dev) = maxDev(vs(k), vs(k + 1))
-        if (idx >= 0 && dev > threshold) {
-          vertices += idx
-          changed = true
-        }
-        k += 1
+    // recursive split (classic Douglas-Peucker): O(n log n) typical,
+    // vs O(n·V) for a global re-scan per added vertex
+    def rec(a: Int, b: Int): Unit = {
+      if (b - a < 2) return
+      val (idx, dev) = maxDev(a, b)
+      if (idx >= 0 && dev > threshold) {
+        vertices += idx
+        rec(a, idx)
+        rec(idx, b)
       }
     }
+    rec(0, n - 1)
     vertices.sorted.toArray
   }
 

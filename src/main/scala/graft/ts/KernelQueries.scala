@@ -69,17 +69,18 @@ object KernelQueries extends QueryRegistry {
           regr_slope(col("value"), col("xi")) * max(col("xi")), 6).as("yhat_last"))
   }
 
-  // K3: DBEST change detection per user over the hourly composite
-  // (seasonality 24 = daily cycle).
+  // K3: DBEST change detection per user over the 6-hour composite
+  // (seasonality 4 = daily cycle; series length stays in the
+  // reference's monthly envelope across scale factors).
   qNoOracle("k3_dbest_change") { (s, d) =>
     val obs = TrendPipeline.eventsAsObservations(s, d)
     TrendPipeline.dbestChange(s, obs,
       TrendPipeline.DbestPipelineParams(
         startDate = "2024-01-01", endDate = "2026-01-01",
         threshold = -1e18,
-        kernel = Dbest.Params(seasonality = 24, duration = 24,
+        kernel = Dbest.Params(seasonality = 4, duration = 8,
           firstLevelShift = 0.5, secondLevelShift = 0.5)),
-      composite = TrendPipeline.hourlyComposite)
+      composite = TrendPipeline.timeBucketComposite(_, 21600))
       .select(col("longitude").cast("long").as("user_id"),
         col("breakpoint_no"), col("segment_no"), col("start"),
         col("duration"), col("end"), round(col("change"), 4).as("change"),
@@ -93,8 +94,8 @@ object KernelQueries extends QueryRegistry {
       TrendPipeline.DbestPipelineParams(
         startDate = "2024-01-01", endDate = "2026-01-01",
         threshold = -1e18,
-        kernel = Dbest.Params(seasonality = 24)),
-      composite = TrendPipeline.hourlyComposite)
+        kernel = Dbest.Params(seasonality = 4)),
+      composite = TrendPipeline.timeBucketComposite(_, 21600))
       .select(col("longitude").cast("long").as("user_id"),
         col("segment_no"), round(col("rmse"), 4).as("rmse"),
         round(col("mad"), 4).as("mad"))
@@ -103,8 +104,8 @@ object KernelQueries extends QueryRegistry {
   // K5: STL decomposition components, exploded one row per bucket.
   qNoOracle("k5_stl_components") { (s, d) =>
     val obs = TrendPipeline.eventsAsObservations(s, d)
-    TrendPipeline.stlComponents(s, obs, period = 24,
-      composite = TrendPipeline.hourlyComposite)
+    TrendPipeline.stlComponents(s, obs, period = 4,
+      composite = TrendPipeline.timeBucketComposite(_, 21600))
       .select(col("longitude").cast("long").as("user_id"), col("idx"),
         round(col("trend"), 4).as("trend"),
         round(col("seasonal"), 4).as("seasonal"),
