@@ -12,6 +12,7 @@ object SparkEntry {
 
   private def registries: Seq[QueryRegistry] = Seq(
     graft.rel.RelQueries,
+    graft.rel.SqlQueries,
     graft.ts.KernelQueries,
     graft.pipeline.PipelineQueries)
 

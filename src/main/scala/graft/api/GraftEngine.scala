@@ -1,0 +1,56 @@
+package graft.api
+
+import graft.functions.RollingHash
+import graft.io.Tables
+import graft.ts.PolyTrendAgg
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** The engine facade (SURVEY §7.1 `api/`): session construction with the
+  * tuned defaults, dataset registration, and SQL exposure of the custom
+  * kernels — a user points it at a scale directory and gets both the
+  * DataFrame combinators and a SQL surface with `polytrend(...)` /
+  * `rolling_hash(...)` available.
+  */
+object GraftEngine {
+
+  /** Local-mode session with the engine defaults. On a cluster the
+    * master/partitions come from spark-submit; only the UTC pin and AQE
+    * flags matter there.
+    */
+  def session(appName: String = "graft",
+      master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
+      shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession.builder()
+      .appName(appName)
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    registerFunctions(spark)
+    spark
+  }
+
+  /** Register the kernel functions on an existing session. */
+  def registerFunctions(spark: SparkSession, alpha: Double = 0.05): Unit = {
+    // K1 as a SQL aggregate: SELECT key, polytrend(t, v) ... GROUP BY key
+    spark.udf.register("polytrend", udaf(new PolyTrendAgg(alpha)))
+    // document fingerprint as a SQL scalar (native expression, codegen'd)
+    ColumnBridge.registerExpression(spark, "rolling_hash",
+      exprs => graft.functions.RollingHash(exprs.head))
+  }
+
+  /** Register every testdata table as a temp view for `spark.sql`. */
+  def open(spark: SparkSession, dir: String): Unit =
+    Tables.registerAll(spark, dir)
+
+  /** Convenience: one-call PolyTrend lifecycle (§3.1) over an
+    * observation table.
+    */
+  def polyTrend(spark: SparkSession, obs: DataFrame,
+      params: graft.pipeline.TrendPipeline.PolyTrendParams): DataFrame =
+    graft.pipeline.TrendPipeline.polyTrend(spark, obs, params)
+}

@@ -572,15 +572,15 @@ object RelQueries extends QueryRegistry {
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |JOIN lineitem ON l_orderkey = o_orderkey
       |WHERE c_mktsegment = 'BUILDING'
-      |  AND o_orderdate < TIMESTAMP '1995-03-15'
-      |  AND l_shipdate > TIMESTAMP '1995-03-15'
+      |  AND o_orderdate < TIMESTAMP '1996-03-15'
+      |  AND l_shipdate > TIMESTAMP '1996-03-15'
       |GROUP BY l_orderkey, o_orderdate
       |ORDER BY revenue DESC, l_orderkey LIMIT 10""") { (s, d) =>
     t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
       .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
-      .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp_ntz"))
+      .filter(col("o_orderdate") < lit("1996-03-15").cast("timestamp_ntz"))
       .join(t(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
-      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp_ntz"))
+      .filter(col("l_shipdate") > lit("1996-03-15").cast("timestamp_ntz"))
       .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("od"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
         .as("revenue"))
@@ -615,13 +615,13 @@ object RelQueries extends QueryRegistry {
   q("q6_forecast_revenue",
     """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
       |FROM lineitem
-      |WHERE l_shipdate >= TIMESTAMP '1994-01-01'
-      |  AND l_shipdate < TIMESTAMP '1995-01-01'
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
       |  AND l_discount BETWEEN 0.05 AND 0.07
       |  AND l_quantity < 24""") { (s, d) =>
     t(s, d, "lineitem")
-      .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp_ntz") &&
-        col("l_shipdate") < lit("1995-01-01").cast("timestamp_ntz") &&
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
         col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
       .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
   }
