@@ -262,6 +262,20 @@ object RelQueries extends QueryRegistry {
       .agg(round(avg("l_quantity"), 6).as("avg_qty"), count(lit(1)).as("n"))
   }
 
+  // A1 via the declared `window()` primitive (tumbling event-time
+  // window in batch — the same operator Structured Streaming uses).
+  q("a1_window_fn",
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       round(avg(value), 6) AS avg_value
+      |FROM events GROUP BY 1""") { (s, d) =>
+    t(s, d, "events")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("avg_value"))
+      .select(col("w.start").cast("date").as("day"), col("n"),
+        col("avg_value"))
+  }
+
   // A3: exact distinct count (the reference's manual id-dedup loop,
   // `calculations/polytrend.py:271-277`).
   q("a3_distinct_count",
@@ -532,6 +546,23 @@ object RelQueries extends QueryRegistry {
       size(array_distinct(toks)).as("n_uniq"),
       size(flatten(array(toks, toks))).as("n_doubled"),
       element_at(transform(toks, x => upper(x)), 1).as("first_upper"))
+  }
+
+  // X16: geometry helpers (Euclidean distance, buffer envelope —
+  // `calculations/polytrend.py:129-135` pixel-cell construction).
+  q("x16_geometry",
+    """SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+      |       round(sqrt(c_acctbal * c_acctbal +
+      |             c_nationkey * c_nationkey * 10000.0), 4) AS dist,
+      |       round(c_acctbal - 50.0, 2) AS buf_lo,
+      |       round(c_acctbal + 50.0, 2) AS buf_hi
+      |FROM customer WHERE c_custkey <= 200""") { (s, d) =>
+    t(s, d, "customer").filter(col("c_custkey") <= 200).select(
+      col("c_custkey"),
+      round(sqrt(col("c_acctbal") * col("c_acctbal") +
+        col("c_nationkey") * col("c_nationkey") * 10000.0), 4).as("dist"),
+      round(col("c_acctbal") - 50.0, 2).as("buf_lo"),
+      round(col("c_acctbal") + 50.0, 2).as("buf_hi"))
   }
 
   // ------------------------------------------------------- TPC-H classics

@@ -1,0 +1,91 @@
+package graft.io
+
+import graft.model.Observation
+import graft.rel.Skew
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Physical-layout behaviors that carry the 100 TB posture: partition
+  * pruning on the date-partitioned store, shuffle-free bucketed joins,
+  * and salted-join correctness.
+  */
+class ScaleLayoutSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("wh").toString)
+    .getOrCreate()
+
+  private def obs(n: Int) = {
+    import spark.implicits._
+    (1 to n).map { d =>
+      Observation(s"img$d", d % 3, 0.0,
+        Timestamp.valueOf(f"2024-01-${d % 28 + 1}%02d 12:00:00"), d * 0.1)
+    }.toDF()
+  }
+
+  test("date-partitioned store prunes partitions for temporal filters") {
+    val dir = java.nio.file.Files.createTempDirectory("obs_part").toString
+    ObservationStore.writePartitioned(obs(56), dir)
+    val read = ObservationStore.readPartitioned(spark, dir,
+      "2024-01-05", "2024-01-08")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("obs_date"), s"no partition pruning in:\n$plan")
+    // only 3 of 28 day-partitions qualify
+    val days = read.select(to_date(col("time")).as("d")).distinct().count()
+    assert(days == 3)
+    // round-trips the canonical schema
+    assert(read.columns.toSeq ==
+      Seq("id", "longitude", "latitude", "time", "value"))
+  }
+
+  test("bucketed tables join without an exchange (co-located join)") {
+    import spark.implicits._
+    val facts = (1L to 1000L).map(i => (i % 50, s"f$i", i * 1.0))
+      .toDF("key", "tag", "amount")
+    val dims = (0L until 50L).map(i => (i, s"dim$i")).toDF("key", "name")
+    facts.write.mode("overwrite").bucketBy(8, "key")
+      .sortBy("key").saveAsTable("facts_bucketed")
+    dims.write.mode("overwrite").bucketBy(8, "key")
+      .sortBy("key").saveAsTable("dims_bucketed")
+    val joined = spark.table("facts_bucketed")
+      .join(spark.table("dims_bucketed"), "key")
+      // disable broadcast so the bucketed layout is what avoids the shuffle
+      .hint("merge")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    assert(joined.count() == 1000)
+  }
+
+  test("salted inner join equals the plain join result") {
+    import spark.implicits._
+    // heavily skewed: 90% of rows share key 1
+    val big = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 7 else 1L, i))
+      .toDF("k", "payload")
+    val small = (0L until 7L).map(i => (i, s"v$i")).toDF("k2", "name")
+    val plain = big.join(small, big("k") === small("k2"))
+      .select("k", "payload", "name")
+      .collect().map(_.toString).sorted
+    val salted = Skew.saltedInnerJoin(big, small, "k", "k2", salt = 8)
+      .select("k", "payload", "name")
+      .collect().map(_.toString).sorted
+    assert(plain.length == salted.length)
+    assert(plain.sameElements(salted))
+  }
+
+  test("CSV observation source reads the fixed schema (S3 round-trip)") {
+    val dir = java.nio.file.Files.createTempDirectory("obs_csv").toString
+    graft.pipeline.TrendPipeline.writeCsv(obs(10), dir)
+    val back = ObservationStore.readCsv(spark, dir)
+    assert(back.schema == ObservationStore.schema)
+    assert(back.count() == 10)
+  }
+}
