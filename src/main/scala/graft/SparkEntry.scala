@@ -13,6 +13,7 @@ object SparkEntry {
   private def registries: Seq[QueryRegistry] = Seq(
     graft.rel.RelQueries,
     graft.rel.SqlQueries,
+    graft.rel.LogAnalytics,
     graft.ts.KernelQueries,
     graft.pipeline.PipelineQueries)
 

@@ -20,6 +20,9 @@ case class RollingHash(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
+  // lets ConstantFolding collapse rolling_hash(<literal>) at plan time
+  override def foldable: Boolean = child.foldable
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     if (child.dataType == StringType)

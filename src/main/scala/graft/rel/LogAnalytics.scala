@@ -1,0 +1,132 @@
+package graft.rel
+
+import graft.QueryRegistry
+import graft.functions.PolyEval.poly_eval
+import graft.io.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Log-analytics operators over the `events` stream table (the
+  * harness's north-star category): gap-based sessionization, pivoted
+  * type×day matrices, dispersion statistics, and the full ranking-window
+  * family — all oracle-checked.
+  */
+object LogAnalytics extends QueryRegistry {
+
+  private def events(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.load(s, d, "events")
+
+  /** Gap-based sessionization (gap > 30 min ⇒ new session): the classic
+    * lag → boundary flag → running-sum session id, then per-session
+    * rollup. One shuffle on user_id; session assembly is window-local.
+    */
+  q("la_sessionize",
+    """WITH flags AS (
+      |  SELECT user_id, event_id,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |              OR CAST(floor(epoch(ts)) AS BIGINT) -
+      |                 CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, event_id, sec,
+      |         sum(new_session) OVER (PARTITION BY user_id
+      |            ORDER BY sec, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flags)
+      |SELECT CAST(user_id AS BIGINT) AS user_id,
+      |       CAST(session_id AS INT) AS session_id,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(max(sec) - min(sec) AS BIGINT) AS duration_s
+      |FROM sessions GROUP BY user_id, session_id""") { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val flags = events(s, d).select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"), col("ts"))
+      .withColumn("new_session",
+        when(lag("ts", 1).over(w).isNull ||
+          col("sec") - unix_timestamp(lag("ts", 1).over(w)) > 1800, 1)
+          .otherwise(0))
+    val ws = Window.partitionBy("user_id").orderBy("sec", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flags
+      .withColumn("session_id", sum("new_session").over(ws).cast("int"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max("sec") - min("sec")).as("duration_s"))
+  }
+
+  /** Pivot: events per (day, type) as a wide matrix. */
+  q("la_pivot_types",
+    """SELECT CAST(ts AS DATE) AS day,
+      |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+      |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+      |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase
+      |FROM events GROUP BY 1""") { (s, d) =>
+    events(s, d)
+      .groupBy(col("ts").cast("date").as("day"))
+      .pivot("event_type",
+        Seq("click", "view", "error", "signup", "purchase"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+  }
+
+  /** Dispersion statistics per type (sample stddev/variance, median). */
+  q("la_stats",
+    """SELECT event_type,
+      |       round(stddev_samp(value), 4) AS sd,
+      |       round(var_samp(value), 4) AS variance,
+      |       round(median(value), 4) AS med,
+      |       round(min(value), 4) AS mn, round(max(value), 4) AS mx
+      |FROM events GROUP BY event_type""") { (s, d) =>
+    events(s, d).groupBy("event_type").agg(
+      round(stddev_samp(col("value")), 4).as("sd"),
+      round(var_samp(col("value")), 4).as("variance"),
+      round(median(col("value")), 4).as("med"),
+      round(min(col("value")), 4).as("mn"),
+      round(max(col("value")), 4).as("mx"))
+  }
+
+  /** Ranking-window family: ntile, percent_rank, cume_dist,
+    * first/last value over the full frame.
+    */
+  q("la_window_family",
+    """SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+      |       CAST(c_nationkey AS INT) AS c_nationkey,
+      |       CAST(ntile(4) OVER w AS INT) AS quartile,
+      |       round(percent_rank() OVER w, 6) AS pct_rank,
+      |       round(cume_dist() OVER w, 6) AS cdist,
+      |       first_value(c_acctbal) OVER w2 AS top_bal,
+      |       last_value(c_acctbal) OVER w2 AS bottom_bal
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey),
+      |       w2 AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""") { (s, d) =>
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val w2 = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.load(s, d, "customer").select(
+      col("c_custkey"), col("c_nationkey"),
+      ntile(4).over(w).as("quartile"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cdist"),
+      first_value(col("c_acctbal")).over(w2).as("top_bal"),
+      last_value(col("c_acctbal")).over(w2).as("bottom_bal"))
+  }
+
+  /** K2 Horner evaluation via the native poly_eval expression; oracle
+    * replicates the exact Horner operation order.
+    */
+  q("k2_poly_eval",
+    """SELECT CAST(event_id AS BIGINT) AS event_id,
+      |       round(((0.5 * (value / 7.0) + 2.0) * (value / 7.0) + 1.0), 6) AS yhat
+      |FROM events WHERE event_id < 2000""") { (s, d) =>
+    events(s, d).filter(col("event_id") < 2000).select(
+      col("event_id"),
+      round(poly_eval(array(lit(1.0), lit(2.0), lit(0.5)),
+        col("value") / 7.0), 6).as("yhat"))
+  }
+}
