@@ -117,6 +117,38 @@ object LogAnalytics extends QueryRegistry {
       last_value(col("c_acctbal")).over(w2).as("bottom_bal"))
   }
 
+  /** As-of join: each event picks the latest prior per-type daily state
+    * (odd days only, so the lookback crosses days). Spark composes the
+    * operator (AsOf.join); the oracle uses DuckDB's native ASOF JOIN —
+    * semantics must agree exactly.
+    */
+  q("asof_join",
+    """WITH state AS (
+      |  SELECT event_type,
+      |         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS st,
+      |         round(avg(value), 6) AS day_avg
+      |  FROM events
+      |  WHERE day(ts) % 2 = 1
+      |  GROUP BY event_type, date_trunc('day', ts)),
+      |probe AS (
+      |  SELECT event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events)
+      |SELECT CAST(p.event_id AS BIGINT) AS event_id, s.st AS state_t, s.day_avg
+      |FROM probe p ASOF LEFT JOIN state s
+      |  ON p.event_type = s.event_type AND p.sec >= s.st""") { (s, d) =>
+    val ev = events(s, d)
+    val state = ev.filter(dayofmonth(col("ts")) % 2 === 1)
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("st"))
+      .agg(round(avg("value"), 6).as("day_avg"))
+    val probe = ev.select(col("event_id"), col("event_type"),
+      unix_timestamp(col("ts")).as("sec"))
+    AsOf.join(probe, state, keys = Seq("event_type"),
+        leftTime = "sec", rightTime = "st",
+        stateCols = Seq("st", "day_avg"))
+      .select(col("event_id"), col("st").as("state_t"), col("day_avg"))
+  }
+
   /** K2 Horner evaluation via the native poly_eval expression; oracle
     * replicates the exact Horner operation order.
     */
