@@ -155,6 +155,10 @@ object PipelineQueries extends QueryRegistry {
     Similarity.lshTopK(embs(s, d), k = 5)
   }
 
+  qNoOracle("sim_ivf_topk") { (s, d) =>
+    Similarity.ivfTopK(embs(s, d), k = 5)
+  }
+
   // -------------------------------------------------------- multimodal
 
   q("mm_media_meta",

@@ -57,6 +57,43 @@ object LogAnalytics extends QueryRegistry {
         (max("sec") - min("sec")).as("duration_s"))
   }
 
+  /** Gap sessionization via Spark's native `session_window` operator
+    * (merging windows). Both engines work on second-floored timestamps
+    * so the `gap >= 1800s` boundary is integral and exact: Spark opens
+    * a new session when `t - last >= gap`; the oracle's lag formulation
+    * uses the same closed condition.
+    */
+  q("la_session_window",
+    """WITH flags AS (
+      |  SELECT user_id, event_id,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |              OR CAST(floor(epoch(ts)) AS BIGINT) -
+      |                 CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) >= 1800
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, sec,
+      |         sum(new_session) OVER (PARTITION BY user_id
+      |            ORDER BY sec, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flags)
+      |SELECT CAST(user_id AS BIGINT) AS user_id,
+      |       min(sec) AS session_start,
+      |       CAST(count(*) AS BIGINT) AS n_events
+      |FROM sessions GROUP BY user_id, sid""") { (s, d) =>
+    events(s, d)
+      .select(col("user_id"),
+        timestamp_seconds(unix_timestamp(col("ts"))).as("tsec"))
+      .groupBy(col("user_id"),
+        session_window(col("tsec"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("w.start")).as("session_start"),
+        col("n_events"))
+  }
+
   /** Pivot: events per (day, type) as a wide matrix. */
   q("la_pivot_types",
     """SELECT CAST(ts AS DATE) AS day,

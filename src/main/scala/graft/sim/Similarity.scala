@@ -1,6 +1,9 @@
 package graft.sim
 
 import graft.dedup.Dedup.cosineCol
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -59,6 +62,50 @@ object Similarity {
       p += 1
     }
     sig
+  }
+
+  /** IVF-style approximate top-k: a k-means coarse quantizer (MLlib,
+    * seeded) assigns every vector to one of `nlist` cells; each query
+    * probes its `nprobe` nearest cells and exact cosine re-ranks only
+    * those candidates. At scale the inverted lists are the partition
+    * layout — a query touches nprobe/nlist of the corpus instead of
+    * all of it.
+    */
+  def ivfTopK(embeddings: DataFrame, k: Int, nlist: Int = 16,
+      nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    val base = embeddings.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("e"))
+      .withColumn("features", array_to_vector(col("e")))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cell")
+    val fitted = model.fit(base)
+    val assigned = fitted.transform(base)
+      .select(col("vec_id"), col("e"), col("cell"))
+    val centers: Array[Array[Double]] = fitted.clusterCenters.map(_.toArray)
+    val probeUdf = udf { (e: Seq[Double]) =>
+      centers.zipWithIndex.map { case (c, i) =>
+        var d = 0.0
+        var j = 0
+        while (j < e.length) { val t = e(j) - c(j); d += t * t; j += 1 }
+        (d, i)
+      }.sortBy(_._1).take(nprobe).map(_._2)
+    }
+    val queries = assigned
+      .select(col("vec_id").as("query_id"), col("e").as("eq"),
+        explode(probeUdf(col("e"))).as("cell"))
+    val cands = queries.join(
+        assigned.select(col("vec_id").as("cand_id"), col("e").as("ec"),
+          col("cell")),
+        Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .dropDuplicates("query_id", "cand_id")
+      .withColumn("cosine", cosineCol(col("eq"), col("ec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("cand_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
   /** LSH-bucketed approximate top-k: vectors sharing any of the `tables`

@@ -13,6 +13,9 @@ import org.apache.spark.sql.types._
   * this is the additive scope the composite operator earns for free on
   * Spark.
   */
+/** Mutable-state row for [[StreamingComposites.runningUserState]]. */
+final case class UserRunning(user_id: Long, n: Long, total: Double)
+
 object StreamingComposites {
 
   /** Schema of the canonical observation stream (FIXTURES.md A1). */
@@ -39,6 +42,32 @@ object StreamingComposites {
       .agg(avg(col("value")).as("value"), count(lit(1)).as("n_obs"))
       .select(col("longitude"), col("latitude"),
         col("w.start").as("bucket_start"), col("value"), col("n_obs"))
+
+  /** Custom arbitrary state: running per-user counters via
+    * `flatMapGroupsWithState` — the escape hatch when windowed
+    * aggregation can't express the state machine. Emits one updated
+    * row per user per micro-batch.
+    */
+  def runningUserState(spark: SparkSession, events: DataFrame)
+      : org.apache.spark.sql.Dataset[UserRunning] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)],
+            state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          rows.foreach { case (_, v) => n += 1; total += v }
+          val next = UserRunning(user, n, total)
+          state.update(next)
+          Iterator(next)
+      }
+  }
 
   /** Per-event-type running counters (the A4 stats block as a streaming
     * aggregation in update mode).

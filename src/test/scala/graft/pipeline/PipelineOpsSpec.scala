@@ -121,6 +121,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall > 0.8, s"LSH recall $recall")
   }
 
+  test("IVF top-k achieves high recall vs brute force on clustered data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val rows = for {
+      c <- 0 until 8
+      m <- 0 until 12
+    } yield {
+      val center = Array.tabulate(16)(d => math.cos(c * 16 + d).toFloat * 5)
+      val vec = center.map(x => x + rnd.nextGaussian().toFloat * 0.1f)
+      ((c * 12 + m).toLong, vec.toSeq, c)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val brute = Similarity.bruteForceTopK(df, df, 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val ivf = Similarity.ivfTopK(df, 3, nlist = 8, nprobe = 2).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall > 0.9, s"IVF recall $recall")
+  }
+
   test("rolling_hash matches reference implementation and runs codegen") {
     def ref(s: String): Long = {
       var h = 0L

@@ -59,4 +59,39 @@ class StreamingSpec extends AnyFunSuite {
       .collect()(0).getDouble(0)
     assert(math.abs(streamed - batch) < 1e-12)
   }
+
+  test("flatMapGroupsWithState running counters match batch totals") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ev_stream").toString
+    val rows = (1 to 500).map { i =>
+      (i.toLong, Timestamp.valueOf(f"2024-01-01 ${i % 24}%02d:00:00"),
+        (i % 7).toLong, "click", i * 0.5, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(2).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(rows.toDF("event_id", "ts", "user_id", "event_type",
+        "value", "props").schema)
+      .parquet(dir)
+    val q = StreamingComposites.runningUserState(spark, stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("running")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // last update per user == batch aggregate
+    val got = spark.table("running")
+      .groupBy($"user_id")
+      .agg(org.apache.spark.sql.functions.max($"n").as("n"),
+        org.apache.spark.sql.functions.max($"total").as("total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val batch = rows.groupBy(_._3).map { case (u, rs) =>
+      (u, rs.size.toLong, rs.map(_._5).sum)
+    }.toSeq.sortBy(_._1)
+    assert(got.length == batch.length)
+    got.zip(batch).foreach { case ((u1, n1, t1), (u2, n2, t2)) =>
+      assert(u1 == u2 && n1 == n2 && math.abs(t1 - t2) < 1e-9)
+    }
+  }
 }
