@@ -548,6 +548,27 @@ object RelQueries extends QueryRegistry {
       element_at(transform(toks, x => upper(x)), 1).as("first_upper"))
   }
 
+  // X10: code→label decode via a map literal (the reference's
+  // trend/direction dicts, `calculations/polytrend.py:204-211`).
+  q("x10_decode",
+    """SELECT CAST(event_id AS BIGINT) AS event_id,
+      |       CASE event_type WHEN 'click' THEN 'interaction'
+      |            WHEN 'view' THEN 'impression'
+      |            WHEN 'purchase' THEN 'conversion'
+      |            WHEN 'signup' THEN 'conversion'
+      |            ELSE 'other' END AS label
+      |FROM events WHERE event_id < 3000""") { (s, d) =>
+    val decode = map(
+      lit("click"), lit("interaction"),
+      lit("view"), lit("impression"),
+      lit("purchase"), lit("conversion"),
+      lit("signup"), lit("conversion"))
+    t(s, d, "events").filter(col("event_id") < 3000).select(
+      col("event_id"),
+      coalesce(element_at(decode, col("event_type")), lit("other"))
+        .as("label"))
+  }
+
   // X16: geometry helpers (Euclidean distance, buffer envelope —
   // `calculations/polytrend.py:129-135` pixel-cell construction).
   q("x16_geometry",

@@ -76,7 +76,11 @@ object Similarity {
     val base = embeddings.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("e"))
       .withColumn("features", array_to_vector(col("e")))
+    // quantizer: random init + few iterations — in production the
+    // coarse quantizer is fitted once offline and reused; this inline
+    // fit keeps the query self-contained
     val model = new KMeans().setK(nlist).setSeed(seed)
+      .setInitMode("random").setMaxIter(8)
       .setFeaturesCol("features").setPredictionCol("cell")
     val fitted = model.fit(base)
     val assigned = fitted.transform(base)
