@@ -159,6 +159,30 @@ object PipelineQueries extends QueryRegistry {
     Similarity.ivfTopK(embs(s, d), k = 5)
   }
 
+  // Reproducible hash split: identical buckets on both engines from the
+  // same md5 digest — training-data splits must not depend on engine or
+  // partitioning.
+  q("t_hash_split",
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |       CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |            AS UBIGINT) % 100 AS INT) AS bucket,
+      |       CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |            AS UBIGINT) % 100 < 80 THEN 'train' ELSE 'test' END AS split
+      |FROM documents""") { (s, d) =>
+    Sampling.hashSplit(docs(s, d), "doc_id", trainPct = 80)
+      .select("doc_id", "bucket", "split")
+  }
+
+  // Seeded stratified sampling (Spark-side reproducible only).
+  qNoOracle("t_stratified_sample") { (s, d) =>
+    val base = docs(s, d)
+    val langs = Seq("en", "es", "de", "fr", "zh", "ja", "ru", "ar",
+      "it", "pt", "nl", "ko")
+    Sampling.stratifiedSample(base, "lang",
+        langs.map(_ -> 0.5).toMap, seed = 42L)
+      .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+  }
+
   // -------------------------------------------------------- multimodal
 
   q("mm_media_meta",

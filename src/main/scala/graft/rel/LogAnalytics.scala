@@ -127,6 +127,23 @@ object LogAnalytics extends QueryRegistry {
       round(max(col("value")), 4).as("mx"))
   }
 
+  /** Exact interpolated quantiles per type (percentile ≡ DuckDB
+    * quantile_cont).
+    */
+  q("la_quantiles",
+    """SELECT event_type,
+      |       round(quantile_cont(value, 0.25), 4) AS p25,
+      |       round(quantile_cont(value, 0.5), 4) AS p50,
+      |       round(quantile_cont(value, 0.75), 4) AS p75,
+      |       round(quantile_cont(value, 0.95), 4) AS p95
+      |FROM events GROUP BY event_type""") { (s, d) =>
+    events(s, d).groupBy("event_type").agg(
+      round(expr("percentile(value, 0.25)"), 4).as("p25"),
+      round(expr("percentile(value, 0.5)"), 4).as("p50"),
+      round(expr("percentile(value, 0.75)"), 4).as("p75"),
+      round(expr("percentile(value, 0.95)"), 4).as("p95"))
+  }
+
   /** Ranking-window family: ntile, percent_rank, cume_dist,
     * first/last value over the full frame.
     */

@@ -82,6 +82,29 @@ object SqlQueries extends QueryRegistry {
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
 
+  // TPC-H Q2 shape: correlated equality against a per-group extreme.
+  sqlQ("sql_q2_corr_max",
+    """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, s_acctbal
+      |FROM supplier s1
+      |WHERE s_acctbal = (SELECT max(s_acctbal) FROM supplier s2
+      |                   WHERE s2.s_nationkey = s1.s_nationkey)""")
+
+  // TPC-H Q7 shape: bi-nation volume by year.
+  sqlQ("sql_q7_nation_volume",
+    """SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+      |       CAST(year(l_shipdate) AS INT) AS yr,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+      |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+      |  AND n1.n_name <> n2.n_name
+      |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)""")
+
   // Correlated NOT EXISTS (anti join through SQL).
   sqlQ("sql_not_exists",
     """SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_brand
