@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end document curation (the training-data analog of the §3
+  * trend lifecycles): quality gate → language ID → exact dedup →
+  * near-dup removal → reproducible split — composed from the operator
+  * modules, one lazy plan per stage, no driver-side loops.
+  */
+object DocPipeline {
+
+  final case class CurationParams(
+      minTokens: Int = 10,
+      minQualityScore: Double = 0.2,
+      nearDupJaccard: Double = 0.8,
+      trainPct: Int = 80)
+
+  /** Returns the curated corpus with per-doc columns:
+    * (doc_id, text, lang, lang_pred, n_tokens, quality_score, bucket,
+    * split). Near-duplicate clusters keep their lowest doc_id.
+    */
+  def curate(spark: SparkSession, docs: DataFrame,
+      params: CurationParams): DataFrame = {
+    // 1. quality features + gate
+    val quality = TextAnalysis.qualityProjection(docs)
+      .filter(col("n_tokens") >= params.minTokens &&
+        col("quality_score") >= params.minQualityScore)
+      .select("doc_id", "n_tokens", "quality_score")
+    val gated = docs.join(quality, "doc_id")
+
+    // 2. language ID
+    val withLang = TextAnalysis.withLangId(gated)
+
+    // 3. exact dedup: keep the min doc_id per text hash
+    val keepExact = Dedup.exactDedup(withLang)
+      .select(col("keep_id").as("doc_id"))
+    val exactDeduped = withLang.join(keepExact, "doc_id")
+
+    // 4. near-dup removal: MinHash-LSH candidates verified at the
+    //    Jaccard threshold; every victim (higher doc_id of a pair) drops
+    val victims = Dedup.minhashCandidates(exactDeduped,
+        minEstJaccard = params.nearDupJaccard)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val nearDeduped = exactDeduped.join(victims, Seq("doc_id"), "left_anti")
+
+    // 5. reproducible split
+    Sampling.hashSplit(nearDeduped, "doc_id", params.trainPct)
+      .select("doc_id", "text", "lang", "lang_pred", "n_tokens",
+        "quality_score", "bucket", "split")
+  }
+
+  /** Corpus-level summary of a curated set. */
+  def stats(curated: DataFrame): DataFrame =
+    curated.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("n_tokens"), 2).as("avg_tokens"),
+        round(avg("quality_score"), 4).as("avg_quality"),
+        countDistinct("lang_pred").as("n_langs"))
+}

@@ -183,6 +183,13 @@ object PipelineQueries extends QueryRegistry {
       .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
   }
 
+  // End-to-end curation pipeline: quality gate -> langid -> exact +
+  // near dedup -> reproducible split, then corpus stats.
+  qNoOracle("doc_pipeline") { (s, d) =>
+    DocPipeline.stats(DocPipeline.curate(s, docs(s, d),
+      DocPipeline.CurationParams()))
+  }
+
   // -------------------------------------------------------- multimodal
 
   q("mm_media_meta",

@@ -127,6 +127,32 @@ object LogAnalytics extends QueryRegistry {
       round(max(col("value")), 4).as("mx"))
   }
 
+  /** Signup→purchase conversion funnel per user (conditional mins +
+    * derived flag).
+    */
+  q("la_funnel",
+    """WITH f AS (
+      |  SELECT user_id,
+      |         min(CASE WHEN event_type = 'signup'
+      |             THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS signup_sec,
+      |         min(CASE WHEN event_type = 'purchase'
+      |             THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS purchase_sec
+      |  FROM events GROUP BY user_id)
+      |SELECT CAST(user_id AS BIGINT) AS user_id, signup_sec, purchase_sec,
+      |       CAST(CASE WHEN signup_sec IS NOT NULL AND purchase_sec IS NOT NULL
+      |            AND purchase_sec >= signup_sec THEN 1 ELSE 0 END AS INT) AS converted
+      |FROM f""") { (s, d) =>
+    events(s, d).groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup",
+          unix_timestamp(col("ts")))).as("signup_sec"),
+        min(when(col("event_type") === "purchase",
+          unix_timestamp(col("ts")))).as("purchase_sec"))
+      .withColumn("converted",
+        when(col("signup_sec").isNotNull && col("purchase_sec").isNotNull &&
+          col("purchase_sec") >= col("signup_sec"), 1).otherwise(0))
+  }
+
   /** Exact interpolated quantiles per type (percentile ≡ DuckDB
     * quantile_cont).
     */

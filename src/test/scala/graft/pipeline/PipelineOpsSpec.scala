@@ -175,6 +175,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(4L) == "zh")
   }
 
+  test("doc pipeline curates: gates quality, drops dups, splits") {
+    val base = Seq.tabulate(40)(i => s"w$i word token text sample")
+    val df = docsDf(
+      (1L, base.mkString(" ")),                       // keeper
+      (2L, base.mkString(" ")),                       // exact dup of 1
+      (3L, base.updated(0, "CHANGED").mkString(" ")), // near dup of 1
+      (4L, "too short"),                              // quality-gated
+      (5L, Seq.tabulate(40)(i => s"z$i distinct corpus doc").mkString(" ")))
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+    val out = DocPipeline.curate(spark, df, DocPipeline.CurationParams(
+      minTokens = 10, minQualityScore = 0.0, nearDupJaccard = 0.5))
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(1L), s"keeper dropped: $ids")
+    assert(!ids.contains(2L), "exact dup survived")
+    assert(!ids.contains(3L), "near dup survived")
+    assert(!ids.contains(4L), "short doc survived")
+    assert(ids.contains(5L))
+    val st = DocPipeline.stats(out).collect()
+    assert(st.map(_.getAs[Long]("n_docs")).sum == ids.size)
+  }
+
   test("multimodal feature extraction is deterministic and typed") {
     import spark.implicits._
     val media = Seq((1L, "payload-bytes"), (2L, ""))
