@@ -59,9 +59,10 @@ object LogAnalytics extends QueryRegistry {
 
   /** Gap sessionization via Spark's native `session_window` operator
     * (merging windows). Both engines work on second-floored timestamps
-    * so the `gap >= 1800s` boundary is integral and exact: Spark opens
-    * a new session when `t - last >= gap`; the oracle's lag formulation
-    * uses the same closed condition.
+    * so the gap boundary is integral and exact. Spark's session window
+    * end is INCLUSIVE (verified empirically at sf0.1: a gap of exactly
+    * 1800s merges), so a new session opens only when `t - last > gap` —
+    * the oracle's lag formulation uses the same strict condition.
     */
   q("la_session_window",
     """WITH flags AS (
@@ -69,7 +70,7 @@ object LogAnalytics extends QueryRegistry {
       |         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
       |         CASE WHEN lag(ts) OVER w IS NULL
       |              OR CAST(floor(epoch(ts)) AS BIGINT) -
-      |                 CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) >= 1800
+      |                 CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
       |              THEN 1 ELSE 0 END AS new_session
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

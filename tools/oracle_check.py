@@ -70,8 +70,10 @@ def main():
                 print(f"  spark : {g[i]}")
                 print(f"  duckdb: {w[i]}")
             if len(g) != len(w):
-                only_g = [r for r in g if r not in w][:2]
-                only_w = [r for r in w if r not in g][:2]
+                from collections import Counter
+                cg, cw = Counter(g), Counter(w)
+                only_g = list((cg - cw).keys())[:2]
+                only_w = list((cw - cg).keys())[:2]
                 print(f"  only-spark: {only_g}\n  only-duck : {only_w}")
     print(f"== {n_ok} ok, {n_bad} fail")
     sys.exit(1 if n_bad else 0)
