@@ -178,8 +178,8 @@ object LogAnalytics extends QueryRegistry {
     """SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
       |       CAST(c_nationkey AS INT) AS c_nationkey,
       |       CAST(ntile(4) OVER w AS INT) AS quartile,
-      |       round(percent_rank() OVER w, 6) AS pct_rank,
-      |       round(cume_dist() OVER w, 6) AS cdist,
+      |       CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS pct_rank_u,
+      |       CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cdist_u,
       |       first_value(c_acctbal) OVER w2 AS top_bal,
       |       last_value(c_acctbal) OVER w2 AS bottom_bal
       |FROM customer
@@ -192,8 +192,12 @@ object LogAnalytics extends QueryRegistry {
     Tables.load(s, d, "customer").select(
       col("c_custkey"), col("c_nationkey"),
       ntile(4).over(w).as("quartile"),
-      round(percent_rank().over(w), 6).as("pct_rank"),
-      round(cume_dist().over(w), 6).as("cdist"),
+      // floor-scaling instead of round: k/n ranks are exact doubles in
+      // both engines, but can terminate exactly on a .5 decimal where
+      // Java (shortest-repr) and C (binary) rounding disagree; floor of
+      // the identical double is engine-independent
+      floor(percent_rank().over(w) * 1000000).cast("long").as("pct_rank_u"),
+      floor(cume_dist().over(w) * 1000000).cast("long").as("cdist_u"),
       first_value(col("c_acctbal")).over(w2).as("top_bal"),
       last_value(col("c_acctbal")).over(w2).as("bottom_bal"))
   }
