@@ -586,6 +586,73 @@ object RelQueries extends QueryRegistry {
       round(col("c_acctbal") + 50.0, 2).as("buf_hi"))
   }
 
+  // Correlation / covariance aggregates.
+  q("x_corr",
+    """SELECT event_type,
+      |       round(corr(value, CAST(floor(epoch(ts)) AS BIGINT)), 6) AS c,
+      |       round(covar_samp(value, CAST(floor(epoch(ts)) AS BIGINT)), 4) AS cov
+      |FROM events GROUP BY event_type""") { (s, d) =>
+    t(s, d, "events").groupBy("event_type").agg(
+      round(corr(col("value"), unix_timestamp(col("ts"))), 6).as("c"),
+      round(covar_samp(col("value"), unix_timestamp(col("ts"))), 4).as("cov"))
+  }
+
+  // Additional string functions (pad/trim/slice/repeat/reverse).
+  q("x_strings2",
+    """SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+      |       lpad(CAST(CAST(c_custkey AS BIGINT) AS VARCHAR), 8, '0') AS padded,
+      |       upper(c_mktsegment) AS seg_up, lower(c_name) AS name_lo,
+      |       replace(c_name, '_', '-') AS name_dash,
+      |       reverse(c_mktsegment) AS seg_rev,
+      |       repeat(left(c_mktsegment, 1), 3) AS tri,
+      |       trim('  x  ') AS trimmed
+      |FROM customer WHERE c_custkey <= 150""") { (s, d) =>
+    t(s, d, "customer").filter(col("c_custkey") <= 150).select(
+      col("c_custkey"),
+      lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+      upper(col("c_mktsegment")).as("seg_up"),
+      lower(col("c_name")).as("name_lo"),
+      regexp_replace(col("c_name"), "_", "-").as("name_dash"),
+      reverse(col("c_mktsegment")).as("seg_rev"),
+      repeat(substring(col("c_mktsegment"), 1, 1), 3).as("tri"),
+      trim(lit("  x  ")).as("trimmed"))
+  }
+
+  // Bitwise operators.
+  q("x_bitwise",
+    """SELECT CAST(event_id AS BIGINT) AS event_id,
+      |       CAST(event_id & 255 AS BIGINT) AS lo_byte,
+      |       CAST(event_id | 4096 AS BIGINT) AS with_flag,
+      |       CAST(xor(event_id, user_id) AS BIGINT) AS mixed,
+      |       CAST(event_id << 2 AS BIGINT) AS shifted
+      |FROM events WHERE event_id < 2000""") { (s, d) =>
+    t(s, d, "events").filter(col("event_id") < 2000).select(
+      col("event_id"),
+      col("event_id").bitwiseAND(255).as("lo_byte"),
+      col("event_id").bitwiseOR(4096).as("with_flag"),
+      col("event_id").bitwiseXOR(col("user_id")).as("mixed"),
+      expr("shiftleft(event_id, 2)").as("shifted"))
+  }
+
+  // Conditional scalar functions.
+  q("x_conditional",
+    """SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+      |       coalesce(nullif(c_mktsegment, 'BUILDING'), 'REDACTED') AS seg,
+      |       greatest(c_acctbal, 0.0) AS bal_pos,
+      |       least(c_acctbal, 5000.0) AS bal_cap,
+      |       CAST(CASE WHEN c_acctbal < 0 THEN -1
+      |            WHEN c_acctbal = 0 THEN 0 ELSE 1 END AS INT) AS bal_sign
+      |FROM customer""") { (s, d) =>
+    t(s, d, "customer").select(
+      col("c_custkey"),
+      coalesce(nullif(col("c_mktsegment"), lit("BUILDING")),
+        lit("REDACTED")).as("seg"),
+      greatest(col("c_acctbal"), lit(0.0)).as("bal_pos"),
+      least(col("c_acctbal"), lit(5000.0)).as("bal_cap"),
+      when(col("c_acctbal") < 0, -1).when(col("c_acctbal") === 0, 0)
+        .otherwise(1).as("bal_sign"))
+  }
+
   // ------------------------------------------------------- TPC-H classics
 
   q("q1_agg",

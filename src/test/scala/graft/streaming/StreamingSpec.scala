@@ -94,4 +94,29 @@ class StreamingSpec extends AnyFunSuite {
       assert(u1 == u2 && n1 == n2 && math.abs(t1 - t2) < 1e-9)
     }
   }
+
+  test("streaming exact dedup drops duplicate ids within the watermark") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dup_stream").toString
+    // 300 rows over 100 distinct ids (each id appears 3x)
+    val rows = (0 until 300).map { i =>
+      ((i % 100).toLong,
+        Timestamp.valueOf(f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d"),
+        i * 1.0)
+    }
+    rows.toDF("id", "ts", "v").coalesce(3).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(rows.toDF("id", "ts", "v").schema).parquet(dir)
+    val q = stream
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("deduped")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val n = spark.table("deduped").select("id").distinct().count()
+    assert(spark.table("deduped").count() == 100, "one row per id")
+    assert(n == 100)
+  }
 }
