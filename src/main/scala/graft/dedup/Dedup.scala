@@ -204,40 +204,91 @@ object Dedup {
 
   // ----------------------------------------- exact n-gram Jaccard
 
-  /** Exact token-n-gram Jaccard over candidate pairs, pure relational
-    * algebra (shingle explode → equi-join → count ratio) so it is
-    * DuckDB-oracle checkable and Catalyst-optimizable end to end.
+  /** Per-doc sorted distinct n-gram hash sets: (doc_id, grams, n_grams).
+    * Gram = xxhash64 of n space-joined tokens (8-byte keys through every
+    * downstream exchange instead of gram strings; same result barring
+    * 2^-64 collisions). All codegen'd array expressions — no explode, no
+    * UDF.
+    */
+  private def gramSets(docs: DataFrame, n: Int, textCol: String,
+      idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .select(col("doc_id"), array_sort(array_distinct(expr(
+        s"transform(sequence(1, greatest(size(toks) - ${n - 1}, 1)), " +
+          s"i -> xxhash64(array_join(slice(toks, i, $n), ' ')))"))).as("grams"))
+      .withColumn("n_grams", size(col("grams")))
+
+  /** Exact token-n-gram Jaccard pairs ≥ threshold — AllPairs/PPJoin-style
+    * prefix + length filtering (Bayardo et al., WWW'07), then exact
+    * verification on the full gram sets.
+    *
+    * Why not a naive gram self-join: frequent shingles produce join
+    * groups that blow up quadratically (a gram shared by k docs emits
+    * k² pair rows) — unbounded skew at corpus scale. With the prefix
+    * filter, only the first `L = n_grams - floor(t·n_grams) + 1` grams
+    * of each doc (under the global hash order) participate in the join:
+    * any pair with true Jaccard ≥ t MUST share a prefix gram, so the
+    * result is still exact, but the join volume shrinks ~(1-t)² and is
+    * further capped by the length-ratio predicate (|B|·t ≤ |A| when
+    * |A| ≤ |B|). Verification is one array_intersect over the two
+    * sorted gram arrays per surviving candidate — no second shuffle of
+    * the gram table.
+    *
+    * Float safety: prefix length uses floor(t·n)+1-complement (one
+    * longer than the ceil-based textbook bound when t·n is integral) so
+    * binary-rounding of t can only ever lengthen the prefix, never drop
+    * a true pair.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
       minJaccard: Double = 0.8): DataFrame = {
-    val toks = split(col("text"), " ")
-    // join key = xxhash64 of the gram: the equi-join and distinct route
-    // 8-byte keys through the exchanges instead of gram strings (same
-    // result barring 2^-64 collisions)
-    val grams = docs.select(col("doc_id"), toks.as("toks"))
-      .select(col("doc_id"),
-        explode(expr(
-          s"transform(sequence(1, greatest(size(toks) - ${n - 1}, 1)), " +
-            s"i -> xxhash64(array_join(slice(toks, i, $n), ' ')))")).as("g"))
+    val sets = gramSets(docs, n, "text", "doc_id")
+    val prefixLen = (col("n_grams") -
+      floor(col("n_grams") * lit(minJaccard)) + 1).cast("int")
+    val prefix = sets.select(col("doc_id"), col("n_grams"),
+      explode(slice(col("grams"), lit(1), prefixLen)).as("g"))
+    val a = prefix.as("pa")
+    val b = prefix.as("pb")
+    val cands = a.join(b,
+        col("pa.g") === col("pb.g") &&
+          col("pa.doc_id") < col("pb.doc_id") &&
+          // length filter: J ≥ t ⟹ t·|B| ≤ |A| and t·|A| ≤ |B|
+          // (0.5 slack on integer sizes absorbs float rounding, safe side)
+          col("pb.n_grams") * lit(minJaccard) <= col("pa.n_grams") + lit(0.5) &&
+          col("pa.n_grams") * lit(minJaccard) <= col("pb.n_grams") + lit(0.5))
+      .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
       .distinct()
-    val counts = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val a = grams.as("ga")
-    val b = grams.as("gb")
-    val inter = a.join(b,
-        col("ga.g") === col("gb.g") &&
-          col("ga.doc_id") < col("gb.doc_id"))
-      .groupBy(col("ga.doc_id").as("doc_a"), col("gb.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(counts.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_grams", "n_a"), "doc_a")
-      .join(counts.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_grams", "n_b"), "doc_b")
+    verifyPairsNgram(cands, sets, minJaccard)
+  }
+
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
+    * precomputed gram sets. Used by [[ngramJaccardPairs]] and by
+    * pipelines that need LSH candidates re-verified exactly before
+    * destructive dedup.
+    */
+  private def verifyPairsNgram(pairs: DataFrame, sets: DataFrame,
+      minJaccard: Double): DataFrame =
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("grams").as("ga"),
+        col("n_grams").as("n_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("grams").as("gb"),
+        col("n_grams").as("n_b")), "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("ga"), col("gb"))))
       .withColumn("jaccard",
         round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 4))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
-  }
+
+  /** Exact n-gram Jaccard for externally supplied candidate pairs
+    * (e.g. MinHash-LSH output): joins each (doc_a, doc_b) with its gram
+    * sets and keeps pairs whose TRUE Jaccard clears the threshold —
+    * the estimate-only shortcut destroys non-duplicates at high variance
+    * (32 hashes ⟹ σ≈0.07 at J=0.8).
+    */
+  def verifyCandidatesNgram(docs: DataFrame, pairs: DataFrame, n: Int = 3,
+      minJaccard: Double = 0.8, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    verifyPairsNgram(pairs.select("doc_a", "doc_b"),
+      gramSets(docs, n, textCol, idCol), minJaccard)
 
   // ------------------------------------- embedding cosine near-dup
 

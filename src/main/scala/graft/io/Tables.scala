@@ -31,7 +31,9 @@ object Tables {
       val raw = spark.read.parquet(path(dir, name))
       raw
         .withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", timestamp_micros(floor(col("ts_ns") / 1000L).cast("long")))
+        // integer `div`, not `/`: epoch nanos (~1.7e18) exceed double's
+        // 53-bit mantissa, so float division can mis-truncate by 1 µs
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
         .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
     } else spark.read.parquet(path(dir, name))
   }

@@ -39,10 +39,15 @@ object DocPipeline {
       .select(col("keep_id").as("doc_id"))
     val exactDeduped = withLang.join(keepExact, "doc_id")
 
-    // 4. near-dup removal: MinHash-LSH candidates verified at the
-    //    Jaccard threshold; every victim (higher doc_id of a pair) drops
-    val victims = Dedup.minhashCandidates(exactDeduped,
-        minEstJaccard = params.nearDupJaccard)
+    // 4. near-dup removal: MinHash-LSH candidates (recall-oriented low
+    //    estimate cut) re-verified with EXACT n-gram Jaccard before any
+    //    doc is destroyed — the 32-hash estimate alone has σ≈0.07 at
+    //    J=0.8, enough to delete non-duplicates. Every verified victim
+    //    (higher doc_id of a pair) drops.
+    val candidates = Dedup.minhashCandidates(exactDeduped,
+      minEstJaccard = math.max(0.0, params.nearDupJaccard - 0.25))
+    val victims = Dedup.verifyCandidatesNgram(exactDeduped, candidates,
+        minJaccard = params.nearDupJaccard)
       .select(col("doc_b").as("doc_id")).distinct()
     val nearDeduped = exactDeduped.join(victims, Seq("doc_id"), "left_anti")
 

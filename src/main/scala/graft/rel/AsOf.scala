@@ -37,14 +37,17 @@ object AsOf {
     val lAligned = stateCols.foldLeft(l)((df, c) =>
       df.withColumn(s"__state_$c", lit(null).cast(
         right.schema(c).dataType)))
-    val r0 = right
-      .withColumn("__t", col(rightTime))
-      .withColumn("__is_left", lit(0))
-    val rAligned = leftCols.filterNot(keys.contains)
+    // capture state columns BEFORE null-padding left-named columns: a
+    // stateCol sharing a name with a left non-key column must not be
+    // overwritten with nulls before capture
+    val r0 = stateCols.foldLeft(
+        right
+          .withColumn("__t", col(rightTime))
+          .withColumn("__is_left", lit(0)))((df, c) =>
+        df.withColumn(s"__state_$c", col(c)))
+    val rFinal = leftCols.filterNot(keys.contains)
       .foldLeft(r0)((df, c) =>
         df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
-    val rFinal = stateCols.foldLeft(rAligned)((df, c) =>
-      df.withColumn(s"__state_$c", col(c)))
       .select((keys ++ leftCols.filterNot(keys.contains) ++
         Seq("__t", "__is_left") ++ stateCols.map(c => s"__state_$c"))
         .map(col): _*)
