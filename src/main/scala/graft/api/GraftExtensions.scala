@@ -1,6 +1,7 @@
 package graft.api
 
 import graft.functions.{PolyEval, RollingHash}
+import graft.plans.AsOfJoinStrategy
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -22,5 +23,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("poly_eval"),
       new ExpressionInfo(classOf[PolyEval].getName, "poly_eval"),
       exprs => PolyEval(exprs(0), exprs(1))))
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

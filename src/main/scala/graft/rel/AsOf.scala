@@ -1,8 +1,12 @@
 package graft.rel
 
+import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.graftbridge.PlanBridge
 
 /** As-of (point-in-time) join: each left row picks the latest right row
   * with the same key and right time ≤ left time — the standard
@@ -66,5 +70,42 @@ object AsOf {
     filled.filter(col("__is_left") === 1)
       .select((leftCols.map(col) ++
         stateCols.map(c => col(s"__filled_$c").as(c))): _*)
+  }
+
+  /** Native as-of join via the custom operator
+    * ([[graft.plans.AsOfJoinPlan]] / [[graft.plans.AsOfJoinExec]]) —
+    * same semantics as [[join]], but executed as a single-pass
+    * sort-merge: one shuffle per side (vs the composed variant's
+    * union-then-window, which shuffles the union of both tables), O(1)
+    * held state per partition, no window buffer.
+    *
+    * The strategy is injected into the session's experimental
+    * strategies on first use (idempotent); deployment-grade wiring goes
+    * through `spark.sql.extensions=graft.api.GraftExtensions`.
+    */
+  def joinNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      stateCols: Seq[String]): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+
+    // manual pruning + re-aliasing: generic optimizer rules don't prune
+    // through an unknown node, and fresh exprIds on the right make the
+    // operator safe under self-joins (shared lineage)
+    val rightCols = (keys ++ Seq(rightTime) ++ stateCols).distinct
+    val rightPruned = right.select(rightCols.map(c => col(c).as(c)): _*)
+
+    val lPlan = PlanBridge.logicalPlan(left)
+    val rPlan = PlanBridge.logicalPlan(rightPruned)
+    def attr(plan: LogicalPlan, name: String, side: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(throw
+        new IllegalArgumentException(s"$side side has no column '$name'"))
+    PlanBridge.ofRows(spark, AsOfJoinPlan(
+      lPlan, rPlan,
+      keys.map(attr(lPlan, _, "left")), keys.map(attr(rPlan, _, "right")),
+      attr(lPlan, leftTime, "left"), attr(rPlan, rightTime, "right"),
+      stateCols.map(attr(rPlan, _, "right"))))
   }
 }

@@ -234,6 +234,39 @@ object LogAnalytics extends QueryRegistry {
       .select(col("event_id"), col("st").as("state_t"), col("day_avg"))
   }
 
+  /** Same as-of semantics through the NATIVE operator
+    * (graft.plans.AsOfJoinExec — custom LogicalPlan + Strategy +
+    * single-pass sort-merge SparkPlan); identical DuckDB ASOF oracle, so
+    * the custom physical operator is hash-checked row-for-row against an
+    * independent engine.
+    */
+  q("asof_join_native",
+    """WITH state AS (
+      |  SELECT event_type,
+      |         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS st,
+      |         round(avg(value), 6) AS day_avg
+      |  FROM events
+      |  WHERE day(ts) % 2 = 1
+      |  GROUP BY event_type, date_trunc('day', ts)),
+      |probe AS (
+      |  SELECT event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events)
+      |SELECT CAST(p.event_id AS BIGINT) AS event_id, s.st AS state_t, s.day_avg
+      |FROM probe p ASOF LEFT JOIN state s
+      |  ON p.event_type = s.event_type AND p.sec >= s.st""") { (s, d) =>
+    val ev = events(s, d)
+    val state = ev.filter(dayofmonth(col("ts")) % 2 === 1)
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("st"))
+      .agg(round(avg("value"), 6).as("day_avg"))
+    val probe = ev.select(col("event_id"), col("event_type"),
+      unix_timestamp(col("ts")).as("sec"))
+    AsOf.joinNative(probe, state, keys = Seq("event_type"),
+        leftTime = "sec", rightTime = "st",
+        stateCols = Seq("st", "day_avg"))
+      .select(col("event_id"), col("st").as("state_t"), col("day_avg"))
+  }
+
   /** K2 Horner evaluation via the native poly_eval expression; oracle
     * replicates the exact Horner operation order.
     */

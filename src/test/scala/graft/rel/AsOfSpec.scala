@@ -37,6 +37,65 @@ class AsOfSpec extends AnyFunSuite {
     assert(out(6) == null)    // no state for key c
   }
 
+  test("native as-of operator matches the composed variant") {
+    import spark.implicits._
+    val probe = Seq(
+      ("a", 5L, 1), ("a", 10L, 2), ("a", 15L, 3),
+      ("b", 7L, 4), ("b", 100L, 5), ("c", 3L, 6))
+      .toDF("k", "t", "probe_id")
+    val state = Seq(
+      ("a", 5L, "s@5"), ("a", 12L, "s@12"),
+      ("b", 1L, "s@1"), ("b", 50L, "s@50"))
+      .toDF("k", "st", "v")
+    val out = AsOf.joinNative(probe, state, keys = Seq("k"),
+        leftTime = "t", rightTime = "st", stateCols = Seq("v"))
+      .collect().map(r => r.getAs[Int]("probe_id") -> r.getAs[String]("v"))
+      .toMap
+    assert(out == Map(1 -> "s@5", 2 -> "s@5", 3 -> "s@12",
+      4 -> "s@1", 5 -> "s@50", 6 -> null))
+    // physical plan actually uses the custom operator
+    val plan = AsOf.joinNative(probe, state, Seq("k"), "t", "st", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+  }
+
+  test("native as-of: larger randomized parity vs composed variant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val probe = (1 to 2000).map(i =>
+      (s"k${rnd.nextInt(20)}", rnd.nextInt(1000).toLong, i))
+      .toDF("k", "t", "probe_id")
+    val state = (1 to 500).map(i =>
+      (s"k${rnd.nextInt(25)}", rnd.nextInt(1000).toLong, s"v$i"))
+      .toDF("k", "st", "v")
+    // dedupe state on (k, st): at equal times "latest" is ambiguous and
+    // the two implementations may tie-break differently
+    val st1 = state.groupBy("k", "st")
+      .agg(org.apache.spark.sql.functions.max("v").as("v"))
+    val composed = AsOf.join(probe, st1, Seq("k"), "t", "st", Seq("v"))
+      .collect().map(r => (r.getInt(2), r.getAs[String]("v"))).sortBy(_._1)
+    val native = AsOf.joinNative(probe, st1, Seq("k"), "t", "st", Seq("v"))
+      .collect().map(r => (r.getInt(2), r.getAs[String]("v"))).sortBy(_._1)
+    assert(native.toSeq == composed.toSeq)
+  }
+
+  test("native as-of: null keys and null times never match") {
+    import spark.implicits._
+    val probe = Seq(
+      (Some("a"), Some(10L), 1), (None, Some(10L), 2),
+      (Some("a"), None, 3))
+      .toDF("k", "t", "probe_id")
+    val state = Seq(
+      (Some("a"), Some(5L), "ok"), (Some("a"), None, "null-time"),
+      (None, Some(1L), "null-key"))
+      .toDF("k", "st", "v")
+    val out = AsOf.joinNative(probe, state, keys = Seq("k"),
+        leftTime = "t", rightTime = "st", stateCols = Seq("v"))
+      .collect().map(r => r.getAs[Int]("probe_id") -> r.getAs[String]("v"))
+      .toMap
+    assert(out == Map(1 -> "ok", 2 -> null, 3 -> null))
+  }
+
   test("GraftExtensions injects SQL functions via withExtensions") {
     val prev = spark // materialize the shared session first
     // getOrCreate returns the active session and would skip extensions:
