@@ -58,15 +58,62 @@ object PipelineQueries extends QueryRegistry {
     TextAnalysis.qualityProjection(docs(s, d))
   }
 
-  // Language heuristic: Scala-side marker voting — no SQL oracle.
-  qNoOracle("t_langid") { (s, d) =>
+  /** DuckDB text for the language heuristic, generated from the SAME
+    * marker lists / script ranges as the Spark expression
+    * (TextAnalysis.langMarkers / scriptRanges) so the two can't drift.
+    */
+  private val langIdOracleSql: String = {
+    val shares = TextAnalysis.scriptRanges.map { case (lang, pat) =>
+      s"""CASE WHEN length(joined) > 0 THEN (length(joined) -
+         |  length(regexp_replace(joined, '$pat', '', 'g'))) * 1.0 /
+         |  length(joined) ELSE 0 END AS share_$lang""".stripMargin
+    }.mkString(",\n")
+    val scores = TextAnalysis.langMarkers.map { case (lang, ms) =>
+      val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+      s"len(list_filter(string_split(lower(text), ' '), " +
+        s"t -> list_contains($lst, t))) AS s_$lang"
+    }.mkString(",\n")
+    val gArgs = TextAnalysis.langMarkers.map("s_" + _._1).mkString(", ")
+    val scriptWhens = TextAnalysis.scriptRanges.map { case (lang, _) =>
+      s"WHEN share_$lang > 0.3 THEN '$lang'"
+    }.mkString("\n")
+    val markerWhens = TextAnalysis.langMarkers.map { case (lang, _) =>
+      s"WHEN s_$lang = best THEN '$lang'"
+    }.mkString("\n")
+    s"""WITH f AS (
+       |  SELECT doc_id, lang, text, replace(text, ' ', '') AS joined
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, lang,
+       |$shares,
+       |$scores
+       |  FROM f),
+       |g AS (SELECT *, greatest($gArgs) AS best FROM s)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang AS lang_declared,
+       |       CASE
+       |$scriptWhens
+       |WHEN best = 0 THEN 'und'
+       |$markerWhens
+       |ELSE 'und' END AS lang_pred
+       |FROM g""".stripMargin
+  }
+
+  // Language heuristic — pure column expression (codegen'd), so the
+  // whole decision tree is oracle-checkable against DuckDB.
+  q("t_langid", langIdOracleSql) { (s, d) =>
     TextAnalysis.withLangId(docs(s, d))
       .select(col("doc_id"), col("lang").as("lang_declared"),
         col("lang_pred"))
   }
 
-  // BPE-ish token count: lookbehind regex (Java) not expressible in RE2.
-  qNoOracle("t_bpeish_tokens") { (s, d) =>
+  // BPE-ish token count: the piece regex avoids lookarounds so the SAME
+  // pattern runs under Java regex and RE2 with identical leftmost-first
+  // alternation semantics.
+  q("t_bpeish_tokens",
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |       CAST(len(regexp_extract_all(text,
+       |         '${TextAnalysis.bpeishPattern}')) AS INT) AS n_bpeish
+       |FROM documents""") { (s, d) =>
     docs(s, d).select(col("doc_id"),
       TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"))
   }

@@ -111,4 +111,123 @@ object SqlQueries extends QueryRegistry {
       |FROM part p
       |WHERE NOT EXISTS (SELECT 1 FROM lineitem
       |                  WHERE l_partkey = p_partkey)""")
+
+  // TPC-H Q8 shape: national market share within a region by year —
+  // the widest join tree in the suite (8 tables, nation twice).
+  sqlQ("sql_q8_mkt_share",
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+      |       round(sum(CASE WHEN n2.n_name = 'NATION_3'
+      |                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END) /
+      |             sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+      |FROM lineitem
+      |JOIN orders    ON l_orderkey = o_orderkey
+      |JOIN customer  ON o_custkey = c_custkey
+      |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |JOIN region    ON n1.n_regionkey = r_regionkey
+      |JOIN supplier  ON l_suppkey = s_suppkey
+      |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |JOIN part      ON l_partkey = p_partkey
+      |WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+      |GROUP BY year(o_orderdate)""")
+
+  // TPC-H Q9 shape: product-line profit by supplier nation and year
+  // (no partsupp in the testdata star — cost proxied from retail price;
+  // /7 keeps every term non-terminating so the rounded sum can't land on
+  // a decimal half-boundary where the engines' rounding modes diverge).
+  sqlQ("sql_q9_profit",
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS yr,
+      |       round(sum(l_extendedprice * (1 - l_discount) -
+      |                 p_retailprice * l_quantity / 7), 2) AS profit
+      |FROM lineitem
+      |JOIN part     ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |WHERE p_name LIKE '%widget%'
+      |GROUP BY n_name, year(o_orderdate)""")
+
+  // TPC-H Q12 shape: late-shipment counts split by order priority
+  // (interval arithmetic in the predicate).
+  sqlQ("sql_q12_late_lines",
+    """SELECT l_linestatus,
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY l_linestatus""")
+
+  // TPC-H Q15 shape: top-revenue supplier via a CTE referenced twice
+  // (once joined, once under a scalar-subquery max).
+  sqlQ("sql_q15_top_supplier",
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""")
+
+  // TPC-H Q16 shape: distinct-supplier counts per part attribute combo,
+  // with a NOT IN exclusion subquery (lineitem stands in for partsupp).
+  sqlQ("sql_q16_supplier_cnt",
+    """SELECT p_brand, p_type, p_size,
+      |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 17)
+      |  AND l_suppkey NOT IN
+      |      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size""")
+
+  // TPC-H Q19 shape: disjunctive OR-of-ANDs across both join sides —
+  // exercises CNF conversion / partial predicate pushdown.
+  sqlQ("sql_q19_disjunctive",
+    """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 20 AND 30)""")
+
+  // TPC-H Q21 shape: suppliers who solely kept finished orders waiting —
+  // EXISTS + correlated NOT EXISTS with a non-equi outer reference.
+  sqlQ("sql_q21_waiting",
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |WHERE o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name LIMIT 20""")
+
+  // TPC-H Q22 shape: above-average-balance customers gone idle (no
+  // recent orders) — scalar subquery + correlated anti join with an
+  // extra predicate, per market segment. (The pure "no orders at all"
+  // variant is empty in this synthetic star: every customer orders.)
+  sqlQ("sql_q22_idle_balance",
+    """SELECT c_mktsegment AS segment,
+      |       CAST(count(*) AS BIGINT) AS numcust,
+      |       round(sum(c_acctbal), 2) AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+      |                   WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+      |GROUP BY c_mktsegment""")
 }

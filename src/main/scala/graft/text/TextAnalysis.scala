@@ -13,14 +13,17 @@ object TextAnalysis {
   /** Whitespace tokens; the `documents` corpus is single-space joined. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** BPE-ish subword count: word-piece regex splits on word boundaries
-    * and digit/letter transitions — an upper bound proxy for tokenizer
-    * load without shipping a vocab.
+  /** BPE-ish subword count: count of word-piece matches — capital-led
+    * letter runs, lowercase runs, digit runs, and single non-alnum
+    * marks — an upper-bound proxy for tokenizer load without shipping a
+    * vocab. The piece pattern deliberately avoids lookarounds so the
+    * SAME regex runs under Java regex (Spark codegen) and RE2 (DuckDB
+    * oracle): both use leftmost-first alternation.
     */
+  val bpeishPattern = "[A-Z][a-z]*|[a-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
   def bpeishTokenCount(text: Column): Column =
-    size(filter(
-      split(text, "(?<=[a-z])(?=[A-Z0-9])|(?<=[0-9])(?=[a-zA-Z])|\\s+|(?=[^\\w\\s])"),
-      t => length(t) > 0))
+    size(regexp_extract_all(text, lit(bpeishPattern), lit(0)))
 
   private val stopwords = Seq(
     "the", "a", "an", "of", "and", "or", "to", "in", "is", "it",
@@ -55,50 +58,54 @@ object TextAnalysis {
           col("n_tokens"), 4))
   }
 
-  /** Language-marker sets for the n-gram/stopword language heuristic.
-    * Deterministic argmax with fixed tie-break order.
+  /** Language-marker lists for the stopword language heuristic; argmax
+    * tie-break follows this order (first max wins). Public so the DuckDB
+    * oracle text can be generated from the same source of truth.
     */
-  private val langMarkers: Seq[(String, Set[String])] = Seq(
-    "en" -> Set("the", "of", "and", "to", "in", "is", "that", "it"),
-    "es" -> Set("el", "la", "de", "que", "y", "en", "los", "del"),
-    "de" -> Set("der", "die", "und", "das", "von", "mit", "ist", "den"),
-    "fr" -> Set("le", "la", "les", "et", "des", "est", "une", "dans"),
-    "it" -> Set("il", "di", "che", "la", "per", "con", "del", "una"),
-    "pt" -> Set("o", "de", "que", "em", "do", "da", "um", "para"),
-    "nl" -> Set("de", "het", "een", "van", "en", "dat", "is", "op"),
-    "zh" -> Set.empty, "ja" -> Set.empty, "ko" -> Set.empty,
-    "ru" -> Set.empty, "ar" -> Set.empty)
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del"),
+    "de" -> Seq("der", "die", "und", "das", "von", "mit", "ist", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "une", "dans"),
+    "it" -> Seq("il", "di", "che", "la", "per", "con", "del", "una"),
+    "pt" -> Seq("o", "de", "que", "em", "do", "da", "um", "para"),
+    "nl" -> Seq("de", "het", "een", "van", "en", "dat", "is", "op"))
 
-  /** Heuristic language ID: stopword-marker voting over tokens, with a
-    * CJK/Cyrillic/Arabic script check for the non-Latin entries;
-    * "und" (undetermined) when nothing scores.
+  /** Script ranges (BMP) checked before marker voting; share > 0.3 of
+    * non-space characters decides. Regex-expressible so the whole
+    * heuristic stays inside codegen.
     */
-  val langIdUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (toks: Seq[String]) =>
-      if (toks == null || toks.isEmpty) "und"
-      else {
-        val joined = toks.mkString
-        def scriptShare(pred: Int => Boolean): Double =
-          if (joined.isEmpty) 0.0
-          else joined.count(ch => pred(ch.toInt)).toDouble / joined.length
-        val cjk = scriptShare(cp => (cp >= 0x4e00 && cp <= 0x9fff))
-        val cyr = scriptShare(cp => (cp >= 0x0400 && cp <= 0x04ff))
-        val ara = scriptShare(cp => (cp >= 0x0600 && cp <= 0x06ff))
-        if (cjk > 0.3) "zh"
-        else if (cyr > 0.3) "ru"
-        else if (ara > 0.3) "ar"
-        else {
-          val lower = toks.map(_.toLowerCase)
-          val scores = langMarkers.collect {
-            case (lang, markers) if markers.nonEmpty =>
-              lang -> lower.count(markers.contains)
-          }
-          val (bestLang, bestScore) = scores.maxBy(_._2)
-          if (bestScore == 0) "und" else bestLang
-        }
-      }
+  val scriptRanges: Seq[(String, String)] = Seq(
+    "zh" -> "[\\x{4E00}-\\x{9FFF}]",
+    "ru" -> "[\\x{0400}-\\x{04FF}]",
+    "ar" -> "[\\x{0600}-\\x{06FF}]")
+
+  /** Heuristic language ID as a pure column expression (no UDF — stays
+    * in whole-stage codegen and is DuckDB-oracle expressible):
+    * CJK/Cyrillic/Arabic script-share check, then stopword-marker argmax
+    * with fixed tie-break order; "und" when nothing scores.
+    */
+  def langIdCol(text: Column): Column = {
+    val joined = regexp_replace(text, " ", "")
+    val total = length(joined)
+    def share(pat: String): Column =
+      when(total > 0,
+        (total - length(regexp_replace(joined, pat, ""))).cast("double") / total)
+        .otherwise(lit(0.0))
+    val toks = split(lower(text), " ")
+    val scores = langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isInCollection(markers)))
     }
+    val best = greatest(scores.map(_._2): _*)
+    val scriptPick = scriptRanges.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (lang, pat)) => acc.when(share(pat) > 0.3, lit(lang))
+    }
+    val markerPick = scores.foldLeft(scriptPick.when(best === 0, lit("und"))) {
+      case (acc, (lang, sc)) => acc.when(sc === best, lit(lang))
+    }
+    markerPick.otherwise(lit("und"))
+  }
 
   def withLangId(docs: DataFrame): DataFrame =
-    docs.withColumn("lang_pred", langIdUdf(tokens(col("text"))))
+    docs.withColumn("lang_pred", langIdCol(col("text")))
 }
