@@ -69,6 +69,22 @@ object StreamingComposites {
       }
   }
 
+  /** Gap-based streaming sessionization via the native merging
+    * `session_window` operator: a session extends while events arrive
+    * within `gap` of the last one; in append mode a session row emits
+    * once the watermark passes its (gap-extended) end, so state is
+    * bounded by open sessions per user. The streaming twin of the batch
+    * `la_session_window` query.
+    */
+  def sessionizeStream(events: DataFrame, gap: String,
+      watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("total_value"))
+
   /** Per-event-type running counters (the A4 stats block as a streaming
     * aggregation in update mode).
     */

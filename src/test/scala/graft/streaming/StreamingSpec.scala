@@ -95,6 +95,48 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming session_window sessions match batch sessionization") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, session_window, sum}
+    val dir = java.nio.file.Files.createTempDirectory("sess_stream").toString
+    // 3 users; bursts of events 5 min apart, separated by >30 min gaps,
+    // then a late tail event that must stay in an OPEN session
+    val rows = for {
+      u <- Seq(1L, 2L, 3L)
+      burst <- 0 to 3
+      i <- 0 to 4
+    } yield (u * 1000 + burst * 10 + i,
+      Timestamp.valueOf(f"2024-01-01 ${8 + burst * 2}%02d:${i * 5}%02d:00"),
+      u, "click", i * 1.0, "{}")
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    df.coalesce(2).write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(df.schema).parquet(dir)
+    val q = StreamingComposites.sessionizeStream(stream, "30 minutes", "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    // batch twin over the same data
+    val batch = df
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("total_value"))
+    // watermark = max ts (14:20) - 1h = 13:20: sessions ending before it
+    // seal; the 14:00-burst session (end 14:50) stays open
+    val sealedSet = batch.filter(col("session_end") <= lit(Timestamp.valueOf("2024-01-01 13:20:00")))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val streamed = spark.table("sessions")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(streamed == sealedSet, s"streamed=$streamed\nsealed=$sealedSet")
+    assert(streamed.nonEmpty && streamed.size == 9) // 3 users x 3 sealed bursts
+  }
+
   test("streaming exact dedup drops duplicate ids within the watermark") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("dup_stream").toString
