@@ -38,10 +38,22 @@ object GraftEngine {
   def registerFunctions(spark: SparkSession, alpha: Double = 0.05): Unit = {
     // K1 as a SQL aggregate: SELECT key, polytrend(t, v) ... GROUP BY key
     spark.udf.register("polytrend", udaf(new PolyTrendAgg(alpha)))
+    // K1 scale path: constant-size sufficient-statistics aggregate
+    // (map-side combinable; see PolyTrendMomentsAgg)
+    ColumnBridge.registerExpression(spark, "polytrend_moments",
+      exprs => graft.ts.PolyTrendMomentsAgg(exprs(0), exprs(1), alpha))
     // document fingerprint as a SQL scalar (native expression, codegen'd)
     ColumnBridge.registerExpression(spark, "rolling_hash",
       exprs => graft.functions.RollingHash(exprs.head))
   }
+
+  /** DataFrame form of the moments-based K1 aggregate. */
+  def polytrendMoments(t: org.apache.spark.sql.Column,
+      v: org.apache.spark.sql.Column,
+      alpha: Double = 0.05): org.apache.spark.sql.Column =
+    ColumnBridge.toColumn(graft.ts.PolyTrendMomentsAgg(
+      ColumnBridge.toExpression(t), ColumnBridge.toExpression(v), alpha)
+      .toAggregateExpression())
 
   /** Register every testdata table as a temp view for `spark.sql`. */
   def open(spark: SparkSession, dir: String): Unit =

@@ -37,6 +37,25 @@ object KernelQueries extends QueryRegistry {
         col("pt.degree").as("degree"))
   }
 
+  // K1 via the constant-size sufficient-statistics aggregate
+  // (TypedImperativeAggregate; map-side combinable — the 100 TB path).
+  // Identical classification flags to k1_polytrend; slope is per TIME
+  // UNIT (true hourly spacing) rather than per observation rank, which
+  // differs on gapped series like this one (MomentsAggSpec proves exact
+  // agreement on dense series).
+  qNoOracle("k1_polytrend_moments") { (s, d) =>
+    hourlySeries(s, d)
+      .groupBy(col("user_id"))
+      .agg(graft.api.GraftEngine.polytrendMoments(
+        col("hbucket").cast("double"), col("value")).as("pt"))
+      .filter(col("pt").isNotNull)
+      .select(col("user_id"), col("pt.trend_type").as("trend_type"),
+        round(col("pt.slope"), 6).as("slope"),
+        col("pt.direction").as("direction"),
+        col("pt.significance").as("significance"),
+        col("pt.degree").as("degree"))
+  }
+
   // PolyTrend summary statistics (`calculations/utils.py:37-64`).
   qNoOracle("k1_pt_statistics") { (s, d) =>
     val pt = udaf(new PolyTrendAgg(alpha = 0.05))

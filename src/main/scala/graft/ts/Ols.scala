@@ -97,12 +97,56 @@ object Ols {
     }
     if (sse < 0) sse = 0.0
 
+    finishFit(degree, b, inv, sse, n)
+  }
+
+  /** Fit from sufficient statistics alone — the aggregation-friendly
+    * path ([[PolyTrendMomentsAgg]]): no per-point arrays, so the whole
+    * fit runs off a constant-size buffer that map-side combines.
+    *
+    * @param sx  Σx^k for k = 0..6 over the CENTERED index basis
+    *            (sx(0) = n)
+    * @param sxy Σx^k·y for k = 0..3
+    * @param sy2 Σy²
+    *
+    * Precision note: SSE here is the moment identity Σy² − b'X'y, which
+    * cancels catastrophically only when the fit is near-exact (SSE → 0
+    * while Σy² stays large); [[graft.ts.PolyTrend]]'s float-noise guard
+    * covers exactly that regime, and the clamp keeps SSE ≥ 0.
+    */
+  def fitFromMoments(sx: Array[Double], sxy: Array[Double], sy2: Double,
+      degree: Int): Fit = {
+    val n = math.round(sx(0)).toInt
+    val p = degree + 1
+    require(n > p, s"need more than $p points for degree $degree, got $n")
+    val xtx = Array.tabulate(p, p)((j, k) => sx(j + k))
+    val xty = Array.tabulate(p)(sxy(_))
+    val inv = invert(xtx, p)
+    val b = new Array[Double](p)
+    var j = 0
+    while (j < p) {
+      var acc = 0.0
+      var k = 0
+      while (k < p) { acc += inv(j)(k) * xty(k); k += 1 }
+      b(j) = acc
+      j += 1
+    }
+    var sse = sy2
+    j = 0
+    while (j < p) { sse -= b(j) * xty(j); j += 1 }
+    if (sse < 0) sse = 0.0
+    finishFit(degree, b, inv, sse, n)
+  }
+
+  private def finishFit(degree: Int, b: Array[Double],
+      inv: Array[Array[Double]], sse: Double, n: Int): Fit = {
+    val p = degree + 1
     val dof = n - p
     val sigma2 = sse / dof
     val se = new Array[Double](p)
     val pv = new Array[Double](p)
     val tdist = new TDistribution(dof.toDouble)
-    j = 0
+    var j = 0
     while (j < p) {
       se(j) = math.sqrt(math.max(sigma2 * inv(j)(j), 0.0))
       val t = if (se(j) == 0.0) {

@@ -65,6 +65,39 @@ object PolyTrend {
       lin.leadingP))
   }
 
+  /** Classification from sufficient statistics (see
+    * [[Ols.fitFromMoments]]): identical decision ladder to [[classify]],
+    * with the float-noise guard scaled by the RMS of y (max|y| is not
+    * recoverable from moments; rms differs from it by a bounded constant
+    * and the guard only matters in the near-exact-fit regime).
+    */
+  def classifyMoments(sx: Array[Double], sxy: Array[Double], sy2: Double,
+      alpha: Double): Option[PTResult] = {
+    val n = math.round(sx(0))
+    if (n < 6) return None
+    val lin = Ols.fitFromMoments(sx, sxy, sy2, 1)
+    val slope = lin.coeffs(1)
+    val slopeSig = lin.leadingP < alpha
+    val direction = if (slope < 0) -1 else 1
+    val significance = if (slopeSig) 1 else -1
+
+    val cubic = Ols.fitFromMoments(sx, sxy, sy2, 3)
+    val quad = Ols.fitFromMoments(sx, sxy, sy2, 2)
+
+    val scale = math.max(math.sqrt(math.max(sy2, 0.0) / n), 1e-300)
+    def sig(f: Ols.Fit): Boolean =
+      f.leadingP < alpha && math.abs(f.leadingCoeff) > 1e-10 * scale
+
+    val (trendType, degree) =
+      if (sig(cubic)) (if (slopeSig) 3 else -1, 3)
+      else if (sig(quad)) (if (slopeSig) 2 else -1, 2)
+      else if (slopeSig) (1, 1)
+      else (0, 1)
+
+    Some(PTResult(trendType, slope, direction, significance, degree,
+      lin.leadingP))
+  }
+
   /** Code → label decode (`calculations/polytrend.py:204-211`). */
   val trendLabels: Map[Int, String] = Map(
     -1 -> "concealed", 0 -> "no-trend", 1 -> "linear",
