@@ -221,6 +221,20 @@ object PipelineQueries extends QueryRegistry {
   }
 
   // Seeded stratified sampling (Spark-side reproducible only).
+  // Deterministic stratified sample: membership = pure function of the
+  // id hash, so DuckDB reproduces the exact row set from the same md5.
+  q("t_stratified_det",
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+      |FROM documents
+      |WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |           AS UBIGINT) % 100 AS INT) <
+      |      CASE lang WHEN 'en' THEN 10 WHEN 'fr' THEN 50 WHEN 'es' THEN 30
+      |                WHEN 'de' THEN 20 WHEN 'zh' THEN 100 ELSE -1 END""") { (s, d) =>
+    Sampling.deterministicStratifiedSample(docs(s, d), "lang", "doc_id",
+        Map("en" -> 0.1, "fr" -> 0.5, "es" -> 0.3, "de" -> 0.2, "zh" -> 1.0))
+      .select(col("doc_id"), col("lang"))
+  }
+
   qNoOracle("t_stratified_sample") { (s, d) =>
     val base = docs(s, d)
     val langs = Seq("en", "es", "de", "fr", "zh", "ja", "ru", "ar",

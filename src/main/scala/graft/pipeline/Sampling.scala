@@ -30,4 +30,20 @@ object Sampling {
   def stratifiedSample(df: DataFrame, strataCol: String,
       fractions: Map[String, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(strataCol, fractions, seed)
+
+  /** Deterministic stratified sample: membership is a pure function of
+    * the row id (md5 bucket < fraction·100), so the sample is identical
+    * across engines, runs, and cluster layouts — the property training
+    * pipelines actually need (sampleBy's RNG is only run-reproducible).
+    * Fractions are resolved per stratum; unlisted strata are dropped.
+    */
+  def deterministicStratifiedSample(df: DataFrame, strataCol: String,
+      idCol: String, fractions: Map[String, Double]): DataFrame = {
+    val pctExpr = fractions.foldLeft(lit(-1.0)) { case (acc, (k, f)) =>
+      when(col(strataCol) === k, lit(f * 100)).otherwise(acc)
+    }
+    df.withColumn("__pct", pctExpr)
+      .filter(hashBucket(idCol) < col("__pct"))
+      .drop("__pct")
+  }
 }

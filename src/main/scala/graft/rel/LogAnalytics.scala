@@ -267,6 +267,40 @@ object LogAnalytics extends QueryRegistry {
       .select(col("event_id"), col("st").as("state_t"), col("day_avg"))
   }
 
+  /** Pure range join (no equi key): events inside derived campaign
+    * windows. Spark would plan the raw inequality join as
+    * BroadcastNestedLoopJoin; RangeJoin buckets the time axis to turn it
+    * into an equi join (see graft.rel.RangeJoin). Oracle uses DuckDB's
+    * native inequality join (IEJoin) — an independent algorithm
+    * producing the identical pair set.
+    */
+  q("rng_point_in_interval",
+    """WITH pts AS (
+      |  SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+      |  FROM events),
+      |wins AS (
+      |  SELECT DISTINCT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS wd
+      |  FROM events WHERE day(ts) % 3 = 0),
+      |iv AS (SELECT wd, wd + 21600 AS cs, wd + 64800 AS ce FROM wins)
+      |SELECT wd AS window_day, CAST(count(*) AS BIGINT) AS n_events,
+      |       round(avg(value), 6) AS avg_value
+      |FROM pts JOIN iv ON pts.t >= iv.cs AND pts.t < iv.ce
+      |GROUP BY wd""") { (s, d) =>
+    val ev = events(s, d)
+    val pts = ev.select(col("event_id"),
+      unix_timestamp(col("ts")).as("t"), col("value"))
+    val ivs = ev.filter(dayofmonth(col("ts")) % 3 === 0)
+      .select(unix_timestamp(date_trunc("day", col("ts"))).as("wd"))
+      .distinct()
+      .select(col("wd"), (col("wd") + 21600).as("cs"),
+        (col("wd") + 64800).as("ce"))
+    RangeJoin.pointInInterval(pts, ivs, "t", "cs", "ce",
+        bucketWidth = 21600L)
+      .groupBy(col("wd").as("window_day"))
+      .agg(count(lit(1)).as("n_events"),
+        round(avg(col("value")), 6).as("avg_value"))
+  }
+
   /** K2 Horner evaluation via the native poly_eval expression; oracle
     * replicates the exact Horner operation order.
     */

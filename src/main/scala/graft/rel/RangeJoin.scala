@@ -1,0 +1,51 @@
+package graft.rel
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval range join at scale.
+  *
+  * Spark plans a pure inequality join (`p.t >= i.s AND p.t < i.e`, no
+  * equi key) as BroadcastNestedLoopJoin — O(|points|·|intervals|) work
+  * and a broadcast of one whole side, which dies at scale. The standard
+  * fix is BUCKETING the range dimension: each point hashes to one
+  * bucket `floor(t/w)`, each interval explodes to every bucket it
+  * overlaps, and the join becomes an EQUI-join on the bucket id with
+  * the exact range predicate as residual — shuffled-hash/sort-merge
+  * planable, AQE-replannable, skew-salvageable like any other equi
+  * join. A (point, interval) pair can only meet in the point's single
+  * bucket, so no dedup is needed.
+  *
+  * Pick `bucketWidth` near the typical interval length: cost is
+  * O(points + intervals · avgSpan/width) exploded rows; too-small
+  * widths inflate the interval side, too-large widths inflate the
+  * residual false-positive rate within buckets.
+  */
+object RangeJoin {
+
+  /** Join each point row to every interval row whose [start, end) range
+    * contains the point. Time columns must be integral (epoch seconds /
+    * bucket indices).
+    *
+    * @param points      left side, one time column `tCol`
+    * @param intervals   right side, `sCol` inclusive, `eCol` exclusive
+    * @param bucketWidth bucket size in the shared time unit
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+      tCol: String, sCol: String, eCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val pts = points.withColumn("__rj_bucket",
+      floor(col(tCol) / bucketWidth).cast("long"))
+    val ivs = intervals
+      .filter(col(eCol) > col(sCol)) // empty intervals match nothing
+      .withColumn("__rj_bucket",
+        explode(sequence(
+          floor(col(sCol) / bucketWidth).cast("long"),
+          floor((col(eCol) - 1) / bucketWidth).cast("long"))))
+    pts.join(ivs,
+        pts("__rj_bucket") === ivs("__rj_bucket") &&
+          col(tCol) >= col(sCol) && col(tCol) < col(eCol))
+      .drop("__rj_bucket")
+  }
+}

@@ -131,13 +131,18 @@ object SqlQueries extends QueryRegistry {
       |GROUP BY year(o_orderdate)""")
 
   // TPC-H Q9 shape: product-line profit by supplier nation and year
-  // (no partsupp in the testdata star — cost proxied from retail price;
-  // /7 keeps every term non-terminating so the rounded sum can't land on
-  // a decimal half-boundary where the engines' rounding modes diverge).
+  // (no partsupp in the testdata star — cost proxied from retail price).
+  // Output is an EXACT scaled integer (7·10⁴ × profit with cost =
+  // retail·qty/7): prices/discounts/quantities are integral in
+  // cents/percent/units, so every term is an exact int64 and the sum is
+  // independent of summation order — a float sum here landed within
+  // 1 ulp of a half-cent and the engines rounded opposite ways (twice).
   sqlQ("sql_q9_profit",
     """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS yr,
-      |       round(sum(l_extendedprice * (1 - l_discount) -
-      |                 p_retailprice * l_quantity / 7), 2) AS profit
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |                (100 - CAST(round(l_discount * 100) AS BIGINT)) * 7 -
+      |                CAST(round(p_retailprice * 100) AS BIGINT) *
+      |                CAST(l_quantity AS BIGINT) * 100) AS BIGINT) AS profit_u
       |FROM lineitem
       |JOIN part     ON l_partkey = p_partkey
       |JOIN supplier ON l_suppkey = s_suppkey

@@ -1,0 +1,68 @@
+package graft.rel
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bucketed range join: exact parity with the naive inequality join,
+  * planned as an equi join (no BroadcastNestedLoopJoin).
+  */
+class RangeJoinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("bucketed range join matches naive inequality join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val points = (1 to 2000)
+      .map(i => (i.toLong, rnd.nextInt(100000).toLong))
+      .toDF("pid", "t")
+    val intervals = (1 to 300).map { i =>
+      val s = rnd.nextInt(100000).toLong
+      (i.toLong, s, s + 1 + rnd.nextInt(5000)) // spans cross many buckets
+    }.toDF("iid", "cs", "ce")
+
+    val bucketed = RangeJoin.pointInInterval(points, intervals,
+        "t", "cs", "ce", bucketWidth = 1000L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val naive = points.join(intervals,
+        col("t") >= col("cs") && col("t") < col("ce"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(bucketed == naive)
+    assert(naive.nonEmpty)
+  }
+
+  test("bucketed range join plans as an equi join, not BNLJ") {
+    import spark.implicits._
+    val points = (1 to 50).map(i => (i.toLong, i.toLong * 10)).toDF("pid", "t")
+    val intervals = (1 to 5).map(i => (i.toLong, i * 100L, i * 100L + 50))
+      .toDF("iid", "cs", "ce")
+    val plan = RangeJoin.pointInInterval(points, intervals,
+      "t", "cs", "ce", 100L).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    val naivePlan = points.join(intervals,
+        col("t") >= col("cs") && col("t") < col("ce"))
+      .queryExecution.executedPlan.toString
+    assert(naivePlan.contains("BroadcastNestedLoopJoin"), naivePlan)
+  }
+
+  test("empty and single-bucket intervals behave") {
+    import spark.implicits._
+    val points = Seq((1L, 10L), (2L, 25L)).toDF("pid", "t")
+    val intervals = Seq(
+      (1L, 10L, 10L), // empty: matches nothing
+      (2L, 20L, 30L)) // single bucket
+      .toDF("iid", "cs", "ce")
+    val out = RangeJoin.pointInInterval(points, intervals,
+        "t", "cs", "ce", 1000L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((2L, 2L)))
+  }
+}
