@@ -16,7 +16,8 @@ object Bench {
     "j_broadcast", "a1_monthly_composite", "a3_distinct_count",
     "w2_row_number", "agg_cube", "k1_polytrend", "k3_dbest_change",
     "t_quality", "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard",
-    "sim_cosine_topk", "mm_media_meta", "la_sessionize", "asof_join")
+    "sim_cosine_topk", "mm_media_meta", "la_sessionize", "asof_join",
+    "asof_join_native", "k1_polytrend_moments", "rng_point_in_interval")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
