@@ -85,6 +85,28 @@ object StreamingComposites {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("total_value"))
 
+  /** Watermarked stream-stream join: attribute each `purchase` to the
+    * `click` of the same user within the preceding hour. Both sides are
+    * watermarked and the join condition bounds event time on both
+    * sides, so state eviction is provable — Spark drops buffered rows
+    * once the watermark passes their join window.
+    */
+  def attributeStream(clicks: DataFrame, purchases: DataFrame,
+      watermarkDelay: String): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+      col("ts").as("c_ts"), col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermarkDelay)
+    val p = purchases.select(col("user_id").as("p_user"),
+      col("ts").as("p_ts"), col("event_id").as("purchase_id"),
+      col("value"))
+      .withWatermark("p_ts", watermarkDelay)
+    p.join(c, expr(
+      """c_user = p_user AND
+        |p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour""".stripMargin))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+        col("c_ts"), col("p_ts"), col("value"))
+  }
+
   /** Per-event-type running counters (the A4 stats block as a streaming
     * aggregation in update mode).
     */

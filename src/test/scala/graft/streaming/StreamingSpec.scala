@@ -137,6 +137,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed.size == 9) // 3 users x 3 sealed bursts
   }
 
+  test("stream-stream join attributes purchases to clicks within the hour") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val cdir = java.nio.file.Files.createTempDirectory("click_stream").toString
+    val pdir = java.nio.file.Files.createTempDirectory("buy_stream").toString
+    // user 1: click 09:00 → purchases 09:30 (in window) and 11:00 (out)
+    // user 2: click 10:00 → purchase 10:10 (in); user 3: purchase, no click
+    val clicks = Seq(
+      (101L, Timestamp.valueOf("2024-01-01 09:00:00"), 1L),
+      (102L, Timestamp.valueOf("2024-01-01 10:00:00"), 2L),
+      (103L, Timestamp.valueOf("2024-01-01 23:00:00"), 9L)) // watermark driver
+      .toDF("event_id", "ts", "user_id")
+    val buys = Seq(
+      (201L, Timestamp.valueOf("2024-01-01 09:30:00"), 1L, 10.0),
+      (202L, Timestamp.valueOf("2024-01-01 11:00:00"), 1L, 20.0),
+      (203L, Timestamp.valueOf("2024-01-01 10:10:00"), 2L, 30.0),
+      (204L, Timestamp.valueOf("2024-01-01 10:20:00"), 3L, 40.0),
+      (205L, Timestamp.valueOf("2024-01-01 23:00:00"), 9L, 0.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    clicks.coalesce(1).write.mode("overwrite").parquet(cdir)
+    buys.coalesce(1).write.mode("overwrite").parquet(pdir)
+
+    val cs = spark.readStream.schema(clicks.schema).parquet(cdir)
+    val ps = spark.readStream.schema(buys.schema).parquet(pdir)
+    val q = StreamingComposites.attributeStream(cs, ps, "30 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attributed")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("attributed")
+      .select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((201L, 101L), (203L, 102L), (205L, 103L)),
+      got.toString)
+  }
+
   test("streaming exact dedup drops duplicate ids within the watermark") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("dup_stream").toString
