@@ -94,7 +94,7 @@ object TrendPipeline {
       // rides the same shuffle as the kernel — one aggregation, two outputs.
       .agg(min(col("value")).as("mn"),
         pt(col("yr").cast("double"), col("value")).as("pt"))
-      .filter(col("mn") > params.threshold && col("pt").isNotNull)
+      .filter(col("mn") > params.threshold && col("pt.trend_type").isNotNull)
       .select(col("longitude"), col("latitude"), col("pt.trend_type"),
         col("pt.slope"), col("pt.direction"), col("pt.significance"),
         col("pt.degree"))

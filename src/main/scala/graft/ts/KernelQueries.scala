@@ -29,7 +29,7 @@ object KernelQueries extends QueryRegistry {
       .groupBy(col("user_id"))
       .agg(min(col("value")).as("mn"),
         pt(col("hbucket").cast("double"), col("value")).as("pt"))
-      .filter(col("pt").isNotNull)
+      .filter(col("pt.trend_type").isNotNull)
       .select(col("user_id"), col("pt.trend_type").as("trend_type"),
         round(col("pt.slope"), 6).as("slope"),
         col("pt.direction").as("direction"),
@@ -48,7 +48,7 @@ object KernelQueries extends QueryRegistry {
       .groupBy(col("user_id"))
       .agg(graft.api.GraftEngine.polytrendMoments(
         col("hbucket").cast("double"), col("value")).as("pt"))
-      .filter(col("pt").isNotNull)
+      .filter(col("pt.trend_type").isNotNull)
       .select(col("user_id"), col("pt.trend_type").as("trend_type"),
         round(col("pt.slope"), 6).as("slope"),
         col("pt.direction").as("direction"),
@@ -62,7 +62,7 @@ object KernelQueries extends QueryRegistry {
     val results = hourlySeries(s, d)
       .groupBy(col("user_id"))
       .agg(pt(col("hbucket").cast("double"), col("value")).as("pt"))
-      .filter(col("pt").isNotNull)
+      .filter(col("pt.trend_type").isNotNull)
       .select(col("pt.trend_type").as("trend_type"),
         col("pt.direction").as("direction"))
     TrendPipeline.ptStatistics(results)

@@ -5,13 +5,18 @@ import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import scala.collection.mutable.ArrayBuffer
 
-/** Result struct surfaced to DataFrames by [[PolyTrendAgg]]. */
+/** Result struct surfaced to DataFrames by [[PolyTrendAgg]]. Fields are
+  * Option-typed so a too-short/unclassifiable series yields a row of
+  * nulls instead of crashing the encoder (a top-level null product
+  * can't be encoded by Spark's udaf machinery; at corpus scale short
+  * series WILL occur).
+  */
 final case class PTOut(
-    trend_type: Int,
-    slope: Double,
-    direction: Int,
-    significance: Int,
-    degree: Int)
+    trend_type: Option[Int],
+    slope: Option[Double],
+    direction: Option[Int],
+    significance: Option[Int],
+    degree: Option[Int])
 
 /** PolyTrend as a typed Spark `Aggregator`: slots into
   * `groupBy(pixel).agg(...)`, replacing the reference's sequential
@@ -42,8 +47,9 @@ class PolyTrendAgg(alpha: Double) extends Aggregator[TV, ArrayBuffer[TV], PTOut]
     val y = buf.sortBy(_.t).map(_.v).toArray
     PolyTrend.classify(y, alpha) match {
       case Some(r) =>
-        PTOut(r.trendType, r.slope, r.direction, r.significance, r.degree)
-      case None => null
+        PTOut(Some(r.trendType), Some(r.slope), Some(r.direction),
+          Some(r.significance), Some(r.degree))
+      case None => PTOut(None, None, None, None, None)
     }
   }
 

@@ -39,12 +39,7 @@ class MomentsAggSpec extends AnyFunSuite {
 
   private def run(useMoments: Boolean) = {
     import spark.implicits._
-    // the Kryo-buffered udaf path can't encode its null result for
-    // too-short series (top-level product encoder asserts non-null), so
-    // the short-series fixture is exercised only through the moments
-    // variant, which returns a proper null struct
-    val base = if (useMoments) fixtures else fixtures.filter(_._1 != 7L)
-    val df = base.toDF("k", "t", "v").repartition(4)
+    val df = fixtures.toDF("k", "t", "v").repartition(4)
     val pt = udaf(new PolyTrendAgg(alpha = 0.05))
     val agg = if (useMoments)
       GraftEngine.polytrendMoments(col("t"), col("v")).as("pt")
@@ -62,7 +57,7 @@ class MomentsAggSpec extends AnyFunSuite {
   test("moments aggregate matches the collect-based aggregate") {
     val buffered = run(useMoments = false)
     val moments = run(useMoments = true)
-    assert(buffered.keySet + 7L == moments.keySet)
+    assert(buffered.keySet == moments.keySet)
     for (k <- buffered.keySet) {
       (buffered(k), moments(k)) match {
         case (None, None) => // both drop the short series
