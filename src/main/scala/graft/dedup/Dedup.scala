@@ -101,6 +101,13 @@ object Dedup {
     * @param minEstJaccard filter on the signature-agreement estimate
     * @param maxBucket   skip degenerate buckets above this size
     */
+  /** Scale shape: the LSH shuffle routes only (doc_id, band, bucket) —
+    * 24 bytes/row — never the 32-long signatures; candidate pairs come
+    * from a (band, bucket) self-join with oversized buckets excluded
+    * up front (degenerate content would otherwise blow up k² per
+    * bucket), and signatures are fetched once per surviving pair for
+    * the agreement estimate (codegen'd zip_with fold, no UDF).
+    */
   def minhashCandidates(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", numHashes: Int = 32, bands: Int = 8,
       shingleK: Int = 3, seed: Long = 42L, minEstJaccard: Double = 0.5,
@@ -116,36 +123,36 @@ object Dedup {
           (h ^ v) * 0x100000001b3L))
       }.toSeq
     }
-    val estUdf = udf { (s1: Seq[Long], s2: Seq[Long]) =>
-      s1.zip(s2).count { case (a, b) => a == b }.toDouble / s1.length
-    }
     val signed = docs
       .select(col(idCol).as("doc_id"),
         sigUdf(split(col(textCol), " ")).as("sig"))
-    val bucketed = signed
-      .select(col("doc_id"), col("sig"), explode(bandUdf(col("sig"))).as("bb"))
-      .select(col("doc_id"), col("sig"),
+    val banded = signed
+      .select(col("doc_id"), explode(bandUdf(col("sig"))).as("bb"))
+      .select(col("doc_id"),
         col("bb._1").as("band"), col("bb._2").as("bucket"))
-    // pairs within each (band, bucket); buckets above maxBucket skipped
-    val grouped = bucketed.groupBy("band", "bucket")
-      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
-    val pairUdf = udf { (members: Seq[org.apache.spark.sql.Row]) =>
-      val sorted = members.map(r =>
-        (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
-      for {
-        i <- sorted.indices
-        j <- (i + 1) until sorted.length
-      } yield (sorted(i)._1, sorted(j)._1,
-        sorted(i)._2.zip(sorted(j)._2).count(t => t._1 == t._2).toDouble /
-          sorted(i)._2.length)
-    }
-    grouped
-      .select(explode(pairUdf(col("members"))).as("p"))
-      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"),
-        col("p._3").as("est_jaccard"))
+    val smallBuckets = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(2, maxBucket))
+      .select("band", "bucket")
+    val inBucket = banded.join(smallBuckets, Seq("band", "bucket"))
+    val pairs = inBucket.as("ba")
+      .join(inBucket.as("bb"),
+        col("ba.band") === col("bb.band") &&
+          col("ba.bucket") === col("bb.bucket") &&
+          col("ba.doc_id") < col("bb.doc_id"))
+      .select(col("ba.doc_id").as("doc_a"), col("bb.doc_id").as("doc_b"))
       .distinct()
+    pairs
+      .join(signed.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        "doc_a")
+      .join(signed.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        "doc_b")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
       .filter(col("est_jaccard") >= minEstJaccard)
+      .select("doc_a", "doc_b", "est_jaccard")
   }
 
   // ----------------------------------------------------------- simhash
