@@ -36,6 +36,24 @@ object ObservationStore {
   def readCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
+  /** JSONL source with the fixed schema — the interchange format
+    * training-data pipelines actually ship; explicit schema (no
+    * inference pass over 100 TB) with PERMISSIVE nulls for corrupt
+    * lines.
+    */
+  def readJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(schema)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .option("mode", "PERMISSIVE")
+      .json(path)
+
+  /** JSONL sink (one object per line, gzip-friendly). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.select("id", "longitude", "latitude", "time", "value")
+      .write.mode("overwrite")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .json(path)
+
   /** Write date-partitioned (`obs_date=YYYY-MM-DD/`): temporal range
     * filters become `PartitionFilters` — pruned before any file is
     * opened.

@@ -88,4 +88,17 @@ class ScaleLayoutSpec extends AnyFunSuite {
     assert(back.schema == ObservationStore.schema)
     assert(back.count() == 10)
   }
+
+  test("JSONL round-trip preserves rows and schema") {
+    val dir = java.nio.file.Files.createTempDirectory("obs_jsonl").toString
+    val o = obs(12)
+    ObservationStore.writeJsonl(o, dir)
+    val back = ObservationStore.readJsonl(spark, dir)
+    assert(back.schema == ObservationStore.schema)
+    assert(back.count() == 12)
+    // values survive the text round-trip exactly
+    val a = o.orderBy("id").collect().map(_.toSeq)
+    val b = back.orderBy("id").collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
 }
