@@ -1,7 +1,7 @@
 package graft.api
 
 import graft.functions.{PolyEval, RollingHash}
-import graft.plans.AsOfJoinStrategy
+import graft.plans.{AsOfFilterPushdown, AsOfJoinStrategy}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -24,5 +24,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PolyEval].getName, "poly_eval"),
       exprs => PolyEval(exprs(0), exprs(1))))
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => AsOfFilterPushdown)
   }
 }

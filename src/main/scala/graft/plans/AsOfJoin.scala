@@ -60,6 +60,44 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Optimizer extension for the custom node: Catalyst's generic
+  * PushDownPredicates cannot see through an unknown LogicalPlan, so
+  * without this rule every `filter` written above an as-of join runs
+  * AFTER the join — scanning and shuffling rows the predicate would
+  * have discarded at the source. Each output row derives from exactly
+  * one left row (the join only APPENDS right-side state), so any
+  * predicate that references only left-side columns commutes with the
+  * join and is pushed into the left child, where the normal rules
+  * continue down to the parquet scan (`PushedFilters`).
+  *
+  * Predicates touching the appended state columns (or mixing sides)
+  * stay above — a null-producing outer-style join does not admit
+  * right-side pushdown without changing semantics.
+  */
+object AsOfFilterPushdown
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
+    case other => Seq(other)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, j: AsOfJoinPlan) =>
+      val leftOut = j.left.outputSet
+      val (pushable, kept) = splitConjuncts(cond).partition(c =>
+        c.deterministic && c.references.subsetOf(leftOut))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = j.copy(left =
+          Filter(pushable.reduce(And), j.left))
+        kept.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 case class AsOfJoinExec(
     left: SparkPlan,
     right: SparkPlan,

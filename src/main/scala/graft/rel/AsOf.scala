@@ -1,6 +1,6 @@
 package graft.rel
 
-import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy}
+import graft.plans.{AsOfFilterPushdown, AsOfJoinPlan, AsOfJoinStrategy}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.Attribute
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
@@ -90,6 +90,9 @@ object AsOf {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(AsOfFilterPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsOfFilterPushdown
 
     // manual pruning + re-aliasing: generic optimizer rules don't prune
     // through an unknown node, and fresh exprIds on the right make the

@@ -96,6 +96,33 @@ class AsOfSpec extends AnyFunSuite {
     assert(out == Map(1 -> "ok", 2 -> null, 3 -> null))
   }
 
+  test("left-only filters push below the native as-of join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val probe = (1 to 100).map(i => (s"k${i % 5}", i.toLong, i))
+      .toDF("k", "t", "probe_id")
+    val state = (1 to 20).map(i => (s"k${i % 5}", i.toLong * 3, s"v$i"))
+      .toDF("k", "st", "v")
+    val joined = AsOf.joinNative(probe, state, Seq("k"), "t", "st", Seq("v"))
+    val filtered = joined.filter(col("probe_id") > 90) // left-only predicate
+    val optimized = filtered.queryExecution.optimizedPlan.toString
+    // the Filter must appear BELOW AsOfJoinPlan (inside its left child)
+    val idxJoin = optimized.indexOf("AsOfJoinPlan")
+    val idxFilter = optimized.indexOf("Filter")
+    assert(idxJoin >= 0 && idxFilter > idxJoin,
+      s"filter not pushed below the join:\n$optimized")
+    // results are unchanged by the pushdown
+    val rows = filtered.collect().map(r => r.getAs[Int]("probe_id")).sorted
+    assert(rows.toSeq == (91 to 100))
+    // state-column predicates must NOT push (null semantics)
+    val keepAbove = joined.filter(col("v").isNull)
+    val opt2 = keepAbove.queryExecution.optimizedPlan.toString
+    val j2 = opt2.indexOf("AsOfJoinPlan")
+    val f2 = opt2.indexOf("Filter")
+    assert(f2 >= 0 && (j2 < 0 || f2 < j2),
+      s"state filter wrongly pushed:\n$opt2")
+  }
+
   test("GraftExtensions injects SQL functions via withExtensions") {
     val prev = spark // materialize the shared session first
     // getOrCreate returns the active session and would skip extensions:
