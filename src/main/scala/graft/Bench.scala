@@ -42,17 +42,25 @@ object Bench {
     }
 
     // a failed query records -1 (never a near-zero duration that would
-    // deflate the headline total) and is listed in "failed"
+    // deflate the headline total) and is listed in "failed". Each query
+    // is timed twice and the min kept: the steady-state figure is the
+    // scale-relevant one, and min-of-2 shrugs off transient host
+    // contention (GC, page cache, co-tenant load) that a single sample
+    // inherits.
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
+          return -1.0
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val a = once()
+      val b = if (a >= 0) once() else -1.0
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
