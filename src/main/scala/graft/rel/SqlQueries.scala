@@ -220,6 +220,52 @@ object SqlQueries extends QueryRegistry {
       |GROUP BY s_name
       |ORDER BY numwait DESC, s_name LIMIT 20""")
 
+  // TPC-H Q11 shape: parts whose shipped value concentration exceeds a
+  // global-share scalar subquery (lineitem stands in for partsupp).
+  // Exact integer cents both sides -> identical comparison everywhere.
+  sqlQ("sql_q11_value_parts",
+    """SELECT CAST(l_partkey AS BIGINT) AS p_key,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |            AS BIGINT) AS value_cents
+      |FROM lineitem
+      |GROUP BY l_partkey
+      |HAVING sum(CAST(round(l_extendedprice * 100) AS BIGINT)) >
+      |  (SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 0.0005
+      |   FROM lineitem)""")
+
+  // TPC-H Q13 shape: customer order-count distribution including
+  // zero-order customers (left join with an ON-clause filter feeding a
+  // two-level aggregation).
+  sqlQ("sql_q13_custdist",
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |      FROM customer LEFT JOIN orders
+      |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |      GROUP BY c_custkey) c_orders
+      |GROUP BY c_count""")
+
+  // TPC-H Q17 shape: revenue from small-quantity lines vs a correlated
+  // per-part average-quantity subquery. Quantities are integral, so the
+  // correlated avg is an exact double on both engines; revenue reported
+  // in exact integer cents.
+  sqlQ("sql_q17_small_qty",
+    """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |            AS BIGINT) AS revenue_cents
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#23'
+      |  AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+      |                    WHERE l2.l_partkey = p_partkey)""")
+
+  // TPC-H Q20 shape: suppliers who shipped enough of a part line —
+  // IN over a grouped HAVING subquery.
+  sqlQ("sql_q20_part_suppliers",
+    """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_name LIKE 'red%'
+      |  GROUP BY l_suppkey HAVING sum(l_quantity) > 400)""")
+
   // TPC-H Q22 shape: above-average-balance customers gone idle (no
   // recent orders) — scalar subquery + correlated anti join with an
   // extra predicate, per market segment. (The pure "no orders at all"
