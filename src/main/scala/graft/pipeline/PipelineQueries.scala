@@ -198,6 +198,18 @@ object PipelineQueries extends QueryRegistry {
     Similarity.bruteForceTopK(all.filter(col("vec_id") < 20), all, k = 5)
   }
 
+  // Per-label centroid vectors in long format — the IVF coarse-quantizer
+  // building block, relational so DuckDB reproduces it element-wise.
+  q("sim_label_centroids",
+    """SELECT label, CAST(i - 1 AS INT) AS dim,
+      |       round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid,
+      |       CAST(count(*) AS BIGINT) AS n_vecs
+      |FROM embeddings,
+      |     unnest(generate_series(1, len(embedding))) AS t(i)
+      |GROUP BY label, i""") { (s, d) =>
+    Similarity.labelCentroids(embs(s, d))
+  }
+
   qNoOracle("sim_lsh_topk") { (s, d) =>
     Similarity.lshTopK(embs(s, d), k = 5)
   }

@@ -144,4 +144,18 @@ object Similarity {
       .select(col("query_id"), col("cand_id"),
         round(col("cosine"), 6).as("cosine"), col("rank"))
   }
+
+  /** Per-label centroids in long format (label, dim, centroid, n_vecs):
+    * posexplode → per-(label, dim) mean — one shuffle keyed on
+    * (label, dim), partial aggregation map-side, no vector assembly on
+    * the driver. The building block for IVF coarse quantizers and
+    * class-prototype analysis; long format keeps it relational (and
+    * DuckDB-oracle checkable) instead of opaque arrays.
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(round(avg(col("v").cast("double")), 6).as("centroid"),
+        count(lit(1)).as("n_vecs"))
 }

@@ -107,6 +107,21 @@ object StreamingComposites {
         col("c_ts"), col("p_ts"), col("value"))
   }
 
+  /** Streaming exact dedup with BOUNDED state: unlike `dropDuplicates`
+    * (which must keep every key seen forever unless the event-time
+    * column is part of the key), `dropDuplicatesWithinWatermark` evicts
+    * a key's state once the watermark passes its first-seen event time
+    * plus the delay — the form that survives unbounded streams.
+    * Duplicates arriving within the watermark window are dropped;
+    * exact-duplicate keys separated by more than the delay are treated
+    * as new (the documented trade-off).
+    */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+      watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   /** Per-event-type running counters (the A4 stats block as a streaming
     * aggregation in update mode).
     */

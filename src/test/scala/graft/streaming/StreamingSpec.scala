@@ -199,4 +199,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("deduped").count() == 100, "one row per id")
     assert(n == 100)
   }
+
+  test("dropDuplicatesWithinWatermark dedups with bounded state") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dupw_stream").toString
+    val rows = (0 until 300).map { i =>
+      ((i % 100).toLong,
+        Timestamp.valueOf(f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d"),
+        i * 1.0)
+    }
+    rows.toDF("id", "ts", "v").coalesce(3).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(rows.toDF("id", "ts", "v").schema).parquet(dir)
+    val q = StreamingComposites.dedupStream(stream, Seq("id"), "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedupedw")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // all duplicates of an id land within 5 minutes -> one row per id
+    assert(spark.table("dedupedw").select("id").distinct().count() == 100)
+    assert(spark.table("dedupedw").count() == 100)
+  }
 }
