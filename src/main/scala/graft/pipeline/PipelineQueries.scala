@@ -274,6 +274,20 @@ object PipelineQueries extends QueryRegistry {
       col("n_bytes"), sha2(col("payload"), 256).as("digest"))
   }
 
+  // DSv2 collection source (graft.sources.ObservationCollection): the
+  // reference's parametric image-collection scan as a planned, pruned,
+  // pushed-down Spark source. Deterministic content -> stable rows-only
+  // check; the composite over it exercises the full S1 -> A1 path.
+  qNoOracle("src_collection_scan") { (s, _) =>
+    s.read.format("observation-collection")
+      .option("pixels", "4").option("start", "2020-01-01")
+      .option("end", "2021-01-01").option("cadence_days", "16")
+      .load()
+      .filter(col("time") >= lit("2020-03-01").cast("timestamp"))
+      .groupBy(col("longitude"), col("latitude"))
+      .agg(count(lit(1)).as("n_obs"), round(avg("value"), 6).as("mean_v"))
+  }
+
   qNoOracle("mm_media_features") { (s, d) =>
     Multimodal.extractFeatures(s, Multimodal.payloads(s, d)).toDF()
       .select(col("doc_id"), col("n_bytes"), col("checksum"),
