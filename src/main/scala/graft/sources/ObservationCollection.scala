@@ -10,6 +10,8 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan,
   ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{
+  MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{
   EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -112,7 +114,8 @@ final class ObservationCollectionTable(params: ObservationCollection.Params)
   override def name(): String = s"observation_collection(${params.pixels}px)"
   override def schema(): StructType = ObservationCollection.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new ObservationCollectionScanBuilder(params)
@@ -205,6 +208,49 @@ final class ObservationCollectionScan(
     } yield ObservationSlice(d0, math.min(d0 + params.sliceDays, hi),
       p0, math.min(p0 + 2, params.pixels))
     slices.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ObservationReaderFactory(params, required)
+
+  /** Streaming form: the collection replayed as micro-batches of
+    * acquisition days. Offsets are epoch-day indices into [lo, hi);
+    * each trigger advances `days_per_batch` days, so `readStream` on
+    * this source feeds the watermarked composites exactly like a live
+    * ingestion feed — same partition planning, same readers.
+    */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ObservationMicroBatchStream(params, lo, hi, required)
+}
+
+final case class DayOffset(day: Int) extends Offset {
+  override def json(): String = day.toString
+}
+
+final class ObservationMicroBatchStream(
+    params: ObservationCollection.Params,
+    lo: Int, hi: Int, required: StructType) extends MicroBatchStream {
+
+  private val daysPerBatch = params.sliceDays
+
+  override def initialOffset(): Offset = DayOffset(lo)
+  override def latestOffset(): Offset = DayOffset(hi)
+  override def deserializeOffset(json: String): Offset =
+    DayOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[DayOffset].day
+    val e = math.min(end.asInstanceOf[DayOffset].day, hi)
+    if (e <= s) return Array.empty
+    val capped = math.min(e, s + daysPerBatch * 8) // bound batch size
+    (for {
+      d0 <- s until capped by daysPerBatch
+      p0 <- 0 until params.pixels by 2
+    } yield ObservationSlice(d0, math.min(d0 + daysPerBatch, capped),
+      p0, math.min(p0 + 2, params.pixels)): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

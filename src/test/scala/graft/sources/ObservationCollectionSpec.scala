@@ -66,6 +66,32 @@ class ObservationCollectionSpec extends AnyFunSuite {
       Seq("longitude", "value"))
   }
 
+  test("micro-batch stream replays the collection with batch parity") {
+    val stream = spark.readStream
+      .format("observation-collection")
+      .option("pixels", "4")
+      .option("start", "2020-01-01")
+      .option("end", "2020-07-01")
+      .option("cadence_days", "16")
+      .option("rows_per_partition_days", "64")
+      .load()
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory").queryName("obs_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("obs_stream")
+    val batch = spark.read.format("observation-collection")
+      .option("pixels", "4").option("start", "2020-01-01")
+      .option("end", "2020-07-01").option("cadence_days", "16")
+      .load()
+    assert(streamed.count() == batch.count())
+    val sSum = streamed.agg(sum("value")).collect()(0).getDouble(0)
+    val bSum = batch.agg(sum("value")).collect()(0).getDouble(0)
+    assert(math.abs(sSum - bSum) < 1e-9)
+  }
+
   test("matches the reference-shaped lifecycle: composite + kernel run") {
     // the source feeds the standard pipeline unchanged
     val obs = collection
