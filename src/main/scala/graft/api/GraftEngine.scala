@@ -45,6 +45,9 @@ object GraftEngine {
     // document fingerprint as a SQL scalar (native expression, codegen'd)
     ColumnBridge.registerExpression(spark, "rolling_hash",
       exprs => graft.functions.RollingHash(exprs.head))
+    // fused one-pass cosine (native expression, codegen'd)
+    ColumnBridge.registerExpression(spark, "cosine_similarity",
+      exprs => graft.functions.CosineSimilarity(exprs(0), exprs(1)))
   }
 
   /** DataFrame form of the moments-based K1 aggregate. */

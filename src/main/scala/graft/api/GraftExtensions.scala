@@ -1,6 +1,6 @@
 package graft.api
 
-import graft.functions.{PolyEval, RollingHash}
+import graft.functions.{CosineSimilarity, PolyEval, RollingHash}
 import graft.plans.{AsOfFilterPushdown, AsOfJoinStrategy}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -23,6 +23,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("poly_eval"),
       new ExpressionInfo(classOf[PolyEval].getName, "poly_eval"),
       exprs => PolyEval(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName,
+        "cosine_similarity"),
+      exprs => CosineSimilarity(exprs(0), exprs(1))))
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(_ => AsOfFilterPushdown)
   }

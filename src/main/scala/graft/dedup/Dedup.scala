@@ -299,14 +299,14 @@ object Dedup {
 
   // ------------------------------------- embedding cosine near-dup
 
-  /** Cosine of two double arrays as a pure column expression
-    * (zip_with + aggregate — codegen'd, no UDF).
+  /** Cosine of two numeric arrays — the fused native expression
+    * ([[graft.functions.CosineSimilarity]]): one pass, zero intermediate
+    * arrays, bit-identical to the composed zip_with/aggregate fold it
+    * replaced (and to DuckDB's list_cosine_similarity — the oracles
+    * prove it).
     */
-  def cosineCol(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  def cosineCol(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosine_similarity(a, b)
 
   /** Brute-force cosine near-dup pairs above a threshold. O(n²/2) —
     * the verification baseline; the LSH route in [[graft.sim.Similarity]]
