@@ -137,9 +137,12 @@ class AsOfSpec extends AnyFunSuite {
         .withExtensions(new graft.api.GraftExtensions)
         .getOrCreate()
       val h = s2.sql("SELECT rolling_hash('ab') AS h, " +
-        "poly_eval(array(1.0d, 2.0d), 3.0d) AS p").collect()(0)
+        "poly_eval(array(1.0d, 2.0d), 3.0d) AS p, " +
+        "cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
+        .collect()(0)
       assert(h.getLong(0) == 97L * 1000003L + 98L)
       assert(h.getDouble(1) == 7.0) // 1 + 2*3
+      assert(h.getDouble(2) == 1.0)
     } finally {
       SparkSession.setActiveSession(prev)
       SparkSession.setDefaultSession(prev)

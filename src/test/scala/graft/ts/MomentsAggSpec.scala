@@ -76,6 +76,55 @@ class MomentsAggSpec extends AnyFunSuite {
     assert(moments(7L).isEmpty)
   }
 
+  test("classifyMoments agrees with classify on 500 random dense series") {
+    val rnd = new scala.util.Random(23)
+    var checked = 0
+    for (trial <- 1 to 500) {
+      val n = 8 + rnd.nextInt(120)
+      val kind = trial % 5
+      val y = Array.tabulate(n) { i =>
+        val base = kind match {
+          case 0 => 0.8 * i
+          case 1 => -0.3 * i + 0.004 * i * i
+          case 2 => 1e-4 * (i - n / 2.0) * (i - n / 2.0) * (i - n / 2.0)
+          case 3 => 5.0
+          case _ => math.sin(i * 0.7) * 3
+        }
+        base + rnd.nextGaussian() * 0.5
+      }
+      // build the centered-basis sufficient statistics directly
+      val c = (n + 1) / 2.0
+      val sx = new Array[Double](7)
+      val sxy = new Array[Double](4)
+      var sy2 = 0.0
+      for (i <- 0 until n) {
+        val x = (i + 1) - c
+        var p = 1.0
+        for (k <- 0 to 6) { sx(k) += p; p *= x }
+        p = 1.0
+        for (k <- 0 to 3) { sxy(k) += p * y(i); p *= x }
+        sy2 += y(i) * y(i)
+      }
+      val a = PolyTrend.classify(y, 0.05).get
+      val b = PolyTrend.classifyMoments(sx, sxy, sy2, 0.05).get
+      // p-values within float noise of each other away from the alpha
+      // boundary must give identical decisions; skip razor-edge cases
+      // at ANY ladder rung (the two SSE computations differ in last
+      // ulps, which only matters exactly at the threshold)
+      val edge = Seq(1, 2, 3).exists(d =>
+        math.abs(Ols.fit(y, d).leadingP - 0.05) < 1e-6)
+      if (!edge) {
+        assert(a.trendType == b.trendType && a.degree == b.degree &&
+          a.direction == b.direction && a.significance == b.significance,
+          s"trial $trial (kind $kind, n=$n): $a vs $b")
+        assert(math.abs(a.slope - b.slope) <=
+          1e-8 * math.max(1.0, math.abs(a.slope)))
+        checked += 1
+      }
+    }
+    assert(checked > 450, s"only $checked non-boundary trials")
+  }
+
   test("moments aggregate works through SQL registration") {
     GraftEngine.registerFunctions(spark)
     import spark.implicits._
