@@ -19,7 +19,8 @@ object Multimodal {
       media_type: String, n_bytes: Int)
 
   final case class MediaFeatures(doc_id: Long, n_bytes: Int,
-      checksum: Long, width: Int, height: Int, mean_intensity: Double)
+      checksum: Long, width: Int, height: Int, mean_intensity: Double,
+      sum_bytes: Long)
 
   /** Build a media table from the documents corpus: the text bytes play
     * the opaque payload; metadata is typed columns.
@@ -61,9 +62,13 @@ object Multimodal {
         // per-partition: real decoders initialize once here
         rows.map { case (id, payload) =>
           var checksum = 0L
-          payload.foreach(b => checksum = checksum * 31 + (b & 0xff))
+          var sum = 0L
+          payload.foreach { b =>
+            checksum = checksum * 31 + (b & 0xff)
+            sum += (b & 0xff)
+          }
           val (w, h, mean) = decodeStub(payload)
-          MediaFeatures(id, payload.length, checksum, w, h, mean)
+          MediaFeatures(id, payload.length, checksum, w, h, mean, sum)
         }
       }
   }

@@ -288,10 +288,40 @@ object PipelineQueries extends QueryRegistry {
       .agg(count(lit(1)).as("n_obs"), round(avg("value"), 6).as("mean_v"))
   }
 
-  qNoOracle("mm_media_features") { (s, d) =>
+  // Feature extraction over the mapPartitions decode path, yet fully
+  // oracle-checked: the stub's Java-31 byte checksum is reproduced in
+  // DuckDB with mod-2^64 HUGEINT folds (list_reduce over ord()), the
+  // arithmetic >> 8 via exact floor division, and the mean as a
+  // truncated integer ratio — every column independently confirmed by
+  // an engine that shares no code with the JVM loop. (Corpus is ASCII,
+  // so ord == byte.)
+  q("mm_media_features",
+    """WITH b AS (
+      |  SELECT doc_id,
+      |         list_transform(range(1, length(text) + 1),
+      |             i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS HUGEINT)) AS bytes
+      |  FROM documents),
+      |cc AS (
+      |  SELECT doc_id, len(bytes) AS n_bytes,
+      |         list_reduce(bytes,
+      |             (a, x) -> (a * 31 + x) % CAST('18446744073709551616' AS HUGEINT)) AS u,
+      |         list_aggregate(bytes, 'sum') AS bsum
+      |  FROM b),
+      |s AS (
+      |  SELECT doc_id, n_bytes, bsum,
+      |         CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+      |                   THEN u - CAST('18446744073709551616' AS HUGEINT)
+      |                   ELSE u END AS BIGINT) AS checksum
+      |  FROM cc)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_bytes AS INT) AS n_bytes,
+      |       checksum,
+      |       CAST(16 + abs(checksum) % 48 AS INT) AS width,
+      |       CAST(16 + abs((checksum - ((checksum % 256 + 256) % 256)) // 256) % 48 AS INT) AS height,
+      |       CAST(bsum * 10000 // n_bytes AS BIGINT) AS mean_u
+      |FROM s""") { (s, d) =>
     Multimodal.extractFeatures(s, Multimodal.payloads(s, d)).toDF()
       .select(col("doc_id"), col("n_bytes"), col("checksum"),
-        col("width"), col("height"), round(col("mean_intensity"), 4)
-          .as("mean_intensity"))
+        col("width"), col("height"),
+        expr("sum_bytes * 10000 div n_bytes").as("mean_u"))
   }
 }
