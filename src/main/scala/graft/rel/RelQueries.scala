@@ -653,6 +653,59 @@ object RelQueries extends QueryRegistry {
         .otherwise(1).as("bal_sign"))
   }
 
+  /** Argmax/argmin aggregates: the representative row per group without
+    * a window pass — one aggregation instead of window+filter.
+    * Tie-break: per key the (price, orderkey) pair is unique, so both
+    * engines pick the same row.
+    */
+  q("x_maxby",
+    """SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+      |       CAST(max_by(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS BIGINT) AS biggest_order,
+      |       CAST(min_by(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS BIGINT) AS smallest_order
+      |FROM orders GROUP BY o_custkey""") { (s, d) =>
+    t(s, d, "orders").groupBy(col("o_custkey"))
+      .agg(
+        max_by(col("o_orderkey"),
+          col("o_totalprice") + col("o_orderkey") * 1e-9)
+          .as("biggest_order"),
+        min_by(col("o_orderkey"),
+          col("o_totalprice") + col("o_orderkey") * 1e-9)
+          .as("smallest_order"))
+  }
+
+  /** Histogram binning (width_bucket semantics, written as the explicit
+    * formula on BOTH engines — operation order matters at bin
+    * boundaries, and DuckDB 1.0 lacks the builtin).
+    */
+  q("x_histogram",
+    """SELECT CAST(CASE WHEN c_acctbal < -1000.0 THEN 0
+      |            WHEN c_acctbal >= 10000.0 THEN 12
+      |            ELSE floor((c_acctbal - -1000.0) / (10000.0 - -1000.0) * 11) + 1
+      |            END AS BIGINT) AS bucket,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM customer GROUP BY 1""") { (s, d) =>
+    val bucket = when(col("c_acctbal") < -1000.0, 0)
+      .when(col("c_acctbal") >= 10000.0, 12)
+      .otherwise(floor((col("c_acctbal") - lit(-1000.0)) /
+        (lit(10000.0) - lit(-1000.0)) * 11) + 1)
+      .cast("long")
+    t(s, d, "customer")
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Ordered string aggregation: deterministic (sorted) concatenation —
+    * Spark sorts the collected array, DuckDB orders inside string_agg.
+    */
+  q("x_stringagg",
+    """SELECT CAST(n_regionkey AS INT) AS n_regionkey,
+      |       string_agg(n_name, ',' ORDER BY n_name) AS nations
+      |FROM nation GROUP BY n_regionkey""") { (s, d) =>
+    t(s, d, "nation").groupBy(col("n_regionkey"))
+      .agg(array_join(sort_array(collect_list(col("n_name"))), ",")
+        .as("nations"))
+  }
+
   // ------------------------------------------------------- TPC-H classics
 
   q("q1_agg",
