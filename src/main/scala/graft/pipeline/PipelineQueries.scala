@@ -144,7 +144,60 @@ object PipelineQueries extends QueryRegistry {
         round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
-  qNoOracle("dd_simhash") { (s, d) =>
+  // SimHash candidates fully reproduced in SQL: per-token FNV-1a with
+  // mod-2^64 HUGEINT folds (XOR only touches the low byte for ASCII, so
+  // it runs on BIGINT), 64 bit-position votes, 16-bit banding from the
+  // unsigned form, bucket caps, and popcount Hamming verification —
+  // every stage of the JVM pipeline independently confirmed.
+  q("dd_simhash",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |th AS (
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_prepend(CAST('14695981039346656037' AS HUGEINT),
+      |        list_transform(range(1, length(t) + 1),
+      |          i -> CAST(ord(substr(t, CAST(i AS INT), 1)) AS HUGEINT))),
+      |      (a, ch) -> ((a - (a % 256) +
+      |          CAST(xor(CAST(a % 256 AS BIGINT), CAST(ch AS BIGINT)) AS HUGEINT))
+      |          * CAST('1099511628211' AS HUGEINT))
+      |          % CAST('18446744073709551616' AS HUGEINT)) AS h
+      |  FROM tok),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |         sum(CASE WHEN (h // (CAST(1 AS HUGEINT) << CAST(b AS INT))) % 2 = 1
+      |                  THEN 1 ELSE -1 END) AS vote
+      |  FROM th, unnest(generate_series(0, 63)) AS g(b)
+      |  GROUP BY doc_id, b),
+      |sh AS (
+      |  SELECT doc_id,
+      |         sum(CASE WHEN vote > 0
+      |                  THEN CAST(1 AS HUGEINT) << CAST(b AS INT)
+      |                  ELSE CAST(0 AS HUGEINT) END) AS u
+      |  FROM bits GROUP BY doc_id),
+      |sh2 AS (
+      |  SELECT doc_id, u,
+      |         CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+      |                   THEN u - CAST('18446744073709551616' AS HUGEINT)
+      |                   ELSE u END AS BIGINT) AS simhash
+      |  FROM sh),
+      |banded AS (
+      |  SELECT doc_id, simhash, b AS band,
+      |         CAST((u // (CAST(1 AS HUGEINT) << CAST(b * 16 AS INT))) % 65536 AS BIGINT) AS bucket
+      |  FROM sh2, unnest(generate_series(0, 3)) AS g(b)),
+      |ok_buckets AS (
+      |  SELECT band, bucket FROM banded GROUP BY band, bucket
+      |  HAVING count(*) BETWEEN 2 AND 64),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+      |                  a.simhash AS sa, b2.simhash AS sb
+      |  FROM banded a
+      |  JOIN banded b2 ON a.band = b2.band AND a.bucket = b2.bucket
+      |                AND a.doc_id < b2.doc_id
+      |  JOIN ok_buckets ob ON ob.band = a.band AND ob.bucket = a.bucket)
+      |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+      |       CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+      |FROM pairs WHERE bit_count(xor(sa, sb)) <= 8""") { (s, d) =>
     Dedup.simhashCandidates(docs(s, d), maxHamming = 8)
   }
 
