@@ -56,6 +56,17 @@ object Dedup {
     x ^ (x >>> 31)
   }
 
+  /** Unsigned (a_f, b_f) universal-hash parameters for a seed — the
+    * exact derivation [[minhashSignature]] uses, exposed so the DuckDB
+    * oracle text is generated from one source of truth.
+    */
+  def minhashParams(numHashes: Int, seed: Long): Seq[(BigInt, BigInt)] = {
+    def u(x: Long) = BigInt(java.lang.Long.toUnsignedString(x))
+    (0 until numHashes).map { f =>
+      (u(splitmix(seed + 2L * f) | 1L), u(splitmix(seed + 2L * f + 1)))
+    }
+  }
+
   /** k-shingles of the token array (joined with spaces). */
   private def shingleHashes(toks: Seq[String], k: Int): Array[Long] = {
     if (toks.length < k) Array(fnv1a(toks.mkString(" ")))

@@ -138,7 +138,80 @@ object PipelineQueries extends QueryRegistry {
     Dedup.exactDedup(docs(s, d)).select("keep_id", "n_copies")
   }
 
-  qNoOracle("dd_minhash_lsh") { (s, d) =>
+  /** The full MinHash-LSH pipeline reproduced in DuckDB: shingle FNV-1a
+    * via mod-2^64 HUGEINT folds, the 32 universal hashes with an
+    * overflow-safe 32-bit-split modmul and JAVA SIGNED min semantics,
+    * FNV band hashes (XOR done on 32-bit halves), bucket caps, and the
+    * signature-agreement estimate. The (a_f, b_f) constants are
+    * generated from Dedup.minhashParams — the same splitmix derivation
+    * the JVM uses — so the two cannot drift. est = k/32 is dyadic, so
+    * round(.,4) is engine-independent.
+    */
+  private val minhashOracleSql: String = {
+    val M = "CAST('18446744073709551616' AS HUGEINT)"
+    val H = "CAST('9223372036854775808' AS HUGEINT)"
+    val P = "CAST('1099511628211' AS HUGEINT)"
+    val B = "CAST('14695981039346656037' AS HUGEINT)"
+    val ps = Dedup.minhashParams(32, 42L)
+    val aL = ps.map(p => s"CAST('${p._1}' AS HUGEINT)")
+      .mkString("[", ", ", "]")
+    val bL = ps.map(p => s"CAST('${p._2}' AS HUGEINT)")
+      .mkString("[", ", ", "]")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |sh AS (
+       |  SELECT doc_id, array_to_string(l[i:i+2], ' ') AS s
+       |  FROM toks, unnest(generate_series(1, greatest(len(l) - 2, 1))) AS t(i)),
+       |shh AS (
+       |  SELECT doc_id,
+       |    list_reduce(
+       |      list_prepend($B,
+       |        list_transform(range(1, length(s) + 1),
+       |          i -> CAST(ord(substr(s, CAST(i AS INT), 1)) AS HUGEINT))),
+       |      (acc, ch) -> ((acc - (acc % 256) +
+       |          CAST(xor(CAST(acc % 256 AS BIGINT), CAST(ch AS BIGINT)) AS HUGEINT))
+       |          * $P) % $M) AS x
+       |  FROM sh),
+       |uh AS (
+       |  SELECT doc_id, f,
+       |         ((((${aL}[f + 1] * (x // 4294967296)) % 4294967296) * 4294967296
+       |            + ${aL}[f + 1] * (x % 4294967296))
+       |           + ${bL}[f + 1]) % $M AS u
+       |  FROM shh, unnest(generate_series(0, 31)) AS g(f)),
+       |sig AS (
+       |  SELECT doc_id, f,
+       |         min(CAST(CASE WHEN u >= $H THEN u - $M ELSE u END AS BIGINT)) AS mh
+       |  FROM uh GROUP BY doc_id, f),
+       |sigl AS (SELECT doc_id, list(mh ORDER BY f) AS sig FROM sig GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, sig, band,
+       |    list_reduce(
+       |      list_prepend($B,
+       |        list_transform(sig[band * 4 + 1 : band * 4 + 4],
+       |          s -> (CASE WHEN s < 0 THEN CAST(s AS HUGEINT) + $M
+       |                ELSE CAST(s AS HUGEINT) END))),
+       |      (acc, v) -> (((
+       |          CAST(xor(CAST(acc // 4294967296 AS BIGINT), CAST(v // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296
+       |          + CAST(xor(CAST(acc % 4294967296 AS BIGINT), CAST(v % 4294967296 AS BIGINT)) AS HUGEINT))
+       |        * $P) % $M)) AS bucket
+       |  FROM sigl, unnest(generate_series(0, 7)) AS g(band)),
+       |ok_buckets AS (
+       |  SELECT band, bucket FROM banded GROUP BY band, bucket
+       |  HAVING count(*) BETWEEN 2 AND 64),
+       |pairs AS (
+       |  SELECT DISTINCT p.doc_id AS doc_a, q.doc_id AS doc_b, p.sig AS sa, q.sig AS sb
+       |  FROM banded p
+       |  JOIN banded q ON p.band = q.band AND p.bucket = q.bucket AND p.doc_id < q.doc_id
+       |  JOIN ok_buckets ob ON ob.band = p.band AND ob.bucket = p.bucket)
+       |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       |       round(len(list_filter(range(1, 33),
+       |             i -> sa[CAST(i AS INT)] = sb[CAST(i AS INT)])) / 32.0, 4) AS est_jaccard
+       |FROM pairs
+       |WHERE len(list_filter(range(1, 33),
+       |      i -> sa[CAST(i AS INT)] = sb[CAST(i AS INT)])) / 32.0 >= 0.5""".stripMargin
+  }
+
+  q("dd_minhash_lsh", minhashOracleSql) { (s, d) =>
     Dedup.minhashCandidates(docs(s, d), minEstJaccard = 0.5)
       .select(col("doc_a"), col("doc_b"),
         round(col("est_jaccard"), 4).as("est_jaccard"))
