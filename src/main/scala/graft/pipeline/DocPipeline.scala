@@ -57,11 +57,19 @@ object DocPipeline {
         "quality_score", "bucket", "split")
   }
 
-  /** Corpus-level summary of a curated set. */
+  /** Corpus-level summary of a curated set. Averages are reported as
+    * exact scaled-integer ratios (sum·10⁴ div n): token counts are ints
+    * and quality_score is a 4-decimal value whose ×10⁴ form rounds to
+    * an exact integer per row, so the outputs are independent of
+    * summation order and engine — oracle-safe where round(avg(..))
+    * is not.
+    */
   def stats(curated: DataFrame): DataFrame =
     curated.groupBy("split")
       .agg(count(lit(1)).as("n_docs"),
-        round(avg("n_tokens"), 2).as("avg_tokens"),
-        round(avg("quality_score"), 4).as("avg_quality"),
+        expr("sum(CAST(n_tokens AS BIGINT) * 10000) div count(1)")
+          .as("avg_tokens_u"),
+        expr("sum(CAST(round(quality_score * 10000) AS BIGINT)) div count(1)")
+          .as("avg_quality_u"),
         countDistinct("lang_pred").as("n_langs"))
 }

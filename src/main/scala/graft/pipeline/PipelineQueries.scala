@@ -384,7 +384,150 @@ object PipelineQueries extends QueryRegistry {
 
   // End-to-end curation pipeline: quality gate -> langid -> exact +
   // near dedup -> reproducible split, then corpus stats.
-  qNoOracle("doc_pipeline") { (s, d) =>
+  /** The ENTIRE curation pipeline (quality gate → language ID → exact
+    * dedup → MinHash-LSH candidates → exact n-gram verification →
+    * victim removal → hash split → stats) reproduced as one DuckDB
+    * query, assembled from the same fragment generators as the
+    * per-operator oracles (marker lists, minhash params) so nothing can
+    * drift. Stats are exact scaled-integer ratios — engine- and
+    * order-independent.
+    */
+  private val docPipelineOracleSql: String = {
+    val M = "CAST('18446744073709551616' AS HUGEINT)"
+    val H = "CAST('9223372036854775808' AS HUGEINT)"
+    val P = "CAST('1099511628211' AS HUGEINT)"
+    val B = "CAST('14695981039346656037' AS HUGEINT)"
+    val ps = Dedup.minhashParams(32, 42L)
+    val aL = ps.map(p => s"CAST('${p._1}' AS HUGEINT)")
+      .mkString("[", ", ", "]")
+    val bL = ps.map(p => s"CAST('${p._2}' AS HUGEINT)")
+      .mkString("[", ", ", "]")
+    val stopList = Seq("the", "a", "an", "of", "and", "or", "to", "in",
+      "is", "it", "for", "on", "with", "as", "at", "by")
+      .map(w => s"'$w'").mkString("(", ",", ")")
+    val scores = TextAnalysis.langMarkers.map { case (lang, ms) =>
+      val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+      s"len(list_filter(string_split(lower(text), ' '), " +
+        s"t -> list_contains($lst, t))) AS s_$lang"
+    }.mkString(",\n")
+    val gArgs = TextAnalysis.langMarkers.map("s_" + _._1).mkString(", ")
+    val markerWhens = TextAnalysis.langMarkers.map { case (lang, _) =>
+      s"WHEN s_$lang = best THEN '$lang'"
+    }.mkString("\n")
+    val shares = TextAnalysis.scriptRanges.map { case (lang, pat) =>
+      s"CASE WHEN length(joined) > 0 THEN (length(joined) - " +
+        s"length(regexp_replace(joined, '$pat', '', 'g'))) * 1.0 / " +
+        s"length(joined) ELSE 0 END AS share_$lang"
+    }.mkString(",\n")
+    val scriptWhens = TextAnalysis.scriptRanges.map { case (lang, _) =>
+      s"WHEN share_$lang > 0.3 THEN '$lang'"
+    }.mkString("\n")
+    s"""WITH q AS (
+       |  SELECT doc_id, text, lang,
+       |         len(string_split(text, ' ')) AS n_tokens,
+       |         len(list_filter(string_split(text, ' '), x -> x IN $stopList)) AS n_stop,
+       |         length(text) AS n_chars
+       |  FROM documents),
+       |q2 AS (
+       |  SELECT *, round(least(n_stop / n_tokens * 2.5, 1.0) * 0.5 +
+       |             least((n_chars - (n_tokens - 1)) / n_tokens / 8.0, 1.0) * 0.5, 4) AS quality_score
+       |  FROM q),
+       |gated AS (SELECT * FROM q2 WHERE n_tokens >= 10 AND quality_score >= 0.2),
+       |lidf AS (SELECT *, replace(text, ' ', '') AS joined FROM gated),
+       |lid1 AS (
+       |  SELECT *,
+       |$shares,
+       |$scores
+       |  FROM lidf),
+       |lid2 AS (SELECT *, greatest($gArgs) AS best FROM lid1),
+       |langed AS (
+       |  SELECT doc_id, text, lang, n_tokens, quality_score,
+       |         CASE
+       |$scriptWhens
+       |WHEN best = 0 THEN 'und'
+       |$markerWhens
+       |ELSE 'und' END AS lang_pred
+       |  FROM lid2),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM langed GROUP BY text),
+       |dedup2 AS (SELECT l.* FROM langed l JOIN keep k ON l.doc_id = k.doc_id),
+       |toksM AS (SELECT doc_id, string_split(text, ' ') AS l FROM dedup2),
+       |shM AS (
+       |  SELECT doc_id, array_to_string(l[i:i+2], ' ') AS s
+       |  FROM toksM, unnest(generate_series(1, greatest(len(l) - 2, 1))) AS t(i)),
+       |shhM AS (
+       |  SELECT doc_id,
+       |    list_reduce(
+       |      list_prepend($B,
+       |        list_transform(range(1, length(s) + 1),
+       |          i -> CAST(ord(substr(s, CAST(i AS INT), 1)) AS HUGEINT))),
+       |      (acc, ch) -> ((acc - (acc % 256) +
+       |          CAST(xor(CAST(acc % 256 AS BIGINT), CAST(ch AS BIGINT)) AS HUGEINT))
+       |          * $P) % $M) AS x
+       |  FROM shM),
+       |uhM AS (
+       |  SELECT doc_id, f,
+       |         (((($aL[f + 1] * (x // 4294967296)) % 4294967296) * 4294967296
+       |            + $aL[f + 1] * (x % 4294967296)) + $bL[f + 1]) % $M AS u
+       |  FROM shhM, unnest(generate_series(0, 31)) AS g(f)),
+       |sigM AS (
+       |  SELECT doc_id, f,
+       |         min(CAST(CASE WHEN u >= $H THEN u - $M ELSE u END AS BIGINT)) AS mh
+       |  FROM uhM GROUP BY doc_id, f),
+       |siglM AS (SELECT doc_id, list(mh ORDER BY f) AS sig FROM sigM GROUP BY doc_id),
+       |bandedM AS (
+       |  SELECT doc_id, sig, band,
+       |    list_reduce(
+       |      list_prepend($B,
+       |        list_transform(sig[band * 4 + 1 : band * 4 + 4],
+       |          s -> (CASE WHEN s < 0 THEN CAST(s AS HUGEINT) + $M ELSE CAST(s AS HUGEINT) END))),
+       |      (acc, v) -> (((
+       |          CAST(xor(CAST(acc // 4294967296 AS BIGINT), CAST(v // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296
+       |          + CAST(xor(CAST(acc % 4294967296 AS BIGINT), CAST(v % 4294967296 AS BIGINT)) AS HUGEINT))
+       |        * $P) % $M)) AS bucket
+       |  FROM siglM, unnest(generate_series(0, 7)) AS g(band)),
+       |okb AS (
+       |  SELECT band, bucket FROM bandedM GROUP BY band, bucket
+       |  HAVING count(*) BETWEEN 2 AND 64),
+       |cands AS (
+       |  SELECT DISTINCT p.doc_id AS doc_a, q.doc_id AS doc_b, p.sig AS sa, q.sig AS sb
+       |  FROM bandedM p
+       |  JOIN bandedM q ON p.band = q.band AND p.bucket = q.bucket AND p.doc_id < q.doc_id
+       |  JOIN okb ob ON ob.band = p.band AND ob.bucket = p.bucket),
+       |cand2 AS (
+       |  SELECT doc_a, doc_b FROM cands
+       |  WHERE len(list_filter(range(1, 33), i -> sa[CAST(i AS INT)] = sb[CAST(i AS INT)])) / 32.0 >= 0.55),
+       |gramsV AS (
+       |  SELECT DISTINCT t.doc_id, array_to_string(t.l[i:i+2], ' ') AS gm
+       |  FROM toksM t, unnest(generate_series(1, greatest(len(t.l) - 2, 1))) AS u(i)),
+       |cntV AS (SELECT doc_id, count(*) AS n_grams FROM gramsV GROUP BY doc_id),
+       |interV AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+       |  FROM cand2 c
+       |  JOIN gramsV ga ON ga.doc_id = c.doc_a
+       |  JOIN gramsV gb ON gb.doc_id = c.doc_b AND gb.gm = ga.gm
+       |  GROUP BY c.doc_a, c.doc_b),
+       |victims AS (
+       |  SELECT DISTINCT i.doc_b AS doc_id
+       |  FROM interV i
+       |  JOIN cntV ca ON ca.doc_id = i.doc_a
+       |  JOIN cntV cb ON cb.doc_id = i.doc_b
+       |  WHERE round(n_inter / (ca.n_grams + cb.n_grams - n_inter), 4) >= 0.8),
+       |final AS (
+       |  SELECT d.* FROM dedup2 d
+       |  WHERE d.doc_id NOT IN (SELECT doc_id FROM victims)),
+       |sp AS (
+       |  SELECT *,
+       |    CASE WHEN CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS INT) < 80
+       |         THEN 'train' ELSE 'test' END AS split
+       |  FROM final)
+       |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CAST(n_tokens AS BIGINT) * 10000) // count(*) AS BIGINT) AS avg_tokens_u,
+       |       CAST(sum(CAST(round(quality_score * 10000) AS BIGINT)) // count(*) AS BIGINT) AS avg_quality_u,
+       |       CAST(count(DISTINCT lang_pred) AS BIGINT) AS n_langs
+       |FROM sp GROUP BY split""".stripMargin
+  }
+
+  q("doc_pipeline", docPipelineOracleSql) { (s, d) =>
     DocPipeline.stats(DocPipeline.curate(s, docs(s, d),
       DocPipeline.CurationParams()))
   }
