@@ -125,7 +125,24 @@ object PipelineQueries extends QueryRegistry {
   }
 
   // Rolling-hash fingerprint via the native Catalyst expression.
-  qNoOracle("t_fingerprint_rolling") { (s, d) =>
+  // The native RollingHash expression (h = h·1000003 + byte, Long wrap)
+  // reproduced as a mod-2^64 HUGEINT fold over ord() (ASCII corpus:
+  // ord == byte) — the codegen'd expression checked against an engine
+  // with no JVM in it.
+  q("t_fingerprint_rolling",
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |       CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+      |                 THEN u - CAST('18446744073709551616' AS HUGEINT)
+      |                 ELSE u END AS BIGINT) AS fp64
+      |FROM (
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS HUGEINT),
+      |        list_transform(range(1, length(text) + 1),
+      |          i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS HUGEINT))),
+      |      (acc, ch) -> (acc * 1000003 + ch)
+      |                   % CAST('18446744073709551616' AS HUGEINT)) AS u
+      |  FROM documents)""") { (s, d) =>
     docs(s, d).select(col("doc_id"), rolling_hash(col("text")).as("fp64"))
   }
 
