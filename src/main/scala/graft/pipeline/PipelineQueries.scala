@@ -353,7 +353,50 @@ object PipelineQueries extends QueryRegistry {
     Similarity.labelCentroids(embs(s, d))
   }
 
-  qNoOracle("sim_lsh_topk") { (s, d) =>
+  /** Hyperplane-LSH top-k reproduced in DuckDB: the ±1 plane grid is
+    * generated into the SQL from Similarity.planeSignTable (same
+    * splitmix derivation), dot products are sequential folds (bit-equal
+    * to the JVM loop), bucket join + exact cosine re-rank identical.
+    */
+  private val lshOracleSql: String = {
+    val (planes, tables, dims, seed) = (12, 4, 64, 42L)
+    val sigSelects = (0 until tables).map { t =>
+      val tblSigns = Similarity.planeSignTable(planes, dims,
+        seed + t * 0x51ab61c3L)
+      val bits = (0 until planes).map { p =>
+        val lst = tblSigns(p).mkString("[", ",", "]")
+        s"""(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |  list_transform(range(1, ${dims + 1}), d -> CAST(embedding[CAST(d AS INT)] AS DOUBLE) * $lst[CAST(d AS INT)])),
+           |  (a, x) -> a + x) >= 0 THEN ${1 << p} ELSE 0 END)""".stripMargin
+      }.mkString(" + ")
+      s"SELECT vec_id, embedding, $t AS tbl, ($bits) AS bucket FROM emb"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+       |sigs AS (
+       |$sigSelects),
+       |cands AS (
+       |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS cand_id
+       |  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |   AND a.vec_id <> b.vec_id),
+       |scored AS (
+       |  SELECT c.query_id, c.cand_id,
+       |         list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                                CAST(eb.embedding AS DOUBLE[])) AS cos_raw
+       |  FROM cands c
+       |  JOIN emb ea ON ea.vec_id = c.query_id
+       |  JOIN emb eb ON eb.vec_id = c.cand_id),
+       |ranked AS (
+       |  SELECT query_id, cand_id, cos_raw,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos_raw DESC, cand_id) AS rank
+       |  FROM scored)
+       |SELECT CAST(query_id AS BIGINT) AS query_id,
+       |       CAST(cand_id AS BIGINT) AS cand_id,
+       |       round(cos_raw, 6) AS cosine, CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
+  q("sim_lsh_topk", lshOracleSql) { (s, d) =>
     Similarity.lshTopK(embs(s, d), k = 5)
   }
 

@@ -47,6 +47,13 @@ object Similarity {
     if ((x & 1L) == 0L) 1.0 else -1.0
   }
 
+  /** The deterministic ±1 sign grid for a table's hyperplanes —
+    * sign(plane)(dim) exactly as [[hyperplaneSig]] derives it. Public so
+    * the DuckDB oracle embeds the identical constants.
+    */
+  def planeSignTable(planes: Int, dims: Int, seed: Long): Seq[Seq[Int]] =
+    Seq.tabulate(planes, dims)((p, d) => planeSign(seed, p, d).toInt)
+
   /** Random-hyperplane signature: `planes` sign bits packed in a Long. */
   private[sim] def hyperplaneSig(vec: Seq[Double], planes: Int, seed: Long): Long = {
     var sig = 0L
