@@ -141,7 +141,15 @@ case class AsOfJoinExec(
     val timeType = leftTime.dataType
     val lTimeExpr = leftTime
     val rTimeExpr = rightTime
-    val outExprs: Seq[Expression] = leftOut ++ stateCols
+    // widen nullability to match `output`: a non-nullable state column
+    // bound without the null check would read 0/false (or NPE for
+    // strings) off the all-null row on unmatched left keys. The widening
+    // must be on the BINDING schema (rightOut) — BindReferences takes
+    // nullability from the input attribute, not the projected expression.
+    val outExprs: Seq[Expression] =
+      leftOut ++ stateCols.map(_.withNullability(true))
+    val bindSchema: Seq[Attribute] =
+      leftOut ++ rightOut.map(_.withNullability(true))
     val stateArity = rightOut.size
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -152,7 +160,7 @@ case class AsOfJoinExec(
       val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rightOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
-      val outProj = UnsafeProjection.create(outExprs, leftOut ++ rightOut)
+      val outProj = UnsafeProjection.create(outExprs, bindSchema)
       val nullRight = new GenericInternalRow(stateArity)
       val joined = new JoinedRow
 

@@ -31,9 +31,24 @@ object AsOf {
     * @param rightTime ordering column on `right` (same type)
     * @param stateCols columns of `right` to carry (renamed as given)
     */
+  /** Both entry points require state-column names disjoint from the
+    * left schema: the output is `left.* ++ stateCols`, and a collision
+    * would produce duplicate column names that break select-by-name
+    * downstream. Rename on the right (`withColumnRenamed`) before
+    * joining instead.
+    */
+  private def requireDisjointState(
+      left: DataFrame, stateCols: Seq[String]): Unit = {
+    val clash = stateCols.filter(left.columns.contains)
+    require(clash.isEmpty,
+      s"state columns ${clash.mkString(", ")} collide with left columns; " +
+        "rename them on the right side first")
+  }
+
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
       stateCols: Seq[String]): DataFrame = {
+    requireDisjointState(left, stateCols)
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("__t", col(leftTime))
@@ -86,6 +101,7 @@ object AsOf {
   def joinNative(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
       stateCols: Seq[String]): DataFrame = {
+    requireDisjointState(left, stateCols)
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =

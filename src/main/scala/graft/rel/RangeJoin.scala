@@ -35,14 +35,21 @@ object RangeJoin {
       tCol: String, sCol: String, eCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val pts = points.withColumn("__rj_bucket",
-      floor(col(tCol) / bucketWidth).cast("long"))
+    // Integer floor-division: `/` casts to double, which rounds above
+    // 2^53 and can put a point and its interval in DIFFERENT buckets,
+    // silently dropping matches. (x - pmod(x, w)) is exactly divisible
+    // by w, so integral `div` (truncating) equals floor for negatives
+    // too — exact at any Long magnitude.
+    def floorDiv(c: org.apache.spark.sql.Column) =
+      call_function("div",
+        c - pmod(c, lit(bucketWidth)), lit(bucketWidth)).cast("long")
+    val pts = points.withColumn("__rj_bucket", floorDiv(col(tCol)))
     val ivs = intervals
       .filter(col(eCol) > col(sCol)) // empty intervals match nothing
       .withColumn("__rj_bucket",
         explode(sequence(
-          floor(col(sCol) / bucketWidth).cast("long"),
-          floor((col(eCol) - 1) / bucketWidth).cast("long"))))
+          floorDiv(col(sCol)),
+          floorDiv(col(eCol) - 1))))
     pts.join(ivs,
         pts("__rj_bucket") === ivs("__rj_bucket") &&
           col(tCol) >= col(sCol) && col(tCol) < col(eCol))

@@ -11,7 +11,8 @@ import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan,
   ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{
-  MicroBatchStream, Offset}
+  MicroBatchStream, Offset, ReadLimit, ReadMaxRows,
+  SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{
   EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -215,9 +216,11 @@ final class ObservationCollectionScan(
 
   /** Streaming form: the collection replayed as micro-batches of
     * acquisition days. Offsets are epoch-day indices into [lo, hi);
-    * each trigger advances `days_per_batch` days, so `readStream` on
-    * this source feeds the watermarked composites exactly like a live
-    * ingestion feed — same partition planning, same readers.
+    * each trigger admits up to `rows_per_partition_days * 8` days —
+    * the limit lives in the offset returned by
+    * `latestOffset(start, limit)` (SupportsAdmissionControl), so the
+    * committed offset never runs ahead of the planned partitions and
+    * long replays advance batch by batch without losing days.
     */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new ObservationMicroBatchStream(params, lo, hi, required)
@@ -227,14 +230,43 @@ final case class DayOffset(day: Int) extends Offset {
   override def json(): String = day.toString
 }
 
+/** Rate limiting is expressed through the offset, not the plan: Spark
+  * commits whatever end offset `latestOffset(start, limit)` returns, so
+  * the admitted range and the planned partitions are the same [s, e) by
+  * construction — a multi-year replay advances `sliceDays * 8` days per
+  * trigger and never skips data. `planInputPartitions` plans the FULL
+  * requested range (no cap): under Trigger.AvailableNow Spark replays
+  * to the prepared end across however many triggers that takes.
+  */
 final class ObservationMicroBatchStream(
     params: ObservationCollection.Params,
-    lo: Int, hi: Int, required: StructType) extends MicroBatchStream {
+    lo: Int, hi: Int, required: StructType) extends MicroBatchStream
+    with SupportsTriggerAvailableNow {
 
   private val daysPerBatch = params.sliceDays
+  // days admitted per trigger at the default read limit
+  private val admitDays = daysPerBatch.toLong * 8
+  // rows per epoch day, amortized over the cadence (>= 1 to progress)
+  private def rowsPerDay: Long = math.max(1L,
+    params.pixels.toLong * params.pixels / params.cadenceDays)
 
   override def initialOffset(): Offset = DayOffset(lo)
-  override def latestOffset(): Offset = DayOffset(hi)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used via SupportsAdmissionControl")
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def reportLatestOffset(): Offset = DayOffset(hi)
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[DayOffset].day
+    val cap = limit match {
+      case r: ReadMaxRows => math.max(1L, r.maxRows() / rowsPerDay)
+      case _ => admitDays
+    }
+    DayOffset(math.min(hi.toLong, s.toLong + cap).toInt)
+  }
+
   override def deserializeOffset(json: String): Offset =
     DayOffset(json.trim.toInt)
   override def commit(end: Offset): Unit = ()
@@ -245,11 +277,10 @@ final class ObservationMicroBatchStream(
     val s = start.asInstanceOf[DayOffset].day
     val e = math.min(end.asInstanceOf[DayOffset].day, hi)
     if (e <= s) return Array.empty
-    val capped = math.min(e, s + daysPerBatch * 8) // bound batch size
     (for {
-      d0 <- s until capped by daysPerBatch
+      d0 <- s until e by daysPerBatch
       p0 <- 0 until params.pixels by 2
-    } yield ObservationSlice(d0, math.min(d0 + daysPerBatch, capped),
+    } yield ObservationSlice(d0, math.min(d0 + daysPerBatch, e),
       p0, math.min(p0 + 2, params.pixels)): InputPartition).toArray
   }
 

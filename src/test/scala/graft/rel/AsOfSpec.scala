@@ -96,6 +96,37 @@ class AsOfSpec extends AnyFunSuite {
     assert(out == Map(1 -> "ok", 2 -> null, 3 -> null))
   }
 
+  test("native as-of: non-nullable state cols are NULL on unmatched rows") {
+    import spark.implicits._
+    // Seq-of-tuples makes "amt" a non-nullable bigint: without the
+    // nullability widening in the output projection, the bound reference
+    // skips the null check and reads 0 (primitives) or NPEs (strings)
+    // off the null-filled row instead of returning NULL.
+    val probe = Seq(("a", 10L, 1), ("zzz", 10L, 2)).toDF("k", "t", "probe_id")
+    val state = Seq(("a", 5L, 77L, "s")).toDF("k", "st", "amt", "label")
+    val df = AsOf.joinNative(probe, state, keys = Seq("k"),
+      leftTime = "t", rightTime = "st", stateCols = Seq("amt", "label"))
+    assert(!state.schema("amt").nullable) // precondition of the regression
+    val rows = df.collect().map(r => (r.getAs[Int]("probe_id"),
+      if (r.isNullAt(r.fieldIndex("amt"))) null else r.getAs[Long]("amt"),
+      r.getAs[String]("label"))).toSet
+    assert(rows == Set((1, 77L, "s"), (2, null, null)))
+    // declared output schema is nullable for state columns
+    assert(df.schema("amt").nullable && df.schema("label").nullable)
+  }
+
+  test("as-of rejects state columns that collide with left columns") {
+    import spark.implicits._
+    val probe = Seq(("a", 10L, "x")).toDF("k", "t", "v")
+    val state = Seq(("a", 5L, "s")).toDF("k", "st", "v")
+    intercept[IllegalArgumentException] {
+      AsOf.join(probe, state, Seq("k"), "t", "st", Seq("v"))
+    }
+    intercept[IllegalArgumentException] {
+      AsOf.joinNative(probe, state, Seq("k"), "t", "st", Seq("v"))
+    }
+  }
+
   test("left-only filters push below the native as-of join") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -53,6 +53,34 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(naivePlan.contains("BroadcastNestedLoopJoin"), naivePlan)
   }
 
+  test("bucket ids are exact beyond 2^53 and for negative times") {
+    import spark.implicits._
+    // 2^53 + k is where double arithmetic starts rounding: with the old
+    // floor(col/width) double division, point and interval could land in
+    // different buckets and the match was silently dropped.
+    val base = 9007199254740993L // 2^53 + 1
+    val points = Seq(
+      (1L, base),           // inside [base-1, base+2)
+      (2L, base + 999L),    // inside [base+500, base+1500)
+      (3L, -base))          // negative side floor semantics
+      .toDF("pid", "t")
+    val intervals = Seq(
+      (1L, base - 1L, base + 2L),
+      (2L, base + 500L, base + 1500L),
+      (3L, -base - 1L, -base + 1L))
+      .toDF("iid", "cs", "ce")
+    val got = RangeJoin.pointInInterval(points, intervals,
+        "t", "cs", "ce", bucketWidth = 1000L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val naive = points.join(intervals,
+        col("t") >= col("cs") && col("t") < col("ce"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(got == naive)
+    assert(got == Set((1L, 1L), (2L, 2L), (3L, 3L)))
+  }
+
   test("empty and single-bucket intervals behave") {
     import spark.implicits._
     val points = Seq((1L, 10L), (2L, 25L)).toDF("pid", "t")

@@ -92,6 +92,37 @@ class ObservationCollectionSpec extends AnyFunSuite {
     assert(math.abs(sSum - bSum) < 1e-9)
   }
 
+  test("long replay past the per-trigger admission cap loses no days") {
+    // slice=4 days -> 32 days admitted per trigger; 2020-01-01..2021-01-01
+    // spans 366 days -> 12 triggers. Before the SupportsAdmissionControl
+    // fix, everything past day 32 was committed but never read.
+    val stream = spark.readStream
+      .format("observation-collection")
+      .option("pixels", "2")
+      .option("start", "2020-01-01")
+      .option("end", "2021-01-01")
+      .option("cadence_days", "16")
+      .option("rows_per_partition_days", "4")
+      .load()
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory").queryName("obs_stream_long")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("obs_stream_long")
+    val batch = spark.read.format("observation-collection")
+      .option("pixels", "2").option("start", "2020-01-01")
+      .option("end", "2021-01-01").option("cadence_days", "16")
+      .load()
+    // 23 acquisition days x 4 pixels, well past one 32-day admission
+    assert(batch.count() == 23L * 4)
+    assert(streamed.count() == batch.count())
+    val sSum = streamed.agg(sum("value")).collect()(0).getDouble(0)
+    val bSum = batch.agg(sum("value")).collect()(0).getDouble(0)
+    assert(math.abs(sSum - bSum) < 1e-9)
+  }
+
   test("matches the reference-shaped lifecycle: composite + kernel run") {
     // the source feeds the standard pipeline unchanged
     val obs = collection
