@@ -322,8 +322,19 @@ object Dedup {
   /** Brute-force cosine near-dup pairs above a threshold. O(n²/2) —
     * the verification baseline; the LSH route in [[graft.sim.Similarity]]
     * is the scale path.
+    *
+    * Guarded: refuses inputs above `maxRows` (bounded-count probe, no
+    * full scan) so the cartesian plan cannot reach cluster scale by
+    * accident — route large corpora through
+    * [[graft.sim.Similarity.lshTopK]] candidates + exact re-rank, or
+    * raise the limit deliberately.
     */
-  def cosineNearDup(embeddings: DataFrame, minCosine: Double): DataFrame = {
+  def cosineNearDup(embeddings: DataFrame, minCosine: Double,
+      maxRows: Long = 100000L): DataFrame = {
+    val probed = embeddings.limit((maxRows + 1).toInt).count()
+    require(probed <= maxRows,
+      s"cosineNearDup is an O(n²) baseline: input exceeds $maxRows rows; " +
+        "use LSH candidates + exact verify at scale, or raise maxRows")
     val a = embeddings.select(col("vec_id").as("vec_a"),
       transform(col("embedding"), _.cast("double")).as("ea"))
     val b = embeddings.select(col("vec_id").as("vec_b"),

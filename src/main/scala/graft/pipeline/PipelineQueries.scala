@@ -360,6 +360,7 @@ object PipelineQueries extends QueryRegistry {
     */
   private val lshOracleSql: String = {
     val (planes, tables, dims, seed) = (12, 4, 64, 42L)
+    val maxBucket = 1024 // mirrors lshTopK's default degenerate-bucket cap
     val sigSelects = (0 until tables).map { t =>
       val tblSigns = Similarity.planeSignTable(planes, dims,
         seed + t * 0x51ab61c3L)
@@ -374,10 +375,14 @@ object PipelineQueries extends QueryRegistry {
     s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
        |sigs AS (
        |$sigSelects),
+       |okb AS (
+       |  SELECT tbl, bucket FROM sigs GROUP BY tbl, bucket
+       |  HAVING count(*) BETWEEN 2 AND $maxBucket),
        |cands AS (
        |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS cand_id
        |  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket
-       |   AND a.vec_id <> b.vec_id),
+       |   AND a.vec_id <> b.vec_id
+       |  JOIN okb ob ON ob.tbl = a.tbl AND ob.bucket = a.bucket),
        |scored AS (
        |  SELECT c.query_id, c.cand_id,
        |         list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
@@ -590,6 +595,54 @@ object PipelineQueries extends QueryRegistry {
   q("doc_pipeline", docPipelineOracleSql) { (s, d) =>
     DocPipeline.stats(DocPipeline.curate(s, docs(s, d),
       DocPipeline.CurationParams()))
+  }
+
+  // --------------------------------------------------------- CSV sinks
+
+  /** S3/S4 (`calculations/polytrend.py:483,491`): the reference writes
+    * the assembled series and the analysis results to CSV. The sink is
+    * oracle-checked as a ROUND-TRIP: write → read back with an explicit
+    * schema → hash against the DuckDB query computing the same table
+    * directly. A pass proves the sink is lossless — shortest-repr
+    * doubles, dates, and NULLs all survive the text encoding.
+    */
+  private def csvRoundTrip(s: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame, name: String,
+      schema: String): org.apache.spark.sql.DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_csv_$name").toString
+    TrendPipeline.writeCsv(df, dir)
+    s.read.option("header", "true").schema(schema).csv(dir)
+  }
+
+  // S3: the per-pixel SERIES table (monthly composite over the
+  // events-as-observations mapping) through the CSV sink.
+  q("s3_csv_roundtrip",
+    """SELECT CAST(user_id AS DOUBLE) AS longitude,
+      |       CAST(0.0 AS DOUBLE) AS latitude,
+      |       CAST(year(ts) * 12 + month(ts) AS INT) AS bucket,
+      |       round(avg(value), 6) AS value
+      |FROM events GROUP BY 1, 2, 3""") { (s, d) =>
+    val series = TrendPipeline.monthlyComposite(
+        TrendPipeline.eventsAsObservations(s, d))
+      .withColumn("value", round(col("value"), 6))
+    csvRoundTrip(s, series, "s3",
+      "longitude DOUBLE, latitude DOUBLE, bucket INT, value DOUBLE")
+  }
+
+  // S4: the per-key RESULTS table (K1 linear fit surface) through the
+  // CSV sink — same fit the oracle cross-checks via regr_*.
+  q("s4_csv_roundtrip",
+    """SELECT CAST(user_id AS BIGINT) AS user_id,
+      |       round(regr_slope(value, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))), 6) AS slope,
+      |       round(regr_intercept(value, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))), 6) AS icept
+      |FROM events GROUP BY user_id""") { (s, d) =>
+    val x = datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+    val results = Tables.load(s, d, "events").groupBy("user_id")
+      .agg(round(regr_slope(col("value"), x), 6).as("slope"),
+        round(regr_intercept(col("value"), x), 6).as("icept"))
+    csvRoundTrip(s, results, "s4",
+      "user_id BIGINT, slope DOUBLE, icept DOUBLE")
   }
 
   // -------------------------------------------------------- multimodal

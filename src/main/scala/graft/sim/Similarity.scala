@@ -18,8 +18,17 @@ object Similarity {
   /** Brute-force cosine top-k: every query vector against the full
     * corpus. The corpus side is broadcast when small; at scale the
     * queries×corpus product is the bottleneck — use [[lshTopK]].
+    *
+    * Guarded: refuses corpora above `maxCorpusRows` (bounded-count
+    * probe) so the broadcast-product plan stays a small-corpus
+    * fallback — [[lshTopK]] / [[ivfTopK]] are the scale paths.
     */
-  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      maxCorpusRows: Long = 100000L): DataFrame = {
+    val probed = corpus.limit((maxCorpusRows + 1).toInt).count()
+    require(probed <= maxCorpusRows,
+      s"bruteForceTopK broadcasts the corpus and scores |q|x|c| pairs: " +
+        s"corpus exceeds $maxCorpusRows rows; use lshTopK/ivfTopK at scale")
     val q = queries.select(col("vec_id").as("query_id"),
       transform(col("embedding"), _.cast("double")).as("eq"))
     val c = corpus.select(col("vec_id").as("cand_id"),
@@ -71,35 +80,73 @@ object Similarity {
     sig
   }
 
-  /** IVF-style approximate top-k: a k-means coarse quantizer (MLlib,
-    * seeded) assigns every vector to one of `nlist` cells; each query
-    * probes its `nprobe` nearest cells and exact cosine re-ranks only
-    * those candidates. At scale the inverted lists are the partition
-    * layout — a query touches nprobe/nlist of the corpus instead of
-    * all of it.
+  /** Fitted IVF coarse quantizer: just the `nlist` centroid vectors —
+    * small enough to broadcast in a closure, serializable, reusable
+    * across any number of query sets without re-running k-means.
     */
-  def ivfTopK(embeddings: DataFrame, k: Int, nlist: Int = 16,
-      nprobe: Int = 4, seed: Long = 42L): DataFrame = {
-    val base = embeddings.select(col("vec_id"),
-      transform(col("embedding"), _.cast("double")).as("e"))
-      .withColumn("features", array_to_vector(col("e")))
-    // quantizer: random init + few iterations — in production the
-    // coarse quantizer is fitted once offline and reused; this inline
-    // fit keeps the query self-contained
-    val model = new KMeans().setK(nlist).setSeed(seed)
-      .setInitMode("random").setMaxIter(8)
-      .setFeaturesCol("features").setPredictionCol("cell")
-    val fitted = model.fit(base)
-    val assigned = fitted.transform(base)
-      .select(col("vec_id"), col("e"), col("cell"))
-    val centers: Array[Array[Double]] = fitted.clusterCenters.map(_.toArray)
-    val probeUdf = udf { (e: Seq[Double]) =>
+  final case class IvfQuantizer(centers: Array[Array[Double]]) {
+
+    /** Cell id + squared distance ranking for one vector. */
+    private[sim] def nearestCells(e: Seq[Double], nprobe: Int): Seq[Int] =
       centers.zipWithIndex.map { case (c, i) =>
         var d = 0.0
         var j = 0
         while (j < e.length) { val t = e(j) - c(j); d += t * t; j += 1 }
         (d, i)
-      }.sortBy(_._1).take(nprobe).map(_._2)
+      }.sortBy(_._1).take(nprobe).map(_._2).toSeq
+
+    /** Assign each vector to its single nearest cell (inverted-list
+      * build: at scale this is the table's partition/bucket layout).
+      */
+    def assign(embeddings: DataFrame): DataFrame = {
+      val cellUdf = udf { (e: Seq[Double]) => nearestCells(e, 1).head }
+      embeddings.select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("e"))
+        .withColumn("cell", cellUdf(col("e")))
+    }
+  }
+
+  /** Fit the IVF coarse quantizer ONCE (MLlib k-means, seeded, random
+    * init + few iterations) — production shape: fit offline on a
+    * sample, then reuse the centroids for every batch of queries and
+    * for the inverted-list table layout. [[ivfTopK]] overloads take the
+    * fitted quantizer so repeated query sets never refit.
+    */
+  def fitQuantizer(embeddings: DataFrame, nlist: Int = 16,
+      seed: Long = 42L): IvfQuantizer = {
+    val base = embeddings.select(
+        transform(col("embedding"), _.cast("double")).as("e"))
+      .withColumn("features", array_to_vector(col("e")))
+    val fitted = new KMeans().setK(nlist).setSeed(seed)
+      .setInitMode("random").setMaxIter(8)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(base)
+    IvfQuantizer(fitted.clusterCenters.map(_.toArray))
+  }
+
+  /** IVF-style approximate top-k: the coarse quantizer assigns every
+    * vector to one of `nlist` cells; each query probes its `nprobe`
+    * nearest cells and exact cosine re-ranks only those candidates. At
+    * scale the inverted lists are the partition layout — a query
+    * touches nprobe/nlist of the corpus instead of all of it.
+    *
+    * Self-contained form: fits the quantizer inline on the input.
+    * Reuse across query sets goes through [[fitQuantizer]] +
+    * the quantizer overload.
+    */
+  def ivfTopK(embeddings: DataFrame, k: Int, nlist: Int = 16,
+      nprobe: Int = 4, seed: Long = 42L): DataFrame =
+    ivfTopK(fitQuantizer(embeddings, nlist, seed), embeddings, k, nprobe)
+
+  /** IVF top-k against a PRE-FITTED quantizer (no k-means job): assigns
+    * the corpus to inverted lists, probes each query's `nprobe` nearest
+    * cells, exact cosine re-ranks.
+    */
+  def ivfTopK(quantizer: IvfQuantizer, embeddings: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
+    val assigned = quantizer.assign(embeddings)
+    val probeUdf = udf { (e: Seq[Double]) =>
+      quantizer.nearestCells(e, nprobe)
     }
     val queries = assigned
       .select(col("vec_id").as("query_id"), col("e").as("eq"),
@@ -123,9 +170,16 @@ object Similarity {
     * signature buckets are candidates; exact cosine re-ranks. Recall is
     * tunable via planes/tables; each table is one shuffle key, so cost
     * scales with bucket occupancy instead of n².
+    *
+    * Degenerate buckets (near-identical vectors all hashing to one
+    * signature) are excluded above `maxBucket` members BEFORE the pair
+    * self-join — the same guard [[graft.dedup.Dedup.minhashCandidates]]
+    * uses — so one hot bucket can't reintroduce the k² pair blowup the
+    * bucketing exists to avoid.
     */
   def lshTopK(embeddings: DataFrame, k: Int, planes: Int = 12,
-      tables: Int = 4, seed: Long = 42L): DataFrame = {
+      tables: Int = 4, seed: Long = 42L,
+      maxBucket: Int = 1024): DataFrame = {
     val sigUdf = udf { (vec: Seq[Double], table: Int) =>
       hyperplaneSig(vec, planes, seed + table * 0x51ab61c3L)
     }
@@ -134,9 +188,14 @@ object Similarity {
     val tablesDf = base
       .withColumn("tbl", explode(sequence(lit(0), lit(tables - 1))))
       .withColumn("bucket", sigUdf(col("e"), col("tbl")))
-    val a = tablesDf.select(col("tbl"), col("bucket"),
+    val smallBuckets = tablesDf.groupBy("tbl", "bucket")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(2, maxBucket))
+      .select("tbl", "bucket")
+    val inBucket = tablesDf.join(smallBuckets, Seq("tbl", "bucket"))
+    val a = inBucket.select(col("tbl"), col("bucket"),
       col("vec_id").as("query_id"), col("e").as("eq"))
-    val b = tablesDf.select(col("tbl").as("tbl_b"), col("bucket").as("bucket_b"),
+    val b = inBucket.select(col("tbl").as("tbl_b"), col("bucket").as("bucket_b"),
       col("vec_id").as("cand_id"), col("e").as("ec"))
     val cands = a.join(b,
         col("tbl") === col("tbl_b") && col("bucket") === col("bucket_b") &&

@@ -141,6 +141,76 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall > 0.9, s"IVF recall $recall")
   }
 
+  test("LSH top-k caps degenerate buckets instead of exploding pairs") {
+    import spark.implicits._
+    // 2000 near-identical vectors: every LSH table hashes them all into
+    // ONE bucket. Uncapped that's a 4M-row pair expansion per table;
+    // with the cap the hot bucket is excluded and the query completes
+    // with bounded work (and, here, no candidates — the documented
+    // trade: degenerate content needs exact dedup first, not ANN).
+    val rnd = new scala.util.Random(5)
+    val base = Array.tabulate(16)(_.toFloat)
+    val df = (0 until 2000).map(i =>
+        (i.toLong, base.map(x => x + rnd.nextGaussian().toFloat * 1e-4f).toSeq, 0))
+      .toDF("vec_id", "embedding", "label")
+    val capped = Similarity.lshTopK(df, 3, planes = 8, tables = 2,
+      maxBucket = 100)
+    assert(capped.count() == 0)
+    // sanity: a healthy corpus is unaffected by the cap
+    val mixed = ((0 until 50).map(i =>
+        (i.toLong,
+          Array.tabulate(16)(d => math.sin(i * 16 + d).toFloat * 5).toSeq, 0)))
+      .toDF("vec_id", "embedding", "label")
+    val loose = Similarity.lshTopK(mixed, 3, planes = 8, tables = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tight = Similarity.lshTopK(mixed, 3, planes = 8, tables = 2,
+      maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == tight)
+  }
+
+  test("brute-force baselines refuse oversized inputs") {
+    import spark.implicits._
+    val df = (0 until 200).map(i =>
+        (i.toLong, Array.tabulate(4)(d => (i + d).toFloat).toSeq, 0))
+      .toDF("vec_id", "embedding", "label")
+    intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(df, df, 3, maxCorpusRows = 100)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.cosineNearDup(df, 0.9, maxRows = 100)
+    }
+    // under the limit both still work
+    assert(Similarity.bruteForceTopK(df.limit(5), df, 3,
+      maxCorpusRows = 1000).count() > 0)
+  }
+
+  test("IVF quantizer fits once and is reused across query sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = for { c <- 0 until 8; m <- 0 until 12 } yield {
+      val center = Array.tabulate(16)(d => math.cos(c * 16 + d).toFloat * 5)
+      ((c * 12 + m).toLong,
+        center.map(x => x + rnd.nextGaussian().toFloat * 0.1f).toSeq, c)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val quant = Similarity.fitQuantizer(df, nlist = 8)
+    // two disjoint corpora served by the SAME fitted quantizer — no
+    // k-means job in either query (fit happened above, once)
+    val half1 = df.filter($"vec_id" % 2 === 0)
+    val half2 = df.filter($"vec_id" % 2 === 1)
+    val r1 = Similarity.ivfTopK(quant, half1, k = 3, nprobe = 2)
+    val r2 = Similarity.ivfTopK(quant, half2, k = 3, nprobe = 2)
+    assert(r1.count() > 0 && r2.count() > 0)
+    // parity: the self-contained form with the same seed gives the same
+    // result as fit-then-query on the full corpus
+    val a = Similarity.ivfTopK(df, 3, nlist = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Similarity.ivfTopK(quant, df, 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
   test("rolling_hash matches reference implementation and runs codegen") {
     def ref(s: String): Long = {
       var h = 0L
