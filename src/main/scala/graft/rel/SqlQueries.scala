@@ -32,9 +32,15 @@ object SqlQueries extends QueryRegistry {
       |GROUP BY o_orderpriority""")
 
   // TPC-H Q10 shape: returned-items revenue per customer, top 20.
+  // Revenue in exact 1e-4-dollar units (prices are integral cents,
+  // discounts integral percent — the sql_q9 rewrite): the sum is an
+  // integer, so the value AND the top-20 cutoff order are independent
+  // of engine and summation order.
   sqlQ("sql_q10_returned",
     """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
-      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |                (100 - CAST(round(l_discount * 100) AS BIGINT)))
+      |            AS BIGINT) AS revenue_u
       |FROM customer
       |JOIN orders   ON c_custkey = o_custkey
       |JOIN lineitem ON l_orderkey = o_orderkey
@@ -42,7 +48,7 @@ object SqlQueries extends QueryRegistry {
       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
       |  AND o_orderdate < TIMESTAMP '1997-01-01'
       |GROUP BY c_custkey, c_name
-      |ORDER BY revenue DESC, c_custkey LIMIT 20""")
+      |ORDER BY revenue_u DESC, c_custkey LIMIT 20""")
 
   // TPC-H Q14 shape: conditional share inside a join-agg.
   sqlQ("sql_q14_promo_share",
@@ -165,18 +171,22 @@ object SqlQueries extends QueryRegistry {
       |GROUP BY l_linestatus""")
 
   // TPC-H Q15 shape: top-revenue supplier via a CTE referenced twice
-  // (once joined, once under a scalar-subquery max).
+  // (once joined, once under a scalar-subquery max). Revenue in exact
+  // 1e-4-dollar units (sql_q9 pattern) — the max-equality predicate is
+  // an integer compare, immune to cross-engine float-sum drift.
   sqlQ("sql_q15_top_supplier",
     """WITH revenue AS (
       |  SELECT l_suppkey AS supplier_no,
-      |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |                  (100 - CAST(round(l_discount * 100) AS BIGINT)))
+      |              AS BIGINT) AS total_revenue_u
       |  FROM lineitem
       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       |    AND l_shipdate < TIMESTAMP '1996-04-01'
       |  GROUP BY l_suppkey)
-      |SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_revenue
+      |SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_revenue_u
       |FROM supplier JOIN revenue ON s_suppkey = supplier_no
-      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""")
+      |WHERE total_revenue_u = (SELECT max(total_revenue_u) FROM revenue)""")
 
   // TPC-H Q16 shape: distinct-supplier counts per part attribute combo,
   // with a NOT IN exclusion subquery (lineitem stands in for partsupp).

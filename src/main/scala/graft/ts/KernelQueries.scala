@@ -43,7 +43,10 @@ object KernelQueries extends QueryRegistry {
   // UNIT (true hourly spacing) rather than per observation rank, which
   // differs on gapped series like this one (MomentsAggSpec proves exact
   // agreement on dense series).
-  qNoOracle("k1_polytrend_moments") { (s, d) =>
+  // ORACLE-CHECKED: the classification is closed-form over power sums
+  // (Cramer determinants + t² threshold), so DuckDB reproduces the
+  // entire ladder — see [[K1MomentsOracle]].
+  q("k1_polytrend_moments", K1MomentsOracle.sql(alpha = 0.05)) { (s, d) =>
     hourlySeries(s, d)
       .groupBy(col("user_id"))
       .agg(graft.api.GraftEngine.polytrendMoments(
