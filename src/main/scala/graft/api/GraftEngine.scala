@@ -22,13 +22,13 @@ object GraftEngine {
   def session(appName: String = "graft",
       master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
       shufflePartitions: Int = 32): SparkSession = {
-    val spark = SparkSession.builder()
-      .appName(appName)
-      .master(master)
-      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    val spark = graft.io.Tables.configure(SparkSession.builder()
+        .appName(appName)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false"))
       .getOrCreate()
     registerFunctions(spark)
     spark

@@ -74,6 +74,51 @@ object ObservationStore {
         col("obs_date") < lit(endDate))
       .select("id", "longitude", "latitude", "time", "value")
 
+  /** Stable integral pixel key for bucketing/joining. Floating-point
+    * columns make BAD cluster keys: Spark wraps double join keys in
+    * NaN/-0.0 normalization (`knownfloatingpointnormalized`), which can
+    * never match a bucket hash over the raw values — the planner
+    * disables the bucketed scan and shuffles anyway. An exact BIGINT
+    * derived from the coordinate pair restores hash-compatible
+    * clustering (xxhash64 over the raw 8-byte patterns; 1:1 per grid
+    * pixel up to a 2^-64 collision).
+    */
+  def pixelId(lon: org.apache.spark.sql.Column,
+      lat: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    xxhash64(lon, lat)
+
+  /** Persist as a BUCKETED table: hash-bucketed on the derived
+    * `pixel_id` key and sorted within buckets by (pixel_id, time).
+    * Every per-pixel operation downstream — the composite groupBy, the
+    * kernel aggregation, joins against per-pixel result/state tables
+    * bucketed the same way — then reads pre-partitioned data and plans
+    * WITHOUT an Exchange on this side. At 100 TB that converts the
+    * per-query all-data shuffle into a one-time layout cost at ingest;
+    * ScaleLayoutSpec shows the no-Exchange join and aggregation plans
+    * on the round-tripped store.
+    *
+    * Bucket metadata lives in the session catalog (`saveAsTable`);
+    * `path` makes it an external table so the files outlive the
+    * catalog entry.
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int = 32,
+      path: Option[String] = None): Unit = {
+    verify(df)
+    val w = df.select("id", "longitude", "latitude", "time", "value")
+      .withColumn("pixel_id", pixelId(col("longitude"), col("latitude")))
+      .write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, "pixel_id")
+      .sortBy("pixel_id", "time")
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
+  /** Scan of a bucketed store (bucket layout rides along from the
+    * catalog — joins/aggs keyed on `pixel_id` skip their Exchange).
+    */
+  def readBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
   private def verify(df: DataFrame): Unit = {
     val expected = Set("id", "longitude", "latitude", "time", "value")
     val got = df.columns.toSet

@@ -17,6 +17,20 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  /** Session config the catalog needs: nanos-typed parquet timestamps
+    * read as long (events.ts). Deployment-grade wiring sets this at
+    * session CONSTRUCTION ([[graft.api.GraftEngine.session]], Verify,
+    * Bench); [[load]] only falls back to setting it for ad-hoc sessions,
+    * and skips the write when it already holds — repeated mutation of a
+    * shared session was a review finding (racy under concurrent use).
+    */
+  val requiredConfs: Map[String, String] =
+    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  /** Apply [[requiredConfs]] to a session builder (construction-time). */
+  def configure(b: SparkSession.Builder): SparkSession.Builder =
+    requiredConfs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+
   /** Lazy scan of one table; filters/projections push down to parquet.
     *
     * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
@@ -27,7 +41,9 @@ object Tables {
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      requiredConfs.foreach { case (k, v) =>
+        if (!spark.conf.getOption(k).contains(v)) spark.conf.set(k, v)
+      }
       val raw = spark.read.parquet(path(dir, name))
       raw
         .withColumnRenamed("ts", "ts_ns")

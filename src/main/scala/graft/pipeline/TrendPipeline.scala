@@ -160,6 +160,84 @@ object TrendPipeline {
         col("r._7").as("change_type"), col("r._8").as("significance"))
   }
 
+  /** DBEST point decode, multi-change form (`calculations/dbest.py:
+    * 311-331`): ALL top-N ranked changes per pixel as EXPLODED rows —
+    * rank is the position in the |change|-ranked array the reference
+    * returns, so rank 1 is the row [[dbestChange]] reports. Relational
+    * shape for the per-change fields; the plotting arrays live on
+    * [[dbestPointDecode]].
+    */
+  def dbestChangesAll(spark: SparkSession, obs: DataFrame,
+      params: DbestPipelineParams,
+      composite: DataFrame => DataFrame = monthlyComposite): DataFrame = {
+    val kp = params.kernel
+    val monthly = composite(
+      applyFilters(obs, params.startDate, params.endDate, params.bbox))
+    val detect = udf { (values: Seq[Double]) =>
+      if (values == null || values.length < 6) None
+      else {
+        val r = Dbest.changeDetection(values.toArray, kp)
+        Some((r.breakpointNo, r.segmentNo,
+          r.changes.iterator.zipWithIndex.map { case (c, i) =>
+            (i + 1, c.start, c.end - c.start, c.end, c.change,
+              c.changeType, c.significance)
+          }.toSeq))
+      }
+    }
+    seriesByPixel(monthly)
+      .filter(col("mn") > params.threshold)
+      .withColumn("r", detect(col("series")))
+      .filter(col("r").isNotNull)
+      .select(col("longitude"), col("latitude"),
+        col("r._1").as("breakpoint_no"), col("r._2").as("segment_no"),
+        explode(col("r._3")).as("c"))
+      .select(col("longitude"), col("latitude"), col("breakpoint_no"),
+        col("segment_no"), col("c._1").as("rank"), col("c._2").as("start"),
+        col("c._3").as("duration"), col("c._4").as("end"),
+        col("c._5").as("change"), col("c._6").as("change_type"),
+        col("c._7").as("significance"))
+  }
+
+  /** DBEST point decode, full payload (`calculations/dbest.py:311-331`):
+    * one row per pixel carrying the change arrays PLUS the fit / data /
+    * trend / seasonal / remainder series the reference ships to its
+    * plots — the complete point-query response, array-typed.
+    */
+  def dbestPointDecode(spark: SparkSession, obs: DataFrame,
+      params: DbestPipelineParams,
+      composite: DataFrame => DataFrame = monthlyComposite): DataFrame = {
+    val kp = params.kernel
+    val monthly = composite(
+      applyFilters(obs, params.startDate, params.endDate, params.bbox))
+    val detect = udf { (values: Seq[Double]) =>
+      if (values == null || values.length < 6) None
+      else {
+        val r = Dbest.changeDetection(values.toArray, kp)
+        Some((r.breakpointNo, r.segmentNo,
+          r.changes.map(_.start).toSeq,
+          r.changes.map(c => c.end - c.start).toSeq,
+          r.changes.map(_.end).toSeq,
+          r.changes.map(_.change).toSeq,
+          r.changes.map(_.changeType).toSeq,
+          r.changes.map(_.significance).toSeq,
+          r.fit.toSeq, r.data.toSeq, r.trend.toSeq,
+          r.seasonal.toSeq, r.remainder.toSeq))
+      }
+    }
+    seriesByPixel(monthly)
+      .filter(col("mn") > params.threshold)
+      .withColumn("r", detect(col("series")))
+      .filter(col("r").isNotNull)
+      .select(col("longitude"), col("latitude"),
+        col("r._1").as("breakpoint_no"), col("r._2").as("segment_no"),
+        col("r._3").as("start"), col("r._4").as("duration"),
+        col("r._5").as("end"), col("r._6").as("change"),
+        col("r._7").as("change_type"), col("r._8").as("significance"),
+        col("r._9").as("fit"), col("r._10").as("data"),
+        col("r._11").as("trend"), col("r._12").as("seasonal"),
+        col("r._13").as("remainder"))
+  }
+
   /** DBEST generalization per pixel (decode
     * `calculations/dbest.py:385-394`).
     */

@@ -109,6 +109,44 @@ object KernelQueries extends QueryRegistry {
         col("change_type"), col("significance"))
   }
 
+  // K3 multi-change point decode (`calculations/dbest.py:311-331`): all
+  // top-N ranked changes per series, exploded — rank 1 reproduces the
+  // k3_dbest_change row.
+  qNoOracle("k3_dbest_changes_all") { (s, d) =>
+    val obs = TrendPipeline.eventsAsObservations(s, d)
+    TrendPipeline.dbestChangesAll(s, obs,
+      TrendPipeline.DbestPipelineParams(
+        startDate = "2024-01-01", endDate = "2026-01-01",
+        threshold = -1e18,
+        kernel = Dbest.Params(seasonality = 4, duration = 8,
+          firstLevelShift = 0.5, secondLevelShift = 0.5)),
+      composite = TrendPipeline.timeBucketComposite(_, 21600))
+      .select(col("longitude").cast("long").as("user_id"),
+        col("breakpoint_no"), col("segment_no"), col("rank"), col("start"),
+        col("duration"), col("end"), round(col("change"), 4).as("change"),
+        col("change_type"), col("significance"))
+  }
+
+  // K3 full point payload: change arrays + fit/data/trend/seasonal/
+  // remainder series — the complete reference point-query response.
+  qNoOracle("k3_dbest_point_decode") { (s, d) =>
+    val obs = TrendPipeline.eventsAsObservations(s, d)
+    TrendPipeline.dbestPointDecode(s, obs,
+      TrendPipeline.DbestPipelineParams(
+        startDate = "2024-01-01", endDate = "2026-01-01",
+        threshold = -1e18,
+        kernel = Dbest.Params(seasonality = 4, duration = 8,
+          firstLevelShift = 0.5, secondLevelShift = 0.5)),
+      composite = TrendPipeline.timeBucketComposite(_, 21600))
+      .select(col("longitude").cast("long").as("user_id"),
+        col("breakpoint_no"), col("segment_no"), col("start"),
+        col("duration"), col("end"),
+        transform(col("change"), c => round(c, 4)).as("change"),
+        col("change_type"), col("significance"),
+        transform(col("trend"), c => round(c, 4)).as("trend"),
+        transform(col("seasonal"), c => round(c, 4)).as("seasonal"))
+  }
+
   // K4: DBEST generalization (piecewise-linear trend + error stats).
   qNoOracle("k4_dbest_generalization") { (s, d) =>
     val obs = TrendPipeline.eventsAsObservations(s, d)

@@ -55,14 +55,57 @@ class ScaleLayoutSpec extends AnyFunSuite {
       .sortBy("key").saveAsTable("facts_bucketed")
     dims.write.mode("overwrite").bucketBy(8, "key")
       .sortBy("key").saveAsTable("dims_bucketed")
-    val joined = spark.table("facts_bucketed")
+    // merge hint on the INPUT (a hint on the join result is too late and
+    // the planner broadcasts — which has no Exchange either and would
+    // make this assertion pass without exercising the bucket layout)
+    val joined = spark.table("facts_bucketed").hint("merge")
       .join(spark.table("dims_bucketed"), "key")
-      // disable broadcast so the bucketed layout is what avoids the shuffle
-      .hint("merge")
     val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"not a merge join:\n$plan")
     assert(!plan.contains("Exchange hashpartitioning"),
       s"bucketed join still shuffles:\n$plan")
     assert(joined.count() == 1000)
+  }
+
+  test("bucketed observation store: pixel join AND agg plan no Exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("obs_bkt").toString
+    ObservationStore.writeBucketed(obs(56), "obs_bucketed", buckets = 4,
+      path = Some(dir))
+    // a per-pixel results table bucketed the same way (pixel_id key)
+    val results = obs(56)
+      .withColumn("pixel_id",
+        ObservationStore.pixelId(col("longitude"), col("latitude")))
+      .groupBy("pixel_id").agg(avg("value").as("mean_v"))
+    results.write.mode("overwrite").format("parquet")
+      .bucketBy(4, "pixel_id").sortBy("pixel_id")
+      .saveAsTable("res_bucketed")
+
+    val store = ObservationStore.readBucketed(spark, "obs_bucketed")
+    // observations ⋈ per-pixel results on the bucket key, merge-hinted
+    // on the INPUT so broadcast can't mask the layout: the plan must be
+    // a sort-merge join with no Exchange on either side
+    val joined = store.hint("merge").join(spark.table("res_bucketed"),
+      Seq("pixel_id"))
+    val jPlan = joined.queryExecution.executedPlan.toString
+    assert(jPlan.contains("SortMergeJoin"), s"not a merge join:\n$jPlan")
+    assert(!jPlan.contains("Exchange hashpartitioning"),
+      s"bucketed pixel join still shuffles:\n$jPlan")
+    assert(joined.count() == 56)
+
+    // the composite aggregation keyed by the bucket column also skips
+    // its Exchange — the per-query shuffle became a one-time layout cost
+    val agg = store.groupBy(col("pixel_id"))
+      .agg(avg("value").as("v"), first("longitude").as("longitude"),
+        first("latitude").as("latitude"))
+    val aPlan = agg.queryExecution.executedPlan.toString
+    assert(!aPlan.contains("Exchange hashpartitioning"),
+      s"bucketed agg still shuffles:\n$aPlan")
+    assert(agg.count() == 3)
+
+    // round-trips the canonical schema (+ the derived key) and rows
+    assert(store.columns.toSeq ==
+      Seq("id", "longitude", "latitude", "time", "value", "pixel_id"))
+    assert(store.count() == 56)
   }
 
   test("salted inner join equals the plain join result") {

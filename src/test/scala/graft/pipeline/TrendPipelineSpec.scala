@@ -115,5 +115,25 @@ class TrendPipelineSpec extends AnyFunSuite {
     val r = out(0)
     assert(r.getAs[Int]("change_type") == 1, s"expected abrupt: $r")
     assert(math.abs(r.getAs[Double]("change")) > 3.0)
+
+    // multi-change decode: rank 1 reproduces the dbestChange row, ranks
+    // are 1..k with duration = end - start, and the full point payload
+    // carries component arrays of the composite length
+    val all = TrendPipeline.dbestChangesAll(spark, rows.toDF(), params)
+      .collect().sortBy(_.getAs[Int]("rank"))
+    assert(all.nonEmpty)
+    assert(all.map(_.getAs[Int]("rank")).toSeq == (1 to all.length))
+    val top = all.head
+    assert(top.getAs[Double]("change") == r.getAs[Double]("change"))
+    assert(top.getAs[Int]("start") == r.getAs[Int]("start"))
+    all.foreach(c => assert(c.getAs[Int]("duration") ==
+      c.getAs[Int]("end") - c.getAs[Int]("start")))
+    val pd = TrendPipeline.dbestPointDecode(spark, rows.toDF(), params)
+      .collect()
+    assert(pd.length == 1)
+    val row = pd(0)
+    assert(row.getSeq[Double](row.fieldIndex("change")).length == all.length)
+    assert(row.getSeq[Double](row.fieldIndex("trend")).length == 120)
+    assert(row.getSeq[Double](row.fieldIndex("fit")).length == 120)
   }
 }

@@ -181,6 +181,27 @@ class KernelSpec extends AnyFunSuite {
     assert(c.changes.forall(_.changeType == 0), "ramp must be non-abrupt")
   }
 
+  test("DBEST multi-change: two planted steps -> two changes, ranked") {
+    val n = 90
+    // two steps: +8 at i=30, +4 more at i=60 — the larger must rank first
+    val y = Array.tabulate(n)(i =>
+      2.0 + (if (i >= 30) 8.0 else 0.0) + (if (i >= 60) 4.0 else 0.0))
+    val p = Dbest.Params(dataType = "non-cyclical", duration = 10,
+      firstLevelShift = 1.0, secondLevelShift = 1.0, breakpointsNo = 3)
+    val r = Dbest.changeDetection(y, p)
+    assert(r.changes.length >= 2, s"wanted 2 changes, got ${r.changes.length}")
+    val c0 = r.changes(0)
+    val c1 = r.changes(1)
+    // ranked by |change| descending
+    assert(math.abs(c0.change) >= math.abs(c1.change))
+    assert(math.abs(c0.change - 8.0) < 1.0, s"top change ${c0.change}")
+    assert(math.abs(c1.change - 4.0) < 1.0, s"2nd change ${c1.change}")
+    // located at the planted indices, both abrupt
+    assert(math.abs((c0.start + c0.end) / 2.0 - 30) <= 2, s"$c0")
+    assert(math.abs((c1.start + c1.end) / 2.0 - 60) <= 2, s"$c1")
+    assert(c0.changeType == 1 && c1.changeType == 1)
+  }
+
   test("DBEST non-cyclical detects on raw series (Appendix A.4)") {
     val n = 60
     val y = Array.tabulate(n)(i => if (i >= 30) 10.0 else 2.0)
