@@ -61,8 +61,58 @@ object K1MomentsOracle {
       (t * t).toString
     }.mkString("[", ", ", "]")
 
-  /** The full oracle query for the hourly-composite K1 moments path. */
-  def sql(alpha: Double = 0.05): String = {
+  /** The oracle for the hourly-composite K1 MOMENTS path (x = true time
+    * spacing, noise-guard scale = rms(y) — [[PolyTrend.classifyMoments]]).
+    */
+  def sql(alpha: Double = 0.05): String = classificationSql(
+    xExpr = "tt - (n - 1) / 2.0",
+    scaleExpr = "greatest(sqrt(greatest(sy2, 0) / n), 1e-300)",
+    alpha)
+
+  /** The oracle for the SORTED-SERIES K1 path ([[PolyTrendAgg]] /
+    * [[PolyTrend.classify]]): x is the centered RANK index (sort by
+    * bucket, 1..n − (n+1)/2) and the noise-guard scale is max|y| — the
+    * two ways the buffer-the-series variant differs from the moments
+    * variant on gapped series.
+    */
+  def rankSql(alpha: Double = 0.05): String = classificationSql(
+    xExpr = "rn - (n + 1) / 2.0",
+    scaleExpr = "greatest(may, 1e-300)",
+    alpha)
+
+  /** Oracle for the PolyTrend summary statistics
+    * (`calculations/utils.py:37-64` / TrendPipeline.ptStatistics) over
+    * the sorted-series classification: counts per trend_type/direction
+    * plus percentages. cnt·100.0/total is ONE division of exact
+    * integers — identical IEEE result on both engines, so round(.,1)
+    * agrees.
+    */
+  def statsSql(alpha: Double = 0.05): String = {
+    def cnt(col: String, v: Int, as: String) =
+      s"CAST(sum(CASE WHEN $col = $v THEN 1 ELSE 0 END) AS BIGINT) AS $as"
+    s"""WITH base AS (
+       |${rankSql(alpha)}
+       |), c AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_total,
+       |         ${cnt("trend_type", 1, "n_linear")},
+       |         ${cnt("trend_type", 2, "n_quadratic")},
+       |         ${cnt("trend_type", 3, "n_cubic")},
+       |         ${cnt("trend_type", -1, "n_concealed")},
+       |         ${cnt("trend_type", 0, "n_no_trend")},
+       |         ${cnt("direction", 1, "n_positive")},
+       |         ${cnt("direction", -1, "n_negative")}
+       |  FROM base)
+       |SELECT *,
+       |       round(n_linear * 100.0 / n_total, 1) AS pct_linear,
+       |       round(n_quadratic * 100.0 / n_total, 1) AS pct_quadratic,
+       |       round(n_cubic * 100.0 / n_total, 1) AS pct_cubic,
+       |       round(n_concealed * 100.0 / n_total, 1) AS pct_concealed,
+       |       round(n_no_trend * 100.0 / n_total, 1) AS pct_no_trend
+       |FROM c""".stripMargin
+  }
+
+  private def classificationSql(xExpr: String, scaleExpr: String,
+      alpha: Double): String = {
     val (det1, d1, cof1) = degreePieces(1)
     val (det2, d2, cof2) = degreePieces(2)
     val (det3, d3, cof3) = degreePieces(3)
@@ -76,9 +126,10 @@ object K1MomentsOracle {
        |w AS (
        |  SELECT user_id, y,
        |         hb - min(hb) OVER (PARTITION BY user_id) AS tt,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY hb) AS rn,
        |         count(*) OVER (PARTITION BY user_id) AS n
        |  FROM h),
-       |xc AS (SELECT user_id, n, y, tt - (n - 1) / 2.0 AS x FROM w),
+       |xc AS (SELECT user_id, n, y, $xExpr AS x FROM w),
        |m AS (
        |  SELECT user_id, max(n) AS n, CAST(max(n) AS DOUBLE) AS s0,
        |         sum(x) AS s1, sum(x*x) AS s2, sum(x*x*x) AS s3,
@@ -86,11 +137,11 @@ object K1MomentsOracle {
        |         sum(x*x*x*x*x*x) AS s6,
        |         sum(y) AS t0, sum(x*y) AS t1, sum(x*x*y) AS t2,
        |         sum(x*x*x*y) AS t3,
-       |         sum(y*y) AS sy2
+       |         sum(y*y) AS sy2, max(abs(y)) AS may
        |  FROM xc GROUP BY user_id),
        |g AS (
        |  SELECT user_id, n,
-       |         greatest(sqrt(greatest(sy2, 0) / n), 1e-300) AS scale,
+       |         $scaleExpr AS scale,
        |         (${d1(1)}) / ($det1) AS slope,
        |         greatest(sy2 - (${bty(d1)}) / ($det1), 0) AS sse1,
        |         ($cof1) / ($det1) AS inv1,

@@ -22,8 +22,11 @@ object KernelQueries extends QueryRegistry {
         floor(unix_timestamp(col("ts")) / 3600).as("hbucket"))
       .agg(avg(col("value")).as("value"))
 
-  // K1 full classification (rows-only: R-package semantics, no SQL oracle).
-  qNoOracle("k1_polytrend") { (s, d) =>
+  // K1 full classification — ORACLE-CHECKED: the sorted-series path is
+  // closed-form over centered-RANK power sums (see [[K1MomentsOracle]]
+  // .rankSql — Cramer determinants + t² thresholds), so the R-package
+  // semantics reconstruction is verified end to end by DuckDB.
+  q("k1_polytrend", K1MomentsOracle.rankSql(alpha = 0.05)) { (s, d) =>
     val pt = udaf(new PolyTrendAgg(alpha = 0.05))
     hourlySeries(s, d)
       .groupBy(col("user_id"))
@@ -59,8 +62,9 @@ object KernelQueries extends QueryRegistry {
         col("pt.degree").as("degree"))
   }
 
-  // PolyTrend summary statistics (`calculations/utils.py:37-64`).
-  qNoOracle("k1_pt_statistics") { (s, d) =>
+  // PolyTrend summary statistics (`calculations/utils.py:37-64`) —
+  // oracle-checked through the same closed-form classification.
+  q("k1_pt_statistics", K1MomentsOracle.statsSql(alpha = 0.05)) { (s, d) =>
     val pt = udaf(new PolyTrendAgg(alpha = 0.05))
     val results = hourlySeries(s, d)
       .groupBy(col("user_id"))
