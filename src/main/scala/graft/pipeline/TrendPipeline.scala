@@ -100,6 +100,32 @@ object TrendPipeline {
         col("pt.degree"))
   }
 
+  /** PolyTrend POINT decode (`calculations/polytrend.py:330-354`): the
+    * single-pixel response carries the composited series `ts` alongside
+    * the classification — schema `[geometry, ts, trend_type, slope,
+    * direction, significance, degree]` (`PT_result_header`,
+    * `calculations/polytrend.py:346-354`). Array-typed here; driver
+    * entries serialize `ts` for the relational compare. The composite
+    * must emit `(longitude, latitude, bucket, value)` —
+    * [[monthlyComposite]] / [[timeBucketComposite]] shapes.
+    */
+  def polyTrendPoint(spark: SparkSession, obs: DataFrame,
+      params: PolyTrendParams,
+      composite: DataFrame => DataFrame = monthlyComposite): DataFrame = {
+    val pt = udaf(new PolyTrendAgg(params.alpha))
+    composite(applyFilters(obs, params.startDate, params.endDate, params.bbox))
+      .groupBy(col("longitude"), col("latitude"))
+      .agg(min(col("value")).as("mn"),
+        transform(
+          sort_array(collect_list(struct(col("bucket"), col("value")))),
+          s => s.getField("value")).as("ts"),
+        pt(col("bucket").cast("double"), col("value")).as("pt"))
+      .filter(col("mn") > params.threshold && col("pt.trend_type").isNotNull)
+      .select(col("longitude"), col("latitude"), col("ts"),
+        col("pt.trend_type"), col("pt.slope"), col("pt.direction"),
+        col("pt.significance"), col("pt.degree"))
+  }
+
   /** Group-count statistics over PolyTrend results
     * (`calculations/utils.py:37-64`): counts and percentages per
     * trend_type and direction, one pass.
@@ -239,7 +265,10 @@ object TrendPipeline {
   }
 
   /** DBEST generalization per pixel (decode
-    * `calculations/dbest.py:385-394`).
+    * `calculations/dbest.py:385-394`): summary stats plus the three
+    * series the reference plots — generalized `fit`, raw `data`, and
+    * `f_local` (slot 8, "Trend local change" — the fit's per-step
+    * delta, NOT a copy of the fit).
     */
   def dbestGeneralization(spark: SparkSession, obs: DataFrame,
       params: DbestPipelineParams,
@@ -251,7 +280,8 @@ object TrendPipeline {
       if (values == null || values.length < 6) None
       else {
         val r = Dbest.generalization(values.toArray, kp)
-        Some((r.segmentNo, r.rmse, r.mad))
+        Some((r.segmentNo, r.rmse, r.mad,
+          r.fit.toSeq, r.data.toSeq, r.fLocal.toSeq))
       }
     }
     seriesByPixel(monthly)
@@ -260,7 +290,8 @@ object TrendPipeline {
       .filter(col("r").isNotNull)
       .select(col("longitude"), col("latitude"),
         col("r._1").as("segment_no"), col("r._2").as("rmse"),
-        col("r._3").as("mad"))
+        col("r._3").as("mad"), col("r._4").as("fit"),
+        col("r._5").as("data"), col("r._6").as("f_local"))
   }
 
   /** STL components per pixel (K5 exposed standalone; consumed by the

@@ -245,7 +245,11 @@ object Dbest {
   }
 
   /** Generalization algorithm (`algorithm="generalization"`,
-    * decode at `calculations/dbest.py:385-394`).
+    * decode at `calculations/dbest.py:385-394`; `f_local` is the slot-8
+    * "Trend local change" series the reference plots as zero-anchored
+    * bars at `calculations/dbest.py:409-424`): per-timestep first
+    * difference of the generalized trend — constant (the segment slope)
+    * inside each piecewise-linear segment, stepping at the vertices.
     */
   def generalization(y: Array[Double], p: Params): GenResult = {
     val dec = decomposeOrRaw(y, p)
@@ -268,10 +272,13 @@ object Dbest {
       if (n == 0) 0.0
       else if (n % 2 == 1) sorted(n / 2)
       else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
+    val fLocal = new Array[Double](n)
+    i = 1
+    while (i < n) { fLocal(i) = fit(i) - fit(i - 1); i += 1 }
     GenResult(
       segmentNo = vertices.length - 1,
       rmse = math.sqrt(sse / math.max(n, 1)),
       mad = mad,
-      fit = fit, data = y.clone(), fLocal = fit.clone())
+      fit = fit, data = y.clone(), fLocal = fLocal)
   }
 }

@@ -80,6 +80,29 @@ object K1MomentsOracle {
     scaleExpr = "greatest(may, 1e-300)",
     alpha)
 
+  /** Oracle for the PolyTrend POINT decode
+    * (`calculations/polytrend.py:346-354`): the sorted-series
+    * classification PLUS the composited series `ts` itself, serialized
+    * as comma-joined scaled integers (floor(y·10⁴ + 0.5) — identical
+    * doubles floor identically on both engines, and BIGINT→VARCHAR
+    * formatting is engine-independent, unlike double formatting).
+    */
+  def pointSql(alpha: Double = 0.05): String =
+    s"""WITH base AS (
+       |${rankSql(alpha)}
+       |), ser AS (
+       |  SELECT user_id,
+       |         string_agg(CAST(CAST(floor(y * 10000 + 0.5) AS BIGINT)
+       |                    AS VARCHAR), ',' ORDER BY hb) AS ts
+       |  FROM (SELECT CAST(user_id AS BIGINT) AS user_id,
+       |               CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hb,
+       |               avg(value) AS y
+       |        FROM events GROUP BY 1, 2)
+       |  GROUP BY user_id)
+       |SELECT b.user_id, s.ts, b.trend_type, b.slope, b.direction,
+       |       b.significance, b.degree
+       |FROM base b JOIN ser s USING (user_id)""".stripMargin
+
   /** Oracle for the PolyTrend summary statistics
     * (`calculations/utils.py:37-64` / TrendPipeline.ptStatistics) over
     * the sorted-series classification: counts per trend_type/direction

@@ -75,6 +75,32 @@ object KernelQueries extends QueryRegistry {
     TrendPipeline.ptStatistics(results)
   }
 
+  // K1 POINT decode (`calculations/polytrend.py:346-354`): the
+  // classification plus the composited series `ts` the reference's
+  // point response carries — ORACLE-CHECKED including the series,
+  // serialized as comma-joined scaled ints (floor(y·10⁴+0.5):
+  // identical doubles floor identically, and integer formatting is
+  // engine-independent where double formatting is not).
+  q("k1_point_decode", K1MomentsOracle.pointSql(alpha = 0.05)) { (s, d) =>
+    val pt = udaf(new PolyTrendAgg(alpha = 0.05))
+    hourlySeries(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        pt(col("hbucket").cast("double"), col("value")).as("pt"),
+        concat_ws(",", transform(
+          transform(
+            sort_array(collect_list(struct(col("hbucket"), col("value")))),
+            x => x.getField("value")),
+          v => floor(v * 10000 + lit(0.5)).cast("string"))).as("ts"))
+      .filter(col("pt.trend_type").isNotNull)
+      .select(col("user_id"), col("ts"),
+        col("pt.trend_type").as("trend_type"),
+        round(col("pt.slope"), 6).as("slope"),
+        col("pt.direction").as("direction"),
+        col("pt.significance").as("significance"),
+        col("pt.degree").as("degree"))
+  }
+
   // K2: linear fit + eval at the series endpoints — oracle-checked via
   // DuckDB regr_slope/regr_intercept (same x = epoch-day index).
   q("k2_linear_eval",
@@ -133,6 +159,10 @@ object KernelQueries extends QueryRegistry {
 
   // K3 full point payload: change arrays + fit/data/trend/seasonal/
   // remainder series — the complete reference point-query response.
+  // Every ArrayType column is serialized to a canonical JSON string:
+  // the driver's pandas canonicalizer sorts rows before hashing and
+  // cannot sort numpy-array cells (r3 red entry); the engine API
+  // (TrendPipeline.dbestPointDecode) stays array-typed.
   qNoOracle("k3_dbest_point_decode") { (s, d) =>
     val obs = TrendPipeline.eventsAsObservations(s, d)
     TrendPipeline.dbestPointDecode(s, obs,
@@ -143,15 +173,24 @@ object KernelQueries extends QueryRegistry {
           firstLevelShift = 0.5, secondLevelShift = 0.5)),
       composite = TrendPipeline.timeBucketComposite(_, 21600))
       .select(col("longitude").cast("long").as("user_id"),
-        col("breakpoint_no"), col("segment_no"), col("start"),
-        col("duration"), col("end"),
-        transform(col("change"), c => round(c, 4)).as("change"),
-        col("change_type"), col("significance"),
-        transform(col("trend"), c => round(c, 4)).as("trend"),
-        transform(col("seasonal"), c => round(c, 4)).as("seasonal"))
+        col("breakpoint_no"), col("segment_no"),
+        to_json(col("start")).as("start"),
+        to_json(col("duration")).as("duration"),
+        to_json(col("end")).as("end"),
+        to_json(transform(col("change"), c => round(c, 4))).as("change"),
+        to_json(col("change_type")).as("change_type"),
+        to_json(col("significance")).as("significance"),
+        to_json(transform(col("fit"), c => round(c, 4))).as("fit"),
+        to_json(transform(col("data"), c => round(c, 4))).as("data"),
+        to_json(transform(col("trend"), c => round(c, 4))).as("trend"),
+        to_json(transform(col("seasonal"), c => round(c, 4))).as("seasonal"),
+        to_json(transform(col("remainder"), c => round(c, 4))).as("remainder"))
   }
 
-  // K4: DBEST generalization (piecewise-linear trend + error stats).
+  // K4: DBEST generalization — stats plus the reference's three plotted
+  // series (fit / data / f_local "trend local change", decode slot 8 at
+  // `calculations/dbest.py:385-394`), JSON-serialized for the driver's
+  // relational compare.
   qNoOracle("k4_dbest_generalization") { (s, d) =>
     val obs = TrendPipeline.eventsAsObservations(s, d)
     TrendPipeline.dbestGeneralization(s, obs,
@@ -162,7 +201,10 @@ object KernelQueries extends QueryRegistry {
       composite = TrendPipeline.timeBucketComposite(_, 21600))
       .select(col("longitude").cast("long").as("user_id"),
         col("segment_no"), round(col("rmse"), 4).as("rmse"),
-        round(col("mad"), 4).as("mad"))
+        round(col("mad"), 4).as("mad"),
+        to_json(transform(col("fit"), c => round(c, 4))).as("fit"),
+        to_json(transform(col("data"), c => round(c, 4))).as("data"),
+        to_json(transform(col("f_local"), c => round(c, 4))).as("f_local"))
   }
 
   // K5: STL decomposition components, exploded one row per bucket.

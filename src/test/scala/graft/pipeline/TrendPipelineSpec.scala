@@ -58,6 +58,25 @@ class TrendPipelineSpec extends AnyFunSuite {
     assert(byLon(1.0)._2 == 0, s"flat pixel: $out") // no trend
   }
 
+  test("polyTrendPoint carries the composited series ts with the classification") {
+    val params = TrendPipeline.PolyTrendParams(
+      startDate = "2000-01-01", endDate = "2020-01-01",
+      alpha = 0.05, threshold = 0.1)
+    val out = TrendPipeline.polyTrendPoint(spark, fixtureObs(), params)
+      .collect().map(r => (r.getDouble(0), r.getSeq[Double](2),
+        r.getInt(3))).sortBy(_._1)
+    // same F4 gate as the region path: masked pixel dropped
+    assert(out.map(_._1).toSeq == Seq(0.0, 1.0))
+    val byLon = out.map(t => t._1 -> t).toMap
+    // 20 years × 2 monthly buckets (Jan + Jun) = 40 composite points
+    assert(byLon(0.0)._2.length == 40, s"ts len ${byLon(0.0)._2.length}")
+    // series is bucket-ordered: Jan 2000 (+0.01 image) first
+    assert(math.abs(byLon(0.0)._2.head - (0.2 + 0.02 * 1 + 0.01)) < 1e-9)
+    assert(math.abs(byLon(0.0)._2.last - (0.2 + 0.02 * 20 - 0.01)) < 1e-9)
+    assert(byLon(1.0)._2.forall(v => math.abs(v - 0.5) < 0.011))
+    assert(byLon(0.0)._3 == 1, "linear pixel classifies linear") // trend_type
+  }
+
   test("ptStatistics counts sum to total and percentages are consistent") {
     val params = TrendPipeline.PolyTrendParams(
       startDate = "2000-01-01", endDate = "2020-01-01",

@@ -181,6 +181,27 @@ class KernelSpec extends AnyFunSuite {
     assert(c.changes.forall(_.changeType == 0), "ramp must be non-abrupt")
   }
 
+  test("DBEST generalization f_local is the fit's per-step delta, not the fit") {
+    // two-segment piecewise-linear series: slope +1 for 30 steps, then
+    // slope -2 — f_local must recover exactly those segment slopes
+    // (reference decode slot 8 "Trend local change",
+    // `calculations/dbest.py:385-394,409-424`)
+    val n = 61
+    val y = Array.tabulate(n)(i =>
+      if (i <= 30) i.toDouble else 30.0 - 2.0 * (i - 30))
+    val g = Dbest.generalization(y,
+      Dbest.Params(dataType = "non-cyclical", distanceThreshold = Some(0.1)))
+    assert(g.fLocal.length == n)
+    assert(g.fLocal(0) == 0.0)
+    (1 to 30).foreach(i =>
+      assert(math.abs(g.fLocal(i) - 1.0) < 1e-9, s"fLocal($i)=${g.fLocal(i)}"))
+    (31 until n).foreach(i =>
+      assert(math.abs(g.fLocal(i) + 2.0) < 1e-9, s"fLocal($i)=${g.fLocal(i)}"))
+    // and it is NOT a copy of the fit (the r3 placeholder bug)
+    assert(!g.fLocal.sameElements(g.fit))
+    assert(g.segmentNo == 2)
+  }
+
   test("DBEST multi-change: two planted steps -> two changes, ranked") {
     val n = 90
     // two steps: +8 at i=30, +4 more at i=60 — the larger must rank first
