@@ -331,8 +331,7 @@ object Dedup {
     */
   def cosineNearDup(embeddings: DataFrame, minCosine: Double,
       maxRows: Long = 100000L): DataFrame = {
-    val probed = embeddings.limit((maxRows + 1).toInt).count()
-    require(probed <= maxRows,
+    require(graft.Guards.atMost(embeddings, maxRows),
       s"cosineNearDup is an O(n²) baseline: input exceeds $maxRows rows; " +
         "use LSH candidates + exact verify at scale, or raise maxRows")
     val a = embeddings.select(col("vec_id").as("vec_a"),

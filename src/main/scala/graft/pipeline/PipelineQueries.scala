@@ -405,8 +405,61 @@ object PipelineQueries extends QueryRegistry {
     Similarity.lshTopK(embs(s, d), k = 5)
   }
 
-  qNoOracle("sim_ivf_topk") { (s, d) =>
-    Similarity.ivfTopK(embs(s, d), k = 5)
+  /** IVF top-k reproduced in DuckDB: the deterministic hash-sampled
+    * coarse quantizer ([[Similarity.hashSampledQuantizer]] — centers =
+    * the 16 vectors with smallest md5(vec_id), cell id = md5 rank) lets
+    * the oracle re-derive the centers FROM THE TABLE ITSELF, then replay
+    * assignment (sequential squared-L2 fold, tie-break by cell id),
+    * nprobe probing, and the exact cosine re-rank. The k-means
+    * quantizer path ([[Similarity.fitQuantizer]]) keeps its recall spec.
+    */
+  private val ivfOracleSql: String = {
+    val (nlist, nprobe, k, dims) = (16, 4, 5, 64)
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |            FROM embeddings),
+       |ctr0 AS (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, e
+       |         FROM emb ORDER BY h LIMIT $nlist),
+       |ctr AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cell, e AS c
+       |        FROM ctr0),
+       |dst AS (
+       |  SELECT v.vec_id, v.e, c.cell,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, ${dims + 1}), i ->
+       |             (v.e[CAST(i AS INT)] - c.c[CAST(i AS INT)]) *
+       |             (v.e[CAST(i AS INT)] - c.c[CAST(i AS INT)]))),
+       |           (a, x) -> a + x) AS d2
+       |  FROM emb v CROSS JOIN ctr c),
+       |rankd AS (
+       |  SELECT vec_id, e, cell,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY d2, cell) AS pr
+       |  FROM dst),
+       |cands AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, a.vec_id AS cand_id
+       |  FROM (SELECT vec_id, cell FROM rankd WHERE pr <= $nprobe) q
+       |  JOIN (SELECT vec_id, cell FROM rankd WHERE pr = 1) a
+       |    ON a.cell = q.cell AND a.vec_id <> q.vec_id),
+       |scored AS (
+       |  SELECT c.query_id, c.cand_id,
+       |         list_cosine_similarity(ea.e, eb.e) AS cos_raw
+       |  FROM cands c
+       |  JOIN emb ea ON ea.vec_id = c.query_id
+       |  JOIN emb eb ON eb.vec_id = c.cand_id),
+       |ranked AS (
+       |  SELECT query_id, cand_id, cos_raw,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos_raw DESC, cand_id) AS rank
+       |  FROM scored)
+       |SELECT CAST(query_id AS BIGINT) AS query_id,
+       |       CAST(cand_id AS BIGINT) AS cand_id,
+       |       round(cos_raw, 6) AS cosine, CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
+  q("sim_ivf_topk", ivfOracleSql) { (s, d) =>
+    val e = embs(s, d)
+    Similarity.ivfTopK(Similarity.hashSampledQuantizer(e, nlist = 16),
+      e, k = 5, nprobe = 4)
   }
 
   // Reproducible hash split: identical buckets on both engines from the

@@ -287,10 +287,23 @@ object RelQueries extends QueryRegistry {
         countDistinct("l_suppkey").as("n_supps"))
   }
 
-  // A3 approximate variant (HLL): scale path; no oracle (sketch-specific).
-  qNoOracle("a3_approx_distinct") { (s, d) =>
+  // A3 approximate variant (HLL): scale path. The sketch estimate
+  // cannot hash-match an exact engine, but its error bound CAN: the
+  // entry emits the exact count plus a within-5% flag for the HLL
+  // estimate (rsd 0.01, so 5% is a wide deterministic margin — HLL is
+  // a pure function of the input set, no RNG), and the oracle pins
+  // both. A broken sketch flips the flag and the hash mismatches.
+  q("a3_approx_distinct",
+    """SELECT l_returnflag,
+      |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      |       CAST(1 AS INT) AS hll_within_5pct
+      |FROM lineitem GROUP BY 1""") { (s, d) =>
     t(s, d, "lineitem").groupBy("l_returnflag")
-      .agg(approx_count_distinct("l_partkey").as("approx_parts"))
+      .agg(countDistinct("l_partkey").as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx") - col("exact_parts")) <=
+          col("exact_parts") * lit(0.05)).cast("int").as("hll_within_5pct"))
   }
 
   // A4: categorical counts via one-pass conditional aggregation

@@ -19,14 +19,14 @@ object Similarity {
     * corpus. The corpus side is broadcast when small; at scale the
     * queries×corpus product is the bottleneck — use [[lshTopK]].
     *
-    * Guarded: refuses corpora above `maxCorpusRows` (bounded-count
-    * probe) so the broadcast-product plan stays a small-corpus
-    * fallback — [[lshTopK]] / [[ivfTopK]] are the scale paths.
+    * Guarded: refuses corpora above `maxCorpusRows` (column-pruned
+    * bounded-count probe, memoized per plan — [[graft.Guards]]) so the
+    * broadcast-product plan stays a small-corpus fallback —
+    * [[lshTopK]] / [[ivfTopK]] are the scale paths.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       maxCorpusRows: Long = 100000L): DataFrame = {
-    val probed = corpus.limit((maxCorpusRows + 1).toInt).count()
-    require(probed <= maxCorpusRows,
+    require(graft.Guards.atMost(corpus, maxCorpusRows),
       s"bruteForceTopK broadcasts the corpus and scores |q|x|c| pairs: " +
         s"corpus exceeds $maxCorpusRows rows; use lshTopK/ivfTopK at scale")
     val q = queries.select(col("vec_id").as("query_id"),
@@ -104,6 +104,26 @@ object Similarity {
           transform(col("embedding"), _.cast("double")).as("e"))
         .withColumn("cell", cellUdf(col("e")))
     }
+  }
+
+  /** Deterministic coarse quantizer: centers are the `nlist` corpus
+    * vectors with the smallest `md5(vec_id)` — the hash-sampled subset a
+    * k-means|| init would draw, but reproducible bit-for-bit on any
+    * engine (cell id = md5 rank). Same inverted-list layout and probe
+    * path as the k-means quantizer; recall is slightly lower because
+    * centers are sample points rather than means, in exchange for a
+    * fully replayable assignment (the sim_ivf_topk DuckDB oracle
+    * re-derives the centers with the same hash ranking).
+    */
+  def hashSampledQuantizer(embeddings: DataFrame, nlist: Int = 16): IvfQuantizer = {
+    val centers = embeddings
+      .select(md5(col("vec_id").cast("string").cast("binary")).as("h"),
+        transform(col("embedding"), _.cast("double")).as("e"))
+      .orderBy(col("h")).limit(nlist)
+      .select(col("e")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(centers.nonEmpty, "empty corpus — cannot derive a quantizer")
+    IvfQuantizer(centers)
   }
 
   /** Fit the IVF coarse quantizer ONCE (MLlib k-means, seeded, random

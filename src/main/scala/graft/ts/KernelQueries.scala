@@ -217,4 +217,33 @@ object KernelQueries extends QueryRegistry {
         round(col("seasonal"), 4).as("seasonal"),
         round(col("remainder"), 4).as("remainder"))
   }
+
+  // K5 additive identity, ORACLE-CHECKED: the loess kernels themselves
+  // have no SQL analog, but trend + seasonal + remainder must rebuild
+  // the composite EXACTLY (`calculations/dbest.py:325-329` plots all
+  // four as one decomposition) — DuckDB computes the 6-hour composite
+  // independently and the per-(series, idx) reconstruction must hash-
+  // match it. Anchors the whole K5 surface (bucketing, idx order, and
+  // the decomposition's invariant) to an external engine.
+  q("k5_stl_identity",
+    """WITH comp AS (
+      |  SELECT CAST(user_id AS BIGINT) AS user_id,
+      |         CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS bucket,
+      |         avg(value) AS y
+      |  FROM events GROUP BY 1, 2),
+      |idxd AS (
+      |  SELECT user_id,
+      |         CAST(row_number() OVER (PARTITION BY user_id
+      |                                 ORDER BY bucket) - 1 AS INT) AS idx,
+      |         y, count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM comp)
+      |SELECT user_id, idx, round(y, 4) AS recon
+      |FROM idxd WHERE n >= 8""") { (s, d) =>
+    val obs = TrendPipeline.eventsAsObservations(s, d)
+    TrendPipeline.stlComponents(s, obs, period = 4,
+      composite = TrendPipeline.timeBucketComposite(_, 21600))
+      .select(col("longitude").cast("long").as("user_id"), col("idx"),
+        round(col("trend") + col("seasonal") + col("remainder"), 4)
+          .as("recon"))
+  }
 }

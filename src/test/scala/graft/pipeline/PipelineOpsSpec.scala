@@ -141,6 +141,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall > 0.9, s"IVF recall $recall")
   }
 
+  test("hash-sampled quantizer: deterministic centers, high IVF recall") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = for {
+      c <- 0 until 8
+      m <- 0 until 12
+    } yield {
+      val center = Array.tabulate(16)(d => math.cos(c * 16 + d).toFloat * 5)
+      val vec = center.map(x => x + rnd.nextGaussian().toFloat * 0.1f)
+      ((c * 12 + m).toLong, vec.toSeq, c)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    // reproducible: two fits pick the identical center set in order
+    val q1 = Similarity.hashSampledQuantizer(df, nlist = 8)
+    val q2 = Similarity.hashSampledQuantizer(df, nlist = 8)
+    assert(q1.centers.length == 8)
+    assert(q1.centers.zip(q2.centers).forall { case (a, b) => a.sameElements(b) })
+    val brute = Similarity.bruteForceTopK(df, df, 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val ivf = Similarity.ivfTopK(q1, df, k = 3, nprobe = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall > 0.8, s"hash-sampled IVF recall $recall")
+  }
+
   test("LSH top-k caps degenerate buckets instead of exploding pairs") {
     import spark.implicits._
     // 2000 near-identical vectors: every LSH table hashes them all into
