@@ -17,11 +17,17 @@ object Bench {
     "w2_row_number", "agg_cube", "k1_polytrend", "k3_dbest_change",
     "t_quality", "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard",
     "sim_cosine_topk", "mm_media_meta", "la_sessionize", "asof_join",
-    "asof_join_native", "k1_polytrend_moments", "rng_point_in_interval")
+    "asof_join_native", "k1_polytrend_moments", "rng_point_in_interval",
+    "skew_join_naive", "skew_join_salted")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // dev-only subset (comma-separated names) for fast iteration on a
+    // single query's timing; the driver never sets it
+    val headline = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(f => this.headline.filter(f.split(',').toSet))
+      .getOrElse(this.headline)
     val spark = graft.io.Tables.configure(SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
@@ -48,10 +54,11 @@ object Bench {
 
     // a failed query records -1 (never a near-zero duration that would
     // deflate the headline total) and is listed in "failed". Each query
-    // is timed twice and the min kept: the steady-state figure is the
-    // scale-relevant one, and min-of-2 shrugs off transient host
-    // contention (GC, page cache, co-tenant load) that a single sample
-    // inherits.
+    // is timed three times and the min kept: the steady-state figure is
+    // the scale-relevant one, and min-of-3 shrugs off transient host
+    // contention (GC, page cache, co-tenant load) that single or paired
+    // samples still inherit (r3 showed ±20-30% swings on sub-second
+    // queries at min-of-2).
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       def once(): Double = {
@@ -63,9 +70,9 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      val a = once()
-      val b = if (a >= 0) once() else -1.0
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val times = Iterator.continually(once()).take(3)
+        .takeWhile(_ >= 0).toSeq
+      name -> (if (times.length < 3) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

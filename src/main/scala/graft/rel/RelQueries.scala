@@ -234,6 +234,68 @@ object RelQueries extends QueryRegistry {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  // ---------------------------------------------------- skew-join demo
+
+  /** Deliberately hot join key: ~90% of lineitem collapses onto key 0,
+    * joined to the matching collapsed part-key dimension, with an
+    * md5-fingerprint aggregation over the joined rows (real per-row
+    * work, riding the partial agg in the SAME task as the join probe —
+    * so the hot reducer does 90% of all post-shuffle work). Both
+    * variants force a SHUFFLE hash join — the regime where key skew
+    * hurts (a broadcastable dim is the non-demo answer; AQE's skew
+    * split only kicks in above its 256 MB partition threshold, far
+    * beyond sf0.1, exactly like a merely-hot — not yet monstrous —
+    * key at cluster scale). Salting is a pure plan rewrite, so one
+    * oracle SQL checks both.
+    */
+  private val skewSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |            AS BIGINT) AS cents,
+      |       CAST(sum(CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),
+      |            1, 8)) AS UBIGINT) % 1000) AS BIGINT) AS h
+      |FROM (SELECT CASE WHEN l_partkey % 100 < 90 THEN 0
+      |                  ELSE l_partkey END AS k,
+      |             l_extendedprice, l_orderkey
+      |      FROM lineitem) b
+      |JOIN (SELECT DISTINCT CASE WHEN p_partkey % 100 < 90 THEN 0
+      |                           ELSE p_partkey END AS k
+      |      FROM part) s USING (k)"""
+
+  private def skewBig(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").select(
+      when(col("l_partkey") % 100 < 90, lit(0L))
+        .otherwise(col("l_partkey")).as("k"),
+      col("l_extendedprice"), col("l_orderkey"))
+
+  private def skewSmall(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part").select(
+      when(col("p_partkey") % 100 < 90, lit(0L))
+        .otherwise(col("p_partkey")).as("k")).distinct()
+
+  private def skewAgg(joined: DataFrame): DataFrame =
+    joined.agg(count(lit(1)).as("n"),
+      sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"),
+      sum(conv(substring(md5(col("l_orderkey").cast("string")), 1, 8),
+        16, 10).cast("long") % 1000).as("h"))
+
+  // Naive shuffle join: the hot key's ~540k rows (and their md5 agg
+  // work) land in ONE reducer while the other 31 sit idle — the shape
+  // that falls over first at 100×.
+  q("skew_join_naive", skewSql) { (s, d) =>
+    skewAgg(skewBig(s, d).join(skewSmall(s, d).hint("shuffle_hash"),
+      Seq("k")))
+  }
+
+  // Salted rewrite ([[Skew.saltedInnerJoin]]): key becomes (k, salt)
+  // with the small side replicated, spreading the hot key over 32
+  // reducers. Same result, balanced shuffle.
+  q("skew_join_salted", skewSql) { (s, d) =>
+    skewAgg(Skew.saltedInnerJoin(skewBig(s, d),
+      skewSmall(s, d).hint("shuffle_hash"), "k", "k", salt = 32)
+      .select(col("l_extendedprice"), col("l_orderkey")))
+  }
+
   // ------------------------------------------------------------ aggregates
 
   // A1 (monthly): the DBEST tumbling mean composite

@@ -51,10 +51,16 @@ class ScaleLayoutSpec extends AnyFunSuite {
     val facts = (1L to 1000L).map(i => (i % 50, s"f$i", i * 1.0))
       .toDF("key", "tag", "amount")
     val dims = (0L until 50L).map(i => (i, s"dim$i")).toDF("key", "name")
-    facts.write.mode("overwrite").bucketBy(8, "key")
-      .sortBy("key").saveAsTable("facts_bucketed")
-    dims.write.mode("overwrite").bucketBy(8, "key")
-      .sortBy("key").saveAsTable("dims_bucketed")
+    // external tables on fresh temp paths: immune to which suite's
+    // SparkSession (and hence warehouse dir) won the shared-JVM race
+    val whf = java.nio.file.Files.createTempDirectory("fb").toString
+    val whd = java.nio.file.Files.createTempDirectory("db").toString
+    spark.sql("DROP TABLE IF EXISTS facts_bucketed")
+    spark.sql("DROP TABLE IF EXISTS dims_bucketed")
+    facts.write.mode("overwrite").option("path", s"$whf/t")
+      .bucketBy(8, "key").sortBy("key").saveAsTable("facts_bucketed")
+    dims.write.mode("overwrite").option("path", s"$whd/t")
+      .bucketBy(8, "key").sortBy("key").saveAsTable("dims_bucketed")
     // merge hint on the INPUT (a hint on the join result is too late and
     // the planner broadcasts — which has no Exchange either and would
     // make this assertion pass without exercising the bucket layout)
@@ -76,7 +82,10 @@ class ScaleLayoutSpec extends AnyFunSuite {
       .withColumn("pixel_id",
         ObservationStore.pixelId(col("longitude"), col("latitude")))
       .groupBy("pixel_id").agg(avg("value").as("mean_v"))
+    val whr = java.nio.file.Files.createTempDirectory("rb").toString
+    spark.sql("DROP TABLE IF EXISTS res_bucketed")
     results.write.mode("overwrite").format("parquet")
+      .option("path", s"$whr/t")
       .bucketBy(4, "pixel_id").sortBy("pixel_id")
       .saveAsTable("res_bucketed")
 

@@ -13,7 +13,10 @@ class ApproxDistinctSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("wh").toString)
     .getOrCreate()
 
   test("approx_count_distinct(rsd=0.01) within 5% of exact across cardinalities") {
