@@ -343,4 +343,40 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
       .select("vec_a", "vec_b", "cosine")
   }
+
+  /** Benchmark decontamination: flag corpus documents sharing any
+    * word n-gram with a held-out benchmark/eval set — the standard
+    * train-set hygiene pass before pretraining. Grams shuffle as md5
+    * digests (32 bytes), never as text; the benchmark gram set is the
+    * small side of the join (broadcast/AQE), so cost is one exploded
+    * pass over the corpus. Deterministic — a pure function of the
+    * texts — and fully replayable in SQL (the `dd_decontaminate`
+    * oracle). Docs shorter than `n` words produce no grams and are
+    * clean by definition.
+    *
+    * @param isBenchmark predicate column marking the held-out set
+    * @param n gram width in words (8 is the common contamination bar)
+    */
+  def decontaminate(docs: DataFrame, isBenchmark: Column,
+      n: Int = 8): DataFrame = {
+    val ws = graft.text.TextAnalysis.tokens(col("text"))
+    val grams = docs.select(col("doc_id"), isBenchmark.as("is_bench"),
+        ws.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), col("is_bench"),
+        explode(transform(sequence(lit(1), size(col("w")) - (n - 1)),
+          i => concat_ws(" ", slice(col("w"), i, lit(n))))).as("g"))
+      .select(col("doc_id"), col("is_bench"), md5(col("g")).as("h"))
+    val benchGrams = grams.filter(col("is_bench")).select("h").distinct()
+    val hits = grams.filter(!col("is_bench"))
+      .join(benchGrams, Seq("h"))
+      .groupBy("doc_id").agg(countDistinct(col("h")).as("n_shared"))
+    docs.select(col("doc_id"), isBenchmark.as("is_bench"))
+      .filter(!col("is_bench"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).cast("int")
+          .as("contaminated"))
+  }
 }

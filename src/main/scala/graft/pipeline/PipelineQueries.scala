@@ -476,6 +476,76 @@ object PipelineQueries extends QueryRegistry {
       .select("doc_id", "bucket", "split")
   }
 
+  // Gopher-style repetition filters: duplicate-word fraction + top
+  // 2-gram coverage + integer-compared pass gate (word-level Rae et
+  // al. 2021 §A1.1 rules).
+  q("t_repetition",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+      |       FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)),
+      |cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+      |top AS (SELECT doc_id, max(c) AS topc, sum(c) AS nbg
+      |        FROM cnt GROUP BY 1),
+      |tok AS (SELECT doc_id, len(ws) AS ntok, len(list_distinct(ws)) AS nu
+      |        FROM w)
+      |SELECT CAST(tok.doc_id AS BIGINT) AS doc_id,
+      |       CAST(ntok AS INT) AS n_tokens, CAST(nu AS INT) AS n_uniq,
+      |       CAST(coalesce(nbg, 0) AS BIGINT) AS n_bigrams,
+      |       CAST(coalesce(topc, 0) AS BIGINT) AS top_bigram_cnt,
+      |       round(CAST(ntok - nu AS DOUBLE) / ntok, 4) AS dup_word_frac,
+      |       round(coalesce(topc, 0) * 2.0 / ntok, 4) AS top_bigram_frac,
+      |       CAST(CASE WHEN (ntok - nu) * 10 <= ntok * 3
+      |                  AND coalesce(topc, 0) * 20 <= ntok * 2
+      |            THEN 1 ELSE 0 END AS INT) AS gopher_pass
+      |FROM tok LEFT JOIN top ON top.doc_id = tok.doc_id""") { (s, d) =>
+    TextAnalysis.repetitionStats(docs(s, d))
+  }
+
+  // Benchmark decontamination: flag corpus docs sharing any 8-gram
+  // with the held-out eval slice (doc_id % 100 < 2) — train-set
+  // hygiene as one exploded pass + gram-hash join.
+  q("dd_decontaminate",
+    """WITH w AS (SELECT doc_id, doc_id % 100 < 2 AS is_bench,
+      |                  string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, is_bench,
+      |             md5(array_to_string(ws[i:i+7], ' ')) AS h
+      |      FROM w, unnest(generate_series(1, len(ws) - 7)) AS t(i)
+      |      WHERE len(ws) >= 8),
+      |bh AS (SELECT DISTINCT h FROM g WHERE is_bench),
+      |hits AS (SELECT doc_id, count(DISTINCT h) AS n_shared
+      |         FROM g JOIN bh USING (h) WHERE NOT is_bench GROUP BY 1)
+      |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+      |       CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
+      |       CAST(CASE WHEN coalesce(n_shared, 0) > 0 THEN 1 ELSE 0 END
+      |            AS INT) AS contaminated
+      |FROM (SELECT doc_id FROM documents WHERE NOT (doc_id % 100 < 2)) d
+      |LEFT JOIN hits ON hits.doc_id = d.doc_id""") { (s, d) =>
+    Dedup.decontaminate(docs(s, d), col("doc_id") % 100 < 2, n = 8)
+  }
+
+  // Sequence packing (concat-then-chunk at 512 tokens, per source
+  // shard in doc_id order): pure integer window arithmetic, exactly
+  // replayable in SQL.
+  q("t_seq_pack",
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+      |       CAST(n AS BIGINT) AS n_tokens,
+      |       CAST(s AS BIGINT) AS start_offset,
+      |       CAST(s // 512 AS BIGINT) AS pack_id,
+      |       CAST(s % 512 AS BIGINT) AS offset_in_pack
+      |FROM (SELECT doc_id, source, n,
+      |             sum(n) OVER (PARTITION BY source ORDER BY doc_id
+      |                          ROWS UNBOUNDED PRECEDING) - n AS s
+      |      FROM (SELECT doc_id, source,
+      |                   len(string_split(text, ' ')) AS n
+      |            FROM documents))""") { (s, d) =>
+    Sampling.sequencePack(
+      docs(s, d).select(col("doc_id"), col("source"), col("text")),
+      shardCol = "source", orderCol = "doc_id",
+      nTokens = size(TextAnalysis.tokens(col("text"))), capacity = 512)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("start_offset"), col("pack_id"), col("offset_in_pack"))
+  }
+
   // Seeded stratified sampling (Spark-side reproducible only).
   // Deterministic stratified sample: membership = pure function of the
   // id hash, so DuckDB reproduces the exact row set from the same md5.

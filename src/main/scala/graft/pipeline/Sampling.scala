@@ -46,4 +46,26 @@ object Sampling {
       .filter(hashBucket(idCol) < col("__pct"))
       .drop("__pct")
   }
+
+  /** Sequence packing (concat-then-chunk, the standard pretraining
+    * layout): documents are concatenated per shard in `orderCol` order
+    * and split at `capacity`-token boundaries; each doc gets the chunk
+    * its first token lands in plus its offset within that chunk. All
+    * integer arithmetic over one per-shard window cumsum — one shuffle
+    * keyed by shard, deterministic on any cluster layout, and exactly
+    * replayable in SQL (the `t_seq_pack` oracle). At 100 TB the shard
+    * column is the parallelism unit: packs never span shards, so
+    * shards pack independently and in parallel.
+    */
+  def sequencePack(df: DataFrame, shardCol: String, orderCol: String,
+      nTokens: org.apache.spark.sql.Column, capacity: Int): DataFrame = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shardCol).orderBy(orderCol)
+    df.withColumn("n_tokens", nTokens.cast("long"))
+      .withColumn("start_offset",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("pack_id", expr(s"start_offset div $capacity"))
+      .withColumn("offset_in_pack", col("start_offset") % capacity)
+  }
 }

@@ -108,4 +108,39 @@ object TextAnalysis {
 
   def withLangId(docs: DataFrame): DataFrame =
     docs.withColumn("lang_pred", langIdCol(col("text")))
+
+  /** Gopher-style repetition filters (Rae et al. 2021 §A1.1, adapted to
+    * word level): duplicate-word fraction and the share of tokens
+    * covered by the most frequent 2-gram, plus the pass/fail gate. The
+    * gate compares INTEGERS (`(n−u)·10 ≤ 3·n` ⟺ dup_frac ≤ 0.3) so no
+    * engine can land on a float threshold knife-edge; the fractions are
+    * single int/int divisions rounded for display. Two shuffles, both
+    * keyed by doc_id — the bigram counting explodes ~n_tokens rows per
+    * doc and reduces map-side before either exchange.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val base = docs.select(col("doc_id"), toks.as("ws"),
+      size(toks).as("n_tokens"), size(array_distinct(toks)).as("n_uniq"))
+    val bigramCounts = base
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_bigram_cnt"),
+        sum(col("c")).as("n_bigrams"))
+    base.select(col("doc_id"), col("n_tokens"), col("n_uniq"))
+      .join(bigramCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_uniq"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bigram_cnt"), lit(0L)).as("top_bigram_cnt"),
+        round((col("n_tokens") - col("n_uniq")).cast("double") /
+          col("n_tokens"), 4).as("dup_word_frac"),
+        round(coalesce(col("top_bigram_cnt"), lit(0L)) * 2.0 /
+          col("n_tokens"), 4).as("top_bigram_frac"),
+        ((col("n_tokens") - col("n_uniq")) * 10 <= col("n_tokens") * 3 &&
+          coalesce(col("top_bigram_cnt"), lit(0L)) * 20 <=
+            col("n_tokens") * 2).cast("int").as("gopher_pass"))
+  }
 }

@@ -141,6 +141,53 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall > 0.9, s"IVF recall $recall")
   }
 
+  test("repetition stats: repeated text fails the gopher gate, varied text passes") {
+    val df = docsDf(
+      (1L, "a a a a a a"), // dup_frac 5/6, top bigram "a a" ×5
+      (2L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"))
+    val out = TextAnalysis.repetitionStats(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("top_bigram_cnt"), r.getAs[Double]("dup_word_frac"),
+          r.getAs[Int]("gopher_pass"))).toMap
+    assert(out(1L) == ((5L, 0.8333, 0)))
+    // 10 distinct tokens: dup 0, top bigram 1 → frac 0.2 = the bound → pass
+    assert(out(2L) == ((1L, 0.0, 1)))
+  }
+
+  test("decontaminate flags docs sharing an 8-gram with the benchmark slice") {
+    val gram = "g1 g2 g3 g4 g5 g6 g7 g8"
+    val df = docsDf(
+      (100L, s"bench prefix $gram bench suffix pad pad"), // benchmark doc
+      (1L, s"corpus words then $gram and more after that"), // contaminated
+      (2L, "totally different text with no shared gram at all here"),
+      (3L, "short")) // < 8 words → clean by definition
+    val out = Dedup.decontaminate(df, col("doc_id") === 100L, n = 8)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shared"), r.getAs[Int]("contaminated"))).toMap
+    assert(!out.contains(100L), "benchmark docs are excluded from output")
+    assert(out(1L)._1 >= 1 && out(1L)._2 == 1, s"doc 1: ${out(1L)}")
+    assert(out(2L) == ((0L, 0)))
+    assert(out(3L) == ((0L, 0)))
+  }
+
+  test("sequence packing: concat-then-chunk offsets and pack ids") {
+    import spark.implicits._
+    val df = Seq(
+      ("s1", 1L, 300), ("s1", 2L, 300), ("s1", 3L, 100),
+      ("s2", 4L, 600)) // second shard packs independently from 0
+      .toDF("source", "doc_id", "n")
+    val out = Sampling.sequencePack(df, "source", "doc_id",
+      col("n"), capacity = 512)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("start_offset"), r.getAs[Long]("pack_id"),
+          r.getAs[Long]("offset_in_pack"))).toMap
+    assert(out(1L) == ((0L, 0L, 0L)))
+    assert(out(2L) == ((300L, 0L, 300L))) // starts in pack 0, spills into 1
+    assert(out(3L) == ((600L, 1L, 88L)))
+    assert(out(4L) == ((0L, 0L, 0L))) // shard s2 restarts at zero
+  }
+
   test("hash-sampled quantizer: deterministic centers, high IVF recall") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
