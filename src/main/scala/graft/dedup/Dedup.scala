@@ -134,9 +134,14 @@ object Dedup {
           (h ^ v) * 0x100000001b3L))
       }.toSeq
     }
+    // materialize-once: the signature projection (32 permutations ×
+    // all shingles per doc) feeds THREE plan arms — banding + both
+    // sides of the per-pair signature fetch. CacheManager dedupes by
+    // canonical plan, so repeated calls share one entry.
     val signed = docs
       .select(col(idCol).as("doc_id"),
         sigUdf(split(col(textCol), " ")).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = signed
       .select(col("doc_id"), explode(bandUdf(col("sig"))).as("bb"))
       .select(col("doc_id"),
@@ -259,7 +264,14 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
       minJaccard: Double = 0.8): DataFrame = {
+    // materialize-once: the gram-set projection feeds FOUR plan arms
+    // (prefix self-join both sides + verify both sides); persisting it
+    // computes the tokenize+hash+sort work once instead of four times.
+    // Spark's CacheManager dedupes by canonical plan, so repeated calls
+    // over the same input reuse one cache entry; MEMORY_AND_DISK spills
+    // rather than evicting at corpus scale.
     val sets = gramSets(docs, n, "text", "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefixLen = (col("n_grams") -
       floor(col("n_grams") * lit(minJaccard)) + 1).cast("int")
     val prefix = sets.select(col("doc_id"), col("n_grams"),
