@@ -779,11 +779,66 @@ object PipelineQueries extends QueryRegistry {
       col("n_bytes"), sha2(col("payload"), 256).as("digest"))
   }
 
+  /** The DSv2 source's synthetic content replayed in DuckDB: the value
+    * is season (sin — verified bit-equal between Java's and DuckDB's
+    * libm on every generated day) + linear trend + splitmix64 noise.
+    * The splitmix rounds run in HUGEINT mod-2^64 arithmetic (XOR via
+    * 32-bit halves, multiply via 32-bit split — the same toolkit the
+    * SimHash/rolling-hash oracles use), so an engine sharing no JVM
+    * code reproduces every observation bit-for-bit.
+    */
+  private val srcOracleSql: String = {
+    val startDay = java.time.LocalDate.parse("2020-01-01").toEpochDay
+    val endDay = java.time.LocalDate.parse("2021-01-01").toEpochDay
+    val minDay = java.time.LocalDate.parse("2020-03-01").toEpochDay
+    val (cadence, pixels, seed) = (16, 4, 42L)
+    val M64 = "18446744073709551616" // 2^64
+    def u(x: Long) = java.lang.Long.toUnsignedString(x)
+    // XOR of two HUGEINTs in [0, 2^64): 32-bit halves through BIGINT xor
+    def xor64(a: String, b: String): String =
+      s"(CAST(xor(CAST(($a) // 4294967296 AS BIGINT), " +
+        s"CAST(($b) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + " +
+        s"CAST(xor(CAST(($a) % 4294967296 AS BIGINT), " +
+        s"CAST(($b) % 4294967296 AS BIGINT)) AS HUGEINT))"
+    // (x * m) mod 2^64 with m a u64 constant: 32-bit split product
+    def mulmod(x: String, m: Long): String = {
+      val mhi = (m >>> 32) & 0xffffffffL
+      val mlo = m & 0xffffffffL
+      s"(((($x) % 4294967296) * $mlo + " +
+        s"(((($x) % 4294967296) * $mhi + (($x) // 4294967296) * $mlo) " +
+        s"% 4294967296) * 4294967296) % $M64)"
+    }
+    s"""SELECT CAST(px AS DOUBLE) AS longitude, CAST(py AS DOUBLE) AS latitude,
+       |       CAST(count(*) AS BIGINT) AS n_obs,
+       |       round(avg(v), 6) AS mean_v
+       |FROM (
+       |  SELECT px, py, day,
+       |    CAST(xor(xor(xor(CAST($seed AS BIGINT),
+       |         CAST(px AS BIGINT) * 1099511627776),
+       |         CAST(py AS BIGINT) * 1048576), CAST(day AS BIGINT))
+       |         AS HUGEINT) AS x0,
+       |    (x0 + ${u(0x9e3779b97f4a7c15L)}) % $M64 AS x1,
+       |    ${mulmod(xor64("x1", "x1 // 1073741824"), 0xbf58476d1ce4e5b9L)} AS x2,
+       |    ${mulmod(xor64("x2", "x2 // 134217728"), 0x94d049bb133111ebL)} AS x3,
+       |    ${xor64("x3", "x3 // 2147483648")} AS x4,
+       |    CAST(x4 // 2048 AS DOUBLE) / 9007199254740992.0 - 5e-1 AS noise,
+       |    5e-1 + 3e-1 * sin(2 * pi() * (day % 365) / 365.0)
+       |      + 1e-4 * day * ((px + py) % 3 - 1) + 5e-2 * noise AS v
+       |  FROM unnest(generate_series(0, ${pixels - 1})) AS gx(px),
+       |       unnest(generate_series(0, ${pixels - 1})) AS gy(py),
+       |       unnest(generate_series($startDay, ${endDay - 1}, $cadence))
+       |         AS gd(day)
+       |  WHERE day >= $minDay)
+       |GROUP BY px, py""".stripMargin
+  }
+
   // DSv2 collection source (graft.sources.ObservationCollection): the
   // reference's parametric image-collection scan as a planned, pruned,
-  // pushed-down Spark source. Deterministic content -> stable rows-only
-  // check; the composite over it exercises the full S1 -> A1 path.
-  qNoOracle("src_collection_scan") { (s, _) =>
+  // pushed-down Spark source — now ORACLE-CHECKED: the deterministic
+  // content is replayed in DuckDB (srcOracleSql), so the source's
+  // partition planning, pushdown-pruning, and generator all verify
+  // against an external engine.
+  q("src_collection_scan", srcOracleSql) { (s, _) =>
     s.read.format("observation-collection")
       .option("pixels", "4").option("start", "2020-01-01")
       .option("end", "2021-01-01").option("cadence_days", "16")
