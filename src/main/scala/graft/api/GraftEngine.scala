@@ -2,9 +2,10 @@ package graft.api
 
 import graft.functions.RollingHash
 import graft.io.Tables
+import graft.model.{Observation, PTRow}
 import graft.ts.PolyTrendAgg
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.{col, udaf}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** The engine facade (SURVEY §7.1 `api/`): session construction with the
@@ -68,4 +69,31 @@ object GraftEngine {
   def polyTrend(spark: SparkSession, obs: DataFrame,
       params: graft.pipeline.TrendPipeline.PolyTrendParams): DataFrame =
     graft.pipeline.TrendPipeline.polyTrend(spark, obs, params)
+
+  // ------------------------------------------------- typed Dataset API
+
+  /** Typed observation view: `Dataset[Observation]` where the schema is
+    * static — compile-time column safety and case-class lambdas, while
+    * the plan stays Catalyst-optimizable (the `as[T]` conversion is
+    * metadata-only; filters/selects written against columns still push
+    * down). The DataFrame lifecycle methods remain the dynamic-schema
+    * path.
+    */
+  def observations(spark: SparkSession,
+      obs: DataFrame): Dataset[Observation] = {
+    import spark.implicits._
+    obs.select(col("id"), col("longitude"), col("latitude"),
+      col("time"), col("value")).as[Observation]
+  }
+
+  /** Typed PolyTrend lifecycle: same plan as [[polyTrend]], result rows
+    * as the reference's per-pixel record (`PTRow`,
+    * `calculations/polytrend.py:291-297`).
+    */
+  def polyTrendTyped(spark: SparkSession, obs: Dataset[Observation],
+      params: graft.pipeline.TrendPipeline.PolyTrendParams): Dataset[PTRow] = {
+    import spark.implicits._
+    graft.pipeline.TrendPipeline.polyTrend(spark, obs.toDF(), params)
+      .as[PTRow]
+  }
 }

@@ -41,6 +41,25 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(out("flat")._1 == 0)
   }
 
+  test("typed Dataset API: observations + polyTrendTyped round-trip") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val rows = for {
+      lon <- Seq(0.0, 1.0); yr <- 2000 to 2019
+    } yield graft.model.Observation(s"i$yr", lon, 0.0,
+      Timestamp.valueOf(s"$yr-06-15 00:00:00"),
+      if (lon == 0.0) 0.2 + 0.02 * (yr - 1999) else 0.5)
+    val ds = GraftEngine.observations(spark, rows.toDF())
+    // typed lambda + typed column access both compile and run
+    assert(ds.filter(_.longitude == 0.0).count() == 20)
+    val pt = GraftEngine.polyTrendTyped(spark, ds,
+      graft.pipeline.TrendPipeline.PolyTrendParams(
+        startDate = "2000-01-01", endDate = "2020-01-01", threshold = 0.1))
+      .collect().map(r => r.longitude -> r).toMap
+    assert(pt(0.0).trend_type == 1 && pt(0.0).direction == 1)
+    assert(pt(1.0).trend_type == 0)
+  }
+
   test("open registers the testdata views for spark.sql") {
     GraftEngine.open(spark, "/root/testdata/sf0.001")
     assert(spark.sql("SELECT count(*) FROM region").collect()(0).getLong(0) == 5)
