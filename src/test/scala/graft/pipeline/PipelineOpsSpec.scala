@@ -171,6 +171,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(3L) == ((0L, 0)))
   }
 
+  test("sequence packing invariants on randomized shards") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = for (shard <- Seq("a", "b", "c"); i <- 1 to 40)
+      yield (shard, i.toLong, 1 + rnd.nextInt(700))
+    val out = Sampling.sequencePack(rows.toDF("source", "doc_id", "n"),
+      "source", "doc_id", col("n"), capacity = 512).collect()
+    out.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("doc_id"))
+      var expect = 0L
+      sorted.foreach { r =>
+        val start = r.getAs[Long]("start_offset")
+        val pack = r.getAs[Long]("pack_id")
+        val off = r.getAs[Long]("offset_in_pack")
+        assert(start == expect, "offsets are exact prefix sums")
+        assert(pack == start / 512 && off == start % 512)
+        expect += r.getAs[Long]("n_tokens")
+      }
+    }
+  }
+
   test("sequence packing: concat-then-chunk offsets and pack ids") {
     import spark.implicits._
     val df = Seq(

@@ -120,6 +120,18 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("DBEST generalization f_local telescopes to the fit's net change") {
+    forAll(seriesGen.suchThat(_.length >= 24)) { y =>
+      val g = Dbest.generalization(y, Dbest.Params(seasonality = 4))
+      assert(g.fLocal.length == g.fit.length)
+      assert(g.fLocal(0) == 0.0)
+      // sum of per-step deltas == total trend change (telescoping)
+      val net = g.fit.last - g.fit.head
+      assert(math.abs(g.fLocal.sum - net) < 1e-9 * (1 + math.abs(net)),
+        s"sum ${g.fLocal.sum} vs net $net")
+    }
+  }
+
   test("minhash estimate within tolerance of true jaccard") {
     val docGen = for {
       n <- Gen.choose(30, 80)
