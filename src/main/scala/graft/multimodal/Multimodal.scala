@@ -52,6 +52,44 @@ object Multimodal {
     (width, height, mean)
   }
 
+  /** Frame-sampling plumbing: treat the payload as fixed-width frames
+    * and keep every k-th with its fingerprint. A real video decoder
+    * emits frames by PTS/keyframe — here the STUB slices fixed byte
+    * windows — but the Spark-side shape is the live part: lazy
+    * sequence+filter+explode (no UDF), per-frame fingerprint via the
+    * native RollingHash expression, one output row per sampled frame.
+    * Frames are full-width by construction (trailing remainder bytes
+    * are not a frame).
+    */
+  def frameSample(media: DataFrame, frameBytes: Int,
+      everyK: Int): DataFrame = {
+    require(frameBytes > 0 && everyK > 0, "frameBytes/everyK must be > 0")
+    media.select(col("doc_id"),
+        expr(s"n_bytes div $frameBytes").cast("int").as("n_frames"),
+        col("payload").cast("string").as("__txt"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("n_frames"), col("__txt"),
+        explode(filter(sequence(lit(0), col("n_frames") - 1),
+          i => i % everyK === 0)).as("frame_idx"))
+      .withColumn("frame",
+        expr(s"substring(__txt, frame_idx * $frameBytes + 1, $frameBytes)"))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        graft.functions.RollingHash.rolling_hash(col("frame"))
+          .as("frame_fp"))
+  }
+
+  /** Resize plumbing: target dimensions + exact scale factors from the
+    * decoded dims. A codec-backed implementation would resample pixels
+    * per partition; the plan shape (dims in, scales + target out) is
+    * what the engine owns either way.
+    */
+  def resizePlan(features: Dataset[MediaFeatures], targetW: Int,
+      targetH: Int): DataFrame =
+    features.toDF().select(col("doc_id"), col("width"), col("height"),
+      lit(targetW).as("target_w"), lit(targetH).as("target_h"),
+      round(lit(targetW).cast("double") / col("width"), 6).as("scale_x"),
+      round(lit(targetH).cast("double") / col("height"), 6).as("scale_y"))
+
   /** Batch feature extraction over partitions: one JVM-level pass per
     * partition (where a codec would amortize its setup), typed output.
     */

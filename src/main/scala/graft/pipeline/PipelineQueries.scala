@@ -884,4 +884,68 @@ object PipelineQueries extends QueryRegistry {
         col("width"), col("height"),
         expr("sum_bytes * 10000 div n_bytes").as("mean_u"))
   }
+
+  // Frame sampling over the payload (every 2nd 32-byte frame), each
+  // frame fingerprinted by the native RollingHash expression — DuckDB
+  // replays the slicing and the mod-2^64 polynomial fold per frame.
+  q("mm_frame_sample",
+    """WITH f AS (
+      |  SELECT doc_id, length(text) // 32 AS n_frames, i AS frame_idx,
+      |         substr(text, CAST(i * 32 + 1 AS INT), 32) AS frame
+      |  FROM documents,
+      |       unnest(generate_series(0, length(text) // 32 - 1)) AS t(i)
+      |  WHERE length(text) // 32 > 0 AND i % 2 = 0),
+      |h AS (
+      |  SELECT doc_id, n_frames, frame_idx,
+      |         list_reduce(
+      |           list_prepend(CAST(0 AS HUGEINT),
+      |             list_transform(range(1, length(frame) + 1),
+      |               j -> CAST(ord(substr(frame, CAST(j AS INT), 1)) AS HUGEINT))),
+      |           (acc, ch) -> (acc * 1000003 + ch)
+      |                        % CAST('18446744073709551616' AS HUGEINT)) AS u
+      |  FROM f)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |       CAST(n_frames AS INT) AS n_frames,
+      |       CAST(frame_idx AS INT) AS frame_idx,
+      |       CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+      |                 THEN u - CAST('18446744073709551616' AS HUGEINT)
+      |                 ELSE u END AS BIGINT) AS frame_fp
+      |FROM h""") { (s, d) =>
+    Multimodal.frameSample(Multimodal.payloads(s, d), frameBytes = 32,
+      everyK = 2)
+  }
+
+  // Resize plumbing: stub-decoded dims -> target dims + exact scale
+  // factors (one int/int division each — identical IEEE on both
+  // engines, then round 6).
+  q("mm_resize",
+    """WITH b AS (
+      |  SELECT doc_id,
+      |         list_transform(range(1, length(text) + 1),
+      |             i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS HUGEINT)) AS bytes
+      |  FROM documents),
+      |cc AS (
+      |  SELECT doc_id,
+      |         list_reduce(bytes,
+      |             (a, x) -> (a * 31 + x) % CAST('18446744073709551616' AS HUGEINT)) AS u
+      |  FROM b),
+      |s AS (
+      |  SELECT doc_id,
+      |         CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+      |                   THEN u - CAST('18446744073709551616' AS HUGEINT)
+      |                   ELSE u END AS BIGINT) AS checksum
+      |  FROM cc),
+      |dims AS (
+      |  SELECT doc_id,
+      |         CAST(16 + abs(checksum) % 48 AS INT) AS width,
+      |         CAST(16 + abs((checksum - ((checksum % 256 + 256) % 256)) // 256) % 48 AS INT) AS height
+      |  FROM s)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id, width, height,
+      |       CAST(64 AS INT) AS target_w, CAST(64 AS INT) AS target_h,
+      |       round(CAST(64 AS DOUBLE) / width, 6) AS scale_x,
+      |       round(CAST(64 AS DOUBLE) / height, 6) AS scale_y
+      |FROM dims""") { (s, d) =>
+    Multimodal.resizePlan(
+      Multimodal.extractFeatures(s, Multimodal.payloads(s, d)), 64, 64)
+  }
 }

@@ -171,6 +171,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(3L) == ((0L, 0)))
   }
 
+  test("frame sampling slices fixed-width frames at the sampling stride") {
+    import spark.implicits._
+    val text = ("abcdefgh" * 13).take(100) // 100 bytes -> 3 frames of 32
+    val media = Seq((7L, text)).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        lit("text/fake").as("media_type"),
+        octet_length(col("text").cast("binary")).as("n_bytes"))
+    val out = Multimodal.frameSample(media, frameBytes = 32, everyK = 2)
+      .collect().sortBy(_.getAs[Int]("frame_idx"))
+    // frames 0 and 2 sampled (stride 2 of 3 full frames; remainder dropped)
+    assert(out.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 2))
+    assert(out.forall(_.getAs[Int]("n_frames") == 3))
+    // fingerprint equals the native expression applied to the exact slice
+    val expected = Seq(text.substring(0, 32), text.substring(64, 96))
+      .map(f => Seq(f).toDF("s")
+        .select(RollingHash.rolling_hash(col("s"))).collect()(0).getLong(0))
+    assert(out.map(_.getAs[Long]("frame_fp")).toSeq == expected)
+  }
+
   test("sequence packing invariants on randomized shards") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
