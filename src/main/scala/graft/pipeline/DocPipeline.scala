@@ -16,7 +16,18 @@ object DocPipeline {
       minTokens: Int = 10,
       minQualityScore: Double = 0.2,
       nearDupJaccard: Double = 0.8,
-      trainPct: Int = 80)
+      trainPct: Int = 80,
+      // phrase-repetition gate (Gopher top-2-gram rule): drop docs whose
+      // most frequent bigram covers more than this many permille of
+      // tokens (integer-compared — no float knife-edge). 0 = off.
+      // The dup-word rule stays in TextAnalysis.repetitionStats for
+      // corpora where it is calibrated.
+      maxTopBigramPermille: Int = 0,
+      // benchmark decontamination: doc_id % 100 < benchmarkPct marks
+      // the held-out eval slice; those docs AND any doc sharing a
+      // `decontamNGram`-gram with them are excluded. 0 = off.
+      benchmarkPct: Int = 0,
+      decontamNGram: Int = 8)
 
   /** Returns the curated corpus with per-doc columns:
     * (doc_id, text, lang, lang_pred, n_tokens, quality_score, bucket,
@@ -29,7 +40,18 @@ object DocPipeline {
       .filter(col("n_tokens") >= params.minTokens &&
         col("quality_score") >= params.minQualityScore)
       .select("doc_id", "n_tokens", "quality_score")
-    val gated = docs.join(quality, "doc_id")
+    val gated0 = docs.join(quality, "doc_id")
+
+    // 1b. phrase-repetition gate (top-bigram coverage, integer compare)
+    val gated =
+      if (params.maxTopBigramPermille <= 0) gated0
+      else {
+        val repOk = TextAnalysis.repetitionStats(gated0)
+          .filter(col("top_bigram_cnt") * 2 * 1000 <=
+            col("n_tokens") * params.maxTopBigramPermille)
+          .select("doc_id")
+        gated0.join(repOk, "doc_id")
+      }
 
     // 2. language ID
     val withLang = TextAnalysis.withLangId(gated)
@@ -51,8 +73,24 @@ object DocPipeline {
       .select(col("doc_b").as("doc_id")).distinct()
     val nearDeduped = exactDeduped.join(victims, Seq("doc_id"), "left_anti")
 
+    // 4b. benchmark decontamination: the eval slice comes out of the
+    //     ORIGINAL corpus (eval sets are external to curation), its
+    //     docs leave the train set, and so does any doc sharing an
+    //     n-gram with them.
+    val decontaminated =
+      if (params.benchmarkPct <= 0) nearDeduped
+      else {
+        val isBench = col("doc_id") % 100 < params.benchmarkPct
+        val contaminated = Dedup.decontaminate(docs, isBench,
+            params.decontamNGram)
+          .filter(col("contaminated") === 1).select("doc_id")
+        nearDeduped
+          .filter(!(col("doc_id") % 100 < params.benchmarkPct))
+          .join(contaminated, Seq("doc_id"), "left_anti")
+      }
+
     // 5. reproducible split
-    Sampling.hashSplit(nearDeduped, "doc_id", params.trainPct)
+    Sampling.hashSplit(decontaminated, "doc_id", params.trainPct)
       .select("doc_id", "text", "lang", "lang_pred", "n_tokens",
         "quality_score", "bucket", "split")
   }

@@ -621,7 +621,20 @@ object PipelineQueries extends QueryRegistry {
        |             least((n_chars - (n_tokens - 1)) / n_tokens / 8.0, 1.0) * 0.5, 4) AS quality_score
        |  FROM q),
        |gated AS (SELECT * FROM q2 WHERE n_tokens >= 10 AND quality_score >= 0.2),
-       |lidf AS (SELECT *, replace(text, ' ', '') AS joined FROM gated),
+       |bgR AS (
+       |  SELECT doc_id, n_tokens, ws[i] || ' ' || ws[i+1] AS g
+       |  FROM (SELECT doc_id, n_tokens, string_split(text, ' ') AS ws
+       |        FROM gated) gw,
+       |       unnest(generate_series(1, len(ws) - 1)) AS t(i)),
+       |topR AS (
+       |  SELECT doc_id, max(n_tokens) AS ntok, max(c) AS topc
+       |  FROM (SELECT doc_id, n_tokens, g, count(*) AS c
+       |        FROM bgR GROUP BY 1, 2, 3)
+       |  GROUP BY doc_id),
+       |gated2 AS (
+       |  SELECT g.* FROM gated g JOIN topR r ON r.doc_id = g.doc_id
+       |  WHERE r.topc * 2 * 1000 <= r.ntok * 200),
+       |lidf AS (SELECT *, replace(text, ' ', '') AS joined FROM gated2),
        |lid1 AS (
        |  SELECT *,
        |$shares,
@@ -703,11 +716,24 @@ object PipelineQueries extends QueryRegistry {
        |final AS (
        |  SELECT d.* FROM dedup2 d
        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM victims)),
+       |wAll AS (SELECT doc_id, doc_id % 100 < 2 AS is_bench,
+       |                string_split(text, ' ') AS ws FROM documents),
+       |gD AS (SELECT doc_id, is_bench,
+       |              md5(array_to_string(ws[i:i+7], ' ')) AS h
+       |       FROM wAll, unnest(generate_series(1, len(ws) - 7)) AS t(i)
+       |       WHERE len(ws) >= 8),
+       |bhD AS (SELECT DISTINCT h FROM gD WHERE is_bench),
+       |contD AS (SELECT DISTINCT doc_id FROM gD JOIN bhD USING (h)
+       |          WHERE NOT is_bench),
+       |final2 AS (
+       |  SELECT f.* FROM final f
+       |  WHERE NOT (f.doc_id % 100 < 2)
+       |    AND f.doc_id NOT IN (SELECT doc_id FROM contD)),
        |sp AS (
        |  SELECT *,
        |    CASE WHEN CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS INT) < 80
        |         THEN 'train' ELSE 'test' END AS split
-       |  FROM final)
+       |  FROM final2)
        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
        |       CAST(sum(CAST(n_tokens AS BIGINT) * 10000) // count(*) AS BIGINT) AS avg_tokens_u,
        |       CAST(sum(CAST(round(quality_score * 10000) AS BIGINT)) // count(*) AS BIGINT) AS avg_quality_u,
@@ -717,7 +743,8 @@ object PipelineQueries extends QueryRegistry {
 
   q("doc_pipeline", docPipelineOracleSql) { (s, d) =>
     DocPipeline.stats(DocPipeline.curate(s, docs(s, d),
-      DocPipeline.CurationParams()))
+      DocPipeline.CurationParams(maxTopBigramPermille = 200,
+        benchmarkPct = 2)))
   }
 
   // --------------------------------------------------------- CSV sinks

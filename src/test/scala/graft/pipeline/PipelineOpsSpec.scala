@@ -378,6 +378,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(st.map(_.getAs[Long]("n_docs")).sum == ids.size)
   }
 
+  test("doc pipeline: repetition gate and decontamination stages") {
+    val gram = "g1 g2 g3 g4 g5 g6 g7 g8"
+    val clean = Seq.tabulate(20)(i => s"u$i").mkString(" ")
+    val df = docsDf(
+      (1L, s"bench doc holds $gram plus some other words here"), // eval slice
+      (10L, clean), // survives everything
+      (11L, ("spam ham " * 10).trim), // top bigram covers the doc -> gated
+      (13L, s"train doc leaking $gram into the corpus body text")) // contaminated
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+    val out = DocPipeline.curate(spark, df, DocPipeline.CurationParams(
+      minTokens = 5, minQualityScore = 0.0, nearDupJaccard = 0.9,
+      maxTopBigramPermille = 200, benchmarkPct = 2))
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(10L), s"got $ids")
+  }
+
   test("multimodal feature extraction is deterministic and typed") {
     import spark.implicits._
     val media = Seq((1L, "payload-bytes"), (2L, ""))
