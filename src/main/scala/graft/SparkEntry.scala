@@ -15,7 +15,8 @@ object SparkEntry {
     graft.rel.SqlQueries,
     graft.rel.LogAnalytics,
     graft.ts.KernelQueries,
-    graft.pipeline.PipelineQueries)
+    graft.pipeline.PipelineQueries,
+    graft.streaming.StreamQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full PolyTrend lifecycle (filter → composite → kernel) over the

@@ -1,0 +1,200 @@
+package graft.streaming
+
+import graft.QueryRegistry
+import graft.io.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Oracle-checked Structured Streaming entries (SURVEY §2.10).
+  *
+  * Each query REPLAYS the `events` table through a parquet file stream
+  * with `Trigger.AvailableNow`, runs a streaming operator to
+  * completion into a memory sink, and returns the sink table — so the
+  * driver hash-matches STREAMING results against the DuckDB oracle,
+  * not just batch twins. The reference is strictly batch
+  * (`calculations/routes.py:22-33`); these prove the streaming path
+  * computes the identical answer it would produce as a batch plan.
+  *
+  * Determinism notes (what makes streaming hash-matchable):
+  *   - complete-mode aggregations hold all state, so the final sink
+  *     table equals the batch aggregation regardless of how the file
+  *     source slices micro-batches;
+  *   - append-mode dedup/joins emit each row/match exactly once, so
+  *     the final table is batch-equal AS A SET (the driver sorts);
+  *   - watermarks use a delay far longer than the data span, so no
+  *     row is ever late-dropped and no state is evicted mid-replay.
+  *     (Bounded-state variants — 0-delay watermarks,
+  *     dropDuplicatesWithinWatermark — are exercised in
+  *     StreamingSpec; they intentionally trade tail completeness for
+  *     bounded state, which can't hash-match a batch oracle.)
+  */
+object StreamQueries extends QueryRegistry {
+
+  /** Raw physical schema of events.parquet; `ts` is TIMESTAMP(NANOS),
+    * surfaced as nanos-since-epoch via `nanosAsLong` (same contract as
+    * [[graft.io.Tables.load]]).
+    */
+  private val eventsDdl =
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+      "value DOUBLE, props STRING"
+
+  /** File-source stream over the events table with a µs event-time
+    * column (integer `div`: epoch nanos exceed double's mantissa).
+    */
+  def eventStream(spark: SparkSession, dir: String,
+      extraOptions: Map[String, String] = Map.empty): DataFrame = {
+    Tables.requiredConfs.foreach { case (k, v) =>
+      if (!spark.conf.getOption(k).contains(v)) spark.conf.set(k, v)
+    }
+    spark.readStream.schema(eventsDdl)
+      .options(extraOptions)
+      // events.parquet is a single FILE. For a non-glob path the file
+      // stream source force-sets basePath to the path itself, which
+      // then fails 'basePath must be a directory'; a glob path skips
+      // that override, and the anchored basePath (the scale-factor
+      // dir, no key=value components below it) keeps partition
+      // inference empty.
+      .option("basePath", dir)
+      .parquet(dir + "/events.[p]arquet")
+      .withColumn("tsu", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private val sinkId = new AtomicInteger(0)
+
+  /** Run a streaming frame to completion (AvailableNow) into a memory
+    * sink and return the sink table. Memory sinks need no durable
+    * checkpoint; AvailableNow processes every available input slice,
+    * runs the final watermark-advancing batch, then stops.
+    */
+  def runToCompletion(df: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /** Tumbling hourly counters per event type — the streaming twin of
+    * the A4/window stats block, complete mode. Doubles are scaled to
+    * exact integers PER ROW before the sum, so the aggregate is
+    * order-independent across micro-batch boundaries and engines.
+    */
+  q("st_hourly_counts",
+    """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hour_start,
+      |       event_type,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS value_u
+      |FROM events GROUP BY 1, 2""") { (s, d) =>
+    runToCompletion(hourlyCounts(eventStream(s, d)), "complete")
+  }
+
+  /** The st_hourly_counts transform over any events(-shaped) stream. */
+  def hourlyCounts(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("tsu"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)")).as("value_u"))
+      .select(unix_timestamp(col("window.start")).as("hour_start"),
+        col("event_type"), col("n"), col("value_u"))
+
+  /** Streaming gap sessionization via the merging `session_window`
+    * operator, complete mode — the streaming twin of
+    * `la_session_window` (same second-floored timestamps, same
+    * INCLUSIVE 30-minute gap; the lag-based oracle therefore opens a
+    * new session only on a strictly-greater gap).
+    */
+  q("st_session_window",
+    """WITH flags AS (
+      |  SELECT user_id, event_id,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |              OR CAST(floor(epoch(ts)) AS BIGINT) -
+      |                 CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, sec,
+      |         sum(new_session) OVER (PARTITION BY user_id
+      |            ORDER BY sec, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flags)
+      |SELECT CAST(user_id AS BIGINT) AS user_id,
+      |       min(sec) AS session_start,
+      |       CAST(count(*) AS BIGINT) AS n_events
+      |FROM sessions GROUP BY user_id, sid""") { (s, d) =>
+    runToCompletion(sessionWindows(eventStream(s, d)), "complete")
+  }
+
+  /** The st_session_window transform over any events(-shaped) stream. */
+  def sessionWindows(ev: DataFrame): DataFrame =
+    ev.withColumn("tsec", timestamp_seconds(expr("ts div 1000000000")))
+      .groupBy(session_window(col("tsec"), "30 minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("w.start")).as("session_start"), col("n_events"))
+
+  /** Streaming exact dedup (append mode): each (user, type) pair emits
+    * exactly once, on first sight — the final sink table is the
+    * distinct set whatever the micro-batch slicing.
+    */
+  q("st_distinct_pairs",
+    """SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, event_type
+      |FROM events""") { (s, d) =>
+    runToCompletion(distinctPairs(eventStream(s, d)), "append")
+  }
+
+  /** The st_distinct_pairs transform over any events(-shaped) stream. */
+  def distinctPairs(ev: DataFrame): DataFrame =
+    ev.select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+
+  /** Watermarked stream-stream interval join: attribute each purchase
+    * to every click by the same user within the preceding hour. Both
+    * sides carry event-time watermarks and the condition bounds event
+    * time, so state eviction is provable at a real delay; the replay
+    * uses a delay longer than the data span so the match set is exactly
+    * the batch join. Both engines compare INTEGER microseconds, so the
+    * ns→µs truncation can't move a boundary on one side only.
+    */
+  q("st_click_attribution",
+    """WITH c AS (
+      |  SELECT user_id, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS c_us,
+      |         event_id AS click_id
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS p_us,
+      |         event_id AS purchase_id,
+      |         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS value_u
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.purchase_id, c.click_id, CAST(p.user_id AS BIGINT) AS user_id,
+      |       c.c_us, p.p_us, p.value_u
+      |FROM p JOIN c ON c.user_id = p.user_id
+      |WHERE p.p_us >= c.c_us AND p.p_us <= c.c_us + 3600000000""") { (s, d) =>
+    runToCompletion(clickAttribution(eventStream(s, d)), "append")
+  }
+
+  /** The st_click_attribution transform over any events(-shaped)
+    * stream (a stream self-join: both sides branch off `ev`).
+    */
+  def clickAttribution(ev: DataFrame): DataFrame = {
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("tsu").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "3650 days")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("tsu").as("p_ts"),
+        col("event_id").as("purchase_id"),
+        expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").as("value_u"))
+      .withWatermark("p_ts", "3650 days")
+    purchases.join(clicks, expr(
+      """c_user = p_user AND
+        |p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour""".stripMargin))
+      .select(col("purchase_id"), col("click_id"),
+        col("p_user").as("user_id"),
+        unix_micros(col("c_ts")).as("c_us"),
+        unix_micros(col("p_ts")).as("p_us"), col("value_u"))
+  }
+}

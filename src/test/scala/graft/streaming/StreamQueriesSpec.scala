@@ -1,0 +1,118 @@
+package graft.streaming
+
+import graft.io.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multi-batch replay parity for the oracle-checked StreamQueries
+  * entries. The driver's oracle replays the single-file events table —
+  * one micro-batch — so cross-batch state (window/session merge, dedup
+  * state, join buffers) never fires there. Here the same transforms run
+  * over a 4-file, time-INTERLEAVED copy of an events-shaped table with
+  * `maxFilesPerTrigger=1` (≥4 micro-batches) and must still equal the
+  * batch plan's answer.
+  */
+class StreamQueriesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Tables.configure(
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false"))
+    .getOrCreate()
+
+  /** Events-shaped rows (ts = epoch NANOS as Long, like the testdata
+    * table reads under nanosAsLong): 10 users, one event every ~7 min
+    * per user so 30-min sessions span file boundaries, types cycling so
+    * clicks and purchases interleave within the attribution hour.
+    */
+  private lazy val dataDir: String = {
+    import spark.implicits._
+    val base = 1704067200L * 1000000000L // 2024-01-01T00:00Z in ns
+    val types = Seq("click", "purchase", "view", "click", "error")
+    val rows = (0 until 600).map { i =>
+      val user = i % 10
+      val step = i / 10 // per-user event index
+      // a >30-min gap every 13 events closes the session
+      val sec = step * 420L + (step / 13) * 2400L + user * 11L
+      (i.toLong, base + sec * 1000000000L + (i % 3) * 500L, // sub-µs ns tail
+        user.toLong, types(i % types.size), i * 0.37 - 20.0, "{}")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("stq").toString
+    val tbl = s"$dir/events.parquet"
+    // 4 files, each holding every 4th event — every micro-batch
+    // overlaps every hour, session, and join window
+    (0 until 4).foreach { slice =>
+      rows.filter(_._1 % 4 == slice)
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(tbl)
+    }
+    dir
+  }
+
+  private def multiBatchStream: DataFrame =
+    StreamQueries.eventStream(spark, dataDir,
+      Map("maxFilesPerTrigger" -> "1"))
+
+  private def batchEvents: DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .parquet(s"$dataDir/events.parquet")
+      .withColumn("tsu", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run to completion like StreamQueries.runToCompletion but surface
+    * the batch count so the test can prove the replay was multi-batch.
+    */
+  private def run(df: DataFrame, mode: String, name: String): (DataFrame, Long) = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val batches = q.recentProgress.map(_.batchId).distinct.length.toLong
+    (spark.table(name), batches)
+  }
+
+  private def rowSet(df: DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  test("hourly counts: 4-batch replay equals the batch aggregation") {
+    val (got, batches) = run(
+      StreamQueries.hourlyCounts(multiBatchStream), "complete", "mb_hourly")
+    assert(batches >= 4, s"expected >=4 micro-batches, saw $batches")
+    assert(rowSet(got) == rowSet(StreamQueries.hourlyCounts(batchEvents)))
+  }
+
+  test("session windows merge across micro-batches to the batch answer") {
+    val (got, batches) = run(
+      StreamQueries.sessionWindows(multiBatchStream), "complete", "mb_sess")
+    assert(batches >= 4)
+    val expected = StreamQueries.sessionWindows(batchEvents)
+    // >1 session per user (the planted gaps) and >1 event per session
+    // (sessions assembled from events scattered over all 4 files)
+    assert(expected.count() > 10)
+    assert(rowSet(got) == rowSet(expected))
+  }
+
+  test("streaming distinct emits each pair exactly once across batches") {
+    val (got, batches) = run(
+      StreamQueries.distinctPairs(multiBatchStream), "append", "mb_dd")
+    assert(batches >= 4)
+    assert(got.count() == got.dropDuplicates().count()) // no re-emission
+    assert(rowSet(got) == rowSet(StreamQueries.distinctPairs(batchEvents)))
+  }
+
+  test("stream-stream attribution joins rows that arrive in different batches") {
+    val (got, batches) = run(
+      StreamQueries.clickAttribution(multiBatchStream), "append", "mb_attr")
+    assert(batches >= 4)
+    val expected = StreamQueries.clickAttribution(batchEvents)
+    // the interleaved slicing guarantees some (click, purchase) matches
+    // land in different micro-batches
+    assert(expected.count() > 50)
+    assert(rowSet(got) == rowSet(expected))
+  }
+}
