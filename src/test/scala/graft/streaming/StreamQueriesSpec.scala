@@ -37,8 +37,11 @@ class StreamQueriesSpec extends AnyFunSuite {
       val step = i / 10 // per-user event index
       // a >30-min gap every 13 events closes the session
       val sec = step * 420L + (step / 13) * 2400L + user * 11L
+      // type cycles with the PER-USER step (i % types.size would be
+      // constant per user since 10 % 5 == 0 — no user would ever have
+      // both a click and a purchase, and the attribution join is empty)
       (i.toLong, base + sec * 1000000000L + (i % 3) * 500L, // sub-µs ns tail
-        user.toLong, types(i % types.size), i * 0.37 - 20.0, "{}")
+        user.toLong, types(step % types.size), i * 0.37 - 20.0, "{}")
     }
     val dir = java.nio.file.Files.createTempDirectory("stq").toString
     val tbl = s"$dir/events.parquet"
