@@ -356,6 +356,87 @@ object Dedup {
       .select("vec_a", "vec_b", "cosine")
   }
 
+  // ------------------------------------- duplicate-cluster resolution
+
+  /** Connected components over candidate duplicate pairs — the dedup
+    * endgame: pairwise matches (from MinHash/SimHash/n-gram/cosine)
+    * become clusters, and one canonical document survives per cluster.
+    * Transitivity matters: A~B and B~C must collapse to ONE keeper even
+    * when A~C was never emitted as a pair.
+    *
+    * Algorithm: min-label propagation with pointer jumping. Each vertex
+    * starts labeled with itself; every round it takes the min label over
+    * itself and its neighbors, then shortcuts through its label's label
+    * (path halving). The jump step makes convergence O(log diameter)
+    * rounds instead of O(diameter) — duplicate chains of length 2^r
+    * collapse in ~r rounds, so a pathological 1M-doc chain needs ~20
+    * rounds, not 1M. Each round is two shuffles on (Long, Long) rows;
+    * labels persist round-over-round and the loop exits on the first
+    * fixpoint (an `isEmpty` probe on the changed set — a driver-side
+    * LOOP, not driver-side DATA).
+    *
+    * @param vertices one column of vertex ids (docs with no pair are
+    *                 singleton clusters of themselves)
+    * @param pairs    candidate pairs (aCol, bCol); direction irrelevant
+    * @return (id, cluster_id) — cluster_id = min vertex id reachable
+    */
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame,
+      aCol: String = "doc_a", bCol: String = "doc_b",
+      idCol: String = "doc_id", maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .persist(MEMORY_AND_DISK)
+    // localCheckpoint (not persist): each round's plan references the
+    // previous round TWICE (the pointer-jump self-join), so an
+    // unbroken lineage grows 2^rounds — checkpointing materializes the
+    // round and truncates the plan to a leaf, keeping every iteration's
+    // optimizer/AQE work O(1) in the round number.
+    var labels = vertices.select(col(idCol).as("v"))
+      .distinct()
+      .withColumn("lbl", col("v"))
+      .localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // neighbor min: label(v) <- min(label(v), min_{(u,v) in E} label(u))
+      val nbrMin = edges.join(labels, edges("src") === labels("v"))
+        .select(col("dst").as("nv"), col("lbl").as("nlbl"))
+        .groupBy("nv").agg(min("nlbl").as("nlbl"))
+      val neighborMin = labels
+        .join(nbrMin, labels("v") === nbrMin("nv"), "left")
+        .select(labels("v").as("v"),
+          least(labels("lbl"), coalesce(col("nlbl"), labels("lbl")))
+            .as("lbl"))
+        .localCheckpoint()
+      // pointer jump: label(v) <- label(label(v)) — labels are vertex
+      // ids, so the lookup is a self-join; left join + coalesce keeps
+      // vertices whose label row is themselves
+      val jumped = neighborMin.as("x")
+        .join(neighborMin.as("y"), col("x.lbl") === col("y.v"), "left")
+        .select(col("x.v").as("v"),
+          coalesce(col("y.lbl"), col("x.lbl")).as("lbl"))
+        .localCheckpoint()
+      converged = jumped.except(labels).isEmpty
+      labels = jumped
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("v").as(idCol), col("lbl").as("cluster_id"))
+  }
+
+  /** Resolve documents into duplicate clusters and mark the canonical
+    * keeper (smallest doc_id) per cluster: the destructive-dedup
+    * decision table. Composes [[connectedComponents]] over any pair
+    * source — verified n-gram pairs, MinHash candidates, SimHash bands.
+    */
+  def clusterDedup(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    connectedComponents(docs.select(idCol), pairs, idCol = idCol)
+      .withColumn("is_keep",
+        (col("cluster_id") === col(idCol)).cast("int"))
+
   /** Benchmark decontamination: flag corpus documents sharing any
     * word n-gram with a held-out benchmark/eval set — the standard
     * train-set hygiene pass before pretraining. Grams shuffle as md5

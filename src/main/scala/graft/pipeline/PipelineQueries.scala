@@ -308,6 +308,42 @@ object PipelineQueries extends QueryRegistry {
     Dedup.ngramJaccardPairs(docs(s, d), n = 3, minJaccard = 0.8)
   }
 
+  /** Duplicate-cluster resolution: the verified n-gram pairs (the
+    * dd_ngram_jaccard CTE chain) fed through connected components, so
+    * transitive chains (A~B, B~C) collapse to one canonical keeper even
+    * when A~C was never emitted. The Spark side runs min-label
+    * propagation with pointer jumping (O(log diameter) rounds); the
+    * oracle replays the closure as a recursive CTE — min reachable id
+    * per vertex, singletons included via the base case.
+    */
+  private val clusterOracleSql: String =
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |grams AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS g
+      |          FROM toks, unnest(generate_series(1, greatest(len(l) - 2, 1))) AS t(i)),
+      |cnt AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT doc_a, doc_b FROM inter
+      |          JOIN cnt ca ON ca.doc_id = doc_a
+      |          JOIN cnt cb ON cb.doc_id = doc_b
+      |          WHERE round(n_inter / (ca.n_grams + cb.n_grams - n_inter), 4) >= 0.8),
+      |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(v, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT reach.v, e.t FROM reach JOIN edges e ON e.s = reach.r)
+      |SELECT CAST(v AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id,
+      |       CAST(CASE WHEN min(r) = v THEN 1 ELSE 0 END AS INT) AS is_keep
+      |FROM reach GROUP BY v"""
+
+  q("dd_cluster_components", clusterOracleSql) { (s, d) =>
+    val dd = docs(s, d)
+    Dedup.clusterDedup(dd, Dedup.ngramJaccardPairs(dd, n = 3, minJaccard = 0.8))
+  }
+
   q("dd_cosine_neardup",
     """SELECT CAST(a.vec_id AS BIGINT) AS vec_a,
       |       CAST(b.vec_id AS BIGINT) AS vec_b,
@@ -462,6 +498,67 @@ object PipelineQueries extends QueryRegistry {
       e, k = 5, nprobe = 4)
   }
 
+  /** PQ/ADC top-k reproduced in DuckDB: codebook centroids re-derived
+    * from the table (sub-slices of the ksub smallest-md5 vectors — the
+    * same hash-sampling as the IVF oracle), per-subspace nearest-code
+    * assignment (sequential squared-L2 fold, ties to the smaller code),
+    * then the asymmetric distance as the identical two-level fold:
+    * dims ascending within a subspace, subspaces ascending across.
+    */
+  private val pqOracleSql: String = {
+    val (m, ksub, dsub, k) = (8, 16, 8, 5)
+    def subD2(vec: String, s: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, ${dsub + 1}), i ->
+         |        ($vec.e[CAST($s * $dsub + i AS INT)] - c.ce[CAST($s * $dsub + i AS INT)]) *
+         |        ($vec.e[CAST($s * $dsub + i AS INT)] - c.ce[CAST($s * $dsub + i AS INT)]))),
+         |      (a, x) -> a + x)""".stripMargin
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |            FROM embeddings),
+       |ctr0 AS (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, e
+       |         FROM emb ORDER BY h LIMIT $ksub),
+       |ctr AS (SELECT row_number() OVER (ORDER BY h) - 1 AS c, e AS ce
+       |        FROM ctr0),
+       |asg AS (
+       |  SELECT v.vec_id, s.s, c.c,
+       |    ${subD2("v", "s.s")} AS d2
+       |  FROM emb v
+       |  CROSS JOIN unnest(generate_series(0, ${m - 1})) AS s(s)
+       |  CROSS JOIN ctr c),
+       |codes AS (
+       |  SELECT vec_id, s, c AS code
+       |  FROM (SELECT vec_id, s, c,
+       |          row_number() OVER (PARTITION BY vec_id, s
+       |                             ORDER BY d2, c) AS r
+       |        FROM asg) WHERE r = 1),
+       |terms AS (
+       |  SELECT q.vec_id AS query_id, cd.vec_id AS cand_id, cd.s,
+       |    ${subD2("q", "cd.s")} AS d2
+       |  FROM (SELECT * FROM emb WHERE vec_id < 20) q
+       |  JOIN codes cd ON cd.vec_id <> q.vec_id
+       |  JOIN ctr c ON c.c = cd.code),
+       |adc AS (
+       |  SELECT query_id, cand_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(d2 ORDER BY s)),
+       |      (a, x) -> a + x) AS dist
+       |  FROM terms GROUP BY query_id, cand_id),
+       |ranked AS (
+       |  SELECT query_id, cand_id, dist,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY dist, cand_id) AS rank
+       |  FROM adc)
+       |SELECT CAST(query_id AS BIGINT) AS query_id,
+       |       CAST(cand_id AS BIGINT) AS cand_id,
+       |       round(dist, 6) AS adc_dist, CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
+  q("sim_pq_adc", pqOracleSql) { (s, d) =>
+    val e = embs(s, d)
+    val cb = Similarity.hashSampledPqCodebook(e, m = 8, ksub = 16)
+    Similarity.pqAdcTopK(cb, e.filter(col("vec_id") < 20), e, k = 5)
+  }
+
   // Reproducible hash split: identical buckets on both engines from the
   // same md5 digest — training-data splits must not depend on engine or
   // partitioning.
@@ -499,6 +596,44 @@ object PipelineQueries extends QueryRegistry {
       |            THEN 1 ELSE 0 END AS INT) AS gopher_pass
       |FROM tok LEFT JOIN top ON top.doc_id = tok.doc_id""") { (s, d) =>
     TextAnalysis.repetitionStats(docs(s, d))
+  }
+
+  /** PII redaction: counts + scrubbed text, over documents enriched
+    * with deterministic synthetic PII (email/IP/phone derived from
+    * doc_id — the corpus itself is synthetic prose, so the planted
+    * matches make the redaction path non-trivial on every row). The
+    * oracle SQL is GENERATED from TextAnalysis.piiPatterns — same
+    * patterns, same replacement order — and the patterns are
+    * lookaround-free so Java regex and RE2 agree match-for-match.
+    */
+  private val piiOracleSql: String = {
+    val enrich =
+      """text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |'@mail.example.com ip 10.' || CAST(doc_id % 200 AS VARCHAR) ||
+        |'.0.7 tel ' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-555-' ||
+        |CAST(doc_id % 9000 + 1000 AS VARCHAR)""".stripMargin
+    val counts = TextAnalysis.piiPatterns.map { case (name, pat, _) =>
+      s"CAST(len(regexp_extract_all(t, '$pat')) AS INT) AS n_${name}s"
+    }.mkString(",\n")
+    val redacted = TextAnalysis.piiPatterns.foldLeft("t") {
+      case (acc, (_, pat, repl)) =>
+        s"regexp_replace($acc, '$pat', '$repl', 'g')"
+    }
+    s"""WITH e AS (SELECT doc_id, $enrich AS t FROM documents)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |$counts,
+       |$redacted AS redacted
+       |FROM e""".stripMargin
+  }
+
+  q("t_pii_redact", piiOracleSql) { (s, d) =>
+    val enriched = docs(s, d).select(col("doc_id"), concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com ip 10."),
+      (col("doc_id") % 200).cast("string"), lit(".0.7 tel "),
+      (col("doc_id") % 900 + 100).cast("string"), lit("-555-"),
+      (col("doc_id") % 9000 + 1000).cast("string")).as("text"))
+    TextAnalysis.piiProjection(enriched)
   }
 
   // Benchmark decontamination: flag corpus docs sharing any 8-gram
@@ -745,6 +880,33 @@ object PipelineQueries extends QueryRegistry {
     DocPipeline.stats(DocPipeline.curate(s, docs(s, d),
       DocPipeline.CurationParams(maxTopBigramPermille = 200,
         benchmarkPct = 2)))
+  }
+
+  // ------------------------------------------------------- data layout
+
+  /** Z-order key as exact integer arithmetic on both engines: the bit
+    * interleave is a sum of `(x DIV 2^b) % 2 * 2^(2b)` terms in DuckDB
+    * and shift/and/or in Spark — integers, no float anywhere.
+    */
+  private val zorderOracleSql: String = {
+    val terms = (0 until 16).map { b =>
+      s"((zx // ${1L << b}) % 2) * ${1L << (2 * b)} + " +
+        s"((zy // ${1L << b}) % 2) * ${1L << (2 * b + 1)}"
+    }.mkString(" + ")
+    s"""SELECT CAST(event_id AS BIGINT) AS event_id,
+       |       CAST(zx AS BIGINT) AS zx, CAST(zy AS BIGINT) AS zy,
+       |       CAST($terms AS BIGINT) AS zkey
+       |FROM (SELECT event_id, user_id % 65536 AS zx,
+       |             event_id % 65536 AS zy
+       |      FROM events)""".stripMargin
+  }
+
+  q("s_zorder_key", zorderOracleSql) { (s, d) =>
+    graft.io.Tables.load(s, d, "events")
+      .select(col("event_id"), (col("user_id") % 65536).as("zx"),
+        (col("event_id") % 65536).as("zy"))
+      .withColumn("zkey",
+        graft.io.ZOrder.zorderKey(col("zx"), col("zy"), 16))
   }
 
   // --------------------------------------------------------- CSV sinks

@@ -231,6 +231,132 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
+  // --------------------------------------------- product quantization
+
+  /** Product-quantization codebook: the embedding space split into `m`
+    * subspaces of `dsub` dims, each with its own `ksub` centroids —
+    * `centers(s)(c)` is centroid c of subspace s. A vector compresses to
+    * m small codes (m bytes at ksub ≤ 256): a 64-dim float vector (256 B)
+    * becomes 8 B — 32× less memory/IO, which is what makes a 100 TB
+    * embedding corpus scannable. Distances against raw queries are
+    * computed asymmetrically (ADC): the query stays full-precision, the
+    * candidate is its reconstructed centroids, so error stays one-sided.
+    */
+  final case class PqCodebook(dsub: Int,
+      centers: Array[Array[Array[Double]]]) {
+    def m: Int = centers.length
+    def ksub: Int = centers(0).length
+
+    /** Nearest-centroid code per subspace (squared L2, ties to the
+      * smallest centroid id — the oracle's ORDER BY d2, c).
+      */
+    private[sim] def encodeOne(e: Seq[Double]): Array[Int] = {
+      val codes = new Array[Int](m)
+      var s = 0
+      while (s < m) {
+        var best = Double.MaxValue
+        var bestC = 0
+        var c = 0
+        while (c < centers(s).length) {
+          val ctr = centers(s)(c)
+          var d2 = 0.0
+          var j = 0
+          while (j < dsub) {
+            val t = e(s * dsub + j) - ctr(j); d2 += t * t; j += 1
+          }
+          if (d2 < best) { best = d2; bestC = c }
+          c += 1
+        }
+        codes(s) = bestC
+        s += 1
+      }
+      codes
+    }
+
+    /** Asymmetric (ADC) squared distance: raw query sub-vectors vs the
+      * candidate's code centroids. Per-subspace d2 is a sequential
+      * left fold over dims, accumulated subspace-ascending — exactly
+      * the fold order the DuckDB oracle replays, so the doubles are
+      * bit-equal cross-engine.
+      */
+    private[sim] def adcDistance(q: Seq[Double], codes: Seq[Int]): Double = {
+      var acc = 0.0
+      var s = 0
+      while (s < m) {
+        val ctr = centers(s)(codes(s))
+        var d2 = 0.0
+        var j = 0
+        while (j < dsub) {
+          val t = q(s * dsub + j) - ctr(j); d2 += t * t; j += 1
+        }
+        acc += d2
+        s += 1
+      }
+      acc
+    }
+  }
+
+  /** Deterministic PQ codebook via the same hash-sampling trick as
+    * [[hashSampledQuantizer]]: subspace s's centroids are the s-slices
+    * of the `ksub` corpus vectors with smallest md5(vec_id), centroid id
+    * = md5 rank. Fully replayable from the table itself (the
+    * `sim_pq_adc` oracle re-derives them); swap in k-means sub-codebooks
+    * offline for better recall with the same encode/ADC path.
+    */
+  def hashSampledPqCodebook(embeddings: DataFrame, m: Int = 8,
+      ksub: Int = 16): PqCodebook = {
+    val sampled = embeddings
+      .select(md5(col("vec_id").cast("string").cast("binary")).as("h"),
+        transform(col("embedding"), _.cast("double")).as("e"))
+      .orderBy(col("h")).limit(ksub)
+      .select(col("e")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sampled.nonEmpty, "empty corpus — cannot derive a codebook")
+    val dims = sampled(0).length
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
+    val dsub = dims / m
+    PqCodebook(dsub, Array.tabulate(m, sampled.length)((s, c) =>
+      sampled(c).slice(s * dsub, (s + 1) * dsub)))
+  }
+
+  /** PQ-encode a corpus: (vec_id, codes[m]). At scale this is the
+    * materialized compressed index — the raw embeddings never need to
+    * be read again for scanning.
+    */
+  def pqEncode(codebook: PqCodebook, embeddings: DataFrame): DataFrame = {
+    val enc = udf { (e: Seq[Double]) => codebook.encodeOne(e) }
+    embeddings
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("e"))
+      .withColumn("codes", enc(col("e")))
+      .select("vec_id", "codes")
+  }
+
+  /** ADC top-k: scan the PQ-encoded corpus once per query batch,
+    * ranking by asymmetric distance (ascending). The scan reads m-byte
+    * codes instead of full vectors — the 32× IO cut is the scale story;
+    * compose with [[ivfTopK]]'s cell layout to also cut the scanned
+    * FRACTION (IVF-PQ: probe nprobe cells, ADC-scan only their codes).
+    */
+  def pqAdcTopK(codebook: PqCodebook, queries: DataFrame,
+      corpus: DataFrame, k: Int): DataFrame = {
+    val dist = udf { (q: Seq[Double], codes: Seq[Int]) =>
+      codebook.adcDistance(q, codes)
+    }
+    val encoded = pqEncode(codebook, corpus)
+      .select(col("vec_id").as("cand_id"), col("codes"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      transform(col("embedding"), _.cast("double")).as("eq"))
+    val scored = q.join(encoded, col("query_id") =!= col("cand_id"))
+      .withColumn("adc", dist(col("eq"), col("codes")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc"), col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"),
+        round(col("adc"), 6).as("adc_dist"), col("rank"))
+  }
+
   /** Per-label centroids in long format (label, dim, centroid, n_vecs):
     * posexplode → per-(label, dim) mean — one shuffle keyed on
     * (label, dim), partial aggregation map-side, no vector assembly on

@@ -109,6 +109,41 @@ object TextAnalysis {
   def withLangId(docs: DataFrame): DataFrame =
     docs.withColumn("lang_pred", langIdCol(col("text")))
 
+  // ------------------------------------------------------ PII scrubbing
+
+  /** PII patterns for redaction: (name, regex, replacement). All three
+    * are lookaround-free so the SAME pattern string runs under Java
+    * regex (Spark codegen) and RE2 (the DuckDB oracle) with identical
+    * leftmost-first, greedy semantics. Replacement ORDER is part of the
+    * contract: emails first (their local/domain parts contain digit and
+    * dot runs the IP pattern would otherwise chew), then dotted-quad
+    * IPs, then dashed phone numbers — the fold in [[redactPii]] and the
+    * generated oracle SQL apply them identically.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+    ("phone", "[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"))
+
+  /** Redact all PII pattern matches (all occurrences, fixed order). */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, lit(pat), lit(repl))
+    }
+
+  /** Per-doc PII counts (on the raw text) + the redacted text — the
+    * standard scrub stage before pretraining. Pure column expressions:
+    * one codegen'd projection, no shuffle, scales as a map-only pass.
+    */
+  def piiProjection(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val counts = piiPatterns.map { case (name, pat, _) =>
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0)))
+        .as(s"n_${name}s")
+    }
+    docs.select(col("doc_id") +: counts :+
+      redactPii(col(textCol)).as("redacted"): _*)
+  }
+
   /** Gopher-style repetition filters (Rae et al. 2021 §A1.1, adapted to
     * word level): duplicate-word fraction and the share of tokens
     * covered by the most frequent 2-gram, plus the pass/fail gate. The

@@ -30,6 +30,24 @@ class ScaleLayoutSpec extends AnyFunSuite {
     }.toDF()
   }
 
+  test("z-order key interleaves bits exactly and keeps tiles contiguous") {
+    import spark.implicits._
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L)((acc, b) =>
+        acc | (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1)))
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.tabulate(200)(_ =>
+      (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = pts.toDF("x", "y")
+      .withColumn("z", ZOrder.zorderKey(col("x"), col("y"), 16))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (x, y) => assert(got((x, y)) == ref(x, y, 16)) }
+    // locality: an ALIGNED 4x4 tile occupies one contiguous zkey range
+    // — the reason a 2-D box predicate prunes to O(perimeter) ranges
+    val tile = for { x <- 8L to 11L; y <- 4L to 7L } yield ref(x, y, 16)
+    assert(tile.toSet.size == 16 && tile.max - tile.min == 15)
+  }
+
   test("date-partitioned store prunes partitions for temporal filters") {
     val dir = java.nio.file.Files.createTempDirectory("obs_part").toString
     ObservationStore.writePartitioned(obs(56), dir)

@@ -407,4 +407,73 @@ class PipelineOpsSpec extends AnyFunSuite {
       .sortBy(_.doc_id)
     assert(feats.toSeq == again.toSeq)
   }
+
+  test("connected components: transitive chains collapse, singletons stay") {
+    import spark.implicits._
+    val verts = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    // chain 1-2-3-4 (1~4 never emitted as a pair), pair 5-6, singleton 7
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(verts, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("cluster dedup: a 64-node path resolves to one keeper") {
+    import spark.implicits._
+    // worst-case topology for plain propagation (diameter 63): pointer
+    // jumping must still converge well inside the iteration cap
+    val n = 64L
+    val verts = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusterDedup(verts, pairs).collect()
+    assert(out.length == n)
+    assert(out.forall(_.getAs[Long]("cluster_id") == 1L))
+    assert(out.count(_.getAs[Int]("is_keep") == 1) == 1)
+  }
+
+  test("PQ: deterministic codebook, encode stability, same-cluster ADC") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = for { c <- 0 until 8; m <- 0 until 12 } yield {
+      val center = Array.tabulate(16)(d => math.cos(c * 16 + d).toFloat * 5)
+      ((c * 12 + m).toLong,
+        center.map(x => x + rnd.nextGaussian().toFloat * 0.1f).toSeq, c)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val cb1 = Similarity.hashSampledPqCodebook(df, m = 4, ksub = 16)
+    val cb2 = Similarity.hashSampledPqCodebook(df, m = 4, ksub = 16)
+    assert(cb1.m == 4 && cb1.ksub == 16 && cb1.dsub == 4)
+    assert(cb1.centers.flatMap(_.toSeq).zip(cb2.centers.flatMap(_.toSeq))
+      .forall { case (a, b) => a.sameElements(b) })
+    // encode is a pure function of the codebook
+    val e1 = Similarity.pqEncode(cb1, df).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val e2 = Similarity.pqEncode(cb2, df).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(e1 == e2)
+    // ADC neighbors land in the query's own cluster: the compressed
+    // scan preserves the coarse geometry (cluster spacing >> noise)
+    val labels = rows.map(r => r._1 -> r._3).toMap
+    val top = Similarity.pqAdcTopK(cb1, df, df, k = 3).collect()
+    val purity = top.count(r =>
+      labels(r.getAs[Long]("query_id")) == labels(r.getAs[Long]("cand_id")))
+      .toDouble / top.length
+    assert(purity > 0.8, s"ADC same-cluster purity $purity")
+  }
+
+  test("PII redaction scrubs emails, IPs, phones and counts them") {
+    val df = docsDf(
+      (1L, "write alice.smith+x@corp.example.org or 192.168.0.1 call 415-555-2671"),
+      (2L, "no pii here just words"),
+      (3L, "two mails a@b.io c@d.co one ip 10.0.0.255"))
+    val out = TextAnalysis.piiProjection(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Int]("n_emails"),
+        r.getAs[Int]("n_ips"), r.getAs[Int]("n_phones"),
+        r.getAs[String]("redacted")))).toMap
+    assert(out(1L) == ((1, 1, 1, "write <EMAIL> or <IP> call <PHONE>")))
+    assert(out(2L) == ((0, 0, 0, "no pii here just words")))
+    assert(out(3L) == ((2, 1, 0, "two mails <EMAIL> <EMAIL> one ip <IP>")))
+  }
 }
