@@ -559,6 +559,91 @@ object PipelineQueries extends QueryRegistry {
     Similarity.pqAdcTopK(cb, e.filter(col("vec_id") < 20), e, k = 5)
   }
 
+  /** IVF-PQ top-k reproduced in DuckDB: both quantizers re-derived from
+    * the table (the 16 smallest-md5 vectors serve as IVF centers AND,
+    * sub-sliced, as the PQ codebook — the same hash-sampling the
+    * sim_ivf_topk / sim_pq_adc oracles replay), then cell assignment,
+    * nprobe probing, per-subspace code assignment, and the ADC
+    * distance as the identical two-level sequential fold.
+    */
+  private val ivfpqOracleSql: String = {
+    val (nlist, nprobe, m, dsub, k, dims) = (16, 4, 8, 8, 5, 64)
+    def subD2(vec: String, s: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, ${dsub + 1}), i ->
+         |        ($vec.e[CAST($s * $dsub + i AS INT)] - c.ce[CAST($s * $dsub + i AS INT)]) *
+         |        ($vec.e[CAST($s * $dsub + i AS INT)] - c.ce[CAST($s * $dsub + i AS INT)]))),
+         |      (a, x) -> a + x)""".stripMargin
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |            FROM embeddings),
+       |ctr0 AS (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, e
+       |         FROM emb ORDER BY h LIMIT $nlist),
+       |ivfc AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cell, e AS cc
+       |         FROM ctr0),
+       |pqc AS (SELECT row_number() OVER (ORDER BY h) - 1 AS c, e AS ce
+       |        FROM ctr0),
+       |dst AS (
+       |  SELECT v.vec_id, v.e, c.cell,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, ${dims + 1}), i ->
+       |             (v.e[CAST(i AS INT)] - c.cc[CAST(i AS INT)]) *
+       |             (v.e[CAST(i AS INT)] - c.cc[CAST(i AS INT)]))),
+       |           (a, x) -> a + x) AS d2
+       |  FROM emb v CROSS JOIN ivfc c),
+       |rankd AS (
+       |  SELECT vec_id, cell,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY d2, cell) AS pr
+       |  FROM dst),
+       |asg AS (
+       |  SELECT v.vec_id, s.s, c.c,
+       |    ${subD2("v", "s.s")} AS d2
+       |  FROM emb v
+       |  CROSS JOIN unnest(generate_series(0, ${m - 1})) AS s(s)
+       |  CROSS JOIN pqc c),
+       |codes AS (
+       |  SELECT vec_id, s, c AS code
+       |  FROM (SELECT vec_id, s, c,
+       |          row_number() OVER (PARTITION BY vec_id, s
+       |                             ORDER BY d2, c) AS r
+       |        FROM asg) WHERE r = 1),
+       |cands AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, a.vec_id AS cand_id
+       |  FROM (SELECT vec_id, cell FROM rankd
+       |        WHERE pr <= $nprobe AND vec_id < 20) q
+       |  JOIN (SELECT vec_id, cell FROM rankd WHERE pr = 1) a
+       |    ON a.cell = q.cell AND a.vec_id <> q.vec_id),
+       |terms AS (
+       |  SELECT cn.query_id, cn.cand_id, cd.s,
+       |    ${subD2("q", "cd.s")} AS d2
+       |  FROM cands cn
+       |  JOIN emb q ON q.vec_id = cn.query_id
+       |  JOIN codes cd ON cd.vec_id = cn.cand_id
+       |  JOIN pqc c ON c.c = cd.code),
+       |adc AS (
+       |  SELECT query_id, cand_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(d2 ORDER BY s)),
+       |      (a, x) -> a + x) AS dist
+       |  FROM terms GROUP BY query_id, cand_id),
+       |ranked AS (
+       |  SELECT query_id, cand_id, dist,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY dist, cand_id) AS rank
+       |  FROM adc)
+       |SELECT CAST(query_id AS BIGINT) AS query_id,
+       |       CAST(cand_id AS BIGINT) AS cand_id,
+       |       round(dist, 6) AS adc_dist, CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
+  q("sim_ivfpq_topk", ivfpqOracleSql) { (s, d) =>
+    val e = embs(s, d)
+    val quant = Similarity.hashSampledQuantizer(e, nlist = 16)
+    val cb = Similarity.hashSampledPqCodebook(e, m = 8, ksub = 16)
+    Similarity.ivfPqTopK(quant, cb, e.filter(col("vec_id") < 20), e,
+      k = 5, nprobe = 4)
+  }
+
   // Reproducible hash split: identical buckets on both engines from the
   // same md5 digest — training-data splits must not depend on engine or
   // partitioning.
@@ -596,6 +681,40 @@ object PipelineQueries extends QueryRegistry {
       |            THEN 1 ELSE 0 END AS INT) AS gopher_pass
       |FROM tok LEFT JOIN top ON top.doc_id = tok.doc_id""") { (s, d) =>
     TextAnalysis.repetitionStats(docs(s, d))
+  }
+
+  // Global top-k 3-grams with collection + document frequency — the
+  // vocabulary-audit / contamination-screen primitive. Tie-break on
+  // the gram string keeps the k-boundary deterministic cross-engine.
+  q("t_topk_ngrams",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |              FROM documents),
+      |grams AS (
+      |  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+      |  FROM toks, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+      |  WHERE len(ws) >= 3)
+      |SELECT gram, CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+      |FROM grams GROUP BY gram
+      |ORDER BY cnt DESC, gram LIMIT 50""") { (s, d) =>
+    TextAnalysis.topKNgrams(docs(s, d), n = 3, k = 50)
+  }
+
+  // Per-doc rarity stats vs the corpus unigram table — rare-word
+  // quality signal as exact integers (no float knife-edges): total /
+  // minimum global token frequency and the hapax count per document.
+  q("t_unigram_rarity",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |              FROM documents),
+      |vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok)
+      |SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_tokens,
+      |       CAST(sum(v.c) AS BIGINT) AS sum_tok_freq,
+      |       CAST(min(v.c) AS BIGINT) AS min_tok_freq,
+      |       CAST(sum(CASE WHEN v.c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      |FROM toks t JOIN vocab v USING (tok)
+      |GROUP BY t.doc_id""") { (s, d) =>
+    TextAnalysis.rarityProjection(docs(s, d))
   }
 
   /** PII redaction: counts + scrubbed text, over documents enriched

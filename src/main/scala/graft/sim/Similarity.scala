@@ -357,6 +357,45 @@ object Similarity {
         round(col("adc"), 6).as("adc_dist"), col("rank"))
   }
 
+  /** IVF-PQ top-k: the composed billion-scale ANN layout (Jégou et al.
+    * 2011) — the coarse quantizer prunes the scanned FRACTION (each
+    * query probes `nprobe` of `nlist` inverted lists) and PQ codes cut
+    * the per-candidate IO 32× (ADC distance against m-byte codes, the
+    * raw candidate vectors are never read). At 100 TB the inverted
+    * lists are the table's partition layout and `codes` is the only
+    * column the scan touches; the ADC ranking is asymmetric so the
+    * query stays full-precision. Compose with an exact re-rank of the
+    * top candidates when recall of the raw metric matters.
+    */
+  def ivfPqTopK(quantizer: IvfQuantizer, codebook: PqCodebook,
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val assigned = quantizer.assign(corpus)
+      .select(col("vec_id").as("cand_id"), col("cell"))
+    val encoded = pqEncode(codebook, corpus)
+      .select(col("vec_id").as("cand_id"), col("codes"))
+    val lists = assigned.join(encoded, Seq("cand_id"))
+    val probeUdf = udf { (e: Seq[Double]) =>
+      quantizer.nearestCells(e, nprobe)
+    }
+    val q = queries.select(col("vec_id").as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("eq"))
+      .withColumn("cell", explode(probeUdf(col("eq"))))
+    val dist = udf { (qv: Seq[Double], codes: Seq[Int]) =>
+      codebook.adcDistance(qv, codes)
+    }
+    val cands = q.join(lists, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .dropDuplicates("query_id", "cand_id")
+      .withColumn("adc", dist(col("eq"), col("codes")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc"), col("cand_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"),
+        round(col("adc"), 6).as("adc_dist"), col("rank"))
+  }
+
   /** Per-label centroids in long format (label, dim, centroid, n_vecs):
     * posexplode → per-(label, dim) mean — one shuffle keyed on
     * (label, dim), partial aggregation map-side, no vector assembly on

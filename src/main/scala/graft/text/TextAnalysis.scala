@@ -144,6 +144,86 @@ object TextAnalysis {
       redactPii(col(textCol)).as("redacted"): _*)
   }
 
+  // ------------------------------------------- corpus n-gram statistics
+
+  /** Word n-grams as an array column (empty below n tokens). Built from
+    * zipped slices — never `sequence(1, size-n+1)`, whose descending
+    * [1,0] result on short docs would fabricate grams — and stays
+    * entirely inside whole-stage codegen.
+    */
+  def ngramsCol(toks: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val m = size(toks) - (n - 1)
+    val grams = (2 to n).foldLeft(slice(toks, lit(1), m)) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j), m), (a, b) => concat_ws(" ", a, b))
+    }
+    when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
+  }
+
+  /** Global top-k n-grams with collection and document frequency — the
+    * vocabulary-audit / contamination-screen primitive. The explode is
+    * map-local; the gram-keyed aggregation combines map-side before its
+    * single shuffle (distinct-grams-per-partition bounds the exchange,
+    * not the token stream); the top-k runs as TakeOrderedAndProject, no
+    * global sort materialization. Tie-break on the gram string keeps
+    * the k-boundary deterministic on any engine.
+    */
+  def topKNgrams(docs: DataFrame, n: Int = 3, k: Int = 50): DataFrame =
+    docs.select(col("doc_id"),
+        explode(ngramsCol(tokens(col("text")), n)).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("cnt"),
+        count_distinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(k)
+
+  /** Corpus unigram vocabulary: token -> collection frequency. One
+    * token-keyed shuffle with map-side partial counts; the result is
+    * heads-heavy and orders of magnitude smaller than the token stream,
+    * so downstream joins broadcast it.
+    */
+  def unigramCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+
+  /** Per-doc rarity statistics against the corpus unigram table — the
+    * rare-word quality signal as EXACT INTEGERS (sum/min of global
+    * token frequency, hapax count) so the driver entry hash-matches
+    * cross-engine; the float LM score lives in [[unigramLogProb]].
+    * Two token-keyed passes: vocab build, then vocab⋈tokens (broadcast
+    * when the vocab fits) reduced per doc_id.
+    */
+  def rarityProjection(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("tok"))
+    toks.join(unigramCounts(docs), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("c")).as("sum_tok_freq"),
+        min(col("c")).as("min_tok_freq"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+  }
+
+  /** Per-doc average negative log unigram probability — the CCNet-style
+    * LM-quality proxy. Kept as a spec'd API rather than an oracle entry:
+    * Java Math.log and libm ln disagree by 1 ulp on ~2e-5 of integer
+    * inputs (measured), so a cross-engine float hash-match is not
+    * achievable; [[rarityProjection]] is the exact-integer driver
+    * surface of the same signal.
+    */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("tok"))
+    val vocab = unigramCounts(docs)
+    val total = vocab.agg(sum(col("c")).as("total"))
+    toks.join(vocab, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(log(col("total").cast("double")) -
+          log(col("c").cast("double"))).as("avg_neg_logp"))
+  }
+
   /** Gopher-style repetition filters (Rae et al. 2021 §A1.1, adapted to
     * word level): duplicate-word fraction and the share of tokens
     * covered by the most frequent 2-gram, plus the pass/fail gate. The

@@ -141,6 +141,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall > 0.9, s"IVF recall $recall")
   }
 
+  test("IVF-PQ: same-cluster candidates dominate, deterministic, prunes the scan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = for {
+      c <- 0 until 8
+      m <- 0 until 12
+    } yield {
+      val center = Array.tabulate(16)(d => math.cos(c * 16 + d).toFloat * 5)
+      val vec = center.map(x => x + rnd.nextGaussian().toFloat * 0.1f)
+      ((c * 12 + m).toLong, vec.toSeq, c)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val quant = Similarity.hashSampledQuantizer(df, nlist = 8)
+    val cb = Similarity.hashSampledPqCodebook(df, m = 4, ksub = 8)
+    val out = Similarity.ivfPqTopK(quant, cb, df, df, k = 3, nprobe = 2)
+      .collect()
+    // deterministic across invocations (frozen quantizer + codebook)
+    val out2 = Similarity.ivfPqTopK(quant, cb, df, df, k = 3, nprobe = 2)
+      .collect()
+    assert(out.map(_.toString).sorted.sameElements(out2.map(_.toString).sorted))
+    // Two approximations compound (IVF prunes cells, PQ distorts
+    // distances), so purity sits below either alone (~0.73 here) but
+    // far above the 1/8 chance floor — the recall/IO trade the layout
+    // exists for; exact re-rank of the survivors recovers the rest.
+    val labels = rows.map(r => r._1 -> r._3).toMap
+    val purity = out.count(r =>
+      labels(r.getAs[Long]("query_id")) == labels(r.getAs[Long]("cand_id")))
+      .toDouble / out.length
+    assert(purity > 0.6, s"IVF-PQ same-cluster purity $purity")
+  }
+
   test("repetition stats: repeated text fails the gopher gate, varied text passes") {
     val df = docsDf(
       (1L, "a a a a a a"), // dup_frac 5/6, top bigram "a a" ×5
@@ -475,5 +506,53 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(1L) == ((1, 1, 1, "write <EMAIL> or <IP> call <PHONE>")))
     assert(out(2L) == ((0, 0, 0, "no pii here just words")))
     assert(out(3L) == ((2, 1, 0, "two mails <EMAIL> <EMAIL> one ip <IP>")))
+  }
+
+  test("topKNgrams counts grams with deterministic tie-break; short docs contribute none") {
+    val df = docsDf(
+      (1L, "a b c a b c"),    // "a b c"×2, "b c a", "c a b"
+      (2L, "a b c x"),        // "a b c", "b c x"
+      (3L, "one two"))        // < 3 tokens: no trigrams
+    val out = TextAnalysis.topKNgrams(df, n = 3, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("a b c", 3L, 2L), ("b c a", 1L, 1L), ("b c x", 1L, 1L)))
+  }
+
+  test("ngramsCol is empty below n tokens and never fabricates from the descending-sequence trap") {
+    val df = docsDf((1L, "solo"), (2L, "x y"))
+    val out = df.select(col("doc_id"),
+        size(TextAnalysis.ngramsCol(TextAnalysis.tokens(col("text")), 3)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 0, 2L -> 0))
+  }
+
+  test("rarityProjection computes exact global-frequency stats per doc") {
+    val df = docsDf(
+      (1L, "the the rareword"),  // the:3 total, rareword:1
+      (2L, "the common common")) // common:2
+    val out = TextAnalysis.rarityProjection(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("sum_tok_freq"),
+          r.getAs[Long]("min_tok_freq"), r.getAs[Long]("n_hapax")))).toMap
+    assert(out(1L) == ((3L, 3L + 3L + 1L, 1L, 1L)))
+    assert(out(2L) == ((3L, 3L + 2L + 2L, 2L, 0L)))
+  }
+
+  test("unigramLogProb: uniform corpus scores ln(V) per token exactly") {
+    // 4 distinct tokens, each appearing once: p = 1/4 for every token,
+    // so avg_neg_logp = ln(4) for both docs.
+    val df = docsDf((1L, "aa bb"), (2L, "cc dd"))
+    val out = TextAnalysis.unigramLogProb(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_neg_logp"))
+      .toMap
+    assert(math.abs(out(1L) - math.log(4)) < 1e-12)
+    assert(math.abs(out(2L) - math.log(4)) < 1e-12)
+    // rarer tokens score higher: plant a doc of hapaxes vs repeats
+    val df2 = docsDf((1L, "x x x x"), (2L, "p q r s"))
+    val o2 = TextAnalysis.unigramLogProb(df2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_neg_logp"))
+      .toMap
+    assert(o2(2L) > o2(1L))
   }
 }
