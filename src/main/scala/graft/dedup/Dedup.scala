@@ -356,6 +356,37 @@ object Dedup {
       .select("vec_a", "vec_b", "cosine")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    * embedding space with a coarse quantizer, compare cosine only
+    * WITHIN each cell, and drop every vector that has a smaller-id
+    * neighbor within `minCosine` in its cell. The within-cell
+    * restriction is the scale story: pair cost falls from n² to
+    * Σ|cell|² with |cell| ≈ n/nlist, cells are the shuffle keys, and no
+    * cross-partition pair exists by construction. Missed cross-cell
+    * dups are the accepted recall trade (the paper's too) — raise
+    * nlist to shrink cells, multi-assign for recall.
+    *
+    * The keep rule is a single pass (smaller id within threshold ⇒
+    * drop), not iterative clustering, so the decision — and therefore
+    * the DuckDB oracle — needs no fixpoint. The threshold compares RAW
+    * cosines (sequential fold, bit-equal cross-engine); nothing is
+    * rounded before the comparison, so there is no knife-edge.
+    */
+  def semDedup(quantizer: graft.sim.Similarity.IvfQuantizer,
+      embeddings: DataFrame, minCosine: Double): DataFrame = {
+    val assigned = quantizer.assign(embeddings)
+    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+      col("e").as("ea"))
+    val b = assigned.select(col("cell").as("cell_b"),
+      col("vec_id").as("vec_b"), col("e").as("eb"))
+    val dropped = a.join(b,
+        col("cell") === col("cell_b") && col("vec_a") < col("vec_b"))
+      .filter(cosineCol(col("ea"), col("eb")) >= minCosine)
+      .select(col("vec_b").as("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
+
   // ------------------------------------- duplicate-cluster resolution
 
   /** Connected components over candidate duplicate pairs — the dedup

@@ -355,6 +355,52 @@ object PipelineQueries extends QueryRegistry {
     Dedup.cosineNearDup(embs(s, d), minCosine = 0.4)
   }
 
+  /** SemDeDup reproduced in DuckDB: cell assignment re-derived exactly
+    * as the sim_ivf_topk oracle does (hash-sampled centers, sequential
+    * squared-L2 fold, ties to the smaller cell), then the single-pass
+    * keep rule — drop any vector with a smaller-id within-cell
+    * neighbor at raw cosine ≥ τ. The threshold compares UNROUNDED
+    * cosines: the sequential fold is bit-equal cross-engine, so the
+    * boundary cannot move on one side only.
+    */
+  private val semDedupOracleSql: String = {
+    val (nlist, dims, tau) = (16, 64, 0.4)
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |            FROM embeddings),
+       |ctr0 AS (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, e
+       |         FROM emb ORDER BY h LIMIT $nlist),
+       |ctr AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cell, e AS c
+       |        FROM ctr0),
+       |dst AS (
+       |  SELECT v.vec_id, c.cell,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, ${dims + 1}), i ->
+       |             (v.e[CAST(i AS INT)] - c.c[CAST(i AS INT)]) *
+       |             (v.e[CAST(i AS INT)] - c.c[CAST(i AS INT)]))),
+       |           (a, x) -> a + x) AS d2
+       |  FROM emb v CROSS JOIN ctr c),
+       |asg AS (
+       |  SELECT vec_id, cell
+       |  FROM (SELECT vec_id, cell,
+       |          row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY d2, cell) AS pr
+       |        FROM dst) WHERE pr = 1),
+       |drops AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN emb ea ON ea.vec_id = a.vec_id
+       |  JOIN emb eb ON eb.vec_id = b.vec_id
+       |  WHERE list_cosine_similarity(ea.e, eb.e) >= $tau)
+       |SELECT CAST(v.vec_id AS BIGINT) AS vec_id, CAST(v.cell AS INT) AS cell
+       |FROM asg v WHERE v.vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin
+  }
+
+  q("dd_semdedup", semDedupOracleSql) { (s, d) =>
+    val e = embs(s, d)
+    Dedup.semDedup(Similarity.hashSampledQuantizer(e, nlist = 16), e,
+      minCosine = 0.4)
+  }
+
   // -------------------------------------------------------- similarity
 
   q("sim_cosine_topk",

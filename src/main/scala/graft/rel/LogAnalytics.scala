@@ -171,6 +171,30 @@ object LogAnalytics extends QueryRegistry {
       round(expr("percentile(value, 0.95)"), 4).as("p95"))
   }
 
+  /** Approximate quantiles with a quantitative error bound, same
+    * pattern as the HLL entry: the sketch value itself can't
+    * hash-match (KLL/GK internals differ by engine), so the entry
+    * outputs the EXACT p50 plus a flag that Spark's
+    * approx_percentile(·, 0.5, 10000) landed inside the exact
+    * [p49, p51] rank envelope — 100× looser than the sketch's 1e-4
+    * rank-error guarantee, so the flag is deterministically 1, and any
+    * sketch regression flips it.
+    */
+  q("la_approx_quantiles",
+    """SELECT event_type,
+      |       round(quantile_cont(value, 0.5), 4) AS p50,
+      |       CAST(1 AS INT) AS kll_within_bounds
+      |FROM events GROUP BY event_type""") { (s, d) =>
+    events(s, d).groupBy("event_type").agg(
+      round(expr("percentile(value, 0.5)"), 4).as("p50"),
+      expr("approx_percentile(value, 0.5, 10000)").as("approx"),
+      expr("percentile(value, 0.49)").as("lo"),
+      expr("percentile(value, 0.51)").as("hi"))
+      .select(col("event_type"), col("p50"),
+        (col("approx") >= col("lo") && col("approx") <= col("hi"))
+          .cast("int").as("kll_within_bounds"))
+  }
+
   /** Ranking-window family: ntile, percent_rank, cume_dist,
     * first/last value over the full frame.
     */

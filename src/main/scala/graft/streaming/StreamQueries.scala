@@ -136,6 +136,50 @@ object StreamQueries extends QueryRegistry {
       .select(col("user_id"),
         unix_timestamp(col("w.start")).as("session_start"), col("n_events"))
 
+  /** Raw schema of documents.parquet (plain types — no nanos caveat). */
+  private val docsDdl =
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+  /** File-source stream over the documents table (same single-file
+    * glob trick as [[eventStream]]).
+    */
+  def docStream(spark: SparkSession, dir: String,
+      extraOptions: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream.schema(docsDdl)
+      .options(extraOptions)
+      .option("basePath", dir)
+      .parquet(dir + "/documents.[p]arquet")
+
+  /** Streaming frequent n-grams (heavy hitters): complete-mode gram
+    * counting with a support threshold — the streaming face of
+    * [[graft.text.TextAnalysis.topKNgrams]]. A support FILTER stands in
+    * for top-k because streaming Datasets support neither limit nor
+    * non-time windows; the threshold gate is exact integers, and the
+    * complete-mode state holds the full gram table regardless of
+    * micro-batch slicing, so the sink equals the batch answer.
+    */
+  q("st_frequent_ngrams",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |              FROM documents),
+      |grams AS (
+      |  SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+      |  FROM toks, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+      |  WHERE len(ws) >= 3)
+      |SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+      |FROM grams GROUP BY gram HAVING count(*) >= 5""") { (s, d) =>
+    runToCompletion(frequentNgrams(docStream(s, d), minSupport = 5L),
+      "complete")
+  }
+
+  /** The st_frequent_ngrams transform over any documents(-shaped)
+    * stream.
+    */
+  def frequentNgrams(docs: DataFrame, minSupport: Long): DataFrame =
+    docs.select(explode(graft.text.TextAnalysis.ngramsCol(
+        graft.text.TextAnalysis.tokens(col("text")), 3)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minSupport)
+
   /** Streaming exact dedup (append mode): each (user, type) pair emits
     * exactly once, on first sight — the final sink table is the
     * distinct set whatever the micro-batch slicing.

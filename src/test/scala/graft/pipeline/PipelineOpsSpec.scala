@@ -172,6 +172,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(purity > 0.6, s"IVF-PQ same-cluster purity $purity")
   }
 
+  test("semDedup drops planted duplicates within cells, keeps the rest") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val originals = (0 until 20).map { i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat), 0)
+    }
+    // exact copies of the first 5 vectors, larger ids — same cell by
+    // construction, cosine exactly 1
+    val copies = (0 until 5).map { i =>
+      (100L + i, originals(i)._2, 0)
+    }
+    val df = (originals ++ copies).toDF("vec_id", "embedding", "label")
+    val quant = Similarity.hashSampledQuantizer(df, nlist = 4)
+    val kept = Dedup.semDedup(quant, df, minCosine = 0.95)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(kept == (0 until 20).map(_.toLong).toSet,
+      s"survivors: ${kept.toSeq.sorted}")
+  }
+
   test("repetition stats: repeated text fails the gopher gate, varied text passes") {
     val df = docsDf(
       (1L, "a a a a a a"), // dup_frac 5/6, top bigram "a a" ×5

@@ -118,4 +118,38 @@ class StreamQueriesSpec extends AnyFunSuite {
     assert(expected.count() > 50)
     assert(rowSet(got) == rowSet(expected))
   }
+
+  private lazy val docsDir: String = {
+    import spark.implicits._
+    val rows = (0 until 80).map { i =>
+      // even docs share one 7-token sentence (its 5 trigrams each hit
+      // 40×); odd docs contribute only unique grams (count 1)
+      val txt = if (i % 2 == 0) "spark makes big data simple for all"
+        else s"unique tokens t${i}a t${i}b t${i}c"
+      (i.toLong, txt, "en", "syn", txt.length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("stq_docs").toString
+    (0 until 4).foreach { slice =>
+      rows.filter(_._1 % 4 == slice)
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(s"$dir/documents.parquet")
+    }
+    dir
+  }
+
+  test("streaming frequent ngrams accumulate across micro-batches") {
+    val stream = StreamQueries.docStream(spark, docsDir,
+      Map("maxFilesPerTrigger" -> "1"))
+    val (got, batches) = run(
+      StreamQueries.frequentNgrams(stream, minSupport = 5L),
+      "complete", "mb_ngrams")
+    assert(batches >= 4)
+    val out = got.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exactly the shared sentence's 5 trigrams, each counted over all
+    // 4 micro-batches (40 even docs); every unique gram filtered out
+    assert(out == Map(
+      "spark makes big" -> 40L, "makes big data" -> 40L,
+      "big data simple" -> 40L, "data simple for" -> 40L,
+      "simple for all" -> 40L))
+  }
 }
