@@ -18,7 +18,9 @@ object Bench {
     "t_quality", "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard",
     "sim_cosine_topk", "mm_media_meta", "la_sessionize", "asof_join",
     "asof_join_native", "k1_polytrend_moments", "rng_point_in_interval",
-    "skew_join_naive", "skew_join_salted")
+    "skew_join_naive", "skew_join_salted",
+    // round 6 additions — keep r2-r5 comparisons to the 23 names above
+    "t_topk_ngrams", "dd_semdedup", "sim_ivfpq_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -845,15 +845,28 @@ object RelQueries extends QueryRegistry {
       |JOIN region   ON n_regionkey = r_regionkey
       |WHERE r_name = 'ASIA'
       |GROUP BY n_name""") { (s, d) =>
-    t(s, d, "customer")
+    // The region predicate reaches BOTH fact-side inputs before any
+    // big join: nation⋈region(ASIA) is ≤5 rows, broadcast as a
+    // semi-join filter onto customer and as the name-carrying dim onto
+    // supplier. Catalyst cannot derive this rewrite itself (the filter
+    // chains through s_nationkey = c_nationkey), and at scale it cuts
+    // the customer⋈orders⋈lineitem pipeline to the ASIA fraction
+    // (~1/5) instead of filtering after the full fact join.
+    val asia = t(s, d, "nation")
+      .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = t(s, d, "customer")
+      .join(broadcast(asia.select(col("n_nationkey").as("__nk"))),
+        col("c_nationkey") === col("__nk"), "left_semi")
+    val supp = t(s, d, "supplier")
+      .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
+    cust
       .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
       .join(t(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
-      .join(t(s, d, "supplier"),
+      .join(supp,
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
-      .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
-      .filter(col("r_name") === "ASIA")
       .groupBy("n_name")
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
         .as("revenue"))
