@@ -6,7 +6,7 @@ import graft.functions.RollingHash.rolling_hash
 import graft.io.Tables
 import graft.multimodal.Multimodal
 import graft.sim.Similarity
-import graft.text.TextAnalysis
+import graft.text.{Search, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Driver-contract entries for the training-data pipeline operators
@@ -761,6 +761,58 @@ object PipelineQueries extends QueryRegistry {
       |FROM toks t JOIN vocab v USING (tok)
       |GROUP BY t.doc_id""") { (s, d) =>
     TextAnalysis.rarityProjection(docs(s, d))
+  }
+
+  // BM25 keyword search: rational RSJ idf (no logs — see Search's float
+  // determinism contract), tf as codegen'd array filters, corpus stats
+  // one broadcast row, top-k via TakeOrderedAndProject. The 'dup' term
+  // is the rare discriminator in the synthetic vocabulary.
+  private val bm25Terms = Seq("dup", "spark", "merge", "scan")
+
+  q("t_bm25_topk", Search.bm25OracleSql(bm25Terms, k = 25)) { (s, d) =>
+    Search.bm25TopK(docs(s, d), bm25Terms, k = 25)
+  }
+
+  // Inverted index build: token -> (df, cf, capped sorted postings).
+  // Postings serialized to CSV so the relational compare stays sortable.
+  q("t_inverted_index",
+    """SELECT tok,
+      |       CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+      |       CAST(count(*) AS BIGINT) AS coll_freq,
+      |       array_to_string(list_sort(list(DISTINCT doc_id))[1:32], ',')
+      |         AS postings
+      |FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |             unnest(string_split(text, ' ')) AS tok
+      |      FROM documents)
+      |GROUP BY tok HAVING count(DISTINCT doc_id) >= 2""") { (s, d) =>
+    Search.invertedIndex(docs(s, d), maxPostings = 32, minDf = 2L)
+  }
+
+  // Temperature-scaled source mixing (mC4/XLM-R alpha-sampling, alpha =
+  // 0.5): integer-sqrt weights -> pure integer quota split -> md5-rank
+  // membership. Quotas and membership are exact cross-engine.
+  q("t_temp_mix",
+    """WITH counts AS (SELECT source, count(*) AS n_s
+      |                FROM documents GROUP BY source),
+      |wts AS (SELECT source, n_s,
+      |               CAST(floor(sqrt(CAST(n_s AS DOUBLE))) AS BIGINT) AS w
+      |        FROM counts),
+      |quotas AS (SELECT source, n_s, (200 * w) // (SELECT sum(w) FROM wts)
+      |                  AS quota
+      |           FROM wts),
+      |ranked AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+      |                  row_number() OVER (PARTITION BY source
+      |                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+      |                    AS rk
+      |           FROM documents)
+      |SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS rk,
+      |       CAST(q.quota AS BIGINT) AS quota,
+      |       CAST(q.n_s AS BIGINT) AS n_s
+      |FROM ranked r JOIN quotas q USING (source)
+      |WHERE r.rk <= q.quota""") { (s, d) =>
+    Sampling.temperatureMix(docs(s, d), "source", "doc_id", budget = 200L)
+      .select(col("doc_id"), col("source"), col("rk"), col("quota"),
+        col("n_s"))
   }
 
   /** PII redaction: counts + scrubbed text, over documents enriched

@@ -47,6 +47,43 @@ object Sampling {
       .drop("__pct")
   }
 
+  /** Temperature-scaled mixture sampling (the multilingual/multi-source
+    * α-sampling of mC4 / XLM-R): stratum s gets a quota ∝ n_s^α of the
+    * total `budget`, flattening the head sources and boosting the tail,
+    * then quota members are chosen by md5 rank so the selection is a
+    * pure function of the ids.
+    *
+    * Exactness contract: α is fixed at 0.5 and the weight is the
+    * INTEGER sqrt `floor(sqrt(n_s))` — IEEE sqrt is correctly rounded
+    * on every engine, floor makes it an exact integer, and the weight
+    * sum + quota split are then pure integer arithmetic (`div`), so
+    * quotas are identical across engines and cluster layouts with no
+    * float-summation order sensitivity (a general-α `pow` would hit
+    * the 1-ulp libm/JVM divergence).
+    *
+    * Shape for scale: stratum counts are one map-side-combined
+    * aggregate; the quota table is strata-sized (tiny) and broadcast
+    * back; the md5 rank is one window shuffle partitioned BY STRATUM —
+    * never a global sort.
+    */
+  def temperatureMix(df: DataFrame, strataCol: String, idCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val counts = df.groupBy(strataCol)
+      .agg(count(lit(1)).as("n_s"))
+      .withColumn("w", floor(sqrt(col("n_s").cast("double"))).cast("long"))
+    val total = counts.agg(sum(col("w")).as("tw"))
+    val quotas = counts.crossJoin(broadcast(total))
+      .select(col(strataCol), col("n_s"),
+        expr(s"($budget * w) div tw").as("quota"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("rk", row_number().over(rk).cast("long"))
+      .join(broadcast(quotas), Seq(strataCol))
+      .filter(col("rk") <= col("quota"))
+  }
+
   /** Sequence packing (concat-then-chunk, the standard pretraining
     * layout): documents are concatenated per shard in `orderCol` order
     * and split at `capacity`-token boundaries; each doc gets the chunk

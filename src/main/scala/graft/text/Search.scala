@@ -1,0 +1,152 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus search primitives for the training-data pipeline (SURVEY
+  * §7.5 additive scope): BM25 keyword ranking and inverted-index
+  * construction. Both are the retrieval half of data curation — find
+  * the documents about X, audit what the corpus says about Y — and
+  * both are designed to hash-match a DuckDB oracle bit-for-bit.
+  *
+  * Float determinism contract (BM25): the score uses ONLY IEEE-754
+  * +, −, ×, ÷ over exactly-representable inputs (integer counts and
+  * decimal literals), combined in a fixed left-to-right association
+  * that the oracle SQL mirrors token-for-token. Correctly-rounded
+  * arithmetic is engine-independent, so no `round()` blurring is
+  * needed — unlike `ln`-based idf, whose 1-ulp libm/JVM divergence
+  * would break cross-engine hashing. The idf weight is therefore the
+  * RAW Robertson–Sparck-Jones odds `(N − df + 0.5) / (df + 0.5)`
+  * rather than its logarithm; ranking is still monotone in df/tf for
+  * single-term queries and the blend is a documented engine semantic.
+  */
+object Search {
+
+  /** BM25 length-normalization constants (Robertson et al., TREC-3).
+    * Declared as decimal strings so Spark and the generated oracle SQL
+    * parse the IDENTICAL double (never compute 1.2 + 1 in Scala — that
+    * sum is a round-to-even knife edge away from the literal 2.2).
+    */
+  val K1 = "1.2"
+  val K1PlusOne = "2.2"
+  val B = "0.75"
+  val OneMinusB = "0.25"
+
+  /** Per-term BM25 contribution for one document.
+    * w_t · (tf·(k1+1)) / (tf + k1·((1−b) + (b·dl)/avgdl))
+    * with w_t = ((N − df) + 0.5) / (df + 0.5). Parenthesization is the
+    * contract — [[bm25OracleSql]] emits the same tree.
+    */
+  private def termScore(tf: Column, df: Column, dl: Column,
+      nDocs: Column, totalDl: Column): Column = {
+    val avgdl = totalDl.cast("double") / nDocs.cast("double")
+    val norm = lit(K1).cast("double") *
+      (lit(OneMinusB).cast("double") +
+        (lit(B).cast("double") * dl.cast("double")) / avgdl)
+    val w = ((nDocs.cast("double") - df.cast("double")) + lit(0.5)) /
+      (df.cast("double") + lit(0.5))
+    w * ((tf.cast("double") * lit(K1PlusOne).cast("double")) /
+      (tf.cast("double") + norm))
+  }
+
+  /** Top-k documents for a bag-of-words query under BM25 ranking.
+    *
+    * Shape for scale: term frequencies are per-row column expressions
+    * over the token array (`size(filter(...))` — whole-stage codegen,
+    * no explode, no shuffle); corpus statistics (N, Σdl, per-term df)
+    * are ONE global aggregate broadcast back over the scored scan; the
+    * top-k is order-by + limit, which Spark executes as
+    * TakeOrderedAndProject — per-partition heaps, no global sort. Two
+    * passes over the corpus total, zero wide shuffles; at 100 TB the
+    * stats pass is a map-reduce to a single row and the scoring pass is
+    * embarrassingly parallel.
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 25)
+      : DataFrame = {
+    require(terms.nonEmpty && terms.size <= 16,
+      s"1..16 query terms, got ${terms.size}")
+    require(k > 0, s"k must be positive: $k")
+    val toks = TextAnalysis.tokens(col("text"))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(toks, x => x === t)).as(s"tf_$i")
+    }
+    val base = docs.select(col("doc_id") +: size(toks).as("dl") +: tfCols: _*)
+    val statAggs = count(lit(1)).as("n_docs") +:
+      sum(col("dl")).as("total_dl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val score = terms.indices
+      .map(i => termScore(col(s"tf_$i"), col(s"df_$i"), col("dl"),
+        col("n_docs"), col("total_dl")))
+      .reduceLeft(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id") +: col("dl") +:
+        terms.indices.map(i => col(s"tf_$i")) :+ score.as("score"): _*)
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle text for [[bm25TopK]], generated from the same term
+    * list and constants so the two expression trees cannot drift.
+    */
+  def bm25OracleSql(terms: Seq[String], k: Int = 25): String = {
+    val tfs = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS INT) AS tf_$i"
+    }.mkString(",\n       ")
+    val dfs = terms.indices.map(i =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i")
+      .mkString(",\n       ")
+    val contribs = terms.indices.map { i =>
+      s"""(((CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE)) + 0.5) /
+         |(CAST(df_$i AS DOUBLE) + 0.5)) *
+         |((CAST(tf_$i AS DOUBLE) * $K1PlusOne) /
+         |(CAST(tf_$i AS DOUBLE) + $K1 * ($OneMinusB +
+         |($B * CAST(dl AS DOUBLE)) /
+         |(CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"""
+        .stripMargin.linesIterator.mkString(" ")
+    }.mkString(" + ")
+    val tfOut = terms.indices.map(i => s"tf_$i").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |       CAST(len(string_split(text, ' ')) AS INT) AS dl,
+       |       $tfs
+       |  FROM documents
+       |), stats AS (
+       |  SELECT count(*) AS n_docs, sum(dl) AS total_dl,
+       |       $dfs
+       |  FROM base
+       |)
+       |SELECT doc_id, dl, $tfOut, score
+       |FROM (SELECT b.*, $contribs AS score FROM base b CROSS JOIN stats)
+       |WHERE score > 0
+       |ORDER BY score DESC, doc_id
+       |LIMIT $k""".stripMargin
+  }
+
+  /** Inverted index: token → document/collection frequency + the first
+    * `maxPostings` doc ids (sorted). Tokens below `minDf` documents are
+    * dropped (hapax noise). One token-keyed shuffle with map-side
+    * partial aggregation; the posting cap bounds per-token state so a
+    * stopword's full posting list (≈ every doc id in the corpus) never
+    * materializes beyond the cap — the uncapped variant would make the
+    * hottest reducer hold O(N) ids at 100 TB. Serialized as a CSV
+    * string so the relational compare stays sortable.
+    */
+  def invertedIndex(docs: DataFrame, maxPostings: Int = 32,
+      minDf: Long = 2L): DataFrame = {
+    require(maxPostings > 0, s"maxPostings must be positive: $maxPostings")
+    docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("coll_freq"),
+        count_distinct(col("doc_id")).as("doc_freq"),
+        slice(sort_array(collect_set(col("doc_id"))), 1, maxPostings)
+          .as("post_arr"))
+      .filter(col("doc_freq") >= minDf)
+      .select(col("tok"), col("doc_freq"), col("coll_freq"),
+        concat_ws(",", transform(col("post_arr"), _.cast("string")))
+          .as("postings"))
+  }
+}

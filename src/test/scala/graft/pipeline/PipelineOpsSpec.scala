@@ -4,7 +4,8 @@ import graft.dedup.Dedup
 import graft.functions.RollingHash
 import graft.multimodal.Multimodal
 import graft.sim.Similarity
-import graft.text.TextAnalysis
+import graft.pipeline.Sampling
+import graft.text.{Search, TextAnalysis}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -573,5 +574,64 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_neg_logp"))
       .toMap
     assert(o2(2L) > o2(1L))
+  }
+
+  test("bm25TopK ranks the rare-term doc first and drops non-matches") {
+    // 'needle' appears in one doc (df=1, high idf); 'common' in all.
+    val df = docsDf(
+      (1L, "common common common common"),
+      (2L, "needle common filler filler"),
+      (3L, "common filler filler filler"),
+      (4L, "zebra zebra zebra zebra"))
+    val out = Search.bm25TopK(df, Seq("needle", "common"), k = 10)
+      .collect()
+    assert(out.head.getAs[Long]("doc_id") == 2L,
+      s"rare-term doc must rank first: ${out.mkString(";")}")
+    // doc 4 matches neither query term -> excluded entirely
+    assert(!out.exists(_.getAs[Long]("doc_id") == 4L))
+    // more hits of the same term score higher under equal length
+    assert(out.map(_.getAs[Long]("doc_id")).indexOf(1L) <
+      out.map(_.getAs[Long]("doc_id")).indexOf(3L))
+  }
+
+  test("bm25TopK length normalization: same tf, shorter doc wins") {
+    val df = docsDf(
+      (1L, "hit pad pad pad pad pad pad pad pad pad pad pad"),
+      (2L, "hit pad pad"),
+      (3L, "pad pad pad"))
+    val out = Search.bm25TopK(df, Seq("hit"), k = 5).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L, 1L))
+    assert(out(0).getAs[Double]("score") > out(1).getAs[Double]("score"))
+  }
+
+  test("invertedIndex: postings sorted, capped, minDf enforced") {
+    val df = docsDf(
+      (3L, "aa bb aa"), (1L, "aa cc"), (2L, "aa bb"))
+    val out = Search.invertedIndex(df, maxPostings = 2, minDf = 2L)
+      .collect()
+      .map(r => r.getAs[String]("tok") ->
+        ((r.getAs[Long]("doc_freq"), r.getAs[Long]("coll_freq"),
+          r.getAs[String]("postings")))).toMap
+    // 'aa': 3 docs / 4 occurrences, postings capped at first 2 sorted ids
+    assert(out("aa") == ((3L, 4L, "1,2")))
+    assert(out("bb") == ((2L, 2L, "2,3")))
+    assert(!out.contains("cc")) // df=1 < minDf
+  }
+
+  test("temperatureMix: integer-sqrt quotas flatten the head stratum") {
+    import spark.implicits._
+    // strata: big=100 docs (w=10), small=4 docs (w=2) -> quotas of a
+    // budget 12 split 10/2: big gets 10 (not 12*100/104≈11.5), small 2.
+    val df = ((1L to 100L).map(i => (i, "big")) ++
+      (101L to 104L).map(i => (i, "small"))).toDF("doc_id", "src")
+    val out = Sampling.temperatureMix(df, "src", "doc_id", budget = 12L)
+    val bySrc = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("big" -> 10L, "small" -> 2L))
+    // membership is a pure function of ids: re-running yields same rows
+    val ids1 = out.select("doc_id").collect().map(_.getLong(0)).sorted
+    val ids2 = Sampling.temperatureMix(df, "src", "doc_id", budget = 12L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids1.sameElements(ids2))
   }
 }
