@@ -187,6 +187,75 @@ object KernelQueries extends QueryRegistry {
         to_json(transform(col("remainder"), c => round(c, 4))).as("remainder"))
   }
 
+  // K3 additive identity, ORACLE-CHECKED (k5_stl_identity's pattern
+  // pushed through the CHANGE-DETECTION path): the decomposition the
+  // change detector runs on must rebuild the 6-hour composite exactly —
+  // DuckDB computes the composite independently and the per-(series,
+  // idx) trend+seasonal+remainder reconstruction must hash-match it.
+  // Anchors K3's series assembly, bucketing, idx order, eligibility
+  // gate (n >= 6), and the STL stage inside changeDetection; only the
+  // loess weights and the DP segmentation stay rows-only.
+  q("k3_decomp_identity",
+    """WITH comp AS (
+      |  SELECT CAST(user_id AS BIGINT) AS user_id,
+      |         CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS bucket,
+      |         avg(value) AS y
+      |  FROM events GROUP BY 1, 2),
+      |idxd AS (
+      |  SELECT user_id,
+      |         CAST(row_number() OVER (PARTITION BY user_id
+      |                                 ORDER BY bucket) - 1 AS INT) AS idx,
+      |         y, count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM comp)
+      |SELECT user_id, idx, round(y, 4) AS recon
+      |FROM idxd WHERE n >= 6""") { (s, d) =>
+    val obs = TrendPipeline.eventsAsObservations(s, d)
+    TrendPipeline.dbestPointDecode(s, obs,
+      TrendPipeline.DbestPipelineParams(
+        startDate = "2024-01-01", endDate = "2026-01-01",
+        threshold = -1e18,
+        kernel = Dbest.Params(seasonality = 4, duration = 8,
+          firstLevelShift = 0.5, secondLevelShift = 0.5)),
+      composite = TrendPipeline.timeBucketComposite(_, 21600))
+      .select(col("longitude").cast("long").as("user_id"),
+        posexplode(zip_with(
+          zip_with(col("trend"), col("seasonal"), (a, b) => a + b),
+          col("remainder"), (a, b) => round(a + b, 4))))
+      .withColumnRenamed("pos", "idx")
+      .withColumnRenamed("col", "recon")
+  }
+
+  // K4 data-slot identity, ORACLE-CHECKED: the generalization payload's
+  // `data` series is the raw composited input (decode slot carries it
+  // for plotting) — it must equal DuckDB's independently computed
+  // composite element-for-element in series order.
+  q("k4_data_identity",
+    """WITH comp AS (
+      |  SELECT CAST(user_id AS BIGINT) AS user_id,
+      |         CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS bucket,
+      |         avg(value) AS y
+      |  FROM events GROUP BY 1, 2),
+      |idxd AS (
+      |  SELECT user_id,
+      |         CAST(row_number() OVER (PARTITION BY user_id
+      |                                 ORDER BY bucket) - 1 AS INT) AS idx,
+      |         y, count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM comp)
+      |SELECT user_id, idx, round(y, 4) AS data_val
+      |FROM idxd WHERE n >= 6""") { (s, d) =>
+    val obs = TrendPipeline.eventsAsObservations(s, d)
+    TrendPipeline.dbestGeneralization(s, obs,
+      TrendPipeline.DbestPipelineParams(
+        startDate = "2024-01-01", endDate = "2026-01-01",
+        threshold = -1e18,
+        kernel = Dbest.Params(seasonality = 4)),
+      composite = TrendPipeline.timeBucketComposite(_, 21600))
+      .select(col("longitude").cast("long").as("user_id"),
+        posexplode(transform(col("data"), c => round(c, 4))))
+      .withColumnRenamed("pos", "idx")
+      .withColumnRenamed("col", "data_val")
+  }
+
   // K4: DBEST generalization — stats plus the reference's three plotted
   // series (fit / data / f_local "trend local change", decode slot 8 at
   // `calculations/dbest.py:385-394`), JSON-serialized for the driver's
