@@ -49,6 +49,11 @@ object GraftEngine {
     // fused one-pass cosine (native expression, codegen'd)
     ColumnBridge.registerExpression(spark, "cosine_similarity",
       exprs => graft.functions.CosineSimilarity(exprs(0), exprs(1)))
+    // capped posting-list aggregate: k smallest distinct longs,
+    // O(k) state (bounded map-side partials; see BoundedMinSetAgg)
+    ColumnBridge.registerExpression(spark, "bounded_min_set",
+      exprs => graft.functions.BoundedMinSetAgg(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()))
   }
 
   /** DataFrame form of the moments-based K1 aggregate. */

@@ -128,11 +128,13 @@ object Search {
   /** Inverted index: token → document/collection frequency + the first
     * `maxPostings` doc ids (sorted). Tokens below `minDf` documents are
     * dropped (hapax noise). One token-keyed shuffle with map-side
-    * partial aggregation; the posting cap bounds per-token state so a
-    * stopword's full posting list (≈ every doc id in the corpus) never
-    * materializes beyond the cap — the uncapped variant would make the
-    * hottest reducer hold O(N) ids at 100 TB. Serialized as a CSV
-    * string so the relational compare stays sortable.
+    * partial aggregation; postings use [[graft.functions.BoundedMinSetAgg]]
+    * (the `limit` smallest distinct ids with O(limit) state) so a
+    * stopword's posting buffer never materializes its full O(corpus)
+    * distinct set on one reducer — `slice(sort_array(collect_set(...)))`
+    * would cap only the OUTPUT, after the unbounded set was already
+    * built. Serialized as a CSV string so the relational compare stays
+    * sortable.
     */
   def invertedIndex(docs: DataFrame, maxPostings: Int = 32,
       minDf: Long = 2L): DataFrame = {
@@ -142,8 +144,8 @@ object Search {
       .groupBy("tok")
       .agg(count(lit(1)).as("coll_freq"),
         count_distinct(col("doc_id")).as("doc_freq"),
-        slice(sort_array(collect_set(col("doc_id"))), 1, maxPostings)
-          .as("post_arr"))
+        graft.functions.BoundedMinSet
+          .bounded_min_set(col("doc_id"), maxPostings).as("post_arr"))
       .filter(col("doc_freq") >= minDf)
       .select(col("tok"), col("doc_freq"), col("coll_freq"),
         concat_ws(",", transform(col("post_arr"), _.cast("string")))

@@ -618,6 +618,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!out.contains("cc")) // df=1 < minDf
   }
 
+  test("bounded_min_set == slice(sort_array(collect_set)) with O(k) state") {
+    import spark.implicits._
+    // 1000 distinct values per key across many partitions forces real
+    // map-side partials + merges; cap at 7
+    val df = (0L until 1000L).map(i => (i % 3, (i * 2654435761L) % 100000L))
+      .toDF("k", "v").repartition(8)
+    val got = df.groupBy("k")
+      .agg(graft.functions.BoundedMinSet.bounded_min_set(col("v"), 7)
+        .as("caps"))
+    val want = df.groupBy("k")
+      .agg(slice(sort_array(collect_set(col("v"))), 1, 7).as("caps"))
+    val g = got.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val w = want.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(g == w)
+    // duplicates collapse; fewer distinct values than the cap -> all
+    val df2 = Seq((1L, 5L), (1L, 5L), (1L, 3L)).toDF("k", "v")
+    val o2 = df2.groupBy("k")
+      .agg(graft.functions.BoundedMinSet.bounded_min_set(col("v"), 7))
+      .collect()(0).getSeq[Long](1)
+    assert(o2 == Seq(3L, 5L))
+  }
+
   test("temperatureMix: integer-sqrt quotas flatten the head stratum") {
     import spark.implicits._
     // strata: big=100 docs (w=10), small=4 docs (w=2) -> quotas of a
