@@ -220,6 +220,40 @@ object StreamQueries extends QueryRegistry {
     runToCompletion(clickAttribution(eventStream(s, d)), "append")
   }
 
+  /** Stream-static enrichment join: each streamed event is joined to
+    * the STATIC customer dimension (re-read/broadcast per micro-batch —
+    * Spark's canonical enrichment pattern; no watermark needed on the
+    * static side, no state store involved), then aggregated per
+    * (market segment, event type) in complete mode. Proves the
+    * stream-static path computes the identical answer to the batch
+    * join whatever the micro-batch slicing.
+    */
+  q("st_static_enrich",
+    """SELECT c.c_mktsegment, e.event_type,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(floor(e.value * 10000 + 0.5) AS BIGINT))
+      |            AS BIGINT) AS value_u
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1, 2""") { (s, d) =>
+    runToCompletion(
+      staticEnrich(eventStream(s, d), Tables.load(s, d, "customer")),
+      "complete")
+  }
+
+  /** The st_static_enrich transform: stream joined to a static
+    * dimension frame, then a complete-mode aggregation (sum over
+    * scaled integers — streaming forbids exact distinct aggregates,
+    * and integer sums are order-insensitive, so the result
+    * hash-matches batch).
+    */
+  def staticEnrich(ev: DataFrame, dim: DataFrame): DataFrame =
+    ev.join(dim.select(col("c_custkey"), col("c_mktsegment")),
+        ev("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)"))
+          .as("value_u"))
+
   /** The st_click_attribution transform over any events(-shaped)
     * stream (a stream self-join: both sides branch off `ev`).
     */

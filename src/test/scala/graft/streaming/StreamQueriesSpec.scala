@@ -119,6 +119,21 @@ class StreamQueriesSpec extends AnyFunSuite {
     assert(rowSet(got) == rowSet(expected))
   }
 
+  test("stream-static enrichment equals the batch join across batches") {
+    import spark.implicits._
+    // static dim: users 0-4 in segment A, 5-9 in B — every micro-batch
+    // touches both segments, so per-batch joins must accumulate
+    val dim = (0 until 10)
+      .map(u => (u.toLong, if (u < 5) "SEG_A" else "SEG_B"))
+      .toDF("c_custkey", "c_mktsegment")
+    val (got, batches) = run(
+      StreamQueries.staticEnrich(multiBatchStream, dim), "complete",
+      "mb_enrich")
+    assert(batches >= 4)
+    assert(rowSet(got) == rowSet(
+      StreamQueries.staticEnrich(batchEvents, dim)))
+  }
+
   private lazy val docsDir: String = {
     import spark.implicits._
     val rows = (0 until 80).map { i =>
