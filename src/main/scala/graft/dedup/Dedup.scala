@@ -387,6 +387,30 @@ object Dedup {
       .select(col("vec_id"), col("cell"))
   }
 
+  /** Embedding-based benchmark decontamination: drop any corpus vector
+    * whose cosine against ANY held-out eval vector reaches `minCosine`
+    * — the semantic complement of the n-gram [[decontaminate]] (which
+    * catches verbatim overlap; this catches paraphrases).
+    *
+    * Scale shape = [[semDedup]]'s: BOTH sides are assigned to the same
+    * coarse-quantizer cells and comparisons happen within a cell only,
+    * so the join volume is Σ|corpus-cell|·|eval-cell|, never
+    * |corpus|·|eval|. Cross-cell contamination is out of reach by
+    * construction — the accepted recall trade of every IVF-bounded
+    * method; raise nlist/nprobe offline if the eval set demands more.
+    */
+  def embedDecontaminate(quantizer: graft.sim.Similarity.IvfQuantizer,
+      corpus: DataFrame, eval: DataFrame, minCosine: Double): DataFrame = {
+    val ca = quantizer.assign(corpus)
+    val ea = quantizer.assign(eval)
+      .select(col("cell").as("cell_e"), col("e").as("ee"))
+    val contaminated = ca.join(ea, col("cell") === col("cell_e"))
+      .filter(cosineCol(col("e"), col("ee")) >= minCosine)
+      .select("vec_id").distinct()
+    ca.join(contaminated, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
+
   // ------------------------------------- duplicate-cluster resolution
 
   /** Connected components over candidate duplicate pairs — the dedup

@@ -401,6 +401,54 @@ object PipelineQueries extends QueryRegistry {
       minCosine = 0.4)
   }
 
+  /** Embedding decontamination oracle: same cell re-derivation as the
+    * semDedup oracle, but drops are corpus-vs-EVAL within-cell pairs
+    * (eval slice = vec_id % 50 == 0). Unrounded cosine threshold — the
+    * sequential fold is bit-equal cross-engine.
+    */
+  private val embedDecontamOracleSql: String = {
+    val (nlist, dims, tau) = (16, 64, 0.25)
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |            FROM embeddings),
+       |ctr0 AS (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, e
+       |         FROM emb ORDER BY h LIMIT $nlist),
+       |ctr AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cell, e AS c
+       |        FROM ctr0),
+       |dst AS (
+       |  SELECT v.vec_id, c.cell,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, ${dims + 1}), i ->
+       |             (v.e[CAST(i AS INT)] - c.c[CAST(i AS INT)]) *
+       |             (v.e[CAST(i AS INT)] - c.c[CAST(i AS INT)]))),
+       |           (a, x) -> a + x) AS d2
+       |  FROM emb v CROSS JOIN ctr c),
+       |asg AS (
+       |  SELECT vec_id, cell
+       |  FROM (SELECT vec_id, cell,
+       |          row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY d2, cell) AS pr
+       |        FROM dst) WHERE pr = 1),
+       |drops AS (
+       |  SELECT DISTINCT a.vec_id
+       |  FROM asg a JOIN asg b ON a.cell = b.cell
+       |  JOIN emb ea ON ea.vec_id = a.vec_id
+       |  JOIN emb eb ON eb.vec_id = b.vec_id
+       |  WHERE a.vec_id % 50 <> 0 AND b.vec_id % 50 = 0
+       |    AND list_cosine_similarity(ea.e, eb.e) >= $tau)
+       |SELECT CAST(v.vec_id AS BIGINT) AS vec_id, CAST(v.cell AS INT) AS cell
+       |FROM asg v WHERE v.vec_id % 50 <> 0
+       |  AND v.vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin
+  }
+
+  q("dd_embed_decontam", embedDecontamOracleSql) { (s, d) =>
+    val e = embs(s, d)
+    val evalSlice = e.filter(col("vec_id") % 50 === 0)
+    val corpus = e.filter(col("vec_id") % 50 =!= 0)
+    Dedup.embedDecontaminate(
+      Similarity.hashSampledQuantizer(e, nlist = 16),
+      corpus, evalSlice, minCosine = 0.25)
+  }
+
   // -------------------------------------------------------- similarity
 
   q("sim_cosine_topk",

@@ -618,6 +618,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!out.contains("cc")) // df=1 < minDf
   }
 
+  test("embedDecontaminate drops near-eval vectors, keeps orthogonal ones") {
+    import spark.implicits._
+    val dim = 8
+    def vec(hot: Int, v: Double = 1.0) =
+      Array.tabulate(dim)(i => if (i == hot) v.toFloat else 0.0f).toSeq
+    // eval vector along axis 0; corpus: a paraphrase-level copy (10),
+    // a noisy near-copy (11), and orthogonal vectors (12, 13)
+    val all = Seq(
+      (50L, vec(0)), // eval slice: vec_id % 50 == 0
+      (10L, vec(0, 0.9)),
+      (11L, (vec(0, 1.0).zipWithIndex.map { case (x, i) =>
+        if (i == 1) 0.2f else x }).toSeq),
+      (12L, vec(3)), (13L, vec(5))
+    ).toDF("vec_id", "embedding")
+    val qz = Similarity.IvfQuantizer(Array(Array.tabulate(dim)(i =>
+      if (i == 0) 1.0 else 0.0))) // single cell: everything comparable
+    val out = Dedup.embedDecontaminate(qz,
+        all.filter(col("vec_id") % 50 =!= 0),
+        all.filter(col("vec_id") % 50 === 0), minCosine = 0.8)
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(12L, 13L),
+      s"near-eval vectors 10, 11 must be dropped, got ${out.mkString(",")}")
+  }
+
   test("bounded_min_set == slice(sort_array(collect_set)) with O(k) state") {
     import spark.implicits._
     // 1000 distinct values per key across many partitions forces real
