@@ -863,6 +863,20 @@ object PipelineQueries extends QueryRegistry {
         col("n_s"))
   }
 
+  // Sliding-window chunking (64-token windows every 48 tokens): one
+  // map-local Generate, no shuffle. DuckDB replays the window starts
+  // with generate_series and inclusive list slicing.
+  q("t_chunk_overlap",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |           FROM documents)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |       CAST((s - 1) // 48 AS INT) AS chunk_id,
+      |       array_to_string(ws[s:s+63], ' ') AS chunk,
+      |       CAST(len(ws[s:s+63]) AS INT) AS n_chunk_tokens
+      |FROM t, unnest(generate_series(1, len(ws), 48)) AS u(s)""") { (s, d) =>
+    TextAnalysis.chunkOverlap(docs(s, d), width = 64, stride = 48)
+  }
+
   /** PII redaction: counts + scrubbed text, over documents enriched
     * with deterministic synthetic PII (email/IP/phone derived from
     * doc_id — the corpus itself is synthetic prose, so the planted

@@ -224,6 +224,27 @@ object TextAnalysis {
           log(col("c").cast("double"))).as("avg_neg_logp"))
   }
 
+  /** Sliding-window document chunking with overlap — the context-window
+    * prep for retrieval corpora and long-doc pretraining: windows of
+    * `width` tokens starting every `stride` tokens (stride < width ⇒
+    * overlapping; the tail chunk may be shorter). Pure column
+    * expressions: the window starts come from an integer `sequence` and
+    * each chunk is a `slice` + `concat_ws`, so the whole op is one
+    * codegen'd map-local Generate — no shuffle, embarrassingly parallel
+    * at any corpus size. chunk_id = 0-based window index.
+    */
+  def chunkOverlap(docs: DataFrame, width: Int, stride: Int): DataFrame = {
+    require(width > 0 && stride > 0,
+      s"width and stride must be positive: $width, $stride")
+    val toks = tokens(col("text"))
+    docs.select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), size(toks), lit(stride)),
+        s => concat_ws(" ", slice(toks, s, lit(width))))))
+      .select(col("doc_id"), col("pos").as("chunk_id"),
+        col("col").as("chunk"),
+        size(split(col("col"), " ")).as("n_chunk_tokens"))
+  }
+
   /** Gopher-style repetition filters (Rae et al. 2021 §A1.1, adapted to
     * word level): duplicate-word fraction and the share of tokens
     * covered by the most frequent 2-gram, plus the pass/fail gate. The

@@ -618,6 +618,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!out.contains("cc")) // df=1 < minDf
   }
 
+  test("chunkOverlap: overlapping windows, short tail, single-chunk doc") {
+    val df = docsDf(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b"))                                    // shorter than width
+    val out = TextAnalysis.chunkOverlap(df, width = 4, stride = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_id")) ->
+        ((r.getAs[String]("chunk"), r.getAs[Int]("n_chunk_tokens")))).toMap
+    // starts at tokens 1, 4, 7, 10: three full-ish windows + 1-token tail
+    assert(out((1L, 0)) == (("w1 w2 w3 w4", 4)))
+    assert(out((1L, 1)) == (("w4 w5 w6 w7", 4))) // stride 3 < width 4: overlap
+    assert(out((1L, 2)) == (("w7 w8 w9 w10", 4)))
+    assert(out((1L, 3)) == (("w10", 1)))          // short tail kept
+    assert(out((2L, 0)) == (("a b", 2)))          // doc shorter than width
+    assert(out.size == 5)
+  }
+
   test("embedDecontaminate drops near-eval vectors, keeps orthogonal ones") {
     import spark.implicits._
     val dim = 8
