@@ -54,6 +54,11 @@ object GraftEngine {
     ColumnBridge.registerExpression(spark, "bounded_min_set",
       exprs => graft.functions.BoundedMinSetAgg(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()))
+    // Misra-Gries heavy-hitter candidates: k counters of state,
+    // guaranteed to contain every item with frequency > N/(k+1)
+    ColumnBridge.registerExpression(spark, "misra_gries",
+      exprs => graft.functions.MisraGriesAgg(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()))
   }
 
   /** DataFrame form of the moments-based K1 aggregate. */

@@ -863,6 +863,25 @@ object PipelineQueries extends QueryRegistry {
         col("n_s"))
   }
 
+  // Guaranteed heavy hitters: Misra-Gries bounded-state candidate pass
+  // + exact recount of candidates only. Output provably equals the
+  // exact HAVING answer (require() pins k+1 > fracDen/fracNum), which
+  // is exactly what the oracle computes.
+  q("t_heavy_hitters",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |              FROM documents),
+      |grams AS (
+      |  SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+      |  FROM toks, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+      |  WHERE len(ws) >= 3),
+      |tot AS (SELECT count(*) AS n FROM grams)
+      |SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+      |FROM grams, tot GROUP BY gram, n
+      |HAVING count(*) * 59582 >= 3 * n""") { (s, d) =>
+    TextAnalysis.guaranteedHeavyHitters(docs(s, d), n = 3,
+      fracNum = 3L, fracDen = 59582L, k = 20000)
+  }
+
   // Sliding-window chunking (64-token windows every 48 tokens): one
   // map-local Generate, no shuffle. DuckDB replays the window starts
   // with generate_series and inclusive list slicing.

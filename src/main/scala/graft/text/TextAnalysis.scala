@@ -224,6 +224,44 @@ object TextAnalysis {
           log(col("c").cast("double"))).as("avg_neg_logp"))
   }
 
+  /** Guaranteed heavy hitters in two bounded passes — the 100 TB shape
+    * for "which n-grams exceed frequency f·N":
+    *
+    *  1. candidate pass: a Misra–Gries summary (at most `k` counters of
+    *     state per partial, O(k·partitions) shuffle rows — the distinct
+    *     vocabulary NEVER shuffles);
+    *  2. exact recount of only the candidates (broadcast semi join +
+    *     keyed count), then the integer threshold gate
+    *     `cnt · fracDen ≥ N · fracNum`.
+    *
+    * The require() pins the soundness condition: MG guarantees every
+    * item with frequency > N/(k+1) is a candidate, so the threshold
+    * fraction must exceed 1/(k+1) — then pass 2's output EQUALS the
+    * exact `HAVING count(*) ≥ f·N` answer (which is how the oracle
+    * checks it). Compare [[topKNgrams]]: exact, but its exchange
+    * carries every distinct gram once per partition.
+    */
+  def guaranteedHeavyHitters(docs: DataFrame, n: Int = 3,
+      fracNum: Long = 3L, fracDen: Long = 59582L,
+      k: Int = 20000): DataFrame = {
+    require(fracNum > 0 && fracDen > 0, "threshold fraction must be positive")
+    require((k + 1).toLong * fracNum > fracDen,
+      s"MG capacity $k cannot guarantee hitters at $fracNum/$fracDen: " +
+        s"need k+1 > fracDen/fracNum = ${fracDen / fracNum}")
+    val grams = docs.select(
+      explode(ngramsCol(tokens(col("text")), n)).as("gram"))
+    val cands = grams
+      .agg(graft.functions.MisraGries.misra_gries(col("gram"), k)
+        .as("cands"))
+      .select(explode(col("cands")).as("gram"))
+    val total = grams.agg(count(lit(1)).as("n_total"))
+    grams.join(broadcast(cands), Seq("gram"), "left_semi")
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * fracDen >= col("n_total") * fracNum)
+      .select(col("gram"), col("cnt"))
+  }
+
   /** Sliding-window document chunking with overlap — the context-window
     * prep for retrieval corpora and long-doc pretraining: windows of
     * `width` tokens starting every `stride` tokens (stride < width ⇒

@@ -618,6 +618,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!out.contains("cc")) // df=1 < minDf
   }
 
+  test("misra_gries: guaranteed items survive eviction across partitions") {
+    import spark.implicits._
+    // 10k stream elements, ~2000 distinct, k=15 counters: heavy items
+    // 'hot1' (2000x) and 'hot2' (1500x) have freq > N/(k+1) = 625 and
+    // MUST be candidates; the long uniform tail forces constant
+    // eviction in every partial
+    val rows = Seq.fill(2000)("hot1") ++ Seq.fill(1500)("hot2") ++
+      (0 until 6500).map(i => s"tail${i % 2000}")
+    val df = new scala.util.Random(7).shuffle(rows).toDF("item")
+      .repartition(8)
+    val cands = df
+      .agg(graft.functions.MisraGries.misra_gries(col("item"), 15))
+      .collect()(0).getSeq[String](0)
+    assert(cands.size <= 15)
+    assert(cands.contains("hot1") && cands.contains("hot2"),
+      s"guaranteed heavy items missing from $cands")
+  }
+
+  test("guaranteedHeavyHitters equals the exact HAVING answer") {
+    // threshold 1/5 of N; k=9 >= fracDen/fracNum so the guarantee holds
+    val df = docsDf(
+      (1L, "a b c a b c a b c"),   // grams: 'a b c' x3, 'b c a' x2, 'c a b' x2
+      (2L, "a b c x y z"),         // +1 'a b c', singletons elsewhere
+      (3L, "q r s t u v"))
+    val got = TextAnalysis.guaranteedHeavyHitters(df, n = 3,
+        fracNum = 1L, fracDen = 5L, k = 9)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // N = 7 + 4 + 4 = 15 grams; threshold cnt*5 >= 15 -> cnt >= 3
+    assert(got == Map("a b c" -> 4L))
+  }
+
   test("chunkOverlap: overlapping windows, short tail, single-chunk doc") {
     val df = docsDf(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
