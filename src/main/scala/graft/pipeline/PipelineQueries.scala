@@ -821,6 +821,12 @@ object PipelineQueries extends QueryRegistry {
     Search.bm25TopK(docs(s, d), bm25Terms, k = 25)
   }
 
+  // Same query, index-backed shape (postings explode + pivot): one
+  // oracle, two independent implementations that must agree with it.
+  q("t_bm25_indexed", Search.bm25OracleSql(bm25Terms, k = 25)) { (s, d) =>
+    Search.bm25TopKIndexed(docs(s, d), bm25Terms, k = 25)
+  }
+
   // Inverted index build: token -> (df, cf, capped sorted postings).
   // Postings serialized to CSV so the relational compare stays sortable.
   q("t_inverted_index",

@@ -88,6 +88,65 @@ object Search {
       .limit(k)
   }
 
+  /** BM25 top-k via the POSTINGS shape: explode tokens, keep only
+    * query-term matches (a tiny broadcast `isin`), aggregate per-doc
+    * term frequencies as rows, pivot to columns, score identically to
+    * [[bm25TopK]]. Returns the SAME result (docs with score 0 never
+    * match any posting) — the driver checks both against one oracle.
+    *
+    * Why both exist: [[bm25TopK]] evaluates `terms.size` array filters
+    * over EVERY document — right when queries are broad or the corpus
+    * pass is already happening. This shape is the index-backed plan:
+    * after the match filter, all downstream work is proportional to
+    * MATCHING postings, not corpus size — with the (doc_id, tok, tf)
+    * projection stored as a token-bucketed table (the
+    * [[invertedIndex]] build amortized across queries), the per-query
+    * cost at 100 TB is a pruned index scan, not a corpus scan. The
+    * corpus-stats row (N, Σdl, df) is precomputed once with the index
+    * in that regime; here it is derived inline from the same scan.
+    *
+    * Determinism: per-term tf columns come from a pivot (exactly one
+    * row per (doc, term)), so the score is the same fixed-order sum of
+    * exact values as [[bm25TopK]] — no float-summation order
+    * sensitivity.
+    */
+  def bm25TopKIndexed(docs: DataFrame, terms: Seq[String], k: Int = 25)
+      : DataFrame = {
+    require(terms.nonEmpty && terms.size <= 16,
+      s"1..16 query terms, got ${terms.size}")
+    require(k > 0, s"k must be positive: $k")
+    val toks = TextAnalysis.tokens(col("text"))
+    // postings for query terms only: work ∝ matches after the filter
+    val tf = docs.select(col("doc_id"), explode(toks).as("tok"))
+      .filter(col("tok").isInCollection(terms))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id")
+      .pivot("tok", terms)
+      .agg(first(col("tf")))
+      .select(col("doc_id") +: terms.zipWithIndex.map { case (t, i) =>
+        coalesce(col(s"`$t`"), lit(0L)).cast("int").as(s"tf_$i")
+      }: _*)
+    // corpus stats: same aggregate as bm25TopK (one broadcast row);
+    // df from match counts so the stats scan never widens to text
+    val dls = docs.select(col("doc_id"), size(toks).as("dl"))
+    val dfRow = tf.select(terms.indices.map(i =>
+      sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i")): _*)
+    val nRow = dls.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_dl"))
+    val score = terms.indices
+      .map(i => termScore(col(s"tf_$i"), col(s"df_$i"), col("dl"),
+        col("n_docs"), col("total_dl")))
+      .reduceLeft(_ + _)
+    tf.join(dls, Seq("doc_id"))
+      .crossJoin(broadcast(nRow))
+      .crossJoin(broadcast(dfRow))
+      .select(col("doc_id") +: col("dl") +:
+        terms.indices.map(i => col(s"tf_$i")) :+ score.as("score"): _*)
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** DuckDB oracle text for [[bm25TopK]], generated from the same term
     * list and constants so the two expression trees cannot drift.
     */

@@ -604,6 +604,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(0).getAs[Double]("score") > out(1).getAs[Double]("score"))
   }
 
+  test("bm25TopK and bm25TopKIndexed return identical rankings and scores") {
+    val df = docsDf(
+      (1L, "needle common filler pad pad"),
+      (2L, "common common pad"),
+      (3L, "needle needle pad pad pad pad"),
+      (4L, "pad pad pad"),
+      (5L, "common needle pad"))
+    val a = Search.bm25TopK(df, Seq("needle", "common"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(r.length - 1))).toSeq
+    val b = Search.bm25TopKIndexed(df, Seq("needle", "common"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(r.length - 1))).toSeq
+    assert(a == b) // same order, bit-identical scores
+  }
+
   test("invertedIndex: postings sorted, capped, minDf enforced") {
     val df = docsDf(
       (3L, "aa bb aa"), (1L, "aa cc"), (2L, "aa bb"))
