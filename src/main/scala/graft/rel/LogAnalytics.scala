@@ -325,6 +325,68 @@ object LogAnalytics extends QueryRegistry {
         round(avg(col("value")), 6).as("avg_value"))
   }
 
+  /** Data-profiling report (the ANALYZE/stats-collection op): one row
+    * per column with row/null/distinct counts and min/max rendered as
+    * engine-stable strings (BIGINTs and raw strings only — the double
+    * column profiles through its ×10⁴ scaled-integer view, since
+    * double→string formatting is engine-specific). One pass over the
+    * table: a single wide aggregate (Spark plans the multi-column
+    * distinct via Expand — the GROUPING SETS machinery), then a stack()
+    * unpivot of the 1-row result.
+    */
+  q("la_profile",
+    """WITH b AS (SELECT event_id, user_id, event_type,
+      |                  CAST(floor(value * 10000 + 0.5) AS BIGINT) AS value_u,
+      |                  props
+      |           FROM events)
+      |SELECT 'event_id' AS col_name, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      |       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+      |       CAST(min(event_id) AS VARCHAR) AS min_s,
+      |       CAST(max(event_id) AS VARCHAR) AS max_s
+      |FROM b
+      |UNION ALL
+      |SELECT 'user_id', count(*),
+      |       sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+      |       count(DISTINCT user_id),
+      |       CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+      |FROM b
+      |UNION ALL
+      |SELECT 'event_type', count(*),
+      |       sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+      |       count(DISTINCT event_type), min(event_type), max(event_type)
+      |FROM b
+      |UNION ALL
+      |SELECT 'value_u', count(*),
+      |       sum(CASE WHEN value_u IS NULL THEN 1 ELSE 0 END),
+      |       count(DISTINCT value_u),
+      |       CAST(min(value_u) AS VARCHAR), CAST(max(value_u) AS VARCHAR)
+      |FROM b
+      |UNION ALL
+      |SELECT 'props', count(*),
+      |       sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END),
+      |       count(DISTINCT props), min(props), max(props)
+      |FROM b""") { (s, d) =>
+    val cols = Seq("event_id", "user_id", "event_type", "value_u", "props")
+    val base = events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"),
+      expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").as("value_u"),
+      col("props"))
+    val aggs = count(lit(1)).as("n") +: cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+        count_distinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"))
+    }
+    val stackArgs = cols.map(c =>
+      s"'$c', null_$c, nd_$c, min_$c, max_$c").mkString(", ")
+    base.agg(aggs.head, aggs.tail: _*)
+      .select(col("n"), expr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(col_name, n_null, n_distinct, min_s, max_s)"))
+      .select(col("col_name"), col("n"), col("n_null"),
+        col("n_distinct"), col("min_s"), col("max_s"))
+  }
+
   /** K2 Horner evaluation via the native poly_eval expression; oracle
     * replicates the exact Horner operation order.
     */
