@@ -827,6 +827,19 @@ object PipelineQueries extends QueryRegistry {
     Search.bm25TopKIndexed(docs(s, d), bm25Terms, k = 25)
   }
 
+  // Keyword-in-context spans (corpus audit): every 'dup' occurrence
+  // with +-3 words of context; map-local, output ∝ term frequency.
+  q("t_kwic",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |           FROM documents)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(i AS INT) AS pos,
+      |       array_to_string(ws[greatest(i - 3, 1):least(i + 3, len(ws))],
+      |                       ' ') AS snippet
+      |FROM t, unnest(generate_series(1, len(ws))) AS u(i)
+      |WHERE ws[i] = 'dup'""") { (s, d) =>
+    Search.keywordInContext(docs(s, d), term = "dup", window = 3)
+  }
+
   // Inverted index build: token -> (df, cf, capped sorted postings).
   // Postings serialized to CSV so the relational compare stays sortable.
   q("t_inverted_index",

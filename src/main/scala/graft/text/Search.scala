@@ -184,6 +184,26 @@ object Search {
        |LIMIT $k""".stripMargin
   }
 
+  /** Keyword-in-context (KWIC) span extraction — the corpus-auditing
+    * view behind "show me every use of X with ±w words of context".
+    * Pure column expressions: hit positions from a filtered index
+    * sequence, context from bounded slices — one codegen'd map-local
+    * Generate, no shuffle, output ∝ term occurrences.
+    */
+  def keywordInContext(docs: DataFrame, term: String, window: Int = 3)
+      : DataFrame = {
+    require(window >= 0, s"window must be non-negative: $window")
+    val toks = TextAnalysis.tokens(col("text"))
+    val hits = filter(sequence(lit(1), size(toks)),
+      i => element_at(toks, i) === term)
+    val start = greatest(col("pos") - window, lit(1))
+    val stop = least(col("pos") + window, size(col("ws")))
+    docs.select(col("doc_id"), toks.as("ws"), explode(hits).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", slice(col("ws"), start, stop - start + 1))
+          .as("snippet"))
+  }
+
   /** Inverted index: token → document/collection frequency + the first
     * `maxPostings` doc ids (sorted). Tokens below `minDf` documents are
     * dropped (hapax noise). One token-keyed shuffle with map-side

@@ -604,6 +604,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(0).getAs[Double]("score") > out(1).getAs[Double]("score"))
   }
 
+  test("keywordInContext: edge-clamped windows, multiple hits per doc") {
+    val df = docsDf(
+      (1L, "hit a b c hit"),     // hit at both edges
+      (2L, "x y z"),             // no hits
+      (3L, "a hit b"))
+    val out = Search.keywordInContext(df, "hit", window = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("pos")) ->
+        r.getAs[String]("snippet")).toMap
+    assert(out == Map(
+      (1L, 1) -> "hit a b",      // left edge clamped
+      (1L, 5) -> "b c hit",      // right edge clamped
+      (3L, 2) -> "a hit b"))     // both sides within bounds
+  }
+
   test("bm25TopK and bm25TopKIndexed return identical rankings and scores") {
     val df = docsDf(
       (1L, "needle common filler pad pad"),
