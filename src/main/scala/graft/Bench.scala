@@ -21,7 +21,8 @@ object Bench {
     "skew_join_naive", "skew_join_salted",
     // round 6 additions — keep r2-r5 comparisons to the 23 names above
     "t_topk_ngrams", "dd_semdedup", "sim_ivfpq_topk",
-    "t_bm25_topk", "t_inverted_index", "t_temp_mix", "t_heavy_hitters")
+    "t_bm25_topk", "t_bm25_indexed", "t_inverted_index", "t_temp_mix",
+    "t_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

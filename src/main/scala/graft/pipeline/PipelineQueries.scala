@@ -827,6 +827,37 @@ object PipelineQueries extends QueryRegistry {
     Search.bm25TopKIndexed(docs(s, d), bm25Terms, k = 25)
   }
 
+  /** End-to-end SEARCH pipeline: length gate → exact dedup (md5 keeper)
+    * → BM25 query over the curated survivors. The whole composite is
+    * ONE DuckDB query: curation CTEs prepended to the same generated
+    * BM25 oracle — corpus statistics (N, Σdl, df) are recomputed over
+    * the curated slice on both engines, so nothing about the
+    * composition can drift.
+    */
+  private val searchPipelineOracleSql: String = Search.bm25OracleSql(
+    bm25Terms, k = 15, from = "curated", preludeCtes =
+      """gated AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 20),
+        |curated AS (
+        |  SELECT doc_id, text
+        |  FROM (SELECT doc_id, text,
+        |          row_number() OVER (PARTITION BY md5(text)
+        |                             ORDER BY doc_id) AS rn
+        |        FROM gated) WHERE rn = 1),
+        |""".stripMargin)
+
+  q("search_pipeline", searchPipelineOracleSql) { (s, d) =>
+    val gated = docs(s, d)
+      .filter(size(TextAnalysis.tokens(col("text"))) >= 20)
+      .select(col("doc_id"), col("text"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy("doc_id")
+    val curated = gated.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    Search.bm25TopK(curated, bm25Terms, k = 15)
+  }
+
   // Keyword-in-context spans (corpus audit): every 'dup' occurrence
   // with +-3 words of context; map-local, output ∝ term frequency.
   q("t_kwic",

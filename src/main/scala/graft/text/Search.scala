@@ -149,8 +149,13 @@ object Search {
 
   /** DuckDB oracle text for [[bm25TopK]], generated from the same term
     * list and constants so the two expression trees cannot drift.
+    * `from` names the corpus relation; `preludeCtes` (must end with a
+    * comma when non-empty) lets a composite define that relation as
+    * CTEs ahead of the generated ones — the search-pipeline entry
+    * scores its curated slice this way.
     */
-  def bm25OracleSql(terms: Seq[String], k: Int = 25): String = {
+  def bm25OracleSql(terms: Seq[String], k: Int = 25,
+      from: String = "documents", preludeCtes: String = ""): String = {
     val tfs = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS INT) AS tf_$i"
     }.mkString(",\n       ")
@@ -167,11 +172,11 @@ object Search {
         .stripMargin.linesIterator.mkString(" ")
     }.mkString(" + ")
     val tfOut = terms.indices.map(i => s"tf_$i").mkString(", ")
-    s"""WITH base AS (
+    s"""WITH ${preludeCtes}base AS (
        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
        |       CAST(len(string_split(text, ' ')) AS INT) AS dl,
        |       $tfs
-       |  FROM documents
+       |  FROM $from
        |), stats AS (
        |  SELECT count(*) AS n_docs, sum(dl) AS total_dl,
        |       $dfs
