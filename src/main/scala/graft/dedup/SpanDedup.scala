@@ -1,0 +1,148 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis
+
+/** Span-level exact-substring deduplication (Lee et al. 2021,
+  * "Deduplicating Training Data Makes Language Models Better"): find
+  * every maximal token span that appears verbatim in `minDocs`+
+  * distinct documents, at k-gram granularity. Doc-level dedup
+  * ([[Dedup.exactDedup]]) misses boilerplate shared across otherwise
+  * distinct pages (headers, licenses, templates); this operator is the
+  * suffix-array pass of the paper re-expressed as three relational
+  * stages, each a narrow-key shuffle:
+  *
+  *  1. gram stream — map-local: per doc, every k-token window is
+  *     hashed to a 60-bit md5-prefix key. Only (doc_id, pos, 8-byte
+  *     key) rows enter the exchange, never text.
+  *  2. duplicated grams — one groupBy on the key with map-side
+  *     partial counts; `count(DISTINCT doc_id) >= minDocs` keeps
+  *     cross-document repeats only (intra-doc repetition is the
+  *     repetition filter's job, not dedup's).
+  *  3. span assembly — hits join back on the key (AQE may broadcast
+  *     the dup-key set; it is vastly smaller than the gram stream),
+  *     then a per-doc gaps-and-islands window merges overlapping
+  *     windows into maximal spans: consecutive hit positions whose
+  *     gap is <= k overlap or touch, a gap > k starts a new island.
+  *
+  * At 100 TB the gram stream is ~tokens x 16 bytes; stage 2's
+  * reduction is the only wide shuffle and combines map-side (distinct
+  * grams per partition bound the exchange, not the token stream).
+  * Stage 3's window partitions by doc_id — per-doc state is bounded
+  * by the doc's own token count, so no skew beyond document length.
+  */
+object SpanDedup {
+
+  /** Maximal duplicated spans: (doc_id, span_start, span_end,
+    * span_len, n_dup_grams), positions 1-based token indices.
+    */
+  def duplicateSpans(docs: DataFrame, k: Int = 8, minDocs: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val grams = docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(TextAnalysis.ngramsCol(
+          TextAnalysis.tokens(col(textCol)), k)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        conv(substring(md5(col("col")), 1, 15), 16, 10)
+          .cast("long").as("gkey"))
+    val dupKeys = grams.groupBy("gkey")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs).select("gkey")
+    val hits = grams.join(dupKeys, "gkey").select("doc_id", "pos")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(byDoc) > k, lit(1))
+          .otherwise(lit(0)))
+      .withColumn("island", sum("brk").over(byDoc))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1)).as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"),
+        col("n_dup_grams"))
+  }
+
+  /** Per-document duplicated-token coverage — the filterable signal
+    * (drop or trim docs whose text is mostly boilerplate). Every doc
+    * appears, zero-span docs with dup_tokens = 0.
+    */
+  def spanDupShare(docs: DataFrame, k: Int = 8, minDocs: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val perDoc = duplicateSpans(docs, k, minDocs, textCol, idCol)
+      .groupBy("doc_id")
+      .agg(sum(col("span_len")).as("dup_tokens"))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        size(TextAnalysis.tokens(col(textCol))).as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens"), 4)
+          .as("dup_share"))
+  }
+
+  /** DuckDB oracle for [[duplicateSpans]], generated from the same
+    * (k, minDocs) so the two expression trees cannot drift.
+    */
+  def duplicateSpansOracleSql(k: Int = 8, minDocs: Int = 2): String =
+    s"""${spanCtes(k, minDocs)}
+       |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+       |       CAST(max(pos) + ${k - 1} AS INT) AS span_end,
+       |       CAST(max(pos) + ${k - 1} - min(pos) + 1 AS INT) AS span_len,
+       |       count(*) AS n_dup_grams
+       |FROM isl2 GROUP BY doc_id, island""".stripMargin
+
+  /** DuckDB oracle for [[spanDupShare]]. */
+  def spanDupShareOracleSql(k: Int = 8, minDocs: Int = 2): String =
+    s"""${spanCtes(k, minDocs)},
+       |per_doc AS (
+       |  SELECT doc_id, sum(span_len) AS dup_tokens FROM (
+       |    SELECT doc_id, max(pos) + ${k - 1} - min(pos) + 1 AS span_len
+       |    FROM isl2 GROUP BY doc_id, island) GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.t) AS INT) AS n_tokens,
+       |       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |       round(coalesce(p.dup_tokens, 0) / len(t.t), 4) AS dup_share
+       |FROM toks t LEFT JOIN per_doc p USING (doc_id)""".stripMargin
+
+  /** Shared CTE chain: token grams -> 60-bit keys -> cross-doc dup
+    * keys -> hit positions -> gaps-and-islands ids.
+    */
+  private def spanCtes(k: Int, minDocs: Int): String =
+    s"""WITH toks AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |         string_split(text, ' ') AS t
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id,
+       |         CAST(unnest(generate_series(1, len(t) - ${k - 1})) AS INT)
+       |           AS pos,
+       |         unnest(list_transform(generate_series(1, len(t) - ${k - 1}),
+       |           i -> array_to_string(
+       |                  t[CAST(i AS INT):CAST(i + ${k - 1} AS INT)], ' ')))
+       |           AS gram
+       |  FROM toks),
+       |g2 AS (
+       |  SELECT doc_id, pos,
+       |         CAST(CAST(('0x' || substr(md5(gram), 1, 15)) AS UBIGINT)
+       |              AS BIGINT) AS gkey
+       |  FROM grams),
+       |dup AS (SELECT gkey FROM g2
+       |        GROUP BY gkey HAVING count(DISTINCT doc_id) >= $minDocs),
+       |hits AS (SELECT doc_id, pos FROM g2
+       |         WHERE gkey IN (SELECT gkey FROM dup)),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+       |                                        ORDER BY pos) > $k
+       |              THEN 1 ELSE 0 END AS brk
+       |  FROM hits),
+       |isl2 AS (
+       |  SELECT doc_id, pos,
+       |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM isl)""".stripMargin
+}

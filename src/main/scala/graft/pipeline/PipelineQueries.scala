@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.QueryRegistry
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, SpanDedup}
 import graft.functions.RollingHash.rolling_hash
 import graft.io.Tables
 import graft.multimodal.Multimodal
@@ -399,6 +399,17 @@ object PipelineQueries extends QueryRegistry {
     val e = embs(s, d)
     Dedup.semDedup(Similarity.hashSampledQuantizer(e, nlist = 16), e,
       minCosine = 0.4)
+  }
+
+  // Span-level exact-substring dedup (Lee et al. 2021): maximal token
+  // spans appearing verbatim in >= 2 distinct docs, at 8-gram grain.
+  // Both oracles are generated from the same (k, minDocs) constants.
+  q("dd_span_dedup", SpanDedup.duplicateSpansOracleSql(k = 8)) { (s, d) =>
+    SpanDedup.duplicateSpans(docs(s, d), k = 8)
+  }
+
+  q("dd_span_share", SpanDedup.spanDupShareOracleSql(k = 8)) { (s, d) =>
+    SpanDedup.spanDupShare(docs(s, d), k = 8)
   }
 
   /** Embedding decontamination oracle: same cell re-derivation as the

@@ -757,4 +757,48 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).sorted
     assert(ids1.sameElements(ids2))
   }
+
+  test("span dedup: overlapping dup grams merge to one maximal span") {
+    import graft.dedup.SpanDedup
+    val shared = (0 until 12).map(i => s"SH$i").mkString(" ")
+    val df = docsDf(
+      (1L, (0 until 10).map(i => s"u$i").mkString(" ") + " " + shared +
+        " " + (0 until 10).map(i => s"v$i").mkString(" ")),
+      (2L, shared + " " + (0 until 20).map(i => s"w$i").mkString(" ")),
+      (3L, (0 until 30).map(i => s"z$i").mkString(" ")))
+    val spans = SpanDedup.duplicateSpans(df, k = 4).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
+        r.getAs[Int]("span_end"), r.getAs[Int]("span_len"),
+        r.getAs[Long]("n_dup_grams"))).sortBy(_._1)
+    // doc1: grams start at 11..19 (1-based), one island covering 11..22
+    assert(spans.toSeq == Seq(
+      (1L, 11, 22, 12, 9L), (2L, 1, 12, 12, 9L)))
+  }
+
+  test("span dedup: far-apart repeats stay separate islands") {
+    import graft.dedup.SpanDedup
+    val s = "p1 p2 p3 p4" // exactly k tokens -> 1 gram per occurrence
+    val df = docsDf(
+      (4L, s + " " + (0 until 10).map(i => s"q$i").mkString(" ") + " " + s),
+      (5L, s + " " + (0 until 6).map(i => s"r$i").mkString(" ")))
+    val spans = SpanDedup.duplicateSpans(df, k = 4).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
+        r.getAs[Int]("span_end"))).sortBy(t => (t._1, t._2))
+    assert(spans.toSeq == Seq((4L, 1, 4), (4L, 15, 18), (5L, 1, 4)))
+  }
+
+  test("span dup share: coverage ratio, zero for clean docs") {
+    import graft.dedup.SpanDedup
+    val shared = (0 until 8).map(i => s"SH$i").mkString(" ")
+    val df = docsDf(
+      (1L, shared + " " + (0 until 8).map(i => s"a$i").mkString(" ")),
+      (2L, shared + " " + (0 until 8).map(i => s"b$i").mkString(" ")),
+      (3L, (0 until 16).map(i => s"c$i").mkString(" ")))
+    val out = SpanDedup.spanDupShare(df, k = 4).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_tokens"),
+        r.getAs[Long]("dup_tokens"), r.getAs[Double]("dup_share")))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 16, 8L, 0.5), (2L, 16, 8L, 0.5), (3L, 16, 0L, 0.0)))
+  }
 }
