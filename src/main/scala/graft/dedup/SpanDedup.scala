@@ -86,6 +86,105 @@ object SpanDedup {
           .as("dup_share"))
   }
 
+  /** Corpus cleaning (the actionable form): remove every token covered
+    * by a duplicated span, EXCEPT in the keeper document — per gram,
+    * the smallest doc_id containing it — so exactly one copy of each
+    * duplicated passage survives corpus-wide (Lee et al.'s dedup
+    * policy). Reassembly is distributed: tokens are position-tagged,
+    * covered positions flagged by a per-doc span join (islands are
+    * disjoint, so the join never fans out), and the survivors
+    * re-joined with a sorted collect inside the doc_id aggregation —
+    * no driver-side assembly, state bounded by document length.
+    */
+  def spanDedupClean(docs: DataFrame, k: Int = 8, minDocs: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val toksCol = TextAnalysis.tokens(col(textCol))
+    val grams = docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(TextAnalysis.ngramsCol(toksCol, k)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        conv(substring(md5(col("col")), 1, 15), 16, 10)
+          .cast("long").as("gkey"))
+    val keeper = grams.groupBy("gkey")
+      .agg(min(col("doc_id")).as("keep_doc"),
+        count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("gkey", "keep_doc")
+    val removable = grams.join(keeper, "gkey")
+      .filter(col("doc_id") =!= col("keep_doc"))
+      .select("doc_id", "pos")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = removable
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(byDoc) > k, lit(1))
+          .otherwise(lit(0)))
+      .withColumn("island", sum("brk").over(byDoc))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("rm_start"),
+        (max(col("pos")) + lit(k - 1)).as("rm_end"))
+      .select("doc_id", "rm_start", "rm_end")
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(toksCol))
+      .select(col("doc_id"), (col("pos") + 1).as("p"),
+        col("col").as("tok"))
+    toks.join(spans,
+        toks("doc_id") === spans("doc_id") &&
+          col("p") >= col("rm_start") && col("p") <= col("rm_end"),
+        "left")
+      .select(toks("doc_id"), col("p"), col("tok"),
+        col("rm_start").isNotNull.as("covered"))
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(!col("covered"),
+            struct(col("p"), col("tok"))))),
+          x => x.getField("tok")), " ").as("clean_text"),
+        sum(when(col("covered"), 1L).otherwise(0L)).as("n_removed"),
+        sum(when(!col("covered"), 1L).otherwise(0L)).as("n_kept"))
+  }
+
+  /** DuckDB oracle for [[spanDedupClean]]. */
+  def spanDedupCleanOracleSql(k: Int = 8, minDocs: Int = 2): String =
+    s"""${spanCtes(k, minDocs)},
+       |keeper AS (
+       |  SELECT gkey, min(doc_id) AS keep_doc FROM g2
+       |  GROUP BY gkey HAVING count(DISTINCT doc_id) >= $minDocs),
+       |rem AS (
+       |  SELECT g.doc_id, g.pos FROM g2 g JOIN keeper USING (gkey)
+       |  WHERE g.doc_id <> keep_doc),
+       |risl AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+       |                                        ORDER BY pos) > $k
+       |              THEN 1 ELSE 0 END AS brk
+       |  FROM rem),
+       |rspans AS (
+       |  SELECT doc_id, min(pos) AS rm_start,
+       |         max(pos) + ${k - 1} AS rm_end
+       |  FROM (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+       |                                           ORDER BY pos) AS island
+       |        FROM risl)
+       |  GROUP BY doc_id, island),
+       |tokpos AS (
+       |  SELECT doc_id,
+       |         CAST(unnest(generate_series(1, len(t))) AS INT) AS p,
+       |         unnest(t) AS tok
+       |  FROM toks),
+       |marked AS (
+       |  SELECT tp.doc_id, tp.p, tp.tok,
+       |         (s.rm_start IS NOT NULL) AS covered
+       |  FROM tokpos tp LEFT JOIN rspans s
+       |    ON tp.doc_id = s.doc_id
+       |   AND tp.p BETWEEN s.rm_start AND s.rm_end)
+       |SELECT doc_id,
+       |       coalesce(string_agg(CASE WHEN covered THEN NULL ELSE tok END,
+       |                           ' ' ORDER BY p), '') AS clean_text,
+       |       CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_removed,
+       |       CAST(sum(CASE WHEN covered THEN 0 ELSE 1 END) AS BIGINT)
+       |         AS n_kept
+       |FROM marked GROUP BY doc_id""".stripMargin
+
   /** DuckDB oracle for [[duplicateSpans]], generated from the same
     * (k, minDocs) so the two expression trees cannot drift.
     */

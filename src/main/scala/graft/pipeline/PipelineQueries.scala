@@ -412,6 +412,12 @@ object PipelineQueries extends QueryRegistry {
     SpanDedup.spanDupShare(docs(s, d), k = 8)
   }
 
+  // The actionable form: cleaned corpus with one surviving copy of
+  // each duplicated passage (keeper = min doc_id per gram).
+  q("dd_span_clean", SpanDedup.spanDedupCleanOracleSql(k = 8)) { (s, d) =>
+    SpanDedup.spanDedupClean(docs(s, d), k = 8)
+  }
+
   /** Embedding decontamination oracle: same cell re-derivation as the
     * semDedup oracle, but drops are corpus-vs-EVAL within-cell pairs
     * (eval slice = vec_id % 50 == 0). Unrounded cosine threshold — the

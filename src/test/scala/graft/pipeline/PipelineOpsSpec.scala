@@ -787,6 +787,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(spans.toSeq == Seq((4L, 1, 4), (4L, 15, 18), (5L, 1, 4)))
   }
 
+  test("span dedup clean: keeper doc keeps the passage, others lose it") {
+    import graft.dedup.SpanDedup
+    val shared = (0 until 8).map(i => s"SH$i").mkString(" ")
+    val tail2 = (0 until 8).map(i => s"b$i").mkString(" ")
+    val df = docsDf(
+      (1L, shared + " " + (0 until 8).map(i => s"a$i").mkString(" ")),
+      (2L, shared + " " + tail2),
+      (3L, (0 until 16).map(i => s"c$i").mkString(" ")))
+    val out = SpanDedup.spanDedupClean(df, k = 4).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
+        r.getAs[Long]("n_removed"), r.getAs[Long]("n_kept")))
+      .sortBy(_._1)
+    assert(out(0) == (1L, df.collect().map(r => r.getString(1)).head, 0L, 16L))
+    assert(out(1) == (2L, tail2, 8L, 8L))
+    assert(out(2)._3 == 0L) // untouched doc
+  }
+
   test("span dup share: coverage ratio, zero for clean docs") {
     import graft.dedup.SpanDedup
     val shared = (0 until 8).map(i => s"SH$i").mkString(" ")
