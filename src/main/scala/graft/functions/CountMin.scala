@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch over a token stream, expressed relationally.
+  *
+  * The classical formulation keeps a d x w counter matrix per worker
+  * and vector-adds them; here the matrix IS the aggregation result:
+  * grouping the (row, bucket) stream counts with map-side partial
+  * aggregation is exactly "build a partial sketch per partition, then
+  * merge" — the shuffle carries at most d*w rows per map partition
+  * (d=4, w=256 -> 1024 counters), NEVER the token stream. Estimates
+  * then come from a probe join: est(t) = min over rows r of
+  * sketch[r][h_r(t)], which upper-bounds the true count by
+  * construction (Cormode & Muthukrishnan 2005).
+  *
+  * Bucket hashing is an md5 prefix (deterministic, engine-neutral),
+  * so a SQL oracle can rebuild the identical sketch by brute force.
+  * Complements [[MisraGries]]: MG gives guaranteed heavy hitters with
+  * O(k) state; CMS answers point frequency queries for ANY token with
+  * one-sided error eps = e/w at confidence 1 - e^-d.
+  */
+object CountMin {
+
+  /** h_r(tok): 32-bit md5 prefix of "r:tok" mod w. */
+  def bucketCol(r: Int, tok: Column, w: Int): Column =
+    conv(substring(md5(concat_ws(":", lit(r), tok)), 1, 8), 16, 10)
+      .cast("long") % w
+
+  /** The d x w sketch as a (r, bucket, c) table. */
+  def sketch(docs: DataFrame, d: Int = 4, w: Int = 256,
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(
+      explode(graft.text.TextAnalysis.tokens(col(textCol))).as("tok"))
+    toks.select(explode(array((0 until d).map(r =>
+        struct(lit(r).as("r"), bucketCol(r, col("tok"), w).as("bucket"))
+      ): _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** CMS point estimates vs exact counts for every distinct token —
+    * the overcount column audits the eps * N error bound. At corpus
+    * scale you would probe a fixed token list instead of the whole
+    * vocabulary; the estimate path (probe x d join against the 1024-
+    * row sketch, broadcast) is the same either way.
+    */
+  def estimates(docs: DataFrame, d: Int = 4, w: Int = 256,
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(
+      explode(graft.text.TextAnalysis.tokens(col(textCol))).as("tok"))
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+    val probes = exact.select(col("tok"), explode(array((0 until d).map(r =>
+        struct(lit(r).as("r"), bucketCol(r, col("tok"), w).as("bucket"))
+      ): _*)).as("rb"))
+      .select(col("tok"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+    val est = probes.join(broadcast(sketch(docs, d, w, textCol)),
+        Seq("r", "bucket"))
+      .groupBy("tok").agg(min(col("c")).as("est_count"))
+    exact.join(est, Seq("tok"))
+      .select(col("tok"), col("est_count"), col("exact_cnt"),
+        (col("est_count") - col("exact_cnt")).as("overcount"))
+  }
+
+  /** DuckDB oracle for [[estimates]], generated from (d, w). */
+  def estimatesOracleSql(d: Int = 4, w: Int = 256): String = {
+    val rows = (0 until d).mkString("[", ", ", "]")
+    // h_r(t), DuckDB dialect; concat() not || so no line ever starts
+    // with a pipe stripMargin would eat
+    def h(t: String) =
+      s"""CAST(CAST(('0x' || substr(md5(concat(CAST(r AS VARCHAR), ':',
+         |      $t)), 1, 8)) AS UBIGINT) % $w AS BIGINT)""".stripMargin
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |exact AS (SELECT tok, count(*) AS exact_cnt FROM tok GROUP BY tok),
+       |rb AS (
+       |  SELECT tok, r, ${h("tok")} AS bucket
+       |  FROM tok, unnest($rows) AS u(r)),
+       |sketch AS (SELECT r, bucket, count(*) AS c
+       |           FROM rb GROUP BY r, bucket),
+       |pb AS (
+       |  SELECT e.tok, r, ${h("e.tok")} AS bucket
+       |  FROM exact e, unnest($rows) AS u(r)),
+       |est AS (
+       |  SELECT tok, min(c) AS est_count
+       |  FROM pb JOIN sketch USING (r, bucket) GROUP BY tok)
+       |SELECT e.tok, CAST(est_count AS BIGINT) AS est_count,
+       |       CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       |       CAST(est_count - exact_cnt AS BIGINT) AS overcount
+       |FROM exact e JOIN est USING (tok)""".stripMargin
+  }
+}

@@ -949,6 +949,16 @@ object PipelineQueries extends QueryRegistry {
       fracNum = 3L, fracDen = 59582L, k = 20000)
   }
 
+  // Count-min sketch point-frequency estimates audited against exact
+  // counts: the (row, bucket) groupBy IS the distributed sketch merge
+  // (shuffle bounded by d*w counters per map partition, never the
+  // token stream); the oracle rebuilds the identical sketch brute-
+  // force from the same md5 bucketing.
+  q("t_countmin", graft.functions.CountMin.estimatesOracleSql(d = 4,
+    w = 256)) { (s, d) =>
+    graft.functions.CountMin.estimates(docs(s, d), d = 4, w = 256)
+  }
+
   // Sliding-window chunking (64-token windows every 48 tokens): one
   // map-local Generate, no shuffle. DuckDB replays the window starts
   // with generate_series and inclusive list slicing.

@@ -804,6 +804,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(2)._3 == 0L) // untouched doc
   }
 
+  test("count-min: estimates dominate exact counts; wide sketch exact") {
+    import graft.functions.CountMin
+    val df = docsDf(
+      (1L, (0 until 40).map(i => s"w${i % 10}").mkString(" ")),
+      (2L, (0 until 30).map(i => s"w${i % 6}").mkString(" ")))
+    // tiny width forces collisions -> strictly one-sided overcounts
+    val narrow = CountMin.estimates(df, d = 2, w = 4).collect()
+      .map(r => (r.getAs[Long]("est_count"), r.getAs[Long]("exact_cnt")))
+    assert(narrow.nonEmpty && narrow.forall { case (e, x) => e >= x })
+    assert(narrow.exists { case (e, x) => e > x }, "w=4 must collide")
+    // generous width: every estimate exact (10 tokens in 4096 buckets)
+    val wide = CountMin.estimates(df, d = 4, w = 4096).collect()
+      .map(r => (r.getAs[Long]("est_count"), r.getAs[Long]("exact_cnt")))
+    assert(wide.forall { case (e, x) => e == x })
+  }
+
   test("span dup share: coverage ratio, zero for clean docs") {
     import graft.dedup.SpanDedup
     val shared = (0 until 8).map(i => s"SH$i").mkString(" ")
