@@ -769,6 +769,21 @@ object PipelineQueries extends QueryRegistry {
       .select("doc_id", "bucket", "split")
   }
 
+  // Weighted sampling without replacement (Efraimidis-Spirakis keys
+  // from the doc_id md5, weight = n_chars): pure function of the ids,
+  // reproduced verbatim by the oracle.
+  q("t_weighted_sample",
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+      |       CAST(n_chars AS BIGINT) AS n_chars
+      |FROM (SELECT doc_id, source, n_chars,
+      |        pow(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+      |              AS UBIGINT) / 281474976710656.0, 1.0 / n_chars) AS key
+      |      FROM documents)
+      |ORDER BY key DESC, doc_id LIMIT 60""") { (s, d) =>
+    Sampling.weightedSample(docs(s, d), "doc_id", "n_chars", k = 60)
+      .select("doc_id", "source", "n_chars")
+  }
+
   // Gopher-style repetition filters: duplicate-word fraction + top
   // 2-gram coverage + integer-compared pass gate (word-level Rae et
   // al. 2021 §A1.1 rules).

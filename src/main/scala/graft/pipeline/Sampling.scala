@@ -47,6 +47,30 @@ object Sampling {
       .drop("__pct")
   }
 
+  /** Weighted sampling without replacement (Efraimidis & Spirakis
+    * 2006): rank rows by key = u^(1/weight) with u uniform in (0,1),
+    * keep the top k — inclusion probability proportional to weight,
+    * no per-stratum bookkeeping. u comes from a 48-bit md5 prefix of
+    * the id, NOT an RNG, so the sample is a pure function of the ids:
+    * identical across engines, runs and cluster layouts, and the
+    * top-k runs as TakeOrderedAndProject (per-partition heaps merged
+    * on the driver — no global sort at any scale).
+    *
+    * The key is float; md5-derived u values are spread over 2^48 so
+    * the k-boundary gap is astronomically unlikely to sit within one
+    * ulp of a cross-engine pow() difference. The key itself is not
+    * emitted — output stays integer/string-typed for exact compares.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      .cast("double") / lit(281474976710656.0) // 2^48
+    df.withColumn("__key", pow(u, lit(1.0) / col(weightCol)))
+      .orderBy(col("__key").desc, col(idCol))
+      .limit(k)
+      .drop("__key")
+  }
+
   /** Temperature-scaled mixture sampling (the multilingual/multi-source
     * α-sampling of mC4 / XLM-R): stratum s gets a quota ∝ n_s^α of the
     * total `budget`, flattening the head sources and boosting the tail,

@@ -804,6 +804,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(2)._3 == 0L) // untouched doc
   }
 
+  test("weighted sample: deterministic, biased toward heavy weights") {
+    import spark.implicits._
+    val df = ((1L to 100L).map(i => (i, 1000L)) ++
+      (101L to 200L).map(i => (i, 1L))).toDF("doc_id", "w")
+    val top = Sampling.weightedSample(df, "doc_id", "w", k = 50)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(top.length == 50)
+    assert(top.count(_ <= 100L) >= 45, // ES keys: u^(1/1000) >> u^1
+      s"only ${top.count(_ <= 100L)} heavy rows sampled")
+    val again = Sampling.weightedSample(df, "doc_id", "w", k = 50)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(top.sorted.sameElements(again.sorted))
+  }
+
   test("count-min: estimates dominate exact counts; wide sketch exact") {
     import graft.functions.CountMin
     val df = docsDf(
