@@ -1347,6 +1347,26 @@ object PipelineQueries extends QueryRegistry {
       "user_id BIGINT, slope DOUBLE, icept DOUBLE")
   }
 
+  // S5: JSONL sink + source round trip — the interchange format every
+  // training-data pipeline speaks. Write the curated quality
+  // projection as newline-delimited JSON, read it back with an
+  // explicit schema (schema inference would re-scan at scale), and
+  // hash-compare against the oracle computing the same projection
+  // directly. Exercises string escaping, nested-free flat records,
+  // and the read path's column pruning.
+  q("s5_jsonl_roundtrip",
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source,
+      |       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+      |FROM documents""") { (s, d) =>
+    val df = docs(s, d).select(col("doc_id"), col("lang"), col("source"),
+      size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_jsonl_s5").toString
+    df.write.mode("overwrite").json(dir)
+    s.read.schema("doc_id BIGINT, lang STRING, source STRING, n_tokens INT")
+      .json(dir)
+  }
+
   // -------------------------------------------------------- multimodal
 
   q("mm_media_meta",
