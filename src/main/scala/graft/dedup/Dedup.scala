@@ -527,4 +527,43 @@ object Dedup {
         (coalesce(col("n_shared"), lit(0L)) > 0).cast("int")
           .as("contaminated"))
   }
+
+  /** Bloom-filter decontamination: screen the corpus against a
+    * held-out eval set via an m-bit Bloom filter instead of a full
+    * text join — at 100 TB you broadcast the (m/8)-byte bitmap to
+    * every executor and never shuffle the corpus at all. Expressed
+    * relationally: the filter is the DISTINCT set of j md5-derived
+    * bit positions over the eval texts (<= m rows, broadcast); a
+    * corpus doc is flagged when ALL j of its bits are present.
+    * One-sided by construction — every true member is flagged; the
+    * `exact` column (md5 membership) accounts the false-positive
+    * overhang, which a second exact pass on the tiny flagged slice
+    * would clear.
+    */
+  def bloomDecontaminate(docs: DataFrame, isEval: Column,
+      m: Int = 4096, j: Int = 3, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(j >= 1 && m >= 2, s"need j >= 1, m >= 2; got j=$j m=$m")
+    def bit(i: Int): Column =
+      conv(substring(md5(concat_ws(":", lit(i), col(textCol))), 1, 8),
+        16, 10).cast("long") % m
+    val bitsArr = array((0 until j).map(bit): _*)
+    val tagged = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol), isEval.as("is_eval"), bitsArr.as("bits"))
+    val bloom = tagged.filter(col("is_eval"))
+      .select(explode(col("bits")).as("bit")).distinct()
+    val evalHashes = tagged.filter(col("is_eval"))
+      .select(md5(col(textCol)).as("th")).distinct()
+      .withColumn("ex", lit(1))
+    val hits = tagged.filter(!col("is_eval"))
+      .select(col("doc_id"), md5(col(textCol)).as("th"),
+        explode(col("bits")).as("bit"))
+      .join(broadcast(bloom), Seq("bit"))
+      .groupBy(col("doc_id"), col("th"))
+      .agg(count(lit(1)).as("n_bits_hit"))
+      .filter(col("n_bits_hit") === j)
+    hits.join(broadcast(evalHashes), Seq("th"), "left")
+      .select(col("doc_id"), col("n_bits_hit"),
+        coalesce(col("ex"), lit(0)).as("exact"))
+  }
 }

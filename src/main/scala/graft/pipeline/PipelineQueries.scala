@@ -1048,6 +1048,33 @@ object PipelineQueries extends QueryRegistry {
     Dedup.decontaminate(docs(s, d), col("doc_id") % 100 < 2, n = 8)
   }
 
+  // Bloom-filter decontamination: at 100 TB you broadcast the m-bit
+  // bitmap of the eval set, not a join side. Relational form — the
+  // DISTINCT bit-position set (<= m rows) broadcasts; docs with all
+  // 3 bits present are flagged; `exact` accounts false positives.
+  // m = 256 is sized small against this corpus ON PURPOSE so the FP
+  // path is non-empty and oracle-checked (production m >> n_eval*j).
+  q("dd_bloom_decontam",
+    """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+      |                  doc_id % 100 < 10 AS is_eval FROM documents),
+      |b AS (SELECT doc_id, is_eval, md5(text) AS th,
+      |             CAST(CAST(('0x' || substr(md5(concat(CAST(i AS VARCHAR),
+      |                  ':', text)), 1, 8)) AS UBIGINT) % 256 AS BIGINT)
+      |               AS bit
+      |      FROM t, unnest([0, 1, 2]) AS u(i)),
+      |bloom AS (SELECT DISTINCT bit FROM b WHERE is_eval),
+      |ev AS (SELECT DISTINCT md5(text) AS th FROM t WHERE is_eval),
+      |hits AS (SELECT doc_id, th, count(*) AS n_bits_hit
+      |         FROM b JOIN bloom USING (bit) WHERE NOT is_eval
+      |         GROUP BY doc_id, th HAVING count(*) = 3)
+      |SELECT h.doc_id, CAST(n_bits_hit AS BIGINT) AS n_bits_hit,
+      |       CAST(CASE WHEN e.th IS NOT NULL THEN 1 ELSE 0 END AS INT)
+      |         AS exact
+      |FROM hits h LEFT JOIN ev e USING (th)""") { (s, d) =>
+    Dedup.bloomDecontaminate(docs(s, d), col("doc_id") % 100 < 10,
+      m = 256, j = 3)
+  }
+
   // Sequence packing (concat-then-chunk at 512 tokens, per source
   // shard in doc_id order): pure integer window arithmetic, exactly
   // replayable in SQL.

@@ -804,6 +804,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(2)._3 == 0L) // untouched doc
   }
 
+  test("bloom decontamination flags exact members; never misses one") {
+    import graft.dedup.Dedup
+    val evalText = (0 until 30).map(i => s"e$i").mkString(" ")
+    val df = docsDf(
+      (100L, evalText), // eval slice member (id % 2 == 0)
+      (1L, evalText), // corpus copy of an eval doc -> must be flagged
+      (3L, (0 until 30).map(i => s"x$i").mkString(" ")),
+      (5L, (0 until 30).map(i => s"y$i").mkString(" ")))
+    val out = Dedup.bloomDecontaminate(df, col("doc_id") % 2 === 0,
+        m = 4096, j = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("exact")))
+    assert(out.contains((1L, 1)), s"got ${out.mkString(",")}")
+    // wide filter: no FPs expected among the two clean docs
+    assert(out.forall(_._2 == 1))
+  }
+
   test("weighted sample: deterministic, biased toward heavy weights") {
     import spark.implicits._
     val df = ((1L to 100L).map(i => (i, 1000L)) ++
