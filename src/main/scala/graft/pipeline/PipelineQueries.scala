@@ -58,6 +58,30 @@ object PipelineQueries extends QueryRegistry {
     TextAnalysis.qualityProjection(docs(s, d))
   }
 
+  // Decile quality binning: 9 percentile cut points from one tiny
+  // agg, broadcast, then map-local threshold comparison — the
+  // scale-correct alternative to a global ntile() sort.
+  q("t_quality_bins",
+    """WITH q AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+      |         round(least(len(list_filter(string_split(text, ' '), x -> x IN
+      |           ('the','a','an','of','and','or','to','in','is','it',
+      |            'for','on','with','as','at','by'))) /
+      |           len(string_split(text, ' ')) * 2.5, 1.0) * 0.5 +
+      |           least((length(text) - (len(string_split(text, ' ')) - 1)) /
+      |           len(string_split(text, ' ')) / 8.0, 1.0) * 0.5, 4) AS qs
+      |  FROM documents),
+      |t AS (SELECT quantile_cont(qs, [0.1, 0.2, 0.3, 0.4, 0.5,
+      |                                0.6, 0.7, 0.8, 0.9]) AS ts FROM q)
+      |SELECT CAST(bin AS INT) AS bin, count(*) AS n_docs,
+      |       min(qs) AS min_q, max(qs) AS max_q,
+      |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+      |FROM (SELECT q.*, 1 + len(list_filter(ts, x -> qs > x)) AS bin
+      |      FROM q, t)
+      |GROUP BY bin""") { (s, d) =>
+    TextAnalysis.qualityDeciles(docs(s, d))
+  }
+
   /** DuckDB text for the language heuristic, generated from the SAME
     * marker lists / script ranges as the Spark expression
     * (TextAnalysis.langMarkers / scriptRanges) so the two can't drift.

@@ -58,6 +58,32 @@ object TextAnalysis {
           col("n_tokens"), 4))
   }
 
+  /** Decile binning of the quality score, done the way a 100 TB job
+    * must: compute the 9 cut points in one tiny aggregate, broadcast
+    * the single-row threshold list, and bin each doc map-locally by
+    * comparison — NEVER a global ntile(), whose Window.orderBy with
+    * no partition key collapses the corpus onto one task. Ties sit
+    * exactly on a threshold only when the interpolation endpoints are
+    * equal (then the cut point is exact), so `>` binning is engine-
+    * stable. Output: per-bin doc count, quality range, token mass.
+    */
+  def qualityDeciles(docs: DataFrame, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val qs = (1 until nBins).map(i => i.toDouble / nBins)
+    val qp = qualityProjection(docs)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val cuts = qp.agg(expr(
+      s"percentile(quality_score, array(${qs.mkString(", ")}))").as("ts"))
+    qp.crossJoin(broadcast(cuts))
+      .withColumn("bin",
+        size(filter(col("ts"), t => col("quality_score") > t)) + 1)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("quality_score")).as("min_q"),
+        max(col("quality_score")).as("max_q"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"))
+  }
+
   /** Language-marker lists for the stopword language heuristic; argmax
     * tie-break follows this order (first max wins). Public so the DuckDB
     * oracle text can be generated from the same source of truth.
