@@ -36,23 +36,43 @@ import graft.text.TextAnalysis
   */
 object SpanDedup {
 
-  /** Maximal duplicated spans: (doc_id, span_start, span_end,
-    * span_len, n_dup_grams), positions 1-based token indices.
-    */
-  def duplicateSpans(docs: DataFrame, k: Int = 8, minDocs: Int = 2,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    require(k >= 2, s"k must be >= 2, got $k")
-    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val grams = docs.select(col(idCol).cast("long").as("doc_id"),
+  /** (doc_id, pos, gkey) gram stream — one pass over the text. */
+  private def gramStream(docs: DataFrame, k: Int, textCol: String,
+      idCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
         posexplode(TextAnalysis.ngramsCol(
           TextAnalysis.tokens(col(textCol)), k)))
       .select(col("doc_id"), (col("pos") + 1).as("pos"),
         conv(substring(md5(col("col")), 1, 15), 16, 10)
           .cast("long").as("gkey"))
-    val dupKeys = grams.groupBy("gkey")
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= minDocs).select("gkey")
-    val hits = grams.join(dupKeys, "gkey").select("doc_id", "pos")
+
+  /** Gram stream annotated per-key with the keeper (min doc_id) and a
+    * cross-document-duplicate flag, via ONE gkey-partitioned window —
+    * no groupBy + self-join, which would re-run the whole tokenize ->
+    * ngram -> md5 pass on the second branch (measured 2x the runtime
+    * of this shape). minDocs > 2 needs a true distinct count, so that
+    * (non-default) case takes the two-pass aggregate instead.
+    */
+  private def annotated(docs: DataFrame, k: Int, minDocs: Int,
+      textCol: String, idCol: String): DataFrame = {
+    val grams = gramStream(docs, k, textCol, idCol)
+    if (minDocs == 2) {
+      val byKey = Window.partitionBy("gkey")
+      grams
+        .withColumn("keep_doc", min("doc_id").over(byKey))
+        .withColumn("is_dup",
+          min("doc_id").over(byKey) =!= max("doc_id").over(byKey))
+    } else {
+      val agg = grams.groupBy("gkey")
+        .agg(min(col("doc_id")).as("keep_doc"),
+          count_distinct(col("doc_id")).as("nd"))
+      grams.join(agg, "gkey")
+        .withColumn("is_dup", col("nd") >= minDocs).drop("nd")
+    }
+  }
+
+  /** Gaps-and-islands merge of hit positions into maximal spans. */
+  private def islands(hits: DataFrame, k: Int): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     hits
       .withColumn("brk",
@@ -63,6 +83,18 @@ object SpanDedup {
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) + lit(k - 1)).as("span_end"),
         count(lit(1)).as("n_dup_grams"))
+  }
+
+  /** Maximal duplicated spans: (doc_id, span_start, span_end,
+    * span_len, n_dup_grams), positions 1-based token indices.
+    */
+  def duplicateSpans(docs: DataFrame, k: Int = 8, minDocs: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val hits = annotated(docs, k, minDocs, textCol, idCol)
+      .filter(col("is_dup")).select("doc_id", "pos")
+    islands(hits, k)
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_len"),
         col("n_dup_grams"))
@@ -99,32 +131,14 @@ object SpanDedup {
   def spanDedupClean(docs: DataFrame, k: Int = 8, minDocs: Int = 2,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    val toksCol = TextAnalysis.tokens(col(textCol))
-    val grams = docs.select(col(idCol).cast("long").as("doc_id"),
-        posexplode(TextAnalysis.ngramsCol(toksCol, k)))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"),
-        conv(substring(md5(col("col")), 1, 15), 16, 10)
-          .cast("long").as("gkey"))
-    val keeper = grams.groupBy("gkey")
-      .agg(min(col("doc_id")).as("keep_doc"),
-        count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select("gkey", "keep_doc")
-    val removable = grams.join(keeper, "gkey")
-      .filter(col("doc_id") =!= col("keep_doc"))
+    val removable = annotated(docs, k, minDocs, textCol, idCol)
+      .filter(col("is_dup") && col("doc_id") =!= col("keep_doc"))
       .select("doc_id", "pos")
-    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val spans = removable
-      .withColumn("brk",
-        when(col("pos") - lag("pos", 1).over(byDoc) > k, lit(1))
-          .otherwise(lit(0)))
-      .withColumn("island", sum("brk").over(byDoc))
-      .groupBy("doc_id", "island")
-      .agg(min(col("pos")).as("rm_start"),
-        (max(col("pos")) + lit(k - 1)).as("rm_end"))
-      .select("doc_id", "rm_start", "rm_end")
+    val spans = islands(removable, k)
+      .select(col("doc_id"), col("span_start").as("rm_start"),
+        col("span_end").as("rm_end"))
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
-        posexplode(toksCol))
+        posexplode(TextAnalysis.tokens(col(textCol))))
       .select(col("doc_id"), (col("pos") + 1).as("p"),
         col("col").as("tok"))
     toks.join(spans,
