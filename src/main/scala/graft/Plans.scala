@@ -29,7 +29,11 @@ object Plans {
     "t_bm25_topk" -> "BM25 search: tf as codegen'd array filters (no explode), corpus stats reduce to ONE broadcast row, scoring pass is map-only, top-k via TakeOrderedAndProject — two corpus passes, zero wide shuffles",
     "t_inverted_index" -> "inverted index: one token-keyed exchange; postings via bounded_min_set (partial_bounded_min_set BEFORE the exchange — O(cap) state per key, vs collect_set's O(corpus) stopword buffer)",
     "t_temp_mix" -> "temperature mixing: stratum counts one map-combined agg, tiny quota table broadcast back, md5 rank windowed per stratum — never a global sort",
-    "t_heavy_hitters" -> "guaranteed heavy hitters: partial_misra_gries caps every map-side partial at k entries BEFORE the exchange (the distinct vocabulary never shuffles); candidates broadcast back for the exact recount semi join")
+    "t_heavy_hitters" -> "guaranteed heavy hitters: partial_misra_gries caps every map-side partial at k entries BEFORE the exchange (the distinct vocabulary never shuffles); candidates broadcast back for the exact recount semi join",
+    "dd_span_dedup" -> "span-level dedup: ONE tokenize->ngram->md5 pass; dup detection is a gkey-partitioned window (min!=max doc) — no groupBy+self-join recompute of the text pass — then a doc-keyed gaps-and-islands window; both exchanges carry 16-byte (pos,key) rows, never text",
+    "dd_bloom_decontam" -> "bloom decontamination: eval set reduces to a DISTINCT bit-position table (<= m rows) BROADCAST to the corpus probe — the corpus never shuffles; flagged slice re-checked exactly against broadcast md5 membership",
+    "t_countmin" -> "count-min sketch: the (row,bucket) groupBy IS the sketch merge — map-side partials cap the exchange at d*w counter rows per partition; probes join the 1024-row sketch broadcast",
+    "t_quality_bins" -> "decile binning: percentile cut points in one single-row agg, broadcast cross join, map-local array compare — no global ntile() sort")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
