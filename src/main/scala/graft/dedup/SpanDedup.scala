@@ -33,10 +33,28 @@ import graft.text.TextAnalysis
   * grams per partition bound the exchange, not the token stream).
   * Stage 3's window partitions by doc_id — per-doc state is bounded
   * by the doc's own token count, so no skew beyond document length.
+  *
+  * Skew trade-off, stated honestly: the default (minDocs = 2) path
+  * detects duplicates with a gkey-partitioned window, which buffers
+  * one gram-key group per task — a pathological gram repeated across
+  * millions of docs lands on one reducer (rows are 16 bytes and
+  * WindowExec spills, so it degrades, not breaks). The minDocs > 2
+  * path is the skew-immune alternative (map-combined groupBy), at the
+  * price of re-running the text pass on the join branch; at extreme
+  * scale, materialize [[gramTable]] once (the ingest-once posture of
+  * `io.ObservationStore`) and feed both branches from parquet.
   */
 object SpanDedup {
 
-  /** (doc_id, pos, gkey) gram stream — one pass over the text. */
+  /** (doc_id, pos, gkey) gram stream — one pass over the text. Public
+    * so extreme-scale callers can materialize it once (parquet/persist)
+    * and run the duplicate analysis off the 16-byte-row table instead
+    * of re-tokenizing, as the class doc's skew note describes.
+    */
+  def gramTable(docs: DataFrame, k: Int, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    gramStream(docs, k, textCol, idCol)
+
   private def gramStream(docs: DataFrame, k: Int, textCol: String,
       idCol: String): DataFrame =
     docs.select(col(idCol).cast("long").as("doc_id"),

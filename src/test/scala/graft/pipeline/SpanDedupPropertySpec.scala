@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import graft.dedup.SpanDedup
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests: SpanDedup's relational pipeline (gram windows +
+  * gaps-and-islands) against a direct in-memory reference on random
+  * small-vocabulary corpora — small vocab forces genuine cross-doc
+  * k-gram repeats, including overlapping and adjacent spans.
+  */
+class SpanDedupPropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def forAll[T](gen: Gen[T], n: Int = 25)(f: T => Unit): Unit = {
+    var seed = 0L
+    var done = 0
+    while (done < n && seed < n * 30L) {
+      gen.apply(Gen.Parameters.default, Seed(seed)) match {
+        case Some(v) => f(v); done += 1
+        case None =>
+      }
+      seed += 1
+    }
+    assert(done == n, s"only $done/$n generator samples produced")
+  }
+
+  private val corpusGen: Gen[(Seq[(Long, Array[String])], Int)] = for {
+    k <- Gen.choose(2, 4)
+    nDocs <- Gen.choose(3, 10)
+    vocab <- Gen.choose(4, 7)
+    seed <- Gen.choose(0L, 100000L)
+  } yield {
+    val rnd = new scala.util.Random(seed)
+    val docs = (1L to nDocs).map { id =>
+      val len = 2 + rnd.nextInt(30)
+      id -> Array.fill(len)(('a' + rnd.nextInt(vocab)).toChar.toString)
+    }
+    (docs, k)
+  }
+
+  /** Reference implementation: hash-free, direct sets and scans. */
+  private def refSpans(docs: Seq[(Long, Array[String])], k: Int)
+      : Set[(Long, Int, Int, Long)] = {
+    val grams = docs.flatMap { case (id, toks) =>
+      (0 to toks.length - k).map(i => (id, i + 1, toks.slice(i, i + k).mkString(" ")))
+    }
+    val docsPerGram = grams.groupBy(_._3).view
+      .mapValues(_.map(_._1).distinct.size).toMap
+    val hitsByDoc = grams.filter(g => docsPerGram(g._3) >= 2)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    hitsByDoc.flatMap { case (id, ps) =>
+      // gaps-and-islands over sorted positions
+      val islands = ps.foldLeft(List.empty[List[Int]]) {
+        case (Nil, p) => List(List(p))
+        case (cur :: done, p) =>
+          if (p - cur.head <= k) (p :: cur) :: done
+          else List(p) :: cur :: done
+      }
+      islands.map(isl =>
+        (id, isl.last, isl.head + k - 1, isl.size.toLong))
+    }.toSet
+  }
+
+  test("duplicateSpans equals the in-memory reference on random corpora") {
+    import spark.implicits._
+    forAll(corpusGen) { case (docs, k) =>
+      val df = docs.map { case (id, ts) => (id, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = SpanDedup.duplicateSpans(df, k = k).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
+          r.getAs[Int]("span_end"), r.getAs[Long]("n_dup_grams"))).toSet
+      val want = refSpans(docs, k)
+      assert(got == want, s"k=$k docs=${docs.map(_._2.mkString(" "))}")
+    }
+  }
+
+  test("spanDedupClean: keeper survives; others lose exactly the covered tokens") {
+    import spark.implicits._
+    forAll(corpusGen, n = 15) { case (docs, k) =>
+      val df = docs.map { case (id, ts) => (id, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = SpanDedup.spanDedupClean(df, k = k).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("clean_text"), r.getAs[Long]("n_removed")))
+        .toMap
+      // reference removal: per gram, keeper = min doc containing it;
+      // positions covered by a non-keeper occurrence are dropped
+      val grams = docs.flatMap { case (id, toks) =>
+        (0 to toks.length - k)
+          .map(i => (id, i + 1, toks.slice(i, i + k).mkString(" ")))
+      }
+      val byGram = grams.groupBy(_._3).view
+        .mapValues(g => (g.map(_._1).min, g.map(_._1).distinct.size)).toMap
+      docs.foreach { case (id, toks) =>
+        val removedPos = grams.collect {
+          case (d, p, g) if d == id && byGram(g)._2 >= 2 &&
+            byGram(g)._1 != id => (p to p + k - 1)
+        }.flatten.toSet
+        val kept = toks.zipWithIndex.collect {
+          case (t, i) if !removedPos.contains(i + 1) => t
+        }
+        assert(got(id)._1 == kept.mkString(" "), s"doc $id k=$k")
+        assert(got(id)._2 == removedPos.size.toLong, s"doc $id k=$k")
+      }
+    }
+  }
+}
