@@ -7,9 +7,12 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{
   SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{
+  Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan,
-  ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+  ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters,
+  SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{
   MicroBatchStream, Offset, ReadLimit, ReadMaxRows,
   SupportsTriggerAvailableNow}
@@ -125,12 +128,14 @@ final class ObservationCollectionTable(params: ObservationCollection.Params)
 final class ObservationCollectionScanBuilder(
     params: ObservationCollection.Params)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var lo: Int = params.startDay // inclusive epoch day
   private var hi: Int = params.endDay // exclusive epoch day
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = ObservationCollection.schema
+  private var aggPushed: Option[Aggregation] = None
 
   private def toDay(v: Any, roundUp: Boolean): Option[Int] = v match {
     case t: java.sql.Timestamp =>
@@ -181,8 +186,100 @@ final class ObservationCollectionScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new ObservationCollectionScan(params, lo, hi, required)
+  /** COUNT(*) / MIN(time) / MAX(time) with no grouping answer
+    * analytically from the collection geometry (aligned-day count x
+    * pixel grid) — no partition ever runs. Spark only attempts
+    * aggregate pushdown when every filter was FULLY pushed; this
+    * source declares its day-granular time pushdown as inexact
+    * (pushFilters returns all filters as residuals), so a filtered
+    * query keeps a Filter node and is never offered here — the
+    * lo == startDay && hi == endDay guard just pins that invariant.
+    */
+  private def canPushAgg(agg: Aggregation): Boolean =
+    pushed.isEmpty && lo == params.startDay && hi == params.endDay &&
+      agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => m.column.references.map(_.toString) sameElements
+          Array("time")
+        case m: Max => m.column.references.map(_.toString) sameElements
+          Array("time")
+        case _ => false
+      }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    canPushAgg(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!canPushAgg(agg)) return false
+    aggPushed = Some(agg)
+    true
+  }
+
+  override def build(): Scan = aggPushed match {
+    case Some(agg) => new ObservationAggScan(params, lo, hi, agg)
+    case None => new ObservationCollectionScan(params, lo, hi, required)
+  }
+}
+
+/** Complete-pushdown aggregate scan: one partition, one row, computed
+  * from the collection geometry. Row counts follow the reader's
+  * cadence alignment exactly (first aligned day >= lo, step
+  * cadenceDays, strictly below hi; pixels^2 observations per day).
+  */
+final class ObservationAggScan(
+    params: ObservationCollection.Params,
+    lo: Int, hi: Int, agg: Aggregation) extends Scan with Batch {
+
+  private def alignUp(d: Int): Int = {
+    val off = Math.floorMod(d - params.startDay, params.cadenceDays)
+    if (off == 0) d else d + (params.cadenceDays - off)
+  }
+  private val firstDay = alignUp(lo)
+  private val nDays =
+    if (hi <= firstDay) 0L
+    else ((hi - firstDay - 1L) / params.cadenceDays) + 1L
+  private val lastDay = firstDay + params.cadenceDays * (nDays - 1)
+
+  override def readSchema(): StructType = StructType(
+    agg.aggregateExpressions.zipWithIndex.map {
+      case (_: CountStar, i) => StructField(s"agg_$i", LongType, false)
+      case (_, i) => StructField(s"agg_$i", TimestampType, true)
+    })
+
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"observation-collection AGG-PUSHDOWN days=[$lo,$hi) " +
+      s"rows=${nDays * params.pixels * params.pixels}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(ObservationSlice(0, 0, 0, 0))
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val values: Array[Any] = agg.aggregateExpressions.map {
+      case _: CountStar => nDays * params.pixels * params.pixels
+      case m: Min =>
+        if (nDays == 0L) null else firstDay * 86400000000L
+      case _ => if (nDays == 0L) null else lastDay * 86400000000L
+    }
+    new ObservationAggReaderFactory(values)
+  }
+}
+
+final class ObservationAggReaderFactory(values: Array[Any])
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = !emitted
+      override def get(): InternalRow = {
+        emitted = true
+        new GenericInternalRow(values.clone())
+      }
+      override def close(): Unit = ()
+    }
 }
 
 final case class ObservationSlice(

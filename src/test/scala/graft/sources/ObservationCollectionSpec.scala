@@ -66,6 +66,30 @@ class ObservationCollectionSpec extends AnyFunSuite {
       Seq("longitude", "value"))
   }
 
+  test("COUNT/MIN/MAX push down completely; filtered aggs do not") {
+    val agg = collection.agg(count(lit(1)).as("n"),
+      min(col("time")).as("t0"), max(col("time")).as("t1"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("AGG-PUSHDOWN"), plan)
+    val row = agg.collect()(0)
+    assert(row.getAs[Long]("n") == 23L * 16)
+    assert(row.getAs[java.sql.Timestamp]("t0").toInstant ==
+      java.time.Instant.parse("2020-01-01T00:00:00Z"))
+    // last acquisition day: Jan 1 + 16*22 = day 352 = 2020-12-18
+    assert(row.getAs[java.sql.Timestamp]("t1").toInstant ==
+      java.time.Instant.parse("2020-12-18T00:00:00Z"))
+    // a WHERE keeps a residual Filter -> Spark must NOT offer the agg;
+    // result comes from the row scan and stays exact
+    val filtered = collection
+      .filter(col("time") >= lit("2020-06-01").cast("timestamp"))
+      .agg(count(lit(1)).as("n"))
+    val fplan = filtered.queryExecution.executedPlan.toString
+    assert(!fplan.contains("AGG-PUSHDOWN"), fplan)
+    // aligned days in [Jun 1, Jan 1): day 160 is the first aligned
+    // acquisition >= 152 (2020-06-01); then every 16 -> 13 days
+    assert(filtered.collect()(0).getAs[Long]("n") == 13L * 16)
+  }
+
   test("micro-batch stream replays the collection with batch parity") {
     val stream = spark.readStream
       .format("observation-collection")
