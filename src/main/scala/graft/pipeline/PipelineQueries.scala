@@ -793,6 +793,28 @@ object PipelineQueries extends QueryRegistry {
       .select("doc_id", "bucket", "split")
   }
 
+  // Tokenize-to-ids: frequency-ranked vocab (deterministic tie-break)
+  // broadcast onto the token stream; id sequences reassembled per doc.
+  q("t_token_ids",
+    """WITH vocab AS (
+      |  SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS id
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |  GROUP BY tok),
+      |tp AS (
+      |  SELECT doc_id,
+      |         CAST(unnest(generate_series(1, len(string_split(text, ' '))))
+      |           AS INT) AS p,
+      |         unnest(string_split(text, ' ')) AS tok
+      |  FROM documents)
+      |SELECT CAST(tp.doc_id AS BIGINT) AS doc_id,
+      |       string_agg(v.id, ',' ORDER BY tp.p) AS ids,
+      |       count(*) AS n_tokens
+      |FROM tp JOIN vocab v USING (tok)
+      |GROUP BY tp.doc_id""") { (s, d) =>
+    TextAnalysis.tokenizeToIds(docs(s, d))
+  }
+
   // Weighted sampling without replacement (Efraimidis-Spirakis keys
   // from the doc_id md5, weight = n_chars): pure function of the ids,
   // reproduced verbatim by the oracle.

@@ -212,6 +212,32 @@ object TextAnalysis {
     docs.select(explode(tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
 
+  /** Tokenize-to-ids: map every token to its frequency-ranked vocab id
+    * (1 = most frequent; ties broken by token text so the ranking is a
+    * pure function of the corpus) and emit the id sequence per doc —
+    * the step between text curation and sequence packing. The vocab is
+    * heads-heavy and tiny next to the token stream: ranking it is a
+    * window over vocab-sized data and the id map broadcasts back to
+    * the exploded stream; re-assembly is the usual sorted collect
+    * keyed by doc_id, state bounded by document length.
+    */
+  def tokenizeToIds(docs: DataFrame): DataFrame = {
+    val vocab = unigramCounts(docs)
+      .withColumn("id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("tok"))))
+      .select("tok", "id")
+    docs.select(col("doc_id"), posexplode(tokens(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("tok"))
+      .join(broadcast(vocab), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("id")))),
+          x => x.getField("id")), ",").as("ids"),
+        count(lit(1)).cast("long").as("n_tokens"))
+  }
+
   /** Per-doc rarity statistics against the corpus unigram table — the
     * rare-word quality signal as EXACT INTEGERS (sum/min of global
     * token frequency, hapax count) so the driver entry hash-matches

@@ -804,6 +804,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(2)._3 == 0L) // untouched doc
   }
 
+  test("tokenize-to-ids: rank-1 = most frequent, order preserved") {
+    val df = docsDf(
+      (1L, "b a a c a"), // a:3 -> id 1; b:2 -> 2; c:1 -> 3
+      (2L, "b c a a a a")) // a:7 total... recount below
+    // global counts: a=7, b=2, c=2 -> a->1, b->2 (tie b<c), c->3
+    val out = TextAnalysis.tokenizeToIds(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("ids"), r.getAs[Long]("n_tokens"))).toMap
+    assert(out(1L) == ("2,1,1,3,1", 5L))
+    assert(out(2L) == ("2,3,1,1,1,1", 6L))
+  }
+
   test("bloom decontamination flags exact members; never misses one") {
     import graft.dedup.Dedup
     val evalText = (0 until 30).map(i => s"e$i").mkString(" ")
