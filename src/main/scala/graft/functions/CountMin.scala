@@ -48,17 +48,24 @@ object CountMin {
     */
   def estimates(docs: DataFrame, d: Int = 4, w: Int = 256,
       textCol: String = "text"): DataFrame = {
-    val toks = docs.select(
-      explode(graft.text.TextAnalysis.tokens(col(textCol))).as("tok"))
-    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
-    val probes = exact.select(col("tok"), explode(array((0 until d).map(r =>
-        struct(lit(r).as("r"), bucketCol(r, col("tok"), w).as("bucket"))
-      ): _*)).as("rb"))
-      .select(col("tok"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
-    val est = probes.join(broadcast(sketch(docs, d, w, textCol)),
-        Seq("r", "bucket"))
-      .groupBy("tok").agg(min(col("c")).as("est_count"))
-    exact.join(est, Seq("tok"))
+    // everything derives from ONE vocab aggregate: the sketch counter
+    // for (r, b) is the sum of exact counts of tokens hashing there,
+    // so building it from vocab instead of the raw stream is exact —
+    // and because both branches share the identical vocab exchange,
+    // Spark reuses it (ReusedExchange) and the token stream is
+    // scanned/hashed once, not three times.
+    val vocab = docs.select(
+        explode(graft.text.TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+    val rb = vocab.select(col("tok"), col("exact_cnt"),
+        explode(array((0 until d).map(r =>
+          struct(lit(r).as("r"), bucketCol(r, col("tok"), w).as("bucket"))
+        ): _*)).as("rb"))
+      .select(col("tok"), col("exact_cnt"),
+        col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+    val sk = rb.groupBy("r", "bucket").agg(sum(col("exact_cnt")).as("c"))
+    rb.join(broadcast(sk), Seq("r", "bucket"))
+      .groupBy("tok", "exact_cnt").agg(min(col("c")).as("est_count"))
       .select(col("tok"), col("est_count"), col("exact_cnt"),
         (col("est_count") - col("exact_cnt")).as("overcount"))
   }
