@@ -226,6 +226,32 @@ object LogAnalytics extends QueryRegistry {
       last_value(col("c_acctbal")).over(w2).as("bottom_bal"))
   }
 
+  /** RANGE frame (value-based, vs the ROWS frames elsewhere): trailing
+    * one-hour window per user keyed on epoch seconds. RANGE makes tied
+    * timestamps peers — the frame is a pure function of the VALUE, so
+    * the result is deterministic under any tie order, where a ROWS
+    * frame would not be. Aggregates chosen order-independent (count,
+    * max) — a windowed float sum would accumulate in engine-specific
+    * order.
+    */
+  q("la_range_frame",
+    """SELECT CAST(event_id AS BIGINT) AS event_id,
+      |       CAST(user_id AS BIGINT) AS user_id,
+      |       CAST(count(*) OVER win AS BIGINT) AS n_trailing_hr,
+      |       max(value) OVER win AS max_trailing_hr
+      |FROM events
+      |WINDOW win AS (PARTITION BY user_id
+      |               ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      |               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""") {
+    (s, d) =>
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").cast("long"))
+      .rangeBetween(-3600, 0)
+    events(s, d).select(col("event_id"), col("user_id"),
+      count(lit(1)).over(w).as("n_trailing_hr"),
+      max(col("value")).over(w).as("max_trailing_hr"))
+  }
+
   /** As-of join: each event picks the latest prior per-type daily state
     * (odd days only, so the lookback crosses days). Spark composes the
     * operator (AsOf.join); the oracle uses DuckDB's native ASOF JOIN —
