@@ -541,15 +541,26 @@ object Dedup {
     * would clear.
     */
   def bloomDecontaminate(docs: DataFrame, isEval: Column,
-      m: Int = 4096, j: Int = 3, textCol: String = "text",
+      bitsPerKey: Int = 5, j: Int = 3, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    require(j >= 1 && m >= 2, s"need j >= 1, m >= 2; got j=$j m=$m")
+    require(j >= 1 && bitsPerKey >= 1,
+      s"need j >= 1, bitsPerKey >= 1; got j=$j bitsPerKey=$bitsPerKey")
+    // m scales with the eval-set size (floor 64) so the FP rate is a
+    // constant of bitsPerKey, not of corpus scale — a fixed m
+    // saturates once n_eval * j approaches it and flags everything.
+    // The count is a one-row broadcast, not a driver action.
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol), isEval.as("is_eval"))
+    val mRow = base.filter(col("is_eval"))
+      .agg(greatest(lit(64L), lit(bitsPerKey.toLong) * count(lit(1)))
+        .as("m"))
     def bit(i: Int): Column =
       conv(substring(md5(concat_ws(":", lit(i), col(textCol))), 1, 8),
-        16, 10).cast("long") % m
+        16, 10).cast("long") % col("m")
     val bitsArr = array((0 until j).map(bit): _*)
-    val tagged = docs.select(col(idCol).cast("long").as("doc_id"),
-      col(textCol), isEval.as("is_eval"), bitsArr.as("bits"))
+    val tagged = base.crossJoin(broadcast(mRow))
+      .select(col("doc_id"), col(textCol), col("is_eval"),
+        bitsArr.as("bits"))
     val bloom = tagged.filter(col("is_eval"))
       .select(explode(col("bits")).as("bit")).distinct()
     val evalHashes = tagged.filter(col("is_eval"))

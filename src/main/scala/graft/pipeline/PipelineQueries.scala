@@ -1098,16 +1098,18 @@ object PipelineQueries extends QueryRegistry {
   // bitmap of the eval set, not a join side. Relational form — the
   // DISTINCT bit-position set (<= m rows) broadcasts; docs with all
   // 3 bits present are flagged; `exact` accounts false positives.
-  // m = 256 is sized small against this corpus ON PURPOSE so the FP
-  // path is non-empty and oracle-checked (production m >> n_eval*j).
+  // m scales with the eval count (5 bits/key, floor 64) so the FP
+  // rate stays ~9% at every sf — small ON PURPOSE so the FP path is
+  // non-empty and oracle-checked (production bitsPerKey ~10-20).
   q("dd_bloom_decontam",
     """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
       |                  doc_id % 100 < 10 AS is_eval FROM documents),
+      |n AS (SELECT greatest(64, 5 * count(*)) AS m FROM t WHERE is_eval),
       |b AS (SELECT doc_id, is_eval, md5(text) AS th,
       |             CAST(CAST(('0x' || substr(md5(concat(CAST(i AS VARCHAR),
-      |                  ':', text)), 1, 8)) AS UBIGINT) % 256 AS BIGINT)
+      |                  ':', text)), 1, 8)) AS UBIGINT) % m AS BIGINT)
       |               AS bit
-      |      FROM t, unnest([0, 1, 2]) AS u(i)),
+      |      FROM t, n, unnest([0, 1, 2]) AS u(i)),
       |bloom AS (SELECT DISTINCT bit FROM b WHERE is_eval),
       |ev AS (SELECT DISTINCT md5(text) AS th FROM t WHERE is_eval),
       |hits AS (SELECT doc_id, th, count(*) AS n_bits_hit
@@ -1118,7 +1120,7 @@ object PipelineQueries extends QueryRegistry {
       |         AS exact
       |FROM hits h LEFT JOIN ev e USING (th)""") { (s, d) =>
     Dedup.bloomDecontaminate(docs(s, d), col("doc_id") % 100 < 10,
-      m = 256, j = 3)
+      bitsPerKey = 5, j = 3)
   }
 
   // Sequence packing (concat-then-chunk at 512 tokens, per source

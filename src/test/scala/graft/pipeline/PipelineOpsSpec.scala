@@ -825,7 +825,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       (3L, (0 until 30).map(i => s"x$i").mkString(" ")),
       (5L, (0 until 30).map(i => s"y$i").mkString(" ")))
     val out = Dedup.bloomDecontaminate(df, col("doc_id") % 2 === 0,
-        m = 4096, j = 3).collect()
+        bitsPerKey = 4096, j = 3).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("exact")))
     assert(out.contains((1L, 1)), s"got ${out.mkString(",")}")
     // wide filter: no FPs expected among the two clean docs
