@@ -577,4 +577,44 @@ object Dedup {
       .select(col("doc_id"), col("n_bits_hit"),
         coalesce(col("ex"), lit(0)).as("exact"))
   }
+
+  /** The broadcastable Bloom state as ONE row — (m, bit-position
+    * array, eval md5 array) — the shape a stream-static probe needs:
+    * a stateless crossJoin(broadcast(...)) instead of a stateful
+    * stream join. Same scaled-m derivation as [[bloomDecontaminate]].
+    */
+  def bloomBroadcastRow(evalDocs: DataFrame, bitsPerKey: Int = 5,
+      j: Int = 3, textCol: String = "text"): DataFrame = {
+    val mRow = evalDocs
+      .agg(greatest(lit(64L), lit(bitsPerKey.toLong) * count(lit(1)))
+        .as("m"))
+    def bit(i: Int): Column =
+      conv(substring(md5(concat_ws(":", lit(i), col(textCol))), 1, 8),
+        16, 10).cast("long") % col("m")
+    evalDocs.crossJoin(broadcast(mRow))
+      .select(col("m"),
+        explode(array((0 until j).map(bit): _*)).as("bit"),
+        md5(col(textCol)).as("th"))
+      .groupBy("m")
+      .agg(array_sort(collect_set(col("bit"))).as("bloom_bits"),
+        array_sort(collect_set(col("th"))).as("eval_md5s"))
+  }
+
+  /** Map-local Bloom probe against a [[bloomBroadcastRow]] — works on
+    * a batch frame or a streaming one (stateless: no aggregation, no
+    * watermark; append-mode safe). Emits flagged docs only, with the
+    * exact-membership audit column.
+    */
+  def bloomProbe(docs: DataFrame, bloomRow: DataFrame, j: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def bit(i: Int): Column =
+      conv(substring(md5(concat_ws(":", lit(i), col(textCol))), 1, 8),
+        16, 10).cast("long") % col("m")
+    docs.crossJoin(broadcast(bloomRow))
+      .filter((0 until j).map(i =>
+        array_contains(col("bloom_bits"), bit(i))).reduce(_ && _))
+      .select(col(idCol).cast("long").as("doc_id"),
+        array_contains(col("eval_md5s"), md5(col(textCol)))
+          .cast("int").as("exact"))
+  }
 }

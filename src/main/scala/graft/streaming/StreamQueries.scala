@@ -171,6 +171,41 @@ object StreamQueries extends QueryRegistry {
       "complete")
   }
 
+  /** Streaming decontamination: the incoming doc stream probed
+    * map-locally against a STATIC broadcast Bloom row built from the
+    * held-out eval slice — stateless (no watermark, no state store),
+    * append mode, exactly the shape a 100 TB ingest firehose needs.
+    * Same oracle semantics as the batch `dd_bloom_decontam` minus the
+    * per-bit count column (the probe is a forall, not an aggregate).
+    */
+  q("st_bloom_decontam",
+    """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+      |                  doc_id % 100 < 10 AS is_eval FROM documents),
+      |n AS (SELECT greatest(64, 5 * count(*)) AS m FROM t WHERE is_eval),
+      |b AS (SELECT doc_id, is_eval, md5(text) AS th,
+      |             CAST(CAST(('0x' || substr(md5(concat(CAST(i AS VARCHAR),
+      |                  ':', text)), 1, 8)) AS UBIGINT) % m AS BIGINT)
+      |               AS bit
+      |      FROM t, n, unnest([0, 1, 2]) AS u(i)),
+      |bloom AS (SELECT DISTINCT bit FROM b WHERE is_eval),
+      |ev AS (SELECT DISTINCT md5(text) AS th FROM t WHERE is_eval),
+      |hits AS (SELECT doc_id, th FROM b JOIN bloom USING (bit)
+      |         WHERE NOT is_eval GROUP BY doc_id, th HAVING count(*) = 3)
+      |SELECT h.doc_id,
+      |       CAST(CASE WHEN e.th IS NOT NULL THEN 1 ELSE 0 END AS INT)
+      |         AS exact
+      |FROM hits h LEFT JOIN ev e USING (th)""") { (s, d) =>
+    val evalDocs = graft.io.Tables.load(s, d, "documents")
+      .filter(col("doc_id") % 100 < 10)
+    val bloomRow = graft.dedup.Dedup.bloomBroadcastRow(evalDocs,
+      bitsPerKey = 5, j = 3)
+    runToCompletion(
+      graft.dedup.Dedup.bloomProbe(
+        docStream(s, d).filter(!(col("doc_id") % 100 < 10)),
+        bloomRow, j = 3),
+      "append")
+  }
+
   /** The st_frequent_ngrams transform over any documents(-shaped)
     * stream.
     */

@@ -832,6 +832,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.forall(_._2 == 1))
   }
 
+  test("bloom probe (stream shape) agrees with the aggregate form") {
+    import graft.dedup.Dedup
+    val evalText = (0 until 30).map(i => s"e$i").mkString(" ")
+    val df = docsDf(
+      (100L, evalText),
+      (1L, evalText),
+      (3L, (0 until 30).map(i => s"x$i").mkString(" ")),
+      (5L, (0 until 30).map(i => s"y$i").mkString(" ")))
+    val isEval = col("doc_id") % 2 === 0
+    val agg = Dedup.bloomDecontaminate(df, isEval, bitsPerKey = 64, j = 3)
+      .select("doc_id", "exact").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val probe = Dedup.bloomProbe(df.filter(!isEval),
+        Dedup.bloomBroadcastRow(df.filter(isEval), bitsPerKey = 64, j = 3),
+        j = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(agg == probe && probe.contains((1L, 1)))
+  }
+
   test("weighted sample: deterministic, biased toward heavy weights") {
     import spark.implicits._
     val df = ((1L to 100L).map(i => (i, 1000L)) ++
