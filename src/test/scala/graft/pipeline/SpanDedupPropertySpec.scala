@@ -69,6 +69,21 @@ class SpanDedupPropertySpec extends AnyFunSuite {
     }.toSet
   }
 
+  test("degenerate corpus: 2000 identical docs -> one full-width span each") {
+    import spark.implicits._
+    val text = (0 until 40).map(i => s"t$i").mkString(" ")
+    val df = (1L to 2000L).map(id => (id, text)).toDF("doc_id", "text")
+    val spans = SpanDedup.duplicateSpans(df, k = 8).collect()
+    assert(spans.length == 2000)
+    assert(spans.forall(r => r.getAs[Int]("span_start") == 1 &&
+      r.getAs[Int]("span_end") == 40 && r.getAs[Long]("n_dup_grams") == 33L))
+    // keeper policy: doc 1 keeps everything, the other 1999 are emptied
+    val clean = SpanDedup.spanDedupClean(df, k = 8)
+      .groupBy("clean_text").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(clean(text) == 1L && clean("") == 1999L)
+  }
+
   test("duplicateSpans equals the in-memory reference on random corpora") {
     import spark.implicits._
     forAll(corpusGen) { case (docs, k) =>
