@@ -252,6 +252,53 @@ object LogAnalytics extends QueryRegistry {
       max(col("value")).over(w).as("max_trailing_hr"))
   }
 
+  /** Gap-fill resample with LOCF (last observation carried forward):
+    * per (user, type) series on a weekly grid — generate the dense
+    * index span per key (`sequence` + explode, map-local off a tiny
+    * bounds aggregate), left-join the observed composites, and fill
+    * holes with `last(v, ignoreNulls)` over an unbounded-preceding
+    * frame. Values are rounded BEFORE the fill so both engines carry
+    * forward identical doubles; the first grid row is always observed
+    * (the span starts at the key's min), so value_ff is never null.
+    */
+  q("ts_gapfill_locf",
+    """WITH comp AS (
+      |  SELECT user_id, event_type,
+      |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+      |              // 7 AS INT) AS wk,
+      |         round(avg(value), 6) AS v
+      |  FROM events GROUP BY 1, 2, 3),
+      |b AS (SELECT user_id, event_type, min(wk) AS w0, max(wk) AS w1
+      |      FROM comp GROUP BY 1, 2),
+      |grid AS (SELECT user_id, event_type,
+      |                CAST(unnest(generate_series(w0, w1)) AS INT) AS wk
+      |         FROM b),
+      |j AS (SELECT g.user_id, g.event_type, g.wk, c.v
+      |      FROM grid g LEFT JOIN comp c USING (user_id, event_type, wk))
+      |SELECT CAST(user_id AS BIGINT) AS user_id, event_type, wk,
+      |       CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap,
+      |       last_value(v IGNORE NULLS)
+      |         OVER (PARTITION BY user_id, event_type ORDER BY wk
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS value_ff
+      |FROM j""") { (s, d) =>
+    val wk = floor(datediff(col("ts").cast("date"),
+      lit("2024-01-01").cast("date")) / 7).cast("int")
+    val comp = events(s, d)
+      .groupBy(col("user_id"), col("event_type"), wk.as("wk"))
+      .agg(round(avg(col("value")), 6).as("v"))
+    val grid = comp.groupBy("user_id", "event_type")
+      .agg(min(col("wk")).as("w0"), max(col("wk")).as("w1"))
+      .select(col("user_id"), col("event_type"),
+        explode(sequence(col("w0"), col("w1"))).as("wk"))
+    val w = Window.partitionBy("user_id", "event_type").orderBy("wk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(comp, Seq("user_id", "event_type", "wk"), "left")
+      .select(col("user_id"), col("event_type"), col("wk"),
+        col("v").isNull.cast("int").as("is_gap"),
+        last(col("v"), ignoreNulls = true).over(w).as("value_ff"))
+  }
+
   /** As-of join: each event picks the latest prior per-type daily state
     * (odd days only, so the lookback crosses days). Spark composes the
     * operator (AsOf.join); the oracle uses DuckDB's native ASOF JOIN —
