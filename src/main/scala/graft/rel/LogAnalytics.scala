@@ -299,6 +299,78 @@ object LogAnalytics extends QueryRegistry {
         last(col("v"), ignoreNulls = true).over(w).as("value_ff"))
   }
 
+  /** Linear-interpolation gap-fill (the LOCF entry's complement):
+    * holes get lerp(prev, next) by grid distance — prev/idx from an
+    * ignoreNulls `last` over the preceding frame, next/idx from an
+    * ignoreNulls `first` over the following frame. The interpolated
+    * value is emitted floor-scaled to integer micro-units: the lerp of
+    * two 6-dp endpoints can land exactly on a decimal half-boundary
+    * where Java and C round() disagree, but floor of the identical
+    * IEEE double (same ops, same association on both engines) cannot.
+    * Trailing gaps (no next value) fall back to the previous value.
+    */
+  q("ts_gapfill_lerp",
+    """WITH comp AS (
+      |  SELECT user_id, event_type,
+      |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+      |              // 7 AS INT) AS wk,
+      |         round(avg(value), 6) AS v
+      |  FROM events GROUP BY 1, 2, 3),
+      |b AS (SELECT user_id, event_type, min(wk) AS w0, max(wk) AS w1
+      |      FROM comp GROUP BY 1, 2),
+      |grid AS (SELECT user_id, event_type,
+      |                CAST(unnest(generate_series(w0, w1)) AS INT) AS wk
+      |         FROM b),
+      |j AS (SELECT g.user_id, g.event_type, g.wk, c.v
+      |      FROM grid g LEFT JOIN comp c USING (user_id, event_type, wk)),
+      |f AS (SELECT user_id, event_type, wk, v,
+      |        last_value(v IGNORE NULLS) OVER wp AS pv,
+      |        last_value(CASE WHEN v IS NOT NULL THEN wk END IGNORE NULLS)
+      |          OVER wp AS pw,
+      |        first_value(v IGNORE NULLS) OVER wf AS nv,
+      |        first_value(CASE WHEN v IS NOT NULL THEN wk END IGNORE NULLS)
+      |          OVER wf AS nw
+      |      FROM j
+      |      WINDOW wp AS (PARTITION BY user_id, event_type ORDER BY wk
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |             wf AS (PARTITION BY user_id, event_type ORDER BY wk
+      |              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT CAST(user_id AS BIGINT) AS user_id, event_type, wk,
+      |       CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap,
+      |       CAST(floor((CASE
+      |          WHEN v IS NOT NULL THEN v
+      |          WHEN nv IS NULL THEN pv
+      |          ELSE pv + (nv - pv) * (wk - pw) / (nw - pw)
+      |        END) * 1000000) AS BIGINT) AS value_u
+      |FROM f""") { (s, d) =>
+    val wk = floor(datediff(col("ts").cast("date"),
+      lit("2024-01-01").cast("date")) / 7).cast("int")
+    val comp = events(s, d)
+      .groupBy(col("user_id"), col("event_type"), wk.as("wk"))
+      .agg(round(avg(col("value")), 6).as("v"))
+    val grid = comp.groupBy("user_id", "event_type")
+      .agg(min(col("wk")).as("w0"), max(col("wk")).as("w1"))
+      .select(col("user_id"), col("event_type"),
+        explode(sequence(col("w0"), col("w1"))).as("wk"))
+    val wp = Window.partitionBy("user_id", "event_type").orderBy("wk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("user_id", "event_type").orderBy("wk")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wkIfObs = when(col("v").isNotNull, col("wk"))
+    val lerp = col("pv") + (col("nv") - col("pv")) *
+      (col("wk") - col("pw")) / (col("nw") - col("pw"))
+    grid.join(comp, Seq("user_id", "event_type", "wk"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wp))
+      .withColumn("pw", last(wkIfObs, ignoreNulls = true).over(wp))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wf))
+      .withColumn("nw", first(wkIfObs, ignoreNulls = true).over(wf))
+      .select(col("user_id"), col("event_type"), col("wk"),
+        col("v").isNull.cast("int").as("is_gap"),
+        floor((when(col("v").isNotNull, col("v"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(lerp)) * 1000000).cast("long").as("value_u"))
+  }
+
   /** As-of join: each event picks the latest prior per-type daily state
     * (odd days only, so the lookback crosses days). Spark composes the
     * operator (AsOf.join); the oracle uses DuckDB's native ASOF JOIN —
