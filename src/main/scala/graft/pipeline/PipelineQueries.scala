@@ -905,6 +905,76 @@ object PipelineQueries extends QueryRegistry {
     Search.bm25TopKIndexed(docs(s, d), bm25Terms, k = 25)
   }
 
+  /** Hybrid lexical + vector retrieval with reciprocal-rank fusion:
+    * BM25 top-50 candidates, embedding re-rank against the label-0
+    * centroid query vector, fused by RRF (k=60) — the standard
+    * two-tower retrieval shape. Only INTEGER ranks are emitted; the
+    * RRF sum orders the output but never leaves the engine, and ties
+    * (symmetric rank pairs) break on doc_id. The rank windows span
+    * only the k-bounded candidate set, so the unpartitioned
+    * row_number is O(k), not O(corpus).
+    */
+  private val hybridOracleSql: String =
+    s"""WITH cand AS (
+       |  SELECT doc_id,
+       |         row_number() OVER (ORDER BY score DESC, doc_id)
+       |           AS rank_bm25
+       |  FROM (${Search.bm25OracleSql(bm25Terms, k = 50)
+             .linesIterator.mkString(" ")})),
+       |cent AS (
+       |  SELECT list(c ORDER BY dim) AS cvec FROM (
+       |    SELECT dim, round(avg(v), 6) AS c
+       |    FROM (SELECT unnest(CAST(embedding AS DOUBLE[])) AS v,
+       |                 unnest(generate_series(1, len(embedding))) AS dim
+       |          FROM embeddings WHERE label = 0)
+       |    GROUP BY dim)),
+       |scored AS (
+       |  SELECT cand.doc_id, rank_bm25,
+       |         list_cosine_similarity(cvec,
+       |           CAST(e.embedding AS DOUBLE[])) AS cos
+       |  FROM cand JOIN embeddings e ON e.vec_id = cand.doc_id
+       |  CROSS JOIN cent),
+       |r2 AS (SELECT doc_id, rank_bm25,
+       |              row_number() OVER (ORDER BY cos DESC, doc_id)
+       |                AS rank_cos
+       |       FROM scored)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |       CAST(rank_bm25 AS INT) AS rank_bm25,
+       |       CAST(rank_cos AS INT) AS rank_cos
+       |FROM r2
+       |ORDER BY 1.0 / (60 + rank_bm25) + 1.0 / (60 + rank_cos) DESC,
+       |         doc_id
+       |LIMIT 10""".stripMargin
+
+  q("hybrid_search", hybridOracleSql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val cand = Search.bm25TopK(docs(s, d), bm25Terms, k = 50)
+      .select(col("doc_id"), col("score"))
+      .withColumn("rank_bm25", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .drop("score")
+    val cent = embs(s, d).filter(col("label") === 0)
+      .select(posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("dim", "v")))
+      .groupBy("dim").agg(round(avg(col("v")), 6).as("c"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("cvec"))
+    val reranked = cand
+      .join(embs(s, d).select(col("vec_id").as("doc_id"),
+        col("embedding")), Seq("doc_id"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cos", Dedup.cosineCol(col("cvec"),
+        col("embedding").cast("array<double>")))
+      .withColumn("rank_cos", row_number().over(
+        Window.orderBy(col("cos").desc, col("doc_id"))))
+    reranked
+      .withColumn("rrf", lit(1.0) / (lit(60) + col("rank_bm25")) +
+        lit(1.0) / (lit(60) + col("rank_cos")))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+      .select("doc_id", "rank_bm25", "rank_cos")
+  }
+
   /** End-to-end SEARCH pipeline: length gate → exact dedup (md5 keeper)
     * → BM25 query over the curated survivors. The whole composite is
     * ONE DuckDB query: curation CTEs prepended to the same generated
