@@ -23,7 +23,7 @@ object Bench {
     "t_topk_ngrams", "dd_semdedup", "sim_ivfpq_topk",
     "t_bm25_topk", "t_bm25_indexed", "t_inverted_index", "t_temp_mix",
     "t_heavy_hitters", "dd_span_dedup", "dd_span_clean", "t_countmin",
-    "search_pipeline")
+    "search_pipeline", "hybrid_search", "ts_gapfill_locf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
