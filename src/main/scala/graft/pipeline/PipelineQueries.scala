@@ -793,6 +793,34 @@ object PipelineQueries extends QueryRegistry {
       .select("doc_id", "bucket", "split")
   }
 
+  // Snapshot diff (CDC audit): two simulated corpus versions — prev is
+  // missing doc_id % 11 == 3 (-> added), cur is missing % 13 == 5
+  // (-> removed), and % 17 == 0 rows had different text (-> changed).
+  // ids + md5 digests shuffle, never two copies of the text.
+  q("t_snapshot_diff",
+    """WITH prev AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 17 = 0 THEN reverse(text)
+      |                      ELSE text END AS text
+      |  FROM documents WHERE doc_id % 11 <> 3),
+      |cur AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 5),
+      |j AS (SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
+      |             md5(p.text) AS p_h, md5(c.text) AS c_h
+      |      FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |       CASE WHEN p_h IS NULL THEN 'added'
+      |            WHEN c_h IS NULL THEN 'removed'
+      |            WHEN p_h <> c_h THEN 'changed' END AS status
+      |FROM j
+      |WHERE p_h IS NULL OR c_h IS NULL OR p_h <> c_h""") { (s, d) =>
+    val base = docs(s, d)
+    val prev = base.filter(col("doc_id") % 11 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 17 === 0, reverse(col("text")))
+          .otherwise(col("text")).as("text"))
+    val cur = base.filter(col("doc_id") % 13 =!= 5)
+    Snapshot.diff(prev, cur)
+  }
+
   // Tokenize-to-ids: frequency-ranked vocab (deterministic tie-break)
   // broadcast onto the token stream; id sequences reassembled per doc.
   q("t_token_ids",

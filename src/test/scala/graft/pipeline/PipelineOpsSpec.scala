@@ -804,6 +804,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(2)._3 == 0L) // untouched doc
   }
 
+  test("snapshot diff classifies added/removed/changed, drops unchanged") {
+    val prev = docsDf((1L, "same"), (2L, "old text"), (3L, "gone"))
+    val cur = docsDf((1L, "same"), (2L, "new text"), (4L, "fresh"))
+    val out = Snapshot.diff(prev, cur).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((2L, "changed"), (3L, "removed"), (4L, "added")))
+  }
+
   test("tokenize-to-ids: rank-1 = most frequent, order preserved") {
     val df = docsDf(
       (1L, "b a a c a"), // a:3 -> id 1; b:2 -> 2; c:1 -> 3
