@@ -33,7 +33,9 @@ object Plans {
     "dd_span_dedup" -> "span-level dedup: ONE tokenize->ngram->md5 pass; dup detection is a gkey-partitioned window (min!=max doc) — no groupBy+self-join recompute of the text pass — then a doc-keyed gaps-and-islands window; both exchanges carry 16-byte (pos,key) rows, never text",
     "dd_bloom_decontam" -> "bloom decontamination: eval set reduces to a DISTINCT bit-position table (<= m rows) BROADCAST to the corpus probe — the corpus never shuffles; flagged slice re-checked exactly against broadcast md5 membership",
     "t_countmin" -> "count-min sketch: the (row,bucket) groupBy IS the sketch merge — map-side partials cap the exchange at d*w counter rows per partition; probes join the 1024-row sketch broadcast",
-    "t_quality_bins" -> "decile binning: percentile cut points in one single-row agg, broadcast cross join, map-local array compare — no global ntile() sort")
+    "t_quality_bins" -> "decile binning: percentile cut points in one single-row agg, broadcast cross join, map-local array compare — no global ntile() sort",
+    "hybrid_search" -> "hybrid retrieval: BM25 stats reduce to one broadcast row, candidate set bounded at k=50 BEFORE the embedding join and both rank windows — O(k) re-rank, O(corpus) only in the two scoring passes",
+    "ts_gapfill_locf" -> "gap-fill resample: per-key bounds agg -> map-local sequence explode -> left join observed -> ignoreNulls last over one keyed sort; grid generation never shuffles")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -6,10 +6,12 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Property tests: SpanDedup's relational pipeline (gram windows +
-  * gaps-and-islands) against a direct in-memory reference on random
-  * small-vocabulary corpora — small vocab forces genuine cross-doc
-  * k-gram repeats, including overlapping and adjacent spans.
+/** Property tests for the sketch/dedup pipeline operators: SpanDedup's
+  * relational pipeline (gram windows + gaps-and-islands) against a
+  * direct in-memory reference on random small-vocabulary corpora —
+  * small vocab forces genuine cross-doc k-gram repeats, including
+  * overlapping and adjacent spans — and CountMin's one-sided error
+  * guarantee across random skewed streams and sketch geometries.
   */
 class SpanDedupPropertySpec extends AnyFunSuite {
 
@@ -82,6 +84,41 @@ class SpanDedupPropertySpec extends AnyFunSuite {
       .groupBy("clean_text").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(clean(text) == 1L && clean("") == 1999L)
+  }
+
+  test("count-min: one-sided bound holds on random zipf-ish corpora") {
+    import spark.implicits._
+    val gen: Gen[(Seq[String], Int, Int)] = for {
+      nDocs <- Gen.choose(2, 12)
+      vocab <- Gen.choose(3, 60)
+      d <- Gen.choose(1, 4)
+      w <- Gen.oneOf(2, 7, 16, 64)
+      seed <- Gen.choose(0L, 100000L)
+    } yield {
+      val rnd = new scala.util.Random(seed)
+      val docs = (1 to nDocs).map { _ =>
+        // zipf-ish: low ids drawn far more often
+        Seq.fill(5 + rnd.nextInt(40))(
+          s"v${(rnd.nextInt(vocab) * rnd.nextDouble()).toInt}")
+          .mkString(" ")
+      }
+      (docs, d, w)
+    }
+    forAll(gen, n = 20) { case (texts, d, w) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val rows = graft.functions.CountMin.estimates(df, d = d, w = w)
+        .collect()
+      val exact = texts.flatMap(_.split(" ")).groupBy(identity)
+        .map { case (t, g) => t -> g.size.toLong }
+      assert(rows.length == exact.size)
+      rows.foreach { r =>
+        val (tok, est, ex) = (r.getAs[String]("tok"),
+          r.getAs[Long]("est_count"), r.getAs[Long]("exact_cnt"))
+        assert(ex == exact(tok), s"exact drifted for $tok")
+        assert(est >= ex, s"CMS underestimated $tok: $est < $ex (d=$d w=$w)")
+      }
+    }
   }
 
   test("duplicateSpans equals the in-memory reference on random corpora") {
