@@ -58,6 +58,15 @@ object PipelineQueries extends QueryRegistry {
     TextAnalysis.qualityProjection(docs(s, d))
   }
 
+  // Deflate compression ratio (Gopher repetition/noise gate): zlib is
+  // deterministic for a fixed level but no SQL engine exposes it, so
+  // this is a DECLARED rows-only entry — the semantics are pinned by
+  // PipelineOpsSpec (repetitive text compresses below the band, random
+  // hex stays inside it, ordering invariants).
+  qNoOracle("t_compress_ratio") { (s, d) =>
+    TextAnalysis.compressionProjection(docs(s, d))
+  }
+
   // Decile quality binning: 9 percentile cut points from one tiny
   // agg, broadcast, then map-local threshold comparison — the
   // scale-correct alternative to a global ntile() sort.

@@ -58,6 +58,43 @@ object TextAnalysis {
           col("n_tokens"), 4))
   }
 
+  /** Deflate compression ratio as a quality signal (Rae et al. 2021
+    * §A1.1 use it to drop boilerplate/repetitive pages: text that
+    * compresses too well is too repetitive; text that doesn't
+    * compress at all is noise). zlib output is fully specified for a
+    * given level, so the UDF is deterministic across runs and
+    * executors — but no SQL engine exposes deflate, hence this is a
+    * declared rows-only operator (spec-pinned instead of
+    * oracle-checked). Map-only: one codegen-adjacent projection, no
+    * shuffle; the UDF is the justified kind (byte-level codec, not
+    * expressible as column algebra).
+    */
+  val compressRatio: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      if (text == null || text.isEmpty) 0.0
+      else {
+        val in = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val d = new java.util.zip.Deflater(6)
+        d.setInput(in); d.finish()
+        val buf = new Array[Byte](64)
+        var n = 0L
+        while (!d.finished()) n += d.deflate(buf)
+        d.end()
+        math.round(n.toDouble / in.length * 10000).toDouble / 10000
+      }
+    }
+
+  /** Per-doc compression stats + the Gopher-style band gate: keep docs
+    * whose ratio sits in [lo, hi] — below is repetitive boilerplate,
+    * above is high-entropy noise.
+    */
+  def compressionProjection(docs: DataFrame, lo: Double = 0.25,
+      hi: Double = 0.95): DataFrame =
+    docs.select(col("doc_id"), length(col("text")).as("n_bytes"),
+        compressRatio(col("text")).as("ratio"))
+      .withColumn("pass",
+        (col("ratio") >= lo && col("ratio") <= hi).cast("int"))
+
   /** Decile binning of the quality score, done the way a 100 TB job
     * must: compute the 9 cut points in one tiny aggregate, broadcast
     * the single-row threshold list, and bin each doc map-locally by

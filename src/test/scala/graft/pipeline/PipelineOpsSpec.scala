@@ -804,6 +804,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(2)._3 == 0L) // untouched doc
   }
 
+  test("compression ratio: repetitive < normal < random; gate bands") {
+    val rep = ("spam " * 200).trim // compresses to almost nothing
+    val normal = (0 until 100).map(i => s"w${i % 37} t$i").mkString(" ")
+    val rnd = new scala.util.Random(7)
+    val noise = Seq.fill(200)(rnd.nextInt().toHexString).mkString(" ")
+    val df = docsDf((1L, rep), (2L, normal), (3L, noise))
+    val out = TextAnalysis.compressionProjection(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("ratio"), r.getAs[Int]("pass"))).toMap
+    assert(out(1L)._1 < out(2L)._1 && out(2L)._1 < out(3L)._1)
+    assert(out(1L)._2 == 0, s"repetitive must fail the band: ${out(1L)}")
+    assert(out(2L)._2 == 1 && out(3L)._2 == 1)
+    // deterministic across runs
+    val again = TextAnalysis.compressionProjection(df).collect()
+      .map(r => r.getAs[Double]("ratio")).sorted
+    assert(again.sameElements(out.values.map(_._1).toArray.sorted))
+  }
+
   test("snapshot diff classifies added/removed/changed, drops unchanged") {
     val prev = docsDf((1L, "same"), (2L, "old text"), (3L, "gone"))
     val cur = docsDf((1L, "same"), (2L, "new text"), (4L, "fresh"))
