@@ -470,6 +470,45 @@ object LogAnalytics extends QueryRegistry {
         round(avg(col("value")), 6).as("avg_value"))
   }
 
+  /** Interval x interval OVERLAP join (the point-in-interval entry's
+    * big sibling): order fulfillment spans [orderdate, orderdate + 1 +
+    * key % 20) against 14-day promo windows on a 4-week grid. Both
+    * sides bucket-explode to an equi join; a pair sharing several
+    * buckets is kept only in its first shared bucket, so the result
+    * needs no distinct. Aggregates are exact integers (count + key
+    * checksum). Oracle: DuckDB's native inequality join.
+    */
+  q("rng_interval_overlap",
+    """WITH o AS (
+      |  SELECT o_orderkey,
+      |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+      |           AS ls0
+      |  FROM orders),
+      |li AS (SELECT o_orderkey, ls0 AS ls, ls0 + 1 + o_orderkey % 20 AS le
+      |       FROM o),
+      |w AS (SELECT DISTINCT (ls0 // 28) * 28 AS rs FROM o
+      |      WHERE (ls0 // 28) % 3 = 0),
+      |iv AS (SELECT rs, rs + 14 AS re FROM w)
+      |SELECT rs AS window_start, CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      |FROM li JOIN iv ON li.ls < iv.re AND iv.rs < li.le
+      |GROUP BY rs""") { (s, d) =>
+    val o = Tables.load(s, d, "orders")
+    val od = datediff(col("o_orderdate").cast("date"),
+      lit("1970-01-01").cast("date")).cast("long")
+    val left = o.select(col("o_orderkey"), od.as("ls"),
+      (od + 1 + col("o_orderkey") % 20).as("le"))
+    val right = o.select(od.as("d"))
+      .select(expr("(d div 28) * 28").as("rs"))
+      .filter(expr("(rs div 28) % 3 = 0")).distinct()
+      .select(col("rs"), (col("rs") + 14).as("re"))
+    RangeJoin.intervalOverlapJoin(left, right, "ls", "le", "rs", "re",
+        bucketWidth = 16L)
+      .groupBy(col("rs").as("window_start"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("key_sum"))
+  }
+
   /** Data-profiling report (the ANALYZE/stats-collection op): one row
     * per column with row/null/distinct counts and min/max rendered as
     * engine-stable strings (BIGINTs and raw strings only — the double

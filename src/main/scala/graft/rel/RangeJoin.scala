@@ -55,4 +55,34 @@ object RangeJoin {
           col(tCol) >= col(sCol) && col(tCol) < col(eCol))
       .drop("__rj_bucket")
   }
+
+  /** Interval x interval OVERLAP join, same bucketing trick: both
+    * sides explode to the buckets they span, meet on the bucket equi
+    * key, and the exact overlap predicate (`l.s < r.e AND r.s < l.e`,
+    * half-open on both) runs as residual. Unlike point-in-interval, a
+    * pair can meet in EVERY shared bucket, so the join would duplicate
+    * matches — the standard fix keeps only the pair's FIRST shared
+    * bucket (`greatest(floor(ls/w), floor(rs/w))`), an exact
+    * dedup-free predicate instead of a distinct over the output.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      lsCol: String, leCol: String, rsCol: String, reCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def floorDiv(c: org.apache.spark.sql.Column) =
+      call_function("div",
+        c - pmod(c, lit(bucketWidth)), lit(bucketWidth)).cast("long")
+    def exploded(df: DataFrame, s: String, e: String, b: String) =
+      df.filter(col(e) > col(s))
+        .withColumn(b, explode(sequence(floorDiv(col(s)),
+          floorDiv(col(e) - 1))))
+    val l = exploded(left, lsCol, leCol, "__rj_lb")
+    val r = exploded(right, rsCol, reCol, "__rj_rb")
+    l.join(r,
+        col("__rj_lb") === col("__rj_rb") &&
+          col(lsCol) < col(reCol) && col(rsCol) < col(leCol) &&
+          col("__rj_lb") === greatest(floorDiv(col(lsCol)),
+            floorDiv(col(rsCol))))
+      .drop("__rj_lb", "__rj_rb")
+  }
 }

@@ -93,4 +93,41 @@ class RangeJoinSpec extends AnyFunSuite {
       .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq == Seq((2L, 2L)))
   }
+
+  test("interval overlap join matches naive; multi-bucket pairs emit once") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val left = (1 to 800).map { i =>
+      val s = rnd.nextInt(50000).toLong
+      (i.toLong, s, s + 1 + rnd.nextInt(4000)) // many spans >> bucket
+    }.toDF("lid", "ls", "le")
+    val right = (1 to 200).map { i =>
+      val s = rnd.nextInt(50000).toLong
+      (i.toLong, s, s + 1 + rnd.nextInt(4000))
+    }.toDF("rid", "rs", "re")
+    val bucketed = RangeJoin.intervalOverlapJoin(left, right,
+        "ls", "le", "rs", "re", bucketWidth = 1000L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = left.join(right,
+        col("ls") < col("re") && col("rs") < col("le"))
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // exact MULTISET equality: duplicates from shared buckets would
+    // fail this even when the distinct pair sets agree
+    assert(bucketed.sorted.toSeq == naive.sorted.toSeq)
+    assert(naive.nonEmpty)
+  }
+
+  test("interval overlap: half-open boundaries, empty intervals dropped") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 20L), (2L, 30L, 30L)).toDF("lid", "ls", "le")
+    val right = Seq(
+      (1L, 20L, 25L), // touches l1's end: half-open -> NO overlap
+      (2L, 19L, 22L), // overlaps l1 by one unit
+      (3L, 5L, 10L)) // ends exactly at l1's start -> NO overlap
+      .toDF("rid", "rs", "re")
+    val out = RangeJoin.intervalOverlapJoin(left, right,
+        "ls", "le", "rs", "re", 7L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
 }
