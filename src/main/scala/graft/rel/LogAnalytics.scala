@@ -509,6 +509,58 @@ object LogAnalytics extends QueryRegistry {
         sum(col("o_orderkey")).as("key_sum"))
   }
 
+  /** User-journey transition mining: consecutive event-type pairs per
+    * user in time order (ties broken on event_id, so the sequence is
+    * deterministic), counted corpus-wide — the top-paths primitive
+    * behind funnel exploration. One user-keyed window + one pair-keyed
+    * count, both map-combinable.
+    */
+  q("la_journey_transitions",
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS next_type
+      |  FROM events)
+      |SELECT event_type AS from_type, next_type AS to_type,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM seq WHERE next_type IS NOT NULL
+      |GROUP BY 1, 2""") { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Cohort retention grid: users grouped by first-activity week,
+    * counted by distinct activity in each subsequent week offset — the
+    * classic retention triangle. Two aggregations (first-week per
+    * user, then distinct users per cell); all integer arithmetic.
+    */
+  q("la_cohort_retention",
+    """WITH act AS (
+      |  SELECT DISTINCT user_id,
+      |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+      |              // 7 AS INT) AS wk
+      |  FROM events),
+      |coh AS (SELECT user_id, min(wk) AS cohort_wk FROM act GROUP BY 1)
+      |SELECT cohort_wk, CAST(a.wk - c.cohort_wk AS INT) AS wk_offset,
+      |       CAST(count(*) AS BIGINT) AS n_users
+      |FROM act a JOIN coh c USING (user_id)
+      |GROUP BY 1, 2""") { (s, d) =>
+    val wk = floor(datediff(col("ts").cast("date"),
+      lit("2024-01-01").cast("date")) / 7).cast("int")
+    val act = events(s, d).select(col("user_id"), wk.as("wk")).distinct()
+    val coh = act.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    act.join(coh, Seq("user_id"))
+      .groupBy(col("cohort_wk"),
+        (col("wk") - col("cohort_wk")).cast("int").as("wk_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Data-profiling report (the ANALYZE/stats-collection op): one row
     * per column with row/null/distinct counts and min/max rendered as
     * engine-stable strings (BIGINTs and raw strings only — the double
