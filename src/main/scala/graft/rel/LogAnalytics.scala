@@ -509,6 +509,28 @@ object LogAnalytics extends QueryRegistry {
         sum(col("o_orderkey")).as("key_sum"))
   }
 
+  /** Robust dispersion per group: median absolute deviation around the
+    * per-type median (the outlier-resistant stddev used by the K4
+    * kernel internally, exposed as a relational op). Two passes: the
+    * group medians broadcast back onto the rows, then the deviation
+    * median — `percentile` ≡ DuckDB `quantile_cont` exactly.
+    */
+  q("la_mad",
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS m
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_type, round(min(m), 6) AS median_v,
+      |       round(quantile_cont(abs(e.value - m), 0.5), 6) AS mad
+      |FROM events e JOIN med USING (event_type)
+      |GROUP BY e.event_type""") { (s, d) =>
+    val med = events(s, d).groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("m"))
+    events(s, d).join(broadcast(med), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(round(min(col("m")), 6).as("median_v"),
+        round(expr("percentile(abs(value - m), 0.5)"), 6).as("mad"))
+  }
+
   /** User-journey transition mining: consecutive event-type pairs per
     * user in time order (ties broken on event_id, so the sequence is
     * deterministic), counted corpus-wide — the top-paths primitive
