@@ -533,6 +533,25 @@ object PipelineQueries extends QueryRegistry {
     Similarity.labelCentroids(embs(s, d))
   }
 
+  // Symmetric int8 embedding quantization (ANN storage compression):
+  // floor(x*127/amax) codes, CSV-serialized for the relational compare.
+  q("sim_int8_quant",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |m AS (SELECT vec_id, v,
+      |             list_max(list_transform(v, x -> abs(x))) AS amax
+      |      FROM e)
+      |SELECT CAST(vec_id AS BIGINT) AS vec_id, round(amax, 6) AS amax,
+      |       CASE WHEN amax = 0 THEN
+      |         array_to_string(list_transform(v, x -> 0), ',')
+      |       ELSE
+      |         array_to_string(list_transform(v,
+      |           x -> CAST(floor(x * 127.0 / amax) AS INT)), ',')
+      |       END AS q_codes
+      |FROM m""") { (s, d) =>
+    Similarity.int8Quantize(embs(s, d))
+  }
+
   /** Hyperplane-LSH top-k reproduced in DuckDB: the ±1 plane grid is
     * generated into the SQL from Similarity.planeSignTable (same
     * splitmix derivation), dot products are sequential folds (bit-equal

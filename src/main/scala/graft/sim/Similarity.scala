@@ -409,4 +409,23 @@ object Similarity {
       .groupBy("label", "dim")
       .agg(round(avg(col("v").cast("double")), 6).as("centroid"),
         count(lit(1)).as("n_vecs"))
+
+  /** Symmetric int8 quantization per vector (q = floor(x·127/amax),
+    * exact ±127 at the extremes) — the 4x storage compression applied
+    * to an ANN corpus before PQ-level budgets are needed. Map-only
+    * column algebra; floor of the identical IEEE quotient is
+    * engine-stable, and the zero vector degrades to all-zero codes
+    * instead of a division by zero.
+    */
+  def int8Quantize(embeddings: DataFrame): DataFrame = {
+    val e = col("embedding").cast("array<double>")
+    val amax = array_max(transform(e, x => abs(x)))
+    val codes = when(amax === 0.0,
+        transform(e, _ => lit(0)))
+      .otherwise(transform(e,
+        x => floor(x * lit(127.0) / amax).cast("int")))
+    embeddings.select(col("vec_id"),
+      round(amax, 6).as("amax"),
+      array_join(codes.cast("array<string>"), ",").as("q_codes"))
+  }
 }
