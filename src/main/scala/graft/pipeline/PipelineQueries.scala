@@ -1002,13 +1002,28 @@ object PipelineQueries extends QueryRegistry {
        |         doc_id
        |LIMIT 10""".stripMargin
 
+  // Both rank frames are the O(k=50) candidate slice, so the global
+  // rank is a 1-row sorted-collect (state bounded by k) followed by a
+  // posexplode — rank = position + 1. No unpartitioned window: the
+  // WindowExec warning channel stays clean for real regressions.
+  private def rankByDesc(df: org.apache.spark.sql.DataFrame,
+      scoreCol: String, rankName: String,
+      carry: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val packed = struct(
+      (negate(col(scoreCol)).as("ns") +: col("doc_id").as("doc_id") +:
+        carry.map(col)): _*)
+    df.agg(sort_array(collect_list(packed)).as("a"))
+      .select(posexplode(col("a")))
+      .select((col("pos") + 1).cast("int").as(rankName) +:
+        col("col.doc_id").as("doc_id") +:
+        carry.map(c => col(s"col.$c").as(c)): _*)
+  }
+
   q("hybrid_search", hybridOracleSql) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    val cand = Search.bm25TopK(docs(s, d), bm25Terms, k = 50)
-      .select(col("doc_id"), col("score"))
-      .withColumn("rank_bm25", row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id"))))
-      .drop("score")
+    val cand = rankByDesc(
+      Search.bm25TopK(docs(s, d), bm25Terms, k = 50)
+        .select(col("doc_id"), col("score")),
+      "score", "rank_bm25", carry = Seq.empty)
     val cent = embs(s, d).filter(col("label") === 0)
       .select(posexplode(col("embedding").cast("array<double>"))
         .as(Seq("dim", "v")))
@@ -1016,14 +1031,13 @@ object PipelineQueries extends QueryRegistry {
       .agg(transform(
         array_sort(collect_list(struct(col("dim"), col("c")))),
         x => x.getField("c")).as("cvec"))
-    val reranked = cand
+    val reranked = rankByDesc(cand
       .join(embs(s, d).select(col("vec_id").as("doc_id"),
         col("embedding")), Seq("doc_id"))
       .crossJoin(broadcast(cent))
       .withColumn("cos", Dedup.cosineCol(col("cvec"),
-        col("embedding").cast("array<double>")))
-      .withColumn("rank_cos", row_number().over(
-        Window.orderBy(col("cos").desc, col("doc_id"))))
+        col("embedding").cast("array<double>"))),
+      "cos", "rank_cos", carry = Seq("rank_bm25"))
     reranked
       .withColumn("rrf", lit(1.0) / (lit(60) + col("rank_bm25")) +
         lit(1.0) / (lit(60) + col("rank_cos")))
@@ -1509,11 +1523,31 @@ object PipelineQueries extends QueryRegistry {
     * directly. A pass proves the sink is lossless — shortest-repr
     * doubles, dates, and NULLs all survive the text encoding.
     */
+  /** One fixed scratch dir per (JVM, sink name): repeated
+    * correctness/bench invocations overwrite in place instead of
+    * leaking a fresh temp directory per run; the JVM removes the tree
+    * on exit.
+    */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def scratchDir(name: String): String =
+    scratchDirs.computeIfAbsent(name, { n =>
+      val p = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_sink_$n")
+      sys.addShutdownHook { // one hook per name for the whole JVM
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+      p.toString
+    })
+
   private def csvRoundTrip(s: org.apache.spark.sql.SparkSession,
       df: org.apache.spark.sql.DataFrame, name: String,
       schema: String): org.apache.spark.sql.DataFrame = {
-    val dir = java.nio.file.Files
-      .createTempDirectory(s"graft_csv_$name").toString
+    val dir = scratchDir(s"csv_$name")
     TrendPipeline.writeCsv(df, dir)
     s.read.option("header", "true").schema(schema).csv(dir)
   }
@@ -1561,8 +1595,7 @@ object PipelineQueries extends QueryRegistry {
       |FROM documents""") { (s, d) =>
     val df = docs(s, d).select(col("doc_id"), col("lang"), col("source"),
       size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_jsonl_s5").toString
+    val dir = scratchDir("jsonl_s5")
     df.write.mode("overwrite").json(dir)
     s.read.schema("doc_id BIGINT, lang STRING, source STRING, n_tokens INT")
       .json(dir)

@@ -154,21 +154,35 @@ object LogAnalytics extends QueryRegistry {
           col("purchase_sec") >= col("signup_sec"), 1).otherwise(0))
   }
 
-  /** Exact interpolated quantiles per type (percentile ≡ DuckDB
-    * quantile_cont).
+  /** Exact interpolated quantiles per type at fixed 1e-4 precision
+    * (percentile ≡ DuckDB quantile_cont, both over the ×10⁴
+    * scaled-integer view of `value`). The quantized domain is the
+    * 100 TB shape: exact `percentile` keeps a value→count map per
+    * group, and on a continuous double column that map grows with the
+    * data (unbounded per-group state); on the integer view its size is
+    * bounded by 10⁴·range(value) — a constant for a bounded-domain
+    * metric, independent of row count. `la_approx_quantiles` (KLL
+    * sketch, bounded state unconditionally) is the companion for
+    * unbounded domains.
     */
   q("la_quantiles",
-    """SELECT event_type,
-      |       round(quantile_cont(value, 0.25), 4) AS p25,
-      |       round(quantile_cont(value, 0.5), 4) AS p50,
-      |       round(quantile_cont(value, 0.75), 4) AS p75,
-      |       round(quantile_cont(value, 0.95), 4) AS p95
-      |FROM events GROUP BY event_type""") { (s, d) =>
-    events(s, d).groupBy("event_type").agg(
-      round(expr("percentile(value, 0.25)"), 4).as("p25"),
-      round(expr("percentile(value, 0.5)"), 4).as("p50"),
-      round(expr("percentile(value, 0.75)"), 4).as("p75"),
-      round(expr("percentile(value, 0.95)"), 4).as("p95"))
+    """WITH b AS (SELECT event_type,
+      |                  CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vu
+      |           FROM events)
+      |SELECT event_type,
+      |       round(quantile_cont(vu, 0.25) / 10000.0, 4) AS p25,
+      |       round(quantile_cont(vu, 0.5) / 10000.0, 4) AS p50,
+      |       round(quantile_cont(vu, 0.75) / 10000.0, 4) AS p75,
+      |       round(quantile_cont(vu, 0.95) / 10000.0, 4) AS p95
+      |FROM b GROUP BY event_type""") { (s, d) =>
+    events(s, d)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").as("vu"))
+      .groupBy("event_type").agg(
+        round(expr("percentile(vu, 0.25)") / 10000.0, 4).as("p25"),
+        round(expr("percentile(vu, 0.5)") / 10000.0, 4).as("p50"),
+        round(expr("percentile(vu, 0.75)") / 10000.0, 4).as("p75"),
+        round(expr("percentile(vu, 0.95)") / 10000.0, 4).as("p95"))
   }
 
   /** Approximate quantiles with a quantitative error bound, same
@@ -511,24 +525,34 @@ object LogAnalytics extends QueryRegistry {
 
   /** Robust dispersion per group: median absolute deviation around the
     * per-type median (the outlier-resistant stddev used by the K4
-    * kernel internally, exposed as a relational op). Two passes: the
-    * group medians broadcast back onto the rows, then the deviation
-    * median — `percentile` ≡ DuckDB `quantile_cont` exactly.
+    * kernel internally, exposed as a relational op), at fixed 1e-4
+    * precision. Two passes: the group medians broadcast back onto the
+    * rows, then the deviation median — `percentile` ≡ DuckDB
+    * `quantile_cont` exactly, both over the ×10⁴ scaled-integer view
+    * so per-group aggregation state is bounded by 10⁴·range(value)
+    * (the deviations land on a half-integer grid: ≤ 2·10⁴·range
+    * distinct entries), not by row count — the same bounded-state
+    * argument as `la_quantiles`.
     */
   q("la_mad",
-    """WITH med AS (
-      |  SELECT event_type, quantile_cont(value, 0.5) AS m
-      |  FROM events GROUP BY 1)
-      |SELECT e.event_type, round(min(m), 6) AS median_v,
-      |       round(quantile_cont(abs(e.value - m), 0.5), 6) AS mad
-      |FROM events e JOIN med USING (event_type)
+    """WITH b AS (SELECT event_type,
+      |                  CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vu
+      |           FROM events),
+      |med AS (
+      |  SELECT event_type, quantile_cont(vu, 0.5) AS m
+      |  FROM b GROUP BY 1)
+      |SELECT e.event_type, round(min(m) / 10000.0, 6) AS median_v,
+      |       round(quantile_cont(abs(e.vu - m), 0.5) / 10000.0, 6) AS mad
+      |FROM b e JOIN med USING (event_type)
       |GROUP BY e.event_type""") { (s, d) =>
-    val med = events(s, d).groupBy("event_type")
-      .agg(expr("percentile(value, 0.5)").as("m"))
-    events(s, d).join(broadcast(med), Seq("event_type"))
+    val b = events(s, d).select(col("event_type"),
+      expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").as("vu"))
+    val med = b.groupBy("event_type")
+      .agg(expr("percentile(vu, 0.5)").as("m"))
+    b.join(broadcast(med), Seq("event_type"))
       .groupBy("event_type")
-      .agg(round(min(col("m")), 6).as("median_v"),
-        round(expr("percentile(abs(value - m), 0.5)"), 6).as("mad"))
+      .agg(round(min(col("m")) / 10000.0, 6).as("median_v"),
+        round(expr("percentile(abs(vu - m), 0.5)") / 10000.0, 6).as("mad"))
   }
 
   /** User-journey transition mining: consecutive event-type pairs per
@@ -604,26 +628,27 @@ object LogAnalytics extends QueryRegistry {
       |       CAST(max(event_id) AS VARCHAR) AS max_s
       |FROM b
       |UNION ALL
-      |SELECT 'user_id', count(*),
-      |       sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
-      |       count(DISTINCT user_id),
+      |SELECT 'user_id', CAST(count(*) AS BIGINT),
+      |       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |       CAST(count(DISTINCT user_id) AS BIGINT),
       |       CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
       |FROM b
       |UNION ALL
-      |SELECT 'event_type', count(*),
-      |       sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
-      |       count(DISTINCT event_type), min(event_type), max(event_type)
+      |SELECT 'event_type', CAST(count(*) AS BIGINT),
+      |       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |       CAST(count(DISTINCT event_type) AS BIGINT),
+      |       min(event_type), max(event_type)
       |FROM b
       |UNION ALL
-      |SELECT 'value_u', count(*),
-      |       sum(CASE WHEN value_u IS NULL THEN 1 ELSE 0 END),
-      |       count(DISTINCT value_u),
+      |SELECT 'value_u', CAST(count(*) AS BIGINT),
+      |       CAST(sum(CASE WHEN value_u IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |       CAST(count(DISTINCT value_u) AS BIGINT),
       |       CAST(min(value_u) AS VARCHAR), CAST(max(value_u) AS VARCHAR)
       |FROM b
       |UNION ALL
-      |SELECT 'props', count(*),
-      |       sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END),
-      |       count(DISTINCT props), min(props), max(props)
+      |SELECT 'props', CAST(count(*) AS BIGINT),
+      |       CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |       CAST(count(DISTINCT props) AS BIGINT), min(props), max(props)
       |FROM b""") { (s, d) =>
     val cols = Seq("event_id", "user_id", "event_type", "value_u", "props")
     val base = events(s, d).select(col("event_id"), col("user_id"),

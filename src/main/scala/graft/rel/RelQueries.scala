@@ -114,11 +114,17 @@ object RelQueries extends QueryRegistry {
       |       round(count(*) * 2 * pi() /
       |             (SELECT count(*) FROM events), 6) AS angle
       |FROM events GROUP BY event_type""") { (s, d) =>
-    val counts = t(s, d, "events").groupBy("event_type")
-      .agg(count(lit(1)).as("n"))
-    counts.withColumn("angle",
-      round(col("n") * lit(2) * lit(math.Pi) /
-        sum("n").over(Window.partitionBy()), 6))
+    // share-of-total via a 1-row broadcast total, not an unpartitioned
+    // window: same values, no single-partition window stage — so the
+    // bench log's WindowExec warning channel stays clean for real
+    // regressions (and this is the shape that scales anyway).
+    val ev = t(s, d, "events")
+    val total = ev.agg(count(lit(1)).as("total"))
+    ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .withColumn("angle",
+        round(col("n") * lit(2) * lit(math.Pi) / col("total"), 6))
+      .drop("total")
   }
 
   // ----------------------------------------------------------------- joins
@@ -389,10 +395,14 @@ object RelQueries extends QueryRegistry {
     """SELECT event_type,
       |       round(count(*) * 100.0 / (SELECT count(*) FROM events), 1) AS pct
       |FROM events GROUP BY 1""") { (s, d) =>
-    t(s, d, "events").groupBy("event_type").agg(count(lit(1)).as("n"))
-      .withColumn("pct",
-        round(col("n") * 100.0 / sum("n").over(Window.partitionBy()), 1))
-      .drop("n")
+    // 1-row broadcast total instead of an unpartitioned window — see
+    // f7_computed_angle.
+    val ev = t(s, d, "events")
+    val total = ev.agg(count(lit(1)).as("total"))
+    ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .withColumn("pct", round(col("n") * 100.0 / col("total"), 1))
+      .select("event_type", "pct")
   }
 
   // Rollup over the region→nation hierarchy.

@@ -157,7 +157,8 @@ object Search {
   def bm25OracleSql(terms: Seq[String], k: Int = 25,
       from: String = "documents", preludeCtes: String = ""): String = {
     val tfs = terms.zipWithIndex.map { case (t, i) =>
-      s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS INT) AS tf_$i"
+      val esc = t.replace("'", "''") // keep the literal well-formed
+      s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$esc')) AS INT) AS tf_$i"
     }.mkString(",\n       ")
     val dfs = terms.indices.map(i =>
       s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i")

@@ -252,21 +252,46 @@ object TextAnalysis {
   /** Tokenize-to-ids: map every token to its frequency-ranked vocab id
     * (1 = most frequent; ties broken by token text so the ranking is a
     * pure function of the corpus) and emit the id sequence per doc —
-    * the step between text curation and sequence packing. The vocab is
-    * heads-heavy and tiny next to the token stream: ranking it is a
-    * window over vocab-sized data and the id map broadcasts back to
-    * the exploded stream; re-assembly is the usual sorted collect
-    * keyed by doc_id, state bounded by document length.
+    * the step between text curation and sequence packing.
+    *
+    * The vocabulary at 100 TB is 1e8–1e9 distinct tokens, so neither a
+    * single-task global rank nor an unconditional broadcast survives.
+    * The rank here is the distributed two-phase formulation:
+    * range-partition the vocab on the rank key `(c desc, tok)`, number
+    * rows within each partition, then add the cumulative row count of
+    * all earlier range partitions. The only single-task work is the
+    * offsets window over `numParts` rows (bounded by the partition
+    * count, not the data). Ids are identical to a global
+    * `row_number() OVER (ORDER BY c DESC, tok)` because range
+    * partitions tile the global sort order. The id map then joins back
+    * to the exploded token stream with NO broadcast hint — AQE
+    * broadcasts it at runtime when (and only when) the built side is
+    * actually small; re-assembly is the usual sorted collect keyed by
+    * doc_id, state bounded by document length.
     */
   def tokenizeToIds(docs: DataFrame): DataFrame = {
-    val vocab = unigramCounts(docs)
-      .withColumn("id", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("c").desc, col("tok"))))
-      .select("tok", "id")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val numParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = unigramCounts(docs)
+      .repartitionByRange(numParts, col("c").desc, col("tok"))
+      .withColumn("pid", spark_partition_id())
+    val local = ranged.withColumn("local_rn", row_number().over(
+      Window.partitionBy(col("pid")).orderBy(col("c").desc, col("tok"))))
+    // Cumulative offsets over the numParts-row count frame via a tiny
+    // theta self-join (O(numParts²) comparisons on a bounded frame) —
+    // not an unpartitioned running-sum window, so the WindowExec
+    // warning channel stays clean for real regressions.
+    val counts = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b.pid") < col("a.pid"), "left")
+      .groupBy(col("a.pid").as("pid"))
+      .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("off"))
+    val vocab = local.join(broadcast(offsets), Seq("pid"))
+      .select(col("tok"), (col("off") + col("local_rn")).cast("int").as("id"))
     docs.select(col("doc_id"), posexplode(tokens(col("text"))))
       .select(col("doc_id"), col("pos"), col("col").as("tok"))
-      .join(broadcast(vocab), Seq("tok"))
+      .join(vocab, Seq("tok"))
       .groupBy("doc_id")
       .agg(
         array_join(transform(

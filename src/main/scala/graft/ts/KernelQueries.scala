@@ -225,6 +225,50 @@ object KernelQueries extends QueryRegistry {
       .withColumnRenamed("col", "recon")
   }
 
+  // K3 piecewise-linear fit identity, ORACLE-CHECKED: shrinks the
+  // rows-only surface of the DP segmentation by anchoring the exact
+  // invariants `plFit` guarantees by construction (Dbest.scala:173-188):
+  // inside every reported segment the fit's second difference is zero
+  // (it is a line), and at every reported segment endpoint the fit
+  // equals the trend (the interpolation passes through its vertices).
+  // Both hold to ~1 ulp in IEEE arithmetic, so the 1e-6 / 1e-9 gates
+  // are deterministically 1 and any segmentation/fit regression flips
+  // them. n_points is a REAL cross-engine check: DuckDB independently
+  // counts each eligible series' buckets and the fit array must be
+  // exactly that long. The eligibility set (n >= 6) is itself part of
+  // the match, as in k3_decomp_identity.
+  q("k3_fit_identity",
+    """WITH comp AS (
+      |  SELECT CAST(user_id AS BIGINT) AS user_id,
+      |         CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS bucket
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id, CAST(count(*) AS INT) AS n_points,
+      |       CAST(1 AS INT) AS pl_zero_curvature,
+      |       CAST(1 AS INT) AS fit_eq_trend_at_vertices
+      |FROM comp GROUP BY user_id HAVING count(*) >= 6""") { (s, d) =>
+    val obs = TrendPipeline.eventsAsObservations(s, d)
+    TrendPipeline.dbestPointDecode(s, obs,
+      TrendPipeline.DbestPipelineParams(
+        startDate = "2024-01-01", endDate = "2026-01-01",
+        threshold = -1e18,
+        kernel = Dbest.Params(seasonality = 4, duration = 8,
+          firstLevelShift = 0.5, secondLevelShift = 0.5)),
+      composite = TrendPipeline.timeBucketComposite(_, 21600))
+      .select(col("longitude").cast("long").as("user_id"),
+        size(col("fit")).cast("int").as("n_points"),
+        expr("""CAST(aggregate(zip_with(`start`, `end`, (s, e) ->
+          CASE WHEN e - s >= 2 THEN aggregate(sequence(s + 1, e - 1), 0D,
+            (acc, i) -> greatest(acc,
+              abs(fit[i + 1] - 2 * fit[i] + fit[i - 1])))
+          ELSE 0D END), 0D,
+          (acc, m) -> greatest(acc, m)) <= 1e-6 AS INT)""")
+          .as("pl_zero_curvature"),
+        expr("""CAST(aggregate(zip_with(`start`, `end`, (s, e) ->
+          greatest(abs(fit[s] - trend[s]), abs(fit[e] - trend[e]))), 0D,
+          (acc, m) -> greatest(acc, m)) <= 1e-9 AS INT)""")
+          .as("fit_eq_trend_at_vertices"))
+  }
+
   // K4 data-slot identity, ORACLE-CHECKED: the generalization payload's
   // `data` series is the raw composited input (decode slot carries it
   // for plotting) — it must equal DuckDB's independently computed

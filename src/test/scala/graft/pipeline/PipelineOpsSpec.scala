@@ -842,6 +842,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(2L) == ("2,3,1,1,1,1", 6L))
   }
 
+  test("tokenize-to-ids: two-phase distributed rank == global row_number") {
+    // A corpus whose vocab spans many range partitions, with frequency
+    // ties, so the partition-offset arithmetic and the (c desc, tok)
+    // tie-break are both exercised.
+    val rows = (1L to 60L).map { i =>
+      val words = (0 until (i % 9 + 2).toInt)
+        .map(j => s"w${(i * 31 + j * 17) % 41}")
+      (i, words.mkString(" "))
+    }
+    val df = docsDf(rows: _*)
+    val twoPhase = TextAnalysis.tokenizeToIds(df).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    // reference: the naive single-partition global rank
+    import org.apache.spark.sql.expressions.Window
+    val vocab = df.select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .withColumn("id", row_number().over(
+        Window.partitionBy(lit(0)).orderBy(col("c").desc, col("tok"))))
+      .select("tok", "id")
+    val naive = df.select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("tok"))
+      .join(vocab, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("id")))),
+          x => x.getField("id")), ",").as("ids"),
+        count(lit(1)).cast("long").as("n_tokens"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(twoPhase.sameElements(naive))
+  }
+
   test("bloom decontamination flags exact members; never misses one") {
     import graft.dedup.Dedup
     val evalText = (0 until 30).map(i => s"e$i").mkString(" ")
