@@ -1212,6 +1212,67 @@ object PipelineQueries extends QueryRegistry {
     TextAnalysis.piiProjection(enriched)
   }
 
+  // Per-doc top-3 distinctive terms by tf/df — TF-IDF keywords with an
+  // exact cross-engine ordering (ln is monotone, so the raw ratio
+  // ranks identically to tf·idf; one IEEE division, integer outputs).
+  q("t_tfidf_topk",
+    """WITH tf AS (
+      |  SELECT doc_id, tok AS term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |             row_number() OVER (
+      |               PARTITION BY tf.doc_id
+      |               ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term)
+      |               AS rank
+      |      FROM tf JOIN df USING (term))
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id, term,
+      |       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+      |       CAST(rank AS INT) AS rank
+      |FROM r WHERE rank <= 3""") { (s, d) =>
+    TextAnalysis.tfIdfTopK(docs(s, d), k = 3)
+  }
+
+  // URL canonicalization + domain blocklist gate (the source-level
+  // curation step every crawl pipeline runs before text dedup). The
+  // corpus has no URL column, so one is synthesized deterministically
+  // from (source, doc_id) — mixed case, two TLDs, query strings and
+  // trailing slashes all exercised — with the SAME expression in the
+  // oracle. Canonicalization is the fixed regex cascade in
+  // TextAnalysis.canonicalUrl; everything is map-only.
+  q("t_url_canon",
+    """WITH u AS (
+      |  SELECT doc_id,
+      |         'https://www.' || upper(source) ||
+      |         CASE WHEN doc_id % 3 = 0 THEN '.org' ELSE '.com' END ||
+      |         '/p/' || CAST(doc_id % 7 AS VARCHAR) ||
+      |         CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&ref=1'
+      |              WHEN doc_id % 5 = 0 THEN '/' ELSE '' END AS url
+      |  FROM documents),
+      |c AS (SELECT doc_id,
+      |             regexp_replace(regexp_replace(regexp_replace(
+      |               regexp_replace(lower(url), '^https?://', ''),
+      |               '^www\.', ''), '\?.*$', ''), '/$', '') AS url_canon
+      |      FROM u)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id, url_canon,
+      |       split_part(url_canon, '/', 1) AS domain,
+      |       CAST(split_part(url_canon, '/', 1) IN
+      |         ('src1.com', 'src3.org', 'src4.com') AS INT) AS blocked
+      |FROM c""") { (s, d) =>
+    val url = concat(lit("https://www."), upper(col("source")),
+      when(col("doc_id") % 3 === 0, ".org").otherwise(".com"),
+      lit("/p/"), (col("doc_id") % 7).cast("string"),
+      when(col("doc_id") % 2 === 0, "?utm_source=x&ref=1")
+        .when(col("doc_id") % 5 === 0, "/").otherwise(""))
+    docs(s, d).select(col("doc_id"),
+        TextAnalysis.canonicalUrl(url).as("url_canon"))
+      .withColumn("domain", TextAnalysis.domainOf(col("url_canon")))
+      .withColumn("blocked",
+        col("domain").isin("src1.com", "src3.org", "src4.com").cast("int"))
+  }
+
   // Benchmark decontamination: flag corpus docs sharing any 8-gram
   // with the held-out eval slice (doc_id % 100 < 2) — train-set
   // hygiene as one exploded pass + gram-hash join.

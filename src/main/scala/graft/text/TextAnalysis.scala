@@ -318,6 +318,53 @@ object TextAnalysis {
         sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
   }
 
+  /** Per-doc top-k distinctive terms ranked by tf/df — the TF-IDF
+    * keyword surface with an EXACT cross-engine ordering: idf's `ln`
+    * diverges by 1 ulp between libm implementations (see
+    * [[unigramLogProb]]), but ln is monotone, so ranking by the raw
+    * ratio tf/df (one IEEE division, bit-identical on any engine)
+    * yields the same order as tf·idf with smoothing-free idf — and the
+    * emitted columns (tf, df, rank) are all integers. Shape: one
+    * (doc, tok) count, one doc-frequency count over the vocab (orders
+    * of magnitude smaller than the token stream), an AQE-sized join
+    * back, and a doc-keyed rank window (state bounded by per-doc
+    * distinct terms).
+    */
+  def tfIdfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col("doc_id"),
+        explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy((col("tf").cast("double") / col("df")).desc, col("term"))
+    tf.join(df, Seq("term"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("rank").cast("int").as("rank"))
+  }
+
+  // --------------------------------------------------- URL curation
+
+  /** Canonicalize a URL for dedup/grouping: lowercase, strip scheme,
+    * leading `www.`, query string, and trailing slash — each step a
+    * lookaround-free regex that Java regex and RE2 read identically,
+    * applied in a fixed order the oracle replays verbatim. Map-only.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val steps = Seq("^https?://" -> "", "^www\\." -> "",
+      "\\?.*$" -> "", "/$" -> "")
+    steps.foldLeft(lower(url)) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+  }
+
+  /** Registrable domain of a canonicalized URL (host = text before the
+    * first `/`).
+    */
+  def domainOf(canon: Column): Column = substring_index(canon, "/", 1)
+
   /** Per-doc average negative log unigram probability — the CCNet-style
     * LM-quality proxy. Kept as a spec'd API rather than an oracle entry:
     * Java Math.log and libm ln disagree by 1 ulp on ~2e-5 of integer

@@ -300,6 +300,37 @@ object KernelQueries extends QueryRegistry {
       .withColumnRenamed("col", "data_val")
   }
 
+  // K4 f_local identity, ORACLE-CHECKED: the "Trend local change"
+  // series must be EXACTLY the first difference of the generalized fit
+  // with a zero anchor at index 0 (Dbest.scala:275-277 — the r3
+  // verdict's fit.clone() bug would flip both flags to 0). n_points is
+  // the real cross-engine check: DuckDB independently counts each
+  // eligible series' buckets; the f_local array must be exactly that
+  // long. Same flag pattern as k3_fit_identity.
+  q("k4_flocal_identity",
+    """WITH comp AS (
+      |  SELECT CAST(user_id AS BIGINT) AS user_id,
+      |         CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS bucket
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id, CAST(count(*) AS INT) AS n_points,
+      |       CAST(1 AS INT) AS flocal_is_fit_delta,
+      |       CAST(1 AS INT) AS flocal_zero_anchor
+      |FROM comp GROUP BY user_id HAVING count(*) >= 6""") { (s, d) =>
+    val obs = TrendPipeline.eventsAsObservations(s, d)
+    TrendPipeline.dbestGeneralization(s, obs,
+      TrendPipeline.DbestPipelineParams(
+        startDate = "2024-01-01", endDate = "2026-01-01",
+        threshold = -1e18,
+        kernel = Dbest.Params(seasonality = 4)),
+      composite = TrendPipeline.timeBucketComposite(_, 21600))
+      .select(col("longitude").cast("long").as("user_id"),
+        size(col("f_local")).cast("int").as("n_points"),
+        expr("""CAST(aggregate(sequence(1, size(fit) - 1), true,
+          (acc, i) -> acc AND f_local[i] = fit[i] - fit[i - 1])
+          AS INT)""").as("flocal_is_fit_delta"),
+        expr("CAST(f_local[0] = 0D AS INT)").as("flocal_zero_anchor"))
+  }
+
   // K4: DBEST generalization — stats plus the reference's three plotted
   // series (fit / data / f_local "trend local change", decode slot 8 at
   // `calculations/dbest.py:385-394`), JSON-serialized for the driver's

@@ -875,6 +875,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(twoPhase.sameElements(naive))
   }
 
+  test("canonicalUrl: scheme/www/query/trailing-slash cascade, in order") {
+    import spark.implicits._
+    val cases = Seq(
+      "https://www.Ex.COM/a/b?q=1" -> "ex.com/a/b",
+      "http://ex.org/" -> "ex.org",
+      "HTTPS://WWW.EX.COM" -> "ex.com",
+      "ex.com/p/" -> "ex.com/p",
+      "www.ex.com?x" -> "ex.com",
+      // www not at the start survives; only one trailing slash strips
+      "https://sub.www.ex.com//" -> "sub.www.ex.com/")
+    val out = cases.map(_._1).toDF("u")
+      .select(TextAnalysis.canonicalUrl(col("u"))).as[String].collect()
+    assert(out.toSeq == cases.map(_._2))
+    val dom = Seq("ex.com/a/b", "ex.org").toDF("c")
+      .select(TextAnalysis.domainOf(col("c"))).as[String].collect()
+    assert(dom.toSeq == Seq("ex.com", "ex.org"))
+  }
+
+  test("tfIdfTopK ranks rare-but-frequent terms first, ties by term") {
+    val df = docsDf(
+      (1L, "zeta zeta zeta common common"), // zeta only here: tf3/df1
+      (2L, "common common alpha"), // alpha only here: tf1/df1
+      (3L, "common zzz zzz")) // zzz only here: tf2/df1
+    val out = TextAnalysis.tfIdfTopK(df, k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(4)) -> r.getString(1)).toMap
+    assert(out((1L, 1)) == "zeta") // 3/1 beats common 2/3
+    assert(out((2L, 1)) == "alpha") // 1/1 beats common 2/3
+    assert(out((3L, 1)) == "zzz")
+    assert(out((1L, 2)) == "common")
+  }
+
   test("bloom decontamination flags exact members; never misses one") {
     import graft.dedup.Dedup
     val evalText = (0 until 30).map(i => s"e$i").mkString(" ")
