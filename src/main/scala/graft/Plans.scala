@@ -35,7 +35,11 @@ object Plans {
     "t_countmin" -> "count-min sketch: the (row,bucket) groupBy IS the sketch merge — map-side partials cap the exchange at d*w counter rows per partition; probes join the 1024-row sketch broadcast",
     "t_quality_bins" -> "decile binning: percentile cut points in one single-row agg, broadcast cross join, map-local array compare — no global ntile() sort",
     "hybrid_search" -> "hybrid retrieval: BM25 stats reduce to one broadcast row, candidate set bounded at k=50 BEFORE the embedding join and both rank windows — O(k) re-rank, O(corpus) only in the two scoring passes",
-    "ts_gapfill_locf" -> "gap-fill resample: per-key bounds agg -> map-local sequence explode -> left join observed -> ignoreNulls last over one keyed sort; grid generation never shuffles")
+    "ts_gapfill_locf" -> "gap-fill resample: per-key bounds agg -> map-local sequence explode -> left join observed -> ignoreNulls last over one keyed sort; grid generation never shuffles",
+    "t_token_ids" -> "tokenize-to-ids (r7): vocab rank is the distributed two-phase form — one RANGE exchange on (c desc, tok) + intra-partition sort, per-partition ordinal read from monotonically_increasing_id (zero windows, zero extra exchanges), partition offsets a numParts-row literal map collected at build time — NO single-partition WindowExec anywhere; the id map joins the exploded token stream with no broadcast hint (size-based planning broadcasts whichever side actually fits)",
+    "t_tfidf_topk" -> "TF-IDF keywords: (doc,term) and df counts both map-side combined; vocab-sized df join AQE-sized; rank window PARTITIONED by doc_id (state = per-doc distinct terms)",
+    "la_quantiles" -> "exact quantiles on the x10^4 integer view (r7): partial_percentile before the one keyed exchange, per-group state bounded by 10^4*range(value) — constant in rows — instead of O(distinct doubles)",
+    "t_url_canon" -> "URL canonicalization + blocklist: a single map-only projection — regex cascade, substring_index, literal IN — zero exchanges")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -270,25 +270,36 @@ object TextAnalysis {
     * doc_id, state bounded by document length.
     */
   def tokenizeToIds(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     val numParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val ranged = unigramCounts(docs)
+    // Phase 1 of the rank needs NO window at all: after the range
+    // exchange + intra-partition sort, monotonically_increasing_id's
+    // lower 33 bits ARE the per-partition record ordinal (sequential
+    // by construction), so the per-partition row number costs zero
+    // extra exchanges. Range partitions tile the global (c desc, tok)
+    // order, so offset + ordinal equals the global row_number (the
+    // range sampler is seed-deterministic, so both executions of this
+    // subtree see identical boundaries; PipelineOpsSpec pins equality
+    // with the naive global rank).
+    val ranked = unigramCounts(docs)
       .repartitionByRange(numParts, col("c").desc, col("tok"))
-      .withColumn("pid", spark_partition_id())
-    val local = ranged.withColumn("local_rn", row_number().over(
-      Window.partitionBy(col("pid")).orderBy(col("c").desc, col("tok"))))
-    // Cumulative offsets over the numParts-row count frame via a tiny
-    // theta self-join (O(numParts²) comparisons on a bounded frame) —
-    // not an unpartitioned running-sum window, so the WindowExec
-    // warning channel stays clean for real regressions.
-    val counts = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
-    val offsets = counts.as("a")
-      .join(counts.as("b"), col("b.pid") < col("a.pid"), "left")
-      .groupBy(col("a.pid").as("pid"))
-      .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("off"))
-    val vocab = local.join(broadcast(offsets), Seq("pid"))
-      .select(col("tok"), (col("off") + col("local_rn")).cast("int").as("id"))
+      .sortWithinPartitions(col("c").desc, col("tok"))
+      .select(col("tok"), spark_partition_id().as("pid"),
+        (monotonically_increasing_id()
+          .bitwiseAND(lit((1L << 33) - 1)) + 1L).as("local_rn"))
+    // Phase 2: per-partition row counts — a numParts-row aggregate,
+    // collected once at plan-build time (the same bounded-collect
+    // pattern as the 16-row ANN quantizer fits) and re-emitted as a
+    // literal offset map: no offsets join in the final plan at all.
+    val counts = ranked.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets: Map[Int, Long] = {
+      val pids = counts.keys.toSeq.sorted
+      pids.zip(pids.map(counts).scanLeft(0L)(_ + _)).toMap
+    }
+    val vocab = ranked.select(col("tok"),
+      (element_at(typedLit(offsets), col("pid")) + col("local_rn"))
+        .cast("int").as("id"))
     docs.select(col("doc_id"), posexplode(tokens(col("text"))))
       .select(col("doc_id"), col("pos"), col("col").as("tok"))
       .join(vocab, Seq("tok"))

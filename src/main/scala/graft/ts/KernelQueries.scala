@@ -390,4 +390,43 @@ object KernelQueries extends QueryRegistry {
         round(col("trend") + col("seasonal") + col("remainder"), 4)
           .as("recon"))
   }
+
+  // K5 seasonal-structure identity, ORACLE-CHECKED: the periodic
+  // seasonal variant guarantees seasonal(i) = phaseMean(i mod p) −
+  // grand (Stl.scala:99-113) — so the component must repeat its first
+  // period EXACTLY (same stored double, bit-equal), and one period
+  // must sum to ~0 (centering; float-sum tolerance 1e-6). Both flags
+  // are deterministically 1; a regression in phase indexing, centering
+  // or the inner loop flips them. n_points is the real cross-engine
+  // check (DuckDB's independent bucket count per eligible series).
+  // Together with k5_stl_identity the rows-only surface of K5 shrinks
+  // to the loess weights themselves.
+  q("k5_seasonal_identity",
+    """WITH comp AS (
+      |  SELECT CAST(user_id AS BIGINT) AS user_id,
+      |         CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS bucket
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id, CAST(count(*) AS INT) AS n_points,
+      |       CAST(1 AS INT) AS seasonal_periodic,
+      |       CAST(1 AS INT) AS seasonal_centered
+      |FROM comp GROUP BY user_id HAVING count(*) >= 8""") { (s, d) =>
+    val obs = TrendPipeline.eventsAsObservations(s, d)
+    val comp = TrendPipeline.stlComponents(s, obs, period = 4,
+      composite = TrendPipeline.timeBucketComposite(_, 21600))
+      .select(col("longitude"), col("idx"), col("seasonal"))
+    val base = comp.filter(col("idx") < 4)
+      .select(col("longitude"), col("idx").as("phase"),
+        col("seasonal").as("s0"))
+    comp.withColumn("phase", col("idx") % 4)
+      .join(base, Seq("longitude", "phase"))
+      .groupBy(col("longitude"))
+      .agg(
+        count(lit(1)).cast("int").as("n_points"),
+        (max(abs(col("seasonal") - col("s0"))) === 0.0).cast("int")
+          .as("seasonal_periodic"),
+        (abs(sum(when(col("idx") < 4, col("seasonal")))) <= 1e-6)
+          .cast("int").as("seasonal_centered"))
+      .select(col("longitude").cast("long").as("user_id"),
+        col("n_points"), col("seasonal_periodic"), col("seasonal_centered"))
+  }
 }
