@@ -34,6 +34,34 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** Incremental exact dedup of an incoming batch against an existing
+    * corpus — the merge-on-ingest mode a production pipeline actually
+    * runs (the full-corpus [[exactDedup]] re-scan is the bootstrap,
+    * not the steady state). The corpus contributes a DIGEST-ONLY side
+    * (8-byte xxhash64 keys — its text never shuffles, and at 100 TB
+    * the digest table is the thing you keep materialized between
+    * ingests); the incoming slice is hashed once and joined, and also
+    * dedups within itself with the min-id keeper. Per incoming doc:
+    * `new` (kept), `dup_corpus` (digest already known), or `dup_batch`
+    * (another incoming doc with the same text keeps it).
+    */
+  def incrementalDedup(corpus: DataFrame, incoming: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val h = xxhash64(col(textCol))
+    val corpusDigests = corpus.select(h.as("text_hash")).distinct()
+      .withColumn("in_corpus", lit(1))
+    val inc = incoming.select(col(idCol), h.as("text_hash"))
+    val batchKeep = inc.groupBy("text_hash")
+      .agg(min(col(idCol)).as("batch_keep"))
+    inc
+      .join(corpusDigests, Seq("text_hash"), "left")
+      .join(batchKeep, Seq("text_hash"))
+      .select(col(idCol),
+        when(col("in_corpus") === 1, "dup_corpus")
+          .when(col(idCol) =!= col("batch_keep"), "dup_batch")
+          .otherwise("new").as("status"))
+  }
+
   // ----------------------------------------------------------- minhash
 
   /** FNV-1a 64-bit over a string — deterministic shingle hash. */

@@ -188,6 +188,28 @@ object PipelineQueries extends QueryRegistry {
     Dedup.exactDedup(docs(s, d)).select("keep_id", "n_copies")
   }
 
+  // Incremental ingest dedup: the incoming slice (doc_id % 10 >= 8)
+  // deduped against the existing corpus's digest table and within
+  // itself — the steady-state mode (the full re-scan above is the
+  // bootstrap). Text never shuffles: the corpus side is 8-byte digests.
+  q("dd_incremental",
+    """WITH inc AS (SELECT doc_id, text FROM documents
+      |             WHERE doc_id % 10 >= 8),
+      |corp AS (SELECT DISTINCT text FROM documents WHERE doc_id % 10 < 8),
+      |bk AS (SELECT text, min(doc_id) AS batch_keep FROM inc GROUP BY 1)
+      |SELECT CAST(i.doc_id AS BIGINT) AS doc_id,
+      |       CASE WHEN c.text IS NOT NULL THEN 'dup_corpus'
+      |            WHEN i.doc_id <> bk.batch_keep THEN 'dup_batch'
+      |            ELSE 'new' END AS status
+      |FROM inc i
+      |LEFT JOIN corp c ON i.text = c.text
+      |JOIN bk ON i.text = bk.text""") { (s, d) =>
+    val all = docs(s, d)
+    Dedup.incrementalDedup(
+      all.filter(col("doc_id") % 10 < 8),
+      all.filter(col("doc_id") % 10 >= 8))
+  }
+
   /** The full MinHash-LSH pipeline reproduced in DuckDB: shingle FNV-1a
     * via mod-2^64 HUGEINT folds, the 32 universal hashes with an
     * overflow-safe 32-bit-split modmul and JAVA SIGNED min semantics,

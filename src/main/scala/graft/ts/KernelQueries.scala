@@ -256,16 +256,8 @@ object KernelQueries extends QueryRegistry {
       composite = TrendPipeline.timeBucketComposite(_, 21600))
       .select(col("longitude").cast("long").as("user_id"),
         size(col("fit")).cast("int").as("n_points"),
-        expr("""CAST(aggregate(zip_with(`start`, `end`, (s, e) ->
-          CASE WHEN e - s >= 2 THEN aggregate(sequence(s + 1, e - 1), 0D,
-            (acc, i) -> greatest(acc,
-              abs(fit[i + 1] - 2 * fit[i] + fit[i - 1])))
-          ELSE 0D END), 0D,
-          (acc, m) -> greatest(acc, m)) <= 1e-6 AS INT)""")
-          .as("pl_zero_curvature"),
-        expr("""CAST(aggregate(zip_with(`start`, `end`, (s, e) ->
-          greatest(abs(fit[s] - trend[s]), abs(fit[e] - trend[e]))), 0D,
-          (acc, m) -> greatest(acc, m)) <= 1e-9 AS INT)""")
+        KernelIdentities.plZeroCurvature.as("pl_zero_curvature"),
+        KernelIdentities.fitEqTrendAtVertices
           .as("fit_eq_trend_at_vertices"))
   }
 
@@ -325,10 +317,8 @@ object KernelQueries extends QueryRegistry {
       composite = TrendPipeline.timeBucketComposite(_, 21600))
       .select(col("longitude").cast("long").as("user_id"),
         size(col("f_local")).cast("int").as("n_points"),
-        expr("""CAST(aggregate(sequence(1, size(fit) - 1), true,
-          (acc, i) -> acc AND f_local[i] = fit[i] - fit[i - 1])
-          AS INT)""").as("flocal_is_fit_delta"),
-        expr("CAST(f_local[0] = 0D AS INT)").as("flocal_zero_anchor"))
+        KernelIdentities.flocalIsFitDelta.as("flocal_is_fit_delta"),
+        KernelIdentities.flocalZeroAnchor.as("flocal_zero_anchor"))
   }
 
   // K4: DBEST generalization — stats plus the reference's three plotted

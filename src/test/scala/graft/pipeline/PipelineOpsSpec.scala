@@ -875,6 +875,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(twoPhase.sameElements(naive))
   }
 
+  test("incremental dedup: corpus dup beats batch dup beats new") {
+    val corpus = docsDf((1L, "seen before"), (2L, "other old"))
+    val incoming = docsDf(
+      (10L, "seen before"), // digest already in corpus -> dup_corpus
+      (11L, "fresh text"), // new
+      (12L, "fresh text"), // same text, higher id -> dup_batch
+      (13L, "unique here")) // new
+    val out = Dedup.incrementalDedup(corpus, incoming).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(10L -> "dup_corpus", 11L -> "new",
+      12L -> "dup_batch", 13L -> "new"))
+  }
+
   test("canonicalUrl: scheme/www/query/trailing-slash cascade, in order") {
     import spark.implicits._
     val cases = Seq(

@@ -155,4 +155,51 @@ class TrendPipelineSpec extends AnyFunSuite {
     assert(row.getSeq[Double](row.fieldIndex("trend")).length == 120)
     assert(row.getSeq[Double](row.fieldIndex("fit")).length == 120)
   }
+
+  test("kernel identity flags are non-vacuous: corrupted payloads flip to 0") {
+    import graft.ts.KernelIdentities
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a valid payload: trend with a vertex at 2, fit the exact
+    // piecewise-linear interpolation through (0, 2, 4), f_local its
+    // first difference
+    val trend = Seq(0.0, 2.0, 4.0, 3.0, 2.0)
+    val fit = trend // already piecewise linear through the vertices
+    val fLocal = Seq(0.0, 2.0, 2.0, -1.0, -1.0)
+    def payload(fitV: Seq[Double], fl: Seq[Double],
+        s: Seq[Int] = Seq(0, 2), e: Seq[Int] = Seq(2, 4)) =
+      Seq((s, e, fitV, trend, fl))
+        .toDF("start", "end", "fit", "trend", "f_local")
+    def flags(df: org.apache.spark.sql.DataFrame): (Int, Int, Int, Int) = {
+      val r = df.select(
+        KernelIdentities.plZeroCurvature,
+        KernelIdentities.fitEqTrendAtVertices,
+        KernelIdentities.flocalIsFitDelta,
+        KernelIdentities.flocalZeroAnchor).head()
+      (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+    }
+    assert(flags(payload(fit, fLocal)) == ((1, 1, 1, 1)))
+    // bend the fit inside segment [0,2] → curvature flag drops
+    assert(flags(payload(Seq(0.0, 2.5, 4.0, 3.0, 2.0), fLocal))._1 == 0)
+    // move a vertex off the trend → endpoint flag drops
+    assert(flags(payload(Seq(0.0, 2.0, 4.5, 3.0, 2.0), fLocal))._2 == 0)
+    // the r3 bug class: f_local as a COPY of fit → delta flag drops
+    assert(flags(payload(fit, fit))._3 == 0)
+    // non-zero anchor → anchor flag drops
+    assert(flags(payload(fit, Seq(1.0, 2.0, 2.0, -1.0, -1.0)))._4 == 0)
+    // seasonal-identity twin (k5): an aperiodic seasonal breaks the
+    // bit-exact phase repetition the entry asserts
+    val per = Seq(1.0, -1.0, 1.0, -1.0, 1.0, -1.0)
+    val aper = Seq(1.0, -1.0, 1.0, -1.0, 1.0, -0.5)
+    def periodic(s: Seq[Double]): Boolean = {
+      val df = s.zipWithIndex.map { case (v, i) => (i, i % 2, v) }
+        .toDF("idx", "phase", "seasonal")
+      val base = df.filter(col("idx") < 2)
+        .select(col("phase"), col("seasonal").as("s0"))
+      df.join(base, Seq("phase"))
+        .agg(max(abs(col("seasonal") - col("s0"))))
+        .head().getDouble(0) == 0.0
+    }
+    assert(periodic(per) && !periodic(aper))
+  }
 }
