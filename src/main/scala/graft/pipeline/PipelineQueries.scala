@@ -210,6 +210,81 @@ object PipelineQueries extends QueryRegistry {
       all.filter(col("doc_id") % 10 >= 8))
   }
 
+  /** Steady-state INGEST composite — the r7 ops chained in the order a
+    * production crawl ingest runs them, verified as ONE DuckDB query
+    * (the doc_pipeline pattern): URL canonicalize + domain blocklist →
+    * incremental exact dedup against the standing corpus's digest
+    * table (survivors = status `new`) → token-length gate → TF-IDF
+    * top-1 keyword tag over the surviving batch. Stage order is load-
+    * bearing and the oracle mirrors it: the blocklist runs BEFORE
+    * dedup so a blocked doc can never claim batch-keeper status.
+    */
+  q("ingest_pipeline",
+    """WITH inc0 AS (
+      |  SELECT doc_id, text,
+      |         regexp_replace(regexp_replace(regexp_replace(
+      |           regexp_replace(lower(
+      |             'https://www.' || upper(source) ||
+      |             CASE WHEN doc_id % 3 = 0 THEN '.org' ELSE '.com' END ||
+      |             '/p/' || CAST(doc_id % 7 AS VARCHAR) ||
+      |             CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&ref=1'
+      |                  WHEN doc_id % 5 = 0 THEN '/' ELSE '' END),
+      |           '^https?://', ''), '^www\.', ''), '\?.*$', ''),
+      |           '/$', '') AS url_canon
+      |  FROM documents WHERE doc_id % 10 >= 8),
+      |inc AS (
+      |  SELECT doc_id, text, split_part(url_canon, '/', 1) AS domain
+      |  FROM inc0
+      |  WHERE split_part(url_canon, '/', 1) NOT IN
+      |    ('src1.com', 'src3.org', 'src4.com')),
+      |corp AS (SELECT DISTINCT text FROM documents WHERE doc_id % 10 < 8),
+      |bk AS (SELECT text, min(doc_id) AS batch_keep FROM inc GROUP BY 1),
+      |fresh AS (
+      |  SELECT i.doc_id, i.text, i.domain
+      |  FROM inc i JOIN bk ON i.text = bk.text
+      |  LEFT JOIN corp c ON i.text = c.text
+      |  WHERE c.text IS NULL AND i.doc_id = bk.batch_keep),
+      |sized AS (
+      |  SELECT doc_id, text, domain,
+      |         len(string_split(text, ' ')) AS n_tokens
+      |  FROM fresh WHERE len(string_split(text, ' ')) >= 10),
+      |tf AS (SELECT doc_id, tok AS term, count(*) AS tf
+      |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |             FROM sized) GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |             row_number() OVER (
+      |               PARTITION BY tf.doc_id
+      |               ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term)
+      |               AS rank
+      |      FROM tf JOIN df USING (term))
+      |SELECT CAST(s.doc_id AS BIGINT) AS doc_id, s.domain,
+      |       CAST(s.n_tokens AS INT) AS n_tokens, r.term,
+      |       CAST(r.tf AS BIGINT) AS tf, CAST(r.df AS BIGINT) AS df
+      |FROM sized s JOIN r ON s.doc_id = r.doc_id AND r.rank = 1""") {
+    (s, d) =>
+    val all = docs(s, d)
+    val url = concat(lit("https://www."), upper(col("source")),
+      when(col("doc_id") % 3 === 0, ".org").otherwise(".com"),
+      lit("/p/"), (col("doc_id") % 7).cast("string"),
+      when(col("doc_id") % 2 === 0, "?utm_source=x&ref=1")
+        .when(col("doc_id") % 5 === 0, "/").otherwise(""))
+    val inc = all.filter(col("doc_id") % 10 >= 8)
+      .withColumn("domain",
+        TextAnalysis.domainOf(TextAnalysis.canonicalUrl(url)))
+      .filter(!col("domain").isin("src1.com", "src3.org", "src4.com"))
+    val fresh = Dedup.incrementalDedup(
+        all.filter(col("doc_id") % 10 < 8), inc)
+      .filter(col("status") === "new").select("doc_id")
+    val sized = inc.join(fresh, "doc_id")
+      .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))))
+      .filter(col("n_tokens") >= 10)
+    val kw = TextAnalysis.tfIdfTopK(sized.select("doc_id", "text"), k = 1)
+      .drop("rank")
+    sized.select("doc_id", "domain", "n_tokens").join(kw, "doc_id")
+      .select("doc_id", "domain", "n_tokens", "term", "tf", "df")
+  }
+
   /** The full MinHash-LSH pipeline reproduced in DuckDB: shingle FNV-1a
     * via mod-2^64 HUGEINT folds, the 32 universal hashes with an
     * overflow-safe 32-bit-split modmul and JAVA SIGNED min semantics,
