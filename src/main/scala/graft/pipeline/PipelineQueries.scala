@@ -758,6 +758,95 @@ object PipelineQueries extends QueryRegistry {
       e, k = 5, nprobe = 4)
   }
 
+  /** Recall@5 audit of the IVF path against the exact brute-force
+    * answer, over the same guarded query subset the brute entry uses —
+    * the honest ANN quality metric that belongs next to the speed
+    * numbers. Output is the OVERLAP HISTOGRAM (n_hits 0..5 →
+    * n_queries), all integers; the oracle recomputes both sides (full
+    * IVF replay + exact top-5) and must land on the identical
+    * histogram, so a recall regression in probing, assignment or
+    * tie-breaking shifts a bucket and fails the hash.
+    */
+  private val ivfRecallOracleSql: String = {
+    val (nlist, nprobe, k, dims, nq) = (16, 4, 5, 64, 20)
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |            FROM embeddings),
+       |ctr0 AS (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, e
+       |         FROM emb ORDER BY h LIMIT $nlist),
+       |ctr AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cell, e AS c
+       |        FROM ctr0),
+       |dst AS (
+       |  SELECT v.vec_id, v.e, c.cell,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, ${dims + 1}), i ->
+       |             (v.e[CAST(i AS INT)] - c.c[CAST(i AS INT)]) *
+       |             (v.e[CAST(i AS INT)] - c.c[CAST(i AS INT)]))),
+       |           (a, x) -> a + x) AS d2
+       |  FROM emb v CROSS JOIN ctr c),
+       |rankd AS (
+       |  SELECT vec_id, e, cell,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY d2, cell) AS pr
+       |  FROM dst),
+       |cands AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, a.vec_id AS cand_id
+       |  FROM (SELECT vec_id, cell FROM rankd
+       |        WHERE pr <= $nprobe AND vec_id < $nq) q
+       |  JOIN (SELECT vec_id, cell FROM rankd WHERE pr = 1) a
+       |    ON a.cell = q.cell AND a.vec_id <> q.vec_id),
+       |iscored AS (
+       |  SELECT c.query_id, c.cand_id,
+       |         list_cosine_similarity(ea.e, eb.e) AS cos_raw
+       |  FROM cands c
+       |  JOIN emb ea ON ea.vec_id = c.query_id
+       |  JOIN emb eb ON eb.vec_id = c.cand_id),
+       |ivf AS (
+       |  SELECT query_id, cand_id
+       |  FROM (SELECT query_id, cand_id,
+       |          row_number() OVER (PARTITION BY query_id
+       |                             ORDER BY cos_raw DESC, cand_id) AS rank
+       |        FROM iscored)
+       |  WHERE rank <= $k),
+       |bscored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |         list_cosine_similarity(q2.e, c2.e) AS cos_raw
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |  JOIN emb q2 ON q2.vec_id = q.vec_id
+       |  JOIN emb c2 ON c2.vec_id = c.vec_id
+       |  WHERE q.vec_id < $nq),
+       |brute AS (
+       |  SELECT query_id, cand_id
+       |  FROM (SELECT query_id, cand_id,
+       |          row_number() OVER (PARTITION BY query_id
+       |                             ORDER BY cos_raw DESC, cand_id) AS rank
+       |        FROM bscored)
+       |  WHERE rank <= $k),
+       |ov AS (
+       |  SELECT b.query_id, count(i.cand_id) AS n_hits
+       |  FROM brute b
+       |  LEFT JOIN ivf i ON i.query_id = b.query_id
+       |                 AND i.cand_id = b.cand_id
+       |  GROUP BY b.query_id)
+       |SELECT CAST(n_hits AS INT) AS n_hits,
+       |       CAST(count(*) AS BIGINT) AS n_queries
+       |FROM ov GROUP BY 1""".stripMargin
+  }
+
+  q("sim_ivf_recall", ivfRecallOracleSql) { (s, d) =>
+    val e = embs(s, d)
+    val ivf = Similarity.ivfTopK(
+        Similarity.hashSampledQuantizer(e, nlist = 16), e, k = 5, nprobe = 4)
+      .filter(col("query_id") < 20)
+      .select(col("query_id"), col("cand_id"), lit(1).as("hit"))
+    val brute = Similarity.bruteForceTopK(e.filter(col("vec_id") < 20),
+        e, k = 5)
+      .select("query_id", "cand_id")
+    brute.join(ivf, Seq("query_id", "cand_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("n_hits"))
+      .groupBy("n_hits").agg(count(lit(1)).as("n_queries"))
+  }
+
   /** PQ/ADC top-k reproduced in DuckDB: codebook centroids re-derived
     * from the table (sub-slices of the ksub smallest-md5 vectors — the
     * same hash-sampling as the IVF oracle), per-subspace nearest-code
