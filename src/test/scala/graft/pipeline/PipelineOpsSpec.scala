@@ -888,6 +888,27 @@ class PipelineOpsSpec extends AnyFunSuite {
       12L -> "dup_batch", 13L -> "new"))
   }
 
+  test("incremental dedup agrees with whole-corpus dedup (ingest algebra)") {
+    // Splitting a corpus into (already-deduped corpus, incoming batch)
+    // and running incrementalDedup must keep exactly the docs that
+    // exactDedup over the union would keep, PROVIDED corpus ids precede
+    // batch ids (the min-id keeper's order assumption at ingest time).
+    val texts = (1L to 40L).map(i => (i, s"text ${(i * 7) % 13}"))
+    val (corpusRows, batchRows) = texts.partition(_._1 <= 25)
+    val corpus0 = docsDf(corpusRows: _*)
+    val batch = docsDf(batchRows: _*)
+    // corpus is itself deduped first (the bootstrap invariant)
+    val corpusKeep = Dedup.exactDedup(corpus0)
+      .select(col("keep_id").as("doc_id"))
+    val corpus = corpus0.join(corpusKeep, "doc_id")
+    val incrementalKept = corpus.select("doc_id").collect().map(_.getLong(0)).toSet ++
+      Dedup.incrementalDedup(corpus, batch)
+        .filter(col("status") === "new").collect().map(_.getLong(0)).toSet
+    val unionKept = Dedup.exactDedup(docsDf(texts: _*))
+      .collect().map(_.getAs[Long]("keep_id")).toSet
+    assert(incrementalKept == unionKept)
+  }
+
   test("canonicalUrl: scheme/www/query/trailing-slash cascade, in order") {
     import spark.implicits._
     val cases = Seq(
