@@ -48,14 +48,19 @@ object Dedup {
   def incrementalDedup(corpus: DataFrame, incoming: DataFrame,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val h = xxhash64(col(textCol))
-    val corpusDigests = corpus.select(h.as("text_hash")).distinct()
+    val corpusDigests = corpus.select(h.as("ch")).distinct()
       .withColumn("in_corpus", lit(1))
-    val inc = incoming.select(col(idCol), h.as("text_hash"))
-    val batchKeep = inc.groupBy("text_hash")
+    val inc = incoming.select(col(idCol), h.as("th"))
+    val batchKeep = inc.groupBy(col("th").as("bh"))
       .agg(min(col(idCol)).as("batch_keep"))
+    // null-safe joins (<=>): xxhash64(null) = null, and a plain equi
+    // join would silently DROP null-text incoming docs — groupBy
+    // treats all nulls as one group, so exactDedup sees one null-text
+    // family and this operator must agree with it (the ingest-algebra
+    // spec's equivalence). EqualNullSafe is still a hash-joinable key.
     inc
-      .join(corpusDigests, Seq("text_hash"), "left")
-      .join(batchKeep, Seq("text_hash"))
+      .join(corpusDigests, col("th") <=> col("ch"), "left")
+      .join(batchKeep, col("th") <=> col("bh"))
       .select(col(idCol),
         when(col("in_corpus") === 1, "dup_corpus")
           .when(col(idCol) =!= col("batch_keep"), "dup_batch")

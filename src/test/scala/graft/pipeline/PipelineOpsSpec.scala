@@ -888,6 +888,25 @@ class PipelineOpsSpec extends AnyFunSuite {
       12L -> "dup_batch", 13L -> "new"))
   }
 
+  test("null-text rows survive the dedup ops with exactDedup's semantics") {
+    import spark.implicits._
+    val withNulls = Seq((1L, Option("a b")), (2L, Option.empty[String]),
+      (3L, Option.empty[String]), (4L, Option(""))).toDF("doc_id", "text")
+    // exactDedup groups all null texts as ONE family (groupBy is
+    // null-safe): keeper 2, two copies
+    val fam = Dedup.exactDedup(withNulls).collect()
+      .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(fam(2L) == 2L && fam(1L) == 1L && fam(4L) == 1L)
+    // incrementalDedup must agree — null-text docs are NOT silently
+    // dropped (a plain equi join on the null hash would lose them)
+    val corpus = Seq((10L, Option.empty[String])).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(corpus, withNulls).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(2L) == "dup_corpus" && out(3L) == "dup_corpus")
+    assert(out(1L) == "new" && out(4L) == "new")
+  }
+
   test("incremental dedup agrees with whole-corpus dedup (ingest algebra)") {
     // Splitting a corpus into (already-deduped corpus, incoming batch)
     // and running incrementalDedup must keep exactly the docs that
