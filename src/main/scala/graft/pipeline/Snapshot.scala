@@ -15,15 +15,20 @@ object Snapshot {
 
   def diff(prev: DataFrame, cur: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // presence is its own flag: md5(null) is null, so testing the
+    // DIGEST for null would misread a null-text row present in one
+    // snapshot as absent ("added"/"removed"). The digest compare is
+    // null-safe for the same reason — two null texts are the same
+    // content (unchanged), null vs text is a change.
     val p = prev.select(col(idCol).cast("long").as("doc_id"),
-      md5(col(textCol)).as("p_h"))
+      md5(col(textCol)).as("p_h"), lit(1).as("p_present"))
     val c = cur.select(col(idCol).cast("long").as("doc_id"),
-      md5(col(textCol)).as("c_h"))
+      md5(col(textCol)).as("c_h"), lit(1).as("c_present"))
     p.join(c, Seq("doc_id"), "full_outer")
       .withColumn("status",
-        when(col("p_h").isNull, "added")
-          .when(col("c_h").isNull, "removed")
-          .when(col("p_h") =!= col("c_h"), "changed"))
+        when(col("p_present").isNull, "added")
+          .when(col("c_present").isNull, "removed")
+          .when(!(col("p_h") <=> col("c_h")), "changed"))
       .filter(col("status").isNotNull)
       .select("doc_id", "status")
   }

@@ -888,6 +888,19 @@ class PipelineOpsSpec extends AnyFunSuite {
       12L -> "dup_batch", 13L -> "new"))
   }
 
+  test("snapshot diff: null-text rows are present, not added/removed") {
+    import spark.implicits._
+    val prev = Seq((1L, Option.empty[String]), (2L, Option("x")),
+      (3L, Option.empty[String])).toDF("doc_id", "text")
+    val cur = Seq((1L, Option.empty[String]), (2L, Option.empty[String]),
+      (4L, Option("y"))).toDF("doc_id", "text")
+    val out = Snapshot.diff(prev, cur).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 1: null -> null = unchanged (absent); 2: text -> null = changed;
+    // 3: present-with-null -> absent = removed; 4 = added
+    assert(out == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
   test("null-text rows survive the dedup ops with exactDedup's semantics") {
     import spark.implicits._
     val withNulls = Seq((1L, Option("a b")), (2L, Option.empty[String]),
