@@ -39,7 +39,9 @@ object Plans {
     "t_token_ids" -> "tokenize-to-ids (r7): vocab rank is the distributed two-phase form — one RANGE exchange on (c desc, tok) + intra-partition sort, per-partition ordinal read from monotonically_increasing_id (zero windows, zero extra exchanges), partition offsets a numParts-row literal map collected at build time — NO single-partition WindowExec anywhere; the id map joins the exploded token stream with no broadcast hint (size-based planning broadcasts whichever side actually fits)",
     "t_tfidf_topk" -> "TF-IDF keywords: (doc,term) and df counts both map-side combined; vocab-sized df join AQE-sized; rank window PARTITIONED by doc_id (state = per-doc distinct terms)",
     "la_quantiles" -> "exact quantiles on the x10^4 integer view (r7): partial_percentile before the one keyed exchange, per-group state bounded by 10^4*range(value) — constant in rows — instead of O(distinct doubles)",
-    "t_url_canon" -> "URL canonicalization + blocklist: a single map-only projection — regex cascade, substring_index, literal IN — zero exchanges")
+    "t_url_canon" -> "URL canonicalization + blocklist: a single map-only projection — regex cascade, substring_index, literal IN — zero exchanges",
+    "dd_incremental" -> "incremental ingest dedup: corpus side reduces to DISTINCT 8-byte digests (text never shuffles); incoming batch hashed once, null-safe hash joins; the steady-state mode where the digest table is the materialized state between ingests",
+    "ingest_pipeline" -> "ingest composite: URL gate (map-only) -> digest anti-pattern dedup -> length gate -> TF-IDF tag, one lazy plan; the only text shuffle is the incoming batch's own doc_id join")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
