@@ -46,26 +46,16 @@ object Dedup {
     * (another incoming doc with the same text keeps it).
     */
   def incrementalDedup(corpus: DataFrame, incoming: DataFrame,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val h = xxhash64(col(textCol))
-    val corpusDigests = corpus.select(h.as("ch")).distinct()
-      .withColumn("in_corpus", lit(1))
-    val inc = incoming.select(col(idCol), h.as("th"))
-    val batchKeep = inc.groupBy(col("th").as("bh"))
-      .agg(min(col(idCol)).as("batch_keep"))
-    // null-safe joins (<=>): xxhash64(null) = null, and a plain equi
-    // join would silently DROP null-text incoming docs — groupBy
-    // treats all nulls as one group, so exactDedup sees one null-text
-    // family and this operator must agree with it (the ingest-algebra
-    // spec's equivalence). EqualNullSafe is still a hash-joinable key.
-    inc
-      .join(corpusDigests, col("th") <=> col("ch"), "left")
-      .join(batchKeep, col("th") <=> col("bh"))
-      .select(col(idCol),
-        when(col("in_corpus") === 1, "dup_corpus")
-          .when(col(idCol) =!= col("batch_keep"), "dup_batch")
-          .otherwise("new").as("status"))
-  }
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    // one implementation: digests computed inline here, or read from
+    // the materialized table via DigestStore directly (the steady-state
+    // posture — see DigestStore's Scaladoc). The joins are null-safe
+    // (<=>): xxhash64(null) = null, and a plain equi join would
+    // silently DROP null-text incoming docs, disagreeing with
+    // exactDedup's null-grouping (the ingest-algebra equivalence).
+    graft.io.DigestStore.incrementalDedup(
+      graft.io.DigestStore.digests(corpus, textCol), incoming,
+      textCol, idCol)
 
   // ----------------------------------------------------------- minhash
 

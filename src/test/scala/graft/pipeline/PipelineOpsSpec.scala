@@ -920,6 +920,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(1L) == "new" && out(4L) == "new")
   }
 
+  test("digest store: materialized path == recompute path; append cycle") {
+    import graft.io.DigestStore
+    val corpus = docsDf((1L, "old a"), (2L, "old b"))
+    val batch1 = docsDf((10L, "old a"), (11L, "fresh"), (12L, "fresh"))
+    val stored = DigestStore.digests(corpus)
+    val viaStore = DigestStore.incrementalDedup(stored, batch1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaRecompute = Dedup.incrementalDedup(corpus, batch1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaStore == viaRecompute)
+    assert(viaStore == Map(10L -> "dup_corpus", 11L -> "new",
+      12L -> "dup_batch"))
+    // append the accepted digests; the next ingest sees them as corpus
+    val verdicts = DigestStore.incrementalDedup(stored, batch1)
+    val grown = stored.union(
+      DigestStore.acceptedDigests(batch1, verdicts))
+    val batch2 = docsDf((20L, "fresh"), (21L, "newer"))
+    val round2 = DigestStore.incrementalDedup(grown, batch2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(round2 == Map(20L -> "dup_corpus", 21L -> "new"))
+  }
+
   test("incremental dedup agrees with whole-corpus dedup (ingest algebra)") {
     // Splitting a corpus into (already-deduped corpus, incoming batch)
     // and running incrementalDedup must keep exactly the docs that
