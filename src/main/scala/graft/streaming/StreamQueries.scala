@@ -215,6 +215,35 @@ object StreamQueries extends QueryRegistry {
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minSupport)
 
+  /** Streaming INCREMENTAL ingest dedup — the streaming twin of
+    * [[graft.dedup.Dedup.incrementalDedup]]: the incoming doc stream is
+    * anti-joined against the STATIC standing-corpus digest table
+    * (stream-static left_anti — re-read/broadcast per micro-batch, no
+    * state store for the corpus side), then streaming dropDuplicates
+    * keeps each surviving digest's first occurrence. Emitted at
+    * digest grain because that is the set-deterministic surface: WHICH
+    * doc of an intra-batch duplicate family arrives first depends on
+    * micro-batch slicing, but the distinct digest set does not — and
+    * md5 is replayable in DuckDB, so the streaming run hash-matches
+    * the batch oracle exactly.
+    */
+  q("st_incremental_dedup",
+    """SELECT DISTINCT md5(text) AS digest
+      |FROM documents
+      |WHERE doc_id % 10 >= 8 AND text NOT IN
+      |  (SELECT text FROM documents WHERE doc_id % 10 < 8)""") { (s, d) =>
+    val corp = Tables.load(s, d, "documents")
+      .filter(col("doc_id") % 10 < 8)
+      .select(md5(col("text")).as("cd")).distinct()
+    runToCompletion(
+      docStream(s, d).filter(col("doc_id") % 10 >= 8)
+        .withColumn("digest", md5(col("text")))
+        .join(corp, col("digest") === col("cd"), "left_anti")
+        .select("digest")
+        .dropDuplicates("digest"),
+      "append")
+  }
+
   /** Streaming exact dedup (append mode): each (user, type) pair emits
     * exactly once, on first sight — the final sink table is the
     * distinct set whatever the micro-batch slicing.
