@@ -91,6 +91,43 @@ object PipelineQueries extends QueryRegistry {
     TextAnalysis.qualityDeciles(docs(s, d))
   }
 
+  /** Token-budget selection ("the best 1000 tokens"): rank by
+    * (quality_score desc, doc_id), keep the prefix whose running token
+    * total fits the budget. The oracle's single cumsum window IS the
+    * semantics; the Spark side computes the identical prefix sum with
+    * the distributed two-phase machinery ([[Sampling.budgetSelect]] —
+    * range exchange + per-partition window + collected offsets), so
+    * the entry doubles as an oracle proof that the two-phase
+    * formulation equals the naive global window.
+    */
+  q("t_budget_select",
+    """WITH q AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+      |         round(least(len(list_filter(string_split(text, ' '), x -> x IN
+      |           ('the','a','an','of','and','or','to','in','is','it',
+      |            'for','on','with','as','at','by'))) /
+      |           len(string_split(text, ' ')) * 2.5, 1.0) * 0.5 +
+      |           least((length(text) - (len(string_split(text, ' ')) - 1)) /
+      |           len(string_split(text, ' ')) / 8.0, 1.0) * 0.5, 4)
+      |           AS quality_score
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, quality_score, n_tokens,
+      |         sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+      |                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      |  FROM q)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id, quality_score,
+      |       CAST(n_tokens AS INT) AS n_tokens,
+      |       CAST(cum_tokens AS BIGINT) AS cum_tokens
+      |FROM r WHERE cum_tokens <= 1000""") { (s, d) =>
+    val scored = TextAnalysis.qualityProjection(docs(s, d))
+      .select(col("doc_id"), col("quality_score"), col("n_tokens"))
+    Sampling.budgetSelect(scored, "doc_id", "quality_score",
+        "n_tokens", budget = 1000L)
+      .select(col("doc_id"), col("quality_score"), col("n_tokens"),
+        col("cum_tokens"))
+  }
+
   /** DuckDB text for the language heuristic, generated from the SAME
     * marker lists / script ranges as the Spark expression
     * (TextAnalysis.langMarkers / scriptRanges) so the two can't drift.
@@ -628,6 +665,73 @@ object PipelineQueries extends QueryRegistry {
       |     unnest(generate_series(1, len(embedding))) AS t(i)
       |GROUP BY label, i""") { (s, d) =>
     Similarity.labelCentroids(embs(s, d))
+  }
+
+  /** Lloyd's k-means replayed in DuckDB: hash-sampled init (identical
+    * to the IVF oracle), then each unrolled iteration = argmin
+    * assignment (sequential squared-L2 fold, ties to the lower cell) +
+    * per-(cell, dim) mean refit rounded to 1e-6 — the rounding grid
+    * that makes the engine-dependent FP summation order of avg
+    * invisible. Empty cells COALESCE back to the previous iteration's
+    * centers, matching [[Similarity.kmeansAssign]]'s inheritance.
+    */
+  private val kmeansOracleSql: String = {
+    val (k, dims) = (8, 64)
+    def dst(ctr: String): String =
+      s"""SELECT v.vec_id, v.e, c.cell,
+         |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |         list_transform(range(1, ${dims + 1}), i ->
+         |           (v.e[CAST(i AS INT)] - c.c[CAST(i AS INT)]) *
+         |           (v.e[CAST(i AS INT)] - c.c[CAST(i AS INT)]))),
+         |         (a, x) -> a + x) AS d2
+         |FROM emb v CROSS JOIN $ctr c""".stripMargin
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |            FROM embeddings),
+       |ctr0 AS (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, e
+       |         FROM emb ORDER BY h LIMIT $k),
+       |c0 AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cell, e AS c
+       |       FROM ctr0),
+       |c0l AS (SELECT cell, i AS dim, c[CAST(i AS INT)] AS v
+       |        FROM c0, unnest(generate_series(1, $dims)) AS t(i)),
+       |dd0 AS (${dst("c0")}),
+       |a0 AS (SELECT vec_id, e, cell FROM (
+       |         SELECT vec_id, e, cell,
+       |                row_number() OVER (PARTITION BY vec_id
+       |                                   ORDER BY d2, cell) AS pr
+       |         FROM dd0) s WHERE pr = 1),
+       |r1 AS (SELECT cell, i AS dim, round(avg(e[CAST(i AS INT)]), 6) AS v
+       |       FROM a0, unnest(generate_series(1, $dims)) AS t(i)
+       |       GROUP BY cell, i),
+       |c1l AS (SELECT c0l.cell, c0l.dim, coalesce(r1.v, c0l.v) AS v
+       |        FROM c0l LEFT JOIN r1
+       |          ON r1.cell = c0l.cell AND r1.dim = c0l.dim),
+       |c1 AS (SELECT cell, list(v ORDER BY dim) AS c FROM c1l
+       |       GROUP BY cell),
+       |dd1 AS (${dst("c1")}),
+       |a1 AS (SELECT vec_id, e, cell FROM (
+       |         SELECT vec_id, e, cell,
+       |                row_number() OVER (PARTITION BY vec_id
+       |                                   ORDER BY d2, cell) AS pr
+       |         FROM dd1) s WHERE pr = 1),
+       |r2 AS (SELECT cell, i AS dim, round(avg(e[CAST(i AS INT)]), 6) AS v
+       |       FROM a1, unnest(generate_series(1, $dims)) AS t(i)
+       |       GROUP BY cell, i),
+       |c2l AS (SELECT c1l.cell, c1l.dim, coalesce(r2.v, c1l.v) AS v
+       |        FROM c1l LEFT JOIN r2
+       |          ON r2.cell = c1l.cell AND r2.dim = c1l.dim),
+       |c2 AS (SELECT cell, list(v ORDER BY dim) AS c FROM c2l
+       |       GROUP BY cell),
+       |dd2 AS (${dst("c2")})
+       |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cell AS INT) AS cell,
+       |       round(d2, 6) AS d2
+       |FROM (SELECT vec_id, cell, d2,
+       |             row_number() OVER (PARTITION BY vec_id
+       |                                ORDER BY d2, cell) AS pr
+       |      FROM dd2) s WHERE pr = 1""".stripMargin
+  }
+
+  q("sim_kmeans", kmeansOracleSql) { (s, d) =>
+    Similarity.kmeansAssign(embs(s, d), k = 8, iters = 2)
   }
 
   // Symmetric int8 embedding quantization (ANN storage compression):

@@ -108,6 +108,52 @@ object Sampling {
       .filter(col("rk") <= col("quota"))
   }
 
+  /** Token-budget corpus selection: rank documents by a quality key
+    * and keep the prefix whose running token total stays within
+    * `budget` — "the best N billion tokens" selection step between
+    * scoring and training-set assembly. The rank key is
+    * (score desc, id) so the cut is deterministic even across ties of
+    * the rounded score.
+    *
+    * The running total is a GLOBAL prefix sum, which a naive
+    * `Window.orderBy` with no partition key would compute on a single
+    * task. This is the distributed two-phase formulation (the same
+    * machinery as the tokenize-to-ids vocab rank): range-partition on
+    * the rank key — the range exchange tiles the global order, so
+    * partition p's rows all precede partition p+1's — then one
+    * per-partition cumsum window (partitioned by `spark_partition_id`,
+    * so no single-task collapse) plus the collected per-partition
+    * token totals as literal offsets (numParts rows — bounded by the
+    * partition count, not the data).
+    */
+  def budgetSelect(df: DataFrame, idCol: String, scoreCol: String,
+      nTokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val spark = df.sparkSession
+    val numParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = df
+      .repartitionByRange(numParts, col(scoreCol).desc, col(idCol))
+      .sortWithinPartitions(col(scoreCol).desc, col(idCol))
+      .withColumn("pid", spark_partition_id())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy(col(scoreCol).desc, col(idCol))
+    val local = ranged.withColumn("local_cum",
+      sum(col(nTokensCol).cast("long")).over(w))
+    val counts = local.groupBy("pid")
+      .agg(max(col("local_cum")).as("tot")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets: Map[Int, Long] = {
+      val pids = counts.keys.toSeq.sorted
+      pids.zip(pids.map(counts).scanLeft(0L)(_ + _)).toMap
+    }
+    local
+      .withColumn("cum_tokens",
+        coalesce(element_at(typedLit(offsets), col("pid")), lit(0L)) +
+          col("local_cum"))
+      .filter(col("cum_tokens") <= budget)
+      .drop("pid", "local_cum")
+  }
+
   /** Sequence packing (concat-then-chunk, the standard pretraining
     * layout): documents are concatenated per shard in `orderCol` order
     * and split at `capacity`-token boundaries; each doc gets the chunk

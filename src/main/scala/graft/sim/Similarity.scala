@@ -410,6 +410,58 @@ object Similarity {
       .agg(round(avg(col("v").cast("double")), 6).as("centroid"),
         count(lit(1)).as("n_vecs"))
 
+  /** Lloyd's k-means over the embedding corpus — the cluster layout
+    * behind SemDeDup-style curation (dedup within topic cells),
+    * IVF list assignment, and domain bucketing. Fully deterministic so
+    * a SQL oracle replays it bit-for-bit:
+    *
+    *  - init = [[hashSampledQuantizer]] (centers = the k corpus vectors
+    *    with smallest md5(vec_id), cell id = md5 rank);
+    *  - each refit rounds centroid coordinates to 1e-6, collapsing the
+    *    engine-dependent FP summation order of `avg` below the rounding
+    *    grid (the same boundary-rounding contract every cosine oracle
+    *    in this file relies on);
+    *  - empty cells inherit the previous iteration's center (k-means
+    *    never resurrects a lost cell here — reproducible beats clever);
+    *  - assignment ties break on the lower cell id.
+    *
+    * Scale shape: per iteration, assignment is MAP-ONLY (the k×dims
+    * centroid array travels in the task closure) and the refit is one
+    * exchange of map-side-combined (cell, dim) partial sums — k·dims
+    * rows total, collected once on the driver (bounded by k·dims, not
+    * by data; same bounded-collect contract as the quantizer fits).
+    * The corpus itself never shuffles, so iterations cost k·dims·P
+    * network bytes regardless of corpus size — the standard distributed
+    * Lloyd's layout.
+    */
+  def kmeansAssign(embeddings: DataFrame, k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    var quant = hashSampledQuantizer(embeddings, nlist = k)
+    for (_ <- 1 to iters) {
+      val refit = quant.assign(embeddings)
+        .select(col("cell"), posexplode(col("e")).as(Seq("dim", "v")))
+        .groupBy("cell", "dim")
+        .agg(round(avg(col("v")), 6).as("c"))
+        .collect()
+      val centers = quant.centers.map(_.clone())
+      refit.foreach { r =>
+        centers(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      quant = IvfQuantizer(centers)
+    }
+    val q = quant
+    val d2Udf = udf { (e: Seq[Double], cell: Int) =>
+      val c = q.centers(cell)
+      var d = 0.0
+      var j = 0
+      while (j < e.length) { val t = e(j) - c(j); d += t * t; j += 1 }
+      d
+    }
+    q.assign(embeddings)
+      .select(col("vec_id"), col("cell"),
+        round(d2Udf(col("e"), col("cell")), 6).as("d2"))
+  }
+
   /** Symmetric int8 quantization per vector (q = floor(x·127/amax),
     * exact ±127 at the extremes) — the 4x storage compression applied
     * to an ANN corpus before PQ-level budgets are needed. Map-only

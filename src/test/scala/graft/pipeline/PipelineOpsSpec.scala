@@ -1073,4 +1073,60 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(
       (1L, 16, 8L, 0.5), (2L, 16, 8L, 0.5), (3L, 16, 0L, 0.0)))
   }
+
+  test("kmeans: refits tighten clusters, partition the corpus, determinism") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val rows = for {
+      c <- 0 until 6
+      m <- 0 until 15
+    } yield {
+      val center = Array.tabulate(16)(d => math.sin(c * 31 + d).toFloat * 4)
+      val vec = center.map(x => x + rnd.nextGaussian().toFloat * 0.2f)
+      ((c * 15 + m).toLong, vec.toSeq, c)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val a0 = Similarity.kmeansAssign(df, k = 6, iters = 0).collect()
+    val a2 = Similarity.kmeansAssign(df, k = 6, iters = 2).collect()
+    val a2b = Similarity.kmeansAssign(df, k = 6, iters = 2).collect()
+    // every vector assigned exactly once to a valid cell
+    assert(a2.length == rows.length)
+    assert(a2.forall(r => (0 until 6).contains(r.getAs[Int]("cell"))))
+    // deterministic across runs
+    assert(a2.map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq ==
+      a2b.map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq)
+    // Lloyd monotonicity: refitting can only shrink the total
+    // within-cluster SS (1e-2 slack for the 1e-6 centroid rounding)
+    val wcss0 = a0.map(_.getAs[Double]("d2")).sum
+    val wcss2 = a2.map(_.getAs[Double]("d2")).sum
+    assert(wcss2 <= wcss0 + 1e-2, s"WCSS grew: $wcss0 -> $wcss2")
+    // planted structure: refits should leave most true clusters pure
+    // (sample init can seed two centers inside one cluster, so exact
+    // recovery of all 6 is not a k-means guarantee)
+    val pure = a2.map(r => (r.getLong(0) / 15, r.getInt(1)))
+      .groupBy(_._1).values.count(g => g.map(_._2).distinct.length == 1)
+    assert(pure >= 4, s"only $pure/6 planted clusters pure after refit")
+  }
+
+  test("budgetSelect: two-phase prefix sum equals the naive global window") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val df = (1L to 200L).map { id =>
+      (id, math.floor(rnd.nextDouble() * 100) / 100, rnd.nextInt(50) + 1L)
+    }.toDF("doc_id", "score", "n_tok").repartition(7)
+    val got = Sampling.budgetSelect(df, "doc_id", "score", "n_tok", 900L)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("cum_tokens"))).sortBy(_._1)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val naive = df.withColumn("cum_tokens", sum(col("n_tok")).over(w))
+      .filter(col("cum_tokens") <= 900L)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("cum_tokens"))).sortBy(_._1)
+    assert(got.toSeq == naive.toSeq)
+    assert(got.nonEmpty && got.map(_._2).max <= 900L)
+    // maximality: the next-ranked doc would blow the budget
+    assert(naive.length < 200)
+  }
 }
