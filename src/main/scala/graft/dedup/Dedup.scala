@@ -515,6 +515,24 @@ object Dedup {
       .withColumn("is_keep",
         (col("cluster_id") === col(idCol)).cast("int"))
 
+  /** Quality-aware keeper policy: instead of the min-id rule, keep the
+    * HIGHEST-scoring member of each duplicate cluster (ties to the
+    * lower id) — the production choice when near-dups differ in
+    * quality and the canonical copy should be the best one, not the
+    * first-crawled one. One cluster-keyed rank window (state bounded
+    * by cluster size, which the pair-generation stage already bounds)
+    * over a component×score join — no new corpus-wide machinery.
+    */
+  def keeperByQuality(components: DataFrame, scores: DataFrame,
+      idCol: String = "doc_id",
+      scoreCol: String = "quality_score"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col(scoreCol).desc, col(idCol))
+    components.select(col(idCol), col("cluster_id"))
+      .join(scores.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .withColumn("is_keep", (row_number().over(w) === 1).cast("int"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any
     * word n-gram with a held-out benchmark/eval set — the standard
     * train-set hygiene pass before pretraining. Grams shuffle as md5

@@ -483,9 +483,8 @@ object PipelineQueries extends QueryRegistry {
     * oracle replays the closure as a recursive CTE — min reachable id
     * per vertex, singletons included via the base case.
     */
-  private val clusterOracleSql: String =
-    """WITH RECURSIVE
-      |toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+  private val clusterCtes: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
       |grams AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS g
       |          FROM toks, unnest(generate_series(1, greatest(len(l) - 2, 1))) AS t(i)),
       |cnt AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
@@ -501,7 +500,11 @@ object PipelineQueries extends QueryRegistry {
       |reach(v, r) AS (
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
-      |  SELECT reach.v, e.t FROM reach JOIN edges e ON e.s = reach.r)
+      |  SELECT reach.v, e.t FROM reach JOIN edges e ON e.s = reach.r)"""
+
+  private val clusterOracleSql: String =
+    s"""WITH RECURSIVE
+      |$clusterCtes
       |SELECT CAST(v AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id,
       |       CAST(CASE WHEN min(r) = v THEN 1 ELSE 0 END AS INT) AS is_keep
       |FROM reach GROUP BY v"""
@@ -509,6 +512,46 @@ object PipelineQueries extends QueryRegistry {
   q("dd_cluster_components", clusterOracleSql) { (s, d) =>
     val dd = docs(s, d)
     Dedup.clusterDedup(dd, Dedup.ngramJaccardPairs(dd, n = 3, minJaccard = 0.8))
+  }
+
+  /** Quality-aware keeper policy over the same duplicate clusters:
+    * keeper = highest quality_score in the cluster (ties to the lower
+    * id) instead of the min-id rule — the same CTE chain as
+    * dd_cluster_components plus the t_quality score and one
+    * cluster-keyed rank window on both engines.
+    */
+  private val keeperQualityOracleSql: String =
+    s"""WITH RECURSIVE
+      |$clusterCtes,
+      |comp AS (SELECT v AS doc_id, min(r) AS cluster_id
+      |         FROM reach GROUP BY v),
+      |q AS (
+      |  SELECT doc_id,
+      |         round(least(len(list_filter(string_split(text, ' '), x -> x IN
+      |           ('the','a','an','of','and','or','to','in','is','it',
+      |            'for','on','with','as','at','by'))) /
+      |           len(string_split(text, ' ')) * 2.5, 1.0) * 0.5 +
+      |           least((length(text) - (len(string_split(text, ' ')) - 1)) /
+      |           len(string_split(text, ' ')) / 8.0, 1.0) * 0.5, 4)
+      |           AS quality_score
+      |  FROM documents),
+      |r AS (
+      |  SELECT c.doc_id, c.cluster_id, q.quality_score,
+      |         row_number() OVER (PARTITION BY c.cluster_id
+      |                            ORDER BY q.quality_score DESC, c.doc_id)
+      |           AS rn
+      |  FROM comp c JOIN q ON q.doc_id = c.doc_id)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |       CAST(cluster_id AS BIGINT) AS cluster_id, quality_score,
+      |       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS is_keep
+      |FROM r"""
+
+  q("dd_keeper_quality", keeperQualityOracleSql) { (s, d) =>
+    val dd = docs(s, d)
+    Dedup.keeperByQuality(
+      Dedup.clusterDedup(dd, Dedup.ngramJaccardPairs(dd, n = 3,
+        minJaccard = 0.8)),
+      TextAnalysis.qualityProjection(dd))
   }
 
   q("dd_cosine_neardup",

@@ -1074,6 +1074,25 @@ class PipelineOpsSpec extends AnyFunSuite {
       (1L, 16, 8L, 0.5), (2L, 16, 8L, 0.5), (3L, 16, 0L, 0.0)))
   }
 
+  test("keeperByQuality: best-scoring member wins, overriding min-id") {
+    import spark.implicits._
+    // cluster {1,2,3}: doc 3 has the best score -> keeper despite max id;
+    // singleton 9 is its own keeper
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
+      .toDF("doc_id", "cluster_id")
+    val scores = Seq((1L, 0.2), (2L, 0.5), (3L, 0.9), (9L, 0.1))
+      .toDF("doc_id", "quality_score")
+    val out = Dedup.keeperByQuality(comp, scores).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("is_keep")).toMap
+    assert(out == Map(1L -> 0, 2L -> 0, 3L -> 1, 9L -> 1))
+    // tie on score -> lower id wins
+    val tied = Dedup.keeperByQuality(comp,
+      Seq((1L, 0.5), (2L, 0.5), (3L, 0.5), (9L, 0.1))
+        .toDF("doc_id", "quality_score")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("is_keep")).toMap
+    assert(tied == Map(1L -> 1, 2L -> 0, 3L -> 0, 9L -> 1))
+  }
+
   test("kmeans: refits tighten clusters, partition the corpus, determinism") {
     import spark.implicits._
     val rnd = new scala.util.Random(47)
