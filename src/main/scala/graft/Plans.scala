@@ -43,7 +43,8 @@ object Plans {
     "dd_incremental" -> "incremental ingest dedup: corpus side reduces to DISTINCT 8-byte digests (text never shuffles); incoming batch hashed once, null-safe hash joins; the steady-state mode where the digest table is the materialized state between ingests",
     "ingest_pipeline" -> "ingest composite: URL gate (map-only) -> digest anti-pattern dedup -> length gate -> TF-IDF tag, one lazy plan; the only text shuffle is the incoming batch's own doc_id join",
     "sim_kmeans" -> "Lloyd's k-means final assignment: centroids ride the task closure (map-only UDF projection, zero joins) — per refit iteration the only exchange is the k*dims-row (cell,dim) partial-avg aggregate; the corpus itself never shuffles",
-    "t_budget_select" -> "token-budget selection: global prefix sum in the distributed two-phase form — RANGE exchange on (score desc, id), per-partition cumsum window PARTITIONED by spark_partition_id (no single-task collapse), offsets a numParts-row literal map")
+    "t_budget_select" -> "token-budget selection: global prefix sum in the distributed two-phase form — RANGE exchange on (score desc, id), per-partition cumsum window PARTITIONED by spark_partition_id (no single-task collapse), offsets a numParts-row literal map",
+    "dd_intradoc_clean" -> "intra-doc window cleanup: LINEAR explode+window chain (min over (doc,gram), covered-position explode, anti join, doc-keyed sorted collect) — never the O(len^2)-per-doc array_position rewrite; all windows keyed, no unpartitioned WindowExec")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -515,6 +515,57 @@ object Dedup {
       .withColumn("is_keep",
         (col("cluster_id") === col(idCol)).cast("int"))
 
+  /** Intra-document repeated-window cleanup — the within-doc
+    * counterpart of the cross-doc [[graft.dedup.SpanDedup]] pass (C4
+    * applies both): a k-gram occurrence is a DUP if the identical gram
+    * already started at an earlier position in the SAME document, and
+    * every token covered by a dup gram is dropped (first occurrences
+    * always survive, so no doc empties). Output keeps the original
+    * token count, the dropped count, and the reassembled clean text.
+    *
+    * Deliberately the LINEAR relational formulation, not a per-row
+    * array scan: an `array_position`-style higher-order rewrite is
+    * O(len²) per document, which a 100k-token doc turns into 10¹⁰
+    * comparisons on one task. Here every stage is an explode plus a
+    * window/join keyed by (doc_id, gram) or doc_id — per-key state
+    * bounded by the doc's own length, text reassembled once per doc
+    * via the usual sorted collect.
+    */
+  def intraDocClean(docs: DataFrame, k: Int = 4): DataFrame = {
+    require(k >= 2, s"gram width must be >= 2: $k")
+    val toks = graft.text.TextAnalysis.tokens(col("text"))
+    val base = docs.select(col("doc_id"), toks.as("w"))
+    // 1-based token positions to match the 1-based slice() gram starts
+    val tok = base
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+    val grams = base.filter(size(col("w")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("w")) - (k - 1)),
+          i => concat_ws(" ", slice(col("w"), i, lit(k)))))
+          .as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("g"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id", "g")
+    val dups = grams.withColumn("fp", min(col("p")).over(wg))
+      .filter(col("p") > col("fp"))
+    val covered = dups
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (k - 1))).as("pos"))
+      .distinct()
+    val kept = tok.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val reassembled = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("text_clean"))
+    base.select(col("doc_id"), size(col("w")).as("n_tokens"))
+      .join(reassembled, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - col("n_kept")).cast("long").as("n_dropped"),
+        col("text_clean"))
+  }
+
   /** Quality-aware keeper policy: instead of the min-id rule, keep the
     * HIGHEST-scoring member of each duplicate cluster (ties to the
     * lower id) — the production choice when near-dups differ in

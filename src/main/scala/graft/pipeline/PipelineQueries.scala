@@ -554,6 +554,42 @@ object PipelineQueries extends QueryRegistry {
       TextAnalysis.qualityProjection(dd))
   }
 
+  /** Intra-doc repeated-window cleanup (k=4): a gram is dup when the
+    * identical gram started earlier in the same doc; covered tokens
+    * drop, first occurrences survive, text reassembles in order. Same
+    * relational chain on both engines — min-over-(doc,gram) window,
+    * covered-position expansion, anti join, ordered string_agg.
+    */
+  q("dd_intradoc_clean",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l
+      |             FROM documents),
+      |tok AS (SELECT doc_id, i AS pos, l[i] AS w
+      |        FROM toks, unnest(generate_series(1, len(l))) AS t(i)),
+      |grams AS (SELECT doc_id, i AS p, array_to_string(l[i:i+3], ' ') AS g
+      |          FROM toks,
+      |               unnest(generate_series(1, greatest(len(l) - 3, 0)))
+      |                 AS t(i)),
+      |dups AS (SELECT doc_id, p FROM (
+      |           SELECT doc_id, p,
+      |                  min(p) OVER (PARTITION BY doc_id, g) AS fp
+      |           FROM grams) s WHERE p > fp),
+      |cov AS (SELECT DISTINCT doc_id, p + o AS pos
+      |        FROM dups, unnest(generate_series(0, 3)) AS t(o)),
+      |kept AS (SELECT t.doc_id, t.pos, t.w
+      |         FROM tok t LEFT JOIN cov c
+      |           ON c.doc_id = t.doc_id AND c.pos = t.pos
+      |         WHERE c.doc_id IS NULL),
+      |re AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |              string_agg(w, ' ' ORDER BY pos) AS text_clean
+      |       FROM kept GROUP BY doc_id)
+      |SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+      |       CAST(len(b.l) AS INT) AS n_tokens,
+      |       CAST(len(b.l) - r.n_kept AS BIGINT) AS n_dropped,
+      |       r.text_clean
+      |FROM toks b JOIN re r ON r.doc_id = b.doc_id""") { (s, d) =>
+    Dedup.intraDocClean(docs(s, d), k = 4)
+  }
+
   q("dd_cosine_neardup",
     """SELECT CAST(a.vec_id AS BIGINT) AS vec_a,
       |       CAST(b.vec_id AS BIGINT) AS vec_b,

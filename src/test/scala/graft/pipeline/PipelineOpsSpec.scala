@@ -1074,6 +1074,23 @@ class PipelineOpsSpec extends AnyFunSuite {
       (1L, 16, 8L, 0.5), (2L, 16, 8L, 0.5), (3L, 16, 0L, 0.0)))
   }
 
+  test("intraDocClean: repeated windows drop, firsts survive, shorts pass") {
+    val df = docsDf(
+      (1L, "A B C D x A B C D y"), // gram repeats at pos 6 -> drop 6..9
+      (2L, "p q r s t u"),         // no repeats -> untouched
+      (3L, "a b c"),               // shorter than k -> no grams
+      (4L, "a a a a a a"))         // overlapping dups -> only pos 1 kept
+    val out = Dedup.intraDocClean(df, k = 4).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_tokens"),
+        r.getAs[Long]("n_dropped"), r.getAs[String]("text_clean")))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 10, 4L, "A B C D x y"),
+      (2L, 6, 0L, "p q r s t u"),
+      (3L, 3, 0L, "a b c"),
+      (4L, 6, 5L, "a")))
+  }
+
   test("keeperByQuality: best-scoring member wins, overriding min-id") {
     import spark.implicits._
     // cluster {1,2,3}: doc 3 has the best score -> keeper despite max id;
