@@ -16,6 +16,7 @@ object SparkEntry {
     graft.rel.LogAnalytics,
     graft.ts.KernelQueries,
     graft.pipeline.PipelineQueries,
+    graft.graph.GraphQueries,
     graft.streaming.StreamQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -1,0 +1,161 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed graph analytics over an edge list derived from the
+  * relational tables — the co-occurrence/link-graph operators a
+  * training-data curation pipeline runs at corpus scale (domain link
+  * graphs for quality propagation, co-citation similarity, influence
+  * ranking). No reference counterpart (the reference is a per-series
+  * kernel engine); semantics follow the standard definitions:
+  * PageRank (Brin & Page 1998), compact-forward triangle enumeration
+  * (Latapy 2008; Suri & Vassilvitskii WWW'11 for the MR shape).
+  *
+  * Scale posture:
+  *   - Edges derive from a per-group self-join (pairs within an order),
+  *     so pair count is sum over groups of C(lines, 2) — bounded by the
+  *     max group size (7 lineitems/order in TPC-H-shaped data), linear
+  *     in input.
+  *   - Triangle enumeration uses DEGREE-ORDERED orientation: each
+  *     undirected edge points from its lower-(degree, id) endpoint to
+  *     the higher one, so every out-neighborhood is O(sqrt(m)) for any
+  *     degree distribution and the wedge join cannot blow up on hub
+  *     nodes (the naive a<b canonical join shuffles every hub wedge to
+  *     one reducer; orientation is the standard skew remedy).
+  *   - PageRank is fixed-point INTEGER arithmetic end to end (micro
+  *     rank units, floor division), so partial-aggregation order can
+  *     never change a result bit: sums of longs commute exactly,
+  *     unlike doubles. The damping update is
+  *     next(v) = floor(0.15 * S) + sum_u floor(0.85 * r(u) / deg(u))
+  *     with S = 1e9 starting mass per node, all in longs.
+  *   - The directed+degree edge view is persisted (MEMORY_AND_DISK)
+  *     for the iteration loop — the standard iterative-graph trade:
+  *     one materialization instead of k recomputes of the derivation
+  *     lineage. Spark's CacheManager dedupes by plan, so repeated
+  *     bench invocations share one copy.
+  */
+object GraphOps {
+
+  /** Undirected co-purchase edges: unordered part pairs appearing in
+    * the same order, canonicalized to a < b, deduped corpus-wide.
+    */
+  def copurchaseEdges(lineitem: DataFrame): DataFrame = {
+    val lp = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    lp.as("x").join(lp.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct()
+  }
+
+  /** (node, dg) for every endpoint of the undirected edge set. */
+  def degrees(edges: DataFrame): DataFrame =
+    edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+
+  /** Degree histogram: how many nodes have each degree. */
+  def degreeHistogram(edges: DataFrame): DataFrame =
+    degrees(edges).groupBy(col("dg").cast("long").as("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+
+  /** Triangle corners (x, v, w) via degree-ordered orientation; each
+    * triangle appears exactly once. `x` is the wedge apex (the corner
+    * lowest in the (degree, id) order), then v, then w.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val deg = degrees(edges)
+    val ed = edges
+      .join(deg.select(col("node").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("dg").as("db")), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val o = ed.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+      when(aFirst, col("db")).otherwise(col("da")).as("ddst"))
+    val o1 = o.select(col("src"), col("dst").as("v"), col("ddst").as("dv"))
+    val o2 = o.select(col("src"), col("dst").as("w"), col("ddst").as("dw"))
+    val wedges = o1.join(o2, "src")
+      .where(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+    // the closing edge (v, w) is oriented v -> w by the same
+    // (degree, id) rule the wedge filter just applied
+    wedges.join(o.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"))
+      .select(col("src").as("x"), col("v"), col("w"))
+  }
+
+  /** One-row whole-graph summary: node/edge/wedge/triangle counts and
+    * the global clustering coefficient as a x1e4 floor integer
+    * (3*triangles/wedges). Wedges = sum C(deg, 2), exact longs.
+    */
+  def triangleSummary(edges: DataFrame): DataFrame = {
+    val degAgg = degrees(edges).agg(
+      count(lit(1)).as("n_nodes"),
+      sum(expr("(dg * (dg - 1L)) div 2L")).as("n_wedges"))
+    val edgeAgg = edges.agg(count(lit(1)).as("n_edges"))
+    val triAgg = triangles(edges).agg(count(lit(1)).as("n_triangles"))
+    degAgg.crossJoin(edgeAgg).crossJoin(triAgg)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        expr("(n_triangles * 30000L) div n_wedges").as("clustering_u"))
+  }
+
+  /** Fixed-iteration PageRank in exact integer micro-units over the
+    * undirected edge set (each edge walked both ways). Every node
+    * starts at 1e9; each step keeps 15% teleport mass and spreads 85%
+    * equally over neighbors with floor division. Returns
+    * (node, rank_u) for every node of degree >= 1.
+    */
+  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
+    val dir = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+    val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
+    // materialized once for the loop; plan-deduped across invocations
+    val out = dir.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = deg.select(col("src").as("node"))
+    var ranks = nodes.withColumn("r", lit(1000000000L))
+    for (_ <- 1 to iters) {
+      val contrib = out.join(ranks, out("src") === ranks("node"))
+        .select(col("dst"), expr("(r * 17L) div (20L * deg)").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("cs"))
+      ranks = nodes.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(150000000L) + coalesce(col("cs"), lit(0L))).as("r"))
+    }
+    ranks.select(col("node"), col("r").as("rank_u"))
+  }
+
+  /** Neighborhood Jaccard per edge (the link-prediction/co-citation
+    * similarity primitive): common = triangles through the edge,
+    * union = deg(a) + deg(b) - common, emitted as a x1e4 floor
+    * integer; top-k by (jaccard_u desc, a, b) — a total order, so the
+    * cut is deterministic.
+    */
+  def edgeJaccard(edges: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 10000, s"k out of range: $k")
+    val tri = triangles(edges)
+    val pairs = tri.select(explode(array(
+        struct(least(col("x"), col("v")).as("a"),
+          greatest(col("x"), col("v")).as("b")),
+        struct(least(col("x"), col("w")).as("a"),
+          greatest(col("x"), col("w")).as("b")),
+        struct(least(col("v"), col("w")).as("a"),
+          greatest(col("v"), col("w")).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val common = pairs.groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+    val deg = degrees(edges)
+    common
+      .join(deg.select(col("node").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("dg").as("db")), "b")
+      .select(col("a"), col("b"), col("n_common"),
+        expr("(n_common * 10000L) div (da + db - n_common)")
+          .as("jaccard_u"))
+      .orderBy(col("jaccard_u").desc, col("a"), col("b"))
+      .limit(k)
+  }
+}

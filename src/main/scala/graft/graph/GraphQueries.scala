@@ -1,0 +1,101 @@
+package graft.graph
+
+import graft.QueryRegistry
+import graft.io.Tables
+
+/** Driver-contract entries for the graph-analytics family over the
+  * part co-purchase graph (parts linked when they appear in the same
+  * order). Every query is exact-integer end to end, so the DuckDB
+  * oracle hash-matches bit for bit; the oracle enumerates triangles
+  * with the simple a<b<c canonical join (count-identical to the
+  * engine's degree-ordered orientation, which exists for skew safety,
+  * not for a different answer).
+  */
+object GraphQueries extends QueryRegistry {
+
+  private def li(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.load(s, d, "lineitem")
+
+  /** Shared oracle prelude: the canonical undirected edge set. */
+  private val edgeCte =
+    """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      |      FROM lp x JOIN lp y ON x.l_orderkey = y.l_orderkey
+      |                         AND x.l_partkey < y.l_partkey)""".stripMargin
+
+  q("g_degree",
+    s"""$edgeCte,
+      |d AS (SELECT a AS node FROM e UNION ALL SELECT b FROM e),
+      |deg AS (SELECT node, count(*) AS dg FROM d GROUP BY 1)
+      |SELECT CAST(dg AS BIGINT) AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+      |FROM deg GROUP BY 1""") { (s, d) =>
+    GraphOps.degreeHistogram(GraphOps.copurchaseEdges(li(s, d)))
+  }
+
+  q("g_triangles",
+    s"""$edgeCte,
+      |d AS (SELECT a AS node FROM e UNION ALL SELECT b FROM e),
+      |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS dg FROM d GROUP BY 1),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+      |              CAST(sum((dg * (dg - 1)) // 2) AS BIGINT) AS n_wedges
+      |       FROM deg),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      |      FROM e e1 JOIN e e2 ON e1.b = e2.a
+      |                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+      |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+      |       CAST((n_triangles * 30000) // n_wedges AS BIGINT) AS clustering_u
+      |FROM nn, m, t""") { (s, d) =>
+    GraphOps.triangleSummary(GraphOps.copurchaseEdges(li(s, d)))
+  }
+
+  q("g_jaccard",
+    s"""$edgeCte,
+      |d AS (SELECT a AS node FROM e UNION ALL SELECT b FROM e),
+      |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS dg FROM d GROUP BY 1),
+      |tri AS (SELECT e1.a AS x, e1.b AS v, e2.b AS w
+      |        FROM e e1 JOIN e e2 ON e1.b = e2.a
+      |                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |pairs AS (SELECT x AS a, v AS b FROM tri
+      |          UNION ALL SELECT x, w FROM tri
+      |          UNION ALL SELECT v, w FROM tri),
+      |cm AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_common
+      |       FROM pairs GROUP BY 1, 2)
+      |SELECT cm.a, cm.b, cm.n_common,
+      |       CAST((cm.n_common * 10000) // (da.dg + db.dg - cm.n_common)
+      |            AS BIGINT) AS jaccard_u
+      |FROM cm JOIN deg da ON cm.a = da.node JOIN deg db ON cm.b = db.node
+      |ORDER BY jaccard_u DESC, cm.a, cm.b LIMIT 100""") { (s, d) =>
+    GraphOps.edgeJaccard(GraphOps.copurchaseEdges(li(s, d)), 100)
+  }
+
+  q("g_pagerank", pageRankSql(5)) { (s, d) =>
+    GraphOps.pageRank(GraphOps.copurchaseEdges(li(s, d)), 5)
+  }
+
+  /** Chained-CTE oracle for the integer PageRank — one CTE per
+    * iteration, same floor arithmetic as the engine (`//` on positive
+    * BIGINTs == Spark's `div`).
+    */
+  private def pageRankSql(iters: Int): String = {
+    val sb = new StringBuilder(edgeCte)
+    sb.append(""",
+      |dd AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+      |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+      |        FROM dd GROUP BY 1),
+      |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM deg)""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(s""",
+        |r$i AS (SELECT n.node,
+        |             CAST(150000000 + coalesce(
+        |               sum((r.r * 17) // (20 * g.deg)), 0) AS BIGINT) AS r
+        |      FROM deg n
+        |      LEFT JOIN dd ON dd.dst = n.node
+        |      LEFT JOIN r${i - 1} r ON dd.src = r.node
+        |      LEFT JOIN deg g ON dd.src = g.node
+        |      GROUP BY 1)""".stripMargin)
+    }
+    sb.append(s"\nSELECT node, r AS rank_u FROM r$iters")
+    sb.toString
+  }
+}

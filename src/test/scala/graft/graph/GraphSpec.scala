@@ -1,0 +1,103 @@
+package graft.graph
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Graph operators: degree-ordered triangle enumeration vs brute
+  * force, integer PageRank invariants, Jaccard bounds.
+  */
+class GraphSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Random undirected simple graph as a canonical a<b edge DF. */
+  private def randomEdges(n: Int, m: Int, seed: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    Iterator.continually {
+      val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+      if (a < b) (a, b) else (b, a)
+    }.filter { case (a, b) => a != b }.take(m).toSeq.distinct.toDF("a", "b")
+  }
+
+  test("triangles match brute-force enumeration on a random graph") {
+    val edges = randomEdges(40, 220, 7)
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val brute = (for {
+      i <- nodes; j <- nodes if i < j && es((i, j))
+      k <- nodes if j < k && es((j, k)) && es((i, k))
+    } yield Set(i, j, k)).toSet
+    val got = GraphOps.triangles(edges).collect()
+      .map(r => Set(r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute)
+    assert(brute.nonEmpty) // non-vacuous at this density
+    // each triangle emitted exactly once
+    assert(GraphOps.triangles(edges).count() == brute.size)
+  }
+
+  test("triangle summary: wedge count and clustering bounds") {
+    val edges = randomEdges(30, 140, 11)
+    val row = GraphOps.triangleSummary(edges).collect().head
+    val (nodes, nEdges, wedges, tris, clu) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getLong(4))
+    assert(nEdges == edges.count())
+    // sum of C(deg,2) recomputed locally
+    val degs = GraphOps.degrees(edges).collect()
+      .map(r => r.getLong(1))
+    assert(nodes == degs.length)
+    assert(wedges == degs.map(d => d * (d - 1) / 2).sum)
+    // 3*tris <= wedges  =>  clustering_u in [0, 10000]
+    assert(clu >= 0 && clu <= 10000)
+    assert(3 * tris <= wedges)
+  }
+
+  test("integer pagerank: deterministic, teleport floor, mass bound") {
+    val edges = randomEdges(50, 200, 13)
+    val r1 = GraphOps.pageRank(edges, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val r2 = GraphOps.pageRank(edges, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(r1.sameElements(r2)) // exact integer arithmetic => bitwise stable
+    val n = r1.length.toLong
+    assert(r1.forall(_._2 >= 150000000L)) // teleport floor
+    // floor division only loses mass: total <= n * 1e9
+    assert(r1.map(_._2).sum <= n * 1000000000L)
+  }
+
+  test("edge jaccard: bounded, common <= min degree, ordered cut") {
+    val edges = randomEdges(40, 220, 17)
+    val deg = GraphOps.degrees(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val rows = GraphOps.edgeJaccard(edges, 50).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, c, j) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(c >= 1 && c <= math.min(deg(a), deg(b)))
+      assert(j >= 0 && j <= 10000)
+    }
+    // returned in (jaccard_u desc, a, b) order — a total order
+    val key = rows.map(r => (-r.getLong(3), r.getLong(0), r.getLong(1)))
+    assert(key.sameElements(key.sorted))
+  }
+
+  test("copurchase edges are canonical and deduped") {
+    import spark.implicits._
+    val li = Seq(
+      (1L, 10L), (1L, 20L), (1L, 10L), // dup line in one order
+      (2L, 20L), (2L, 10L),            // reverse order pair
+      (3L, 30L)                        // singleton order: no pairs
+    ).toDF("l_orderkey", "l_partkey")
+    val e = GraphOps.copurchaseEdges(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(e.toSeq == Seq((10L, 20L)))
+  }
+}
