@@ -1314,6 +1314,27 @@ object PipelineQueries extends QueryRegistry {
     TextAnalysis.rarityProjection(docs(s, d))
   }
 
+  // Bigram-LM predictability: corpus-trained conditional-probability
+  // model, integer-scaled so long sums commute and the oracle
+  // hash-matches exactly — the order-sensitive LM quality signal the
+  // float unigramLogProb can't oracle-check (ln's 1-ulp divergence).
+  q("t_bigram_lm",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents
+      |              WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+      |big AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      |        FROM toks CROSS JOIN unnest(generate_series(1, len(t) - 1)) AS u(i)),
+      |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      |        FROM big GROUP BY 1, 2),
+      |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM big GROUP BY 1),
+      |scored AS (SELECT b.doc_id, (c12.c12 * 1000000) // c1.c1 AS s
+      |           FROM big b JOIN c12 USING (w1, w2) JOIN c1 USING (w1))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |       CAST(sum(s) // count(*) AS BIGINT) AS lm_u
+      |FROM scored GROUP BY 1""") { (s, d) =>
+    TextAnalysis.bigramLm(docs(s, d))
+  }
+
   // BM25 keyword search: rational RSJ idf (no logs — see Search's float
   // determinism contract), tf as codegen'd array filters, corpus stats
   // one broadcast row, top-k via TakeOrderedAndProject. The 'dup' term

@@ -385,6 +385,42 @@ object LogAnalytics extends QueryRegistry {
           .otherwise(lerp)) * 1000000).cast("long").as("value_u"))
   }
 
+  /** OHLC resampling (the candlestick/downsample op): per
+    * (event_type, day), open/close are the exact values of the first
+    * and last event — picked by struct-min/max over (ts, event_id,
+    * value), where the unique event_id makes the order total, so the
+    * pick is deterministic and NO double arithmetic happens (picked
+    * doubles hash exactly; only the volume is summed, through the ×1e4
+    * scaled-integer view so long sums commute). One shuffle on the
+    * (type, day) key with partial min/max/sum aggregation map-side —
+    * per-group state is three structs and two longs regardless of
+    * group size, the right shape at any scale.
+    */
+  q("ts_ohlc",
+    """SELECT event_type, CAST(ts AS DATE) AS day,
+      |       (min(struct_pack(ts := ts, event_id := event_id,
+      |                        value := value))).value AS open,
+      |       max(value) AS high, min(value) AS low,
+      |       (max(struct_pack(ts := ts, event_id := event_id,
+      |                        value := value))).value AS close,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+      |            AS BIGINT) AS vol_u
+      |FROM events GROUP BY 1, 2""") { (s, d) =>
+    events(s, d)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("close"),
+        count(lit(1)).as("n"),
+        sum(expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)"))
+          .as("vol_u"))
+  }
+
   /** As-of join: each event picks the latest prior per-type daily state
     * (odd days only, so the lookback crosses days). Spark composes the
     * operator (AsOf.join); the oracle uses DuckDB's native ASOF JOIN —

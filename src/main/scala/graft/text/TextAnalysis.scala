@@ -396,6 +396,42 @@ object TextAnalysis {
           log(col("c").cast("double"))).as("avg_neg_logp"))
   }
 
+  /** Per-doc bigram-LM predictability score — the order-sensitive
+    * upgrade of [[unigramLogProb]] (a unigram model scores shuffled
+    * text identically; a bigram model does not). Trains bigram and
+    * bigram-start counts over the corpus itself, scores each bigram by
+    * its integer-scaled conditional probability
+    * `s = (c12 * 1e6) div c1`, and reports the per-doc mean
+    * `lm_u = sum(s) div n` — high for text the corpus-level model
+    * predicts well, low for scrambled/outlier docs. All arithmetic is
+    * long division and long sums, which commute exactly, so the DuckDB
+    * oracle hash-matches bit for bit (no ln(), no float summation-order
+    * hazard — the lesson of [[unigramLogProb]]'s 1-ulp problem).
+    *
+    * Scale: the bigram stream shuffles twice on token-string keys
+    * ((w1,w2) then w1) to build the model tables, which are
+    * model-sized, not corpus-sized; they join back with no broadcast
+    * hint so AQE broadcasts only when they genuinely fit. Per-doc
+    * state is one (sum, count) pair of longs.
+    */
+  def bigramLm(docs: DataFrame): DataFrame = {
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val big = base.select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+    big.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .select(col("doc_id"), expr("(c12 * 1000000L) div c1").as("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(s) div count(*)").as("lm_u"))
+  }
+
   /** Guaranteed heavy hitters in two bounded passes — the 100 TB shape
     * for "which n-grams exceed frequency f·N":
     *

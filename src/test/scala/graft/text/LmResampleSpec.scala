@@ -1,0 +1,72 @@
+package graft.text
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bigram-LM scoring vs a brute-force model, and the OHLC pick rule. */
+class LmResampleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("bigramLm matches a brute-force bigram model") {
+    import spark.implicits._
+    val texts = Seq(
+      1L -> "the cat sat on the mat",
+      2L -> "the cat sat on the hat",
+      3L -> "mat the on sat cat the", // same tokens, scrambled order
+      4L -> "one",                    // single token: no bigrams, dropped
+      5L -> null.asInstanceOf[String])
+    val docs = texts.toDF("doc_id", "text")
+
+    // brute-force model over the same corpus
+    val bigrams = texts.collect { case (id, t) if t != null =>
+      val toks = t.split(" ")
+      id -> toks.zip(toks.tail)
+    }.filter(_._2.nonEmpty)
+    val c12 = bigrams.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+    val c1 = bigrams.flatMap(_._2.map(_._1)).groupBy(identity)
+      .view.mapValues(_.size)
+    val expect = bigrams.map { case (id, bs) =>
+      val ss = bs.map(b => c12(b).toLong * 1000000L / c1(b._1))
+      id -> (bs.length.toLong, ss.sum / bs.length)
+    }.toMap
+
+    val got = TextAnalysis.bigramLm(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect)
+    // predictable docs outscore the scrambled permutation of the same
+    // tokens — the signal unigram models are blind to
+    assert(got(1L)._2 > got(3L)._2 && got(2L)._2 > got(3L)._2)
+    assert(!got.contains(4L) && !got.contains(5L))
+  }
+
+  test("ohlc struct pick takes first/last by (ts, event_id)") {
+    import spark.implicits._
+    val rows = Seq(
+      // same day, out of insertion order; event_id breaks the ts tie
+      (1L, "2024-03-05 10:00:00", 5.0),
+      (3L, "2024-03-05 09:00:00", 7.0), // first by ts -> open
+      (2L, "2024-03-05 23:00:00", 2.0),
+      (4L, "2024-03-05 23:00:00", 9.0)) // ts tie, higher id -> close
+      .toDF("event_id", "ts_s", "value")
+      .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"),
+        col("value"), lit("click").as("event_type"))
+    val r = rows.groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("open"),
+        max(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("close"),
+        max(col("value")).as("high"), min(col("value")).as("low"))
+      .collect().head
+    assert(r.getAs[Double]("open") == 7.0)
+    assert(r.getAs[Double]("close") == 9.0)
+    assert(r.getAs[Double]("high") == 9.0 && r.getAs[Double]("low") == 2.0)
+  }
+}
