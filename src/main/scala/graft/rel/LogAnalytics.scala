@@ -421,6 +421,100 @@ object LogAnalytics extends QueryRegistry {
           .as("vol_u"))
   }
 
+  /** Ordered conversion funnel (signup → click → purchase, each step
+    * within 7 days of the previous): per user, step k's timestamp is
+    * the EARLIEST qualifying event strictly after step k−1 — min over
+    * timestamps, so ties cannot make the result ambiguous. Each stage
+    * is one aggregate + one equi join keyed by user_id (the step-k
+    * survivor table only ever shrinks), and interval arithmetic is
+    * exact on µs timestamps — no doubles anywhere.
+    */
+  q("la_funnel",
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |            WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t2
+      |       FROM events e JOIN s1 USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+      |         AND e.ts <= s1.t1 + INTERVAL 7 DAY GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+      |       FROM events e JOIN s2 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |         AND e.ts <= s2.t2 + INTERVAL 7 DAY GROUP BY 1)
+      |SELECT 1 AS step, 'signup' AS event_type,
+      |       CAST(count(*) AS BIGINT) AS n_users FROM s1
+      |UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+      |UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3""") {
+    (s, d) =>
+    val ev = events(s, d)
+    def nextStep(prev: org.apache.spark.sql.DataFrame, tPrev: String,
+        etype: String, tOut: String) =
+      ev.join(prev, Seq("user_id"))
+        .filter(col("event_type") === etype && col("ts") > col(tPrev) &&
+          col("ts") <= col(tPrev) + expr("INTERVAL 7 DAYS"))
+        .groupBy("user_id").agg(min(col("ts")).as(tOut))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val s2 = nextStep(s1, "t1", "click", "t2")
+    val s3 = nextStep(s2, "t2", "purchase", "t3")
+    def cnt(df: org.apache.spark.sql.DataFrame, step: Int, et: String) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(step).as("step"), lit(et).as("event_type"),
+          col("n_users"))
+    cnt(s1, 1, "signup").unionAll(cnt(s2, 2, "click"))
+      .unionAll(cnt(s3, 3, "purchase"))
+  }
+
+  /** Rolling z-score anomaly flag over the daily composite — the
+    * monitoring op. Baseline = the previous ≤7 days (current day
+    * excluded, so an anomalous day cannot mask itself); the 3σ test
+    * runs in cross-multiplied integer form,
+    * (n·x − Σ)² > 9·(n·Σx² − Σ²), so there is no sqrt, no division,
+    * and no float: the flag is bit-stable in any aggregation order.
+    * x is the day's MEAN scaled value (sum div count), which keeps
+    * every term ≤ ~1e13 — far from long overflow at any corpus size
+    * (totals would overflow the square at scale; means cannot).
+    * One shuffle to the daily composite, then a keyed 7-row window.
+    */
+  q("ts_anomaly",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) //
+      |              count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, day, x,
+      |         CAST(count(x) OVER pw AS BIGINT) AS n_prev,
+      |         CAST(coalesce(sum(x) OVER pw, 0) AS BIGINT) AS s_prev,
+      |         CAST(coalesce(sum(x * x) OVER pw, 0) AS BIGINT) AS ss_prev
+      |  FROM daily
+      |  WINDOW pw AS (PARTITION BY event_type ORDER BY day
+      |                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, day, x, n_prev,
+      |       CAST(CASE WHEN n_prev >= 4 AND
+      |              (n_prev * x - s_prev) * (n_prev * x - s_prev) >
+      |              9 * (n_prev * ss_prev - s_prev * s_prev)
+      |            THEN 1 ELSE 0 END AS INT) AS is_anomaly
+      |FROM w""") { (s, d) =>
+    val daily = events(s, d)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(expr("sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) div count(*)")
+        .as("x"))
+    val pw = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-7, -1)
+    val flagged = daily
+      .withColumn("n_prev", count(col("x")).over(pw))
+      .withColumn("s_prev", coalesce(sum(col("x")).over(pw), lit(0L)))
+      .withColumn("ss_prev",
+        coalesce(sum(col("x") * col("x")).over(pw), lit(0L)))
+    flagged.select(col("event_type"), col("day"), col("x"), col("n_prev"),
+      (col("n_prev") >= 4 &&
+        (col("n_prev") * col("x") - col("s_prev")) *
+          (col("n_prev") * col("x") - col("s_prev")) >
+          lit(9L) * (col("n_prev") * col("ss_prev") -
+            col("s_prev") * col("s_prev")))
+        .cast("int").as("is_anomaly"))
+  }
+
   /** As-of join: each event picks the latest prior per-type daily state
     * (odd days only, so the lookback crosses days). Spark composes the
     * operator (AsOf.join); the oracle uses DuckDB's native ASOF JOIN —
