@@ -7,6 +7,7 @@ import graft.io.Tables
 import graft.multimodal.Multimodal
 import graft.sim.Similarity
 import graft.text.{Search, TextAnalysis}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Driver-contract entries for the training-data pipeline operators
@@ -174,6 +175,108 @@ object PipelineQueries extends QueryRegistry {
     TextAnalysis.withLangId(docs(s, d))
       .select(col("doc_id"), col("lang").as("lang_declared"),
         col("lang_pred"))
+  }
+
+  /** Classifier evaluation (the eval-harness op): per-class confusion
+    * counts and fixed-point precision/recall/F1 of the language
+    * heuristic against the declared `lang` column. The confusion
+    * matrix is one groupBy on (declared, predicted) — its cardinality
+    * is bounded by classes², a constant, so everything after the first
+    * aggregation is trivial regardless of corpus size. Ratios are ppm
+    * integers ((tp·10⁶) div (tp+fp)) so no float ever enters the
+    * hash. Classes = union of declared and predicted labels (a
+    * predicted-only class scores tp=0).
+    */
+  q("t_langid_metrics",
+    s"""WITH pred AS ($langIdOracleSql),
+       |conf AS (
+       |  SELECT lang_declared AS d, lang_pred AS p,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM pred GROUP BY 1, 2),
+       |classes AS (
+       |  SELECT d AS cls FROM conf UNION SELECT p FROM conf),
+       |tp AS (SELECT d AS cls, n AS tp FROM conf WHERE d = p),
+       |fp AS (SELECT p AS cls, CAST(sum(n) AS BIGINT) AS fp
+       |       FROM conf WHERE d <> p GROUP BY 1),
+       |fn AS (SELECT d AS cls, CAST(sum(n) AS BIGINT) AS fn
+       |       FROM conf WHERE d <> p GROUP BY 1),
+       |m AS (
+       |  SELECT cls, coalesce(tp, 0) AS tp, coalesce(fp, 0) AS fp,
+       |         coalesce(fn, 0) AS fn
+       |  FROM classes LEFT JOIN tp USING (cls)
+       |       LEFT JOIN fp USING (cls) LEFT JOIN fn USING (cls)),
+       |r AS (
+       |  SELECT cls, tp, fp, fn,
+       |         CASE WHEN tp + fp = 0 THEN CAST(0 AS BIGINT)
+       |              ELSE (tp * 1000000) // (tp + fp) END AS prec_ppm,
+       |         CASE WHEN tp + fn = 0 THEN CAST(0 AS BIGINT)
+       |              ELSE (tp * 1000000) // (tp + fn) END AS rec_ppm
+       |  FROM m)
+       |SELECT cls, tp, fp, fn, prec_ppm, rec_ppm,
+       |       CASE WHEN prec_ppm + rec_ppm = 0 THEN CAST(0 AS BIGINT)
+       |            ELSE (2 * prec_ppm * rec_ppm) // (prec_ppm + rec_ppm)
+       |       END AS f1_ppm
+       |FROM r""") { (s, d) =>
+    val conf = TextAnalysis.withLangId(docs(s, d))
+      .groupBy(col("lang").as("d"), col("lang_pred").as("p"))
+      .agg(count(lit(1)).as("n"))
+    val classes = conf.select(col("d").as("cls"))
+      .union(conf.select(col("p"))).distinct()
+    val tp = conf.filter(col("d") === col("p"))
+      .select(col("d").as("cls"), col("n").as("tp"))
+    val fp = conf.filter(col("d") =!= col("p"))
+      .groupBy(col("p").as("cls")).agg(sum("n").as("fp"))
+    val fn = conf.filter(col("d") =!= col("p"))
+      .groupBy(col("d").as("cls")).agg(sum("n").as("fn"))
+    classes.join(tp, Seq("cls"), "left").join(fp, Seq("cls"), "left")
+      .join(fn, Seq("cls"), "left")
+      .select(col("cls"), coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("fp"), lit(0L)).as("fp"),
+        coalesce(col("fn"), lit(0L)).as("fn"))
+      .withColumn("prec_ppm", when(col("tp") + col("fp") === 0, 0L)
+        .otherwise(expr("(tp * 1000000) div (tp + fp)")))
+      .withColumn("rec_ppm", when(col("tp") + col("fn") === 0, 0L)
+        .otherwise(expr("(tp * 1000000) div (tp + fn)")))
+      .withColumn("f1_ppm", when(col("prec_ppm") + col("rec_ppm") === 0, 0L)
+        .otherwise(
+          expr("(2 * prec_ppm * rec_ppm) div (prec_ppm + rec_ppm)")))
+  }
+
+  /** Output-file compaction planner (the small-files op): assign
+    * documents to target-size output files by greedy sequential
+    * packing inside hash buckets — running cumulative size, file seq =
+    * start-offset div target. The window is keyed by the bucket, so no
+    * global sort exists and bucket count scales with the cluster; the
+    * report is one row per planned file. This is the planning half of
+    * a 100 TB compaction job (the writer would `repartition(bucket,
+    * file_seq)` on the plan's keys).
+    */
+  q("t_compaction_plan",
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 16 AS bucket, n_chars
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, bucket, n_chars,
+      |         coalesce(sum(n_chars) OVER (PARTITION BY bucket
+      |           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+      |           AND 1 PRECEDING), 0) AS start_off
+      |  FROM d)
+      |SELECT bucket, CAST(start_off // 2048 AS INT) AS file_seq,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |       CAST(min(doc_id) AS BIGINT) AS first_doc,
+      |       CAST(max(doc_id) AS BIGINT) AS last_doc
+      |FROM o GROUP BY bucket, file_seq""") { (s, d) =>
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(s, d)
+      .select(col("doc_id"), (col("doc_id") % 16).as("bucket"),
+        col("n_chars"))
+      .withColumn("start_off", coalesce(sum("n_chars").over(w), lit(0L)))
+      .groupBy(col("bucket"),
+        expr("CAST(start_off div 2048 AS INT)").as("file_seq"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
   }
 
   // BPE-ish token count: the piece regex avoids lookarounds so the SAME

@@ -800,6 +800,103 @@ object LogAnalytics extends QueryRegistry {
         col("n_distinct"), col("min_s"), col("max_s"))
   }
 
+  /** SCD2 validity-interval assembly (the warehouse history-build op):
+    * collapse each user's event-type timeline into maximal runs of the
+    * same type, emitting one version row per run with
+    * [valid_from, valid_to) in integer seconds (valid_to NULL on the
+    * open current version). Classic gaps-and-islands: lag → change
+    * flag → running-sum version id → per-run rollup → lead for the
+    * exclusive end. Every window is keyed by user_id, so state is
+    * bounded by one user's history and the plan is one shuffle on
+    * user_id reused across all four steps — nothing here grows with
+    * corpus size.
+    */
+  q("la_scd2",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events),
+      |flags AS (
+      |  SELECT user_id, event_id, event_type, sec,
+      |         CASE WHEN lag(event_type) OVER w IS NULL
+      |              OR lag(event_type) OVER w <> event_type
+      |              THEN 1 ELSE 0 END AS chg
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+      |runs AS (
+      |  SELECT user_id, event_type, sec,
+      |         sum(chg) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+      |  FROM flags),
+      |hist AS (
+      |  SELECT user_id, CAST(version AS INT) AS version,
+      |         min(event_type) AS event_type,
+      |         min(sec) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+      |  FROM runs GROUP BY user_id, version)
+      |SELECT user_id, version, event_type, valid_from,
+      |       lead(valid_from) OVER (PARTITION BY user_id
+      |                              ORDER BY valid_from, version) AS valid_to,
+      |       n_events
+      |FROM hist""") { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    val ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"))
+      .withColumn("chg",
+        when(lag("event_type", 1).over(w).isNull ||
+          lag("event_type", 1).over(w) =!= col("event_type"), 1).otherwise(0))
+      .withColumn("version", sum("chg").over(ws).cast("int"))
+      .groupBy("user_id", "version")
+      .agg(min("event_type").as("event_type"),
+        min("sec").as("valid_from"), count(lit(1)).as("n_events"))
+    hist.withColumn("valid_to",
+        lead("valid_from", 1).over(
+          Window.partitionBy("user_id").orderBy("valid_from", "version")))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("n_events"))
+  }
+
+  /** Winsorized (clipped) robust statistics per group: clamp values to
+    * the [p05, p95] band before aggregating, reporting the cut points,
+    * clip counts, and the winsorized mean. Cut points come from exact
+    * `percentile` over the ×10⁴ scaled-integer view (bounded per-group
+    * state — the `la_quantiles` argument), land on the half-integer
+    * grid (exactly representable doubles), and broadcast back onto the
+    * rows, so the clamp and the sum are bit-stable in any aggregation
+    * order. Two shuffles on event_type; nothing unbounded.
+    */
+  q("la_winsorized",
+    """WITH b AS (SELECT event_type,
+      |                  CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vu
+      |           FROM events),
+      |cuts AS (
+      |  SELECT event_type, quantile_cont(vu, 0.05) AS lo,
+      |         quantile_cont(vu, 0.95) AS hi
+      |  FROM b GROUP BY 1)
+      |SELECT e.event_type,
+      |       round(min(lo) / 10000.0, 4) AS lo_v,
+      |       round(min(hi) / 10000.0, 4) AS hi_v,
+      |       CAST(sum(CASE WHEN vu < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+      |       CAST(sum(CASE WHEN vu > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+      |       round(sum(greatest(least(CAST(vu AS DOUBLE), hi), lo))
+      |             / count(*) / 10000.0, 6) AS win_mean
+      |FROM b e JOIN cuts USING (event_type)
+      |GROUP BY e.event_type""") { (s, d) =>
+    val b = events(s, d).select(col("event_type"),
+      expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").as("vu"))
+    val cuts = b.groupBy("event_type").agg(
+      expr("percentile(vu, 0.05)").as("lo"),
+      expr("percentile(vu, 0.95)").as("hi"))
+    b.join(broadcast(cuts), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(round(min("lo") / 10000.0, 4).as("lo_v"),
+        round(min("hi") / 10000.0, 4).as("hi_v"),
+        sum(when(col("vu") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("vu") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+        round(sum(greatest(least(col("vu").cast("double"), col("hi")),
+          col("lo"))) / count(lit(1)) / 10000.0, 6).as("win_mean"))
+  }
+
   /** K2 Horner evaluation via the native poly_eval expression; oracle
     * replicates the exact Horner operation order.
     */

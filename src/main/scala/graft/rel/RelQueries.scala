@@ -240,6 +240,36 @@ object RelQueries extends QueryRegistry {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Blocked fuzzy join (record linkage): near-matching part names
+    * within a blocking key, scored by exact Levenshtein edit distance
+    * (Spark `levenshtein` ≡ DuckDB `levenshtein` — integer, no float).
+    * The block key (the name's noun token) turns the quadratic
+    * all-pairs comparison into per-block candidate sets — the standard
+    * linkage shape at scale: candidates = Σ block² ≪ n², and each
+    * block's pair generation is one equi join. Canonical a<b ordering
+    * needs no distinct.
+    */
+  q("j_fuzzy_leven",
+    """WITH names AS (
+      |  SELECT DISTINCT p_name, split_part(p_name, ' ', 2) AS blk
+      |  FROM part)
+      |SELECT a.blk, a.p_name AS name_a, b.p_name AS name_b,
+      |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+      |FROM names a JOIN names b
+      |  ON a.blk = b.blk AND a.p_name < b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) <= 4""") { (s, d) =>
+    val names = t(s, d, "part")
+      .select(col("p_name"), element_at(split(col("p_name"), " "), 2).as("blk"))
+      .distinct()
+    val a = names.select(col("blk"), col("p_name").as("name_a"))
+    val b = names.select(col("blk"), col("p_name").as("name_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("name_a") < col("name_b") &&
+        levenshtein(col("name_a"), col("name_b")) <= 4)
+      .select(col("blk"), col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("int").as("dist"))
+  }
+
   // ---------------------------------------------------- skew-join demo
 
   /** Deliberately hot join key: ~90% of lineitem collapses onto key 0,
