@@ -693,6 +693,46 @@ object PipelineQueries extends QueryRegistry {
     Dedup.intraDocClean(docs(s, d), k = 4)
   }
 
+  /** Corpus n-gram novelty (dataset-freshness scoring): the share of a
+    * document's distinct 3-grams whose FIRST corpus occurrence (by
+    * doc_id) is this document — near-zero novelty marks near-copies of
+    * earlier material even when no single span crosses the span-dedup
+    * bar. Two gram-keyed exchanges (min-doc first-occurrence, then the
+    * membership join), both map-side combinable; per-doc distinct
+    * grams bound the explode; ppm integers keep float out of the hash.
+    */
+  q("dd_novelty",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l
+      |             FROM documents),
+      |g AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS gram
+      |      FROM toks,
+      |           unnest(generate_series(1, greatest(len(l) - 2, 0)))
+      |             AS t(i)),
+      |fo AS (SELECT gram, min(doc_id) AS fd FROM g GROUP BY gram)
+      |SELECT CAST(g.doc_id AS BIGINT) AS doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_grams,
+      |       CAST(sum(CASE WHEN fd = g.doc_id THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_novel,
+      |       CAST(sum(CASE WHEN fd = g.doc_id THEN 1 ELSE 0 END)
+      |            * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+      |FROM g JOIN fo USING (gram)
+      |GROUP BY g.doc_id""") { (s, d) =>
+    val g = docs(s, d)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("w")) - 2),
+          i => concat_ws(" ", slice(col("w"), i, lit(3)))))).as("gram"))
+    val fo = g.groupBy("gram").agg(min("doc_id").as("fd"))
+    g.join(fo, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("n_novel * 1000000 div n_grams").as("novelty_ppm"))
+  }
+
   q("dd_cosine_neardup",
     """SELECT CAST(a.vec_id AS BIGINT) AS vec_a,
       |       CAST(b.vec_id AS BIGINT) AS vec_b,

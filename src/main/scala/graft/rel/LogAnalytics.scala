@@ -897,6 +897,131 @@ object LogAnalytics extends QueryRegistry {
           col("lo"))) / count(lit(1)) / 10000.0, 6).as("win_mean"))
   }
 
+  /** Integer EWMA smoothing (α = 1/4) over the per-type daily
+    * composite: s₁ = x₁, sₜ = (3·sₜ₋₁ + xₜ) div 4 — the recursion
+    * every operand of which is a non-negative long, so truncating and
+    * flooring division agree and Spark's `div` replays DuckDB's `//`
+    * bit for bit. Daily means come from the ×10⁴ integer view
+    * (sum div count — order-independent), the fold itself is the
+    * `aggregate` higher-order function over the type-keyed sorted day
+    * array (pure column expressions, whole-stage codegen, no UDF), and
+    * the oracle is a RECURSIVE CTE — a genuinely different evaluation
+    * mechanism computing the identical integer sequence. Per-key state
+    * is bounded by the day count (time-bounded, not data-bounded); a
+    * longer horizon would key by (type, year) and chain.
+    */
+  q("ts_ewma",
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type,
+      |         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS st,
+      |         CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+      |              // count(*) AS BIGINT) AS xu,
+      |         row_number() OVER (PARTITION BY event_type
+      |           ORDER BY date_trunc('day', ts)) AS rn
+      |  FROM events GROUP BY event_type, date_trunc('day', ts)),
+      |r AS (
+      |  SELECT event_type, st, xu, rn, xu AS s FROM daily WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.event_type, d.st, d.xu, d.rn, (3 * r.s + d.xu) // 4
+      |  FROM r JOIN daily d
+      |    ON d.event_type = r.event_type AND d.rn = r.rn + 1)
+      |SELECT event_type, st, xu, CAST(s AS BIGINT) AS ewma_u FROM r""") {
+    (s, d) =>
+      val daily = events(s, d)
+        .groupBy(col("event_type"),
+          unix_timestamp(date_trunc("day", col("ts"))).as("st"))
+        .agg(expr(
+          "sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) div count(*)")
+          .as("xu"))
+      daily.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("st"), col("xu"))))
+          .as("days"))
+        .select(col("event_type"), explode(expr(
+          """aggregate(
+            |  days,
+            |  CAST(named_struct('out', array(), 's', -1L) AS
+            |    STRUCT<out: ARRAY<STRUCT<st: BIGINT, xu: BIGINT,
+            |                             s: BIGINT>>, s: BIGINT>),
+            |  (acc, x) -> named_struct(
+            |    'out', concat(acc.out, array(named_struct(
+            |      'st', x.st, 'xu', x.xu,
+            |      's', CASE WHEN size(acc.out) = 0 THEN x.xu
+            |                ELSE (3 * acc.s + x.xu) div 4 END))),
+            |    's', CASE WHEN size(acc.out) = 0 THEN x.xu
+            |              ELSE (3 * acc.s + x.xu) div 4 END)).out
+            |""".stripMargin)).as("e"))
+        .select(col("event_type"), col("e.st").as("st"),
+          col("e.xu").as("xu"), col("e.s").as("ewma_u"))
+  }
+
+  /** Key-distribution skew profiler (the pre-join diagnostics op): one
+    * row summarizing how hot the hottest key is before you commit to a
+    * shuffle on it — key count, max/median/p99 per-key row counts, and
+    * the top key's corpus share in ppm. The per-key count aggregation
+    * is map-side combined 8-byte keys; the profile aggregate's
+    * `percentile` state is O(distinct count-values) ≤ max per-key
+    * count — bounded by the hottest key, not the corpus.
+    */
+  q("la_key_skew",
+    """WITH c AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY user_id)
+      |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+      |       CAST(sum(n) AS BIGINT) AS total,
+      |       CAST(max(n) AS BIGINT) AS max_n,
+      |       round(quantile_cont(n, 0.5), 4) AS p50_n,
+      |       round(quantile_cont(n, 0.99), 4) AS p99_n,
+      |       CAST(max(n) * 1000000 // sum(n) AS BIGINT) AS top_share_ppm
+      |FROM c""") { (s, d) =>
+    events(s, d).groupBy("user_id").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_keys"), sum("n").as("total"),
+        max("n").as("max_n"),
+        round(expr("percentile(n, 0.5)"), 4).as("p50_n"),
+        round(expr("percentile(n, 0.99)"), 4).as("p99_n"),
+        expr("max(n) * 1000000 div sum(n)").as("top_share_ppm"))
+  }
+
+  /** Time-weighted average per user (trapezoidal integration between
+    * consecutive observations — the irregular-sampling mean where a
+    * value holds influence proportional to how long it stood). All
+    * integer: twice the trapezoid area is (t₂−t₁)·(v₁+v₂) on the ×10⁴
+    * view, summed exactly in longs, divided once by 2·span. Ordering
+    * is total (sec, event_id), so tie pairing is deterministic in both
+    * engines. One user-keyed window + one aggregation; zero-span users
+    * (no elapsed time) drop out.
+    */
+  q("ts_twa",
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vu
+      |  FROM events),
+      |p AS (
+      |  SELECT user_id, sec, vu,
+      |         lead(sec) OVER w AS sec2, lead(vu) OVER w AS vu2
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id))
+      |SELECT user_id,
+      |       CAST(max(sec) - min(sec) AS BIGINT) AS span_s,
+      |       CAST(sum((sec2 - sec) * (vu + vu2))
+      |            // (2 * (max(sec) - min(sec))) AS BIGINT) AS twa_u
+      |FROM p GROUP BY user_id
+      |HAVING max(sec) - min(sec) > 0""") { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"),
+        expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").as("vu"))
+      .withColumn("sec2", lead("sec", 1).over(w))
+      .withColumn("vu2", lead("vu", 1).over(w))
+      .groupBy("user_id")
+      .agg((max("sec") - min("sec")).as("span_s"),
+        sum((col("sec2") - col("sec")) * (col("vu") + col("vu2")))
+          .as("area2"))
+      .filter(col("span_s") > 0)
+      .select(col("user_id"), col("span_s"),
+        expr("area2 div (2 * span_s)").as("twa_u"))
+  }
+
   /** K2 Horner evaluation via the native poly_eval expression; oracle
     * replicates the exact Horner operation order.
     */

@@ -1,0 +1,100 @@
+package graft.rel
+
+import graft.pipeline.PipelineQueries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Known-answer tests for the integer EWMA, time-weighted average,
+  * key-skew profiler, and corpus-novelty entries — driven through the
+  * REAL registered queries over per-test fixture dirs.
+  */
+class SmoothNoveltySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val base = 1704067200L * 1000000000L // 2024-01-01T00:00Z ns
+  private val day = 86400L * 1000000000L
+
+  private def eventsDir(
+      rows: Seq[(Long, Long, Long, String, Double)]): String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("sn_ev").toString
+    rows.map { case (id, ns, u, t, v) => (id, ns, u, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  private def run(name: String, dir: String): DataFrame =
+    (LogAnalytics.queries ++ PipelineQueries.queries)(name)(spark, dir)
+
+  test("ts_ewma: s1 = x1, st = (3s + x) div 4, exact integers") {
+    // one event per day: 4.0, 0.0, 8.0 -> xu 40000, 0, 80000
+    // s: 40000, (120000+0)/4 = 30000, (90000+80000)/4 = 42500
+    val dir = eventsDir(Seq(
+      (0L, base, 1L, "click", 4.0),
+      (1L, base + day, 1L, "click", 0.0),
+      (2L, base + 2 * day, 1L, "click", 8.0)))
+    val got = run("ts_ewma", dir).orderBy("st")
+      .select("xu", "ewma_u").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((40000L, 40000L), (0L, 30000L), (80000L, 42500L)))
+  }
+
+  test("ts_twa: trapezoid mean exact; zero-span and single users drop") {
+    val dir = eventsDir(Seq(
+      // u1: values 1,2,3 at 0/10/20s -> twa exactly 2.0 (20000u)
+      (0L, base, 1L, "click", 1.0),
+      (1L, base + 10L * 1000000000L, 1L, "click", 2.0),
+      (2L, base + 20L * 1000000000L, 1L, "click", 3.0),
+      // u2: single event -> no span
+      (3L, base, 2L, "view", 9.0),
+      // u3: two events in the same second -> span 0
+      (4L, base, 3L, "view", 1.0),
+      (5L, base + 500L, 3L, "view", 2.0)))
+    val rows = run("ts_twa", dir).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) == 1L && rows.head.getLong(1) == 20L &&
+      rows.head.getLong(2) == 20000L)
+  }
+
+  test("la_key_skew: profile row matches hand counts") {
+    val dir = eventsDir(Seq(
+      (0L, base, 1L, "a", 0.0), (1L, base + 1L, 1L, "a", 0.0),
+      (2L, base + 2L, 1L, "a", 0.0),
+      (3L, base, 2L, "a", 0.0),
+      (4L, base, 3L, "a", 0.0), (5L, base + 1L, 3L, "a", 0.0)))
+    val r = run("la_key_skew", dir).collect().head
+    // counts per key: [3, 1, 2]
+    assert(r.getLong(0) == 3L && r.getLong(1) == 6L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 2.0)            // p50 of [1,2,3]
+    assert(math.abs(r.getDouble(4) - 2.98) < 1e-9) // p99 interpolated
+    assert(r.getLong(5) == 500000L)          // 3/6 in ppm
+  }
+
+  test("dd_novelty: first occurrence scores 1e6 ppm, copies score 0") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("sn_doc").toString
+    Seq(
+      (0L, "a b c d"),     // both grams first here -> ppm 1e6
+      (1L, "a b c d"),     // exact copy -> ppm 0
+      (2L, "b c d e f"),   // 1 of 3 grams seen -> 2 novel, ppm 666666
+      (3L, "x y"))         // under 3 tokens -> absent
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val got = run("dd_novelty", d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(
+      (0L, 2L, 2L, 1000000L),
+      (1L, 2L, 0L, 0L),
+      (2L, 3L, 2L, 666666L)))
+  }
+}
