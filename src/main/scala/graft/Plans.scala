@@ -44,7 +44,13 @@ object Plans {
     "ingest_pipeline" -> "ingest composite: URL gate (map-only) -> digest anti-pattern dedup -> length gate -> TF-IDF tag, one lazy plan; the only text shuffle is the incoming batch's own doc_id join",
     "sim_kmeans" -> "Lloyd's k-means final assignment: centroids ride the task closure (map-only UDF projection, zero joins) — per refit iteration the only exchange is the k*dims-row (cell,dim) partial-avg aggregate; the corpus itself never shuffles",
     "t_budget_select" -> "token-budget selection: global prefix sum in the distributed two-phase form — RANGE exchange on (score desc, id), per-partition cumsum window PARTITIONED by spark_partition_id (no single-task collapse), offsets a numParts-row literal map",
-    "dd_intradoc_clean" -> "intra-doc window cleanup: LINEAR explode+window chain (min over (doc,gram), covered-position explode, anti join, doc-keyed sorted collect) — never the O(len^2)-per-doc array_position rewrite; all windows keyed, no unpartitioned WindowExec")
+    "dd_intradoc_clean" -> "intra-doc window cleanup: LINEAR explode+window chain (min over (doc,gram), covered-position explode, anti join, doc-keyed sorted collect) — never the O(len^2)-per-doc array_position rewrite; all windows keyed, no unpartitioned WindowExec",
+    "la_scd2" -> "SCD2 history build (r7): all four gaps-and-islands steps (lag, running sum, rollup, lead) share ONE user-keyed exchange — look for a single Exchange hashpartitioning(user_id) feeding chained WindowExec/HashAggregate",
+    "ts_ewma" -> "integer EWMA (r7): daily composite map-side combined first, then the aggregate() higher-order fold over the type-keyed sorted day array — the corpus reaches the fold only as day rows; no UDF, no unpartitioned window",
+    "dd_novelty" -> "corpus novelty (r7): distinct 3-grams explode map-locally; first-occurrence is a map-combined min keyed by gram; membership join reuses the gram key — two gram exchanges, text never shuffles",
+    "t_compaction_plan" -> "compaction planner (r7): bucket-keyed cumulative-size window + keyed rollup — one Exchange on the bucket, no global sort",
+    "j_fuzzy_leven" -> "blocked fuzzy join (r7): DISTINCT names then a block-key equi join (candidates = Σ block², never n²); Levenshtein evaluates post-join, map-local",
+    "ts_twa" -> "time-weighted average (r7): lead window and final aggregation share the single user-keyed exchange; trapezoid areas are map-local long products")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
