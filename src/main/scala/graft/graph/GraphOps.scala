@@ -158,4 +158,39 @@ object GraphOps {
       .orderBy(col("jaccard_u").desc, col("a"), col("b"))
       .limit(k)
   }
+
+  /** Association-rule mining over the baskets (the market-basket
+    * support/confidence/lift primitive): for each part pair a<b with
+    * co-basket count ≥ minSupport, emit ppm-integer support
+    * (n_ab / N), confidence (n_ab / n_a), and lift
+    * (n_ab·N / (n_a·n_b)) — all via integer `div` on longs, so the
+    * oracle replays the arithmetic exactly. The pair counts reuse the
+    * co-purchase self-join (bounded by Σ C(basket, 2)); item counts
+    * and the basket total are map-combined aggregates, the total a
+    * 1-row broadcast. Top-k by (lift desc, a, b) — a total order.
+    * Long bound: n_ab·N·10⁶ needs n_ab·N < 9·10¹²; at catalog scale
+    * rescale the fixed point (÷10³ each) before the product.
+    */
+  def basketLift(lineitem: DataFrame, minSupport: Long, k: Int): DataFrame = {
+    require(k >= 1 && k <= 10000, s"k out of range: $k")
+    val lp = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pc = lp.as("x").join(lp.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    val ic = lp.groupBy(col("l_partkey").as("p")).agg(count(lit(1)).as("n_p"))
+    val total = lp.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    pc.join(ic.select(col("p").as("a"), col("n_p").as("n_a")), "a")
+      .join(ic.select(col("p").as("b"), col("n_p").as("n_b")), "b")
+      .crossJoin(broadcast(total))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("n_ab * 1000000L div n_baskets").as("support_ppm"),
+        expr("n_ab * 1000000L div n_a").as("conf_ppm"),
+        expr("(n_ab * n_baskets * 1000000L) div (n_a * n_b)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("a"), col("b"))
+      .limit(k)
+  }
 }

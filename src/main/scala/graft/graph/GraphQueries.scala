@@ -73,6 +73,31 @@ object GraphQueries extends QueryRegistry {
     GraphOps.pageRank(GraphOps.copurchaseEdges(li(s, d)), 5)
   }
 
+  /** Market-basket association rules: ppm-integer support/confidence/
+    * lift per co-purchased pair, top-50 by lift (total order). All
+    * integer `div` — the oracle replays the arithmetic bit for bit.
+    */
+  q("g_lift",
+    """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pc AS (SELECT x.l_partkey AS a, y.l_partkey AS b,
+      |              CAST(count(*) AS BIGINT) AS n_ab
+      |       FROM lp x JOIN lp y ON x.l_orderkey = y.l_orderkey
+      |                          AND x.l_partkey < y.l_partkey
+      |       GROUP BY 1, 2 HAVING count(*) >= 2),
+      |ic AS (SELECT l_partkey AS p, CAST(count(*) AS BIGINT) AS n_p
+      |       FROM lp GROUP BY 1),
+      |tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+      |               AS n_baskets FROM lp)
+      |SELECT pc.a, pc.b, pc.n_ab, ia.n_p AS n_a, ib.n_p AS n_b,
+      |       CAST(pc.n_ab * 1000000 // n_baskets AS BIGINT) AS support_ppm,
+      |       CAST(pc.n_ab * 1000000 // ia.n_p AS BIGINT) AS conf_ppm,
+      |       CAST((pc.n_ab * n_baskets * 1000000) // (ia.n_p * ib.n_p)
+      |            AS BIGINT) AS lift_ppm
+      |FROM pc JOIN ic ia ON pc.a = ia.p JOIN ic ib ON pc.b = ib.p, tot
+      |ORDER BY lift_ppm DESC, pc.a, pc.b LIMIT 50""") { (s, d) =>
+    GraphOps.basketLift(li(s, d), minSupport = 2L, k = 50)
+  }
+
   /** Chained-CTE oracle for the integer PageRank — one CTE per
     * iteration, same floor arithmetic as the engine (`//` on positive
     * BIGINTs == Spark's `div`).

@@ -1022,6 +1022,45 @@ object LogAnalytics extends QueryRegistry {
         expr("area2 div (2 * span_s)").as("twa_u"))
   }
 
+  /** Period-over-period deltas (the dashboard DoD/WoW op): day-over-day
+    * and week-over-week differences plus the week-over-week relative
+    * change in ppm, over the per-type daily composite. The composite is
+    * map-side combined; both lags ride one type-keyed window. A
+    * negative numerator divides identically in both engines
+    * (truncation — verified (-7)//4 = -1 in DuckDB = Spark's div).
+    */
+  q("ts_pop",
+    """WITH daily AS (
+      |  SELECT event_type,
+      |         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS st,
+      |         CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+      |              // count(*) AS BIGINT) AS xu
+      |  FROM events GROUP BY event_type, date_trunc('day', ts))
+      |SELECT event_type, st, xu,
+      |       xu - lag(xu, 1) OVER w AS dod_u,
+      |       xu - lag(xu, 7) OVER w AS wow_u,
+      |       CASE WHEN lag(xu, 7) OVER w > 0
+      |            THEN CAST((xu - lag(xu, 7) OVER w) * 1000000
+      |                      // lag(xu, 7) OVER w AS BIGINT)
+      |       END AS wow_ppm
+      |FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY st)""") {
+    (s, d) =>
+      val w = Window.partitionBy("event_type").orderBy("st")
+      events(s, d)
+        .groupBy(col("event_type"),
+          unix_timestamp(date_trunc("day", col("ts"))).as("st"))
+        .agg(expr(
+          "sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) div count(*)")
+          .as("xu"))
+        .withColumn("lag1", lag("xu", 1).over(w))
+        .withColumn("lag7", lag("xu", 7).over(w))
+        .select(col("event_type"), col("st"), col("xu"),
+          (col("xu") - col("lag1")).as("dod_u"),
+          (col("xu") - col("lag7")).as("wow_u"),
+          when(col("lag7") > 0,
+            expr("(xu - lag7) * 1000000 div lag7")).as("wow_ppm"))
+  }
+
   /** K2 Horner evaluation via the native poly_eval expression; oracle
     * replicates the exact Horner operation order.
     */

@@ -100,4 +100,26 @@ class GraphSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(e.toSeq == Seq((10L, 20L)))
   }
+
+  test("basket lift: hand-computed support/confidence/lift in ppm") {
+    import spark.implicits._
+    // baskets: {a,b,c}, {a,b}, {a,d} -> n_a=3, n_b=2, n_ab=2, N=3
+    val li = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 4L)).toDF("l_orderkey", "l_partkey")
+    val rows = GraphOps.basketLift(li, minSupport = 2L, k = 10).collect()
+    // only (a=1, b=2) clears min support 2
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 2L, 2L)))
+    assert(r.getLong(5) == 666666L) // support 2/3
+    assert(r.getLong(6) == 666666L) // confidence 2/3
+    assert(r.getLong(7) == 1000000L) // lift 2*3/(3*2) = 1 exactly
+    // positively-associated pair scores above 1e6
+    val li2 = Seq((1L, 7L), (1L, 8L), (2L, 7L), (2L, 8L), (3L, 9L))
+      .toDF("l_orderkey", "l_partkey")
+    val r2 = GraphOps.basketLift(li2, 2L, 10).collect().head
+    assert(r2.getLong(7) == 1500000L) // 2*3/(2*2)
+  }
 }

@@ -78,6 +78,23 @@ class SmoothNoveltySpec extends AnyFunSuite {
     assert(r.getLong(5) == 500000L)          // 3/6 in ppm
   }
 
+  test("ts_pop: DoD/WoW lags and ppm change, nulls before history exists") {
+    // one event per day, xu = 10000*(d+1) for d = 0..7
+    val dir = eventsDir((0 to 7).map(dd =>
+      (dd.toLong, base + dd * day, 1L, "click", (dd + 1).toDouble)))
+    val rows = run("ts_pop", dir).orderBy("st").collect()
+    assert(rows.length == 8)
+    assert(rows.head.isNullAt(3) && rows.head.isNullAt(4) &&
+      rows.head.isNullAt(5))
+    // every later day: dod exactly +10000
+    rows.tail.foreach(r => assert(r.getLong(3) == 10000L))
+    // day 7: wow vs day 0 -> 80000-10000, ppm 7e6
+    val d7 = rows.last
+    assert(d7.getLong(4) == 70000L && d7.getLong(5) == 7000000L)
+    // days 1..6 have no 7-day lag yet
+    rows.slice(1, 7).foreach(r => assert(r.isNullAt(4) && r.isNullAt(5)))
+  }
+
   test("dd_novelty: first occurrence scores 1e6 ppm, copies score 0") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("sn_doc").toString
