@@ -279,6 +279,117 @@ object PipelineQueries extends QueryRegistry {
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
   }
 
+  /** Rank-biased overlap (RBO@10, p=½) between two deterministic
+    * document rankings — vocabulary richness (distinct tokens) vs raw
+    * length — the rank-agreement metric for comparing retrieval or
+    * quality signals. Everything is exact until the final weighted
+    * sum: overlap depths X_d are integers, and the fold carries the
+    * weight by repeated halving (w·0.5 is exact), evaluated in
+    * IDENTICAL operation order on both engines — Spark's `aggregate`
+    * higher-order function over the depth-sorted array vs DuckDB's
+    * RECURSIVE CTE — so the double agrees bit for bit. The top-10
+    * windows run over ≤10-row frames (bounded by construction, the
+    * hybrid_search pattern).
+    */
+  q("t_rbo",
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, len(list_distinct(string_split(text, ' '))) AS nu,
+      |         n_chars
+      |  FROM documents),
+      |ra AS (SELECT doc_id, row_number() OVER (ORDER BY nu DESC, doc_id)
+      |              AS r FROM toks QUALIFY r <= 10),
+      |rb AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC,
+      |              doc_id) AS r FROM toks QUALIFY r <= 10),
+      |md AS (SELECT greatest(ra.r, rb.r) AS m
+      |       FROM ra JOIN rb USING (doc_id)),
+      |x AS (SELECT d, CAST((SELECT count(*) FROM md WHERE m <= d)
+      |             AS BIGINT) AS xd
+      |      FROM (SELECT unnest(generate_series(1, 10)) AS d)),
+      |r AS (
+      |  SELECT 1 AS d, 0.5 * xd / 1 AS acc, CAST(0.5 AS DOUBLE) AS w
+      |  FROM x WHERE d = 1
+      |  UNION ALL
+      |  SELECT x.d, r.acc + r.w * 0.5 * x.xd / x.d, r.w * 0.5
+      |  FROM r JOIN x ON x.d = r.d + 1)
+      |SELECT round(acc, 6) AS rbo,
+      |       (SELECT xd FROM x WHERE d = 10) AS overlap_at_10
+      |FROM r WHERE d = 10""") { (s, d) =>
+    val toks = docs(s, d).select(col("doc_id"),
+      size(array_distinct(TextAnalysis.tokens(col("text")))).as("nu"),
+      col("n_chars"))
+    // top-10 ranks via TakeOrderedAndProject + a sorted-collect of the
+    // 10 survivors — no unpartitioned window anywhere (house rule: a
+    // WindowExec warning in the bench log must mean a regression)
+    def top10(key: org.apache.spark.sql.Column,
+        rName: String): org.apache.spark.sql.DataFrame =
+      toks.orderBy(key.desc, col("doc_id")).limit(10)
+        .select(struct((-key).as("nk"), col("doc_id")).as("s"))
+        .agg(sort_array(collect_list(col("s"))).as("xs"))
+        .select(posexplode(col("xs")).as(Seq("pos", "e")))
+        .select(col("e.doc_id").as("doc_id"),
+          (col("pos") + 1).cast("int").as(rName))
+    val ra = top10(col("nu"), "r")
+    val rb = top10(col("n_chars"), "rb")
+    // collect the (≤10) joint-membership depths so zero-overlap
+    // rankings still yield all ten X_d rows (with X_d = 0)
+    val marr = ra.join(rb, "doc_id")
+      .select(greatest(col("r"), col("rb")).as("m"))
+      .agg(collect_list(col("m")).as("ms"))
+    val xd = marr.crossJoin(
+        s.range(1, 11).select(col("id").cast("int").as("d")))
+      .select(col("d"),
+        size(filter(col("ms"), m => m <= col("d"))).cast("long").as("xd"))
+    xd.agg(sort_array(collect_list(struct(col("d"), col("xd"))))
+        .as("xs"))
+      .select(
+        round(expr(
+          """aggregate(xs, named_struct('acc', CAST(0.0 AS DOUBLE),
+            |                           'w', CAST(1.0 AS DOUBLE)),
+            |  (a, e) -> named_struct(
+            |    'acc', a.acc + a.w * 0.5 * e.xd / e.d,
+            |    'w', a.w * 0.5)).acc""".stripMargin), 6).as("rbo"),
+        expr("filter(xs, e -> e.d = 10)[0].xd").as("overlap_at_10"))
+  }
+
+  /** Contrastive negative-pair mining (training-pair generation):
+    * k=3 deterministic pseudo-random partners per document via a
+    * Knuth-constant modular jump over the contiguous id space — no
+    * shuffle fan-out, no RNG; the partner fetch is one equi join.
+    * `same_source` marks in-domain (harder) negatives. At 100 TB the
+    * id space is the dense row_number the curation pipeline already
+    * assigns.
+    */
+  q("t_negative_pairs",
+    """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+      |cand AS (
+      |  SELECT d.doc_id, j,
+      |         (d.doc_id + j * 2654435761) % nn AS neg_id,
+      |         d.source AS src
+      |  FROM documents d, n,
+      |       (SELECT unnest(generate_series(1, 3)) AS j))
+      |SELECT c.doc_id, CAST(c.j AS INT) AS j, c.neg_id,
+      |       CAST(c.src = p.source AS INT) AS same_source,
+      |       abs(d2.n_chars - p.n_chars) AS len_gap
+      |FROM cand c JOIN documents p ON p.doc_id = c.neg_id
+      |            JOIN documents d2 ON d2.doc_id = c.doc_id""") { (s, d) =>
+    val dd = docs(s, d)
+    val n = dd.agg(count(lit(1)).as("nn"))
+    val cand = dd.select(col("doc_id"), col("source").as("src"),
+        col("n_chars").as("len_a"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("src"), col("len_a"),
+        explode(sequence(lit(1), lit(3))).as("j"), col("nn"))
+      .select(col("doc_id"), col("j").cast("int").as("j"), col("src"),
+        col("len_a"),
+        ((col("doc_id") + col("j") * 2654435761L) % col("nn"))
+          .as("neg_id"))
+    cand.join(dd.select(col("doc_id").as("neg_id"),
+        col("source").as("psrc"), col("n_chars").as("len_b")), "neg_id")
+      .select(col("doc_id"), col("j"), col("neg_id"),
+        (col("src") === col("psrc")).cast("int").as("same_source"),
+        abs(col("len_a") - col("len_b")).as("len_gap"))
+  }
+
   // BPE-ish token count: the piece regex avoids lookarounds so the SAME
   // pattern runs under Java regex and RE2 with identical leftmost-first
   // alternation semantics.

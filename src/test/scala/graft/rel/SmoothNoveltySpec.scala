@@ -95,6 +95,48 @@ class SmoothNoveltySpec extends AnyFunSuite {
     rows.slice(1, 7).foreach(r => assert(r.isNullAt(4) && r.isNullAt(5)))
   }
 
+  private def docsDir(rows: Seq[(Long, String, String, Long)]): String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("sn_doc").toString
+    rows.map { case (id, t, src, nc) => (id, t, "en", src, nc) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("t_rbo: identical rankings score 1 - 2^-10; disjoint score 0") {
+    // distinct-token count i and n_chars 10*i rank identically
+    val same = docsDir((1 to 12).map(i =>
+      (i.toLong, (1 to i).map(k => s"t$k").mkString(" "), "web", 10L * i)))
+    val r1 = run("t_rbo", same).collect().head
+    assert(r1.getDouble(0) == 0.999023 && r1.getLong(1) == 10L)
+    // vocabulary order and length order anti-correlated -> empty overlap
+    val disj = docsDir((1 to 20).map { i =>
+      val nu = if (i <= 10) 20 + i else i // 0-9 rich vocab...
+      (i.toLong, (1 to nu).map(k => s"t$k").mkString(" "), "web",
+        if (i <= 10) 10L else 1000L + i) // ...but short
+    })
+    val r2 = run("t_rbo", disj).collect().head
+    assert(r2.getDouble(0) == 0.0 && r2.getLong(1) == 0L)
+  }
+
+  test("t_negative_pairs: 3 in-range non-self partners per doc") {
+    val dir = docsDir((0 until 7).map(i =>
+      (i.toLong, s"doc $i", if (i % 2 == 0) "web" else "book", 100L + i)))
+    val rows = run("t_negative_pairs", dir).collect()
+    assert(rows.length == 21) // 3 per doc, every partner resolves
+    rows.foreach { r =>
+      val (id, neg) = (r.getLong(0), r.getLong(2))
+      assert(neg >= 0 && neg < 7 && neg != id)
+      // same_source consistent with the parity-assigned sources
+      assert(r.getInt(3) == (if (id % 2 == neg % 2) 1 else 0))
+    }
+    // deterministic: a rerun yields the identical pair set
+    val again = run("t_negative_pairs", dir).collect()
+    assert(rows.map(_.toString).sorted.sameElements(
+      again.map(_.toString).sorted))
+  }
+
   test("dd_novelty: first occurrence scores 1e6 ppm, copies score 0") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("sn_doc").toString
