@@ -1061,6 +1061,155 @@ object LogAnalytics extends QueryRegistry {
             expr("(xu - lag7) * 1000000 div lag7")).as("wow_ppm"))
   }
 
+  /** Percent-of-parent hierarchy shares (the drill-down dashboard op):
+    * each (type, day) cell's share of its day in ppm, and each day's
+    * share of the corpus — two levels of the same rollup read side by
+    * side. Cell and day counts are map-combined; the grand total is
+    * the house 1-row broadcast; no windows at all.
+    */
+  q("la_share_parent",
+    """WITH cell AS (
+      |  SELECT event_type,
+      |         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS st,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |day AS (SELECT st, CAST(sum(n) AS BIGINT) AS day_n FROM cell
+      |        GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS all_n FROM cell)
+      |SELECT event_type, cell.st, n, day_n,
+      |       CAST(n * 1000000 // day_n AS BIGINT) AS of_day_ppm,
+      |       CAST(day_n * 1000000 // all_n AS BIGINT) AS day_of_all_ppm
+      |FROM cell JOIN day ON cell.st = day.st, tot""") { (s, d) =>
+    val cell = events(s, d)
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("st"))
+      .agg(count(lit(1)).as("n"))
+    val day = cell.groupBy("st").agg(sum("n").as("day_n"))
+    val tot = cell.agg(sum("n").as("all_n"))
+    cell.join(day, "st").crossJoin(broadcast(tot))
+      .select(col("event_type"), col("st"), col("n"), col("day_n"),
+        expr("n * 1000000 div day_n").as("of_day_ppm"),
+        expr("day_n * 1000000 div all_n").as("day_of_all_ppm"))
+  }
+
+  /** Cumulative distinct users per type (the DAU/unique-growth curve):
+    * a user counts on their FIRST day per type — min-day per
+    * (type, user) is map-combined — then daily first-sight counts
+    * accumulate over a type-keyed window whose state is one long and
+    * whose input is day rows, not events.
+    */
+  q("la_cum_uniques",
+    """WITH fs AS (
+      |  SELECT event_type, user_id,
+      |         min(CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT))
+      |           AS fd
+      |  FROM events GROUP BY 1, 2),
+      |daily AS (
+      |  SELECT event_type, fd AS st, CAST(count(*) AS BIGINT) AS new_users
+      |  FROM fs GROUP BY 1, 2)
+      |SELECT event_type, st, new_users,
+      |       CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY st
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS BIGINT) AS cum_users
+      |FROM daily""") { (s, d) =>
+    val w = Window.partitionBy("event_type").orderBy("st")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(min(unix_timestamp(date_trunc("day", col("ts")))).as("fd"))
+      .groupBy(col("event_type"), col("fd").as("st"))
+      .agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum("new_users").over(w))
+  }
+
+  /** Session entry/exit matrix (the landing/bounce analysis op): for
+    * each gap-sessionized visit, the first and last event types —
+    * struct-min/max over (sec, event_id, type), deterministic because
+    * event_id makes the order total (the OHLC pick) — counted into the
+    * (entry, exit) transition matrix. One user-keyed exchange for the
+    * session build, then a matrix-sized aggregation.
+    */
+  q("la_entry_exit",
+    """WITH flags AS (
+      |  SELECT user_id, event_id, event_type,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |              OR CAST(floor(epoch(ts)) AS BIGINT) -
+      |                 CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+      |              THEN 1 ELSE 0 END AS ns
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, event_id, event_type, sec,
+      |         sum(ns) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flags),
+      |ee AS (
+      |  SELECT user_id, sid,
+      |         min(struct_pack(sec := sec, event_id := event_id,
+      |                         event_type := event_type)) AS a,
+      |         max(struct_pack(sec := sec, event_id := event_id,
+      |                         event_type := event_type)) AS b
+      |  FROM sess GROUP BY 1, 2)
+      |SELECT (a).event_type AS entry_type, (b).event_type AS exit_type,
+      |       CAST(count(*) AS BIGINT) AS n_sessions
+      |FROM ee GROUP BY 1, 2""") { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ws = Window.partitionBy("user_id").orderBy("sec", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"), col("ts"))
+      .withColumn("ns",
+        when(lag("ts", 1).over(w).isNull ||
+          col("sec") - unix_timestamp(lag("ts", 1).over(w)) > 1800, 1)
+          .otherwise(0))
+      .withColumn("sid", sum("ns").over(ws))
+      .groupBy("user_id", "sid")
+      .agg(
+        min(struct(col("sec"), col("event_id"), col("event_type"))).as("a"),
+        max(struct(col("sec"), col("event_id"), col("event_type"))).as("b"))
+      .groupBy(col("a.event_type").as("entry_type"),
+        col("b.event_type").as("exit_type"))
+      .agg(count(lit(1)).as("n_sessions"))
+  }
+
+  /** Inter-arrival latency histogram in log₂ buckets (the production
+    * histogram shape): per-user gaps between consecutive events,
+    * bucketed by binary magnitude — bucket = length(bin(dt)), an
+    * exact integer in both engines, with [lo, hi] bounds from shifts.
+    * One user-keyed window, then a ~32-row aggregation.
+    */
+  q("la_interarrival_hist",
+    """WITH gaps AS (
+      |  SELECT CAST(floor(epoch(ts)) AS BIGINT)
+      |         - lag(CAST(floor(epoch(ts)) AS BIGINT))
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dt
+      |  FROM events),
+      |b AS (SELECT CAST(length(bin(dt)) AS INT) AS bucket FROM gaps
+      |      WHERE dt IS NOT NULL)
+      |SELECT bucket,
+      |       CAST(CASE WHEN bucket = 1 THEN 0
+      |                 ELSE (1 << (bucket - 1)) END AS BIGINT) AS lo_s,
+      |       CAST((1 << bucket) - 1 AS BIGINT) AS hi_s,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM b GROUP BY bucket""") { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_timestamp(col("ts")).as("sec"))
+      .withColumn("dt", col("sec") - lag("sec", 1).over(w))
+      .filter(col("dt").isNotNull)
+      .select(length(bin(col("dt"))).cast("int").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        when(col("bucket") === 1, 0L)
+          .otherwise(expr("shiftleft(1L, bucket - 1)")).as("lo_s"),
+        expr("shiftleft(1L, bucket) - 1").as("hi_s"),
+        col("n"))
+  }
+
   /** K2 Horner evaluation via the native poly_eval expression; oracle
     * replicates the exact Horner operation order.
     */

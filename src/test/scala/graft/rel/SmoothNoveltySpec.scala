@@ -137,6 +137,47 @@ class SmoothNoveltySpec extends AnyFunSuite {
       again.map(_.toString).sorted))
   }
 
+  // shared fixture for the share/uniques/entry-exit/histogram family:
+  // u1 [click, view] then a >30-min gap to [error]; u2 [view, view]
+  private lazy val funnelDir: String = eventsDir(Seq(
+    (0L, base, 1L, "click", 0.0),
+    (1L, base + 5L * 1000000000L, 1L, "view", 0.0),
+    (2L, base + 2005L * 1000000000L, 1L, "error", 0.0),
+    (3L, base, 2L, "view", 0.0),
+    (4L, base + 1L * 1000000000L, 2L, "view", 0.0)))
+
+  test("la_share_parent: ppm shares of day and corpus") {
+    val got = run("la_share_parent", funnelDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(4), r.getLong(5))).toMap
+    assert(got("click") == ((200000L, 1000000L)))
+    assert(got("view") == ((600000L, 1000000L)))
+    assert(got("error") == ((200000L, 1000000L)))
+  }
+
+  test("la_cum_uniques: first-sight counting per type") {
+    val got = run("la_cum_uniques", funnelDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got("click") == ((1L, 1L)) && got("error") == ((1L, 1L)))
+    assert(got("view") == ((2L, 2L))) // u1 and u2 both first-sighted
+  }
+
+  test("la_entry_exit: session first/last types, singletons reflexive") {
+    val got = run("la_entry_exit", funnelDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("click", "view", 1L), ("error", "error", 1L),
+      ("view", "view", 1L)))
+  }
+
+  test("la_interarrival_hist: log2 buckets with exact bounds") {
+    val got = run("la_interarrival_hist", funnelDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // gaps: 1s (bucket 1 = [0,1]), 5s (bucket 3 = [4,7]),
+    // 2000s (bucket 11 = [1024, 2047])
+    assert(got == Set((1, 0L, 1L, 1L), (3, 4L, 7L, 1L),
+      (11, 1024L, 2047L, 1L)))
+  }
+
   test("dd_novelty: first occurrence scores 1e6 ppm, copies score 0") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("sn_doc").toString
