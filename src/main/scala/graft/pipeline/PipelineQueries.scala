@@ -59,6 +59,56 @@ object PipelineQueries extends QueryRegistry {
     TextAnalysis.qualityProjection(docs(s, d))
   }
 
+  /** Per-source quantile normalization of the quality score (score
+    * calibration before cross-source mixing): each doc's rank within
+    * its source mapped to [0, 10⁶] ppm — rank 1 (best) → 0, last →
+    * 10⁶ — so thresholds mean the same thing in every source
+    * regardless of its score distribution. The rank window is keyed
+    * by source over the ×10⁴ integer score with doc_id tiebreak (a
+    * total order); source sizes join back AQE-sized. A catalog-scale
+    * hub source would switch to the two-phase range-partitioned rank
+    * (the tokenize-to-ids machinery).
+    */
+  q("t_qnorm",
+    """WITH q AS (
+      |  SELECT doc_id, source,
+      |         CAST(floor(round(least(len(list_filter(string_split(text, ' '),
+      |           x -> x IN ('the','a','an','of','and','or','to','in','is',
+      |                      'it','for','on','with','as','at','by'))) /
+      |           len(string_split(text, ' ')) * 2.5, 1.0) * 0.5 +
+      |           least((length(text) - (len(string_split(text, ' ')) - 1)) /
+      |           len(string_split(text, ' ')) / 8.0, 1.0) * 0.5, 4)
+      |           * 10000 + 0.5) AS BIGINT) AS score_u
+      |  FROM documents),
+      |n AS (SELECT source, CAST(count(*) AS BIGINT) AS ns FROM q
+      |      GROUP BY 1),
+      |r AS (SELECT doc_id, source, score_u,
+      |             row_number() OVER (PARTITION BY source
+      |               ORDER BY score_u DESC, doc_id) AS rk
+      |      FROM q)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id, source, score_u,
+      |       CAST(rk AS INT) AS rk,
+      |       CASE WHEN ns > 1
+      |            THEN CAST((rk - 1) * 1000000 // (ns - 1) AS BIGINT)
+      |            ELSE CAST(0 AS BIGINT) END AS norm_ppm
+      |FROM r JOIN n USING (source)""") { (s, d) =>
+    val w = Window.partitionBy("source")
+      .orderBy(col("score_u").desc, col("doc_id"))
+    val q = TextAnalysis.qualityProjection(docs(s, d))
+      .select(col("doc_id"),
+        expr("CAST(floor(quality_score * 10000 + 0.5) AS BIGINT)")
+          .as("score_u"))
+      .join(docs(s, d).select(col("doc_id"), col("source")), "doc_id")
+    val n = q.groupBy("source").agg(count(lit(1)).as("ns"))
+    q.withColumn("rk", row_number().over(w))
+      .join(n, "source")
+      .select(col("doc_id"), col("source"), col("score_u"),
+        col("rk").cast("int").as("rk"),
+        when(col("ns") > 1,
+          expr("(rk - 1) * 1000000L div (ns - 1)"))
+          .otherwise(0L).as("norm_ppm"))
+  }
+
   // Deflate compression ratio (Gopher repetition/noise gate): zlib is
   // deterministic for a fixed level but no SQL engine exposes it, so
   // this is a DECLARED rows-only entry — the semantics are pinned by

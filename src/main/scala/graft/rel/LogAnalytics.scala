@@ -131,7 +131,7 @@ object LogAnalytics extends QueryRegistry {
   /** Signup→purchase conversion funnel per user (conditional mins +
     * derived flag).
     */
-  q("la_funnel",
+  q("la_conversion",
     """WITH f AS (
       |  SELECT user_id,
       |         min(CASE WHEN event_type = 'signup'
@@ -1208,6 +1208,106 @@ object LogAnalytics extends QueryRegistry {
           .otherwise(expr("shiftleft(1L, bucket - 1)")).as("lo_s"),
         expr("shiftleft(1L, bucket) - 1").as("hi_s"),
         col("n"))
+  }
+
+  /** Conversion-latency quantiles (the funnel companion): distribution
+    * of first-signup → first-purchase delay over converted users, on
+    * integer seconds — `percentile` ≡ `quantile_cont`, state bounded
+    * by distinct delay values (≤ the time span, a constant for a
+    * bounded retention horizon). One user-keyed aggregation, then a
+    * single-row reduce.
+    */
+  q("la_convert_latency",
+    """WITH f AS (
+      |  SELECT user_id,
+      |         min(CASE WHEN event_type = 'signup'
+      |             THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS s,
+      |         min(CASE WHEN event_type = 'purchase'
+      |             THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS p
+      |  FROM events GROUP BY user_id),
+      |c AS (SELECT p - s AS lat FROM f
+      |      WHERE s IS NOT NULL AND p IS NOT NULL AND p >= s)
+      |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+      |       CAST(min(lat) AS BIGINT) AS min_s,
+      |       round(quantile_cont(lat, 0.25), 4) AS p25_s,
+      |       round(quantile_cont(lat, 0.5), 4) AS p50_s,
+      |       round(quantile_cont(lat, 0.75), 4) AS p75_s,
+      |       CAST(max(lat) AS BIGINT) AS max_s
+      |FROM c""") { (s, d) =>
+    events(s, d).groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup",
+          unix_timestamp(col("ts")))).as("s"),
+        min(when(col("event_type") === "purchase",
+          unix_timestamp(col("ts")))).as("p"))
+      .filter(col("s").isNotNull && col("p").isNotNull &&
+        col("p") >= col("s"))
+      .select((col("p") - col("s")).as("lat"))
+      .agg(count(lit(1)).as("n_converted"),
+        min("lat").as("min_s"),
+        round(expr("percentile(lat, 0.25)"), 4).as("p25_s"),
+        round(expr("percentile(lat, 0.5)"), 4).as("p50_s"),
+        round(expr("percentile(lat, 0.75)"), 4).as("p75_s"),
+        max("lat").as("max_s"))
+  }
+
+  /** One-sided integer CUSUM drift detection over the per-type daily
+    * composite: Sₜ = max(0, Sₜ₋₁ + xₜ − μ) with μ the type's own mean
+    * day — pure add/subtract/max on longs, so there is NO division
+    * semantics to reconcile at all; the fold is the same aggregate-HOF
+    * vs RECURSIVE-CTE pairing as `ts_ewma`. Complements the
+    * independent-day z-score (`ts_anomaly`) with the classic
+    * accumulated-drift statistic.
+    */
+  q("ts_cusum",
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type,
+      |         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS st,
+      |         CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+      |              // count(*) AS BIGINT) AS xu,
+      |         row_number() OVER (PARTITION BY event_type
+      |           ORDER BY date_trunc('day', ts)) AS rn
+      |  FROM events GROUP BY event_type, date_trunc('day', ts)),
+      |mu AS (SELECT event_type, CAST(sum(xu) // count(*) AS BIGINT) AS m
+      |       FROM daily GROUP BY 1),
+      |r AS (
+      |  SELECT d.event_type, d.st, d.xu, d.rn,
+      |         greatest(CAST(0 AS BIGINT), d.xu - mu.m) AS s
+      |  FROM daily d JOIN mu USING (event_type) WHERE d.rn = 1
+      |  UNION ALL
+      |  SELECT d.event_type, d.st, d.xu, d.rn,
+      |         greatest(CAST(0 AS BIGINT), r.s + d.xu - mu.m)
+      |  FROM r JOIN daily d ON d.event_type = r.event_type
+      |                     AND d.rn = r.rn + 1
+      |       JOIN mu ON mu.event_type = d.event_type)
+      |SELECT event_type, st, xu, CAST(s AS BIGINT) AS cusum_u FROM r""") {
+    (s, d) =>
+      val daily = events(s, d)
+        .groupBy(col("event_type"),
+          unix_timestamp(date_trunc("day", col("ts"))).as("st"))
+        .agg(expr(
+          "sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) div count(*)")
+          .as("xu"))
+      val mu = daily.groupBy("event_type")
+        .agg(expr("sum(xu) div count(*)").as("m"))
+      daily.join(broadcast(mu), "event_type")
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("st"), col("xu"),
+          col("m")))).as("days"))
+        .select(col("event_type"), explode(expr(
+          """aggregate(
+            |  days,
+            |  CAST(named_struct('out', array(), 's', 0L) AS
+            |    STRUCT<out: ARRAY<STRUCT<st: BIGINT, xu: BIGINT,
+            |                             s: BIGINT>>, s: BIGINT>),
+            |  (acc, x) -> named_struct(
+            |    'out', concat(acc.out, array(named_struct(
+            |      'st', x.st, 'xu', x.xu,
+            |      's', greatest(0L, acc.s + x.xu - x.m)))),
+            |    's', greatest(0L, acc.s + x.xu - x.m))).out
+            |""".stripMargin)).as("e"))
+        .select(col("event_type"), col("e.st").as("st"),
+          col("e.xu").as("xu"), col("e.s").as("cusum_u"))
   }
 
   /** K2 Horner evaluation via the native poly_eval expression; oracle

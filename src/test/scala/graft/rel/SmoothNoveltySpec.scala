@@ -178,6 +178,49 @@ class SmoothNoveltySpec extends AnyFunSuite {
       (11, 1024L, 2047L, 1L)))
   }
 
+  test("ts_cusum: accumulates drift above the mean, clamps at zero") {
+    // xu = 10000*[1,1,1,5,5], mu = 26000
+    // S = [0, 0, 0, 24000, 48000]
+    val dir = eventsDir((0 until 5).map(dd =>
+      (dd.toLong, base + dd * day, 1L, "click",
+        if (dd < 3) 1.0 else 5.0)))
+    val got = run("ts_cusum", dir).orderBy("st")
+      .select("cusum_u").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(0L, 0L, 0L, 24000L, 48000L))
+  }
+
+  test("la_convert_latency: only forward conversions count") {
+    val dir = eventsDir(Seq(
+      (0L, base, 1L, "signup", 0.0),
+      (1L, base + 100L * 1000000000L, 1L, "purchase", 0.0),
+      (2L, base, 2L, "signup", 0.0),
+      (3L, base + 50L * 1000000000L, 2L, "purchase", 0.0),
+      (4L, base + 100L * 1000000000L, 3L, "signup", 0.0),
+      (5L, base, 3L, "purchase", 0.0))) // purchase precedes signup
+    val r = run("la_convert_latency", dir).collect().head
+    assert(r.getLong(0) == 2L)           // u1, u2 convert; u3 doesn't
+    assert(r.getLong(1) == 50L && r.getLong(5) == 100L)
+    assert(r.getDouble(3) == 75.0)       // median of {50, 100}
+  }
+
+  test("t_qnorm: per-source rank normalization spans [0, 1e6]") {
+    // source A: three docs with strictly decreasing quality;
+    // source B: a single doc (norm defined as 0)
+    val dir = docsDir(Seq(
+      (0L, "the of and to in is that it", "A", 0L), // all stopwords
+      (1L, "the cat sat on mat quickly", "A", 0L),
+      (2L, "zzzz qqqq xxxx wwww", "A", 0L),         // no stopwords
+      (3L, "the dog", "B", 0L)))
+    val rows = run("t_qnorm", dir).collect()
+    val a = rows.filter(_.getString(1) == "A")
+      .sortBy(_.getInt(3)).map(r => (r.getLong(2), r.getLong(4)))
+    assert(a.map(_._2).toSeq == Seq(0L, 500000L, 1000000L))
+    // rank order follows the integer score order (desc)
+    assert(a.map(_._1).toSeq == a.map(_._1).sortBy(-_).toSeq)
+    val b = rows.filter(_.getString(1) == "B")
+    assert(b.length == 1 && b.head.getLong(4) == 0L)
+  }
+
   test("dd_novelty: first occurrence scores 1e6 ppm, copies score 0") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("sn_doc").toString
