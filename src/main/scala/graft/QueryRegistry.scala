@@ -18,12 +18,19 @@ trait QueryRegistry {
   private val reg = mutable.LinkedHashMap.empty[String, (Q, Option[String])]
 
   /** Declare an oracle-checked query. */
-  protected def q(name: String, sql: String)(fn: Q): Unit =
+  protected def q(name: String, sql: String)(fn: Q): Unit = {
+    // a second registration under one key would silently replace the
+    // first in the driver contract (this bit la_funnel in round 7 —
+    // the step funnel shadowed the r6 conversion table unnoticed)
+    require(!reg.contains(name), s"duplicate query registration: $name")
     reg(name) = (fn, Some(sql.stripMargin.trim))
+  }
 
   /** Declare a rows-only query (no SQL-expressible oracle). */
-  protected def qNoOracle(name: String)(fn: Q): Unit =
+  protected def qNoOracle(name: String)(fn: Q): Unit = {
+    require(!reg.contains(name), s"duplicate query registration: $name")
     reg(name) = (fn, None)
+  }
 
   def queries: Map[String, Q] = reg.map { case (k, (f, _)) => k -> f }.toMap
 

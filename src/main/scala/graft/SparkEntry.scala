@@ -26,9 +26,18 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("k1_polytrend")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    registries.flatMap(_.queries).toMap
+  /** One entry per implemented operator from SURVEY.md §2. QueryRegistry
+    * rejects within-registry duplicates at registration; the require
+    * here catches CROSS-registry collisions, which `.toMap` would
+    * otherwise resolve by silently dropping one side.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = registries.flatMap(_.queries)
+    val dups = all.groupBy(_._1).collect { case (n, vs) if vs.size > 1 => n }
+    require(dups.isEmpty,
+      s"query name registered in multiple registries: ${dups.mkString(", ")}")
+    all.toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

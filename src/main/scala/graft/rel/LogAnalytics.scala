@@ -1310,6 +1310,87 @@ object LogAnalytics extends QueryRegistry {
           col("e.xu").as("xu"), col("e.s").as("cusum_u"))
   }
 
+  /** Data-quality constraint audit (the expectation-suite op): five
+    * rules checked in ONE pass — a single wide aggregate over the
+    * table, unpivoted to (rule, n_violations) rows, the la_profile
+    * shape. Per-rule counts are conditional sums (map-combined);
+    * nothing scans the table twice.
+    */
+  q("dq_constraints",
+    """WITH a AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS v_id_null,
+      |    CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS v_id_dup,
+      |    CAST(sum(CASE WHEN value < 0 OR value > 10000 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS v_value_range,
+      |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-01'
+      |              OR ts >= TIMESTAMP '2025-01-01' THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS v_ts_window,
+      |    CAST(sum(CASE WHEN event_type NOT IN
+      |              ('click','view','purchase','signup','error')
+      |              THEN 1 ELSE 0 END) AS BIGINT) AS v_type_domain
+      |  FROM events)
+      |SELECT 'id_not_null' AS rule, v_id_null AS n_violations FROM a
+      |UNION ALL SELECT 'id_unique', v_id_dup FROM a
+      |UNION ALL SELECT 'value_range', v_value_range FROM a
+      |UNION ALL SELECT 'ts_window', v_ts_window FROM a
+      |UNION ALL SELECT 'type_domain', v_type_domain FROM a""") { (s, d) =>
+    val a = events(s, d).agg(
+      sum(when(col("event_id").isNull, 1L).otherwise(0L)).as("v_id_null"),
+      (count(lit(1)) - count_distinct(col("event_id"))).as("v_id_dup"),
+      sum(when(col("value") < 0 || col("value") > 10000, 1L)
+        .otherwise(0L)).as("v_value_range"),
+      sum(when(col("ts") < lit("2024-01-01").cast("timestamp") ||
+        col("ts") >= lit("2025-01-01").cast("timestamp"), 1L)
+        .otherwise(0L)).as("v_ts_window"),
+      sum(when(!col("event_type").isInCollection(
+        Seq("click", "view", "purchase", "signup", "error")), 1L)
+        .otherwise(0L)).as("v_type_domain"))
+    a.select(expr(
+      """stack(5,
+        |  'id_not_null', v_id_null,
+        |  'id_unique', v_id_dup,
+        |  'value_range', v_value_range,
+        |  'ts_window', v_ts_window,
+        |  'type_domain', v_type_domain) AS (rule, n_violations)
+        |""".stripMargin))
+  }
+
+  /** Data-completeness audit (the freshness/coverage op): per type,
+    * days observed vs the corpus calendar span — missing days surface
+    * silently-dropped partitions before they poison a training run.
+    * Distinct-day counts are map-combined; the corpus span is a 1-row
+    * broadcast.
+    */
+  q("dq_completeness",
+    """WITH d AS (
+      |  SELECT event_type,
+      |         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS st
+      |  FROM events),
+      |span AS (
+      |  SELECT (max(st) - min(st)) // 86400 + 1 AS span_days FROM d),
+      |t AS (SELECT event_type, CAST(count(DISTINCT st) AS BIGINT) AS days,
+      |             CAST(count(*) AS BIGINT) AS n_rows
+      |      FROM d GROUP BY 1)
+      |SELECT event_type, n_rows, days,
+      |       CAST(span_days AS BIGINT) AS span_days,
+      |       CAST(span_days - days AS BIGINT) AS missing_days
+      |FROM t, span""") { (s, d) =>
+    val dd = events(s, d).select(col("event_type"),
+      unix_timestamp(date_trunc("day", col("ts"))).as("st"))
+    val span = dd.agg(
+      (((max("st") - min("st")) / 86400).cast("long") + 1)
+        .as("span_days"))
+    dd.groupBy("event_type")
+      .agg(count_distinct(col("st")).as("days"),
+        count(lit(1)).as("n_rows"))
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), col("n_rows"), col("days"),
+        col("span_days"),
+        (col("span_days") - col("days")).as("missing_days"))
+  }
+
   /** K2 Horner evaluation via the native poly_eval expression; oracle
     * replicates the exact Horner operation order.
     */

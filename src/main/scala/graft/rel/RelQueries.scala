@@ -270,6 +270,43 @@ object RelQueries extends QueryRegistry {
         levenshtein(col("name_a"), col("name_b")).cast("int").as("dist"))
   }
 
+  /** Referential-integrity audit (the DQ companion to the semi/anti
+    * join family): orphan counts across the three fact→dim edges —
+    * each one anti-join + count, shuffled on 8-byte keys only. All
+    * zeros on healthy data; the point is the plumbing that would catch
+    * a broken ingest at 100 TB.
+    */
+  q("dq_referential",
+    """SELECT 'lineitem_orders' AS edge, CAST((
+      |  SELECT count(*) FROM lineitem l
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                    WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+      |  AS n_orphans
+      |UNION ALL
+      |SELECT 'lineitem_part', CAST((
+      |  SELECT count(*) FROM lineitem l
+      |  WHERE NOT EXISTS (SELECT 1 FROM part p
+      |                    WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+      |UNION ALL
+      |SELECT 'orders_customer', CAST((
+      |  SELECT count(*) FROM orders o
+      |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |                    WHERE c.c_custkey = o.o_custkey)) AS BIGINT)""") {
+    (s, d) =>
+      def orphans(edge: String, fact: DataFrame, dim: DataFrame,
+          fk: String, pk: String): DataFrame =
+        fact.select(col(fk)).join(dim.select(col(pk)),
+            col(fk) === col(pk), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+          .select(lit(edge).as("edge"), col("n_orphans"))
+      orphans("lineitem_orders", t(s, d, "lineitem"), t(s, d, "orders"),
+        "l_orderkey", "o_orderkey")
+        .union(orphans("lineitem_part", t(s, d, "lineitem"),
+          t(s, d, "part"), "l_partkey", "p_partkey"))
+        .union(orphans("orders_customer", t(s, d, "orders"),
+          t(s, d, "customer"), "o_custkey", "c_custkey"))
+  }
+
   // ---------------------------------------------------- skew-join demo
 
   /** Deliberately hot join key: ~90% of lineitem collapses onto key 0,

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver-contract registry invariants: no name is lost to
+  * shadowing (the round-7 la_funnel bug class), and every oracle
+  * belongs to a registered query.
+  */
+class RegistrySpec extends AnyFunSuite {
+
+  test("queries materialize with no within- or cross-registry collisions") {
+    // QueryRegistry.q throws on within-registry duplicates at class
+    // init and SparkEntry.queries on cross-registry ones — reaching
+    // the size assertion proves both guards passed
+    val qs = SparkEntry.queries
+    assert(qs.size > 200, s"expected the full contract, got ${qs.size}")
+  }
+
+  test("every oracle key has a query; oracles are non-empty SQL") {
+    val qs = SparkEntry.queries.keySet
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(qs.contains(name), s"oracle without query: $name")
+      assert(sql.trim.nonEmpty && sql.toUpperCase.contains("SELECT"),
+        s"degenerate oracle SQL for $name")
+    }
+  }
+
+  test("duplicate registration is rejected") {
+    object Dup extends QueryRegistry {
+      q("dup_x", "SELECT 1") { (_, _) => null }
+    }
+    Dup.queries // force init
+    intercept[IllegalArgumentException] {
+      object Dup2 extends QueryRegistry {
+        q("dup_y", "SELECT 1") { (_, _) => null }
+        q("dup_y", "SELECT 2") { (_, _) => null }
+      }
+      Dup2.queries
+    }
+  }
+}

@@ -221,6 +221,53 @@ class SmoothNoveltySpec extends AnyFunSuite {
     assert(b.length == 1 && b.head.getLong(4) == 0L)
   }
 
+  test("dq_constraints: dirty rows fire the right rules") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("dq_ev").toString
+    Seq(
+      (0L, base, 1L, "click", 1.0, "{}"),
+      (0L, base + 1L, 1L, "view", 2.0, "{}"),              // dup id
+      (2L, base + 2L, 1L, "teleport", 3.0, "{}"),          // bad type
+      (3L, base + 3L, 1L, "click", -4.0, "{}"),            // bad value
+      (4L, base - 86400L * 1000000000L, 1L, "view", 5.0, "{}")) // 2023
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val got = run("dq_constraints", d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("id_not_null" -> 0L, "id_unique" -> 1L,
+      "value_range" -> 1L, "ts_window" -> 1L, "type_domain" -> 1L))
+  }
+
+  test("dq_completeness: a silent day gap is counted") {
+    // days 0, 1, 3 present -> span 4, observed 3, missing 1
+    val dir = eventsDir(Seq(
+      (0L, base, 1L, "click", 0.0),
+      (1L, base + day, 1L, "click", 0.0),
+      (2L, base + 3 * day, 1L, "click", 0.0)))
+    val r = run("dq_completeness", dir).collect().head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 3L &&
+      r.getLong(3) == 4L && r.getLong(4) == 1L)
+  }
+
+  test("dq_referential: orphan fact rows are counted per edge") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("dq_ref").toString
+    Seq((1L, 10L), (2L, 10L), (9L, 99L)) // order 9 and part 99 unknown
+      .toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.parquet(s"$d/lineitem.parquet")
+    Seq((1L, 100L), (2L, 101L), (3L, 999L)) // customer 999 unknown
+      .toDF("o_orderkey", "o_custkey")
+      .coalesce(1).write.parquet(s"$d/orders.parquet")
+    Seq(Tuple1(10L)).toDF("p_partkey")
+      .coalesce(1).write.parquet(s"$d/part.parquet")
+    Seq(Tuple1(100L), Tuple1(101L)).toDF("c_custkey")
+      .coalesce(1).write.parquet(s"$d/customer.parquet")
+    val got = RelQueries.queries("dq_referential")(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("lineitem_orders" -> 1L, "lineitem_part" -> 1L,
+      "orders_customer" -> 1L))
+  }
+
   test("dd_novelty: first occurrence scores 1e6 ppm, copies score 0") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("sn_doc").toString
