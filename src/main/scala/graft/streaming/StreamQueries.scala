@@ -318,6 +318,45 @@ object StreamQueries extends QueryRegistry {
         sum(expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)"))
           .as("value_u"))
 
+  /** Streaming data-quality monitor (complete mode): four of
+    * `dq_constraints`' five rules as one wide streaming aggregate —
+    * null id, value range, ts window, type domain. The uniqueness rule
+    * needs an exact distinct, which streaming aggregation forbids, so
+    * it stays batch-only (`dq_constraints`); everything here is a
+    * conditional integer sum — order-insensitive across micro-batches,
+    * so the final table hash-matches the batch audit.
+    */
+  q("st_dq_monitor",
+    """SELECT
+      |  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS v_id_null,
+      |  CAST(sum(CASE WHEN value < 0 OR value > 10000 THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS v_value_range,
+      |  CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-01'
+      |            OR ts >= TIMESTAMP '2025-01-01' THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS v_ts_window,
+      |  CAST(sum(CASE WHEN event_type NOT IN
+      |            ('click','view','purchase','signup','error')
+      |            THEN 1 ELSE 0 END) AS BIGINT) AS v_type_domain,
+      |  CAST(count(*) AS BIGINT) AS n_rows
+      |FROM events""") { (s, d) =>
+    runToCompletion(dqMonitor(eventStream(s, d)), "complete")
+  }
+
+  /** The st_dq_monitor transform over any events(-shaped) stream. */
+  def dqMonitor(ev: DataFrame): DataFrame =
+    ev.agg(
+      sum(when(col("event_id").isNull, 1L).otherwise(0L)).as("v_id_null"),
+      sum(when(col("value") < 0 || col("value") > 10000, 1L)
+        .otherwise(0L)).as("v_value_range"),
+      sum(when(col("tsu") < lit("2024-01-01").cast("timestamp") ||
+        col("tsu") >= lit("2025-01-01").cast("timestamp"), 1L)
+        .otherwise(0L)).as("v_ts_window"),
+      sum(when(!col("event_type").isInCollection(
+        Seq("click", "view", "purchase", "signup", "error")), 1L)
+        .otherwise(0L)).as("v_type_domain"),
+      count(lit(1)).as("n_rows"))
+
   /** The st_click_attribution transform over any events(-shaped)
     * stream (a stream self-join: both sides branch off `ev`).
     */

@@ -108,6 +108,16 @@ class StreamQueriesSpec extends AnyFunSuite {
     assert(rowSet(got) == rowSet(StreamQueries.distinctPairs(batchEvents)))
   }
 
+  test("streaming DQ monitor equals the batch audit across batches") {
+    val (got, batches) = run(
+      StreamQueries.dqMonitor(multiBatchStream), "complete", "mb_dq")
+    assert(batches >= 4)
+    val expected = StreamQueries.dqMonitor(batchEvents)
+    // the fixture's negative values make the range rule genuinely fire
+    assert(expected.collect().head.getLong(1) > 0)
+    assert(rowSet(got) == rowSet(expected))
+  }
+
   test("stream-stream attribution joins rows that arrive in different batches") {
     val (got, batches) = run(
       StreamQueries.clickAttribution(multiBatchStream), "append", "mb_attr")
