@@ -653,6 +653,51 @@ object LogAnalytics extends QueryRegistry {
         sum(col("o_orderkey")).as("key_sum"))
   }
 
+  /** 2-D spatial join (point-in-box with two OVERLAPPING box
+    * families): events as integer points (user axis × scaled-value
+    * axis) against derived query rectangles — the
+    * [[RangeJoin.pointInBox]] double-bucketing, where a pure 2-D
+    * inequality join would plan as BroadcastNestedLoopJoin. Some
+    * points fall in both families (the families overlap on purpose),
+    * proving multi-box matches survive with no dedup. Oracle: DuckDB's
+    * native inequality join over the identical box derivation.
+    */
+  q("rng_spatial_join",
+    """WITH pts AS (
+      |  SELECT event_id, CAST(user_id AS BIGINT) AS px,
+      |         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS py
+      |  FROM events),
+      |g AS (SELECT DISTINCT (user_id // 30) * 30 AS d FROM events),
+      |boxes AS (
+      |  SELECT 'a' AS family, d AS x1, d + 20 AS x2,
+      |         CAST(100000 AS BIGINT) AS y1, CAST(800000 AS BIGINT) AS y2
+      |  FROM g
+      |  UNION ALL
+      |  SELECT 'b', d + 10, d + 40,
+      |         CAST(300000 AS BIGINT), CAST(1200000 AS BIGINT)
+      |  FROM g)
+      |SELECT family, CAST(x1 AS BIGINT) AS x1,
+      |       CAST(count(*) AS BIGINT) AS n_points,
+      |       CAST(sum(py) AS BIGINT) AS py_sum
+      |FROM pts JOIN boxes
+      |  ON px >= x1 AND px < x2 AND py >= y1 AND py < y2
+      |GROUP BY family, x1""") { (s, d) =>
+    val pts = events(s, d).select(col("event_id"),
+      col("user_id").as("px"),
+      expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").as("py"))
+    val g = events(s, d)
+      .select(expr("(user_id div 30) * 30").as("d")).distinct()
+    val boxes = g.select(lit("a").as("family"), col("d").as("x1"),
+        (col("d") + 20).as("x2"), lit(100000L).as("y1"),
+        lit(800000L).as("y2"))
+      .union(g.select(lit("b"), col("d") + 10, col("d") + 40,
+        lit(300000L), lit(1200000L)))
+    RangeJoin.pointInBox(pts, boxes, "px", "py",
+        "x1", "y1", "x2", "y2", cellW = 16L, cellH = 262144L)
+      .groupBy(col("family"), col("x1"))
+      .agg(count(lit(1)).as("n_points"), sum(col("py")).as("py_sum"))
+  }
+
   /** Robust dispersion per group: median absolute deviation around the
     * per-type median (the outlier-resistant stddev used by the K4
     * kernel internally, exposed as a relational op), at fixed 1e-4

@@ -85,4 +85,41 @@ object RangeJoin {
             floorDiv(col(rsCol))))
       .drop("__rj_lb", "__rj_rb")
   }
+
+  /** 2-D spatial point-in-box join — the bucketing trick on TWO axes.
+    * Boxes explode to every (cellX, cellY) grid cell they overlap;
+    * each point lives in exactly ONE cell, so every matching
+    * (point, box) pair meets in exactly one joined row — like
+    * point-in-interval, no dedup is ever needed. The join is a plain
+    * equi join on the composite cell key: shuffled-hash planable,
+    * AQE-replannable. Boxes are [x1, x2) × [y1, y2) half-open;
+    * coordinates must be integral.
+    *
+    * Cell sizing is per axis (`cellW`, `cellH`), chosen like the 1-D
+    * width: near the typical box extent on that axis. Cost is
+    * O(points + Σ boxes · cellsCovered).
+    */
+  def pointInBox(points: DataFrame, boxes: DataFrame,
+      pxCol: String, pyCol: String,
+      x1Col: String, y1Col: String, x2Col: String, y2Col: String,
+      cellW: Long, cellH: Long): DataFrame = {
+    require(cellW > 0 && cellH > 0, "cell sizes must be positive")
+    def floorDiv(c: org.apache.spark.sql.Column, w: Long) =
+      call_function("div", c - pmod(c, lit(w)), lit(w)).cast("long")
+    val pts = points
+      .withColumn("__rj_cx", floorDiv(col(pxCol), cellW))
+      .withColumn("__rj_cy", floorDiv(col(pyCol), cellH))
+    val bxs = boxes
+      .filter(col(x2Col) > col(x1Col) && col(y2Col) > col(y1Col))
+      .withColumn("__rj_cx", explode(sequence(
+        floorDiv(col(x1Col), cellW), floorDiv(col(x2Col) - 1, cellW))))
+      .withColumn("__rj_cy", explode(sequence(
+        floorDiv(col(y1Col), cellH), floorDiv(col(y2Col) - 1, cellH))))
+    pts.join(bxs,
+        pts("__rj_cx") === bxs("__rj_cx") &&
+          pts("__rj_cy") === bxs("__rj_cy") &&
+          col(pxCol) >= col(x1Col) && col(pxCol) < col(x2Col) &&
+          col(pyCol) >= col(y1Col) && col(pyCol) < col(y2Col))
+      .drop("__rj_cx", "__rj_cy")
+  }
 }

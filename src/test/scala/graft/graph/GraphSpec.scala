@@ -101,6 +101,19 @@ class GraphSpec extends AnyFunSuite {
     assert(e.toSeq == Seq((10L, 20L)))
   }
 
+  test("intersection triangle count equals the enumeration count") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 400).map { _ =>
+      val a = rnd.nextInt(60).toLong; val b = rnd.nextInt(60).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct.toDF("a", "b")
+    val enumerated = GraphOps.triangles(edges).count()
+    val counted = GraphOps.triangleCount(edges)
+      .collect().head.getLong(0)
+    assert(counted == enumerated && counted > 0)
+  }
+
   test("basket lift: hand-computed support/confidence/lift in ppm") {
     import spark.implicits._
     // baskets: {a,b,c}, {a,b}, {a,d} -> n_a=3, n_b=2, n_ab=2, N=3

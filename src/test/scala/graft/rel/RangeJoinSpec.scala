@@ -130,4 +130,49 @@ class RangeJoinSpec extends AnyFunSuite {
       .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq == Seq((1L, 2L)))
   }
+
+  test("2-D point-in-box matches the naive join, multiset-exact, no BNLJ") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val points = (1 to 1500)
+      .map(i => (i.toLong, rnd.nextInt(1000).toLong,
+        rnd.nextInt(1000).toLong))
+      .toDF("pid", "px", "py")
+    // overlapping boxes spanning several cells on both axes
+    val boxes = (1 to 80).map { i =>
+      val x1 = rnd.nextInt(900).toLong
+      val y1 = rnd.nextInt(900).toLong
+      (i.toLong, x1, y1, x1 + 1 + rnd.nextInt(200),
+        y1 + 1 + rnd.nextInt(200))
+    }.toDF("bid", "x1", "y1", "x2", "y2")
+    val bucketed = RangeJoin.pointInBox(points, boxes, "px", "py",
+        "x1", "y1", "x2", "y2", cellW = 64L, cellH = 64L)
+      .select("pid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = points.join(boxes,
+        col("px") >= col("x1") && col("px") < col("x2") &&
+          col("py") >= col("y1") && col("py") < col("y2"))
+      .select("pid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // multiset equality: a (point, box) pair can meet in only the
+    // point's single cell, so NO duplicates may exist
+    assert(bucketed.sorted.toSeq == naive.sorted.toSeq)
+    assert(naive.length > 100)
+    val plan = RangeJoin.pointInBox(points, boxes, "px", "py",
+      "x1", "y1", "x2", "y2", 64L, 64L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("2-D boxes are half-open and degenerate boxes drop") {
+    import spark.implicits._
+    val points = Seq((1L, 10L, 10L)).toDF("pid", "px", "py")
+    val boxes = Seq(
+      (1L, 10L, 10L, 11L, 11L), // contains (10, 10)
+      (2L, 5L, 5L, 10L, 20L),   // x2 = 10 exclusive -> no match
+      (3L, 10L, 10L, 10L, 20L)) // degenerate x-extent -> dropped
+      .toDF("bid", "x1", "y1", "x2", "y2")
+    val out = RangeJoin.pointInBox(points, boxes, "px", "py",
+        "x1", "y1", "x2", "y2", 4L, 4L)
+      .select("bid").collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(1L))
+  }
 }
