@@ -59,6 +59,11 @@ object GraftEngine {
     ColumnBridge.registerExpression(spark, "misra_gries",
       exprs => graft.functions.MisraGriesAgg(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()))
+    // banded edit distance with early exit (native, codegen'd):
+    // exact when <= k, k+1 otherwise — the fuzzy-join filter kernel
+    ColumnBridge.registerExpression(spark, "bounded_levenshtein",
+      exprs => graft.functions.BoundedLevenshtein(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue()))
   }
 
   /** DataFrame form of the moments-based K1 aggregate. */

@@ -270,6 +270,37 @@ object RelQueries extends QueryRegistry {
         levenshtein(col("name_a"), col("name_b")).cast("int").as("dist"))
   }
 
+  /** The fuzzy join again through the NATIVE banded-Levenshtein
+    * expression ([[graft.functions.BoundedLevenshtein]] — codegen'd
+    * O(k·len) band with early exit, vs the built-in's full O(len²)
+    * table): `bounded_levenshtein(a,b,4) <= 4` selects exactly the
+    * `levenshtein(a,b) <= 4` rows and returns the exact distance on
+    * them, so the ORACLE IS THE SAME SQL as `j_fuzzy_leven` — two
+    * implementations, one truth.
+    */
+  q("j_fuzzy_native",
+    """WITH names AS (
+      |  SELECT DISTINCT p_name, split_part(p_name, ' ', 2) AS blk
+      |  FROM part)
+      |SELECT a.blk, a.p_name AS name_a, b.p_name AS name_b,
+      |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+      |FROM names a JOIN names b
+      |  ON a.blk = b.blk AND a.p_name < b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) <= 4""") { (s, d) =>
+    import graft.functions.BoundedLevenshtein.bounded_levenshtein
+    val names = t(s, d, "part")
+      .select(col("p_name"), element_at(split(col("p_name"), " "), 2).as("blk"))
+      .distinct()
+    val a = names.select(col("blk"), col("p_name").as("name_a"))
+    val b = names.select(col("blk"), col("p_name").as("name_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("name_a") < col("name_b") &&
+        bounded_levenshtein(col("name_a"), col("name_b"), 4) <= 4)
+      .select(col("blk"), col("name_a"), col("name_b"),
+        bounded_levenshtein(col("name_a"), col("name_b"), 4).cast("int")
+          .as("dist"))
+  }
+
   /** Referential-integrity audit (the DQ companion to the semi/anti
     * join family): orphan counts across the three fact→dim edges —
     * each one anti-join + count, shuffled on 8-byte keys only. All
