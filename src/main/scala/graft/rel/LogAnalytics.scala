@@ -1436,6 +1436,85 @@ object LogAnalytics extends QueryRegistry {
         (col("span_days") - col("days")).as("missing_days"))
   }
 
+  /** Top user journeys (full-path analysis): each user's event-type
+    * sequence in (sec, event_id) total order joined into a path
+    * string, counted corpus-wide, top-20 by (count desc, path) — a
+    * total order, so the cut is deterministic. The per-user sorted
+    * collect is bounded by one user's history (the kernel contract);
+    * the path table is users-sized, then shrinks to distinct paths.
+    */
+  q("la_top_paths",
+    """WITH seq AS (
+      |  SELECT user_id,
+      |         string_agg(event_type, '>' ORDER BY
+      |           CAST(floor(epoch(ts)) AS BIGINT), event_id) AS path
+      |  FROM events GROUP BY user_id)
+      |SELECT path, CAST(count(*) AS BIGINT) AS n_users
+      |FROM seq GROUP BY path
+      |ORDER BY n_users DESC, path LIMIT 20""") { (s, d) =>
+    events(s, d)
+      .select(col("user_id"),
+        struct(unix_timestamp(col("ts")).as("sec"), col("event_id"),
+          col("event_type")).as("e"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+      .select(expr(
+        "array_join(transform(es, x -> x.event_type), '>')").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(20)
+  }
+
+  /** Multi-touch attribution (first/last/linear models in one pass):
+    * every purchase collects the clicks by the same user in the
+    * preceding 7 days — user_id is an EQUI key, so this is a hash
+    * join with the time window as residual (the bucketed RangeJoin is
+    * for pure-inequality cases; with an equi key the planner already
+    * avoids BNLJ) — then per purchase: first-touch click, last-touch
+    * click (struct-min/max total-order picks), click count, and the
+    * linear-model share (10⁶ div n). Purchases with no clicks drop
+    * (no touch to attribute).
+    */
+  q("la_attribution",
+    """WITH c AS (
+      |  SELECT user_id, event_id AS click_id,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS cs
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, event_id AS purchase_id,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS ps
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.purchase_id,
+      |       (min(struct_pack(cs := c.cs, click_id := c.click_id))).click_id
+      |         AS first_click,
+      |       (max(struct_pack(cs := c.cs, click_id := c.click_id))).click_id
+      |         AS last_click,
+      |       CAST(count(*) AS BIGINT) AS n_touches,
+      |       CAST(1000000 // count(*) AS BIGINT) AS linear_ppm
+      |FROM p JOIN c ON c.user_id = p.user_id
+      |            AND c.cs >= p.ps - 604800 AND c.cs < p.ps
+      |GROUP BY p.purchase_id""") { (s, d) =>
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_timestamp(col("ts")).as("cs"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"),
+        unix_timestamp(col("ts")).as("ps"))
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("cs") >= col("ps") - 604800 && col("cs") < col("ps"))
+      .groupBy("purchase_id")
+      .agg(
+        min(struct(col("cs"), col("click_id"))).getField("click_id")
+          .as("first_click"),
+        max(struct(col("cs"), col("click_id"))).getField("click_id")
+          .as("last_click"),
+        count(lit(1)).as("n_touches"),
+        expr("1000000L div count(*)").as("linear_ppm"))
+  }
+
   /** K2 Horner evaluation via the native poly_eval expression; oracle
     * replicates the exact Horner operation order.
     */

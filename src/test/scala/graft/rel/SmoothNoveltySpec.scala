@@ -268,6 +268,36 @@ class SmoothNoveltySpec extends AnyFunSuite {
       "orders_customer" -> 1L))
   }
 
+  test("la_top_paths: deterministic path strings, count-ordered cut") {
+    val dir = eventsDir(Seq(
+      (0L, base, 1L, "view", 0.0),
+      (1L, base + 1000000000L, 1L, "click", 0.0),
+      (2L, base, 2L, "view", 0.0),
+      (3L, base + 1000000000L, 2L, "click", 0.0),
+      (4L, base, 3L, "click", 0.0)))
+    val got = run("la_top_paths", dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("view>click", 2L), ("click", 1L)))
+  }
+
+  test("la_attribution: window edges and the three models") {
+    val dir = eventsDir(Seq(
+      (0L, base, 1L, "click", 0.0),                       // first touch
+      (1L, base + 10L * 1000000000L, 1L, "click", 0.0),   // last touch
+      (2L, base + 100L * 1000000000L, 1L, "purchase", 0.0),
+      // u2: click exactly AT the purchase second -> excluded (cs < ps)
+      (3L, base + 50L * 1000000000L, 2L, "click", 0.0),
+      (4L, base + 50L * 1000000000L, 2L, "purchase", 0.0),
+      // u3: click 8 days before -> outside the 7-day window
+      (5L, base, 3L, "click", 0.0),
+      (6L, base + 8L * 86400L * 1000000000L, 3L, "purchase", 0.0)))
+    val rows = run("la_attribution", dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 0L &&
+      r.getLong(2) == 1L && r.getLong(3) == 2L && r.getLong(4) == 500000L)
+  }
+
   test("dd_novelty: first occurrence scores 1e6 ppm, copies score 0") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("sn_doc").toString
