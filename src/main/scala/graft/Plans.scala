@@ -50,7 +50,11 @@ object Plans {
     "dd_novelty" -> "corpus novelty (r7): distinct 3-grams explode map-locally; first-occurrence is a map-combined min keyed by gram; membership join reuses the gram key — two gram exchanges, text never shuffles",
     "t_compaction_plan" -> "compaction planner (r7): bucket-keyed cumulative-size window + keyed rollup — one Exchange on the bucket, no global sort",
     "j_fuzzy_leven" -> "blocked fuzzy join (r7): DISTINCT names then a block-key equi join (candidates = Σ block², never n²); Levenshtein evaluates post-join, map-local",
-    "ts_twa" -> "time-weighted average (r7): lead window and final aggregation share the single user-keyed exchange; trapezoid areas are map-local long products")
+    "ts_twa" -> "time-weighted average (r7): lead window and final aggregation share the single user-keyed exchange; trapezoid areas are map-local long products",
+    "rng_spatial_join" -> "2-D spatial join (r7): boxes explode to grid cells, points own ONE cell — equi join on the composite cell key with residual containment; no BroadcastNestedLoopJoin",
+    "dq_constraints" -> "DQ constraint audit (r7): five rules in ONE wide aggregate over a single scan (conditional sums map-combined) + stack unpivot — never five passes",
+    "la_attribution" -> "multi-touch attribution (r7): purchases x 7-day click windows as a HASH join (user equi key, time residual) — the equi key keeps the planner off BNLJ; struct-min/max picks ride the same aggregation",
+    "g_triangles" -> "triangle count via per-edge out-neighborhood intersection (r7): the broadcast neighbor-array table makes the count pass map-local — no wedge materialization (9.8s -> 3.4s at sf0.1); orientation caps arrays at O(sqrt m)")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
