@@ -194,6 +194,56 @@ object Dedup {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
+  // --------------------------------------------------------------- kmv
+
+  /** KMV (k-minimum-values) bottom-k distinct sketches per corpus
+    * slice, joined pairwise into the shingle-overlap estimates the
+    * sketch exists for — "how much of source A's content also appears
+    * in source B" without ever comparing documents. This is the
+    * corpus-level complement of the per-document dedup family above:
+    * MinHash asks whether two DOCUMENTS are near-identical; KMV asks
+    * how much two whole CORPUS SLICES share (CommonCrawl-vs-C4-style
+    * auditing before mixing sources into a training run).
+    *
+    * Estimator (Beyer et al. 2007): with K = the k smallest distinct
+    * hashes of A ∪ B (= bottom-k of kmv(A) ∪ kmv(B) — bottom-k sketches
+    * are closed under union), J(A,B) ≈ |K ∩ kmv(A) ∩ kmv(B)| / |K|.
+    * Reported as an exact ppm integer so the oracle comparison is
+    * hash-stable.
+    *
+    * Scale shape: the only data-sized exchange is the slice-keyed
+    * aggregation, and [[graft.functions.BoundedMinSetAgg]] caps every
+    * map-side partial at k longs BEFORE the exchange — per (partition,
+    * slice) at most k × 8 bytes moves, independent of corpus size. The
+    * pairwise join runs on n_slices rows (one per source), so the
+    * inequality self-join is a broadcast over a table that fits in one
+    * page; all array work is O(k) per pair.
+    */
+  def kmvOverlap(docs: DataFrame, sliceCol: String = "source",
+      textCol: String = "text", k: Int = 128,
+      shingleK: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val sh = udf { (text: String) =>
+      if (text == null) Array.empty[Long]
+      else shingleHashes(text.split(" ").toSeq, shingleK)
+    }
+    val sketches = docs
+      .select(col(sliceCol).as("slice"), explode(sh(col(textCol))).as("h"))
+      .groupBy("slice")
+      .agg(graft.functions.BoundedMinSet
+        .bounded_min_set(col("h"), k).as("kmv"))
+    sketches.select(col("slice").as("slice_a"), col("kmv").as("ka"))
+      .join(sketches.select(col("slice").as("slice_b"), col("kmv").as("kb")),
+        col("slice_a") < col("slice_b"))
+      .withColumn("ku",
+        slice(array_sort(array_union(col("ka"), col("kb"))), 1, k))
+      .select(col("slice_a"), col("slice_b"),
+        size(col("ku")).as("k_used"),
+        size(array_intersect(array_intersect(col("ku"), col("ka")),
+          col("kb"))).cast("long").as("n_common"))
+      .withColumn("jaccard_ppm", expr("n_common * 1000000 div k_used"))
+  }
+
   // ----------------------------------------------------------- simhash
 
   /** 64-bit SimHash over token FNV hashes. */

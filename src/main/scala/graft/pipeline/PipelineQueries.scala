@@ -894,6 +894,65 @@ object PipelineQueries extends QueryRegistry {
         expr("n_novel * 1000000 div n_grams").as("novelty_ppm"))
   }
 
+  /** Corpus-slice overlap via KMV bottom-k sketches, fully reproduced
+    * in DuckDB: the same FNV-1a shingle fold the MinHash oracle uses
+    * (HUGEINT mod-2^64 arithmetic), unsigned→signed conversion so the
+    * bottom-k ranking agrees with the JVM's signed-long ordering, per
+    * source the k smallest DISTINCT hashes, then the Beyer et al.
+    * estimator on each pair via O(k) list algebra. All outputs are exact
+    * integers — nothing in the estimate depends on float formatting.
+    */
+  private val kmvOracleSql: String = {
+    val M = "CAST('18446744073709551616' AS HUGEINT)"
+    val H = "CAST('9223372036854775808' AS HUGEINT)"
+    val k = 128
+    s"""WITH toks AS (
+       |  SELECT source, string_split(text, ' ') AS l FROM documents),
+       |sh AS (
+       |  SELECT source, array_to_string(l[i:i+2], ' ') AS s
+       |  FROM toks,
+       |       unnest(generate_series(1, greatest(len(l) - 2, 1))) AS t(i)),
+       |shh AS (
+       |  SELECT DISTINCT source,
+       |    list_reduce(
+       |      list_prepend(CAST('14695981039346656037' AS HUGEINT),
+       |        list_transform(range(1, length(s) + 1),
+       |          i -> CAST(ord(substr(s, CAST(i AS INT), 1)) AS HUGEINT))),
+       |      (acc, ch) -> ((acc - (acc % 256) +
+       |          CAST(xor(CAST(acc % 256 AS BIGINT), CAST(ch AS BIGINT))
+       |               AS HUGEINT))
+       |          * CAST('1099511628211' AS HUGEINT)) % $M) AS x
+       |  FROM sh),
+       |sg AS (
+       |  SELECT source,
+       |         CAST(CASE WHEN x >= $H THEN x - $M ELSE x END AS BIGINT) AS h
+       |  FROM shh),
+       |rk AS (
+       |  SELECT source, h,
+       |         row_number() OVER (PARTITION BY source ORDER BY h) AS r
+       |  FROM sg),
+       |sk AS (
+       |  SELECT source, list(h ORDER BY h) AS kmv
+       |  FROM rk WHERE r <= $k GROUP BY source),
+       |pairs AS (
+       |  SELECT a.source AS slice_a, b.source AS slice_b,
+       |         list_sort(list_distinct(a.kmv || b.kmv))[1:$k] AS ku,
+       |         a.kmv AS ka, b.kmv AS kb
+       |  FROM sk a JOIN sk b ON a.source < b.source),
+       |est AS (
+       |  SELECT slice_a, slice_b, CAST(len(ku) AS INT) AS k_used,
+       |         CAST(len(list_intersect(list_intersect(ku, ka), kb))
+       |              AS BIGINT) AS n_common
+       |  FROM pairs)
+       |SELECT slice_a, slice_b, k_used, n_common,
+       |       CAST(n_common * 1000000 // k_used AS BIGINT) AS jaccard_ppm
+       |FROM est""".stripMargin
+  }
+
+  q("dd_kmv_overlap", kmvOracleSql) { (s, d) =>
+    Dedup.kmvOverlap(docs(s, d), sliceCol = "source", k = 128)
+  }
+
   q("dd_cosine_neardup",
     """SELECT CAST(a.vec_id AS BIGINT) AS vec_a,
       |       CAST(b.vec_id AS BIGINT) AS vec_b,
@@ -1637,6 +1696,90 @@ object PipelineQueries extends QueryRegistry {
       |       CAST(sum(s) // count(*) AS BIGINT) AS lm_u
       |FROM scored GROUP BY 1""") { (s, d) =>
     TextAnalysis.bigramLm(docs(s, d))
+  }
+
+  // Per-source unigram Shannon entropy (token-distribution diversity —
+  // low entropy flags templated/boilerplate sources before they enter a
+  // training mix). H = ln(N) - Σc·ln(c)/N so every addend is map-side
+  // combinable; the ln-based doubles are safe to oracle here because
+  // the output is SLICE-level (20 rows, H ≈ a few nats) — unlike the
+  // per-doc unigramLogProb above, round(.,6) sits ~9 orders above the
+  // engines' 1-ulp ln divergence. Scale: one token-keyed exchange
+  // (map-combined counts), then a 20-row rollup.
+  q("t_entropy",
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
+      |             FROM documents),
+      |tc AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
+      |       FROM tok GROUP BY 1, 2),
+      |ag AS (SELECT source, sum(c) AS n, count(*) AS nd,
+      |              sum(c * ln(c)) AS s
+      |       FROM tc GROUP BY 1)
+      |SELECT source, CAST(n AS BIGINT) AS n_tokens,
+      |       CAST(nd AS BIGINT) AS n_distinct,
+      |       round(ln(n) - s / n, 6) AS entropy_nats,
+      |       CASE WHEN nd > 1 THEN round((ln(n) - s / n) / ln(nd), 6)
+      |            ELSE CAST(0 AS DOUBLE) END AS entropy_norm
+      |FROM ag""") { (s, d) =>
+    val tc = docs(s, d)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("c"))
+    tc.groupBy("source")
+      .agg(sum("c").as("n"), count(lit(1)).as("nd"),
+        sum(col("c") * log(col("c"))).as("s"))
+      .select(col("source"), col("n").as("n_tokens"),
+        col("nd").as("n_distinct"),
+        round(log(col("n")) - col("s") / col("n"), 6).as("entropy_nats"),
+        when(col("nd") > 1,
+            round((log(col("n")) - col("s") / col("n")) / log(col("nd")), 6))
+          .otherwise(lit(0.0)).as("entropy_norm"))
+  }
+
+  // Jensen-Shannon divergence between the token distributions of two
+  // corpus halves (distribution-drift / domain-shift detection when
+  // refreshing a training mix). One token-keyed exchange carries BOTH
+  // halves' counts (conditional sums, map-combined); totals arrive as
+  // a one-row broadcast; the JS sum is a scalar aggregate. Output is a
+  // single row, so the ln-based doubles oracle safely at round(.,6).
+  q("t_js_divergence",
+    """WITH tok AS (SELECT doc_id % 2 = 0 AS a,
+      |                    unnest(string_split(text, ' ')) AS t
+      |             FROM documents),
+      |tc AS (SELECT t,
+      |              CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |              CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      |       FROM tok GROUP BY t),
+      |tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM tc),
+      |terms AS (
+      |  SELECT CASE WHEN ca > 0 THEN (ca / na) *
+      |           ln((ca / na) / ((ca / na + cb / nb) / 2)) ELSE 0 END AS ta,
+      |         CASE WHEN cb > 0 THEN (cb / nb) *
+      |           ln((cb / nb) / ((ca / na + cb / nb) / 2)) ELSE 0 END AS tb,
+      |         ca, cb
+      |  FROM tc CROSS JOIN tot)
+      |SELECT CAST(sum(ca) AS BIGINT) AS n_tokens_a,
+      |       CAST(sum(cb) AS BIGINT) AS n_tokens_b,
+      |       CAST(count(*) AS BIGINT) AS nd_union,
+      |       round(sum(ta + tb) / 2, 6) AS js_nats,
+      |       round(sum(ta + tb) / 2 / ln(2), 6) AS js_bits
+      |FROM terms""") { (s, d) =>
+    val tc = docs(s, d)
+      .select((col("doc_id") % 2 === 0).as("a"),
+        explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .groupBy("t")
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("a"), 0L).otherwise(1L)).as("cb"))
+    val tot = tc.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    val p = col("ca") / col("na")
+    val qq = col("cb") / col("nb")
+    val m = (p + qq) / 2
+    tc.crossJoin(broadcast(tot))
+      .select(col("ca"), col("cb"),
+        when(col("ca") > 0, p * log(p / m)).otherwise(lit(0.0)).as("ta"),
+        when(col("cb") > 0, qq * log(qq / m)).otherwise(lit(0.0)).as("tb"))
+      .agg(sum("ca").as("n_tokens_a"), sum("cb").as("n_tokens_b"),
+        count(lit(1)).as("nd_union"),
+        round(sum(col("ta") + col("tb")) / 2, 6).as("js_nats"),
+        round(sum(col("ta") + col("tb")) / 2 / log(lit(2.0)), 6).as("js_bits"))
   }
 
   // BM25 keyword search: rational RSJ idf (no logs — see Search's float

@@ -999,6 +999,135 @@ object LogAnalytics extends QueryRegistry {
           col("e.xu").as("xu"), col("e.s").as("ewma_u"))
   }
 
+  /** Sample autocorrelation (lags 1–5) of the per-type daily composite
+    * — the seasonality/memory diagnostic run before picking kernel
+    * windows (a strong lag-7 ACF says "weekly", near-zero ACF says the
+    * series is noise and a trend fit is wasted work). Everything up to
+    * the single final division is INTEGER: the daily series is the ×10⁴
+    * scaled view (sum div count), deviations center on the floored
+    * integer mean, and numerator/denominator are long sums of integer
+    * products — order-independent, so the oracle match is exact, not
+    * rounding-lucky (deviations ≤ 5.6e6 ⇒ products ≤ 3.2e13, years of
+    * days away from overflow). Scale: one (type, day) aggregation off
+    * the scan; the window runs over per-type DAILY rows — time-bounded
+    * state like ts_ewma, one exchange on event_type.
+    */
+  q("ts_acf",
+    """WITH daily AS (
+      |  SELECT event_type,
+      |         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS st,
+      |         CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+      |              // count(*) AS BIGINT) AS xu
+      |  FROM events GROUP BY event_type, date_trunc('day', ts)),
+      |mu AS (
+      |  SELECT event_type,
+      |         CAST(sum(xu) // count(*) AS BIGINT) AS m,
+      |         CAST(count(*) AS BIGINT) AS n_days
+      |  FROM daily GROUP BY event_type),
+      |dev AS (
+      |  SELECT d.event_type, m.n_days, d.st, d.xu - m.m AS dv
+      |  FROM daily d JOIN mu m USING (event_type)),
+      |led AS (
+      |  SELECT event_type, n_days, dv,
+      |         lead(dv, 1) OVER w AS d1, lead(dv, 2) OVER w AS d2,
+      |         lead(dv, 3) OVER w AS d3, lead(dv, 4) OVER w AS d4,
+      |         lead(dv, 5) OVER w AS d5
+      |  FROM dev WINDOW w AS (PARTITION BY event_type ORDER BY st)),
+      |sums AS (
+      |  SELECT event_type, max(n_days) AS n_days,
+      |         sum(dv * dv) AS den,
+      |         sum(dv * d1) AS s1, sum(dv * d2) AS s2,
+      |         sum(dv * d3) AS s3, sum(dv * d4) AS s4,
+      |         sum(dv * d5) AS s5
+      |  FROM led GROUP BY event_type)
+      |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+      |       CAST(l AS INT) AS lag,
+      |       round(CAST([s1, s2, s3, s4, s5][l] AS DOUBLE) /
+      |             CAST(den AS DOUBLE), 6) AS acf
+      |FROM sums, unnest(generate_series(1, 5)) AS g(l)""") { (s, d) =>
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("st"))
+      .agg(expr(
+        "sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) div count(*)")
+        .as("xu"))
+    val mu = daily.groupBy("event_type")
+      .agg(expr("sum(xu) div count(*)").as("m"),
+        count(lit(1)).as("n_days"))
+    val w = Window.partitionBy("event_type").orderBy("st")
+    val led = daily.join(mu, "event_type")
+      .withColumn("dv", col("xu") - col("m"))
+      .select(col("event_type") +: col("n_days") +: col("dv") +:
+        (1 to 5).map(l => lead(col("dv"), l).over(w).as(s"d$l")): _*)
+    val aggs = max(col("n_days")).as("n_days") +:
+      sum(col("dv") * col("dv")).as("den") +:
+      (1 to 5).map(l => sum(col("dv") * col(s"d$l")).as(s"s$l"))
+    val sums = led.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+    sums.select(col("event_type"), col("n_days"), col("den"),
+        posexplode(array((1 to 5).map(l => col(s"s$l")): _*))
+          .as(Seq("p", "num")))
+      .select(col("event_type"), col("n_days"),
+        (col("p") + 1).cast("int").as("lag"),
+        round(col("num").cast("double") /
+          col("den").cast("double"), 6).as("acf"))
+  }
+
+  /** Chi-square test of independence for event_type × hour-of-day (the
+    * "is traffic mix time-invariant" diagnostic). Observed counts come
+    * from ONE map-combined aggregation over the scan; marginals and the
+    * statistic are re-aggregations of the ≤ |types|·24-row cell table,
+    * so nothing after the first exchange is data-sized. Per-cell terms
+    * use the integer identity (O·N − R·C)²/(N·R·C): the difference is
+    * an exact long (≤ ~1e10 here), squared in double, so the only
+    * float steps are shared verbatim by the oracle. Long arithmetic
+    * holds to N ≈ 1e9 rows; past that the term computation moves to
+    * double with negligible statistical effect.
+    */
+  q("la_chisq",
+    """WITH cells AS (
+      |  SELECT event_type, CAST(hour(ts) AS INT) AS hr,
+      |         CAST(count(*) AS BIGINT) AS o
+      |  FROM events GROUP BY 1, 2),
+      |rt AS (SELECT event_type, sum(o) AS r FROM cells GROUP BY 1),
+      |ct AS (SELECT hr, sum(o) AS c FROM cells GROUP BY 1),
+      |n AS (SELECT sum(o) AS n FROM cells),
+      |terms AS (
+      |  SELECT CAST(coalesce(cl.o, 0) * n.n - rt.r * ct.c AS DOUBLE) AS dd,
+      |         CAST(n.n * rt.r * ct.c AS DOUBLE) AS e
+      |  FROM rt CROSS JOIN ct CROSS JOIN n
+      |       LEFT JOIN cells cl
+      |         ON cl.event_type = rt.event_type AND cl.hr = ct.hr)
+      |SELECT (SELECT CAST(n AS BIGINT) FROM n) AS n,
+      |       CAST(count(*) AS BIGINT) AS n_cells,
+      |       CAST((SELECT count(*) FROM rt) - 1 AS BIGINT) *
+      |         ((SELECT count(*) FROM ct) - 1) AS dof,
+      |       round(sum(dd * dd / e), 6) AS chi2
+      |FROM terms""") { (s, d) =>
+    val cells = events(s, d)
+      .groupBy(col("event_type"), hour(col("ts")).cast("int").as("hr"))
+      .agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy("event_type").agg(sum("o").as("r"))
+    val ct = cells.groupBy("hr").agg(sum("o").as("c"))
+    val n = cells.agg(sum("o").as("n"))
+    val dof = broadcast(rt.agg(count(lit(1)).as("nr"))
+      .crossJoin(ct.agg(count(lit(1)).as("nc")))
+      .select(((col("nr") - 1) * (col("nc") - 1)).as("dof")))
+    // the grid is marginals × marginals (≤ |types|·24 rows), so empty
+    // cells — which a groupBy over observed rows cannot produce — still
+    // contribute their (0·N − R·C)²/(N·R·C) = R·C/N term
+    rt.crossJoin(ct).crossJoin(broadcast(n))
+      .join(cells, Seq("event_type", "hr"), "left")
+      .select(col("n"),
+        (coalesce(col("o"), lit(0L)) * col("n") - col("r") * col("c"))
+          .cast("double").as("dd"),
+        (col("n") * col("r") * col("c")).cast("double").as("e"))
+      .groupBy("n")
+      .agg(count(lit(1)).as("n_cells"),
+        round(sum(col("dd") * col("dd") / col("e")), 6).as("chi2"))
+      .crossJoin(dof)
+      .select(col("n"), col("n_cells"), col("dof"), col("chi2"))
+  }
+
   /** Key-distribution skew profiler (the pre-join diagnostics op): one
     * row summarizing how hot the hottest key is before you commit to a
     * shuffle on it — key count, max/median/p99 per-key row counts, and

@@ -1,0 +1,139 @@
+package graft.rel
+
+import graft.dedup.Dedup
+import graft.pipeline.PipelineQueries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Known-answer tests for the corpus-sketch and statistics entries added
+  * in round 7: KMV slice overlap, token entropy, Jensen-Shannon drift,
+  * integer ACF, and the chi-square independence test — driven through
+  * the REAL registered queries over per-test fixture dirs.
+  */
+class SketchStatsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val base = 1704067200L * 1000000000L // 2024-01-01T00:00Z ns
+  private val day = 86400L * 1000000000L
+  private val hour = 3600L * 1000000000L
+
+  private def docsDir(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("ss_docs").toString
+    rows.map { case (id, text, src) => (id, text, "en", src, text.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private def eventsDir(
+      rows: Seq[(Long, Long, Long, String, Double)]): String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("ss_ev").toString
+    rows.map { case (id, ns, u, t, v) => (id, ns, u, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  private def run(name: String, dir: String): DataFrame =
+    (LogAnalytics.queries ++ PipelineQueries.queries)(name)(spark, dir)
+
+  test("dd_kmv_overlap: exact small sets give the true Jaccard") {
+    // 3-token docs produce exactly ONE shingle each; k=128 >> distinct,
+    // so the sketches are exact and the estimate IS |A∩B| / |A∪B|.
+    // A = {abc, def}, B = {abc, ghi} -> J = 1/3.
+    val dir = docsDir(Seq(
+      (0L, "a b c", "srcA"), (1L, "d e f", "srcA"),
+      (2L, "a b c", "srcB"), (3L, "g h i", "srcB")))
+    val r = run("dd_kmv_overlap", dir).collect().head
+    assert(r.getAs[String]("slice_a") == "srcA")
+    assert(r.getAs[String]("slice_b") == "srcB")
+    assert(r.getAs[Int]("k_used") == 3)
+    assert(r.getAs[Long]("n_common") == 1L)
+    assert(r.getAs[Long]("jaccard_ppm") == 333333L)
+  }
+
+  test("kmvOverlap: identical slices estimate J = 1 at any k") {
+    // bottom-k of identical hash sets are identical sketches, so the
+    // estimator returns exactly 1e6 ppm even when k << distinct count
+    val rows = (0L until 60L).flatMap { i =>
+      Seq((i, s"tok$i x y", "sA"), (i + 100L, s"tok$i x y", "sB"))
+    }
+    val r = Dedup.kmvOverlap(
+      spark.read.parquet(s"${docsDir(rows)}/documents.parquet"),
+      k = 16).collect().head
+    assert(r.getAs[Int]("k_used") == 16)
+    assert(r.getAs[Long]("n_common") == 16L)
+    assert(r.getAs[Long]("jaccard_ppm") == 1000000L)
+  }
+
+  test("t_entropy: uniform tokens give H = ln(nd), norm = 1; " +
+      "degenerate gives 0") {
+    val dir = docsDir(Seq(
+      (0L, "a b c d", "u"),   // 4 distinct, uniform -> H = ln 4
+      (1L, "x x x x", "d"))) // 1 distinct -> H = 0, norm pinned 0
+    val m = run("t_entropy", dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_distinct"),
+          r.getAs[Double]("entropy_nats"),
+          r.getAs[Double]("entropy_norm"))).toMap
+    assert(m("u")._1 == 4L && m("u")._2 == 4L)
+    assert(math.abs(m("u")._3 - math.log(4)) < 1e-6)
+    assert(m("u")._4 == 1.0)
+    assert(m("d") == ((4L, 1L, 0.0, 0.0)))
+  }
+
+  test("t_js_divergence: identical halves 0; disjoint halves ln 2") {
+    // doc_id parity splits the halves
+    val same = docsDir(Seq(
+      (0L, "a a b b", "s"), (1L, "a a b b", "s")))
+    val r0 = run("t_js_divergence", same).collect().head
+    assert(r0.getAs[Double]("js_nats") == 0.0)
+    val disj = docsDir(Seq((0L, "a a", "s"), (1L, "b b", "s")))
+    val r1 = run("t_js_divergence", disj).collect().head
+    assert(math.abs(r1.getAs[Double]("js_nats") - math.log(2)) < 1e-6)
+    assert(math.abs(r1.getAs[Double]("js_bits") - 1.0) < 1e-6)
+  }
+
+  test("ts_acf: alternating series has the textbook signature") {
+    // daily xu: 20000, 0, 20000, 0 -> dv = ±10000 around mu = 10000
+    // den = 4e8; lag sums: -3e8, +2e8, -1e8, null, null
+    val dir = eventsDir((0 until 4).map(i =>
+      (i.toLong, base + i * day, 1L, "click",
+        if (i % 2 == 0) 2.0 else 0.0)))
+    val m = run("ts_acf", dir).collect()
+      .map(r => r.getAs[Int]("lag") ->
+        Option(r.getAs[Any]("acf")).map(_.asInstanceOf[Double])).toMap
+    assert(m(1).contains(-0.75) && m(2).contains(0.5) &&
+      m(3).contains(-0.25))
+    assert(m(4).isEmpty && m(5).isEmpty)
+  }
+
+  test("la_chisq: exact independence gives chi2 = 0") {
+    // 2 types x 2 hours, every cell = r*c/N exactly
+    val dir = eventsDir(Seq(
+      (0L, base, 1L, "a", 0.0), (1L, base + hour, 1L, "a", 0.0),
+      (2L, base, 1L, "b", 0.0), (3L, base + hour, 1L, "b", 0.0)))
+    val r = run("la_chisq", dir).collect().head
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("n_cells") == 4L)
+    assert(r.getAs[Long]("dof") == 1L && r.getAs[Double]("chi2") == 0.0)
+  }
+
+  test("la_chisq: perfect 2x2 association gives chi2 = N, " +
+      "empty grid cells included") {
+    val dir = eventsDir(Seq(
+      (0L, base, 1L, "a", 0.0), (1L, base + 1L, 1L, "a", 0.0),
+      (2L, base + hour, 1L, "b", 0.0), (3L, base + hour + 1L, 1L, "b", 0.0)))
+    val r = run("la_chisq", dir).collect().head
+    // observed cells: (a,0)=2, (b,1)=2; grid adds (a,1)=0 and (b,0)=0
+    assert(r.getAs[Long]("n_cells") == 4L)
+    assert(r.getAs[Double]("chi2") == 4.0)
+  }
+}
