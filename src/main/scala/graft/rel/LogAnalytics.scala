@@ -1128,6 +1128,128 @@ object LogAnalytics extends QueryRegistry {
       .select(col("n"), col("n_cells"), col("dof"), col("chi2"))
   }
 
+  /** Cross-correlation matrix of the per-type daily composites (which
+    * signals co-move — the feature-redundancy / leading-indicator scan
+    * run before anyone builds a model on the series). Same integer
+    * discipline as ts_acf: Pearson terms n·Σxy − Σx·Σy stay EXACT
+    * longs (day count is time-bounded ≈400 regardless of corpus size,
+    * xu ≤ 5.6e6 ⇒ every product ≤ ~5e18), and the only floats are the
+    * two sqrt's and one division, written identically in both engines.
+    * The pair join runs on the ≤types×days aggregate, not the scan.
+    */
+  q("ts_xcorr",
+    """WITH daily AS (
+      |  SELECT event_type,
+      |         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS st,
+      |         CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+      |              // count(*) AS BIGINT) AS xu
+      |  FROM events GROUP BY event_type, date_trunc('day', ts)),
+      |pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(a.xu) AS BIGINT) AS sa,
+      |         CAST(sum(b.xu) AS BIGINT) AS sb,
+      |         CAST(sum(a.xu * a.xu) AS BIGINT) AS saa,
+      |         CAST(sum(b.xu * b.xu) AS BIGINT) AS sbb,
+      |         CAST(sum(a.xu * b.xu) AS BIGINT) AS sab
+      |  FROM daily a JOIN daily b
+      |    ON a.st = b.st AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, n,
+      |       round(CAST(n * sab - sa * sb AS DOUBLE) /
+      |             (sqrt(CAST(n * saa - sa * sa AS DOUBLE)) *
+      |              sqrt(CAST(n * sbb - sb * sb AS DOUBLE))), 6) AS r
+      |FROM pairs""") { (s, d) =>
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("st"))
+      .agg(expr(
+        "sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) div count(*)")
+        .as("xu"))
+    val a = daily.select(col("event_type").as("type_a"), col("st"),
+      col("xu").as("xa"))
+    val b = daily.select(col("event_type").as("type_b"),
+      col("st").as("st_b"), col("xu").as("xb"))
+    a.join(b, col("st") === col("st_b") && col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n"),
+        sum("xa").as("sa"), sum("xb").as("sb"),
+        sum(col("xa") * col("xa")).as("saa"),
+        sum(col("xb") * col("xb")).as("sbb"),
+        sum(col("xa") * col("xb")).as("sab"))
+      .select(col("type_a"), col("type_b"), col("n"),
+        round((col("n") * col("sab") - col("sa") * col("sb")).cast("double") /
+          (sqrt((col("n") * col("saa") - col("sa") * col("sa"))
+            .cast("double")) *
+           sqrt((col("n") * col("sbb") - col("sb") * col("sb"))
+            .cast("double"))), 6).as("r"))
+  }
+
+  /** Welch's two-sample t-test per event type between the user-parity
+    * halves (the A/B-experiment readout op). Partial sums/sum-squares
+    * accumulate as DECIMAL(38,0) — exact at ANY corpus size (a long
+    * Σx² overflows past ~1e6 rows of this value range; DuckDB's
+    * HUGEINT sums are the same fix on the oracle side) — and the
+    * aggregation is one map-combined exchange on (type, arm). The
+    * t statistic and Welch–Satterthwaite df are the only float math,
+    * written identically in both engines over identical integers.
+    */
+  q("la_ab_ttest",
+    """WITH obs AS (
+      |  SELECT event_type, user_id % 2 = 0 AS arm_a,
+      |         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vu
+      |  FROM events),
+      |arms AS (
+      |  SELECT event_type,
+      |         CAST(sum(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |         CAST(sum(CASE WHEN arm_a THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+      |         sum(CASE WHEN arm_a THEN vu ELSE 0 END) AS sa,
+      |         sum(CASE WHEN arm_a THEN 0 ELSE vu END) AS sb,
+      |         sum(CASE WHEN arm_a THEN vu * vu ELSE 0 END) AS saa,
+      |         sum(CASE WHEN arm_a THEN 0 ELSE vu * vu END) AS sbb
+      |  FROM obs GROUP BY 1),
+      |st AS (
+      |  SELECT event_type, na, nb,
+      |         CAST(sa AS DOUBLE) / na AS ma, CAST(sb AS DOUBLE) / nb AS mb,
+      |         (CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) *
+      |            (CAST(sa AS DOUBLE) / na)) / (na - 1) / na AS qa,
+      |         (CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) *
+      |            (CAST(sb AS DOUBLE) / nb)) / (nb - 1) / nb AS qb
+      |  FROM arms)
+      |SELECT event_type, na, nb,
+      |       round(ma / 10000, 6) AS mean_a, round(mb / 10000, 6) AS mean_b,
+      |       round((ma - mb) / sqrt(qa + qb), 6) AS t_stat,
+      |       round((qa + qb) * (qa + qb) /
+      |             (qa * qa / (na - 1) + qb * qb / (nb - 1)), 6) AS df
+      |FROM st""") { (s, d) =>
+    val dec = "decimal(38,0)"
+    val obs = events(s, d)
+      .select(col("event_type"), (col("user_id") % 2 === 0).as("arm_a"),
+        expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").as("vu"))
+    val arms = obs.groupBy("event_type")
+      .agg(sum(when(col("arm_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("arm_a"), 0L).otherwise(1L)).as("nb"),
+        sum(when(col("arm_a"), col("vu")).otherwise(0L).cast(dec)).as("sa"),
+        sum(when(col("arm_a"), 0L).otherwise(col("vu")).cast(dec)).as("sb"),
+        sum(when(col("arm_a"), col("vu") * col("vu")).otherwise(0L)
+          .cast(dec)).as("saa"),
+        sum(when(col("arm_a"), 0L).otherwise(col("vu") * col("vu"))
+          .cast(dec)).as("sbb"))
+    val ma = col("sa").cast("double") / col("na")
+    val mb = col("sb").cast("double") / col("nb")
+    val qa = (col("saa").cast("double") -
+      col("sa").cast("double") * (col("sa").cast("double") / col("na"))) /
+      (col("na") - 1) / col("na")
+    val qb = (col("sbb").cast("double") -
+      col("sb").cast("double") * (col("sb").cast("double") / col("nb"))) /
+      (col("nb") - 1) / col("nb")
+    arms.select(col("event_type"), col("na"), col("nb"),
+      round(ma / 10000, 6).as("mean_a"), round(mb / 10000, 6).as("mean_b"),
+      round((ma - mb) / sqrt(qa + qb), 6).as("t_stat"),
+      round((qa + qb) * (qa + qb) /
+        (qa * qa / (col("na") - 1) + qb * qb / (col("nb") - 1)), 6).as("df"))
+  }
+
   /** Key-distribution skew profiler (the pre-join diagnostics op): one
     * row summarizing how hot the hottest key is before you commit to a
     * shuffle on it — key count, max/median/p99 per-key row counts, and
