@@ -64,6 +64,10 @@ object GraftEngine {
     ColumnBridge.registerExpression(spark, "bounded_levenshtein",
       exprs => graft.functions.BoundedLevenshtein(exprs(0), exprs(1),
         exprs(2).eval().asInstanceOf[Number].intValue()))
+    // Jaro-Winkler similarity (native, codegen'd; DuckDB-pinned
+    // semantics) — the record-linkage scoring kernel
+    ColumnBridge.registerExpression(spark, "jaro_winkler",
+      exprs => graft.functions.JaroWinkler(exprs(0), exprs(1)))
   }
 
   /** DataFrame form of the moments-based K1 aggregate. */

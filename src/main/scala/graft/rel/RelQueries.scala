@@ -301,6 +301,41 @@ object RelQueries extends QueryRegistry {
           .as("dist"))
   }
 
+  /** Record-linkage scoring over the blocked fuzzy join: same
+    * block + `levenshtein ≤ 4` candidate set as `j_fuzzy_leven` (the
+    * row set stays pinned by EXACT integer predicates — no float
+    * threshold can disagree between engines), each surviving pair
+    * scored with the native [[graft.functions.JaroWinkler]] codegen
+    * expression, oracled against DuckDB's `jaro_winkler_similarity`
+    * (semantics fuzz-pinned over 50k pairs; see JaroWinkler.scala).
+    * round(…, 6) on both sides makes the doubles hash-comparable.
+    */
+  q("j_fuzzy_jaro",
+    """WITH names AS (
+      |  SELECT DISTINCT p_name, split_part(p_name, ' ', 2) AS blk
+      |  FROM part)
+      |SELECT a.blk, a.p_name AS name_a, b.p_name AS name_b,
+      |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist,
+      |       round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+      |FROM names a JOIN names b
+      |  ON a.blk = b.blk AND a.p_name < b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) <= 4""") { (s, d) =>
+    import graft.functions.BoundedLevenshtein.bounded_levenshtein
+    import graft.functions.JaroWinkler.jaro_winkler
+    val names = t(s, d, "part")
+      .select(col("p_name"), element_at(split(col("p_name"), " "), 2).as("blk"))
+      .distinct()
+    val a = names.select(col("blk"), col("p_name").as("name_a"))
+    val b = names.select(col("blk"), col("p_name").as("name_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("name_a") < col("name_b") &&
+        bounded_levenshtein(col("name_a"), col("name_b"), 4) <= 4)
+      .select(col("blk"), col("name_a"), col("name_b"),
+        bounded_levenshtein(col("name_a"), col("name_b"), 4).cast("int")
+          .as("dist"),
+        round(jaro_winkler(col("name_a"), col("name_b")), 6).as("jw"))
+  }
+
   /** Referential-integrity audit (the DQ companion to the semi/anti
     * join family): orphan counts across the three fact→dim edges —
     * each one anti-join + count, shuffled on 8-byte keys only. All

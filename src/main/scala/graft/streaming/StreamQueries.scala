@@ -357,6 +357,72 @@ object StreamQueries extends QueryRegistry {
         .otherwise(0L)).as("v_type_domain"),
       count(lit(1)).as("n_rows"))
 
+  /** LEFT-OUTER stream-stream interval join: every error event, with
+    * the click(s) from the same user in the preceding 30 minutes, or
+    * NULLs when there were none (the "failure with no recent activity"
+    * triage op). Outer stream-stream joins exercise the state-store
+    * path the inner entries cannot: a null-extended row is emitted
+    * only once the watermark proves no future match can arrive. The
+    * replay keeps that deterministic with a 0-second watermark delay:
+    * the single-file source feeds ALL rows in micro-batch 1 (the
+    * join filter uses the PREVIOUS batch's watermark = -inf, so
+    * nothing is late-dropped), then AvailableNow's final
+    * watermark-advancing batch flushes the unmatched left rows.
+    *
+    * The oracle encodes the watermark rule itself (empirically
+    * pinned): matched rows always emit; an UNMATCHED error emits its
+    * null-extended row iff `e_us < least(max error ts, max click ts)`
+    * — the global watermark is the min over both sides' maxima, and
+    * eviction is strict, so the error(s) sitting exactly at the
+    * stream's high-water mark stay open in state forever (no later
+    * event can ever prove them unmatchable). That frontier row is
+    * not a defect; it is what any unbounded run would hold pending.
+    */
+  q("st_outer_join",
+    """WITH er AS (
+      |  SELECT CAST(user_id AS BIGINT) AS user_id, event_id AS error_id,
+      |         CAST(epoch_ns(ts) // 1000 AS BIGINT) AS e_us
+      |  FROM events WHERE event_type = 'error'),
+      |c AS (
+      |  SELECT user_id, event_id AS click_id,
+      |         CAST(epoch_ns(ts) // 1000 AS BIGINT) AS c_us
+      |  FROM events WHERE event_type = 'click'),
+      |wm AS (
+      |  SELECT least((SELECT max(e_us) FROM er),
+      |               (SELECT max(c_us) FROM c)) AS w)
+      |SELECT er.error_id, c.click_id, er.user_id, er.e_us, c.c_us
+      |FROM er LEFT JOIN c ON c.user_id = er.user_id
+      |  AND c.c_us >= er.e_us - 1800000000 AND c.c_us <= er.e_us, wm
+      |WHERE c.click_id IS NOT NULL OR er.e_us < wm.w""") {
+    (s, d) =>
+      runToCompletion(outerIntervalJoin(eventStream(s, d)), "append")
+  }
+
+  /** The st_outer_join transform: errors LEFT OUTER JOIN clicks on
+    * (same user, click within the 30 min before the error). Both
+    * sides branch off `ev` with 0-second watermarks — mandatory for
+    * outer stream-stream joins (the watermark is what licenses the
+    * null-extension), and safe here per the replay argument above.
+    */
+  def outerIntervalJoin(ev: DataFrame): DataFrame = {
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("tsu").as("e_ts"),
+        col("event_id").as("error_id"))
+      .withWatermark("e_ts", "0 seconds")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("tsu").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "0 seconds")
+    errors.join(clicks, expr(
+      """c_user = e_user AND
+        |c_ts >= e_ts - interval 30 minutes AND
+        |c_ts <= e_ts""".stripMargin), "left_outer")
+      .select(col("error_id"), col("click_id"),
+        col("e_user").as("user_id"),
+        unix_micros(col("e_ts")).as("e_us"),
+        unix_micros(col("c_ts")).as("c_us"))
+  }
+
   /** The st_click_attribution transform over any events(-shaped)
     * stream (a stream self-join: both sides branch off `ev`).
     */

@@ -129,6 +129,61 @@ class StreamQueriesSpec extends AnyFunSuite {
     assert(rowSet(got) == rowSet(expected))
   }
 
+  test("left-outer interval join null-extends across time-ordered batches") {
+    import org.apache.spark.sql.functions._
+    // The outer join runs a 0-SECOND watermark (null emission needs the
+    // watermark to advance), so the interleaved slices — where every
+    // file spans the whole timeline — would late-drop batches 2-4.
+    // Time-CONTIGUOUS slices are the legitimate replay: a candidate
+    // click always precedes its error, and the watermark (strictly
+    // behind the current batch) can never evict it early. Rebuild the
+    // same rows as 4 time-ordered files.
+    val rows = batchEvents.select("event_id", "ts", "user_id",
+      "event_type", "value", "props").orderBy("ts").collect()
+    val dir = java.nio.file.Files.createTempDirectory("stq_split").toString
+    val tbl = s"$dir/events.parquet"
+    val per = (rows.length + 3) / 4
+    import spark.implicits._
+    (0 until 4).foreach { slice =>
+      rows.slice(slice * per, (slice + 1) * per)
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getDouble(4), r.getString(5)))
+        .toSeq
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(tbl)
+    }
+    val stream = StreamQueries.eventStream(spark, dir,
+      Map("maxFilesPerTrigger" -> "1"))
+    val (got, batches) = run(
+      StreamQueries.outerIntervalJoin(stream), "append", "mb_outer")
+    assert(batches >= 4)
+    // batch expectation = LEFT JOIN + the watermark rule: unmatched
+    // errors emit iff e_ts < least(max error ts, max click ts)
+    val ev = batchEvents
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("tsu").as("e_ts"),
+        col("event_id").as("error_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("tsu").as("c_ts"),
+        col("event_id").as("click_id"))
+    val wm = math.min(
+      errors.agg(max(unix_micros(col("e_ts")))).head().getLong(0),
+      clicks.agg(max(unix_micros(col("c_ts")))).head().getLong(0))
+    val expected = errors.join(clicks, expr(
+        """c_user = e_user AND
+          |c_ts >= e_ts - interval 30 minutes AND
+          |c_ts <= e_ts""".stripMargin), "left_outer")
+      .filter(col("click_id").isNotNull ||
+        unix_micros(col("e_ts")) < lit(wm))
+      .select(col("error_id"), col("click_id"),
+        col("e_user").as("user_id"),
+        unix_micros(col("e_ts")).as("e_us"),
+        unix_micros(col("c_ts")).as("c_us"))
+    // the op's point is the null extension — make sure it fired
+    assert(expected.filter(col("click_id").isNull).count() > 0)
+    assert(rowSet(got) == rowSet(expected))
+  }
+
   test("stream-static enrichment equals the batch join across batches") {
     import spark.implicits._
     // static dim: users 0-4 in segment A, 5-9 in B — every micro-batch
