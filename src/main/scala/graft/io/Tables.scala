@@ -2,6 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Dataset catalog over the driver testdata layout (`TESTDATA.md`):
   * one parquet per table under a scale-factor directory. Plays the role of
@@ -33,11 +34,17 @@ object Tables {
 
   /** Lazy scan of one table; filters/projections push down to parquet.
     *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; we read it as nanos-since-epoch
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and surface `ts` as a
-    * microsecond TimestampType column (UTC session), keeping `ts_ns` for
-    * full-precision ordering.
+    * `events.ts` is SCHEMA-ADAPTIVE: upstream generators have shipped it
+    * both as parquet TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * only accepts as nanos-since-epoch via
+    * `spark.sql.legacy.parquet.nanosAsLong`) and as native
+    * TIMESTAMP(MICROS) (which Spark reads as TIMESTAMP_NTZ when the file
+    * carries isAdjustedToUTC=false). Rather than hard-coding one layout,
+    * we dispatch on the OBSERVED `ts` dataType and normalize to the same
+    * output contract either way:
+    *   - `ts`    µs-precision TimestampType (session tz is pinned UTC at
+    *             every entry point, so the NTZ→timestamp cast is exact);
+    *   - `ts_ns` nanos-since-epoch BIGINT for full-precision ordering.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
@@ -45,13 +52,32 @@ object Tables {
         if (!spark.conf.getOption(k).contains(v)) spark.conf.set(k, v)
       }
       val raw = spark.read.parquet(path(dir, name))
-      raw
-        .withColumnRenamed("ts", "ts_ns")
-        // integer `div`, not `/`: epoch nanos (~1.7e18) exceed double's
-        // 53-bit mantissa, so float division can mis-truncate by 1 µs
-        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-        .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
+      normalizeEvents(raw)
     } else spark.read.parquet(path(dir, name))
+  }
+
+  /** Normalize an events(-schema) frame to the `(ts: timestamp, ts_ns:
+    * bigint)` contract, dispatching on the observed `ts` type. Shared by
+    * the batch catalog and the streaming source so both decode the same
+    * way. Map-only — no shuffle, stays inside whole-stage codegen.
+    */
+  def normalizeEvents(raw: DataFrame): DataFrame = {
+    val shaped = raw.schema("ts").dataType match {
+      case LongType => // legacy layout: TIMESTAMP(NANOS) read as raw nanos
+        raw
+          .withColumnRenamed("ts", "ts_ns")
+          // integer `div`, not `/`: epoch nanos (~1.7e18) exceed double's
+          // 53-bit mantissa, so float division can mis-truncate by 1 µs
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case TimestampType | TimestampNTZType =>
+        raw
+          .withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+      case other: DataType =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other; expected BIGINT (nanos) or TIMESTAMP")
+    }
+    shaped.select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
   }
 
   /** Register every table as a temp view so `spark.sql` works against the

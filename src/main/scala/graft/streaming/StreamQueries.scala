@@ -5,6 +5,7 @@ import graft.io.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 import java.util.concurrent.atomic.AtomicInteger
 
 /** Oracle-checked Structured Streaming entries (SURVEY §2.10).
@@ -32,23 +33,37 @@ import java.util.concurrent.atomic.AtomicInteger
   */
 object StreamQueries extends QueryRegistry {
 
-  /** Raw physical schema of events.parquet; `ts` is TIMESTAMP(NANOS),
-    * surfaced as nanos-since-epoch via `nanosAsLong` (same contract as
-    * [[graft.io.Tables.load]]).
-    */
-  private val eventsDdl =
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
-      "value DOUBLE, props STRING"
-
   /** File-source stream over the events table with a µs event-time
-    * column (integer `div`: epoch nanos exceed double's mantissa).
+    * column `tsu` (TimestampType) and `ts` as nanos-since-epoch BIGINT.
+    *
+    * SCHEMA-ADAPTIVE: the file stream source needs a user schema, so we
+    * take it from a one-off batch read of the same file (schema-only, no
+    * data scan) instead of a hard-coded DDL string — upstream generators
+    * have shipped `ts` both as TIMESTAMP(NANOS)-read-as-long and as
+    * native TIMESTAMP(MICROS)/NTZ, and a hard-coded BIGINT schema
+    * silently mis-decodes the latter by 1000×. Decoding dispatches on the
+    * observed type, mirroring [[graft.io.Tables.normalizeEvents]].
     */
   def eventStream(spark: SparkSession, dir: String,
       extraOptions: Map[String, String] = Map.empty): DataFrame = {
     Tables.requiredConfs.foreach { case (k, v) =>
       if (!spark.conf.getOption(k).contains(v)) spark.conf.set(k, v)
     }
-    spark.readStream.schema(eventsDdl)
+    val batchTwin = spark.read.parquet(Tables.path(dir, "events"))
+    val fileSchema = batchTwin.schema
+    // Unit-sanity guard: a timestamp-unit mixup (ns read as µs, µs read
+    // as ns) shifts every decoded event-time by 1000× — silently wrong
+    // windows, the worst failure class. Probe ONE row through the same
+    // decode and require it to land in a plausible epoch window, so a
+    // unit bug fails loudly at stream construction instead of shipping.
+    decodeEventTime(batchTwin.limit(1), fileSchema("ts").dataType)
+      .select(col("tsu")).collect().foreach { r =>
+        val t = r.getTimestamp(0).toInstant
+        require(t.isAfter(java.time.Instant.parse("2000-01-01T00:00:00Z")) &&
+          t.isBefore(java.time.Instant.parse("2100-01-01T00:00:00Z")),
+          s"decoded event-time $t outside sane epoch window — timestamp-unit mismatch?")
+      }
+    val raw = spark.readStream.schema(fileSchema)
       .options(extraOptions)
       // events.parquet is a single FILE. For a non-glob path the file
       // stream source force-sets basePath to the path itself, which
@@ -58,8 +73,31 @@ object StreamQueries extends QueryRegistry {
       // inference empty.
       .option("basePath", dir)
       .parquet(dir + "/events.[p]arquet")
-      .withColumn("tsu", timestamp_micros(expr("ts div 1000")))
+    decodeEventTime(raw, fileSchema("ts").dataType)
   }
+
+  /** Append `tsu` (µs TimestampType event-time) to an events(-schema)
+    * frame and normalize `ts` to nanos-since-epoch BIGINT, dispatching on
+    * the observed `ts` type — the streaming mirror of
+    * [[graft.io.Tables.normalizeEvents]], shared between the live stream
+    * and the construction-time sanity probe.
+    */
+  private def decodeEventTime(raw: DataFrame,
+      tsType: org.apache.spark.sql.types.DataType): DataFrame =
+    tsType match {
+      case LongType => // legacy nanos-as-long layout
+        // integer `div`: epoch nanos exceed double's 53-bit mantissa
+        raw.withColumn("tsu", timestamp_micros(expr("ts div 1000")))
+      case TimestampType | TimestampNTZType =>
+        raw
+          .withColumn("tsu", col("ts").cast(TimestampType))
+          // keep `ts` as nanos BIGINT — downstream transforms and specs
+          // rely on the integer event-time contract
+          .withColumn("ts", expr("unix_micros(tsu) * 1000"))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other; expected BIGINT (nanos) or TIMESTAMP")
+    }
 
   private val sinkId = new AtomicInteger(0)
 

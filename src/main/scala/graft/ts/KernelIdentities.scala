@@ -43,4 +43,37 @@ object KernelIdentities {
 
   /** 1 iff `f_local` is zero-anchored at index 0. */
   val flocalZeroAnchor: Column = expr("CAST(f_local[0] = 0D AS INT)")
+
+  /** 1 iff the stored `rmse` recomputes from the `(fit, data)` payload:
+    * sqrt of the mean squared residual, accumulated in series order —
+    * the same left-to-right summation [[Dbest.generalization]] performs,
+    * so agreement is ~1 ulp and 1e-9 is deterministic.
+    */
+  val rmseRecomputes: Column = expr(
+    """CAST(abs(rmse - sqrt(
+      aggregate(zip_with(fit, data, (f, y) -> (f - y) * (f - y)), 0D,
+        (acc, v) -> acc + v) / size(fit))) <= 1e-9 AS INT)""")
+
+  /** 1 iff the stored `mad` recomputes from `(fit, data)`: the median
+    * absolute residual, even-length median as the mean of the two
+    * middles (Dbest.scala:272-275).
+    */
+  val madRecomputes: Column = expr(
+    """CAST(abs(mad - (CASE WHEN size(fit) % 2 = 1
+      THEN array_sort(zip_with(fit, data, (f, y) -> abs(f - y)))[size(fit) div 2]
+      ELSE (array_sort(zip_with(fit, data, (f, y) -> abs(f - y)))[size(fit) div 2 - 1]
+          + array_sort(zip_with(fit, data, (f, y) -> abs(f - y)))[size(fit) div 2]) / 2
+      END)) <= 1e-12 AS INT)""")
+
+  /** 1 iff the generalized fit is piecewise-linear with at most
+    * `segment_no` pieces: interior points where the second difference
+    * is non-zero are the interior vertices, and a `segment_no`-piece
+    * polyline has at most `segment_no - 1` of them.
+    */
+  val curvatureBreaksBounded: Column = expr(
+    """CAST(CASE WHEN size(fit) < 3 THEN 0
+      ELSE aggregate(sequence(1, size(fit) - 2), 0,
+        (acc, i) -> acc + CASE WHEN
+          abs(fit[i + 1] - 2 * fit[i] + fit[i - 1]) > 1e-6
+          THEN 1 ELSE 0 END) END <= segment_no - 1 AS INT)""")
 }

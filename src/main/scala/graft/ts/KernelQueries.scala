@@ -321,6 +321,42 @@ object KernelQueries extends QueryRegistry {
         KernelIdentities.flocalZeroAnchor.as("flocal_zero_anchor"))
   }
 
+  // K4 fit identity, ORACLE-CHECKED: closes the remaining rows-only
+  // surface of the generalization payload (r7 verdict task 7). The
+  // stored RMSE and MAD must RECOMPUTE from the (fit, data) arrays the
+  // same payload carries (Dbest.scala:261-275 — sqrt-mean-square and
+  // median-absolute residual in series order), and the fit must be
+  // genuinely piecewise-linear with at most segment_no pieces (≤
+  // segment_no - 1 interior curvature breaks). All three hold to ~1 ulp
+  // by construction, so the 1e-9/1e-12/1e-6 gates are deterministically
+  // 1 and any fit/stats regression flips them; n_points is the real
+  // cross-engine check (DuckDB independently counts each eligible
+  // series' buckets and the fit array must be exactly that long).
+  q("k4_fit_identity",
+    """WITH comp AS (
+      |  SELECT CAST(user_id AS BIGINT) AS user_id,
+      |         CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS bucket
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id, CAST(count(*) AS INT) AS n_points,
+      |       CAST(1 AS INT) AS rmse_recomputes,
+      |       CAST(1 AS INT) AS mad_recomputes,
+      |       CAST(1 AS INT) AS curvature_breaks_bounded
+      |FROM comp GROUP BY user_id HAVING count(*) >= 6""") { (s, d) =>
+    val obs = TrendPipeline.eventsAsObservations(s, d)
+    TrendPipeline.dbestGeneralization(s, obs,
+      TrendPipeline.DbestPipelineParams(
+        startDate = "2024-01-01", endDate = "2026-01-01",
+        threshold = -1e18,
+        kernel = Dbest.Params(seasonality = 4)),
+      composite = TrendPipeline.timeBucketComposite(_, 21600))
+      .select(col("longitude").cast("long").as("user_id"),
+        size(col("fit")).cast("int").as("n_points"),
+        KernelIdentities.rmseRecomputes.as("rmse_recomputes"),
+        KernelIdentities.madRecomputes.as("mad_recomputes"),
+        KernelIdentities.curvatureBreaksBounded
+          .as("curvature_breaks_bounded"))
+  }
+
   // K4: DBEST generalization — stats plus the reference's three plotted
   // series (fit / data / f_local "trend local change", decode slot 8 at
   // `calculations/dbest.py:385-394`), JSON-serialized for the driver's

@@ -189,6 +189,27 @@ class TrendPipelineSpec extends AnyFunSuite {
     assert(flags(payload(fit, Seq(1.0, 2.0, 2.0, -1.0, -1.0)))._4 == 0)
     // seasonal-identity twin (k5): an aperiodic seasonal breaks the
     // bit-exact phase repetition the entry asserts
+    // k4 fit-identity triple: rmse/mad recompute from (fit, data) and
+    // the curvature-break count respects segment_no
+    def genPayload(rmseV: Double, madV: Double, segNo: Int,
+        fitV: Seq[Double] = Seq(0.0, 1.0, 2.0, 1.0)) =
+      Seq((fitV, Seq(0.0, 1.0, 2.0, 2.0), rmseV, madV, segNo))
+        .toDF("fit", "data", "rmse", "mad", "segment_no")
+    def genFlags(df: org.apache.spark.sql.DataFrame): (Int, Int, Int) = {
+      val r = df.select(
+        KernelIdentities.rmseRecomputes,
+        KernelIdentities.madRecomputes,
+        KernelIdentities.curvatureBreaksBounded).head()
+      (r.getInt(0), r.getInt(1), r.getInt(2))
+    }
+    // residuals (0,0,0,-1): rmse = sqrt(1/4) = 0.5, mad = 0 (even
+    // median of sorted [0,0,0,1] middles (0+0)/2); one curvature break
+    // at i=2 needs segment_no >= 2
+    assert(genFlags(genPayload(0.5, 0.0, 2)) == ((1, 1, 1)))
+    assert(genFlags(genPayload(0.6, 0.0, 2))._1 == 0) // wrong rmse
+    assert(genFlags(genPayload(0.5, 0.1, 2))._2 == 0) // wrong mad
+    // claim one segment: the break at i=2 exceeds the 0 allowed
+    assert(genFlags(genPayload(0.5, 0.0, 1))._3 == 0)
     val per = Seq(1.0, -1.0, 1.0, -1.0, 1.0, -1.0)
     val aper = Seq(1.0, -1.0, 1.0, -1.0, 1.0, -0.5)
     def periodic(s: Seq[Double]): Boolean = {
