@@ -54,7 +54,10 @@ object Plans {
     "rng_spatial_join" -> "2-D spatial join (r7): boxes explode to grid cells, points own ONE cell — equi join on the composite cell key with residual containment; no BroadcastNestedLoopJoin",
     "dq_constraints" -> "DQ constraint audit (r7): five rules in ONE wide aggregate over a single scan (conditional sums map-combined) + stack unpivot — never five passes",
     "la_attribution" -> "multi-touch attribution (r7): purchases x 7-day click windows as a HASH join (user equi key, time residual) — the equi key keeps the planner off BNLJ; struct-min/max picks ride the same aggregation",
-    "g_triangles" -> "triangle count via per-edge out-neighborhood intersection (r7): the broadcast neighbor-array table makes the count pass map-local — no wedge materialization (9.8s -> 3.4s at sf0.1); orientation caps arrays at O(sqrt m)")
+    "g_triangles" -> "triangle count via per-edge out-neighborhood intersection (r7): the broadcast neighbor-array table makes the count pass map-local — no wedge materialization (9.8s -> 3.4s at sf0.1); orientation caps arrays at O(sqrt m)",
+    "t_vocab_growth" -> "Heaps'-law curve (r8): bucket assignment map-local off a 1-row max-id broadcast; both bucket tables derive from ONE (tok,bucket) partial-count aggregate — exchange reuse (ReusedExchange) gives a single corpus scan + single token exchange, regroups run on the vocab-sized table; cumulative sums are a bounded fold over the sorted collected ≤20-row list — no unpartitioned WindowExec",
+    "t_zipf_slope" -> "Zipf fit (r8): vocab count is the one token-keyed exchange, top-100 via TakeOrderedAndProject, ranks from the single-row sorted-collect over the O(k) slice, regression aggregates 100 rows — no global sort, no unpartitioned window",
+    "t_mix_epochs" -> "epoch-aware mixing (r8): map-ONLY — integer-exact md5 remainder threshold + sequence explode; zero exchanges, output bounded by Σ epochs(doc)")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

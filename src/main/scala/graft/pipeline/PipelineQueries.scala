@@ -1109,6 +1109,52 @@ object PipelineQueries extends QueryRegistry {
     Similarity.labelCentroids(embs(s, d))
   }
 
+  // Inter-slice semantic affinity: pairwise cosine between label
+  // centroids — the slice-overlap audit matrix. The corpus reduces to
+  // the labels×dims centroid table first, so the pair join is bounded
+  // at labels² at any corpus size; folds run over ROUNDED centroids in
+  // identical left-to-right order on both engines.
+  q("sim_centroid_affinity",
+    """WITH cent AS (
+      |  SELECT label, i AS dim, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS c
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+      |  GROUP BY label, i),
+      |vecs AS (SELECT label, list(c ORDER BY dim) AS v FROM cent GROUP BY label)
+      |SELECT a.label AS label_a, b.label AS label_b,
+      |  round(
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(range(1, len(a.v) + 1), i ->
+      |        a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)])), (x, y) -> x + y)
+      |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |         list_transform(range(1, len(a.v) + 1), i ->
+      |           a.v[CAST(i AS INT)] * a.v[CAST(i AS INT)])), (x, y) -> x + y))
+      |     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |         list_transform(range(1, len(b.v) + 1), i ->
+      |           b.v[CAST(i AS INT)] * b.v[CAST(i AS INT)])), (x, y) -> x + y))),
+      |    6) AS cosine
+      |FROM vecs a JOIN vecs b ON a.label < b.label""") { (s, d) =>
+    Similarity.centroidAffinity(embs(s, d))
+  }
+
+  // Embedding norm audit: integer-grid L2 norms + outlier flags vs
+  // 1.5×/0.5× the corpus median — broken-encoder detection before
+  // indexing. Flag comparisons are pure integer arithmetic (no float
+  // knife-edge); the median's state is bounded by the norm grid.
+  q("sim_norm_audit",
+    """WITH n AS (
+      |  SELECT vec_id, label,
+      |    CAST(floor(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+      |      (a, x) -> a + x)) * 10000 + 0.5) AS BIGINT) AS norm_u
+      |  FROM embeddings),
+      |m AS (SELECT CAST(2 * median(norm_u) AS BIGINT) AS med2 FROM n)
+      |SELECT CAST(vec_id AS BIGINT) AS vec_id, label, norm_u,
+      |       CAST(norm_u * 4 > med2 * 3 AS INT) AS outlier_hi,
+      |       CAST(norm_u * 4 < med2 AS INT) AS outlier_lo
+      |FROM n, m""") { (s, d) =>
+    Similarity.normAudit(embs(s, d))
+  }
+
   /** Lloyd's k-means replayed in DuckDB: hash-sampled init (identical
     * to the IVF oracle), then each unrolled iteration = argmin
     * assignment (sequential squared-L2 fold, ties to the lower cell) +
@@ -1696,6 +1742,72 @@ object PipelineQueries extends QueryRegistry {
       |       CAST(sum(s) // count(*) AS BIGINT) AS lm_u
       |FROM scored GROUP BY 1""") { (s, d) =>
     TextAnalysis.bigramLm(docs(s, d))
+  }
+
+  // Vocabulary-growth (Heaps'-law) curve: cumulative distinct types vs
+  // cumulative tokens at 20 doc_id-order checkpoints — the corpus-size
+  // planning curve. The oracle's window cumsum is replayed engine-side
+  // as the bounded fold over the ≤20-row bucket table (no unpartitioned
+  // window); "first appearance" is a map-combined min(bucket) per token.
+  q("t_vocab_growth",
+    """WITH mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+      |tb AS (SELECT CAST((doc_id * 20) // m AS INT) AS bucket,
+      |              unnest(string_split(text, ' ')) AS tok
+      |       FROM documents, mx),
+      |cnt AS (SELECT bucket, count(*) AS n_tokens FROM tb GROUP BY bucket),
+      |firsts AS (SELECT tok, min(bucket) AS bucket FROM tb GROUP BY tok),
+      |newb AS (SELECT bucket, count(*) AS new_types FROM firsts GROUP BY bucket)
+      |SELECT cnt.bucket,
+      |       CAST(sum(cnt.n_tokens) OVER (ORDER BY cnt.bucket) AS BIGINT)
+      |         AS cum_tokens,
+      |       CAST(sum(coalesce(newb.new_types, 0)) OVER (ORDER BY cnt.bucket)
+      |         AS BIGINT) AS cum_vocab
+      |FROM cnt LEFT JOIN newb ON newb.bucket = cnt.bucket""") { (s, d) =>
+    TextAnalysis.vocabGrowth(docs(s, d), buckets = 20)
+  }
+
+  // Zipf rank–frequency fit over the top-100 vocabulary: one-row corpus
+  // health stat (natural text slopes ≈ −1; templated corpora bend it).
+  // regr_* on ln() doubles is oracle-safe at round(.,6): k=100 points
+  // with counts ≥ 1, so the fit sits ~9 orders above 1-ulp ln drift.
+  q("t_zipf_slope",
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+      |              FROM documents),
+      |vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      |top AS (SELECT tok, c FROM vocab ORDER BY c DESC, tok LIMIT 100),
+      |ranked AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rank
+      |           FROM top)
+      |SELECT round(regr_slope(ln(c), ln(rank)), 6) AS zipf_slope,
+      |       round(regr_intercept(ln(c), ln(rank)), 6) AS zipf_icept,
+      |       CAST(count(*) AS BIGINT) AS n_ranks
+      |FROM ranked""") { (s, d) =>
+    TextAnalysis.zipfSlope(docs(s, d), k = 100)
+  }
+
+  // Epoch-aware dataset mixing: each source's documents replicate to a
+  // target epoch count (src%4 → 0.4/1.0/1.7/2.5 epochs), the fractional
+  // remainder resolved per doc by integer-exact md5 thresholding — the
+  // pre-training mix step after quality binning. Map-only, no shuffle.
+  q("t_mix_epochs",
+    """WITH w AS (SELECT doc_id, source,
+      |  CASE CAST(substr(source, 4) AS INT) % 4
+      |    WHEN 0 THEN 4 WHEN 1 THEN 10 WHEN 2 THEN 17 ELSE 25 END AS wt,
+      |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+      |    AS UBIGINT) AS u48
+      |  FROM documents),
+      |c AS (SELECT doc_id, source,
+      |  wt // 10 + CASE WHEN CAST(u48 AS HUGEINT) * 10 <
+      |    CAST(wt % 10 AS HUGEINT) * 281474976710656 THEN 1 ELSE 0 END
+      |    AS n_copies
+      |  FROM w)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+      |       CAST(n_copies AS INT) AS n_copies,
+      |       CAST(unnest(generate_series(1, n_copies)) AS INT) AS copy
+      |FROM c WHERE n_copies >= 1""") { (s, d) =>
+    Sampling.epochMix(docs(s, d), "doc_id",
+      "CASE CAST(substring(source, 4) AS INT) % 4 " +
+        "WHEN 0 THEN 4 WHEN 1 THEN 10 WHEN 2 THEN 17 ELSE 25 END")
+      .select(col("doc_id"), col("source"), col("n_copies"), col("copy"))
   }
 
   // Per-source unigram Shannon entropy (token-distribution diversity —

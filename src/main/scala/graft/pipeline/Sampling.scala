@@ -108,6 +108,34 @@ object Sampling {
       .filter(col("rk") <= col("quota"))
   }
 
+  /** Epoch-aware dataset mixing: replicate each document to its
+    * source's target epoch count — the standard pre-training recipe
+    * step where a high-value source runs >1 epoch (e.g. 2.5×) and a
+    * low-value one is downsampled (<1×). Integer copies are exact;
+    * the fractional remainder is resolved per document by comparing a
+    * 48-bit md5 draw against the remainder in TENTHS via pure integer
+    * arithmetic (u48·10 < tenths·2^48) — no float thresholds, so the
+    * keep/drop decision is a bit-exact pure function of the ids on
+    * any engine or cluster layout.
+    *
+    * `weightTenthsSql` must be a SQL expression yielding the target
+    * epochs ×10 as an integer (e.g. 25 = 2.5 epochs). Scale shape:
+    * entirely map-local — no shuffle, no state; output size is
+    * Σ epochs(doc) rows by construction.
+    */
+  def epochMix(df: DataFrame, idCol: String,
+      weightTenthsSql: String): DataFrame = {
+    val u48 = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    df.withColumn("wt", expr(weightTenthsSql).cast("int"))
+      .withColumn("u48", u48)
+      .withColumn("n_copies",
+        expr("CAST(wt div 10 + CASE WHEN u48 * 10 < (wt % 10) * 281474976710656 THEN 1 ELSE 0 END AS INT)"))
+      .filter(col("n_copies") >= 1)
+      .withColumn("copy", explode(sequence(lit(1), col("n_copies"))))
+      .drop("wt", "u48")
+  }
+
   /** Token-budget corpus selection: rank documents by a quality key
     * and keep the prefix whose running token total stays within
     * `budget` — "the best N billion tokens" selection step between

@@ -410,6 +410,57 @@ object Similarity {
       .agg(round(avg(col("v").cast("double")), 6).as("centroid"),
         count(lit(1)).as("n_vecs"))
 
+  /** Inter-slice semantic affinity: pairwise cosine between label
+    * centroids — the dataset-audit matrix answering "which data slices
+    * overlap semantically?" (near-1 pairs are merge/contamination
+    * candidates; near-0 pairs are genuinely distinct domains).
+    *
+    * Scale shape: the corpus reduces to the labels×dims centroid table
+    * ([[labelCentroids]] — one (label, dim) exchange of map-combined
+    * partial avgs); everything after operates on ≤ labels rows, so the
+    * pair join is bounded at labels² regardless of corpus size. The
+    * dot/norm folds run left-to-right over ROUNDED centroid values on
+    * both engines, so the rounded cosine is engine-exact.
+    */
+  def centroidAffinity(embeddings: DataFrame): DataFrame = {
+    val byLabel = labelCentroids(embeddings)
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("centroid"))))
+        .as("cs"))
+      .select(col("label"), expr("transform(cs, x -> x.centroid)").as("c"))
+    val a = byLabel.select(col("label").as("label_a"), col("c").as("ca"))
+    val b = byLabel.select(col("label").as("label_b"), col("c").as("cb"))
+    a.join(b, col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        round(expr(
+          """aggregate(zip_with(ca, cb, (x, y) -> x * y), 0D, (a, v) -> a + v)
+             / (sqrt(aggregate(ca, 0D, (a, v) -> a + v * v))
+                * sqrt(aggregate(cb, 0D, (a, v) -> a + v * v)))"""), 6)
+          .as("cosine"))
+  }
+
+  /** Embedding norm audit: per-vector L2 norm on the ×10⁴ integer grid
+    * plus an outlier flag against 1.5× the corpus median — catches
+    * broken encoders (zero vectors, exploding norms) before vectors
+    * enter an index. All comparisons are pure integer arithmetic
+    * (norm_u·4 > 3·(2·median) with 2·median exact by interpolation), so
+    * the flag has no float knife-edge anywhere. The median aggregates
+    * the integer grid — bounded state for unit-ish-norm embeddings —
+    * and broadcasts back as one row; the norm pass is map-only.
+    */
+  def normAudit(embeddings: DataFrame): DataFrame = {
+    val normed = embeddings.select(col("vec_id"), col("label"),
+      expr("""CAST(floor(sqrt(aggregate(embedding, 0D,
+           (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+           * 10000 + 0.5) AS BIGINT)""").as("norm_u"))
+    val med = normed.agg(
+      expr("CAST(2 * percentile(norm_u, 0.5D) AS BIGINT)").as("med2"))
+    normed.crossJoin(broadcast(med))
+      .select(col("vec_id"), col("label"), col("norm_u"),
+        (col("norm_u") * 4 > col("med2") * 3).cast("int").as("outlier_hi"),
+        (col("norm_u") * 4 < col("med2")).cast("int").as("outlier_lo"))
+  }
+
   /** Lloyd's k-means over the embedding corpus — the cluster layout
     * behind SemDeDup-style curation (dedup within topic cells),
     * IVF list assignment, and domain bucketing. Fully deterministic so

@@ -249,6 +249,70 @@ object TextAnalysis {
     docs.select(explode(tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
 
+  /** Vocabulary-growth (Heaps'-law) curve: cumulative distinct-type
+    * count vs cumulative token count, sampled at `buckets` checkpoints
+    * over the deterministic doc_id order — the dataset-size planning
+    * curve (does doubling the corpus still buy new vocabulary?).
+    *
+    * Scale shape: bucket assignment is map-local integer math off a
+    * 1-row max-id broadcast; "first appearance" is a min(bucket) per
+    * token (map-side combined — the token stream shuffles once, as
+    * 8-byte-ish (tok, bucket) partials); both per-bucket tables are
+    * ≤ `buckets` rows, and the cumulative sums run as a bounded fold
+    * over the sorted collected bucket list — no unpartitioned window,
+    * no second pass over the corpus.
+    */
+  def vocabGrowth(docs: DataFrame, buckets: Int = 20): DataFrame = {
+    val maxId = docs.agg((max(col("doc_id")) + 1).as("m"))
+    val tb = docs.crossJoin(broadcast(maxId))
+      .select(expr(s"CAST((doc_id * $buckets) div m AS INT)").as("bucket"),
+        explode(tokens(col("text"))).as("tok"))
+    // ONE pass over the token stream: both bucket tables derive from the
+    // same (tok, bucket) partial-count aggregate, so Spark's exchange
+    // reuse plans a single corpus scan + single token-keyed exchange
+    // (ReusedExchange on the second branch — PLANS.md) and the regroups
+    // operate on the vocab×buckets-sized table, not the token stream.
+    val tokBucket = tb.groupBy("tok", "bucket").agg(count(lit(1)).as("c"))
+    val counts = tokBucket.groupBy("bucket").agg(sum("c").as("n_tokens"))
+    val news = tokBucket.groupBy("tok").agg(min("bucket").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_types"))
+    counts.join(news, Seq("bucket"), "left")
+      .na.fill(0L, Seq("new_types"))
+      // prefix sums over the ≤ buckets-row frame: sorted collect + fold
+      .agg(sort_array(collect_list(
+        struct(col("bucket"), col("n_tokens"), col("new_types")))).as("rows"))
+      .select(explode(expr(
+        """zip_with(rows, sequence(1, size(rows)), (r, i) -> struct(
+             r.bucket AS bucket,
+             aggregate(slice(rows, 1, i), CAST(0 AS BIGINT),
+               (a, x) -> a + x.n_tokens) AS cum_tokens,
+             aggregate(slice(rows, 1, i), CAST(0 AS BIGINT),
+               (a, x) -> a + x.new_types) AS cum_vocab))""")).as("r"))
+      .select(col("r.bucket").as("bucket"),
+        col("r.cum_tokens").as("cum_tokens"),
+        col("r.cum_vocab").as("cum_vocab"))
+  }
+
+  /** Zipf rank–frequency fit: OLS slope/intercept of ln(count) on
+    * ln(rank) over the top-k vocabulary — the one-row corpus health
+    * stat (natural text ≈ −1; templated/synthetic corpora bend it).
+    * The vocab count is the one token-keyed exchange; top-k runs as
+    * TakeOrderedAndProject; ranks come from the single-row
+    * sorted-collect over the O(k) slice (the RBO/hybrid-search idiom,
+    * no unpartitioned window); the regression aggregates k rows.
+    */
+  def zipfSlope(docs: DataFrame, k: Int = 100): DataFrame =
+    unigramCounts(docs)
+      .orderBy(col("c").desc, col("tok"))
+      .limit(k)
+      .agg(sort_array(collect_list(
+        struct((col("c") * -1).as("negc"), col("tok"), col("c")))).as("rows"))
+      .select(posexplode(col("rows")).as(Seq("i", "r")))
+      .select((col("i") + 1).cast("long").as("rank"), col("r.c").as("c"))
+      .agg(round(regr_slope(log(col("c")), log(col("rank"))), 6).as("zipf_slope"),
+        round(regr_intercept(log(col("c")), log(col("rank"))), 6).as("zipf_icept"),
+        count(lit(1)).as("n_ranks"))
+
   /** Tokenize-to-ids: map every token to its frequency-ranked vocab id
     * (1 = most frequent; ties broken by token text so the ranking is a
     * pure function of the corpus) and emit the id sequence per doc —

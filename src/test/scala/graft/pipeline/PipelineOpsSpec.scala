@@ -1165,4 +1165,96 @@ class PipelineOpsSpec extends AnyFunSuite {
     // maximality: the next-ranked doc would blow the budget
     assert(naive.length < 200)
   }
+
+  test("centroidAffinity: identical slices cosine 1, orthogonal 0") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 1), // label 1 ≡ label 0
+      (3L, Seq(0.0f, 2.0f, 0.0f, 0.0f), 2)  // orthogonal
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidAffinity(df).collect()
+      .map(r => (r.getAs[Int]("label_a"), r.getAs[Int]("label_b"),
+        r.getAs[Double]("cosine"))).sortBy(p => (p._1, p._2))
+    assert(got.toSeq == Seq((0, 1, 1.0), (0, 2, 0.0), (1, 2, 0.0)))
+  }
+
+  test("normAudit: planted outliers flip exactly the right flags") {
+    import spark.implicits._
+    val unit = Seq(1.0f, 0.0f, 0.0f)
+    val rows = (1L to 8L).map(i => (i, unit, 0)) ++ Seq(
+      (9L, Seq(10.0f, 0.0f, 0.0f), 0),  // 10× median -> hi
+      (10L, Seq(0.1f, 0.0f, 0.0f), 0))  // 0.1× median -> lo
+    val got = Similarity.normAudit(rows.toDF("vec_id", "embedding", "label"))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("norm_u"), r.getAs[Int]("outlier_hi"),
+          r.getAs[Int]("outlier_lo")))).toMap
+    assert(got(1L) == ((10000L, 0, 0)))
+    assert(got(9L) == ((100000L, 1, 0)))
+    assert(got(10L) == ((1000L, 0, 1)))
+    // exactly one hi and one lo across the corpus
+    assert(got.values.map(_._2).sum == 1 && got.values.map(_._3).sum == 1)
+  }
+
+  test("vocabGrowth: hand curve; one shared exchange (AQE stage reuse)") {
+    val df = docsDf(
+      (0L, "a b"), (1L, "a c"), (2L, "a d"), (3L, "e e"))
+    // m = max+1 = 4, buckets = 2: ids 0,1 -> bucket 0; ids 2,3 -> bucket 1
+    val out = TextAnalysis.vocabGrowth(df, buckets = 2)
+    val rows = out.collect()
+      .map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("cum_tokens"),
+        r.getAs[Long]("cum_vocab"))).sortBy(_._1)
+    // bucket0 tokens a,b,a,c: 4 tokens, first-sights {a,b,c};
+    // bucket1 tokens a,d,e,e: +4 tokens, first-sights {d,e}
+    assert(rows.toSeq == Seq((0, 4L, 3L), (1, 8L, 5L)))
+    // both bucket tables must come from ONE (tok,bucket) aggregate:
+    // AQE reuses the materialized shuffle stage on the second branch
+    assert(out.queryExecution.executedPlan.toString.contains("Reused"),
+      "expected AQE stage reuse of the shared (tok, bucket) exchange")
+  }
+
+  test("zipfSlope: near -1 on a 1/r corpus, exact rank count") {
+    import spark.implicits._
+    // token t_r appears round(600/r) times: ln(c) vs ln(rank) slope ~ -1
+    val toks = (1 to 12).flatMap(r => Seq.fill(math.round(600.0 / r).toInt)(s"t$r"))
+    val df = toks.grouped(25).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.zipfSlope(df, k = 12).collect()(0)
+    val slope = r.getAs[Double]("zipf_slope")
+    assert(r.getAs[Long]("n_ranks") == 12L)
+    assert(slope > -1.05 && slope < -0.95, s"slope $slope not ~ -1")
+  }
+
+  test("epochMix: integer copies exact, remainder bounded, deterministic") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i, s"src${i % 8}"))
+      .toDF("doc_id", "source")
+    val wtSql = "CASE CAST(substring(source, 4) AS INT) % 4 " +
+      "WHEN 0 THEN 4 WHEN 1 THEN 10 WHEN 2 THEN 17 ELSE 25 END"
+    val out = Sampling.epochMix(df, "doc_id", wtSql)
+      .select("doc_id", "source", "n_copies", "copy").collect()
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    // copies enumerate 1..n_copies exactly once
+    byDoc.foreach { case (_, rs) =>
+      val n = rs.head.getAs[Int]("n_copies")
+      assert(rs.map(_.getAs[Int]("copy")).sorted.toSeq == (1 to n))
+    }
+    // per-weight copy counts: floor(w) or floor(w)+1; wt=10 exactly 1
+    def copies(srcMod: Int): Seq[Int] =
+      out.filter(r => r.getAs[String]("source").drop(3).toInt % 4 == srcMod)
+        .groupBy(_.getAs[Long]("doc_id")).values
+        .map(_.head.getAs[Int]("n_copies")).toSeq
+    assert(copies(1).forall(_ == 1)) // 1.0 epochs
+    assert(copies(0).forall(n => n == 1)) // 0.4 epochs: survivors have 1
+    assert(copies(2).forall(n => n == 1 || n == 2)) // 1.7 epochs
+    assert(copies(3).forall(n => n == 2 || n == 3)) // 2.5 epochs
+    // 0.4-epoch sources DOWN-sample: some docs drop entirely
+    val src0Docs = (1L to 400L).filter(i => i % 8 % 4 == 0)
+    assert(copies(0).length < src0Docs.length)
+    // pure function of the ids: a second run is identical
+    val again = Sampling.epochMix(df, "doc_id", wtSql)
+      .select("doc_id", "source", "n_copies", "copy").collect()
+    assert(out.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
 }
