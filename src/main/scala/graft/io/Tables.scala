@@ -53,7 +53,32 @@ object Tables {
       }
       val raw = spark.read.parquet(path(dir, name))
       normalizeEvents(raw)
+    } else if (name == "documents" || name == "embeddings") {
+      normalizeIds(spark.read.parquet(path(dir, name)), name)
     } else spark.read.parquet(path(dir, name))
+  }
+
+  /** Canonical column types for the corpus tables, applied as LOSSLESS
+    * widenings when the observed parquet type differs (an int32 id, a
+    * double[] embedding) — the same drift-insurance contract
+    * [[normalizeEvents]] established after the events.ts type change
+    * broke ~77 queries: an upstream writer switching integer width or
+    * float precision must not take the engine down. Casts that match
+    * the observed type are identity and Catalyst elides them; every
+    * cast here is map-only and codegen-friendly.
+    */
+  def normalizeIds(raw: DataFrame, name: String): DataFrame = name match {
+    case "documents" =>
+      raw.select(col("doc_id").cast("bigint").as("doc_id"),
+        col("text").cast("string").as("text"),
+        col("lang").cast("string").as("lang"),
+        col("source").cast("string").as("source"),
+        col("n_chars").cast("bigint").as("n_chars"))
+    case "embeddings" =>
+      raw.select(col("vec_id").cast("bigint").as("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"),
+        col("label").cast("int").as("label"))
+    case other => raw
   }
 
   /** Normalize an events(-schema) frame to the `(ts: timestamp, ts_ns:

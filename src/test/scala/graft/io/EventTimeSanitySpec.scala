@@ -91,6 +91,52 @@ class EventTimeSanitySpec extends AnyFunSuite {
     assertSaneRange(st.getTimestamp(0), st.getTimestamp(1), "eventStream[nanos]")
   }
 
+  test("documents/embeddings loaders widen drifted integer/float types") {
+    // the next drift class after events.ts: an upstream writer switching
+    // id width (int32) or embedding precision (double[]) must normalize
+    // to the canonical schema instead of breaking 100+ corpus queries
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toFile
+    dir.deleteOnExit()
+    Seq((1, "a b", "en", "src1", 3), (2, "c d", "en", "src2", 3))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .selectExpr("CAST(doc_id AS INT) doc_id", "text", "lang", "source",
+        "CAST(n_chars AS INT) n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq((1, Seq(1.0, 2.0), 0), (2, Seq(3.0, 4.0), 1))
+      .toDF("vec_id", "embedding", "label")
+      .selectExpr("CAST(vec_id AS INT) vec_id",
+        "CAST(embedding AS ARRAY<DOUBLE>) embedding",
+        "CAST(label AS SMALLINT) label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val docs = Tables.load(spark, dir.toString, "documents")
+    assert(docs.schema("doc_id").dataType == LongType)
+    assert(docs.schema("n_chars").dataType == LongType)
+    val embs = Tables.load(spark, dir.toString, "embeddings")
+    assert(embs.schema("vec_id").dataType == LongType)
+    assert(embs.schema("label").dataType == IntegerType)
+    assert(embs.schema("embedding").dataType == ArrayType(FloatType))
+    // a representative corpus op still runs end-to-end on drifted input
+    assert(graft.dedup.Dedup.exactDedup(docs).count() == 2)
+    assert(graft.sim.Similarity.normAudit(embs).count() == 2)
+  }
+
+  test("column pruning pushes through the normalize Project") {
+    // the canonicalizing casts must not block scan-level pruning: a
+    // 2-column projection over the 5-column documents table reads 2
+    val df = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "source")
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.requiredSchema.fieldNames.toSet
+      == Set("doc_id", "source")),
+      scans.map(_.requiredSchema.fieldNames.mkString(",")).mkString(" | "))
+  }
+
   test("eventStream refuses a layout that decodes outside the epoch window") {
     // millis-since-epoch longs: the nanos decode lands them in 1970,
     // which the construction-time probe must reject loudly
