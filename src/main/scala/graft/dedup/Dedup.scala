@@ -363,6 +363,47 @@ object Dedup {
     verifyPairsNgram(cands, sets, minJaccard)
   }
 
+  /** Exact n-gram CONTAINMENT pairs: C(sub→super) = |sub ∩ super| /
+    * |sub| ≥ t — the ASYMMETRIC near-dup relation symmetric Jaccard
+    * misses (a tweet quoted inside an article scores J ≈ 0 but
+    * C = 1.0): the quote-inclusion / partial-plagiarism detector of a
+    * curation pipeline.
+    *
+    * Prefix filter for containment (AllPairs adapted): if C ≥ t, the
+    * first `n_sub - floor(t·n_sub) + 1` grams of the SUB side (global
+    * hash order) must hit the super side's full set, so only the sub
+    * prefix explodes; verification is exact on the full gram sets.
+    * Unlike Jaccard there is no length-ratio cap — the super side
+    * legitimately dwarfs the sub — so the super side joins its FULL
+    * posting lists: at corpus scale a hot shingle's posting list is
+    * the skew hazard, and production runs cap gram doc-frequency on
+    * the JOIN (bounded recall loss, standard trade); the oracle-checked
+    * entry runs uncapped so the SQL replay is exact.
+    */
+  def ngramContainmentPairs(docs: DataFrame, n: Int = 3,
+      minContainment: Double = 0.9): DataFrame = {
+    val sets = gramSets(docs, n, "text", "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefixLen = (col("n_grams") -
+      floor(col("n_grams") * lit(minContainment)) + 1).cast("int")
+    val sub = sets.select(col("doc_id").as("doc_sub"),
+      explode(slice(col("grams"), lit(1), prefixLen)).as("g"))
+    val sup = sets.select(col("doc_id").as("doc_super"),
+      explode(col("grams")).as("g"))
+    val cands = sub.join(sup, Seq("g"))
+      .filter(col("doc_sub") =!= col("doc_super"))
+      .select("doc_sub", "doc_super").distinct()
+    cands
+      .join(sets.select(col("doc_id").as("doc_sub"), col("grams").as("gs"),
+        col("n_grams").as("n_sub")), "doc_sub")
+      .join(sets.select(col("doc_id").as("doc_super"),
+        col("grams").as("gp")), "doc_super")
+      .withColumn("containment",
+        round(size(array_intersect(col("gs"), col("gp"))) / col("n_sub"), 4))
+      .filter(col("containment") >= minContainment)
+      .select("doc_sub", "doc_super", "containment")
+  }
+
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
     * precomputed gram sets. Used by [[ngramJaccardPairs]] and by
     * pipelines that need LSH candidates re-verified exactly before

@@ -739,6 +739,27 @@ object PipelineQueries extends QueryRegistry {
     Dedup.ngramJaccardPairs(docs(s, d), n = 3, minJaccard = 0.8)
   }
 
+  // Asymmetric n-gram containment (|sub ∩ super| / |sub| ≥ 0.9): the
+  // quote-inclusion / partial-plagiarism relation symmetric Jaccard
+  // misses. Sub-side prefix filter only (no length-ratio cap — the
+  // super side legitimately dwarfs the sub); exact verification.
+  q("dd_ngram_containment",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |grams AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS g
+      |          FROM toks, unnest(generate_series(1, greatest(len(l) - 2, 1))) AS t(i)),
+      |cnt AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_sub, b.doc_id AS doc_super,
+      |                 count(*) AS n_inter
+      |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id <> b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT CAST(doc_sub AS BIGINT) AS doc_sub,
+      |       CAST(doc_super AS BIGINT) AS doc_super,
+      |       round(n_inter / c.n_grams, 4) AS containment
+      |FROM inter JOIN cnt c ON c.doc_id = doc_sub
+      |WHERE round(n_inter / c.n_grams, 4) >= 0.9""") { (s, d) =>
+    Dedup.ngramContainmentPairs(docs(s, d), n = 3, minContainment = 0.9)
+  }
+
   /** Duplicate-cluster resolution: the verified n-gram pairs (the
     * dd_ngram_jaccard CTE chain) fed through connected components, so
     * transitive chains (A~B, B~C) collapse to one canonical keeper even

@@ -782,6 +782,72 @@ object LogAnalytics extends QueryRegistry {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** RFM customer segmentation: per-user recency (days since last
+    * activity vs the corpus horizon), frequency (event count) and
+    * monetary (×10⁴ integer value sum), each scored into quintiles
+    * against corpus-level cut points — the classic marketing/activity
+    * segmentation (recency scores INVERT: most recent = 5).
+    *
+    * Determinism: all three metrics are exact integers; the quintile
+    * cut points are interpolated percentiles of integers, whose exact
+    * values are rationals with denominator 5 — `round(.,6)` therefore
+    * collapses the engines' 1-ulp interpolation-order difference while
+    * never sitting near a true rounding boundary, and the score
+    * comparisons (integer > rounded threshold) are identical on both
+    * engines. Never a global ntile(): at 10⁹ users an unpartitioned
+    * rank window collapses onto one task — cut points come from ONE
+    * single-row percentile aggregate broadcast back (the
+    * t_quality_bins pattern), scoring is a map-local array compare.
+    */
+  q("la_rfm",
+    """WITH peru AS (
+      |  SELECT user_id,
+      |         CAST(floor(epoch(max(date_trunc('day', ts)))) AS BIGINT)
+      |           AS last_day,
+      |         CAST(count(*) AS BIGINT) AS freq,
+      |         CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+      |           AS BIGINT) AS mon_u
+      |  FROM events GROUP BY user_id),
+      |mx AS (SELECT max(last_day) AS maxd FROM peru),
+      |m AS (SELECT user_id, (mx.maxd - last_day) // 86400 AS rec_days,
+      |             freq, mon_u
+      |      FROM peru, mx),
+      |c AS (SELECT
+      |  list_transform(quantile_cont(rec_days, [0.2, 0.4, 0.6, 0.8]),
+      |    x -> round(x, 6)) AS rc,
+      |  list_transform(quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]),
+      |    x -> round(x, 6)) AS fc,
+      |  list_transform(quantile_cont(mon_u, [0.2, 0.4, 0.6, 0.8]),
+      |    x -> round(x, 6)) AS mc
+      |  FROM m)
+      |SELECT CAST(user_id AS BIGINT) AS user_id,
+      |       CAST(rec_days AS BIGINT) AS rec_days, freq, mon_u,
+      |       CAST(5 - len(list_filter(rc, x -> rec_days > x)) AS INT)
+      |         AS r_score,
+      |       CAST(1 + len(list_filter(fc, x -> freq > x)) AS INT)
+      |         AS f_score,
+      |       CAST(1 + len(list_filter(mc, x -> mon_u > x)) AS INT)
+      |         AS m_score
+      |FROM m, c""") { (s, d) =>
+    val peru = events(s, d).groupBy(col("user_id")).agg(
+      unix_timestamp(max(date_trunc("day", col("ts")))).as("last_day"),
+      count(lit(1)).as("freq"),
+      expr("sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))").as("mon_u"))
+    val mx = peru.agg(max("last_day").as("maxd"))
+    val m = peru.crossJoin(broadcast(mx))
+      .select(col("user_id"), expr("(maxd - last_day) div 86400").as("rec_days"),
+        col("freq"), col("mon_u"))
+    val cuts = m.agg(
+      expr("transform(percentile(rec_days, array(0.2D, 0.4D, 0.6D, 0.8D)), x -> round(x, 6))").as("rc"),
+      expr("transform(percentile(freq, array(0.2D, 0.4D, 0.6D, 0.8D)), x -> round(x, 6))").as("fc"),
+      expr("transform(percentile(mon_u, array(0.2D, 0.4D, 0.6D, 0.8D)), x -> round(x, 6))").as("mc"))
+    m.crossJoin(broadcast(cuts))
+      .select(col("user_id"), col("rec_days"), col("freq"), col("mon_u"),
+        expr("CAST(5 - size(filter(rc, x -> rec_days > x)) AS INT)").as("r_score"),
+        expr("CAST(1 + size(filter(fc, x -> freq > x)) AS INT)").as("f_score"),
+        expr("CAST(1 + size(filter(mc, x -> mon_u > x)) AS INT)").as("m_score"))
+  }
+
   /** Data-profiling report (the ANALYZE/stats-collection op): one row
     * per column with row/null/distinct counts and min/max rendered as
     * engine-stable strings (BIGINTs and raw strings only — the double

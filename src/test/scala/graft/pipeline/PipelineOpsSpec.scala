@@ -1166,6 +1166,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(naive.length < 200)
   }
 
+  test("ngramContainmentPairs: quoted sub-doc found where Jaccard misses") {
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")
+    val article = ((1 to 50).map(i => s"a$i") ++ (1 to 12).map(i => s"q$i")
+      ++ (1 to 30).map(i => s"b$i")).mkString(" ")
+    val df = docsDf((1L, quote), (2L, article), (3L, "x y z"))
+    val got = Dedup.ngramContainmentPairs(df, n = 3, minContainment = 0.9)
+      .collect().map(r => (r.getAs[Long]("doc_sub"),
+        r.getAs[Long]("doc_super"), r.getAs[Double]("containment")))
+    // every quote trigram appears verbatim inside the article
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+    // the symmetric relation scores this pair near zero — asymmetry is
+    // the whole point
+    assert(Dedup.ngramJaccardPairs(df, n = 3, minJaccard = 0.8).count() == 0)
+  }
+
   test("centroidAffinity: identical slices cosine 1, orthogonal 0") {
     import spark.implicits._
     val df = Seq(
