@@ -34,6 +34,32 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** Dedup impact report: per-source survivorship accounting of the
+    * exact-dedup pass — documents and tokens that would be removed,
+    * with a ppm removal rate — the curation dashboard number ("which
+    * sources are mostly duplicates?") a pipeline publishes after every
+    * dedup run. Keeper attribution is GLOBAL (min doc_id per text
+    * digest), so a doc duplicated across sources counts as removed in
+    * the non-keeper's source — exactly the cross-source contamination
+    * signal. Scale: text shuffles nowhere — the digest groupBy and the
+    * join carry 8-byte xxhash64 keys; the report is sources-sized.
+    */
+  def dedupImpactReport(docs: DataFrame): DataFrame = {
+    val h = docs.select(col("doc_id"), col("source"),
+      xxhash64(col("text")).as("th"),
+      size(split(col("text"), " ")).cast("long").as("ntok"))
+    val keep = h.groupBy("th").agg(min("doc_id").as("keeper"))
+    h.join(keep, Seq("th"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L))
+          .as("n_removed"),
+        sum(col("ntok")).as("tokens_total"),
+        sum(when(col("doc_id") =!= col("keeper"), col("ntok"))
+          .otherwise(0L)).as("tokens_removed"))
+      .withColumn("removed_ppm", expr("n_removed * 1000000 div n_docs"))
+  }
+
   /** Incremental exact dedup of an incoming batch against an existing
     * corpus — the merge-on-ingest mode a production pipeline actually
     * runs (the full-corpus [[exactDedup]] re-scan is the bootstrap,

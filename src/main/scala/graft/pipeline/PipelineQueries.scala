@@ -739,6 +739,28 @@ object PipelineQueries extends QueryRegistry {
     Dedup.ngramJaccardPairs(docs(s, d), n = 3, minJaccard = 0.8)
   }
 
+  // Per-source dedup impact report: docs/tokens that exact dedup would
+  // remove, ppm rate — the post-dedup curation dashboard. Keeper is
+  // global min doc_id per text, so cross-source dups charge the
+  // non-keeper source. Digest keys only; report is sources-sized.
+  q("dd_impact_report",
+    """WITH h AS (SELECT doc_id, source, text,
+      |                  len(string_split(text, ' ')) AS ntok
+      |           FROM documents),
+      |k AS (SELECT text, min(doc_id) AS keeper FROM h GROUP BY text)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_removed,
+      |  CAST(sum(ntok) AS BIGINT) AS tokens_total,
+      |  CAST(sum(CASE WHEN doc_id <> keeper THEN ntok ELSE 0 END) AS BIGINT)
+      |    AS tokens_removed,
+      |  CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) * 1000000
+      |    // count(*) AS BIGINT) AS removed_ppm
+      |FROM h JOIN k USING (text)
+      |GROUP BY source""") { (s, d) =>
+    Dedup.dedupImpactReport(docs(s, d))
+  }
+
   // Asymmetric n-gram containment (|sub ∩ super| / |sub| ≥ 0.9): the
   // quote-inclusion / partial-plagiarism relation symmetric Jaccard
   // misses. Sub-side prefix filter only (no length-ratio cap — the

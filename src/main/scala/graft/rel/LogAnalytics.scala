@@ -1065,6 +1065,77 @@ object LogAnalytics extends QueryRegistry {
           col("e.xu").as("xu"), col("e.s").as("ewma_u"))
   }
 
+  /** Holt double-exponential smoothing (level + trend, α=β=1/4) of the
+    * per-type daily composite — the forecasting step up from the EWMA:
+    * a linear-trend series is tracked instead of lagged. State is two
+    * ×10⁴ integer micro-unit registers folded in day order:
+    * l' = (x + 3(l+b)) div 4, b' = ((l'−l) + 3b) div 4, plus the
+    * one-step-ahead forecast l+b per day. Integer `div` truncates
+    * toward zero in BOTH engines (Spark `div`, DuckDB `//` — verified
+    * on negative operands, which the trend register does hit), so the
+    * fold is bit-exact cross-engine with no float smoothing constants.
+    * Scale: same contract as ts_ewma — the corpus reaches the per-type
+    * fold only as day rows (map-combined composite first); fold state
+    * is two longs per type.
+    */
+  q("ts_holt",
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type,
+      |         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS st,
+      |         CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+      |              // count(*) AS BIGINT) AS xu,
+      |         row_number() OVER (PARTITION BY event_type
+      |           ORDER BY date_trunc('day', ts)) AS rn
+      |  FROM events GROUP BY event_type, date_trunc('day', ts)),
+      |r AS (
+      |  SELECT event_type, st, xu, rn, xu AS l, CAST(0 AS BIGINT) AS b
+      |  FROM daily WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.event_type, d.st, d.xu, d.rn,
+      |         (d.xu + 3 * (r.l + r.b)) // 4,
+      |         (((d.xu + 3 * (r.l + r.b)) // 4 - r.l) + 3 * r.b) // 4
+      |  FROM r JOIN daily d
+      |    ON d.event_type = r.event_type AND d.rn = r.rn + 1)
+      |SELECT event_type, st, xu, CAST(l AS BIGINT) AS level_u,
+      |       CAST(b AS BIGINT) AS trend_u,
+      |       CAST(l + b AS BIGINT) AS forecast_u
+      |FROM r""") { (s, d) =>
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("st"))
+      .agg(expr(
+        "sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) div count(*)")
+        .as("xu"))
+    daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("st"), col("xu"))))
+        .as("days"))
+      .select(col("event_type"), explode(expr(
+        """aggregate(
+          |  days,
+          |  CAST(named_struct('out', array(), 'l', -1L, 'b', 0L) AS
+          |    STRUCT<out: ARRAY<STRUCT<st: BIGINT, xu: BIGINT,
+          |                             l: BIGINT, b: BIGINT>>,
+          |           l: BIGINT, b: BIGINT>),
+          |  (acc, x) -> CASE WHEN size(acc.out) = 0 THEN named_struct(
+          |      'out', array(named_struct('st', x.st, 'xu', x.xu,
+          |        'l', x.xu, 'b', 0L)),
+          |      'l', x.xu, 'b', 0L)
+          |    ELSE named_struct(
+          |      'out', concat(acc.out, array(named_struct(
+          |        'st', x.st, 'xu', x.xu,
+          |        'l', (x.xu + 3 * (acc.l + acc.b)) div 4,
+          |        'b', (((x.xu + 3 * (acc.l + acc.b)) div 4 - acc.l)
+          |              + 3 * acc.b) div 4))),
+          |      'l', (x.xu + 3 * (acc.l + acc.b)) div 4,
+          |      'b', (((x.xu + 3 * (acc.l + acc.b)) div 4 - acc.l)
+          |            + 3 * acc.b) div 4) END).out
+          |""".stripMargin)).as("h"))
+      .select(col("event_type"), col("h.st").as("st"),
+        col("h.xu").as("xu"), col("h.l").as("level_u"),
+        col("h.b").as("trend_u"),
+        (col("h.l") + col("h.b")).as("forecast_u"))
+  }
+
   /** Sample autocorrelation (lags 1–5) of the per-type daily composite
     * — the seasonality/memory diagnostic run before picking kernel
     * windows (a strong lag-7 ACF says "weekly", near-zero ACF says the

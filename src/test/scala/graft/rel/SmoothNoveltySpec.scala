@@ -47,6 +47,43 @@ class SmoothNoveltySpec extends AnyFunSuite {
     assert(got == Seq((40000L, 40000L), (0L, 30000L), (80000L, 42500L)))
   }
 
+  test("ts_holt: level/trend fold exact incl. negative-trend truncation") {
+    // daily xu: 40000, 0, 80000, 3000
+    // d1: l=40000 b=0;            d2: l=30000 b=-10000 div 4 = -2500
+    // d3: l=162500 div 4 = 40625, b=(10625-7500) div 4 = 781 (781.25 truncates)
+    // d4: l=127218 div 4 = 31804 (31804.5), b=(-8821+2343) div 4 = -1619
+    //     (-1619.5 truncates toward zero — the semantics DuckDB // shares)
+    val dir = eventsDir(Seq(
+      (0L, base, 1L, "click", 4.0),
+      (1L, base + day, 1L, "click", 0.0),
+      (2L, base + 2 * day, 1L, "click", 8.0),
+      (3L, base + 3 * day, 1L, "click", 0.3)))
+    val got = run("ts_holt", dir).orderBy("st")
+      .select("xu", "level_u", "trend_u", "forecast_u").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (40000L, 40000L, 0L, 40000L),
+      (0L, 30000L, -2500L, 27500L),
+      (80000L, 40625L, 781L, 41406L),
+      (3000L, 31804L, -1619L, 30185L)))
+  }
+
+  test("dd_impact_report: cross-source dup charges the non-keeper source") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("sn_docs").toString
+    Seq((1L, "a b c", "en", "src1", 5L), (2L, "d d", "en", "src1", 3L),
+        (3L, "a b c", "en", "src2", 5L), (4L, "x", "en", "src2", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val got = run("dd_impact_report", d).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_removed"),
+          r.getAs[Long]("tokens_total"), r.getAs[Long]("tokens_removed"),
+          r.getAs[Long]("removed_ppm")))).toMap
+    assert(got("src1") == ((2L, 0L, 5L, 0L, 0L)))
+    assert(got("src2") == ((2L, 1L, 4L, 3L, 500000L)))
+  }
+
   test("ts_twa: trapezoid mean exact; zero-span and single users drop") {
     val dir = eventsDir(Seq(
       // u1: values 1,2,3 at 0/10/20s -> twa exactly 2.0 (20000u)
