@@ -188,6 +188,38 @@ object StreamQueries extends QueryRegistry {
       .option("basePath", dir)
       .parquet(dir + "/documents.[p]arquet")
 
+  /** Streaming epoch-aware dataset mixing — the streaming twin of
+    * [[graft.pipeline.Sampling.epochMix]]: entirely map-local
+    * (integer-exact md5 remainder threshold + sequence explode), so it
+    * runs STATELESS in append mode — no watermark, no state store, the
+    * replication decision is a pure function of each row. The batch
+    * oracle hash-matches because map-only transforms are invariant to
+    * micro-batch slicing.
+    */
+  q("st_epoch_mix",
+    """WITH w AS (SELECT doc_id, source,
+      |  CASE CAST(substr(source, 4) AS INT) % 4
+      |    WHEN 0 THEN 4 WHEN 1 THEN 10 WHEN 2 THEN 17 ELSE 25 END AS wt,
+      |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+      |    AS UBIGINT) AS u48
+      |  FROM documents),
+      |c AS (SELECT doc_id, source,
+      |  wt // 10 + CASE WHEN CAST(u48 AS HUGEINT) * 10 <
+      |    CAST(wt % 10 AS HUGEINT) * 281474976710656 THEN 1 ELSE 0 END
+      |    AS n_copies
+      |  FROM w)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+      |       CAST(n_copies AS INT) AS n_copies,
+      |       CAST(unnest(generate_series(1, n_copies)) AS INT) AS copy
+      |FROM c WHERE n_copies >= 1""") { (s, d) =>
+    runToCompletion(
+      graft.pipeline.Sampling.epochMix(docStream(s, d), "doc_id",
+        "CASE CAST(substring(source, 4) AS INT) % 4 " +
+          "WHEN 0 THEN 4 WHEN 1 THEN 10 WHEN 2 THEN 17 ELSE 25 END")
+        .select(col("doc_id"), col("source"), col("n_copies"), col("copy")),
+      "append")
+  }
+
   /** Streaming frequent n-grams (heavy hitters): complete-mode gram
     * counting with a support threshold — the streaming face of
     * [[graft.text.TextAnalysis.topKNgrams]]. A support FILTER stands in

@@ -217,6 +217,33 @@ class StreamQueriesSpec extends AnyFunSuite {
     dir
   }
 
+  test("streaming epoch mix equals the batch mix across micro-batches") {
+    import spark.implicits._
+    // srcN sources so the weight CASE resolves; 4 file slices force a
+    // multi-batch replay of the stateless map-only transform
+    val dir = java.nio.file.Files.createTempDirectory("stq_mix").toString
+    val rows = (0 until 80).map(i =>
+      (i.toLong, s"doc $i text", "en", s"src${i % 8}", 10L))
+    (0 until 4).foreach { slice =>
+      rows.filter(_._1 % 4 == slice)
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(s"$dir/documents.parquet")
+    }
+    val wtSql = "CASE CAST(substring(source, 4) AS INT) % 4 " +
+      "WHEN 0 THEN 4 WHEN 1 THEN 10 WHEN 2 THEN 17 ELSE 25 END"
+    val stream = StreamQueries.docStream(spark, dir,
+      Map("maxFilesPerTrigger" -> "1"))
+    val (got, batches) = run(
+      graft.pipeline.Sampling.epochMix(stream, "doc_id", wtSql)
+        .select("doc_id", "source", "n_copies", "copy"),
+      "append", "mb_epoch_mix")
+    assert(batches >= 4)
+    val batch = graft.pipeline.Sampling.epochMix(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", wtSql)
+      .select("doc_id", "source", "n_copies", "copy")
+    assert(rowSet(got) == rowSet(batch) && got.count() > 80 / 2)
+  }
+
   test("streaming frequent ngrams accumulate across micro-batches") {
     val stream = StreamQueries.docStream(spark, docsDir,
       Map("maxFilesPerTrigger" -> "1"))
