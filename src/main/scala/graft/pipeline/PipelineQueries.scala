@@ -1053,6 +1053,57 @@ object PipelineQueries extends QueryRegistry {
       minCosine = 0.4)
   }
 
+  /** Hard-negative mining oracle: same hash-sampled cell re-derivation
+    * as the semDedup oracle; within-cell pairwise cosine, per-anchor
+    * best same-/different-label similarity and the ×10⁴ margin.
+    */
+  private val pairMarginOracleSql: String = {
+    val (nlist, dims) = (16, 64)
+    s"""WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+       |            FROM embeddings),
+       |ctr0 AS (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, e
+       |         FROM emb ORDER BY h LIMIT $nlist),
+       |ctr AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cell, e AS c
+       |        FROM ctr0),
+       |dst AS (
+       |  SELECT v.vec_id, c.cell,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, ${dims + 1}), i ->
+       |             (v.e[CAST(i AS INT)] - c.c[CAST(i AS INT)]) *
+       |             (v.e[CAST(i AS INT)] - c.c[CAST(i AS INT)]))),
+       |           (a, x) -> a + x) AS d2
+       |  FROM emb v CROSS JOIN ctr c),
+       |asg AS (
+       |  SELECT vec_id, cell
+       |  FROM (SELECT vec_id, cell,
+       |          row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY d2, cell) AS pr
+       |        FROM dst) WHERE pr = 1),
+       |pairs AS (
+       |  SELECT a.vec_id AS anchor_id, a.cell, ea.label AS la,
+       |         eb.label AS lb, list_cosine_similarity(ea.e, eb.e) AS cos
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |  JOIN emb ea ON ea.vec_id = a.vec_id
+       |  JOIN emb eb ON eb.vec_id = b.vec_id)
+       |SELECT CAST(anchor_id AS BIGINT) AS anchor_id,
+       |       CAST(cell AS INT) AS cell, la AS label,
+       |       CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_pos,
+       |       CAST(sum(CASE WHEN la <> lb THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_neg,
+       |       CAST(floor((max(CASE WHEN la = lb THEN cos END) -
+       |                   max(CASE WHEN la <> lb THEN cos END)) * 10000
+       |                  + 0.5) AS BIGINT) AS margin_u
+       |FROM pairs GROUP BY anchor_id, cell, la
+       |HAVING max(CASE WHEN la = lb THEN cos END) IS NOT NULL
+       |   AND max(CASE WHEN la <> lb THEN cos END) IS NOT NULL""".stripMargin
+  }
+
+  q("sim_pair_margin", pairMarginOracleSql) { (s, d) =>
+    val e = embs(s, d)
+    Similarity.pairMargin(Similarity.hashSampledQuantizer(e, nlist = 16), e)
+  }
+
   // Span-level exact-substring dedup (Lee et al. 2021): maximal token
   // spans appearing verbatim in >= 2 distinct docs, at 8-gram grain.
   // Both oracles are generated from the same (k, minDocs) constants.

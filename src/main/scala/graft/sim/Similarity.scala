@@ -410,6 +410,41 @@ object Similarity {
       .agg(round(avg(col("v").cast("double")), 6).as("centroid"),
         count(lit(1)).as("n_vecs"))
 
+  /** Hard-negative mining margins for contrastive training prep: per
+    * anchor vector, the best same-label cosine (hardest positive proxy)
+    * and best different-label cosine (hardest NEGATIVE — the pair a
+    * contrastive loss most needs) among its coarse-cell neighbors,
+    * plus the ×10⁴ integer margin between them. Small margins mark the
+    * anchors worth mining; negative margins mark label noise.
+    *
+    * Scale shape: the SemDeDup trade — pair generation is WITHIN-CELL
+    * only (cells are the shuffle keys, Σ|cell|² not n²), the per-anchor
+    * reduction is a map-combinable max/count aggregate, and the margin
+    * is computed from bit-equal cosine folds so the integer grid is
+    * engine-exact (the dd_semdedup threshold precedent).
+    */
+  def pairMargin(quantizer: IvfQuantizer, embeddings: DataFrame): DataFrame = {
+    val asg = quantizer.assign(embeddings)
+      .join(embeddings.select(col("vec_id"), col("label")), "vec_id")
+    val a = asg.select(col("vec_id").as("anchor_id"), col("cell"),
+      col("label").as("la"), col("e").as("ea"))
+    val b = asg.select(col("vec_id").as("cand_id"), col("cell"),
+      col("label").as("lb"), col("e").as("eb"))
+    a.join(b, Seq("cell")).filter(col("anchor_id") =!= col("cand_id"))
+      .withColumn("cos", graft.dedup.Dedup.cosineCol(col("ea"), col("eb")))
+      .groupBy(col("anchor_id"), col("cell"), col("la"))
+      .agg(max(when(col("la") === col("lb"), col("cos"))).as("pos_cos"),
+        sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("n_pos"),
+        max(when(col("la") =!= col("lb"), col("cos"))).as("neg_cos"),
+        sum(when(col("la") =!= col("lb"), 1L).otherwise(0L)).as("n_neg"))
+      .filter(col("pos_cos").isNotNull && col("neg_cos").isNotNull)
+      .select(col("anchor_id").cast("long").as("anchor_id"),
+        col("cell").cast("int").as("cell"), col("la").as("label"),
+        col("n_pos"), col("n_neg"),
+        expr("CAST(floor((pos_cos - neg_cos) * 10000 + 0.5) AS BIGINT)")
+          .as("margin_u"))
+  }
+
   /** Inter-slice semantic affinity: pairwise cosine between label
     * centroids — the dataset-audit matrix answering "which data slices
     * overlap semantically?" (near-1 pairs are merge/contamination

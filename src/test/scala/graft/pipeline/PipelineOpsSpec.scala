@@ -1181,6 +1181,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Dedup.ngramJaccardPairs(df, n = 3, minJaccard = 0.8).count() == 0)
   }
 
+  test("pairMargin: clean anchors score +1e4, label noise scores -1e4") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), // clean: twin v2, orthogonal negatives
+      (2L, Seq(1.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 1.0f), 1), // no same-label partner -> dropped
+      (4L, Seq(0.0f, 1.0f), 0)  // label noise: nearest same-label is far
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.pairMargin(
+        Similarity.hashSampledQuantizer(df, nlist = 1), df)
+      .collect().map(r => r.getAs[Long]("anchor_id") ->
+        ((r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+          r.getAs[Long]("margin_u")))).toMap
+    assert(got.keySet == Set(1L, 2L, 4L)) // v3 has no positive partner
+    assert(got(1L) == ((2L, 1L, 10000L)))
+    assert(got(2L) == ((2L, 1L, 10000L)))
+    // v4's best same-label cosine is 0, best different-label is 1
+    assert(got(4L) == ((2L, 1L, -10000L)))
+  }
+
   test("centroidAffinity: identical slices cosine 1, orthogonal 0") {
     import spark.implicits._
     val df = Seq(
