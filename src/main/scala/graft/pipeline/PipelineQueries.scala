@@ -1693,6 +1693,44 @@ object PipelineQueries extends QueryRegistry {
       .select("doc_id", "bucket", "split")
   }
 
+  // Split-leakage audit: the md5 train/test split screened for shared
+  // 8-grams ACROSS the split boundary — the "did my test set leak into
+  // training?" gate every supervised pipeline should run after
+  // splitting. Composes the hash split (bench := test slice) with the
+  // decontamination machinery; one summary row, all integers.
+  q("t_split_leakage",
+    """WITH w AS (SELECT doc_id,
+      |             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |               AS UBIGINT) % 100 >= 80 AS is_test,
+      |             string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, is_test,
+      |             md5(array_to_string(ws[i:i+7], ' ')) AS h
+      |      FROM w, unnest(generate_series(1, len(ws) - 7)) AS t(i)
+      |      WHERE len(ws) >= 8),
+      |th AS (SELECT DISTINCT h FROM g WHERE is_test),
+      |leaky AS (SELECT DISTINCT g.doc_id
+      |          FROM g JOIN th USING (h) WHERE NOT is_test)
+      |SELECT CAST(sum(CASE WHEN is_test THEN 0 ELSE 1 END) AS BIGINT)
+      |         AS n_train,
+      |       CAST(sum(CASE WHEN is_test THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_test,
+      |       CAST((SELECT count(*) FROM leaky) AS BIGINT) AS n_leaky_train,
+      |       CAST((SELECT count(*) FROM leaky) * 1000000 //
+      |         sum(CASE WHEN is_test THEN 0 ELSE 1 END) AS BIGINT)
+      |         AS leak_ppm
+      |FROM w""") { (s, d) =>
+    val isTest = Sampling.hashBucket("doc_id") >= lit(80)
+    val per = Dedup.decontaminate(docs(s, d), isTest, n = 8)
+    val leaks = per.agg(
+      sum(col("contaminated").cast("long")).as("n_leaky_train"))
+    docs(s, d).select(isTest.as("is_test"))
+      .agg(sum(when(!col("is_test"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("is_test"), 1L).otherwise(0L)).as("n_test"))
+      .crossJoin(broadcast(leaks))
+      .select(col("n_train"), col("n_test"), col("n_leaky_train"),
+        expr("n_leaky_train * 1000000 div n_train").as("leak_ppm"))
+  }
+
   // Snapshot diff (CDC audit): two simulated corpus versions — prev is
   // missing doc_id % 11 == 3 (-> added), cur is missing % 13 == 5
   // (-> removed), and % 17 == 0 rows had different text (-> changed).
