@@ -57,7 +57,13 @@ object Plans {
     "g_triangles" -> "triangle count via per-edge out-neighborhood intersection (r7): the broadcast neighbor-array table makes the count pass map-local — no wedge materialization (9.8s -> 3.4s at sf0.1); orientation caps arrays at O(sqrt m)",
     "t_vocab_growth" -> "Heaps'-law curve (r8): bucket assignment map-local off a 1-row max-id broadcast; both bucket tables derive from ONE (tok,bucket) partial-count aggregate — exchange reuse (ReusedExchange) gives a single corpus scan + single token exchange, regroups run on the vocab-sized table; cumulative sums are a bounded fold over the sorted collected ≤20-row list — no unpartitioned WindowExec",
     "t_zipf_slope" -> "Zipf fit (r8): vocab count is the one token-keyed exchange, top-100 via TakeOrderedAndProject, ranks from the single-row sorted-collect over the O(k) slice, regression aggregates 100 rows — no global sort, no unpartitioned window",
-    "t_mix_epochs" -> "epoch-aware mixing (r8): map-ONLY — integer-exact md5 remainder threshold + sequence explode; zero exchanges, output bounded by Σ epochs(doc)")
+    "t_mix_epochs" -> "epoch-aware mixing (r8): map-ONLY — integer-exact md5 remainder threshold + sequence explode; zero exchanges, output bounded by Σ epochs(doc)",
+    "la_rfm" -> "RFM segmentation (r8): per-user metrics map-combined on ONE user exchange; quintile cut points from a single-row percentile aggregate BROADCAST back — no global ntile() (an unpartitioned rank window collapses 10⁹ users onto one task); scoring is a map-local array compare",
+    "dd_ngram_containment" -> "asymmetric containment (r8): sub-side PREFIX explode only vs super-side full posting lists on the gram key; exact array_intersect verify after the distinct candidate set — hot-shingle df is the documented skew hazard with the production df-cap trade",
+    "sim_pair_margin" -> "hard-negative mining (r8): coarse cells are the join keys (within-cell pairs only, Σ|cell|² not n²); per-anchor max/count reduction map-combined; margins from bit-equal cosine folds",
+    "ts_holt" -> "Holt smoothing (r8): daily composite map-combined first, then the two-register (level, trend) integer fold over the type-keyed sorted day array — same one-exchange contract as ts_ewma, no UDF, no unpartitioned window",
+    "dd_impact_report" -> "dedup impact report (r8): digest groupBy + join carry 8-byte xxhash64 keys (text never shuffles); final aggregate is sources-sized",
+    "t_split_leakage" -> "split-leakage gate (r8): gram digests shuffle once; test-side distinct digest set joins the train side; output is ONE summary row via two tiny broadcast crosses")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
