@@ -782,6 +782,60 @@ object LogAnalytics extends QueryRegistry {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Gini concentration of per-user activity — the "how concentrated
+    * is my traffic/corpus on few heavy users?" audit (0 = uniform,
+    * →1 = one user dominates). Exact integer arithmetic end to end:
+    * G·10⁶ = ((n+1)·S − 2·ΣC) · 10⁶ div (n·S) where C is the inclusive
+    * prefix sum of counts in (count, user_id) ascending order — the
+    * rank-weighted sum Σi·xᵢ is recovered from ΣC via
+    * Σi·xᵢ = (n+1)·S − ΣC, so no per-rank multiply is needed.
+    *
+    * The global prefix sum is the distributed TWO-PHASE form (the
+    * budgetSelect/tokenize-rank machinery): range exchange tiles the
+    * ascending order, the cumsum window is PARTITIONED by
+    * spark_partition_id (per-task state = its own slice), and
+    * per-partition totals join back as a numParts-row literal offset
+    * map — never an unpartitioned Window.orderBy, which would stream
+    * every user through one task. Long bound: the ppm product needs
+    * n·S < 9·10¹²; at catalog scale rescale the fixed point first
+    * (the g_lift precedent).
+    */
+  q("la_gini",
+    """WITH cnt AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x
+      |             FROM events GROUP BY 1),
+      |c AS (SELECT x, sum(x) OVER (ORDER BY x, user_id) AS cum FROM cnt)
+      |SELECT CAST(count(*) AS BIGINT) AS n_users,
+      |       CAST(sum(x) AS BIGINT) AS total_events,
+      |       CAST(((count(*) + 1) * sum(x) - 2 * sum(cum)) * 1000000 //
+      |            (count(*) * sum(x)) AS BIGINT) AS gini_ppm
+      |FROM c""") { (s, d) =>
+    val cnt = events(s, d).groupBy("user_id")
+      .agg(count(lit(1)).as("x"))
+    val numParts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = cnt
+      .repartitionByRange(numParts, col("x").asc, col("user_id").asc)
+      .sortWithinPartitions(col("x").asc, col("user_id").asc)
+      .withColumn("pid", spark_partition_id())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy(col("x").asc, col("user_id").asc)
+    val local = ranged.withColumn("lc", sum(col("x")).over(w))
+    val tots = local.groupBy("pid").agg(max(col("lc")).as("tot")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets: Map[Int, Long] = {
+      val pids = tots.keys.toSeq.sorted
+      pids.zip(pids.map(tots).scanLeft(0L)(_ + _)).toMap
+    }
+    local
+      .withColumn("cum",
+        coalesce(element_at(typedLit(offsets), col("pid")), lit(0L)) +
+          col("lc"))
+      .agg(count(lit(1)).as("n_users"), sum(col("x")).as("total_events"),
+        sum(col("cum")).as("sc"))
+      .select(col("n_users"), col("total_events"),
+        expr("""((n_users + 1) * total_events - 2 * sc) * 1000000
+               div (n_users * total_events)""").as("gini_ppm"))
+  }
+
   /** RFM customer segmentation: per-user recency (days since last
     * activity vs the corpus horizon), frequency (event count) and
     * monetary (×10⁴ integer value sum), each scored into quintiles

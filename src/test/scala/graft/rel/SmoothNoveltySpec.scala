@@ -68,6 +68,24 @@ class SmoothNoveltySpec extends AnyFunSuite {
       (3000L, 31804L, -1619L, 30185L)))
   }
 
+  test("la_gini: hand concentration values, uniform scores zero") {
+    // u1: 1 event, u2: 3 events -> x=[1,3], G = 0.25 exactly
+    val skew = eventsDir(Seq(
+      (0L, base, 1L, "click", 1.0),
+      (1L, base, 2L, "click", 1.0),
+      (2L, base + day, 2L, "click", 1.0),
+      (3L, base + 2 * day, 2L, "click", 1.0)))
+    val g1 = run("la_gini", skew).collect()(0)
+    assert(g1.getAs[Long]("n_users") == 2L)
+    assert(g1.getAs[Long]("total_events") == 4L)
+    assert(g1.getAs[Long]("gini_ppm") == 250000L)
+    // perfectly uniform activity -> 0
+    val flat = eventsDir(Seq(
+      (0L, base, 1L, "click", 1.0), (1L, base + day, 1L, "click", 1.0),
+      (2L, base, 2L, "click", 1.0), (3L, base + day, 2L, "click", 1.0)))
+    assert(run("la_gini", flat).collect()(0).getAs[Long]("gini_ppm") == 0L)
+  }
+
   test("dd_impact_report: cross-source dup charges the non-keeper source") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("sn_docs").toString
