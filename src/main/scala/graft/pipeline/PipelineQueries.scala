@@ -2428,6 +2428,37 @@ object PipelineQueries extends QueryRegistry {
         col("start_offset"), col("pack_id"), col("offset_in_pack"))
   }
 
+  // Packing-efficiency audit for the concat-then-chunk layout: per
+  // shard, packs needed at capacity 512, padding in the final partial
+  // pack, fill rate and docs-per-pack in ppm — the "how much of my
+  // training batch is padding?" number. ONE map-combined aggregate.
+  q("t_pack_efficiency",
+    """WITH t AS (SELECT source,
+      |             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total,
+      |             CAST(count(*) AS BIGINT) AS n_docs
+      |           FROM documents GROUP BY source)
+      |SELECT source, total AS total_tokens, n_docs,
+      |       CAST((total + 511) // 512 AS BIGINT) AS n_packs,
+      |       CAST((total + 511) // 512 * 512 - total AS BIGINT) AS pad_tokens,
+      |       CAST(total * 1000000 // ((total + 511) // 512 * 512) AS BIGINT)
+      |         AS fill_ppm,
+      |       CAST(n_docs * 1000000 // ((total + 511) // 512) AS BIGINT)
+      |         AS docs_per_pack_ppm
+      |FROM t""") { (s, d) =>
+    docs(s, d)
+      .groupBy("source")
+      .agg(sum(size(TextAnalysis.tokens(col("text"))).cast("long"))
+        .as("total_tokens"), count(lit(1)).as("n_docs"))
+      .select(col("source"), col("total_tokens"), col("n_docs"),
+        expr("(total_tokens + 511) div 512").as("n_packs"),
+        expr("(total_tokens + 511) div 512 * 512 - total_tokens")
+          .as("pad_tokens"),
+        expr("total_tokens * 1000000 div ((total_tokens + 511) div 512 * 512)")
+          .as("fill_ppm"),
+        expr("n_docs * 1000000 div ((total_tokens + 511) div 512)")
+          .as("docs_per_pack_ppm"))
+  }
+
   // Seeded stratified sampling (Spark-side reproducible only).
   // Deterministic stratified sample: membership = pure function of the
   // id hash, so DuckDB reproduces the exact row set from the same md5.
