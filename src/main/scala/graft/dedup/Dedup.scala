@@ -42,11 +42,16 @@ object Dedup {
     * digest), so a doc duplicated across sources counts as removed in
     * the non-keeper's source — exactly the cross-source contamination
     * signal. Scale: text shuffles nowhere — the digest groupBy and the
-    * join carry 8-byte xxhash64 keys; the report is sources-sized.
+    * join carry 16-byte md5 keys; the report is sources-sized. The key
+    * is 128-bit (not xxhash64) because the oracle groups on FULL text:
+    * a 64-bit digest has a ~3% birthday chance of SOME collision at
+    * 10⁹ docs, which would silently merge two distinct documents into
+    * one cluster and mis-charge the removal counts; at 128 bits the
+    * bound is ~10⁻²⁰ — negligible — while text still never shuffles.
     */
   def dedupImpactReport(docs: DataFrame): DataFrame = {
     val h = docs.select(col("doc_id"), col("source"),
-      xxhash64(col("text")).as("th"),
+      md5(col("text").cast("binary")).as("th"),
       size(split(col("text"), " ")).cast("long").as("ntok"))
     val keep = h.groupBy("th").agg(min("doc_id").as("keeper"))
     h.join(keep, Seq("th"))

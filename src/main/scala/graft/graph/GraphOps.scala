@@ -192,10 +192,18 @@ object GraphOps {
         ranks = mat
       }
     }
+    // Materialize the final iteration eagerly via localCheckpoint —
+    // lineage truncates to the stored (nodes-sized) partitions, whose
+    // blocks the ContextCleaner frees when the result is GC'd — then
+    // release every explicit persist before returning. Without this,
+    // each call leaked the last cached iteration table plus the
+    // edges-sized `out` for the lifetime of the session; repeated
+    // calls in a long-lived engine accumulated cached blocks until
+    // LRU eviction (r8 advisory).
     val result = ranks.select(col("node"), col("r").as("rank_u"))
-    // the final iteration keeps its lazy plan; earlier caches are freed
-    // once the caller materializes (unpersist here would be premature
-    // only for the last cached table, which the final plan references)
+      .localCheckpoint(true)
+    cached.foreach(_.unpersist(false))
+    out.unpersist(false)
     result
   }
 

@@ -19,14 +19,20 @@ object Tables {
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
   /** Session config the catalog needs: nanos-typed parquet timestamps
-    * read as long (events.ts). Deployment-grade wiring sets this at
-    * session CONSTRUCTION ([[graft.api.GraftEngine.session]], Verify,
-    * Bench); [[load]] only falls back to setting it for ad-hoc sessions,
-    * and skips the write when it already holds — repeated mutation of a
-    * shared session was a review finding (racy under concurrent use).
+    * read as long (events.ts), and a UTC session zone — the
+    * TIMESTAMP_NTZ→timestamp cast in [[normalizeEvents]] is only exact
+    * when the session zone is UTC, so a library caller constructing a
+    * non-UTC session must not silently shift every event-time by the
+    * zone offset (an r8 advisory). Both keys are runtime-settable.
+    * Deployment-grade wiring sets these at session CONSTRUCTION
+    * ([[graft.api.GraftEngine.session]], Verify, Bench); [[load]] only
+    * falls back to setting them for ad-hoc sessions, and skips the
+    * write when they already hold — repeated mutation of a shared
+    * session was a review finding (racy under concurrent use).
     */
   val requiredConfs: Map[String, String] =
-    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true",
+      "spark.sql.session.timeZone" -> "UTC")
 
   /** Apply [[requiredConfs]] to a session builder (construction-time). */
   def configure(b: SparkSession.Builder): SparkSession.Builder =

@@ -793,12 +793,19 @@ object LogAnalytics extends QueryRegistry {
     * The global prefix sum is the distributed TWO-PHASE form (the
     * budgetSelect/tokenize-rank machinery): range exchange tiles the
     * ascending order, the cumsum window is PARTITIONED by
-    * spark_partition_id (per-task state = its own slice), and
-    * per-partition totals join back as a numParts-row literal offset
-    * map — never an unpartitioned Window.orderBy, which would stream
-    * every user through one task. Long bound: the ppm product needs
-    * n·S < 9·10¹²; at catalog scale rescale the fixed point first
-    * (the g_lift precedent).
+    * spark_partition_id (per-task state = its own slice), and the
+    * final reduction happens in ONE action — a single numParts-row
+    * groupBy(pid) collect carrying (count, Σx, Σlocal-cumsum, total)
+    * per tile, from which the driver recovers ΣC = Σ_pid(offset·n_pid
+    * + Σlc_pid) with BigInt arithmetic. One action matters for
+    * correctness, not just cost: RangePartitioner's reservoir-sample
+    * seed depends on the RDD id, so two separate jobs over the
+    * unpersisted repartitionByRange lineage can derive DIFFERENT range
+    * boundaries, and job-1 offsets applied to job-2's partitioning
+    * would be silently wrong once partitions outgrow the sample size
+    * (r8 advisory). Never an unpartitioned Window.orderBy, which would
+    * stream every user through one task. BigInt on the bounded driver
+    * side also removes the old n·S < 9·10¹² ppm overflow bound.
     */
   q("la_gini",
     """WITH cnt AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x
@@ -819,21 +826,28 @@ object LogAnalytics extends QueryRegistry {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("pid").orderBy(col("x").asc, col("user_id").asc)
     val local = ranged.withColumn("lc", sum(col("x")).over(w))
-    val tots = local.groupBy("pid").agg(max(col("lc")).as("tot")).collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets: Map[Int, Long] = {
-      val pids = tots.keys.toSeq.sorted
-      pids.zip(pids.map(tots).scanLeft(0L)(_ + _)).toMap
+    val tiles = local.groupBy("pid")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("lc")).as("slc"), max(col("lc")).as("tot"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(_._1)
+    val nUsers = tiles.map(_._2).sum
+    val totalEvents = tiles.map(_._3).sum
+    var off = BigInt(0)
+    var sc = BigInt(0)
+    tiles.foreach { case (_, n, _, slc, tot) =>
+      sc += off * n + slc
+      off += tot
     }
-    local
-      .withColumn("cum",
-        coalesce(element_at(typedLit(offsets), col("pid")), lit(0L)) +
-          col("lc"))
-      .agg(count(lit(1)).as("n_users"), sum(col("x")).as("total_events"),
-        sum(col("cum")).as("sc"))
-      .select(col("n_users"), col("total_events"),
-        expr("""((n_users + 1) * total_events - 2 * sc) * 1000000
-               div (n_users * total_events)""").as("gini_ppm"))
+    val giniPpm =
+      if (nUsers == 0L || totalEvents == 0L) 0L
+      else (((BigInt(nUsers) + 1) * totalEvents - 2 * sc) * 1000000 /
+        (BigInt(nUsers) * totalEvents)).toLong
+    import s.implicits._
+    Seq((nUsers, totalEvents, giniPpm))
+      .toDF("n_users", "total_events", "gini_ppm")
   }
 
   /** RFM customer segmentation: per-user recency (days since last
