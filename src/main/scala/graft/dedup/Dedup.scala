@@ -407,20 +407,43 @@ object Dedup {
     * Unlike Jaccard there is no length-ratio cap — the super side
     * legitimately dwarfs the sub — so the super side joins its FULL
     * posting lists: at corpus scale a hot shingle's posting list is
-    * the skew hazard, and production runs cap gram doc-frequency on
-    * the JOIN (bounded recall loss, standard trade); the oracle-checked
-    * entry runs uncapped so the SQL replay is exact.
+    * the skew hazard, and `maxDocFreq` is the production knob — grams
+    * whose doc-frequency exceeds the cap are dropped from CANDIDATE
+    * GENERATION on both sides before the join (a gram shared by k
+    * docs emits O(k·prefix-hits) candidate rows, quadratic in k when
+    * the sub prefix also carries it — "in the house" at 10⁹ docs is
+    * a multi-million-row posting list). Verification stays EXACT on
+    * the full gram sets, so capping only loses candidates whose
+    * ENTIRE sub-side prefix is hot — the standard bounded-recall
+    * trade (hot shingles are stopword runs that near-clones never
+    * rely on exclusively). The frequency filter is a per-gram df
+    * table equi-joined back (one row per gram — linear, never
+    * pair-producing), not a broadcast: the hot-gram set is small but
+    * the SAFE side of the estimate is to keep it off the driver. The
+    * oracle-checked entry runs uncapped so the SQL replay is exact;
+    * the capped bench twin (`dd_ngram_containment_capped`) times the
+    * knob side by side.
     */
   def ngramContainmentPairs(docs: DataFrame, n: Int = 3,
-      minContainment: Double = 0.9): DataFrame = {
+      minContainment: Double = 0.9,
+      maxDocFreq: Option[Int] = None): DataFrame = {
     val sets = gramSets(docs, n, "text", "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefixLen = (col("n_grams") -
       floor(col("n_grams") * lit(minContainment)) + 1).cast("int")
-    val sub = sets.select(col("doc_id").as("doc_sub"),
+    val subAll = sets.select(col("doc_id").as("doc_sub"),
       explode(slice(col("grams"), lit(1), prefixLen)).as("g"))
-    val sup = sets.select(col("doc_id").as("doc_super"),
+    val supAll = sets.select(col("doc_id").as("doc_super"),
       explode(col("grams")).as("g"))
+    val (sub, sup) = maxDocFreq match {
+      case Some(cap) =>
+        require(cap >= 1, s"maxDocFreq out of range: $cap")
+        val ok = supAll.groupBy("g")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("g")
+        (subAll.join(ok, Seq("g")), supAll.join(ok, Seq("g")))
+      case None => (subAll, supAll)
+    }
     val cands = sub.join(sup, Seq("g"))
       .filter(col("doc_sub") =!= col("doc_super"))
       .select("doc_sub", "doc_super").distinct()

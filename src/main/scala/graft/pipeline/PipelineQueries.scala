@@ -782,6 +782,33 @@ object PipelineQueries extends QueryRegistry {
     Dedup.ngramContainmentPairs(docs(s, d), n = 3, minContainment = 0.9)
   }
 
+  // Capped containment twin: the production doc-frequency knob
+  // (maxDocFreq=4 — AGGRESSIVE at this corpus size, where gram df tops
+  // out at 7, so the filter genuinely drops ~1% of distinct grams from
+  // candidate generation). The oracle is the same uncapped-exact SQL:
+  // the entry asserts the bounded-recall trade loses NO true pair here
+  // (a true pair is only lost when its entire sub-side prefix is hot —
+  // near-clones always share rarer shingles too), while the bench rows
+  // time capped vs uncapped side by side at sf0.1/sf1 — the
+  // skew_join_naive/salted pattern.
+  q("dd_ngram_containment_capped",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |grams AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS g
+      |          FROM toks, unnest(generate_series(1, greatest(len(l) - 2, 1))) AS t(i)),
+      |cnt AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_sub, b.doc_id AS doc_super,
+      |                 count(*) AS n_inter
+      |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id <> b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT CAST(doc_sub AS BIGINT) AS doc_sub,
+      |       CAST(doc_super AS BIGINT) AS doc_super,
+      |       round(n_inter / c.n_grams, 4) AS containment
+      |FROM inter JOIN cnt c ON c.doc_id = doc_sub
+      |WHERE round(n_inter / c.n_grams, 4) >= 0.9""") { (s, d) =>
+    Dedup.ngramContainmentPairs(docs(s, d), n = 3, minContainment = 0.9,
+      maxDocFreq = Some(4))
+  }
+
   /** Duplicate-cluster resolution: the verified n-gram pairs (the
     * dd_ngram_jaccard CTE chain) fed through connected components, so
     * transitive chains (A~B, B~C) collapse to one canonical keeper even

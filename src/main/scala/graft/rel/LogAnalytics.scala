@@ -916,6 +916,91 @@ object LogAnalytics extends QueryRegistry {
         expr("CAST(1 + size(filter(mc, x -> mon_u > x)) AS INT)").as("m_score"))
   }
 
+  /** RFM, SCALE PATH: identical scoring shape to [[la_rfm]] but the
+    * quintile cut points come from `approx_percentile` (Greenwald-
+    * Khanna summaries — state bounded by the accuracy parameter, 10⁴
+    * here, REGARDLESS of domain cardinality). The exact twin's
+    * `percentile` buffers a value→count map that is O(users) in the
+    * single final aggregation task when the domain is ~distinct per
+    * user (mon_u, the ×10⁴ monetary sum) — the r6 la_quantiles failure
+    * class, and an executor-memory wall at 10⁹ users. Cuts only drive
+    * quintile SCORES, so approximation shifts a sliver of users one
+    * bucket at boundaries — semantically acceptable for segmentation;
+    * the exact entry stays the oracle anchor at test scale.
+    *
+    * Approx cut values are engine-specific, so the oracle pins what IS
+    * deterministic: n_users (DuckDB counts independently) and four
+    * structural flags that hold by construction for ANY cut array —
+    * every score lands in 1..5, and each score is monotone in its
+    * metric (checked scale-safely on the ≤15-row (metric, score)
+    * interval table: a violation needs a lower score's max metric to
+    * exceed a higher score's min — never an unpartitioned sort over
+    * users). r_score inverts recency, so its monotone check runs on
+    * −rec_days.
+    */
+  q("la_rfm_approx",
+    """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |       CAST(1 AS INT) AS r_in_range,
+      |       CAST(1 AS INT) AS f_in_range,
+      |       CAST(1 AS INT) AS m_in_range,
+      |       CAST(1 AS INT) AS r_monotone,
+      |       CAST(1 AS INT) AS f_monotone,
+      |       CAST(1 AS INT) AS m_monotone
+      |FROM events""") { (s, d) =>
+    val peru = events(s, d).groupBy(col("user_id")).agg(
+      unix_timestamp(max(date_trunc("day", col("ts")))).as("last_day"),
+      count(lit(1)).as("freq"),
+      expr("sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))").as("mon_u"))
+    val mx = peru.agg(max("last_day").as("maxd"))
+    val m = peru.crossJoin(broadcast(mx))
+      .select(col("user_id"),
+        expr("(maxd - last_day) div 86400").as("rec_days"),
+        col("freq"), col("mon_u"))
+    val cuts = m.agg(
+      expr("approx_percentile(rec_days, array(0.2D, 0.4D, 0.6D, 0.8D), 10000)").as("rc"),
+      expr("approx_percentile(freq, array(0.2D, 0.4D, 0.6D, 0.8D), 10000)").as("fc"),
+      expr("approx_percentile(mon_u, array(0.2D, 0.4D, 0.6D, 0.8D), 10000)").as("mc"))
+    val scored = m.crossJoin(broadcast(cuts))
+      .select(col("user_id"), col("rec_days"), col("freq"), col("mon_u"),
+        expr("CAST(5 - size(filter(rc, x -> rec_days > x)) AS INT)").as("r_score"),
+        expr("CAST(1 + size(filter(fc, x -> freq > x)) AS INT)").as("f_score"),
+        expr("CAST(1 + size(filter(mc, x -> mon_u > x)) AS INT)").as("m_score"))
+    // (metric, score) interval table: ≤15 rows, persisted because the
+    // monotonicity self-join reads it twice (each read otherwise
+    // re-runs the full events scan).
+    val iv = scored
+      .select(expr("""stack(3,
+          'r', -rec_days, r_score,
+          'f', freq,      f_score,
+          'm', mon_u,     m_score) AS (metric, v, score)"""))
+      .groupBy("metric", "score")
+      .agg(count(lit(1)).as("cnt"), min(col("v")).as("mn"),
+        max(col("v")).as("mx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lo = iv.select(col("metric"), col("score").as("s_lo"),
+      col("mx").as("lo_mx"))
+    val hi = iv.select(col("metric").as("metric_h"),
+      col("score").as("s_hi"), col("mn").as("hi_mn"))
+    val viol = lo.join(hi, col("metric") === col("metric_h") &&
+        col("s_lo") < col("s_hi") && col("lo_mx") > col("hi_mn"))
+      .groupBy(col("metric")).agg(count(lit(1)).as("n_viol"))
+    iv.join(viol, Seq("metric"), "left")
+      .groupBy(col("metric"))
+      .agg(sum(col("cnt")).as("n"),
+        (min(col("score")) >= 1 && max(col("score")) <= 5).cast("int")
+          .as("in_range"),
+        (coalesce(max(col("n_viol")), lit(0L)) === 0).cast("int")
+          .as("monotone"))
+      .agg(
+        max(when(col("metric") === "r", col("n"))).as("n_users"),
+        max(when(col("metric") === "r", col("in_range"))).as("r_in_range"),
+        max(when(col("metric") === "f", col("in_range"))).as("f_in_range"),
+        max(when(col("metric") === "m", col("in_range"))).as("m_in_range"),
+        max(when(col("metric") === "r", col("monotone"))).as("r_monotone"),
+        max(when(col("metric") === "f", col("monotone"))).as("f_monotone"),
+        max(when(col("metric") === "m", col("monotone"))).as("m_monotone"))
+  }
+
   /** Data-profiling report (the ANALYZE/stats-collection op): one row
     * per column with row/null/distinct counts and min/max rendered as
     * engine-stable strings (BIGINTs and raw strings only — the double

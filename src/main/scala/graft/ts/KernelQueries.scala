@@ -261,6 +261,95 @@ object KernelQueries extends QueryRegistry {
           .as("fit_eq_trend_at_vertices"))
   }
 
+  // K3 NON-CYCLICAL mode, ORACLE-CHECKED — the mode the reference
+  // CRASHES on (`calculations/dbest.py:94-95` indexes an STL result
+  // that was never computed for non-cyclical polygon runs; Appendix
+  // A.4) and the repo implements per the paper's intent
+  // (Dbest.scala:64-69: skip STL, detect on the raw series). The
+  // identity holds trivially by construction and is therefore a REAL
+  // regression trap: the decomposition's trend slot must equal the
+  // raw composite exactly (DuckDB recomputes it independently) and
+  // the seasonal/remainder slots must be all-zero. First harness
+  // exercise of the mode (r8 verdict item 3) — previously spec-only
+  // (KernelSpec:226).
+  q("k3_noncyclical_identity",
+    """WITH comp AS (
+      |  SELECT CAST(user_id AS BIGINT) AS user_id,
+      |         CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS bucket,
+      |         avg(value) AS y
+      |  FROM events GROUP BY 1, 2),
+      |idxd AS (
+      |  SELECT user_id,
+      |         CAST(row_number() OVER (PARTITION BY user_id
+      |                                 ORDER BY bucket) - 1 AS INT) AS idx,
+      |         y, count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM comp)
+      |SELECT user_id, idx, round(y, 4) AS trend_val,
+      |       CAST(1 AS INT) AS stl_skipped
+      |FROM idxd WHERE n >= 6""") { (s, d) =>
+    val obs = TrendPipeline.eventsAsObservations(s, d)
+    TrendPipeline.dbestPointDecode(s, obs,
+      TrendPipeline.DbestPipelineParams(
+        startDate = "2024-01-01", endDate = "2026-01-01",
+        threshold = -1e18,
+        kernel = Dbest.Params(dataType = "non-cyclical", seasonality = 4,
+          duration = 8, firstLevelShift = 0.5, secondLevelShift = 0.5)),
+      composite = TrendPipeline.timeBucketComposite(_, 21600))
+      .select(col("longitude").cast("long").as("user_id"),
+        expr("""CAST(forall(seasonal, x -> x = 0D)
+               AND forall(remainder, x -> x = 0D) AS INT)""")
+          .as("stl_skipped"),
+        posexplode(transform(col("trend"), c => round(c, 4))))
+      .withColumnRenamed("pos", "idx")
+      .withColumnRenamed("col", "trend_val")
+  }
+
+  // K3 change-payload identity, ORACLE-CHECKED (r8 verdict item 4 —
+  // shrinks K3's rows-only surface the way k4_fit_identity shrank
+  // K4's): every reported change must RECOMPUTE from the trend payload
+  // the same row carries — change[i] = trend[end[i]] − trend[start[i]]
+  // (exact by construction, Dbest.scala:233; 1e-9 gate) — the five
+  // change arrays must agree in length, and every segment must run
+  // forward (end > start). n_points is the real cross-engine check
+  // (DuckDB independently counts each eligible series' buckets and the
+  // trend array must be exactly that long). With this, K3's unverified
+  // remainder drops to the STL loess weights and the DP segmentation's
+  // vertex CHOICE only.
+  q("k3_change_identity",
+    """WITH comp AS (
+      |  SELECT CAST(user_id AS BIGINT) AS user_id,
+      |         CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS bucket
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id, CAST(count(*) AS INT) AS n_points,
+      |       CAST(1 AS INT) AS sizes_consistent,
+      |       CAST(1 AS INT) AS change_is_trend_delta,
+      |       CAST(1 AS INT) AS ends_after_starts
+      |FROM comp GROUP BY user_id HAVING count(*) >= 6""") { (s, d) =>
+    val obs = TrendPipeline.eventsAsObservations(s, d)
+    TrendPipeline.dbestPointDecode(s, obs,
+      TrendPipeline.DbestPipelineParams(
+        startDate = "2024-01-01", endDate = "2026-01-01",
+        threshold = -1e18,
+        kernel = Dbest.Params(seasonality = 4, duration = 8,
+          firstLevelShift = 0.5, secondLevelShift = 0.5)),
+      composite = TrendPipeline.timeBucketComposite(_, 21600))
+      .select(col("longitude").cast("long").as("user_id"),
+        size(col("trend")).cast("int").as("n_points"),
+        expr("""CAST(size(start) = size(`end`)
+               AND size(start) = size(change)
+               AND size(start) = size(change_type)
+               AND size(start) = size(significance) AS INT)""")
+          .as("sizes_consistent"),
+        expr("""CAST(forall(zip_with(change,
+                 zip_with(start, `end`,
+                   (a, b) -> element_at(trend, b + 1) -
+                             element_at(trend, a + 1)),
+                 (c, dlt) -> abs(c - dlt) <= 1e-9),
+               x -> x) AS INT)""").as("change_is_trend_delta"),
+        expr("""CAST(forall(zip_with(start, `end`, (a, b) -> b > a),
+               x -> x) AS INT)""").as("ends_after_starts"))
+  }
+
   // K4 data-slot identity, ORACLE-CHECKED: the generalization payload's
   // `data` series is the raw composited input (decode slot carries it
   // for plotting) — it must equal DuckDB's independently computed

@@ -1181,6 +1181,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Dedup.ngramJaccardPairs(df, n = 3, minJaccard = 0.8).count() == 0)
   }
 
+  test("ngramContainmentPairs: maxDocFreq drops hot-gram-only candidates") {
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")
+    val article = ((1 to 50).map(i => s"a$i") ++ (1 to 12).map(i => s"q$i")
+      ++ (1 to 30).map(i => s"b$i")).mkString(" ")
+    // 5 clones of one hot text: every gram of the clones has df = 5
+    val hot = (1 to 10).map(i => s"h$i").mkString(" ")
+    val df = docsDf(Seq((1L, quote), (2L, article)) ++
+      (10L to 14L).map(id => (id, hot)): _*)
+    // cap 5 keeps everything: capped == uncapped
+    val capped5 = Dedup.ngramContainmentPairs(df, 3, 0.9, Some(5))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Dedup.ngramContainmentPairs(df, 3, 0.9, None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped5 == uncapped)
+    assert(uncapped.contains((1L, 2L)))
+    // cap 4 excises the df-5 clone grams from candidate generation:
+    // the clone pairs disappear (their ENTIRE prefix is hot — the
+    // documented bounded-recall trade), the quote pair survives
+    val capped4 = Dedup.ngramContainmentPairs(df, 3, 0.9, Some(4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped4.contains((1L, 2L)))
+    assert(!capped4.exists { case (a, b) => a >= 10L && b >= 10L })
+    assert(capped4.subsetOf(uncapped))
+  }
+
   test("pairMargin: clean anchors score +1e4, label noise scores -1e4") {
     import spark.implicits._
     val df = Seq(
