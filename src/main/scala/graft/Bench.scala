@@ -34,7 +34,14 @@ object Bench {
     "la_attribution", "j_fuzzy_native",
     // round 8 additions
     "t_vocab_growth", "t_mix_epochs", "dd_ngram_containment",
-    "la_rfm", "sim_pair_margin", "t_split_leakage", "dd_impact_report")
+    "la_rfm", "sim_pair_margin", "t_split_leakage", "dd_impact_report",
+    // round 9 additions: the capped containment twin times the
+    // doc-frequency knob against its uncapped sibling (the
+    // skew_join_naive/salted pattern); la_rfm_approx times the bounded
+    // GK-cuts scale path against the exact-percentile twin;
+    // pipeline_polytrend times the reference's end-to-end user journey
+    // (scan→filter→composite→kernel→stats) as one plan
+    "dd_ngram_containment_capped", "la_rfm_approx", "pipeline_polytrend")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -100,18 +107,36 @@ object Bench {
     val comparable = results.take(23).map(_._2).filter(_ >= 0).sum
 
     // sf1 stretch section (SCALE.md validation): if the deterministic
-    // 10×-sf0.1 tables generated by graft.GenScale exist, time the two
-    // likeliest hidden-constant paths (span dedup, IVF-PQ) plus
-    // MinHash-LSH at 10× bench scale. min-of-2 after the cold pass —
-    // these are multi-second queries where host-contention noise is
-    // proportionally small. Linear scaling predicts ≈10× the sf0.1
-    // per-query figures; read BENCH notes for the envelope verdict.
+    // 10×-sf0.1 tables generated by graft.GenScale exist, time the
+    // likeliest hidden-constant paths at 10× bench scale: span dedup /
+    // MinHash-LSH / IVF-PQ (r6), the graph suite (r9 — PageRank's
+    // per-iteration materialization changed its execution shape in r8
+    // and its 10× behavior was unmeasured; the sf1 lineitem is
+    // `factor` disjoint graph copies, so ~linear is the pass bar),
+    // both containment variants (capped vs uncapped skew twins), and
+    // the two end-to-end kernel journeys over 10× the event series.
+    // min-of-2 after the cold pass — these are multi-second queries
+    // where host-contention noise is proportionally small. Linear
+    // scaling predicts ≈10× the sf0.1 per-query figures; read BENCH
+    // notes for the envelope verdict. Each entry is gated on ITS
+    // input table so an sf1 dir from an older round still benches the
+    // subset it has.
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
       "/root/repo/target/sf1")
+    val sf1Needs: Seq[(String, String)] = Seq(
+      "dd_span_dedup" -> "documents", "dd_minhash_lsh" -> "documents",
+      "sim_ivfpq_topk" -> "embeddings",
+      "dd_ngram_containment" -> "documents",
+      "dd_ngram_containment_capped" -> "documents",
+      "g_pagerank" -> "lineitem", "g_triangles" -> "lineitem",
+      "g_lift" -> "lineitem",
+      "pipeline_polytrend" -> "events", "k3_dbest_change" -> "events")
+    val sf1Names = sf1Needs.collect { case (n, t)
+      if java.nio.file.Files.exists(
+        java.nio.file.Paths.get(sf1Dir, s"$t.parquet")) => n }
     val sf1 =
-      if (java.nio.file.Files.exists(
-          java.nio.file.Paths.get(sf1Dir, "documents.parquet"))) {
-        val entries = Seq("dd_span_dedup", "dd_minhash_lsh", "sim_ivfpq_topk")
+      if (sf1Names.nonEmpty) {
+        val entries = sf1Names
           .map { name =>
             val fn = SparkEntry.queries(name)
             def once(): Double = {

@@ -3,11 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Deterministic 10× scale-up of the sf0.1 `documents`/`embeddings`
-  * tables for the sf1 stretch bench (the SCALE.md extrapolations get a
-  * measured data point instead of an argument). BENCH INPUT ONLY —
-  * every correctness entry reads the driver-generated /root/testdata
-  * tables untouched.
+/** Deterministic 10× scale-up of the sf0.1 `documents`/`embeddings`/
+  * `lineitem`/`events` tables for the sf1 stretch bench (the SCALE.md
+  * extrapolations get a measured data point instead of an argument).
+  * BENCH INPUT ONLY — every correctness entry reads the
+  * driver-generated /root/testdata tables untouched.
   *
   * Replica 0 is the original row. Replicas 1..9 keep each document's
   * exact token multiset but deterministically ROTATE token order by a
@@ -69,7 +69,38 @@ object GenScale {
         col("label"))
     embs.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
-    println(s"""{"gen":"sf${factor / 10}","docs":${docs.count()},"vecs":${embs.count()},"out":"$outDir"}""")
+    // lineitem: each replica remaps BOTH keys (order and part), so the
+    // co-purchase graph becomes `factor` DISJOINT copies of the sf0.1
+    // graph — nodes, edges, wedges, triangles and per-iteration
+    // PageRank work all scale exactly linearly, the envelope the graph
+    // sf1 bench rows are read against. Non-key columns pass through.
+    val li = graft.io.Tables.load(spark, srcDir, "lineitem")
+    val liCols = li.columns.map {
+      case "l_orderkey" => (col("l_orderkey") * factor + col("rep"))
+        .as("l_orderkey")
+      case "l_partkey" => (col("l_partkey") * factor + col("rep"))
+        .as("l_partkey")
+      case c => col(c)
+    }
+    li.crossJoin(replicas).select(liCols: _*)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    // events: each replica remaps user_id (the series/pixel key) and
+    // event_id, keeping timestamps and values — `factor`× the series
+    // count at identical per-series length, so kernel pipelines
+    // (composite → PolyTrend/DBEST) see exactly factor× the work.
+    // Written through the normalized (µs timestamp) view; the catalog
+    // reader dispatches on the observed type either way.
+    val ev = graft.io.Tables.load(spark, srcDir, "events")
+      .crossJoin(replicas)
+      .select(
+        (col("event_id") * factor + col("rep")).as("event_id"),
+        col("ts"),
+        (col("user_id") * factor + col("rep")).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    ev.write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    println(s"""{"gen":"sf${factor / 10}","docs":${docs.count()},"vecs":${embs.count()},"lines":${li.count() * factor},"events":${ev.count()},"out":"$outDir"}""")
     spark.stop()
   }
 }

@@ -62,8 +62,12 @@ object Plans {
     "dd_ngram_containment" -> "asymmetric containment (r8): sub-side PREFIX explode only vs super-side full posting lists on the gram key; exact array_intersect verify after the distinct candidate set — hot-shingle df is the documented skew hazard with the production df-cap trade",
     "sim_pair_margin" -> "hard-negative mining (r8): coarse cells are the join keys (within-cell pairs only, Σ|cell|² not n²); per-anchor max/count reduction map-combined; margins from bit-equal cosine folds",
     "ts_holt" -> "Holt smoothing (r8): daily composite map-combined first, then the two-register (level, trend) integer fold over the type-keyed sorted day array — same one-exchange contract as ts_ewma, no UDF, no unpartitioned window",
-    "dd_impact_report" -> "dedup impact report (r8): digest groupBy + join carry 8-byte xxhash64 keys (text never shuffles); final aggregate is sources-sized",
-    "t_split_leakage" -> "split-leakage gate (r8): gram digests shuffle once; test-side distinct digest set joins the train side; output is ONE summary row via two tiny broadcast crosses")
+    "dd_impact_report" -> "dedup impact report (r8; r9 digest widened): digest groupBy + join carry 16-byte md5 keys (text never shuffles; 64-bit collisions mis-merged clusters at 10^9 docs), final aggregate is sources-sized",
+    "t_split_leakage" -> "split-leakage gate (r8): gram digests shuffle once; test-side distinct digest set joins the train side; output is ONE summary row via two tiny broadcast crosses",
+    "dd_ngram_containment_capped" -> "containment with the production df cap (r9): per-gram df table equi-joined back (one row per gram — linear, never pair-producing) drops hot shingles from BOTH candidate sides before the prefix x posting join; exact verify unchanged — the bounded-recall escape from the uncapped twin's hot-shingle skew",
+    "la_rfm_approx" -> "RFM scale path (r9): approx_percentile cut points (GK summaries — state bounded by the accuracy knob, NOT by domain cardinality) replace the exact twin's O(users) percentile map in the final agg task; monotonicity audit runs on the <=15-row (metric,score) interval table, never an unpartitioned user sort",
+    "pipeline_polytrend" -> "the reference's end-to-end user journey as ONE plan (r9): F1 temporal filter pushed to the parquet scan, composite groupBy is exchange #1, F4 quality gate + K1 kernel + min ride exchange #2 as a single aggregation, stats collapse to a 1-row final agg — zero extra exchanges between stages",
+    "la_gini" -> "gini concentration (r9 single-action form): RANGE exchange tiles the ascending order, cumsum window PARTITIONED by spark_partition_id, and ONE numParts-row groupBy(pid) collect closes the global prefix sum — offsets and sums from the same job, so RangePartitioner sampling drift between jobs cannot skew the result")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

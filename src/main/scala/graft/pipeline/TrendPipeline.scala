@@ -80,20 +80,27 @@ object TrendPipeline {
 
   /** PolyTrend-for-region (§3.1 stages 3-8): returns the per-pixel
     * classification table
-    * (schema `calculations/polytrend.py:291-297`).
+    * (schema `calculations/polytrend.py:291-297`). The composite is
+    * pluggable ([[annualComposite]] default — the reference's shape;
+    * [[hourlyComposite]]/[[timeBucketComposite]] for high-frequency
+    * sources); its time column is resolved positionally (column 3 of
+    * the `(longitude, latitude, <time>, value)` contract), so both
+    * the `yr` and `bucket` namings work unchanged.
     */
   def polyTrend(spark: SparkSession, obs: DataFrame,
-      params: PolyTrendParams): DataFrame = {
+      params: PolyTrendParams,
+      composite: DataFrame => DataFrame = annualComposite): DataFrame = {
     import spark.implicits._
-    val annual = annualComposite(
+    val comp = composite(
       applyFilters(obs, params.startDate, params.endDate, params.bbox))
+    val timeCol = comp.columns(2)
     val pt = udaf(new PolyTrendAgg(params.alpha))
-    annual
+    comp
       .groupBy(col("longitude"), col("latitude"))
       // F4 quality gate (min > θ ≡ all > θ, `calculations/polytrend.py:284`)
       // rides the same shuffle as the kernel — one aggregation, two outputs.
       .agg(min(col("value")).as("mn"),
-        pt(col("yr").cast("double"), col("value")).as("pt"))
+        pt(col(timeCol).cast("double"), col("value")).as("pt"))
       .filter(col("mn") > params.threshold && col("pt.trend_type").isNotNull)
       .select(col("longitude"), col("latitude"), col("pt.trend_type"),
         col("pt.slope"), col("pt.direction"), col("pt.significance"),

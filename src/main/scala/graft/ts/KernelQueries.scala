@@ -101,6 +101,26 @@ object KernelQueries extends QueryRegistry {
         col("pt.degree").as("degree"))
   }
 
+  // The reference's ACTUAL user journey (`calculations/routes.py:22-33`,
+  // SURVEY §7.2) as ONE lazy plan, end to end: scan → F1 temporal
+  // filter → A1 tumbling composite → F4 quality gate riding the SAME
+  // aggregation as the K1 kernel → summary stats. Registered as its
+  // own entry so the composite is TIMED as a unit (bench headline +
+  // sf1), not just correctness-verified piecewise. With the
+  // all-passing gate and full date range this must equal
+  // k1_pt_statistics exactly, so the same closed-form oracle replays
+  // it; the value of the entry is the composed plan — two shuffles
+  // total (composite groupBy, then pixel groupBy), zero extra
+  // exchanges between the stages (PLANS.md evidence).
+  q("pipeline_polytrend", K1MomentsOracle.statsSql(alpha = 0.05)) { (s, d) =>
+    val obs = TrendPipeline.eventsAsObservations(s, d)
+    val results = TrendPipeline.polyTrend(s, obs,
+      TrendPipeline.PolyTrendParams(startDate = "2024-01-01",
+        endDate = "2026-01-01", alpha = 0.05, threshold = -1e18),
+      composite = TrendPipeline.hourlyComposite)
+    TrendPipeline.ptStatistics(results)
+  }
+
   // K2: linear fit + eval at the series endpoints — oracle-checked via
   // DuckDB regr_slope/regr_intercept (same x = epoch-day index).
   q("k2_linear_eval",
