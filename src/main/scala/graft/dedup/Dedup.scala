@@ -173,33 +173,58 @@ object Dedup {
     * bucket), and signatures are fetched once per surviving pair for
     * the agreement estimate (codegen'd zip_with fold, no UDF).
     */
-  def minhashCandidates(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", numHashes: Int = 32, bands: Int = 8,
-      shingleK: Int = 3, seed: Long = 42L, minEstJaccard: Double = 0.5,
-      maxBucket: Int = 64): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
+  /** Per-doc MinHash signature table (doc_id, sig) — the standing
+    * NEAR-dup index a production pipeline materializes between ingests
+    * (the [[graft.io.DigestStore]] analog for approximate matching):
+    * 32 longs = 256 bytes per doc, from which band keys re-derive
+    * map-side with no text pass. One tokenize+shingle+hash pass over
+    * the input; the text itself never shuffles downstream.
+    */
+  def signatures(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", numHashes: Int = 32, shingleK: Int = 3,
+      seed: Long = 42L): DataFrame = {
     val sigUdf = udf { (toks: Seq[String]) =>
       minhashSignature(toks, numHashes, shingleK, seed)
     }
+    docs.select(col(idCol).as("doc_id"),
+      sigUdf(split(col(textCol), " ")).as("sig"))
+  }
+
+  /** Explode a signature table to its (doc_id, band, bucket) LSH band
+    * keys — 24-byte rows, the only thing the candidate join shuffles.
+    */
+  private def bandExplode(sigs: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
     val bandUdf = udf { (sig: Seq[Long]) =>
       sig.grouped(rowsPerBand).zipWithIndex.map { case (slice, b) =>
         (b, slice.foldLeft(0xcbf29ce484222325L)((h, v) =>
           (h ^ v) * 0x100000001b3L))
       }.toSeq
     }
+    sigs.select(col("doc_id"), explode(bandUdf(col("sig"))).as("bb"))
+      .select(col("doc_id"),
+        col("bb._1").as("band"), col("bb._2").as("bucket"))
+  }
+
+  /** Signature-agreement Jaccard estimate between two sig columns —
+    * k-agreeing-of-numHashes, a dyadic rational (engine-exact). */
+  private def estJaccardCol(a: Column, b: Column, numHashes: Int): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / numHashes
+
+  def minhashCandidates(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", numHashes: Int = 32, bands: Int = 8,
+      shingleK: Int = 3, seed: Long = 42L, minEstJaccard: Double = 0.5,
+      maxBucket: Int = 64): DataFrame = {
     // materialize-once: the signature projection (32 permutations ×
     // all shingles per doc) feeds THREE plan arms — banding + both
     // sides of the per-pair signature fetch. CacheManager dedupes by
     // canonical plan, so repeated calls share one entry.
-    val signed = docs
-      .select(col(idCol).as("doc_id"),
-        sigUdf(split(col(textCol), " ")).as("sig"))
+    val signed = signatures(docs, textCol, idCol, numHashes, shingleK, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = signed
-      .select(col("doc_id"), explode(bandUdf(col("sig"))).as("bb"))
-      .select(col("doc_id"),
-        col("bb._1").as("band"), col("bb._2").as("bucket"))
+    val banded = bandExplode(signed, numHashes, bands)
     val smallBuckets = banded.groupBy("band", "bucket")
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n").between(2, maxBucket))
@@ -218,11 +243,91 @@ object Dedup {
       .join(signed.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
         "doc_b")
       .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+        estJaccardCol(col("sig_a"), col("sig_b"), numHashes))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** Incremental NEAR-dup ingest — the MinHash-LSH analog of
+    * [[incrementalDedup]], the steady-state mode a production pipeline
+    * actually runs: the standing corpus contributes its materialized
+    * SIGNATURE table only (`corpusSigs`, from [[signatures]] — 256
+    * bytes/doc; corpus text is never re-read, and band keys re-derive
+    * from the signatures map-side with no text pass). The incoming
+    * batch is signed once; candidates come from (band, bucket) equi
+    * joins — batch×corpus and batch×batch — with oversized buckets
+    * excluded PER SIDE (each side's own population vs `maxBucket`,
+    * the standard degenerate-content cap), and survivors verify on
+    * the signature-agreement estimate (dyadic k/numHashes —
+    * engine-exact).
+    *
+    * Per incoming doc: `near_dup_corpus` (best corpus match at est ≥
+    * τ — corpus matches take precedence, mirroring incrementalDedup's
+    * dup_corpus), else `near_dup_batch` (a SMALLER-id batch doc
+    * matches at est ≥ τ — min-id keeper, the batch-internal
+    * convention), else `new`. `match_id`/`est_jaccard` carry the best
+    * match (est desc, id asc — a total order, so the pick is
+    * deterministic).
+    *
+    * Scale shape: per-ingest cost is O(batch) band rows joining a
+    * band-bucketed index scan — never O(corpus); the only wide rows
+    * are the per-surviving-pair signature fetches.
+    */
+  def incrementalNearDup(corpusSigs: DataFrame, incoming: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      numHashes: Int = 32, bands: Int = 8, shingleK: Int = 3,
+      seed: Long = 42L, minEstJaccard: Double = 0.5,
+      maxBucket: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val incSigs = signatures(incoming, textCol, idCol, numHashes,
+        shingleK, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def capped(bandsDf: DataFrame): DataFrame =
+      bandsDf.join(
+        bandsDf.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBucket).select("band", "bucket"),
+        Seq("band", "bucket"))
+    val cBands = capped(bandExplode(corpusSigs, numHashes, bands))
+      .withColumnRenamed("doc_id", "corpus_id")
+    val iBands = capped(bandExplode(incSigs, numHashes, bands))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("est").desc, col("match_id").asc)
+    def best(cands: DataFrame, otherSigs: DataFrame): DataFrame =
+      cands
+        .join(incSigs.select(col("doc_id"), col("sig").as("si")), "doc_id")
+        .join(otherSigs.select(col("doc_id").as("match_id"),
+          col("sig").as("sm")), "match_id")
+        .withColumn("est", estJaccardCol(col("si"), col("sm"), numHashes))
+        .filter(col("est") >= minEstJaccard)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("doc_id"), col("match_id"), col("est"))
+    val corpusBest = best(
+      iBands.join(cBands, Seq("band", "bucket"))
+        .select(col("doc_id"), col("corpus_id").as("match_id")).distinct()
+        .select("doc_id", "match_id"),
+      corpusSigs)
+    val batchBest = best(
+      iBands.as("a").join(iBands.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") > col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id"),
+          col("b.doc_id").as("match_id")).distinct(),
+      incSigs)
+    incSigs.select("doc_id")
+      .join(corpusBest.select(col("doc_id"), col("match_id").as("cm"),
+        col("est").as("ce")), Seq("doc_id"), "left")
+      .join(batchBest.select(col("doc_id"), col("match_id").as("bm"),
+        col("est").as("be")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("cm").isNotNull, "near_dup_corpus")
+          .when(col("bm").isNotNull, "near_dup_batch")
+          .otherwise("new").as("status"),
+        when(col("cm").isNotNull, col("cm")).otherwise(col("bm"))
+          .as("match_id"),
+        round(when(col("cm").isNotNull, col("ce")).otherwise(col("be")), 4)
+          .as("est_jaccard"))
   }
 
   // --------------------------------------------------------------- kmv

@@ -480,6 +480,84 @@ object PipelineQueries extends QueryRegistry {
     docs(s, d).select(col("doc_id"), rolling_hash(col("text")).as("fp64"))
   }
 
+  /** Content-defined chunking (r9): boundary before token p whenever
+    * the 4-token window ending at p−1 rolling-hashes to low-4-bits
+    * zero (expected chunk 16 tokens). The oracle replays the window
+    * hash with the same mod-2^64 HUGEINT fold as
+    * `t_fingerprint_rolling` (low 4 bits of the unsigned value ==
+    * Java's `h & 15` on the signed value — two's complement), the
+    * cumsum chunk ids, and the per-chunk md5 over the ORDER BY p
+    * string_agg.
+    */
+  q("t_cdc_chunks",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |pos AS (
+      |  SELECT doc_id, i AS p, l[i] AS tok,
+      |         CASE WHEN i > 4 AND
+      |           list_reduce(
+      |             list_prepend(CAST(0 AS HUGEINT),
+      |               list_transform(range(1,
+      |                   length(array_to_string(l[i-4:i-1], ' ')) + 1),
+      |                 j -> CAST(ord(substr(array_to_string(l[i-4:i-1], ' '),
+      |                        CAST(j AS INT), 1)) AS HUGEINT))),
+      |             (acc, ch) -> (acc * 1000003 + ch)
+      |               % CAST('18446744073709551616' AS HUGEINT)) % 16 = 0
+      |           THEN 1 ELSE 0 END AS flag
+      |  FROM toks, unnest(generate_series(1, len(l))) AS t(i)),
+      |ch AS (
+      |  SELECT doc_id, p, tok,
+      |         sum(flag) OVER (PARTITION BY doc_id ORDER BY p) AS cid
+      |  FROM pos)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(cid AS INT) AS chunk_idx,
+      |       CAST(count(*) AS BIGINT) AS n_tokens,
+      |       md5(string_agg(tok, ' ' ORDER BY p)) AS fp
+      |FROM ch GROUP BY doc_id, cid""") { (s, d) =>
+    TextAnalysis.cdcChunks(docs(s, d), window = 4, maskBits = 4)
+  }
+
+  /** Chunk-level dedup audit over the CDC chunks (r9): fingerprints
+    * shared by ≥ 2 documents, with occurrence and doc counts — the
+    * "how much storage/compute does chunk-dedup save" number, and the
+    * shift-resistance demonstration (shared passages fingerprint
+    * identically regardless of position). Chunk strings never shuffle
+    * twice: the dedup groupBy carries the 16-byte md5 only.
+    */
+  q("t_cdc_shared",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |pos AS (
+      |  SELECT doc_id, i AS p, l[i] AS tok,
+      |         CASE WHEN i > 4 AND
+      |           list_reduce(
+      |             list_prepend(CAST(0 AS HUGEINT),
+      |               list_transform(range(1,
+      |                   length(array_to_string(l[i-4:i-1], ' ')) + 1),
+      |                 j -> CAST(ord(substr(array_to_string(l[i-4:i-1], ' '),
+      |                        CAST(j AS INT), 1)) AS HUGEINT))),
+      |             (acc, ch) -> (acc * 1000003 + ch)
+      |               % CAST('18446744073709551616' AS HUGEINT)) % 16 = 0
+      |           THEN 1 ELSE 0 END AS flag
+      |  FROM toks, unnest(generate_series(1, len(l))) AS t(i)),
+      |ch AS (
+      |  SELECT doc_id, p, tok,
+      |         sum(flag) OVER (PARTITION BY doc_id ORDER BY p) AS cid
+      |  FROM pos),
+      |chunks AS (
+      |  SELECT doc_id, cid, count(*) AS n_tokens,
+      |         md5(string_agg(tok, ' ' ORDER BY p)) AS fp
+      |  FROM ch GROUP BY doc_id, cid)
+      |SELECT fp, CAST(count(*) AS BIGINT) AS n_occurrences,
+      |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |       CAST(min(n_tokens) AS BIGINT) AS n_tokens
+      |FROM chunks GROUP BY fp HAVING count(DISTINCT doc_id) >= 2""") {
+    (s, d) =>
+    TextAnalysis.cdcChunks(docs(s, d), window = 4, maskBits = 4)
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("n_tokens")).as("n_tokens"))
+      .filter(col("n_docs") >= 2)
+  }
+
   // ------------------------------------------------------------- dedup
 
   q("dd_exact",
@@ -663,6 +741,150 @@ object PipelineQueries extends QueryRegistry {
     Dedup.minhashCandidates(docs(s, d), minEstJaccard = 0.5)
       .select(col("doc_a"), col("doc_b"),
         round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /** Incremental NEAR-dup ingest oracle (r9): the full minhash
+    * machinery (same HUGEINT folds and constants as
+    * [[minhashOracleSql]] — generated from the same
+    * `Dedup.minhashParams`, so the two cannot drift), then the
+    * steady-state split: corpus = doc_id%10 < 8 contributes band keys
+    * from its STANDING signatures, the incoming slice joins them with
+    * per-side bucket caps, and each incoming doc resolves to
+    * near_dup_corpus (precedence) / near_dup_batch (smaller-id
+    * keeper) / new with its best match by (est desc, id asc).
+    */
+  private val incNearDupOracleSql: String = {
+    val M = "CAST('18446744073709551616' AS HUGEINT)"
+    val H = "CAST('9223372036854775808' AS HUGEINT)"
+    val P = "CAST('1099511628211' AS HUGEINT)"
+    val B = "CAST('14695981039346656037' AS HUGEINT)"
+    val ps = Dedup.minhashParams(32, 42L)
+    val aL = ps.map(p => s"CAST('${p._1}' AS HUGEINT)")
+      .mkString("[", ", ", "]")
+    val bL = ps.map(p => s"CAST('${p._2}' AS HUGEINT)")
+      .mkString("[", ", ", "]")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |sh AS (
+       |  SELECT doc_id, array_to_string(l[i:i+2], ' ') AS s
+       |  FROM toks, unnest(generate_series(1, greatest(len(l) - 2, 1))) AS t(i)),
+       |shh AS (
+       |  SELECT doc_id,
+       |    list_reduce(
+       |      list_prepend($B,
+       |        list_transform(range(1, length(s) + 1),
+       |          i -> CAST(ord(substr(s, CAST(i AS INT), 1)) AS HUGEINT))),
+       |      (acc, ch) -> ((acc - (acc % 256) +
+       |          CAST(xor(CAST(acc % 256 AS BIGINT), CAST(ch AS BIGINT)) AS HUGEINT))
+       |          * $P) % $M) AS x
+       |  FROM sh),
+       |uh AS (
+       |  SELECT doc_id, f,
+       |         ((((${aL}[f + 1] * (x // 4294967296)) % 4294967296) * 4294967296
+       |            + ${aL}[f + 1] * (x % 4294967296))
+       |           + ${bL}[f + 1]) % $M AS u
+       |  FROM shh, unnest(generate_series(0, 31)) AS g(f)),
+       |sig AS (
+       |  SELECT doc_id, f,
+       |         min(CAST(CASE WHEN u >= $H THEN u - $M ELSE u END AS BIGINT)) AS mh
+       |  FROM uh GROUP BY doc_id, f),
+       |sigl AS (SELECT doc_id, list(mh ORDER BY f) AS sig FROM sig GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, band,
+       |    list_reduce(
+       |      list_prepend($B,
+       |        list_transform(sig[band * 4 + 1 : band * 4 + 4],
+       |          s -> (CASE WHEN s < 0 THEN CAST(s AS HUGEINT) + $M
+       |                ELSE CAST(s AS HUGEINT) END))),
+       |      (acc, v) -> (((
+       |          CAST(xor(CAST(acc // 4294967296 AS BIGINT), CAST(v // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296
+       |          + CAST(xor(CAST(acc % 4294967296 AS BIGINT), CAST(v % 4294967296 AS BIGINT)) AS HUGEINT))
+       |        * $P) % $M)) AS bucket
+       |  FROM sigl, unnest(generate_series(0, 7)) AS g(band)),
+       |cband AS (SELECT * FROM banded WHERE doc_id % 10 < 8),
+       |iband AS (SELECT * FROM banded WHERE doc_id % 10 >= 8),
+       |okc AS (SELECT band, bucket FROM cband GROUP BY 1, 2
+       |        HAVING count(*) <= 64),
+       |oki AS (SELECT band, bucket FROM iband GROUP BY 1, 2
+       |        HAVING count(*) <= 64),
+       |candc AS (
+       |  SELECT DISTINCT i.doc_id, c.doc_id AS match_id
+       |  FROM iband i
+       |  JOIN oki ON oki.band = i.band AND oki.bucket = i.bucket
+       |  JOIN okc ON okc.band = i.band AND okc.bucket = i.bucket
+       |  JOIN cband c ON c.band = i.band AND c.bucket = i.bucket),
+       |candb AS (
+       |  SELECT DISTINCT a.doc_id, b.doc_id AS match_id
+       |  FROM iband a
+       |  JOIN oki ON oki.band = a.band AND oki.bucket = a.bucket
+       |  JOIN iband b ON b.band = a.band AND b.bucket = a.bucket
+       |   AND a.doc_id > b.doc_id),
+       |estc AS (
+       |  SELECT cc.doc_id, cc.match_id,
+       |         len(list_filter(range(1, 33),
+       |           f -> si.sig[CAST(f AS INT)] = sm.sig[CAST(f AS INT)]))
+       |           / 32.0 AS est
+       |  FROM candc cc
+       |  JOIN sigl si ON si.doc_id = cc.doc_id
+       |  JOIN sigl sm ON sm.doc_id = cc.match_id),
+       |estb AS (
+       |  SELECT cc.doc_id, cc.match_id,
+       |         len(list_filter(range(1, 33),
+       |           f -> si.sig[CAST(f AS INT)] = sm.sig[CAST(f AS INT)]))
+       |           / 32.0 AS est
+       |  FROM candb cc
+       |  JOIN sigl si ON si.doc_id = cc.doc_id
+       |  JOIN sigl sm ON sm.doc_id = cc.match_id),
+       |bestc AS (
+       |  SELECT doc_id, match_id, est FROM (
+       |    SELECT doc_id, match_id, est,
+       |           row_number() OVER (PARTITION BY doc_id
+       |                              ORDER BY est DESC, match_id) AS rn
+       |    FROM estc WHERE est >= 0.5) WHERE rn = 1),
+       |bestb AS (
+       |  SELECT doc_id, match_id, est FROM (
+       |    SELECT doc_id, match_id, est,
+       |           row_number() OVER (PARTITION BY doc_id
+       |                              ORDER BY est DESC, match_id) AS rn
+       |    FROM estb WHERE est >= 0.5) WHERE rn = 1)
+       |SELECT CAST(i.doc_id AS BIGINT) AS doc_id,
+       |       CASE WHEN bc.doc_id IS NOT NULL THEN 'near_dup_corpus'
+       |            WHEN bb.doc_id IS NOT NULL THEN 'near_dup_batch'
+       |            ELSE 'new' END AS status,
+       |       CAST(coalesce(bc.match_id, bb.match_id) AS BIGINT) AS match_id,
+       |       round(coalesce(bc.est, bb.est), 4) AS est_jaccard
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) i
+       |LEFT JOIN bestc bc ON bc.doc_id = i.doc_id
+       |LEFT JOIN bestb bb ON bb.doc_id = i.doc_id""".stripMargin
+  }
+
+  q("dd_incremental_neardup", incNearDupOracleSql) { (s, d) =>
+    val all = docs(s, d)
+    Dedup.incrementalNearDup(
+      Dedup.signatures(all.filter(col("doc_id") % 10 < 8)),
+      all.filter(col("doc_id") % 10 >= 8))
+  }
+
+  /** Duplicate-cluster SIZE distribution (r9): the histogram behind
+    * every dedup dashboard — how many exact-dup clusters of each size
+    * exist, and how many docs they absorb. Two digest-keyed
+    * aggregations (16-byte md5 keys, text never shuffles); output is
+    * ≤ max-cluster-size rows.
+    */
+  q("dd_cluster_sizes",
+    """WITH c AS (SELECT text, CAST(count(*) AS BIGINT) AS n_copies
+      |           FROM documents GROUP BY text)
+      |SELECT n_copies AS cluster_size,
+      |       CAST(count(*) AS BIGINT) AS n_clusters,
+      |       CAST(count(*) * (n_copies - 1) AS BIGINT) AS n_removable
+      |FROM c GROUP BY n_copies""") { (s, d) =>
+    docs(s, d)
+      .groupBy(md5(col("text").cast("binary")).as("th"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("n_clusters") * (col("cluster_size") - 1)).as("n_removable"))
   }
 
   // SimHash candidates fully reproduced in SQL: per-token FNV-1a with
@@ -1129,6 +1351,88 @@ object PipelineQueries extends QueryRegistry {
   q("sim_pair_margin", pairMarginOracleSql) { (s, d) =>
     val e = embs(s, d)
     Similarity.pairMargin(Similarity.hashSampledQuantizer(e, nlist = 16), e)
+  }
+
+  /** Shared-index composite (r9): ONE built IVF index — one cell
+    * assignment pass, eagerly materialized — serves BOTH consumers of
+    * a real embedding pipeline in the same plan: hard-negative margin
+    * mining and nearest-neighbor retrieval (top-1). Standalone, each
+    * op re-assigns the corpus; shared, assignment happens once — one
+    * less full pass over the embeddings per added consumer. The oracle
+    * replays the whole composite from the SAME asg CTE, mirroring the
+    * sharing.
+    */
+  private val indexPipelineOracleSql: String = {
+    val (nlist, nprobe, dims) = (16, 4, 64)
+    s"""WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+       |            FROM embeddings),
+       |ctr0 AS (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, e
+       |         FROM emb ORDER BY h LIMIT $nlist),
+       |ctr AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cell, e AS c
+       |        FROM ctr0),
+       |dst AS (
+       |  SELECT v.vec_id, v.e, c.cell,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, ${dims + 1}), i ->
+       |             (v.e[CAST(i AS INT)] - c.c[CAST(i AS INT)]) *
+       |             (v.e[CAST(i AS INT)] - c.c[CAST(i AS INT)]))),
+       |           (a, x) -> a + x) AS d2
+       |  FROM emb v CROSS JOIN ctr c),
+       |rankd AS (
+       |  SELECT vec_id, e, cell,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY d2, cell) AS pr
+       |  FROM dst),
+       |asg AS (SELECT vec_id, cell FROM rankd WHERE pr = 1),
+       |pairs AS (
+       |  SELECT a.vec_id AS anchor_id, a.cell, ea.label AS la,
+       |         eb.label AS lb, list_cosine_similarity(ea.e, eb.e) AS cos
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |  JOIN emb ea ON ea.vec_id = a.vec_id
+       |  JOIN emb eb ON eb.vec_id = b.vec_id),
+       |marg AS (
+       |  SELECT anchor_id, cell, la AS label,
+       |         CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_pos,
+       |         CAST(sum(CASE WHEN la <> lb THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_neg,
+       |         CAST(floor((max(CASE WHEN la = lb THEN cos END) -
+       |                     max(CASE WHEN la <> lb THEN cos END)) * 10000
+       |                    + 0.5) AS BIGINT) AS margin_u
+       |  FROM pairs GROUP BY anchor_id, cell, la
+       |  HAVING max(CASE WHEN la = lb THEN cos END) IS NOT NULL
+       |     AND max(CASE WHEN la <> lb THEN cos END) IS NOT NULL),
+       |cands AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, a.vec_id AS cand_id
+       |  FROM (SELECT vec_id, cell FROM rankd WHERE pr <= $nprobe) q
+       |  JOIN asg a ON a.cell = q.cell AND a.vec_id <> q.vec_id),
+       |scored AS (
+       |  SELECT c.query_id, c.cand_id,
+       |         list_cosine_similarity(ea.e, eb.e) AS cos_raw
+       |  FROM cands c
+       |  JOIN emb ea ON ea.vec_id = c.query_id
+       |  JOIN emb eb ON eb.vec_id = c.cand_id),
+       |top1 AS (
+       |  SELECT query_id, cand_id, cos_raw FROM (
+       |    SELECT query_id, cand_id, cos_raw,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY cos_raw DESC, cand_id) AS rank
+       |    FROM scored) WHERE rank = 1)
+       |SELECT CAST(m.anchor_id AS BIGINT) AS anchor_id,
+       |       CAST(m.cell AS INT) AS cell, m.label, m.n_pos, m.n_neg,
+       |       m.margin_u, CAST(t.cand_id AS BIGINT) AS nn_id,
+       |       round(t.cos_raw, 6) AS nn_cosine
+       |FROM marg m JOIN top1 t ON t.query_id = m.anchor_id""".stripMargin
+  }
+
+  q("sim_index_pipeline", indexPipelineOracleSql) { (s, d) =>
+    val e = embs(s, d)
+    val idx = Similarity.buildIndex(
+      Similarity.hashSampledQuantizer(e, nlist = 16), e)
+    val top1 = Similarity.ivfTopK(idx, k = 1, nprobe = 4)
+      .select(col("query_id").as("anchor_id"), col("cand_id").as("nn_id"),
+        col("cosine").as("nn_cosine"))
+    Similarity.pairMargin(idx).join(top1, "anchor_id")
   }
 
   // Span-level exact-substring dedup (Lee et al. 2021): maximal token

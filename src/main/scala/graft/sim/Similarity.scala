@@ -158,13 +158,49 @@ object Similarity {
       nprobe: Int = 4, seed: Long = 42L): DataFrame =
     ivfTopK(fitQuantizer(embeddings, nlist, seed), embeddings, k, nprobe)
 
-  /** IVF top-k against a PRE-FITTED quantizer (no k-means job): assigns
-    * the corpus to inverted lists, probes each query's `nprobe` nearest
-    * cells, exact cosine re-ranks.
+  /** A BUILT IVF index: the fitted coarse quantizer plus the corpus's
+    * cell assignment, materialized ONCE (eager localCheckpoint —
+    * lineage truncated, blocks freed by the ContextCleaner when the
+    * index is GC'd, never a session-lifetime persist) and shared by
+    * every consumer: retrieval ([[ivfTopK]]), hard-negative mining
+    * ([[pairMargin]]), and any other within-cell pass. One assignment
+    * pass over the embeddings instead of one per consumer — the
+    * production posture, where the inverted-list table IS the stored
+    * index layout. Carries `label` when the input has one (margin
+    * mining needs it; retrieval ignores it).
+    */
+  final case class IvfIndex(quantizer: IvfQuantizer, assigned: DataFrame)
+
+  /** Build the shared index: one assignment pass, eagerly
+    * materialized. `nlist` guidance: ≈ √n — Σ|cell|² pair volume for
+    * the within-cell consumers stays ≈ n^1.5 (SCALE.md, pair-margin
+    * row).
+    */
+  def buildIndex(quantizer: IvfQuantizer, embeddings: DataFrame): IvfIndex = {
+    val base = quantizer.assign(embeddings)
+    val full =
+      if (embeddings.columns.contains("label"))
+        base.join(embeddings.select(col("vec_id"), col("label")), "vec_id")
+      else base
+    IvfIndex(quantizer, full.localCheckpoint(true))
+  }
+
+  /** IVF top-k against a PRE-FITTED quantizer (no k-means job): builds
+    * the shared index inline — the assignment feeds BOTH the query arm
+    * and the candidate arm, so materializing it once halves the assign
+    * work even standalone — then probes and re-ranks.
     */
   def ivfTopK(quantizer: IvfQuantizer, embeddings: DataFrame, k: Int,
-      nprobe: Int): DataFrame = {
-    val assigned = quantizer.assign(embeddings)
+      nprobe: Int): DataFrame =
+    ivfTopK(buildIndex(quantizer, embeddings), k, nprobe)
+
+  /** IVF top-k from a BUILT index: probes each query's `nprobe`
+    * nearest cells, exact cosine re-ranks; the corpus-side inverted
+    * lists come from the index's materialized assignment.
+    */
+  def ivfTopK(index: IvfIndex, k: Int, nprobe: Int): DataFrame = {
+    val quantizer = index.quantizer
+    val assigned = index.assigned.select("vec_id", "e", "cell")
     val probeUdf = udf { (e: Seq[Double]) =>
       quantizer.nearestCells(e, nprobe)
     }
@@ -423,9 +459,16 @@ object Similarity {
     * is computed from bit-equal cosine folds so the integer grid is
     * engine-exact (the dd_semdedup threshold precedent).
     */
-  def pairMargin(quantizer: IvfQuantizer, embeddings: DataFrame): DataFrame = {
-    val asg = quantizer.assign(embeddings)
-      .join(embeddings.select(col("vec_id"), col("label")), "vec_id")
+  def pairMargin(quantizer: IvfQuantizer, embeddings: DataFrame): DataFrame =
+    pairMargin(buildIndex(quantizer, embeddings))
+
+  /** Margin mining from a BUILT index (shared cell assignment with
+    * [[ivfTopK]] — one assign pass serves retrieval and mining).
+    */
+  def pairMargin(index: IvfIndex): DataFrame = {
+    require(index.assigned.columns.contains("label"),
+      "pairMargin needs a label column — build the index from a labelled table")
+    val asg = index.assigned
     val a = asg.select(col("vec_id").as("anchor_id"), col("cell"),
       col("label").as("la"), col("e").as("ea"))
     val b = asg.select(col("vec_id").as("cand_id"), col("cell"),

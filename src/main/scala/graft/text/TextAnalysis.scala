@@ -555,6 +555,54 @@ object TextAnalysis {
         size(split(col("col"), " ")).as("n_chunk_tokens"))
   }
 
+  /** Content-defined chunking (the FastCDC/rsync family idea at token
+    * grain): a chunk boundary opens BEFORE token p whenever the rolling
+    * hash of the `window` tokens ending at p−1 has its low `maskBits`
+    * bits zero — expected chunk length 2^maskBits tokens. Because each
+    * boundary decision depends only on LOCAL window content, an edit
+    * shifts at most the chunks it touches (fixed-size chunking re-cuts
+    * the whole suffix — the chunk-dedup killer), and every chunk's
+    * md5 fingerprint is stable across documents that share passages —
+    * the storage/chunk-level-dedup primitive a training-data pipeline
+    * uses to dedupe near-identical document families cheaply.
+    *
+    * Scale shape: boundary flags are a map-local `transform` over the
+    * token array (the native codegen'd [[graft.functions.RollingHash]]
+    * per window — no UDF); chunk ids are a doc-keyed cumsum window and
+    * assembly a doc-keyed sorted collect — the spanDedup exchange
+    * contract, state bounded by one doc's length. Pure content
+    * definition, no min/max clamps: a doc with no qualifying window is
+    * ONE chunk (documented trade — clamping would make every boundary
+    * depend on the previous one, serializing what is otherwise
+    * position-parallel).
+    */
+  def cdcChunks(docs: DataFrame, window: Int = 4,
+      maskBits: Int = 4): DataFrame = {
+    require(window > 0 && maskBits >= 1 && maskBits <= 32,
+      s"bad cdc params: window=$window maskBits=$maskBits")
+    import graft.functions.RollingHash.rolling_hash
+    import org.apache.spark.sql.expressions.Window
+    val mask = (1L << maskBits) - 1L
+    val toks = split(col("text"), " ")
+    val flags = transform(sequence(lit(1), size(col("toks"))),
+      p => when(p > window &&
+          (rolling_hash(array_join(
+            slice(col("toks"), p - window, lit(window)), " "))
+            .bitwiseAND(lit(mask)) === 0L), 1).otherwise(0))
+    val pos = docs.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        posexplode(arrays_zip(col("toks"), flags.as("flags"))))
+      .select(col("doc_id"), col("pos").as("p"),
+        col("col.toks").as("tok"), col("col.flags").as("flag"))
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    pos.withColumn("chunk_idx", sum(col("flag")).over(w).cast("int"))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_tokens"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok")), " ").cast("binary")).as("fp"))
+  }
+
   /** Gopher-style repetition filters (Rae et al. 2021 §A1.1, adapted to
     * word level): duplicate-word fraction and the share of tokens
     * covered by the most frequent 2-gram, plus the pass/fail gate. The

@@ -1181,6 +1181,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Dedup.ngramJaccardPairs(df, n = 3, minJaccard = 0.8).count() == 0)
   }
 
+  test("incrementalNearDup: corpus match beats batch match beats new") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearBase = ((1 to 39).map(i => s"w$i") :+ "zz").mkString(" ")
+    val fresh = (1 to 40).map(i => s"u$i").mkString(" ")
+    val corpus = docsDf((1L, base), (2L, (1 to 40).map(i => s"c$i").mkString(" ")))
+    // 10: near-dups corpus doc 1; 11/12: near-dup each other (12 keeps
+    // 11, the smaller id); 13: nothing like it -> new
+    val incoming = docsDf(
+      (10L, nearBase),
+      (11L, fresh), (12L, ((1 to 39).map(i => s"u$i") :+ "q").mkString(" ")),
+      (13L, (1 to 40).map(i => s"x$i").mkString(" ")))
+    val got = Dedup.incrementalNearDup(Dedup.signatures(corpus), incoming)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("status"), Option(r.getAs[Any]("match_id")))))
+      .toMap
+    assert(got(10L)._1 == "near_dup_corpus" && got(10L)._2.contains(1L))
+    assert(got(11L)._1 == "new") // smaller id keeps
+    assert(got(12L)._1 == "near_dup_batch" && got(12L)._2.contains(11L))
+    assert(got(13L)._1 == "new" && got(13L)._2.isEmpty)
+    // per-ingest state contract: the corpus side was consumed as
+    // signatures only (no text column touched)
+    val sigOnly = Dedup.signatures(corpus).select("doc_id", "sig")
+    assert(Dedup.incrementalNearDup(sigOnly, incoming).count() == 4)
+  }
+
   test("ngramContainmentPairs: maxDocFreq drops hot-gram-only candidates") {
     val quote = (1 to 12).map(i => s"q$i").mkString(" ")
     val article = ((1 to 50).map(i => s"a$i") ++ (1 to 12).map(i => s"q$i")
