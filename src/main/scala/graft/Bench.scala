@@ -41,7 +41,11 @@ object Bench {
     // GK-cuts scale path against the exact-percentile twin;
     // pipeline_polytrend times the reference's end-to-end user journey
     // (scan→filter→composite→kernel→stats) as one plan
-    "dd_ngram_containment_capped", "la_rfm_approx", "pipeline_polytrend")
+    "dd_ngram_containment_capped", "la_rfm_approx", "pipeline_polytrend",
+    // incremental near-dup ingest (the steady-state LSH mode), the
+    // shared-index composite (one assignment pass for retrieval +
+    // mining), and content-defined chunking
+    "dd_incremental_neardup", "sim_index_pipeline", "t_cdc_chunks")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -67,7 +67,10 @@ object Plans {
     "dd_ngram_containment_capped" -> "containment with the production df cap (r9): per-gram df table equi-joined back (one row per gram — linear, never pair-producing) drops hot shingles from BOTH candidate sides before the prefix x posting join; exact verify unchanged — the bounded-recall escape from the uncapped twin's hot-shingle skew",
     "la_rfm_approx" -> "RFM scale path (r9): approx_percentile cut points (GK summaries — state bounded by the accuracy knob, NOT by domain cardinality) replace the exact twin's O(users) percentile map in the final agg task; monotonicity audit runs on the <=15-row (metric,score) interval table, never an unpartitioned user sort",
     "pipeline_polytrend" -> "the reference's end-to-end user journey as ONE plan (r9): F1 temporal filter pushed to the parquet scan, composite groupBy is exchange #1, F4 quality gate + K1 kernel + min ride exchange #2 as a single aggregation, stats collapse to a 1-row final agg — zero extra exchanges between stages",
-    "la_gini" -> "gini concentration (r9 single-action form): RANGE exchange tiles the ascending order, cumsum window PARTITIONED by spark_partition_id, and ONE numParts-row groupBy(pid) collect closes the global prefix sum — offsets and sums from the same job, so RangePartitioner sampling drift between jobs cannot skew the result")
+    "la_gini" -> "gini concentration (r9 single-action form): RANGE exchange tiles the ascending order, cumsum window PARTITIONED by spark_partition_id, and ONE numParts-row groupBy(pid) collect closes the global prefix sum — offsets and sums from the same job, so RangePartitioner sampling drift between jobs cannot skew the result",
+    "dd_incremental_neardup" -> "incremental NEAR-dup ingest (r9): the corpus contributes 256-byte signatures only (band keys re-derive map-side, no text pass, no corpus re-read); candidates are per-side-capped (band,bucket) equi joins — batch x corpus and batch x batch — and only surviving pairs fetch signatures for the dyadic agreement verify; per-ingest cost O(batch), never O(corpus)",
+    "sim_index_pipeline" -> "shared IVF index composite (r9): ONE eagerly-materialized cell assignment (localCheckpoint — GC-freed, not a session persist) feeds BOTH the retrieval probe join and the within-cell margin pairs — one less full embedding pass per consumer; look for the checkpoint scan reused by both arms",
+    "t_cdc_chunks" -> "content-defined chunking (r9): boundary flags are a map-local transform (native codegen'd rolling_hash per window — no UDF); chunk ids ride ONE doc-keyed cumsum window and assembly the doc-keyed sorted collect (spanDedup's exchange contract, state bounded by one doc's length); chunk fingerprints are md5 — chunk-level dedup joins carry 16-byte keys")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

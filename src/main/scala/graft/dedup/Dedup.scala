@@ -192,9 +192,12 @@ object Dedup {
 
   /** Explode a signature table to its (doc_id, band, bucket) LSH band
     * keys — 24-byte rows, the only thing the candidate join shuffles.
+    * `keepSig` carries the signature through (streaming consumers need
+    * it alongside, since a stream cannot self-join to fetch it later).
+    * Map-only, so it works on batch and streaming frames alike.
     */
-  private def bandExplode(sigs: DataFrame, numHashes: Int,
-      bands: Int): DataFrame = {
+  def bandTable(sigs: DataFrame, numHashes: Int = 32, bands: Int = 8,
+      keepSig: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val bandUdf = udf { (sig: Seq[Long]) =>
@@ -203,9 +206,11 @@ object Dedup {
           (h ^ v) * 0x100000001b3L))
       }.toSeq
     }
-    sigs.select(col("doc_id"), explode(bandUdf(col("sig"))).as("bb"))
-      .select(col("doc_id"),
-        col("bb._1").as("band"), col("bb._2").as("bucket"))
+    val base = sigs.select(col("doc_id"), col("sig"),
+      explode(bandUdf(col("sig"))).as("bb"))
+    val shaped = base.select(col("doc_id"), col("sig"),
+      col("bb._1").as("band"), col("bb._2").as("bucket"))
+    if (keepSig) shaped else shaped.drop("sig")
   }
 
   /** Signature-agreement Jaccard estimate between two sig columns —
@@ -224,7 +229,7 @@ object Dedup {
     // canonical plan, so repeated calls share one entry.
     val signed = signatures(docs, textCol, idCol, numHashes, shingleK, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = bandExplode(signed, numHashes, bands)
+    val banded = bandTable(signed, numHashes, bands)
     val smallBuckets = banded.groupBy("band", "bucket")
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n").between(2, maxBucket))
@@ -287,9 +292,9 @@ object Dedup {
         bandsDf.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
           .filter(col("__n") <= maxBucket).select("band", "bucket"),
         Seq("band", "bucket"))
-    val cBands = capped(bandExplode(corpusSigs, numHashes, bands))
+    val cBands = capped(bandTable(corpusSigs, numHashes, bands))
       .withColumnRenamed("doc_id", "corpus_id")
-    val iBands = capped(bandExplode(incSigs, numHashes, bands))
+    val iBands = capped(bandTable(incSigs, numHashes, bands))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("est").desc, col("match_id").asc)
     def best(cands: DataFrame, otherSigs: DataFrame): DataFrame =

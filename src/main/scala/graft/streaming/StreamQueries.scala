@@ -314,6 +314,107 @@ object StreamQueries extends QueryRegistry {
       "append")
   }
 
+  /** Streaming NEAR-dup gate — the streaming twin of
+    * [[graft.dedup.Dedup.incrementalNearDup]]'s corpus arm: incoming
+    * docs sign map-side (stateless UDF), their band keys join the
+    * STATIC corpus band table (stream-static equi join; the corpus
+    * side is the standing signature index, capped at 64 per bucket —
+    * the skew guard that matters, since the corpus is the big side),
+    * and survivors verify on the signature-agreement estimate before
+    * the flagged doc_id emits once via dropDuplicates. Batch-internal
+    * near-dups are inherently stateful (bucket populations across the
+    * whole stream) and stay on the batch API — this is the
+    * decontamination-gate shape (`st_bloom_decontam` precedent).
+    */
+  q("st_incremental_neardup", {
+    val ps = graft.dedup.Dedup.minhashParams(32, 42L)
+    val M = "CAST('18446744073709551616' AS HUGEINT)"
+    val H = "CAST('9223372036854775808' AS HUGEINT)"
+    val P = "CAST('1099511628211' AS HUGEINT)"
+    val B = "CAST('14695981039346656037' AS HUGEINT)"
+    val aL = ps.map(p => s"CAST('${p._1}' AS HUGEINT)")
+      .mkString("[", ", ", "]")
+    val bL = ps.map(p => s"CAST('${p._2}' AS HUGEINT)")
+      .mkString("[", ", ", "]")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |sh AS (
+       |  SELECT doc_id, array_to_string(l[i:i+2], ' ') AS s
+       |  FROM toks, unnest(generate_series(1, greatest(len(l) - 2, 1))) AS t(i)),
+       |shh AS (
+       |  SELECT doc_id,
+       |    list_reduce(
+       |      list_prepend($B,
+       |        list_transform(range(1, length(s) + 1),
+       |          i -> CAST(ord(substr(s, CAST(i AS INT), 1)) AS HUGEINT))),
+       |      (acc, ch) -> ((acc - (acc % 256) +
+       |          CAST(xor(CAST(acc % 256 AS BIGINT), CAST(ch AS BIGINT)) AS HUGEINT))
+       |          * $P) % $M) AS x
+       |  FROM sh),
+       |uh AS (
+       |  SELECT doc_id, f,
+       |         ((((${aL}[f + 1] * (x // 4294967296)) % 4294967296) * 4294967296
+       |            + ${aL}[f + 1] * (x % 4294967296))
+       |           + ${bL}[f + 1]) % $M AS u
+       |  FROM shh, unnest(generate_series(0, 31)) AS g(f)),
+       |sig AS (
+       |  SELECT doc_id, f,
+       |         min(CAST(CASE WHEN u >= $H THEN u - $M ELSE u END AS BIGINT)) AS mh
+       |  FROM uh GROUP BY doc_id, f),
+       |sigl AS (SELECT doc_id, list(mh ORDER BY f) AS sig FROM sig GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, band,
+       |    list_reduce(
+       |      list_prepend($B,
+       |        list_transform(sig[band * 4 + 1 : band * 4 + 4],
+       |          s -> (CASE WHEN s < 0 THEN CAST(s AS HUGEINT) + $M
+       |                ELSE CAST(s AS HUGEINT) END))),
+       |      (acc, v) -> (((
+       |          CAST(xor(CAST(acc // 4294967296 AS BIGINT), CAST(v // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296
+       |          + CAST(xor(CAST(acc % 4294967296 AS BIGINT), CAST(v % 4294967296 AS BIGINT)) AS HUGEINT))
+       |        * $P) % $M)) AS bucket
+       |  FROM sigl, unnest(generate_series(0, 7)) AS g(band)),
+       |cband AS (SELECT * FROM banded WHERE doc_id % 10 < 8),
+       |iband AS (SELECT * FROM banded WHERE doc_id % 10 >= 8),
+       |okc AS (SELECT band, bucket FROM cband GROUP BY 1, 2
+       |        HAVING count(*) <= 64),
+       |cand AS (
+       |  SELECT DISTINCT i.doc_id, c.doc_id AS corpus_id
+       |  FROM iband i
+       |  JOIN okc ON okc.band = i.band AND okc.bucket = i.bucket
+       |  JOIN cband c ON c.band = i.band AND c.bucket = i.bucket)
+       |SELECT DISTINCT CAST(cc.doc_id AS BIGINT) AS doc_id
+       |FROM cand cc
+       |JOIN sigl si ON si.doc_id = cc.doc_id
+       |JOIN sigl sm ON sm.doc_id = cc.corpus_id
+       |WHERE len(list_filter(range(1, 33),
+       |      f -> si.sig[CAST(f AS INT)] = sm.sig[CAST(f AS INT)]))
+       |      / 32.0 >= 0.5""".stripMargin
+  }) { (s, d) =>
+    import graft.dedup.Dedup
+    val corpSigs = Dedup.signatures(
+      Tables.load(s, d, "documents").filter(col("doc_id") % 10 < 8))
+    val cBands = Dedup.bandTable(corpSigs)
+    val cOk = cBands.join(
+      cBands.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= 64).select("band", "bucket"),
+      Seq("band", "bucket"))
+      .withColumnRenamed("doc_id", "corpus_id")
+    val inc = Dedup.bandTable(
+      Dedup.signatures(docStream(s, d).filter(col("doc_id") % 10 >= 8)),
+      keepSig = true)
+    runToCompletion(
+      inc.join(cOk, Seq("band", "bucket"))
+        .join(corpSigs.select(col("doc_id").as("corpus_id"),
+          col("sig").as("sc")), "corpus_id")
+        .filter(aggregate(zip_with(col("sig"), col("sc"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / 32 >= 0.5)
+        .select("doc_id")
+        .dropDuplicates("doc_id"),
+      "append")
+  }
+
   /** Streaming exact dedup (append mode): each (user, type) pair emits
     * exactly once, on first sight — the final sink table is the
     * distinct set whatever the micro-batch slicing.
