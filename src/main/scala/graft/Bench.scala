@@ -45,7 +45,10 @@ object Bench {
     // incremental near-dup ingest (the steady-state LSH mode), the
     // shared-index composite (one assignment pass for retrieval +
     // mining), and content-defined chunking
-    "dd_incremental_neardup", "sim_index_pipeline", "t_cdc_chunks")
+    "dd_incremental_neardup", "sim_index_pipeline", "t_cdc_chunks",
+    // DSIR importance weights (two corpus token passes + broadcast
+    // feature table) and the one-pass normal-equation OLS fit
+    "t_dsir_weights", "t_quality_ols")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

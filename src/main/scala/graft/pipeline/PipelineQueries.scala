@@ -2357,6 +2357,144 @@ object PipelineQueries extends QueryRegistry {
         round(sum(col("ta") + col("tb")) / 2 / log(lit(2.0)), 6).as("js_bits"))
   }
 
+  // DSIR importance resampling (Xie et al. 2023): every document scored
+  // by the hashed-unigram log-likelihood ratio of a target-domain model
+  // (sources src0–src3) vs the raw remainder — the up-sample-what-looks-
+  // curated selection step of a pre-training mix. Per-feature µ-nat
+  // scores round ONCE on the bucket-bounded feature table, so per-doc
+  // sums are exact commuting BIGINTs; 1024 md5-u48 buckets exercise the
+  // production path that bounds feature state at any corpus size.
+  q("t_dsir_weights",
+    """WITH tok AS (SELECT doc_id, source,
+      |    CAST(('0x' || substr(md5(t.tok), 1, 12)) AS UBIGINT) % 1024 AS feat
+      |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents WHERE text IS NOT NULL) t),
+      |fc AS (SELECT feat,
+      |    CAST(sum(CASE WHEN source IN ('src0','src1','src2','src3')
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+      |    CAST(sum(CASE WHEN source IN ('src0','src1','src2','src3')
+      |                  THEN 0 ELSE 1 END) AS BIGINT) AS cr
+      |  FROM tok GROUP BY feat),
+      |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+      |               CAST(sum(cr) AS BIGINT) AS nr,
+      |               CAST(count(*) AS BIGINT) AS v FROM fc),
+      |llr AS (SELECT feat,
+      |    CAST(round(ln((CAST(ct + 1 AS DOUBLE) * CAST(nr + v AS DOUBLE)) /
+      |      (CAST(cr + 1 AS DOUBLE) * CAST(nt + v AS DOUBLE))) * 1000000)
+      |      AS BIGINT) AS llr_u
+      |  FROM fc CROSS JOIN tot)
+      |SELECT doc_id, min(source) AS source,
+      |       CAST(count(*) AS BIGINT) AS n_tokens,
+      |       CAST(sum(llr_u) AS BIGINT) AS logw_u,
+      |       CAST(CASE WHEN sum(llr_u) >= 0 THEN 1 ELSE 0 END AS INT) AS keep
+      |FROM tok JOIN llr USING (feat)
+      |GROUP BY doc_id""") { (s, d) =>
+    TextAnalysis.dsirWeights(docs(s, d),
+      targetSources = Seq("src0", "src1", "src2", "src3"),
+      hashBuckets = Some(1024))
+  }
+
+  // Corpus-scale linear-model fit: n_chars ~ 1 + n_tokens + n_types by
+  // normal equations — ten map-combined BIGINT sums, closed-form 3×3
+  // Cramer solve as column expressions (graft.rel.OlsFit). The
+  // "train a quality regressor in one pass" primitive; doubles start
+  // from identical exact integers on both engines, so coefficients
+  // match bit-for-bit before round(.,6).
+  q("t_quality_ols",
+    """WITH f AS (SELECT CAST(n_chars AS BIGINT) AS y,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS x2
+      |  FROM documents WHERE text IS NOT NULL),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+      |    CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x1 * x1) AS BIGINT) AS s11,
+      |    CAST(sum(x1 * x2) AS BIGINT) AS s12,
+      |    CAST(sum(x2 * x2) AS BIGINT) AS s22,
+      |    CAST(sum(x1 * y) AS BIGINT) AS s1y,
+      |    CAST(sum(x2 * y) AS BIGINT) AS s2y,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM f),
+      |c AS (SELECT n AS n_out, CAST(n AS DOUBLE) AS nd,
+      |    CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+      |    CAST(sy AS DOUBLE) AS sy, CAST(s11 AS DOUBLE) AS s11,
+      |    CAST(s12 AS DOUBLE) AS s12, CAST(s22 AS DOUBLE) AS s22,
+      |    CAST(s1y AS DOUBLE) AS s1y, CAST(s2y AS DOUBLE) AS s2y,
+      |    CAST(syy AS DOUBLE) AS syy FROM s),
+      |x AS (SELECT n_out, nd, s1, s2, sy, s11, s12, s22, s1y, s2y, syy,
+      |    nd * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      |      s2 * (s1 * s12 - s11 * s2) AS det,
+      |    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+      |      s2 * (s1y * s12 - s11 * s2y) AS det0,
+      |    nd * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+      |      s2 * (s1 * s2y - s1y * s2) AS det1,
+      |    nd * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+      |      sy * (s1 * s12 - s11 * s2) AS det2
+      |  FROM c),
+      |b AS (SELECT n_out, nd, s1, s2, sy, s11, s12, s22, s1y, s2y, syy,
+      |    det0 / det AS b0, det1 / det AS b1, det2 / det AS b2 FROM x)
+      |SELECT n_out AS n, round(b0, 6) AS b0, round(b1, 6) AS b1,
+      |  round(b2, 6) AS b2,
+      |  round(1 - (syy - 2 * (b0 * sy + b1 * s1y + b2 * s2y) +
+      |    (nd * b0 * b0 + s11 * b1 * b1 + s22 * b2 * b2 +
+      |      2 * (b0 * b1 * s1 + b0 * b2 * s2 + b1 * b2 * s12))) /
+      |    (syy - sy * sy / nd), 6) AS r2
+      |FROM b""") { (s, d) =>
+    val src = docs(s, d).filter(col("text").isNotNull)
+    graft.rel.OlsFit.fit2(src, col("n_chars"),
+      size(TextAnalysis.tokens(col("text"))),
+      size(array_distinct(TextAnalysis.tokens(col("text")))))
+  }
+
+  // Population Stability Index between the first and second half of the
+  // source roster over fixed-width n_chars bins — the standard "did the
+  // incoming refresh drift from the serving corpus" monitor (PSI < 0.1
+  // stable, > 0.25 action). Integer bin counts; per-bin µ-unit terms
+  // round once from identical exact integers, so the windowed total is
+  // an exact BIGINT sum. One map-combined 10-bin aggregate — constant
+  // state at any corpus size.
+  q("t_psi_drift",
+    """WITH b AS (SELECT least(CAST(n_chars // 100 AS INT), 9) AS bucket,
+      |    CAST(substr(source, 4) AS INT) < 10 AS grp_a
+      |  FROM documents),
+      |c AS (SELECT bucket,
+      |    CAST(sum(CASE WHEN grp_a THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+      |    CAST(sum(CASE WHEN grp_a THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+      |  FROM b GROUP BY bucket),
+      |tot AS (SELECT CAST(sum(c_a) AS BIGINT) AS na,
+      |               CAST(sum(c_b) AS BIGINT) AS nb,
+      |               CAST(count(*) AS BIGINT) AS k FROM c),
+      |t AS (SELECT bucket, c_a, c_b,
+      |    CAST(round((CAST(c_a + 1 AS DOUBLE) / CAST(na + k AS DOUBLE) -
+      |        CAST(c_b + 1 AS DOUBLE) / CAST(nb + k AS DOUBLE)) *
+      |      ln((CAST(c_a + 1 AS DOUBLE) / CAST(na + k AS DOUBLE)) /
+      |        (CAST(c_b + 1 AS DOUBLE) / CAST(nb + k AS DOUBLE))) * 1000000)
+      |      AS BIGINT) AS psi_term_u
+      |  FROM c CROSS JOIN tot)
+      |SELECT bucket, c_a, c_b, psi_term_u,
+      |       CAST(sum(psi_term_u) OVER () AS BIGINT) AS psi_total_u
+      |FROM t""") { (s, d) =>
+    val b = docs(s, d).select(
+      least(expr("CAST(n_chars div 100 AS INT)"), lit(9)).as("bucket"),
+      (substring(col("source"), 4, 10).cast("int") < 10).as("grp_a"))
+    val c = b.groupBy("bucket")
+      .agg(sum(when(col("grp_a"), 1L).otherwise(0L)).as("c_a"),
+        sum(when(col("grp_a"), 0L).otherwise(1L)).as("c_b"))
+    val tot = c.agg(sum("c_a").as("na"), sum("c_b").as("nb"),
+      count(lit(1)).as("k"))
+    val pa = (col("c_a") + 1).cast("double") /
+      (col("na") + col("k")).cast("double")
+    val pb = (col("c_b") + 1).cast("double") /
+      (col("nb") + col("k")).cast("double")
+    val t = c.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("c_a"), col("c_b"),
+        round((pa - pb) * log(pa / pb) * 1e6).cast("long").as("psi_term_u"))
+    // unpartitioned window is safe here: input is the ≤10-row bin table
+    t.withColumn("psi_total_u",
+      sum(col("psi_term_u")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+  }
+
   // BM25 keyword search: rational RSJ idf (no logs — see Search's float
   // determinism contract), tf as codegen'd array filters, corpus stats
   // one broadcast row, top-k via TakeOrderedAndProject. The 'dup' term

@@ -637,4 +637,71 @@ object TextAnalysis {
           coalesce(col("top_bigram_cnt"), lit(0L)) * 20 <=
             col("n_tokens") * 2).cast("int").as("gopher_pass"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * via Importance Resampling"): score every document by the
+    * log-likelihood ratio of a TARGET-domain bag-of-features model
+    * against the RAW-corpus model, so raw-web documents that "look
+    * like" the curated target domain can be up-sampled into a
+    * pre-training mix. Features are unigrams, optionally hashed into
+    * `hashBuckets` buckets (the paper's hashed n-gram trick — at
+    * corpus scale the feature table is bounded by the bucket count,
+    * not the open vocabulary). Laplace-smoothed probabilities; the
+    * per-FEATURE log-ratio is rounded once to integer micro-nats, so
+    * every per-document score is an exact BIGINT sum that commutes
+    * across partitions and engines (the `t_bigram_lm` integer-scaling
+    * contract — per-doc double sums would round-drift at the oracle).
+    *
+    * Scale shape: the feature table is ONE token-keyed map-combined
+    * aggregate (state ≤ hashBuckets, or vocab when unhashed); totals
+    * are a one-row broadcast; scoring joins the exploded token stream
+    * against the broadcast feature table and reduces per doc_id with
+    * map-side partials. The corpus text never shuffles. Hashing uses
+    * the repo's md5-u48 key (NOT xxhash64) so the oracle can replay
+    * bucket assignment exactly.
+    *
+    * Output: (doc_id, source, n_tokens, logw_u, keep) — logw_u the
+    * µ-nat log importance weight, keep = 1 iff logw_u ≥ 0 (the doc
+    * looks at least as target-like as raw-like).
+    */
+  def dsirWeights(docs: DataFrame, targetSources: Seq[String],
+      hashBuckets: Option[Int] = None): DataFrame = {
+    require(targetSources.nonEmpty, "targetSources must be non-empty")
+    hashBuckets.foreach(b => require(b > 0, s"hashBuckets must be > 0: $b"))
+    val feat: Column = hashBuckets match {
+      case Some(b) =>
+        // md5-u48 bucket: first 48 md5 bits as an integer, mod buckets —
+        // engine-replayable, uniform, and sign-free (u48 < 2^63)
+        (conv(substring(md5(col("tok")), 1, 12), 16, 10).cast("long")
+          % b).cast("string")
+      case None => col("tok")
+    }
+    val isT = col("source").isin(targetSources: _*)
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        explode(tokens(col("text"))).as("tok"))
+      .withColumn("feat", feat)
+    val fc = toks.groupBy("feat")
+      .agg(sum(when(isT, 1L).otherwise(0L)).as("ct"),
+        sum(when(isT, 0L).otherwise(1L)).as("cr"))
+    val tot = fc.agg(sum("ct").as("nt"), sum("cr").as("nr"),
+      count(lit(1)).as("v"))
+    // double-domain ratio (BIGINT products would overflow at corpus
+    // scale: ct·nr ~ 1e25 at 100 TB); both factors are exact integer
+    // casts, so each engine performs the identical IEEE mul/div/ln
+    val llr = fc.crossJoin(broadcast(tot))
+      .select(col("feat"),
+        round(log(((col("ct") + 1).cast("double") *
+            (col("nr") + col("v")).cast("double")) /
+          ((col("cr") + 1).cast("double") *
+            (col("nt") + col("v")).cast("double"))) * 1e6)
+          .cast("long").as("llr_u"))
+    toks.join(broadcast(llr), Seq("feat"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("source")).as("source"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("llr_u")).as("logw_u"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("logw_u"), (col("logw_u") >= 0).cast("int").as("keep"))
+  }
 }

@@ -46,6 +46,33 @@ class LmResampleSpec extends AnyFunSuite {
     assert(!got.contains(4L) && !got.contains(5L))
   }
 
+  test("dsirWeights up-weights target-like raw documents") {
+    import spark.implicits._
+    // target domain speaks "alpha beta"; raw remainder speaks "zeta eta"
+    val docs = Seq(
+      (1L, "alpha beta alpha beta alpha", "tgt"),
+      (2L, "beta alpha beta alpha beta", "tgt"),
+      (3L, "zeta eta zeta eta zeta eta", "raw"),
+      (4L, "eta zeta eta zeta", "raw"),
+      (5L, "alpha beta alpha alpha", "raw"),   // target-like raw doc
+      (6L, "zeta zeta eta eta zeta", "raw"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.dsirWeights(docs, Seq("tgt"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getInt(4)))).toMap
+    // the target-like raw doc scores positive (keep=1); the raw-like
+    // raw docs score negative
+    assert(got(5L)._1 > 0 && got(5L)._2 == 1)
+    assert(got(3L)._1 < 0 && got(3L)._2 == 0)
+    assert(got(6L)._1 < 0 && got(6L)._2 == 0)
+    // hashed features with ample buckets (no collisions in a 4-token
+    // vocab at 2^16) reproduce the unhashed scores exactly
+    val hashed = TextAnalysis.dsirWeights(docs, Seq("tgt"),
+      hashBuckets = Some(1 << 16))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(hashed == got.view.mapValues(_._1).toMap)
+  }
+
   test("ohlc struct pick takes first/last by (ts, event_id)") {
     import spark.implicits._
     val rows = Seq(
