@@ -47,8 +47,9 @@ object Bench {
     // mining), and content-defined chunking
     "dd_incremental_neardup", "sim_index_pipeline", "t_cdc_chunks",
     // DSIR importance weights (two corpus token passes + broadcast
-    // feature table) and the one-pass normal-equation OLS fit
-    "t_dsir_weights", "t_quality_ols")
+    // feature table), the one-pass normal-equation OLS fit, and
+    // winnowing fingerprint selection (doc-keyed window join, w=4)
+    "t_dsir_weights", "t_quality_ols", "t_winnow")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -137,7 +138,8 @@ object Bench {
       "dd_ngram_containment_capped" -> "documents",
       "g_pagerank" -> "lineitem", "g_triangles" -> "lineitem",
       "g_lift" -> "lineitem",
-      "pipeline_polytrend" -> "events", "k3_dbest_change" -> "events")
+      "pipeline_polytrend" -> "events", "k3_dbest_change" -> "events",
+      "t_dsir_weights" -> "documents", "t_winnow" -> "documents")
     val sf1Names = sf1Needs.collect { case (n, t)
       if java.nio.file.Files.exists(
         java.nio.file.Paths.get(sf1Dir, s"$t.parquet")) => n }

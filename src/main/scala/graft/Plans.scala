@@ -70,7 +70,9 @@ object Plans {
     "la_gini" -> "gini concentration (r9 single-action form): RANGE exchange tiles the ascending order, cumsum window PARTITIONED by spark_partition_id, and ONE numParts-row groupBy(pid) collect closes the global prefix sum — offsets and sums from the same job, so RangePartitioner sampling drift between jobs cannot skew the result",
     "dd_incremental_neardup" -> "incremental NEAR-dup ingest (r9): the corpus contributes 256-byte signatures only (band keys re-derive map-side, no text pass, no corpus re-read); candidates are per-side-capped (band,bucket) equi joins — batch x corpus and batch x batch — and only surviving pairs fetch signatures for the dyadic agreement verify; per-ingest cost O(batch), never O(corpus)",
     "sim_index_pipeline" -> "shared IVF index composite (r9): ONE eagerly-materialized cell assignment (localCheckpoint — GC-freed, not a session persist) feeds BOTH the retrieval probe join and the within-cell margin pairs — one less full embedding pass per consumer; look for the checkpoint scan reused by both arms",
-    "t_cdc_chunks" -> "content-defined chunking (r9): boundary flags are a map-local transform (native codegen'd rolling_hash per window — no UDF); chunk ids ride ONE doc-keyed cumsum window and assembly the doc-keyed sorted collect (spanDedup's exchange contract, state bounded by one doc's length); chunk fingerprints are md5 — chunk-level dedup joins carry 16-byte keys")
+    "t_cdc_chunks" -> "content-defined chunking (r9): boundary flags are a map-local transform (native codegen'd rolling_hash per window — no UDF); chunk ids ride ONE doc-keyed cumsum window and assembly the doc-keyed sorted collect (spanDedup's exchange contract, state bounded by one doc's length); chunk fingerprints are md5 — chunk-level dedup joins carry 16-byte keys",
+    "t_dsir_weights" -> "DSIR importance weights (r9): feature counts map-combined with state <= hashBuckets; the bucket-bounded µ-nat LLR table BROADCASTS to the exploded token stream (corpus text never shuffles); per-doc scores reduce map-side as exact BIGINT sums — two token exchanges total, both model-bounded or doc-keyed",
+    "t_winnow" -> "winnowing fingerprints (r9): gram hashes map-local; rightmost-minimal selection is max(struct(-h, p)) over the w-row sliding frame of ONE doc-keyed sort — a single Exchange, and the distinct + per-doc summary aggregations reuse its partitioning (no second exchange until the tiny ng join)")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

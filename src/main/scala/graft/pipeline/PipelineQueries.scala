@@ -480,6 +480,44 @@ object PipelineQueries extends QueryRegistry {
     docs(s, d).select(col("doc_id"), rolling_hash(col("text")).as("fp64"))
   }
 
+  // Winnowing fingerprints (Schleimer et al. 2003 / MOSS): rightmost-
+  // minimal k-gram hash per w-window — every shared run of ≥ w+k−1
+  // tokens yields a common fingerprint. Pure integer selection; the
+  // oracle replays windows, mins, and the rightmost pick relationally.
+  q("t_winnow",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents WHERE text IS NOT NULL),
+      |base AS (SELECT doc_id, t, CAST(len(t) - 2 AS BIGINT) AS ng
+      |         FROM toks WHERE len(t) >= 3),
+      |g AS (SELECT doc_id, i AS p,
+      |        CAST(CAST(('0x' || substr(md5(
+      |          array_to_string(t[i:i+2], ' ')), 1, 12)) AS UBIGINT)
+      |          AS BIGINT) AS h
+      |      FROM base CROSS JOIN
+      |        unnest(generate_series(1, CAST(ng AS INT))) AS u(i)),
+      |win AS (SELECT doc_id,
+      |          unnest(generate_series(1,
+      |            CAST(greatest(ng - 3, 1) AS INT))) AS s
+      |        FROM base),
+      |j AS (SELECT w.doc_id, w.s, g.p, g.h
+      |      FROM win w JOIN g ON g.doc_id = w.doc_id
+      |      WHERE g.p >= w.s AND g.p <= w.s + 3),
+      |m AS (SELECT doc_id, s, min(h) AS mh FROM j GROUP BY 1, 2),
+      |pick AS (SELECT j.doc_id, j.s, m.mh, max(j.p) AS p
+      |         FROM j JOIN m ON m.doc_id = j.doc_id AND m.s = j.s
+      |                      AND j.h = m.mh
+      |         GROUP BY j.doc_id, j.s, m.mh),
+      |sel AS (SELECT DISTINCT doc_id, p, mh AS h FROM pick)
+      |SELECT base.doc_id, base.ng AS n_grams,
+      |       CAST(count(*) AS BIGINT) AS n_sel,
+      |       CAST(sum(h) AS BIGINT) AS sel_sum,
+      |       CAST(min(h) AS BIGINT) AS sel_min,
+      |       CAST(max(h) AS BIGINT) AS sel_max
+      |FROM sel JOIN base ON base.doc_id = sel.doc_id
+      |GROUP BY base.doc_id, base.ng""") { (s, d) =>
+    TextAnalysis.winnow(docs(s, d), k = 3, w = 4)
+  }
+
   /** Content-defined chunking (r9): boundary before token p whenever
     * the 4-token window ending at p−1 rolling-hashes to low-4-bits
     * zero (expected chunk 16 tokens). The oracle replays the window

@@ -430,6 +430,52 @@ object StreamQueries extends QueryRegistry {
     ev.select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
 
+  /** Streaming DSIR gate — the streaming twin of
+    * [[graft.text.TextAnalysis.dsirWeights]]: the µ-nat LLR model fits
+    * batch-side (bucket-bounded, here 1024 entries), COLLECTS into the
+    * task closure, and every incoming document scores with a map-only
+    * integer fold — zero joins, zero state, append mode with no
+    * watermark (the st_epoch_mix stateless contract). This is the
+    * deploy shape for importance-weighted ingest at 100 TB/day: the
+    * model is megabytes however large the corpus, so the scoring
+    * stream scales with input alone.
+    */
+  q("st_dsir_gate",
+    """WITH tok AS (SELECT doc_id, source,
+      |    CAST(('0x' || substr(md5(t.tok), 1, 12)) AS UBIGINT) % 1024 AS feat
+      |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents WHERE text IS NOT NULL) t),
+      |fc AS (SELECT feat,
+      |    CAST(sum(CASE WHEN source IN ('src0','src1','src2','src3')
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+      |    CAST(sum(CASE WHEN source IN ('src0','src1','src2','src3')
+      |                  THEN 0 ELSE 1 END) AS BIGINT) AS cr
+      |  FROM tok GROUP BY feat),
+      |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+      |               CAST(sum(cr) AS BIGINT) AS nr,
+      |               CAST(count(*) AS BIGINT) AS v FROM fc),
+      |llr AS (SELECT feat,
+      |    CAST(round(ln((CAST(ct + 1 AS DOUBLE) * CAST(nr + v AS DOUBLE)) /
+      |      (CAST(cr + 1 AS DOUBLE) * CAST(nt + v AS DOUBLE))) * 1000000)
+      |      AS BIGINT) AS llr_u
+      |  FROM fc CROSS JOIN tot)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |       CAST(sum(llr_u) AS BIGINT) AS logw_u,
+      |       CAST(CASE WHEN sum(llr_u) >= 0 THEN 1 ELSE 0 END AS INT) AS keep
+      |FROM tok JOIN llr USING (feat)
+      |GROUP BY doc_id""") { (s, d) =>
+    import graft.text.TextAnalysis
+    val model = TextAnalysis.dsirModel(Tables.load(s, d, "documents"),
+      targetSources = Seq("src0", "src1", "src2", "src3"),
+      hashBuckets = 1024)
+    val (nTok, logw) = TextAnalysis.dsirScore(model, 1024, col("text"))
+    runToCompletion(
+      docStream(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), nTok.as("n_tokens"), logw.as("logw_u"))
+        .withColumn("keep", (col("logw_u") >= 0).cast("int")),
+      "append")
+  }
+
   /** Watermarked stream-stream interval join: attribute each purchase
     * to every click by the same user within the preceding hour. Both
     * sides carry event-time watermarks and the condition bounds event

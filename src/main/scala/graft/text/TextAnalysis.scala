@@ -666,21 +666,40 @@ object TextAnalysis {
     */
   def dsirWeights(docs: DataFrame, targetSources: Seq[String],
       hashBuckets: Option[Int] = None): DataFrame = {
-    require(targetSources.nonEmpty, "targetSources must be non-empty")
+    val toks = dsirTokens(docs, hashBuckets)
+    val llr = dsirLlrTable(toks, targetSources)
+    toks.join(broadcast(llr), Seq("feat"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("source")).as("source"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("llr_u")).as("logw_u"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("logw_u"), (col("logw_u") >= 0).cast("int").as("keep"))
+  }
+
+  /** md5-u48 feature bucket for a token column — first 48 md5 bits as
+    * an integer, mod buckets: engine-replayable, uniform, sign-free.
+    */
+  def dsirBucket(tok: Column, buckets: Int): Column =
+    conv(substring(md5(tok), 1, 12), 16, 10).cast("long") % buckets
+
+  private def dsirTokens(docs: DataFrame,
+      hashBuckets: Option[Int]): DataFrame = {
     hashBuckets.foreach(b => require(b > 0, s"hashBuckets must be > 0: $b"))
     val feat: Column = hashBuckets match {
-      case Some(b) =>
-        // md5-u48 bucket: first 48 md5 bits as an integer, mod buckets —
-        // engine-replayable, uniform, and sign-free (u48 < 2^63)
-        (conv(substring(md5(col("tok")), 1, 12), 16, 10).cast("long")
-          % b).cast("string")
+      case Some(b) => dsirBucket(col("tok"), b).cast("string")
       case None => col("tok")
     }
-    val isT = col("source").isin(targetSources: _*)
-    val toks = docs.filter(col("text").isNotNull)
+    docs.filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"),
         explode(tokens(col("text"))).as("tok"))
       .withColumn("feat", feat)
+  }
+
+  private def dsirLlrTable(toks: DataFrame,
+      targetSources: Seq[String]): DataFrame = {
+    require(targetSources.nonEmpty, "targetSources must be non-empty")
+    val isT = col("source").isin(targetSources: _*)
     val fc = toks.groupBy("feat")
       .agg(sum(when(isT, 1L).otherwise(0L)).as("ct"),
         sum(when(isT, 0L).otherwise(1L)).as("cr"))
@@ -689,19 +708,110 @@ object TextAnalysis {
     // double-domain ratio (BIGINT products would overflow at corpus
     // scale: ct·nr ~ 1e25 at 100 TB); both factors are exact integer
     // casts, so each engine performs the identical IEEE mul/div/ln
-    val llr = fc.crossJoin(broadcast(tot))
+    fc.crossJoin(broadcast(tot))
       .select(col("feat"),
         round(log(((col("ct") + 1).cast("double") *
             (col("nr") + col("v")).cast("double")) /
           ((col("cr") + 1).cast("double") *
             (col("nt") + col("v")).cast("double"))) * 1e6)
           .cast("long").as("llr_u"))
-    toks.join(broadcast(llr), Seq("feat"))
-      .groupBy(col("doc_id"))
-      .agg(first(col("source")).as("source"),
-        count(lit(1)).as("n_tokens"),
-        sum(col("llr_u")).as("logw_u"))
-      .select(col("doc_id"), col("source"), col("n_tokens"),
-        col("logw_u"), (col("logw_u") >= 0).cast("int").as("keep"))
+  }
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
+    * 2003 — the MOSS algorithm): hash every k-token shingle, then in
+    * each sliding window of `w` consecutive hashes keep the RIGHTMOST
+    * minimal one. Guarantees every shared substring of ≥ w+k−1 tokens
+    * contributes at least one common fingerprint (the property random
+    * sampling and CDC chunking lack), at expected density 2/(w+1) —
+    * the standard plagiarism/near-dup fingerprint family, here as the
+    * per-doc summary (n_grams, n_sel, sel_sum/min/max pin the selected
+    * multiset for the oracle; join the `sel` internals for pair search).
+    *
+    * Scale shape: gram hashing is map-local (md5-u48, oracle-
+    * replayable); selection is a single sliding-frame aggregate over
+    * ONE doc-keyed sort (see [[winnowFingerprints]]) whose exchange
+    * the downstream distinct and per-doc summary reuse — window state
+    * w rows, per-doc state bounded by the doc's own gram count.
+    * Integer-only: no float knife-edges anywhere.
+    */
+  def winnow(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    val base = winnowBase(docs, k)
+    winnowFingerprints(docs, k, w).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sel"), sum("h").as("sel_sum"),
+        min("h").as("sel_min"), max("h").as("sel_max"))
+      .join(base.select(col("doc_id"), col("ng").as("n_grams")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("n_grams"), col("n_sel"),
+        col("sel_sum"), col("sel_min"), col("sel_max"))
+  }
+
+  /** The selected winnowing fingerprint set — (doc_id, p, h) rows, the
+    * join substrate for fingerprint-overlap pair search (group by h,
+    * same Σ|posting|² shape as the LSH buckets).
+    *
+    * Single-pass form: the rightmost-minimal pick for the window
+    * starting at position s is `max(struct(-h, p))` over the ROWS
+    * frame [s, s+w−1] — struct ordering gives min-h (max −h) with the
+    * rightmost tiebreak in ONE sliding-window aggregate on the one
+    * doc-keyed sort (the two-phase min + argmax join recomputed the
+    * gram pass twice). Rows past the last complete window are filtered
+    * (short docs keep their single clipped window at s=1).
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3,
+      w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 2, s"bad winnow params: k=$k w=$w")
+    import org.apache.spark.sql.expressions.Window
+    val base = winnowBase(docs, k)
+    val grams = base.select(col("doc_id"), col("ng"),
+      posexplode(transform(sequence(lit(1), col("ng").cast("int")),
+        i => conv(substring(md5(
+          concat_ws(" ", slice(col("t"), i, lit(k)))), 1, 12), 16, 10)
+          .cast("long"))))
+      .select(col("doc_id"), col("ng"),
+        (col("pos") + 1).cast("long").as("s"), col("col").as("h"))
+    val frame = Window.partitionBy("doc_id").orderBy("s")
+      .rowsBetween(0, w - 1)
+    grams
+      .withColumn("pick",
+        max(struct((-col("h")).as("nh"), col("s").as("p"))).over(frame))
+      .filter(col("s") <= greatest(col("ng") - (w - 1), lit(1L)))
+      .select(col("doc_id"), col("pick.p").as("p"),
+        (-col("pick.nh")).as("h"))
+      .distinct()
+  }
+
+  private def winnowBase(docs: DataFrame, k: Int): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= k)
+      .withColumn("ng", (size(col("t")) - (k - 1)).cast("long"))
+
+  /** Collected DSIR model: bucket → µ-nat LLR, for map-side scoring.
+    * The collect is bounded by `hashBuckets` (the MODEL, not the data —
+    * the k-means-centroid collect contract), which is the point of the
+    * hashed-feature trick: a 2²⁰-bucket model is ~8 MB and rides the
+    * task closure, so a STREAM scores documents with zero joins and
+    * zero state.
+    */
+  def dsirModel(docs: DataFrame, targetSources: Seq[String],
+      hashBuckets: Int): Map[Long, Long] =
+    dsirLlrTable(dsirTokens(docs, Some(hashBuckets)), targetSources)
+      .collect().map(r => r.getString(0).toLong -> r.getLong(1)).toMap
+
+  /** Map-only DSIR score of a text column against a collected model:
+    * (n_tokens, logw_u) as an exact integer fold — the stateless
+    * streaming-gate form of [[dsirWeights]] (identical scores by
+    * construction: same bucket function, same µ-nat table). Buckets
+    * absent from the model (tokens genuinely unseen at fit time —
+    * impossible when scoring the fit corpus itself) contribute 0.
+    */
+  def dsirScore(model: Map[Long, Long], buckets: Int,
+      text: Column): (Column, Column) = {
+    val toks = tokens(text)
+    val scores = transform(toks,
+      t => coalesce(element_at(typedLit(model), dsirBucket(t, buckets)),
+        lit(0L)))
+    (size(toks).cast("long"),
+      aggregate(scores, lit(0L), (acc, x) => acc + x))
   }
 }

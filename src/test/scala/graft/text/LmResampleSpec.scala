@@ -73,6 +73,53 @@ class LmResampleSpec extends AnyFunSuite {
     assert(hashed == got.view.mapValues(_._1).toMap)
   }
 
+  test("winnow matches brute force and keeps the shared-run guarantee") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta" // 7 tokens
+    val docs = Seq(
+      (1L, s"one two $shared three four five six seven"),
+      (2L, s"red blue green $shared yellow purple"),
+      (3L, "totally different words in this unrelated document here"),
+      (4L, "ab cd"))                // < k tokens: dropped
+      .toDF("doc_id", "text")
+    val k = 3; val w = 4
+
+    // brute-force winnowing in test code
+    def brute(text: String): Set[(Int, Long)] = {
+      val t = text.split(" ")
+      val hs = (1 to t.length - k + 1).map { i =>
+        val gram = t.slice(i - 1, i - 1 + k).mkString(" ")
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(gram.getBytes("UTF-8"))
+        val hex = md.map("%02x".format(_)).mkString.take(12)
+        i -> java.lang.Long.parseLong(hex, 16)
+      }
+      val smax = math.max(hs.length - w + 1, 1)
+      (1 to smax).map { s =>
+        val win = hs.slice(s - 1, s - 1 + w)
+        val mh = win.map(_._2).min
+        win.filter(_._2 == mh).map(_._1).max -> mh
+      }.toSet
+    }
+    val fp = TextAnalysis.winnowFingerprints(docs, k, w).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1).toInt, r.getLong(2))).toSet)
+      .toMap
+    assert(fp(1L) == brute(s"one two $shared three four five six seven"))
+    assert(fp(2L) == brute(s"red blue green $shared yellow purple"))
+    assert(!fp.contains(4L))
+    // guarantee: the shared 7-token run (= w + k) yields >= 1 common
+    // fingerprint hash between docs 1 and 2; doc 3 shares none
+    val h1 = fp(1L).map(_._2); val h2 = fp(2L).map(_._2)
+    assert((h1 & h2).nonEmpty)
+    assert((h1 & fp(3L).map(_._2)).isEmpty)
+    // summary view is consistent with the fingerprint table
+    val sm = TextAnalysis.winnow(docs, k, w).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(sm(1L)._1 == fp(1L).size.toLong)
+    assert(sm(1L)._2 == fp(1L).toSeq.map(_._2).sum)
+  }
+
   test("ohlc struct pick takes first/last by (ts, event_id)") {
     import spark.implicits._
     val rows = Seq(
