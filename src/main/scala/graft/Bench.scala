@@ -49,7 +49,7 @@ object Bench {
     // DSIR importance weights (two corpus token passes + broadcast
     // feature table), the one-pass normal-equation OLS fit, and
     // winnowing fingerprint selection (doc-keyed window join, w=4)
-    "t_dsir_weights", "t_quality_ols", "t_winnow")
+    "t_dsir_weights", "t_quality_ols", "t_winnow", "dd_winnow_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -568,6 +568,49 @@ object Dedup {
       .select("doc_sub", "doc_super", "containment")
   }
 
+  /** Winnowing-fingerprint pair search (the MOSS detection step over
+    * [[graft.text.TextAnalysis.winnowFingerprints]]): candidate pairs
+    * share at least `minShared` selected fingerprints, scored by
+    * shared / min(|fp_a|, |fp_b|) in exact ppm. Winnowing's guarantee
+    * makes this a RECALL statement — any pair sharing a token run of
+    * ≥ w+k−1 shares a fingerprint — at ~2/(w+1) the volume of full
+    * gram-set comparison (the Jaccard/containment ops), which is the
+    * point at corpus scale: the pair join runs over the winnowed ~40%,
+    * not every gram.
+    *
+    * Scale shape: fingerprint posting lists group on the 48-bit hash
+    * (16-byte rows, never text); `maxDocFreq` drops boilerplate
+    * fingerprints before the self-join (the LSH bucket-cap / df-cap
+    * guard — pair volume is Σ df² over surviving lists); per-doc
+    * fingerprint counts join back AQE-sized. All-integer scoring.
+    */
+  def winnowPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
+      minShared: Int = 2, maxDocFreq: Int = 64): DataFrame = {
+    require(minShared >= 1 && maxDocFreq >= 1,
+      s"bad winnowPairs params: minShared=$minShared maxDocFreq=$maxDocFreq")
+    val ph = graft.text.TextAnalysis.winnowFingerprints(docs, k, w)
+      .select("doc_id", "h").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnt = ph.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    val ok = ph.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq).select("h")
+    val okPh = ph.join(ok, Seq("h"))
+    val pairs = okPh.select(col("h"), col("doc_id").as("doc_a"))
+      .join(okPh.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    pairs
+      .join(cnt.select(col("doc_id").as("doc_a"), col("nf").as("nf_a")),
+        "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("nf").as("nf_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("nf_a"), col("nf_b"),
+        expr("CAST(n_shared * 1000000 div least(nf_a, nf_b) AS BIGINT)")
+          .as("score_ppm"))
+  }
+
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
     * precomputed gram sets. Used by [[ngramJaccardPairs]] and by
     * pipelines that need LSH candidates re-verified exactly before

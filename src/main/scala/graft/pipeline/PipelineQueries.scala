@@ -518,6 +518,51 @@ object PipelineQueries extends QueryRegistry {
     TextAnalysis.winnow(docs(s, d), k = 3, w = 4)
   }
 
+  // Winnowing pair search (the MOSS detection step): pairs sharing >= 2
+  // selected fingerprints, boilerplate fingerprints df-capped before
+  // the self-join, scored shared/min(|fp|) in exact ppm. The oracle
+  // replays the full selection chain plus the posting-list self-join.
+  q("dd_winnow_pairs",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents WHERE text IS NOT NULL),
+      |base AS (SELECT doc_id, t, CAST(len(t) - 2 AS BIGINT) AS ng
+      |         FROM toks WHERE len(t) >= 3),
+      |g AS (SELECT doc_id, i AS p,
+      |        CAST(CAST(('0x' || substr(md5(
+      |          array_to_string(t[i:i+2], ' ')), 1, 12)) AS UBIGINT)
+      |          AS BIGINT) AS h
+      |      FROM base CROSS JOIN
+      |        unnest(generate_series(1, CAST(ng AS INT))) AS u(i)),
+      |win AS (SELECT doc_id,
+      |          unnest(generate_series(1,
+      |            CAST(greatest(ng - 3, 1) AS INT))) AS s
+      |        FROM base),
+      |j AS (SELECT w.doc_id, w.s, g.p, g.h
+      |      FROM win w JOIN g ON g.doc_id = w.doc_id
+      |      WHERE g.p >= w.s AND g.p <= w.s + 3),
+      |m AS (SELECT doc_id, s, min(h) AS mh FROM j GROUP BY 1, 2),
+      |pick AS (SELECT j.doc_id, j.s, m.mh, max(j.p) AS p
+      |         FROM j JOIN m ON m.doc_id = j.doc_id AND m.s = j.s
+      |                      AND j.h = m.mh
+      |         GROUP BY j.doc_id, j.s, m.mh),
+      |ph AS (SELECT DISTINCT doc_id, mh AS h FROM pick),
+      |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf
+      |        FROM ph GROUP BY doc_id),
+      |ok AS (SELECT h FROM ph GROUP BY h HAVING count(*) <= 64),
+      |okph AS (SELECT ph.doc_id, ph.h FROM ph JOIN ok USING (h)),
+      |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         CAST(count(*) AS BIGINT) AS n_shared
+      |       FROM okph a JOIN okph b ON a.h = b.h AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT doc_a, doc_b, n_shared, ca.nf AS nf_a, cb.nf AS nf_b,
+      |       CAST(n_shared * 1000000 // least(ca.nf, cb.nf) AS BIGINT)
+      |         AS score_ppm
+      |FROM pr JOIN cnt ca ON ca.doc_id = pr.doc_a
+      |        JOIN cnt cb ON cb.doc_id = pr.doc_b""") { (s, d) =>
+    graft.dedup.Dedup.winnowPairs(docs(s, d), k = 3, w = 4,
+      minShared = 2, maxDocFreq = 64)
+  }
+
   /** Content-defined chunking (r9): boundary before token p whenever
     * the 4-token window ending at p−1 rolling-hashes to low-4-bits
     * zero (expected chunk 16 tokens). The oracle replays the window

@@ -1181,6 +1181,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Dedup.ngramJaccardPairs(df, n = 3, minJaccard = 0.8).count() == 0)
   }
 
+  test("winnowPairs: shared runs pair up; boilerplate df-cap prunes") {
+    // docs 1 and 2 share a 10-token run (>= w+k-1 = 6): the winnowing
+    // guarantee forces a shared fingerprint, so the pair must surface
+    val run = (1 to 10).map(i => s"s$i").mkString(" ")
+    val df = docsDf(
+      (1L, s"a1 a2 a3 a4 $run a5 a6 a7 a8"),
+      (2L, s"b1 b2 b3 $run b4 b5 b6 b7 b8"),
+      (3L, (1 to 20).map(i => s"c$i").mkString(" ")))
+    val got = Dedup.winnowPairs(df, k = 3, w = 4, minShared = 1,
+      maxDocFreq = 64).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(got == Set((1L, 2L)))
+    // a df cap of 1 kills every cross-doc fingerprint — no pairs at all
+    assert(Dedup.winnowPairs(df, 3, 4, minShared = 1,
+      maxDocFreq = 1).count() == 0)
+  }
+
   test("incrementalNearDup: corpus match beats batch match beats new") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val nearBase = ((1 to 39).map(i => s"w$i") :+ "zz").mkString(" ")
