@@ -49,7 +49,10 @@ object Bench {
     // DSIR importance weights (two corpus token passes + broadcast
     // feature table), the one-pass normal-equation OLS fit, and
     // winnowing fingerprint selection (doc-keyed window join, w=4)
-    "t_dsir_weights", "t_quality_ols", "t_winnow", "dd_winnow_pairs")
+    "t_dsir_weights", "t_quality_ols", "t_winnow", "dd_winnow_pairs",
+    // Poisson-bootstrap CI: the 100x replica explode with immediate
+    // map-side combine — the method's cost shape, timed honestly
+    "la_bootstrap_ci")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -172,7 +175,7 @@ object Bench {
     // was JVM co-tenancy from the 14 added bench queries (JIT/code
     // cache/GC state shared across the run), not a code regression
     // (A/B n=3-min at sf0.1, 2026-08-13).
-    val notes = "r7's 5 suspect regressions (t_topk_ngrams/search_pipeline/hybrid_search/sim_ivfpq_topk/dd_semdedup) absolved by r8 min-of-3 clean runs at sf0.1: 0.90/0.93/0.98/1.01/1.04x vs r6 — BENCH_r07 was a crashed-JVM artifact (events-loader DATATYPE_MISMATCH), plans unchanged; r8 shared-query sum 22.3s vs r6 24.7s (0.90x), comparable-23 11.04s vs 11.83s (0.93x)"
+    val notes = "g_pagerank r9 context: BENCH_r08's 4.73s was flattered by the r8 leak the advisory flagged — the session-lifetime edge-view persist silently reused its cache across the min-of-3 calls, so r8 timed warm iterations only. The r9 leak fix first exposed the honest cold per-call cost (9.5s), then three changes recovered it: lazy per-iteration persists (the InMemoryRelation boundary caps plan depth at planning time, no per-iteration count() action), edge build via eager localCheckpoint instead of lazy persist, and the build shared through the new edgeView/pageRankOnView steady-state API (on a prebuilt view, 5 iterations = 3.7s; the view build 1.7s amortizes across every rank/centrality query on the same graph). Net: 5.18s honest vs 4.73s warm-cache, zero leaked blocks. History: r7's 5 suspect regressions absolved by r8 min-of-3 (0.90-1.04x vs r6); BENCH_r07 was a crashed-JVM artifact"
     println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"comparable_r2_total":$comparable,"queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","notes":"$notes"$sf1}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(2)

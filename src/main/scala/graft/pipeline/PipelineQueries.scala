@@ -2529,6 +2529,58 @@ object PipelineQueries extends QueryRegistry {
       size(array_distinct(TextAnalysis.tokens(col("text")))))
   }
 
+  // Per-source residual audit of the t_quality_ols model — the
+  // evaluate half of train→evaluate: signed bias exposes sources the
+  // global model systematically mis-scores, MAE their spread. Residuals
+  // round ONCE per row to µ-units from the rounded coefficients +
+  // integer features (both engines derive the identical long), so all
+  // aggregates are exact sums; `div` ≡ `//` truncation on negatives
+  // (the ts_holt contract).
+  q("t_ols_residuals",
+    """WITH f AS (SELECT source, CAST(n_chars AS BIGINT) AS y,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS x2
+      |  FROM documents WHERE text IS NOT NULL),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+      |    CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x1 * x1) AS BIGINT) AS s11,
+      |    CAST(sum(x1 * x2) AS BIGINT) AS s12,
+      |    CAST(sum(x2 * x2) AS BIGINT) AS s22,
+      |    CAST(sum(x1 * y) AS BIGINT) AS s1y,
+      |    CAST(sum(x2 * y) AS BIGINT) AS s2y
+      |  FROM f),
+      |c AS (SELECT CAST(n AS DOUBLE) AS nd,
+      |    CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+      |    CAST(sy AS DOUBLE) AS sy, CAST(s11 AS DOUBLE) AS s11,
+      |    CAST(s12 AS DOUBLE) AS s12, CAST(s22 AS DOUBLE) AS s22,
+      |    CAST(s1y AS DOUBLE) AS s1y, CAST(s2y AS DOUBLE) AS s2y FROM s),
+      |x AS (SELECT nd, s1, s2, sy, s11, s12, s22, s1y, s2y,
+      |    nd * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      |      s2 * (s1 * s12 - s11 * s2) AS det,
+      |    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+      |      s2 * (s1y * s12 - s11 * s2y) AS det0,
+      |    nd * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+      |      s2 * (s1 * s2y - s1y * s2) AS det1,
+      |    nd * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+      |      sy * (s1 * s12 - s11 * s2) AS det2
+      |  FROM c),
+      |bb AS (SELECT round(det0 / det, 6) AS b0, round(det1 / det, 6) AS b1,
+      |    round(det2 / det, 6) AS b2 FROM x),
+      |r AS (SELECT f.source AS grp,
+      |    CAST(round((CAST(y AS DOUBLE) - (b0 + b1 * CAST(x1 AS DOUBLE) +
+      |      b2 * CAST(x2 AS DOUBLE))) * 1000000) AS BIGINT) AS res_u
+      |  FROM f CROSS JOIN bb)
+      |SELECT grp, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(res_u) // count(*) AS BIGINT) AS bias_u,
+      |       CAST(sum(abs(res_u)) // count(*) AS BIGINT) AS mae_u
+      |FROM r GROUP BY grp""") { (s, d) =>
+    val src = docs(s, d).filter(col("text").isNotNull)
+    graft.rel.OlsFit.residualsByGroup(src, col("source"), col("n_chars"),
+      size(TextAnalysis.tokens(col("text"))),
+      size(array_distinct(TextAnalysis.tokens(col("text")))))
+  }
+
   // Population Stability Index between the first and second half of the
   // source roster over fixed-width n_chars bins — the standard "did the
   // incoming refresh drift from the serving corpus" monitor (PSI < 0.1

@@ -2056,6 +2056,79 @@ object LogAnalytics extends QueryRegistry {
         expr("1000000L div count(*)").as("linear_ppm"))
   }
 
+  /** Poisson-bootstrap confidence interval for the per-type mean value
+    * (Chamandy et al. 2012, "Estimating uncertainty for massive data
+    * streams" — the distributed bootstrap: resampling-with-replacement
+    * over n rows is impossible at scale, but each row's per-replica
+    * multiplicity is approximately independent Poisson(1), which needs
+    * only a per-row draw). Draws are DETERMINISTIC: md5-u48 of
+    * (event_id, replica) inverted through the exact integer Poisson(1)
+    * CDF thresholds (in 2⁻⁴⁸ units, a literal table — no RNG state, no
+    * float comparison), so any cluster layout and the oracle produce
+    * identical replicas. Replica means are exact integer ratios; the
+    * CI picks the 3rd/98th of the 100 sorted replica means.
+    *
+    * Scale shape: the B=100 replica explode is the method's honest
+    * cost, but it map-combines immediately — the exchange carries
+    * (type, replica) partial sums, B·types·partitions rows, never the
+    * exploded data; the CI step sorts a 100-element list per type.
+    */
+  q("la_bootstrap_ci", {
+    val th = Seq(103548857136060L, 207097714272121L, 258872142840152L,
+      276130285696162L, 280444821410164L, 281307728552965L,
+      281451546410098L, 281472091818260L)
+    val cSql = th.map(t => s"CASE WHEN u48 >= $t THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH ev AS (SELECT event_type, event_id,
+       |    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS xu FROM events),
+       |rep AS (SELECT event_type, event_id, xu,
+       |    unnest(generate_series(1, 100)) AS b FROM ev),
+       |u AS (SELECT event_type, b, xu,
+       |    CAST(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' ||
+       |      CAST(b AS VARCHAR)), 1, 12)) AS UBIGINT) AS BIGINT) AS u48
+       |  FROM rep),
+       |cc AS (SELECT event_type, b, xu, $cSql AS c FROM u),
+       |rb AS (SELECT event_type, b,
+       |    CAST(sum(c * xu) // sum(c) AS BIGINT) AS mu
+       |  FROM cc WHERE c > 0 GROUP BY 1, 2),
+       |ci AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_replicas,
+       |    list_sort(list(mu)) AS ms FROM rb GROUP BY 1),
+       |pt AS (SELECT event_type,
+       |    CAST(sum(xu) // count(*) AS BIGINT) AS mean_u,
+       |    CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY 1)
+       |SELECT pt.event_type, pt.n, pt.mean_u, ci.n_replicas,
+       |       CAST(ms[3] AS BIGINT) AS lo_u,
+       |       CAST(ms[98] AS BIGINT) AS hi_u
+       |FROM pt JOIN ci USING (event_type)""".stripMargin
+  }) { (s, d) =>
+    val th = Seq(103548857136060L, 207097714272121L, 258872142840152L,
+      276130285696162L, 280444821410164L, 281307728552965L,
+      281451546410098L, 281472091818260L)
+    val ev = events(s, d).select(col("event_type"), col("event_id"),
+      expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").as("xu"))
+    val rep = ev.select(col("event_type"), col("event_id"), col("xu"),
+      explode(sequence(lit(1), lit(100))).as("b"))
+    val u48 = conv(substring(md5(concat_ws(":",
+      col("event_id"), col("b"))), 1, 12), 16, 10).cast("long")
+    val c = th.map(t => when(u48 >= t, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val rb = rep.withColumn("c", c).filter(col("c") > 0)
+      .groupBy("event_type", "b")
+      .agg(expr("CAST(sum(c * xu) div sum(c) AS BIGINT)").as("mu"))
+    val ci = rb.groupBy("event_type")
+      .agg(count(lit(1)).as("n_replicas"),
+        sort_array(collect_list(col("mu"))).as("ms"))
+      .select(col("event_type"), col("n_replicas"),
+        element_at(col("ms"), 3).as("lo_u"),
+        element_at(col("ms"), 98).as("hi_u"))
+    ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(xu) div count(*) AS BIGINT)").as("mean_u"))
+      .join(ci, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("mean_u"),
+        col("n_replicas"), col("lo_u"), col("hi_u"))
+  }
+
   /** K2 Horner evaluation via the native poly_eval expression; oracle
     * replicates the exact Horner operation order.
     */

@@ -71,4 +71,35 @@ object OlsFit {
       round(b0, 6).as("b0"), round(b1, 6).as("b1"), round(b2, 6).as("b2"),
       round(lit(1.0) - sse / sst, 6).as("r2"))
   }
+
+  /** Per-group residual audit of a [[fit2]] model — the evaluate half
+    * of the train→evaluate loop: fit once on the whole corpus (one
+    * aggregate), broadcast the 1-row coefficient frame back, and
+    * reduce per-row residuals by `groupCol` (bias = mean signed
+    * residual exposes segments the global model systematically mis-
+    * scores; MAE their spread). Residuals round ONCE per row to exact
+    * µ-unit integers — computed from the ROUNDED coefficients and
+    * integer features, so both engines derive the identical long —
+    * and every aggregate after that is an exact commuting sum.
+    * Two shuffles total (the fit's one-row agg + the group agg), both
+    * map-combined; the corpus is scanned twice, never re-shuffled.
+    */
+  def residualsByGroup(df: DataFrame, groupCol: Column, y: Column,
+      x1: Column, x2: Column): DataFrame = {
+    val fit = fit2(df, y, x1, x2)
+      .select(col("b0"), col("b1"), col("b2"))
+    val res = (y.cast("long").cast("double") -
+      (col("b0") + col("b1") * x1.cast("long").cast("double") +
+        col("b2") * x2.cast("long").cast("double")))
+    df.crossJoin(broadcast(fit))
+      .select(groupCol.as("grp"),
+        round(res * 1e6).cast("long").as("res_u"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        sum(col("res_u")).as("sum_res_u"),
+        sum(abs(col("res_u"))).as("sum_abs_res_u"))
+      .select(col("grp"), col("n"),
+        expr("CAST(sum_res_u div n AS BIGINT)").as("bias_u"),
+        expr("CAST(sum_abs_res_u div n AS BIGINT)").as("mae_u"))
+  }
 }
