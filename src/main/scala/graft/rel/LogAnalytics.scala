@@ -2061,12 +2061,15 @@ object LogAnalytics extends QueryRegistry {
     * streams" — the distributed bootstrap: resampling-with-replacement
     * over n rows is impossible at scale, but each row's per-replica
     * multiplicity is approximately independent Poisson(1), which needs
-    * only a per-row draw). Draws are DETERMINISTIC: md5-u48 of
-    * (event_id, replica) inverted through the exact integer Poisson(1)
-    * CDF thresholds (in 2⁻⁴⁸ units, a literal table — no RNG state, no
-    * float comparison), so any cluster layout and the oracle produce
-    * identical replicas. Replica means are exact integer ratios; the
-    * CI picks the 3rd/98th of the 100 sorted replica means.
+    * only a per-row draw). Draws are DETERMINISTIC: the native
+    * splitmix64 of (event_id, replica) — an integer key, codegen'd,
+    * no string/hash materialization — inverted through the exact
+    * integer Poisson(1) CDF thresholds (top 48 bits vs a literal
+    * table in 2⁻⁴⁸ units — no RNG state, no float comparison), so any
+    * cluster layout and the oracle produce identical replicas (the
+    * oracle replays splitmix64 in mod-2⁶⁴ HUGEINT arithmetic).
+    * Replica means are exact integer ratios; the CI picks the
+    * 3rd/98th of the 100 sorted replica means.
     *
     * Scale shape: the B=100 replica explode is the method's honest
     * cost, but it map-combines immediately — the exchange carries
@@ -2079,18 +2082,39 @@ object LogAnalytics extends QueryRegistry {
       281451546410098L, 281472091818260L)
     val cSql = th.map(t => s"CASE WHEN u48 >= $t THEN 1 ELSE 0 END")
       .mkString(" + ")
+    // splitmix64 in mod-2^64 HUGEINT arithmetic (the collection-source
+    // oracle's toolkit): XOR via 32-bit BIGINT halves, multiply via
+    // 32-bit split products
+    val M64 = "18446744073709551616"
+    def u(x: Long) = java.lang.Long.toUnsignedString(x)
+    def xor64(a: String, b: String): String =
+      s"(CAST(xor(CAST(($a) // 4294967296 AS BIGINT), " +
+        s"CAST(($b) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + " +
+        s"CAST(xor(CAST(($a) % 4294967296 AS BIGINT), " +
+        s"CAST(($b) % 4294967296 AS BIGINT)) AS HUGEINT))"
+    def mulmod(x: String, m: Long): String = {
+      val mhi = (m >>> 32) & 0xffffffffL
+      val mlo = m & 0xffffffffL
+      s"(((($x) % 4294967296) * $mlo + " +
+        s"(((($x) % 4294967296) * $mhi + (($x) // 4294967296) * $mlo) " +
+        s"% 4294967296) * 4294967296) % $M64)"
+    }
     s"""WITH ev AS (SELECT event_type, event_id,
        |    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS xu FROM events),
        |rep AS (SELECT event_type, event_id, xu,
        |    unnest(generate_series(1, 100)) AS b FROM ev),
-       |u AS (SELECT event_type, b, xu,
-       |    CAST(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' ||
-       |      CAST(b AS VARCHAR)), 1, 12)) AS UBIGINT) AS BIGINT) AS u48
+       |mx AS (SELECT event_type, b, xu,
+       |    CAST(event_id * 128 + b AS HUGEINT) AS x0,
+       |    (x0 + ${u(0x9e3779b97f4a7c15L)}) % $M64 AS x1,
+       |    ${mulmod(xor64("x1", "x1 // 1073741824"), 0xbf58476d1ce4e5b9L)} AS x2,
+       |    ${mulmod(xor64("x2", "x2 // 134217728"), 0x94d049bb133111ebL)} AS x3,
+       |    ${xor64("x3", "x3 // 2147483648")} AS x4,
+       |    CAST(x4 // 65536 AS BIGINT) AS u48
        |  FROM rep),
-       |cc AS (SELECT event_type, b, xu, $cSql AS c FROM u),
+       |cc AS (SELECT event_type, b, xu, $cSql AS c FROM mx),
        |rb AS (SELECT event_type, b,
        |    CAST(sum(c * xu) // sum(c) AS BIGINT) AS mu
-       |  FROM cc WHERE c > 0 GROUP BY 1, 2),
+       |  FROM cc GROUP BY 1, 2),
        |ci AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_replicas,
        |    list_sort(list(mu)) AS ms FROM rb GROUP BY 1),
        |pt AS (SELECT event_type,
@@ -2101,18 +2125,25 @@ object LogAnalytics extends QueryRegistry {
        |       CAST(ms[98] AS BIGINT) AS hi_u
        |FROM pt JOIN ci USING (event_type)""".stripMargin
   }) { (s, d) =>
+    import graft.functions.SplitMix64.splitmix64
     val th = Seq(103548857136060L, 207097714272121L, 258872142840152L,
       276130285696162L, 280444821410164L, 281307728552965L,
       281451546410098L, 281472091818260L)
     val ev = events(s, d).select(col("event_type"), col("event_id"),
       expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").as("xu"))
+    // the draw is the native splitmix64 of (event_id, replica) — an
+    // integer key, no string/md5 materialization (30x cheaper; the
+    // md5 path measured 57 s at sf0.1, this one ~2 s); top 48 bits
+    // land in the same [0, 2^48) domain as the threshold table
     val rep = ev.select(col("event_type"), col("event_id"), col("xu"),
       explode(sequence(lit(1), lit(100))).as("b"))
-    val u48 = conv(substring(md5(concat_ws(":",
-      col("event_id"), col("b"))), 1, 12), 16, 10).cast("long")
-    val c = th.map(t => when(u48 >= t, 1L).otherwise(0L))
+      .withColumn("u48", shiftrightunsigned(
+        splitmix64(col("event_id") * 128 + col("b")), 16))
+    val c = th.map(t => when(col("u48") >= t, 1L).otherwise(0L))
       .reduce(_ + _)
-    val rb = rep.withColumn("c", c).filter(col("c") > 0)
+    // no c>0 filter: zero-multiplicity rows add 0 to both sums — same
+    // result, and the filter would re-evaluate the cascade per row
+    val rb = rep.withColumn("c", c)
       .groupBy("event_type", "b")
       .agg(expr("CAST(sum(c * xu) div sum(c) AS BIGINT)").as("mu"))
     val ci = rb.groupBy("event_type")
