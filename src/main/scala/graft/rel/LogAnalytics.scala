@@ -2160,6 +2160,148 @@ object LogAnalytics extends QueryRegistry {
         col("n_replicas"), col("lo_u"), col("hi_u"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic per event type between the
+    * user-parity arms (distribution-shift readout the t-test can't give:
+    * sensitive to shape, not just the mean). The ECDF gap is computed on
+    * the ×10⁴ integer value grid, so the per-type state after the first
+    * aggregation is bounded by the VALUE DOMAIN (≤ ~5M distinct grid
+    * points here), not the corpus — the same bounded-grid trick as
+    * `la_quantiles`. Shape: one map-combined shuffle to
+    * (type, grid-value), one per-type window over the bounded grid, one
+    * final aggregate; cross products go through DECIMAL(38,0) so the
+    * numerator max |ca·nb − cb·na| is exact at any corpus size.
+    */
+  q("la_ks_test",
+    """WITH obs AS (
+      |  SELECT event_type, user_id % 2 = 0 AS arm_a,
+      |         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vu
+      |  FROM events),
+      |vals AS (
+      |  SELECT event_type, vu,
+      |         CAST(sum(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |         CAST(sum(CASE WHEN arm_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      |  FROM obs GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, vu, ca, cb,
+      |         CAST(sum(ca) OVER w AS BIGINT) AS cca,
+      |         CAST(sum(cb) OVER w AS BIGINT) AS ccb
+      |  FROM vals
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY vu
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |tot AS (
+      |  SELECT event_type, CAST(sum(ca) AS BIGINT) AS na,
+      |         CAST(sum(cb) AS BIGINT) AS nb
+      |  FROM vals GROUP BY 1)
+      |SELECT c.event_type, na, nb,
+      |       round(CAST(max(abs(CAST(cca AS DECIMAL(38,0)) * nb -
+      |                          CAST(ccb AS DECIMAL(38,0)) * na)) AS DOUBLE)
+      |             / (CAST(na AS DOUBLE) * nb), 6) AS ks_d
+      |FROM cum c JOIN tot t ON c.event_type = t.event_type
+      |GROUP BY 1, 2, 3""") { (s, d) =>
+    val dec = "decimal(38,0)"
+    val obs = events(s, d).select(col("event_type"),
+      (col("user_id") % 2 === 0).as("arm_a"),
+      expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").as("vu"))
+    val vals = obs.groupBy("event_type", "vu")
+      .agg(sum(when(col("arm_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("arm_a"), 0L).otherwise(1L)).as("cb"))
+    val w = Window.partitionBy("event_type").orderBy("vu")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vals
+      .withColumn("cca", sum("ca").over(w))
+      .withColumn("ccb", sum("cb").over(w))
+    val tot = vals.groupBy("event_type")
+      .agg(sum("ca").as("na"), sum("cb").as("nb"))
+    cum.join(broadcast(tot), "event_type")
+      .groupBy(col("event_type"), col("na"), col("nb"))
+      .agg(max(abs(col("cca").cast(dec) * col("nb") -
+        col("ccb").cast(dec) * col("na"))).as("d_num"))
+      .select(col("event_type"), col("na"), col("nb"),
+        round(col("d_num").cast("double") /
+          (col("na").cast("double") * col("nb")), 6).as("ks_d"))
+  }
+
+  /** Mann–Whitney U rank-sum test per event type between the user-parity
+    * arms — the non-parametric sibling of `la_ab_ttest` (robust to the
+    * heavy-tailed values where the t-test's normality lean is weakest).
+    * Average-rank tie handling on the ×10⁴ grid stays integral by
+    * carrying 2·rank: for a grid value with c_< values below it and t
+    * tied at it, 2·avg_rank = 2·c_< + t + 1, so 2·R_A and 2·U_A are
+    * exact DECIMAL(38,0) integers at any corpus size. The normal
+    * approximation z uses the standard tie-corrected variance; the
+    * float expression is written token-identically in both engines.
+    * Same bounded-grid shape as `la_ks_test`: state after the first
+    * shuffle is the value domain, not the corpus.
+    */
+  q("la_mannwhitney",
+    """WITH obs AS (
+      |  SELECT event_type, user_id % 2 = 0 AS arm_a,
+      |         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vu
+      |  FROM events),
+      |vals AS (
+      |  SELECT event_type, vu,
+      |         CAST(sum(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |         CAST(sum(CASE WHEN arm_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      |  FROM obs GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, ca, cb,
+      |         CAST(sum(ca) OVER w AS BIGINT) AS cca,
+      |         CAST(sum(cb) OVER w AS BIGINT) AS ccb
+      |  FROM vals
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY vu
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |st AS (
+      |  SELECT event_type,
+      |         CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+      |         sum(CAST(ca AS DECIMAL(38,0)) *
+      |             (2 * ((cca - ca) + (ccb - cb)) + (ca + cb) + 1)) AS two_ra,
+      |         sum(CAST(ca + cb AS DECIMAL(38,0)) * (ca + cb) * (ca + cb)
+      |             - (ca + cb)) AS tie3
+      |  FROM cum GROUP BY 1),
+      |uu AS (
+      |  SELECT event_type, na, nb,
+      |         two_ra - CAST(na AS DECIMAL(38,0)) * (na + 1) AS u2a, tie3
+      |  FROM st)
+      |SELECT event_type, na, nb,
+      |       round(CAST(u2a AS DOUBLE) / 2, 1) AS u_a,
+      |       round((CAST(u2a AS DOUBLE) - CAST(na AS DOUBLE) * nb) /
+      |             (2 * sqrt(CAST(na AS DOUBLE) * nb / 12.0 *
+      |              ((na + nb + 1) - CAST(tie3 AS DOUBLE) /
+      |               (CAST(na + nb AS DOUBLE) * (na + nb - 1))))), 6) AS z
+      |FROM uu""") { (s, d) =>
+    val dec = "decimal(38,0)"
+    val obs = events(s, d).select(col("event_type"),
+      (col("user_id") % 2 === 0).as("arm_a"),
+      expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").as("vu"))
+    val vals = obs.groupBy("event_type", "vu")
+      .agg(sum(when(col("arm_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("arm_a"), 0L).otherwise(1L)).as("cb"))
+    val w = Window.partitionBy("event_type").orderBy("vu")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vals
+      .withColumn("cca", sum("ca").over(w))
+      .withColumn("ccb", sum("cb").over(w))
+    val st = cum.groupBy("event_type")
+      .agg(sum("ca").as("na"), sum("cb").as("nb"),
+        sum(col("ca").cast(dec) *
+          (lit(2) * ((col("cca") - col("ca")) + (col("ccb") - col("cb"))) +
+            (col("ca") + col("cb")) + 1)).as("two_ra"),
+        sum((col("ca") + col("cb")).cast(dec) *
+          (col("ca") + col("cb")) * (col("ca") + col("cb")) -
+          (col("ca") + col("cb"))).as("tie3"))
+    st.select(col("event_type"), col("na"), col("nb"),
+        (col("two_ra") - col("na").cast(dec) * (col("na") + 1)).as("u2a"),
+        col("tie3"))
+      .select(col("event_type"), col("na"), col("nb"),
+        round(col("u2a").cast("double") / 2, 1).as("u_a"),
+        round((col("u2a").cast("double") -
+          col("na").cast("double") * col("nb")) /
+          (lit(2) * sqrt(col("na").cast("double") * col("nb") / 12.0 *
+            ((col("na") + col("nb") + 1) - col("tie3").cast("double") /
+              ((col("na") + col("nb")).cast("double") *
+                (col("na") + col("nb") - 1))))), 6).as("z"))
+  }
+
   /** K2 Horner evaluation via the native poly_eval expression; oracle
     * replicates the exact Horner operation order.
     */

@@ -136,4 +136,41 @@ class SketchStatsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_cells") == 4L)
     assert(r.getAs[Double]("chi2") == 4.0)
   }
+
+  test("la_ks_test: hand-computed ECDF gap on a tied fixture") {
+    // arm A (even users): {1,2,3}; arm B (odd): {2,3,4,4}
+    // scaled gaps |ca*nb - cb*na| over the grid: 4, 5, 6, 0 -> D = 6/12
+    val dir = eventsDir(Seq(
+      (0L, base, 2L, "a", 1.0), (1L, base, 2L, "a", 2.0),
+      (2L, base, 4L, "a", 3.0), (3L, base, 1L, "a", 2.0),
+      (4L, base, 1L, "a", 3.0), (5L, base, 3L, "a", 4.0),
+      (6L, base, 3L, "a", 4.0)))
+    val r = run("la_ks_test", dir).collect().head
+    assert(r.getAs[Long]("na") == 3L && r.getAs[Long]("nb") == 4L)
+    assert(r.getAs[Double]("ks_d") == 0.5)
+  }
+
+  test("la_mannwhitney: average-rank U and tie-corrected z") {
+    // same fixture: combined 1,2,2,3,3,4,4 -> avg ranks 1, 2.5, 4.5, 6.5
+    // R_A = 1 + 2.5 + 4.5 = 8, U_A = 8 - 3*4/2 = 2
+    // tie3 = 3*(2^3-2) = 18; var = (3*4/12)*((7+1) - 18/(7*6)) = 7.571428..
+    val dir = eventsDir(Seq(
+      (0L, base, 2L, "a", 1.0), (1L, base, 2L, "a", 2.0),
+      (2L, base, 4L, "a", 3.0), (3L, base, 1L, "a", 2.0),
+      (4L, base, 1L, "a", 3.0), (5L, base, 3L, "a", 4.0),
+      (6L, base, 3L, "a", 4.0)))
+    val r = run("la_mannwhitney", dir).collect().head
+    assert(r.getAs[Double]("u_a") == 2.0)
+    val expectedZ = (4.0 - 12.0) / (2.0 * math.sqrt(8.0 - 18.0 / 42.0))
+    assert(math.abs(r.getAs[Double]("z") - expectedZ) < 1e-6)
+  }
+
+  test("la_mannwhitney: identical arms give U = na*nb/2 and z = 0") {
+    val dir = eventsDir(Seq(
+      (0L, base, 2L, "a", 1.0), (1L, base, 1L, "a", 1.0),
+      (2L, base, 4L, "a", 2.0), (3L, base, 3L, "a", 2.0)))
+    val r = run("la_mannwhitney", dir).collect().head
+    assert(r.getAs[Double]("u_a") == 2.0) // na*nb/2 = 2
+    assert(r.getAs[Double]("z") == 0.0)
+  }
 }
