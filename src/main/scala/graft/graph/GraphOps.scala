@@ -270,6 +270,54 @@ object GraphOps {
       .limit(k)
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999) over a BIPARTITE edge
+    * set (c = hub side, p = authority side) in exact integer
+    * micro-units: auth(p) = Σ_{c→p} hub(c), hub(c) = Σ_{c→p} auth(p),
+    * each half-step renormalized to max = 1e6 by floor division (the
+    * max-norm HITS variant — one extra tiny aggregate instead of a
+    * float L2 norm, and every value stays a long, so partial-agg order
+    * can never flip a bit and the chained-CTE oracle replays exactly).
+    * Returns ('hub', node, score_u) ∪ ('auth', node, score_u).
+    *
+    * Scale: each half-iteration is one edge-sized shuffle join + one
+    * map-combined aggregate; the max is a 1-row broadcast. Per-step
+    * persists cap the plan depth exactly like [[pageRankOnView]], and
+    * every persist is released before returning. Long bound:
+    * raw·1e6 ≤ max-indegree·1e12 — at web-scale indegrees rescale the
+    * fixed point (÷10³) before the product, the basketLift note.
+    */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
+    val e = edges.select(col("c"), col("p")).localCheckpoint(true)
+    var h = e.select(col("c")).distinct().withColumn("h", lit(1000000L))
+    var a: DataFrame = null
+    var cached: Seq[DataFrame] = Nil
+    for (i <- 1 to iters) {
+      val ar = e.join(h, "c").groupBy("p").agg(sum("h").as("ar"))
+      val am = ar.agg(max("ar").as("m"))
+      a = ar.crossJoin(broadcast(am))
+        .select(col("p"), expr("(ar * 1000000L) div m").as("a"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      cached = cached :+ a
+      val hr = e.join(a, "p").groupBy("c").agg(sum("a").as("hr"))
+      val hm = hr.agg(max("hr").as("m"))
+      h = hr.crossJoin(broadcast(hm))
+        .select(col("c"), expr("(hr * 1000000L) div m").as("h"))
+      if (i < iters) {
+        val mat = h.persist(StorageLevel.MEMORY_AND_DISK)
+        cached = cached :+ mat
+        h = mat
+      }
+    }
+    val out = h.select(lit("hub").as("kind"),
+        col("c").cast("long").as("node"), col("h").as("score_u"))
+      .unionAll(a.select(lit("auth").as("kind"),
+        col("p").cast("long").as("node"), col("a").as("score_u")))
+      .localCheckpoint(true)
+    cached.foreach(_.unpersist(false))
+    out
+  }
+
   /** Association-rule mining over the baskets (the market-basket
     * support/confidence/lift primitive): for each part pair a<b with
     * co-basket count ≥ minSupport, emit ppm-integer support

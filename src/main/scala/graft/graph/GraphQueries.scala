@@ -98,6 +98,57 @@ object GraphQueries extends QueryRegistry {
     GraphOps.basketLift(li(s, d), minSupport = 2L, k = 50)
   }
 
+  /** HITS over the customer→part purchase bipartite graph: hubs are
+    * buyers whose baskets concentrate on high-authority parts,
+    * authorities are parts bought by strong hubs — the influence
+    * decomposition PageRank's single score can't give on a bipartite
+    * graph. 2 iterations, exact integer max-norm arithmetic
+    * (see [[GraphOps.hits]]); the oracle chains one CTE pair per
+    * half-iteration with the same floor division.
+    */
+  q("g_hits", hitsSql(2)) { (s, d) =>
+    val orders = Tables.load(s, d, "orders")
+    val e = orders.select(org.apache.spark.sql.functions.col("o_orderkey"),
+        org.apache.spark.sql.functions.col("o_custkey").as("c"))
+      .join(li(s, d).select(
+        org.apache.spark.sql.functions.col("l_orderkey").as("o_orderkey"),
+        org.apache.spark.sql.functions.col("l_partkey").as("p")),
+        "o_orderkey")
+      .select("c", "p").distinct()
+    GraphOps.hits(e, 2)
+  }
+
+  /** Chained-CTE oracle for the integer max-norm HITS — one CTE pair
+    * per half-iteration, `//` on positive BIGINTs == Spark `div`.
+    */
+  private def hitsSql(iters: Int): String = {
+    val sb = new StringBuilder(
+      """WITH e AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |h0 AS (SELECT c, CAST(1000000 AS BIGINT) AS h
+        |       FROM (SELECT DISTINCT c FROM e))""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(s""",
+        |a${i}r AS (SELECT p, CAST(sum(h) AS BIGINT) AS a
+        |        FROM e JOIN h${i - 1} USING (c) GROUP BY 1),
+        |a${i}m AS (SELECT max(a) AS m FROM a${i}r),
+        |a$i AS (SELECT p, CAST(a * 1000000 // m AS BIGINT) AS a
+        |        FROM a${i}r, a${i}m),
+        |h${i}r AS (SELECT c, CAST(sum(a) AS BIGINT) AS h
+        |        FROM e JOIN a$i USING (p) GROUP BY 1),
+        |h${i}m AS (SELECT max(h) AS m FROM h${i}r),
+        |h$i AS (SELECT c, CAST(h * 1000000 // m AS BIGINT) AS h
+        |        FROM h${i}r, h${i}m)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT 'hub' AS kind, CAST(c AS BIGINT) AS node, h AS score_u
+      |FROM h$iters
+      |UNION ALL
+      |SELECT 'auth' AS kind, CAST(p AS BIGINT) AS node, a AS score_u
+      |FROM a$iters""".stripMargin)
+    sb.toString
+  }
+
   /** Chained-CTE oracle for the integer PageRank — one CTE per
     * iteration, same floor arithmetic as the engine (`//` on positive
     * BIGINTs == Spark's `div`).

@@ -114,6 +114,32 @@ class GraphSpec extends AnyFunSuite {
     assert(counted == enumerated && counted > 0)
   }
 
+  test("hits: hand-computed max-norm scores on a 2x2 bipartite graph") {
+    import spark.implicits._
+    // edges c1->{p1,p2}, c2->{p1}
+    // a1: p1=1e6, p2=5e5; h1: c1=1e6, c2=666666
+    // a2: p1=1e6, p2=1e12 div 1666666 = 600000; h2: c1=1e6, c2=625000
+    val e = Seq((1L, 1L), (1L, 2L), (2L, 1L)).toDF("c", "p")
+    val m = GraphOps.hits(e, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m(("hub", 1L)) == 1000000L && m(("hub", 2L)) == 625000L)
+    assert(m(("auth", 1L)) == 1000000L && m(("auth", 2L)) == 600000L)
+  }
+
+  test("hits: max score is exactly 1e6 on both sides at every size") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val e = Iterator.continually(
+        (rnd.nextInt(20).toLong, rnd.nextInt(30).toLong))
+      .take(150).toSeq.distinct.toDF("c", "p")
+    val rows = GraphOps.hits(e, 3).collect()
+    val hubs = rows.filter(_.getString(0) == "hub").map(_.getLong(2))
+    val auths = rows.filter(_.getString(0) == "auth").map(_.getLong(2))
+    assert(hubs.max == 1000000L && auths.max == 1000000L)
+    assert(hubs.forall(s => s >= 0 && s <= 1000000L))
+    assert(auths.forall(s => s >= 0 && s <= 1000000L))
+  }
+
   test("basket lift: hand-computed support/confidence/lift in ppm") {
     import spark.implicits._
     // baskets: {a,b,c}, {a,b}, {a,d} -> n_a=3, n_b=2, n_ab=2, N=3
