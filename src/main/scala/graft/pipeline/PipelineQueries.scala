@@ -2290,6 +2290,68 @@ object PipelineQueries extends QueryRegistry {
     TextAnalysis.bigramLm(docs(s, d))
   }
 
+  /** Shared CTE prelude for the BPE merge-learning oracle: the
+    * double-space document representation plus `rounds` chained
+    * (pair-count → argmax → rewrite) steps, each the exact replay of
+    * one [[TextAnalysis.bpeChain]] round (same total-order tie-break,
+    * same plain left-to-right `replace` on the fenced representation).
+    */
+  private def bpeCtes(rounds: Int): String = {
+    val sb = new StringBuilder(
+      """WITH d0 AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |              x -> x <> '')) AS BIGINT) AS n_before,
+        |         ' ' || array_to_string(list_filter(string_split(text, ' '),
+        |              x -> x <> ''), '  ') || ' ' AS s
+        |  FROM documents WHERE text IS NOT NULL)""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+        |p$r AS (
+        |  SELECT t[i] AS w1, t[i + 1] AS w2, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT list_filter(string_split(trim(s), '  '),
+        |               x -> x <> '') AS t
+        |        FROM d${r - 1}) tt
+        |  CROSS JOIN unnest(generate_series(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 2
+        |  GROUP BY 1, 2),
+        |t$r AS (SELECT w1, w2, c FROM p$r ORDER BY c DESC, w1, w2 LIMIT 1),
+        |d$r AS (SELECT doc_id, n_before,
+        |          replace(s, ' ' || t.w1 || '  ' || t.w2 || ' ',
+        |                     ' ' || t.w1 || '@@' || t.w2 || ' ') AS s
+        |        FROM d${r - 1}, t$r t)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  // Distributed BPE merge learning (word-level): the top adjacent-pair
+  // merge per round, each round one map-combined pair-count exchange +
+  // a 1-row argmax + a map-only rewrite. The oracle chains the same
+  // rounds as CTEs — counts, tie-break, and the double-space-fenced
+  // replace are all exact, so the learned table hash-matches.
+  q("t_bpe_learn", {
+    val rounds = 3
+    bpeCtes(rounds) + "\n" + (1 to rounds).map(r =>
+      s"SELECT $r AS round, w1, w2, c AS n_pairs FROM t$r")
+      .mkString("\nUNION ALL\n")
+  }) { (s, d) =>
+    TextAnalysis.bpeLearn(docs(s, d), rounds = 3)
+  }
+
+  // Apply the 3 learned merges and report per-doc compression —
+  // n_merged counts exactly the merge operations each doc received.
+  q("t_bpe_apply",
+    bpeCtes(3) +
+      """
+        |SELECT doc_id, n_before,
+        |       CAST(len(list_filter(string_split(trim(s), '  '),
+        |            x -> x <> '')) AS BIGINT) AS n_after,
+        |       n_before - CAST(len(list_filter(string_split(trim(s), '  '),
+        |            x -> x <> '')) AS BIGINT) AS n_merged
+        |FROM d3""".stripMargin) { (s, d) =>
+    TextAnalysis.bpeApply(docs(s, d), rounds = 3)
+  }
+
   // Vocabulary-growth (Heaps'-law) curve: cumulative distinct types vs
   // cumulative tokens at 20 doc_id-order checkpoints — the corpus-size
   // planning curve. The oracle's window cumsum is replayed engine-side

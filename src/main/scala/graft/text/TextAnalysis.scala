@@ -798,6 +798,89 @@ object TextAnalysis {
     dsirLlrTable(dsirTokens(docs, Some(hashBuckets)), targetSources)
       .collect().map(r => r.getString(0).toLong -> r.getLong(1)).toMap
 
+  /** Distributed BPE-style merge learning over the whitespace-token
+    * corpus (Sennrich et al. 2016, word-level variant: learned merges
+    * are collocations, the WordPiece/BPE loop shape is identical).
+    * Each round is (a) one map-combined shuffle counting adjacent
+    * token pairs, (b) a 1-row argmax with a total-order tie-break
+    * (count desc, pair asc), and (c) a MAP-ONLY merge application —
+    * so the per-round cost at corpus scale is one pair-count exchange
+    * plus a broadcast of a single merge rule.
+    *
+    * Merge application is an exact string rewrite both engines share:
+    * documents are carried as ' tok1  tok2  ... ' (DOUBLE-space
+    * separated, single-space fenced), so replacing ' a  b ' with
+    * ' a@@b ' consumes each token's own fence chars and adjacent
+    * matches never overlap — plain left-to-right `replace` in Spark
+    * and DuckDB then performs the identical leftmost-non-overlapping
+    * BPE merge pass with no lookarounds (RE2 has none).
+    *
+    * The driver-side state is ONE (w1, w2, count) row per round —
+    * the kmeans-centroid-collect pattern, bounded by `rounds`.
+    */
+  private def bpeChain(docs: DataFrame, rounds: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame, Seq[DataFrame]) = {
+    require(rounds >= 1 && rounds <= 16, s"rounds out of range: $rounds")
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), x => x =!= ""))
+          .cast("long").as("n_before"),
+        concat(lit(" "),
+          array_join(filter(split(col("text"), " "), x => x =!= ""), "  "),
+          lit(" ")).as("s"))
+    var rep = base.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cached = Seq[DataFrame](rep)
+    val merges = scala.collection.mutable.Buffer[(Int, String, String, Long)]()
+    for (r <- 1 to rounds) {
+      val toks = rep.select(
+          filter(split(trim(col("s")), "  "), x => x =!= "").as("t"))
+        .where(size(col("t")) >= 2)
+      val top = toks.select(explode(expr(
+          "transform(sequence(1, size(t) - 1), " +
+            "i -> struct(t[i-1] AS w1, t[i] AS w2))")).as("pr"))
+        .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w1"), col("w2")).limit(1).collect()
+      if (top.nonEmpty) {
+        val (w1, w2, c) =
+          (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((r, w1, w2, c))
+        rep = rep.withColumn("s", replace(col("s"),
+            lit(s" $w1  $w2 "), lit(s" $w1@@$w2 ")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cached = cached :+ rep
+      }
+    }
+    (merges.toSeq, rep, cached)
+  }
+
+  /** The learned merge table: (round, w1, w2, n_pairs), one row per
+    * round in learning order. See [[bpeChain]] for the loop shape.
+    */
+  def bpeLearn(docs: DataFrame, rounds: Int): DataFrame = {
+    val (merges, _, cached) = bpeChain(docs, rounds)
+    cached.foreach(_.unpersist(false))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    merges.toDF("round", "w1", "w2", "n_pairs")
+  }
+
+  /** Apply the `rounds` learned merges and report per-doc compression:
+    * (doc_id, n_before, n_after, n_merged). n_merged is exactly the
+    * number of merge operations performed on the doc across rounds.
+    */
+  def bpeApply(docs: DataFrame, rounds: Int): DataFrame = {
+    val (_, rep, cached) = bpeChain(docs, rounds)
+    val out = rep.select(col("doc_id"), col("n_before"),
+        size(filter(split(trim(col("s")), "  "), x => x =!= ""))
+          .cast("long").as("n_after"))
+      .withColumn("n_merged", col("n_before") - col("n_after"))
+      .localCheckpoint(true)
+    cached.foreach(_.unpersist(false))
+    out
+  }
+
   /** Map-only DSIR score of a text column against a collected model:
     * (n_tokens, logw_u) as an exact integer fold — the stateless
     * streaming-gate form of [[dsirWeights]] (identical scores by

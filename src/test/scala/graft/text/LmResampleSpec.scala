@@ -14,6 +14,39 @@ class LmResampleSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("bpeLearn: hand-computed merges with total-order tie-break") {
+    import spark.implicits._
+    val docs = Seq(1L -> "a b a b c", 2L -> "a b b").toDF("doc_id", "text")
+    // r1: (a,b)=3 wins; r2: all pairs tie at 1, 'a@@b' < 'b' < 'c'
+    // so (a@@b, a@@b) wins; r3: (a@@b, b) beats (a@@b@@a@@b, c) on w1
+    val m = TextAnalysis.bpeLearn(docs, rounds = 3).collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getString(2),
+        r.getLong(3)))).toMap
+    assert(m(1) == (("a", "b", 3L)))
+    assert(m(2) == (("a@@b", "a@@b", 1L)))
+    assert(m(3) == (("a@@b", "b", 1L)))
+  }
+
+  test("bpeApply: per-doc compression counts every merge applied") {
+    import spark.implicits._
+    val docs = Seq(1L -> "a b a b c", 2L -> "a b b").toDF("doc_id", "text")
+    // doc1: 'a b a b c' -> 'a@@b a@@b c' -> 'a@@b@@a@@b c' (5 -> 2)
+    // doc2: 'a b b' -> 'a@@b b' -> 'a@@b@@b' (3 -> 1)
+    val m = TextAnalysis.bpeApply(docs, rounds = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(m(1L) == ((5L, 2L, 3L)))
+    assert(m(2L) == ((3L, 1L, 2L)))
+  }
+
+  test("bpeApply: overlapping same-token pairs merge left to right") {
+    import spark.implicits._
+    // 'a a a' merges positions 1-2 only (leftmost non-overlapping)
+    val docs = Seq(1L -> "a a a").toDF("doc_id", "text")
+    val r = TextAnalysis.bpeApply(docs, rounds = 1).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 2L, 1L)))
+  }
+
   test("bigramLm matches a brute-force bigram model") {
     import spark.implicits._
     val texts = Seq(
