@@ -1289,6 +1289,100 @@ object LogAnalytics extends QueryRegistry {
         (col("h.l") + col("h.b")).as("forecast_u"))
   }
 
+  /** Holt–Winters-style seasonal smoothing of the per-type daily
+    * composite: FIXED additive day-of-week indices (per-dow mean
+    * deviation from the per-type mean — the STL-fixed-seasonal
+    * variant, not the recursive γ update, so the indices are one
+    * non-recursive aggregate) followed by the exact integer Holt
+    * level+trend fold of `ts_holt` on the DE-SEASONALIZED series.
+    * Emits per day the seasonal index, level, trend, and the
+    * re-seasonalized fitted level. All state is ×10⁴ integer; `div`
+    * truncation matches DuckDB `//` on the negative operands the
+    * de-seasonalized series does hit (the ts_holt contract). Scale:
+    * the corpus reaches the per-type fold only as day rows; seasonal
+    * indices are a 7-row-per-type broadcastable join.
+    */
+  q("ts_holt_winters",
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type,
+      |         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS st,
+      |         CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+      |              // count(*) AS BIGINT) AS xu,
+      |         row_number() OVER (PARTITION BY event_type
+      |           ORDER BY date_trunc('day', ts)) AS rn
+      |  FROM events GROUP BY event_type, date_trunc('day', ts)),
+      |mu AS (
+      |  SELECT event_type, CAST(sum(xu) // count(*) AS BIGINT) AS m
+      |  FROM daily GROUP BY 1),
+      |sea AS (
+      |  SELECT d.event_type, (d.st // 86400 + 4) % 7 AS dow,
+      |         CAST(sum(d.xu) // count(*) AS BIGINT) - m.m AS su
+      |  FROM daily d JOIN mu m ON m.event_type = d.event_type
+      |  GROUP BY d.event_type, (d.st // 86400 + 4) % 7, m.m),
+      |des AS (
+      |  SELECT d.event_type, d.st, d.rn, d.xu, s.su, d.xu - s.su AS xd
+      |  FROM daily d JOIN sea s ON s.event_type = d.event_type
+      |    AND s.dow = (d.st // 86400 + 4) % 7),
+      |r AS (
+      |  SELECT event_type, st, xu, su, rn, xd AS l, CAST(0 AS BIGINT) AS b
+      |  FROM des WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.event_type, d.st, d.xu, d.su, d.rn,
+      |         (d.xd + 3 * (r.l + r.b)) // 4,
+      |         (((d.xd + 3 * (r.l + r.b)) // 4 - r.l) + 3 * r.b) // 4
+      |  FROM r JOIN des d
+      |    ON d.event_type = r.event_type AND d.rn = r.rn + 1)
+      |SELECT event_type, st, xu, su AS season_u,
+      |       CAST(l AS BIGINT) AS level_u, CAST(b AS BIGINT) AS trend_u,
+      |       CAST(l + su AS BIGINT) AS refit_u
+      |FROM r""") { (s, d) =>
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("st"))
+      .agg(expr(
+        "sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) div count(*)")
+        .as("xu"))
+    val mu = daily.groupBy("event_type")
+      .agg(expr("CAST(sum(xu) div count(*) AS BIGINT)").as("m"))
+    val sea = daily.join(mu, "event_type")
+      .groupBy(col("event_type"),
+        expr("(st div 86400 + 4) % 7").as("dow"), col("m"))
+      .agg(expr("CAST(sum(xu) div count(*) AS BIGINT)").as("md"))
+      .select(col("event_type"), col("dow"), (col("md") - col("m")).as("su"))
+    val des = daily
+      .withColumn("dow", expr("(st div 86400 + 4) % 7"))
+      .join(sea, Seq("event_type", "dow"))
+      .withColumn("xd", col("xu") - col("su"))
+    des.groupBy("event_type")
+      .agg(sort_array(collect_list(
+        struct(col("st"), col("xu"), col("su"), col("xd")))).as("days"))
+      .select(col("event_type"), explode(expr(
+        """aggregate(
+          |  days,
+          |  CAST(named_struct('out', array(), 'l', -1L, 'b', 0L) AS
+          |    STRUCT<out: ARRAY<STRUCT<st: BIGINT, xu: BIGINT,
+          |                             su: BIGINT, l: BIGINT, b: BIGINT>>,
+          |           l: BIGINT, b: BIGINT>),
+          |  (acc, x) -> CASE WHEN size(acc.out) = 0 THEN named_struct(
+          |      'out', array(named_struct('st', x.st, 'xu', x.xu,
+          |        'su', x.su, 'l', x.xd, 'b', 0L)),
+          |      'l', x.xd, 'b', 0L)
+          |    ELSE named_struct(
+          |      'out', concat(acc.out, array(named_struct(
+          |        'st', x.st, 'xu', x.xu, 'su', x.su,
+          |        'l', (x.xd + 3 * (acc.l + acc.b)) div 4,
+          |        'b', (((x.xd + 3 * (acc.l + acc.b)) div 4 - acc.l)
+          |              + 3 * acc.b) div 4))),
+          |      'l', (x.xd + 3 * (acc.l + acc.b)) div 4,
+          |      'b', (((x.xd + 3 * (acc.l + acc.b)) div 4 - acc.l)
+          |            + 3 * acc.b) div 4) END).out
+          |""".stripMargin)).as("h"))
+      .select(col("event_type"), col("h.st").as("st"),
+        col("h.xu").as("xu"), col("h.su").as("season_u"),
+        col("h.l").as("level_u"), col("h.b").as("trend_u"),
+        (col("h.l") + col("h.su")).as("refit_u"))
+  }
+
   /** Sample autocorrelation (lags 1–5) of the per-type daily composite
     * — the seasonality/memory diagnostic run before picking kernel
     * windows (a strong lag-7 ACF says "weekly", near-zero ACF says the

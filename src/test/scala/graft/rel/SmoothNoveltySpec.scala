@@ -68,6 +68,28 @@ class SmoothNoveltySpec extends AnyFunSuite {
       (3000L, 31804L, -1619L, 30185L)))
   }
 
+  test("ts_holt_winters: fixed dow indices + Holt fold on the " +
+      "de-seasonalized series") {
+    // days 0,1,7,8 -> two dows; xu: 40000, 0, 20000, 20000
+    // m = 20000; su(dow0) = 10000, su(dow1) = -10000
+    // xd: 30000, 10000, 10000, 30000; Holt fold:
+    // l: 30000, 25000, 20312, 21152; b: 0, -1250, -2109, -1371
+    val dir = eventsDir(Seq(
+      (0L, base, 1L, "click", 4.0),
+      (1L, base + day, 1L, "click", 0.0),
+      (2L, base + 7 * day, 1L, "click", 2.0),
+      (3L, base + 8 * day, 1L, "click", 2.0)))
+    val got = run("ts_holt_winters", dir).orderBy("st")
+      .select("xu", "season_u", "level_u", "trend_u", "refit_u").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (40000L, 10000L, 30000L, 0L, 40000L),
+      (0L, -10000L, 25000L, -1250L, 15000L),
+      (20000L, 10000L, 20312L, -2109L, 30312L),
+      (20000L, -10000L, 21152L, -1371L, 11152L)))
+  }
+
   test("la_gini: hand concentration values, uniform scores zero") {
     // u1: 1 event, u2: 3 events -> x=[1,3], G = 0.25 exactly
     val skew = eventsDir(Seq(
