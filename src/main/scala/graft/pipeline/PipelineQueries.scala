@@ -1801,6 +1801,34 @@ object PipelineQueries extends QueryRegistry {
     Similarity.lshTopK(embs(s, d), k = 5)
   }
 
+  // Sign (JL) random projection to 16 integer components: exact long
+  // arithmetic on the x1e4 element grid with the sign matrix derived
+  // from the native splitmix64 sign bit — the oracle rebuilds the same
+  // matrix in mod-2^64 HUGEINT SQL and hash-matches every component.
+  q("sim_random_projection", {
+    import graft.functions.SplitMix64Sql.mixAliases
+    """WITH m AS (
+      |  SELECT i AS id, CAST(i AS HUGEINT) AS x0,
+      |""".stripMargin +
+      mixAliases.linesIterator.map("    " + _).mkString("\n") + ",\n" +
+      """    CASE WHEN x4 >= CAST('9223372036854775808' AS HUGEINT)
+        |         THEN -1 ELSE 1 END AS sgn,
+        |    i // 16 + 1 AS j, i % 16 AS k
+        |  FROM unnest(generate_series(0, 1023)) AS t(i)),
+        |el AS (
+        |  SELECT vec_id, i AS j,
+        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5)
+        |              AS BIGINT) AS q
+        |  FROM embeddings,
+        |       unnest(generate_series(1, len(embedding))) AS t(i))
+        |SELECT CAST(e.vec_id AS BIGINT) AS vec_id, CAST(m.k AS BIGINT) AS k,
+        |       CAST(sum(m.sgn * e.q) AS BIGINT) AS proj_u
+        |FROM el e JOIN m ON m.j = e.j
+        |GROUP BY 1, 2""".stripMargin
+  }) { (s, d) =>
+    Similarity.signRandomProjection(embs(s, d), outDims = 16)
+  }
+
   /** IVF top-k reproduced in DuckDB: the deterministic hash-sampled
     * coarse quantizer ([[Similarity.hashSampledQuantizer]] — centers =
     * the 16 vectors with smallest md5(vec_id), cell id = md5 rank) lets

@@ -2176,33 +2176,16 @@ object LogAnalytics extends QueryRegistry {
       281451546410098L, 281472091818260L)
     val cSql = th.map(t => s"CASE WHEN u48 >= $t THEN 1 ELSE 0 END")
       .mkString(" + ")
-    // splitmix64 in mod-2^64 HUGEINT arithmetic (the collection-source
-    // oracle's toolkit): XOR via 32-bit BIGINT halves, multiply via
-    // 32-bit split products
-    val M64 = "18446744073709551616"
-    def u(x: Long) = java.lang.Long.toUnsignedString(x)
-    def xor64(a: String, b: String): String =
-      s"(CAST(xor(CAST(($a) // 4294967296 AS BIGINT), " +
-        s"CAST(($b) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + " +
-        s"CAST(xor(CAST(($a) % 4294967296 AS BIGINT), " +
-        s"CAST(($b) % 4294967296 AS BIGINT)) AS HUGEINT))"
-    def mulmod(x: String, m: Long): String = {
-      val mhi = (m >>> 32) & 0xffffffffL
-      val mlo = m & 0xffffffffL
-      s"(((($x) % 4294967296) * $mlo + " +
-        s"(((($x) % 4294967296) * $mhi + (($x) // 4294967296) * $mlo) " +
-        s"% 4294967296) * 4294967296) % $M64)"
-    }
+    // splitmix64 in mod-2^64 HUGEINT arithmetic — the shared
+    // SplitMix64Sql toolkit (XOR via 32-bit halves, split products)
+    import graft.functions.SplitMix64Sql.mixAliases
     s"""WITH ev AS (SELECT event_type, event_id,
        |    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS xu FROM events),
        |rep AS (SELECT event_type, event_id, xu,
        |    unnest(generate_series(1, 100)) AS b FROM ev),
        |mx AS (SELECT event_type, b, xu,
        |    CAST(event_id * 128 + b AS HUGEINT) AS x0,
-       |    (x0 + ${u(0x9e3779b97f4a7c15L)}) % $M64 AS x1,
-       |    ${mulmod(xor64("x1", "x1 // 1073741824"), 0xbf58476d1ce4e5b9L)} AS x2,
-       |    ${mulmod(xor64("x2", "x2 // 134217728"), 0x94d049bb133111ebL)} AS x3,
-       |    ${xor64("x3", "x3 // 2147483648")} AS x4,
+       |    $mixAliases,
        |    CAST(x4 // 65536 AS BIGINT) AS u48
        |  FROM rep),
        |cc AS (SELECT event_type, b, xu, $cSql AS c FROM mx),

@@ -539,6 +539,40 @@ object Similarity {
         (col("norm_u") * 4 < col("med2")).cast("int").as("outlier_lo"))
   }
 
+  /** Sign (Achlioptas/Johnson–Lindenstrauss) random projection of the
+    * embedding corpus to `outDims` integer components: the cheap dense
+    * dimensionality reduction run before brute-force rerank or as a
+    * compact sketch column. proj(v, k) = Σ_j sign(j, k) · q_j on the
+    * ×10⁴ integer element grid, with sign(j, k) the SIGN BIT of the
+    * native splitmix64 of the flat matrix index — so the projection is
+    * exact long arithmetic end to end and the oracle replays the sign
+    * matrix in mod-2⁶⁴ HUGEINT SQL (SplitMix64Sql).
+    *
+    * Scale shape: the sign matrix is dims×outDims rows built from
+    * `spark.range` (KBs — broadcast), the element explode is map-local,
+    * and the single exchange is the map-combined (vec_id, k) sum:
+    * rows·outDims partial aggregates, never the dense matrix.
+    */
+  def signRandomProjection(embeddings: DataFrame, outDims: Int,
+      dims: Int = 64): DataFrame = {
+    require(outDims >= 1 && outDims <= 256, s"outDims out of range: $outDims")
+    require(dims >= 1 && dims <= 65536, s"dims out of range: $dims")
+    import graft.functions.SplitMix64.splitmix64
+    val spark = embeddings.sparkSession
+    val signs = spark.range(0, dims.toLong * outDims).select(
+      expr(s"id div $outDims + 1").as("j"),
+      expr(s"id % $outDims").as("k"),
+      when(splitmix64(col("id")) >= 0, 1L).otherwise(-1L).as("sgn"))
+    val el = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), (col("pos") + 1).as("j"),
+        expr("CAST(floor(CAST(v AS DOUBLE) * 10000 + 0.5) AS BIGINT)")
+          .as("q"))
+    el.join(broadcast(signs), "j")
+      .groupBy(col("vec_id").cast("long").as("vec_id"), col("k"))
+      .agg(sum(col("sgn") * col("q")).as("proj_u"))
+  }
+
   /** Lloyd's k-means over the embedding corpus — the cluster layout
     * behind SemDeDup-style curation (dedup within topic cells),
     * IVF list assignment, and domain bucketing. Fully deterministic so

@@ -1359,4 +1359,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select("doc_id", "source", "n_copies", "copy").collect()
     assert(out.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
+
+  test("sign random projection matches a brute-force sign matrix") {
+    import spark.implicits._
+    import graft.functions.SplitMix64
+    val vecs = Seq(
+      (1L, Array(1.0f, -2.0f, 0.5f, 0.0f), 0),
+      (2L, Array(0.25f, 0.25f, -1.0f, 3.0f), 1))
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val outDims = 2
+    val got = Similarity.signRandomProjection(df, outDims, dims = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size == vecs.size * outDims)
+    for ((id, e, _) <- vecs; k <- 0 until outDims) {
+      val expected = e.indices.map { j =>
+        val sgn = if (SplitMix64.mix(j.toLong * outDims + k) >= 0) 1L else -1L
+        sgn * math.floor(e(j).toDouble * 10000 + 0.5).toLong
+      }.sum
+      assert(got((id, k.toLong)) == expected, s"vec $id comp $k")
+    }
+  }
 }
