@@ -2318,6 +2318,77 @@ object PipelineQueries extends QueryRegistry {
     TextAnalysis.bigramLm(docs(s, d))
   }
 
+  /** The curation funnel — the survivor accounting every training-data
+    * pipeline publishes: input → language filter → quality gate
+    * (≥5 tokens, distinct-token ratio ≥ 0.3) → exact-dedup keepers,
+    * with doc/token counts and ppm retention per stage. Stages are
+    * CHAINED FILTERS over one persisted base projection (doc_id, lang,
+    * token stats — text itself only feeds the dedup window), so the
+    * corpus is scanned once, not once per stage; the dedup window keys
+    * on md5(text) (16-byte shuffle rows, the dedupImpactReport trade —
+    * collision bound ~10⁻²⁰ at 10⁹ docs) while the oracle groups on
+    * the full text. Output is 4 rows at any corpus size.
+    */
+  q("t_curation_funnel",
+    """WITH d0 AS (
+      |  SELECT doc_id, text, lang,
+      |         len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |           AS nt,
+      |         len(list_distinct(list_filter(string_split(text, ' '),
+      |             x -> x <> ''))) AS ndt
+      |  FROM documents WHERE text IS NOT NULL),
+      |d1 AS (SELECT * FROM d0 WHERE lang = 'en'),
+      |d2 AS (SELECT * FROM d1 WHERE nt >= 5 AND ndt * 10 >= nt * 3),
+      |d3 AS (SELECT * FROM (
+      |         SELECT *, min(doc_id) OVER (PARTITION BY text) AS keep
+      |         FROM d2) k WHERE doc_id = keep),
+      |st AS (
+      |  SELECT 0 AS stage, 'input' AS stage_name,
+      |         CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(coalesce(sum(nt), 0) AS BIGINT) AS n_tokens FROM d0
+      |  UNION ALL
+      |  SELECT 1, 'language', CAST(count(*) AS BIGINT),
+      |         CAST(coalesce(sum(nt), 0) AS BIGINT) FROM d1
+      |  UNION ALL
+      |  SELECT 2, 'quality', CAST(count(*) AS BIGINT),
+      |         CAST(coalesce(sum(nt), 0) AS BIGINT) FROM d2
+      |  UNION ALL
+      |  SELECT 3, 'dedup', CAST(count(*) AS BIGINT),
+      |         CAST(coalesce(sum(nt), 0) AS BIGINT) FROM d3),
+      |base AS (SELECT n_docs AS nd0 FROM st WHERE stage = 0)
+      |SELECT stage, stage_name, n_docs, n_tokens,
+      |       CAST(n_docs * 1000000 // nd0 AS BIGINT) AS retained_ppm
+      |FROM st, base""") { (s, d) =>
+    val toks = filter(split(col("text"), " "), x => x =!= "")
+    val d0 = docs(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"), col("lang"),
+        size(toks).cast("long").as("nt"),
+        size(array_distinct(toks)).cast("long").as("ndt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val d1 = d0.filter(col("lang") === "en")
+    val d2 = d1.filter(col("nt") >= 5 && col("ndt") * 10 >= col("nt") * 3)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text")))
+    val d3 = d2.withColumn("keep", min("doc_id").over(w))
+      .filter(col("doc_id") === col("keep"))
+    def stat(df: org.apache.spark.sql.DataFrame, i: Int, nm: String) =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("nt"), lit(0L)).as("n_tokens"))
+        .select(lit(i).as("stage"), lit(nm).as("stage_name"),
+          col("n_docs"), col("n_tokens"))
+    val st = stat(d0, 0, "input")
+      .unionAll(stat(d1, 1, "language"))
+      .unionAll(stat(d2, 2, "quality"))
+      .unionAll(stat(d3, 3, "dedup"))
+    val base = stat(d0, 0, "input").select(col("n_docs").as("nd0"))
+    val out = st.crossJoin(broadcast(base))
+      .select(col("stage"), col("stage_name"), col("n_docs"),
+        col("n_tokens"), expr("n_docs * 1000000L div nd0").as("retained_ppm"))
+      .localCheckpoint(true)
+    d0.unpersist(false)
+    out
+  }
+
   /** Shared CTE prelude for the BPE merge-learning oracle: the
     * double-space document representation plus `rounds` chained
     * (pair-count → argmax → rewrite) steps, each the exact replay of

@@ -2379,6 +2379,53 @@ object LogAnalytics extends QueryRegistry {
                 (col("na") + col("nb") - 1))))), 6).as("z"))
   }
 
+  /** Benford first-significant-digit audit of the value column — the
+    * classic fabricated-/templated-data screen (natural multi-scale
+    * measurements follow log10(1+1/d); synthetic or clipped feeds
+    * don't). The first digit is exact INTEGER string arithmetic on the
+    * ×10⁴ grid (leading char of the BIGINT's decimal form — no
+    * log10() float knife-edge at powers of ten), shares are ppm floor
+    * divisions, and the 9 Benford reference shares are compile-time
+    * literals — so the 9-row audit hash-matches. One map-combined
+    * aggregate; the digit domain is 9 regardless of corpus size.
+    */
+  q("la_benford", {
+    val bf = Seq(301029, 176091, 124938, 96910, 79181, 66946, 57991,
+      51152, 45757)
+    val vals = bf.zipWithIndex.map { case (p, i) => s"(${i + 1}, $p)" }
+      .mkString(", ")
+    s"""WITH v AS (SELECT CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vu
+       |           FROM events WHERE value > 0),
+       |fd AS (SELECT CAST(substr(CAST(vu AS VARCHAR), 1, 1) AS INT) AS digit
+       |       FROM v WHERE vu >= 1),
+       |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM fd GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+       |bf AS (SELECT * FROM (VALUES $vals) AS t(digit, benford_ppm))
+       |SELECT c.digit, c.n,
+       |       CAST(c.n * 1000000 // t AS BIGINT) AS share_ppm,
+       |       CAST(bf.benford_ppm AS INT) AS benford_ppm,
+       |       CAST(c.n * 1000000 // t AS BIGINT) - bf.benford_ppm AS dev_ppm
+       |FROM c JOIN bf USING (digit), tot""".stripMargin
+  }) { (s, d) =>
+    val bf = Seq(301029, 176091, 124938, 96910, 79181, 66946, 57991,
+      51152, 45757)
+    val spark = s
+    import spark.implicits._
+    val bfDf = bf.zipWithIndex.map { case (p, i) => (i + 1, p) }
+      .toDF("digit", "benford_ppm")
+    val fd = events(s, d).filter(col("value") > 0)
+      .select(expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").as("vu"))
+      .filter(col("vu") >= 1)
+      .select(substring(col("vu").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+    val c = fd.groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = c.agg(sum("n").as("t"))
+    c.crossJoin(broadcast(tot)).join(broadcast(bfDf), "digit")
+      .select(col("digit"), col("n"),
+        expr("n * 1000000L div t").as("share_ppm"), col("benford_ppm"),
+        (expr("n * 1000000L div t") - col("benford_ppm")).as("dev_ppm"))
+  }
+
   /** K2 Horner evaluation via the native poly_eval expression; oracle
     * replicates the exact Horner operation order.
     */

@@ -165,6 +165,43 @@ class SketchStatsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("z") - expectedZ) < 1e-6)
   }
 
+  test("la_benford: exact first digits, zero-and-negative exclusion") {
+    // values 1.0, 2.5, 0.09, 19.0 -> digits 1, 2, 9, 1; 0 and -3 drop
+    val dir = eventsDir(Seq(
+      (0L, base, 1L, "a", 1.0), (1L, base, 1L, "a", 2.5),
+      (2L, base, 1L, "a", 0.09), (3L, base, 1L, "a", 19.0),
+      (4L, base, 1L, "a", 0.0), (5L, base, 1L, "a", -3.0)))
+    val rows = run("la_benford", dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(4)))).toMap
+    assert(rows.keySet == Set(1, 2, 9))
+    assert(rows(1) == ((2L, 500000L, 500000L - 301029L)))
+    assert(rows(2) == ((1L, 250000L, 250000L - 176091L)))
+    assert(rows(9) == ((1L, 250000L, 250000L - 45757L)))
+  }
+
+  test("t_curation_funnel: stage counts and retention on a " +
+      "hand-built corpus") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("ss_fun").toString
+    Seq(
+      (1L, "a b c d e", "en", "s", 9L),
+      (2L, "a b c d e", "en", "s", 9L), // exact duplicate of 1
+      (3L, "x y", "en", "s", 3L), // too short
+      (4L, "a a a a a a", "en", "s", 11L), // distinct ratio 1/6
+      (5L, "uno dos tres cuatro cinco", "de", "s", 25L), // wrong lang
+      (6L, null.asInstanceOf[String], "en", "s", 0L)) // null text
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val rows = run("t_curation_funnel", d).collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(rows(0) == (("input", 5L, 23L, 1000000L)))
+    assert(rows(1) == (("language", 4L, 18L, 800000L)))
+    assert(rows(2) == (("quality", 2L, 10L, 400000L)))
+    assert(rows(3) == (("dedup", 1L, 5L, 200000L)))
+  }
+
   test("la_mannwhitney: identical arms give U = na*nb/2 and z = 0") {
     val dir = eventsDir(Seq(
       (0L, base, 2L, "a", 1.0), (1L, base, 1L, "a", 1.0),
