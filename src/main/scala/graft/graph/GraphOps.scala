@@ -224,6 +224,52 @@ object GraphOps {
     result
   }
 
+  /** K-hop reachability (the BFS frontier audit): cumulative count of
+    * nodes within i hops of the seed set (nodes divisible by
+    * `seedMod`), for i = 0..k, plus the reached share of the graph in
+    * ppm. Each hop is one node-keyed join + distinct — the standard
+    * BFS-as-joins shape that holds at any scale because frontier state
+    * lives in the shuffle, never on the driver. Every hop's reached
+    * set persists LAZILY (each feeds both the next hop and its own
+    * count aggregate — without the persist the union-of-counts job
+    * recomputes hop i's chain k−i times); the final result is k+1
+    * rows, eagerly checkpointed, and all persists release before
+    * returning (no session-lifetime cache leak).
+    */
+  def kHopReach(edges: DataFrame, seedMod: Long, k: Int): DataFrame = {
+    require(k >= 1 && k <= 20, s"k out of range: $k")
+    require(seedMod >= 1, s"seedMod must be >= 1, got $seedMod")
+    val dd = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = dd.select(col("src").as("node")).distinct()
+    val tot = nodes.agg(count(lit(1)).as("n_nodes"))
+    var reached = nodes.filter(col("node") % seedMod === 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var cached: Seq[DataFrame] = Seq(dd, reached)
+    var hops: Seq[DataFrame] = Seq(
+      reached.agg(count(lit(1)).as("n_reached"))
+        .select(lit(0).as("hop"), col("n_reached")))
+    for (i <- 1 to k) {
+      val next = reached
+        .union(dd.join(reached, dd("src") === reached("node"))
+          .select(col("dst").as("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      cached = cached :+ next
+      hops = hops :+ next.agg(count(lit(1)).as("n_reached"))
+        .select(lit(i).as("hop"), col("n_reached"))
+      reached = next
+    }
+    val result = hops.reduce(_.union(_))
+      .crossJoin(tot)
+      .select(col("hop"), col("n_reached"),
+        expr("n_reached * 1000000L div n_nodes").as("reach_ppm"))
+      .localCheckpoint(true)
+    cached.foreach(_.unpersist(false))
+    result
+  }
+
   /** Standing edge view for iterative graph ops — (src, dst, deg) both
     * directions, eagerly materialized via localCheckpoint (lineage
     * truncates to the stored partitions; the ContextCleaner frees the

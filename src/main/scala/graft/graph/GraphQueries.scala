@@ -106,6 +106,16 @@ object GraphQueries extends QueryRegistry {
     * (see [[GraphOps.hits]]); the oracle chains one CTE pair per
     * half-iteration with the same floor division.
     */
+  /** BFS k-hop reachability from the seed set (parts divisible by
+    * 100): cumulative reached count + graph share per hop. Exact
+    * integers end to end; the oracle chains one DISTINCT-union CTE
+    * per hop (fixed k — no recursive CTE needed, and the chain
+    * replays the engine's frontier expansion bit for bit).
+    */
+  q("g_khop", kHopSql(3, 100)) { (s, d) =>
+    GraphOps.kHopReach(GraphOps.copurchaseEdges(li(s, d)), 100L, 3)
+  }
+
   q("g_hits", hitsSql(2)) { (s, d) =>
     val orders = Tables.load(s, d, "orders")
     val e = orders.select(org.apache.spark.sql.functions.col("o_orderkey"),
@@ -116,6 +126,33 @@ object GraphQueries extends QueryRegistry {
         "o_orderkey")
       .select("c", "p").distinct()
     GraphOps.hits(e, 2)
+  }
+
+  /** Chained-CTE oracle for k-hop reachability: r_i = distinct union
+    * of r_{i-1} and its out-neighbors; one count row per hop.
+    */
+  private def kHopSql(k: Int, seedMod: Long): String = {
+    val sb = new StringBuilder(edgeCte)
+    sb.append(s""",
+      |dd AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+      |nn AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n_nodes FROM dd),
+      |r0 AS (SELECT DISTINCT src AS node FROM dd WHERE src % $seedMod = 0)""".stripMargin)
+    for (i <- 1 to k) {
+      sb.append(s""",
+        |r$i AS (SELECT DISTINCT node FROM (
+        |  SELECT node FROM r${i - 1}
+        |  UNION ALL
+        |  SELECT dd.dst FROM dd JOIN r${i - 1} p ON dd.src = p.node) t)""".stripMargin)
+    }
+    val rows = (0 to k).map(i =>
+      s"""SELECT CAST($i AS INT) AS hop,
+         |       CAST((SELECT count(*) FROM r$i) AS BIGINT) AS n_reached""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    sb.append(s"""
+      |SELECT hop, n_reached,
+      |       CAST(n_reached * 1000000 // n_nodes AS BIGINT) AS reach_ppm
+      |FROM ($rows) h, nn""".stripMargin)
+    sb.toString
   }
 
   /** Chained-CTE oracle for the integer max-norm HITS — one CTE pair

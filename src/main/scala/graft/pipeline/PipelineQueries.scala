@@ -3719,4 +3719,131 @@ object PipelineQueries extends QueryRegistry {
     Multimodal.resizePlan(
       Multimodal.extractFeatures(s, Multimodal.payloads(s, d)), 64, 64)
   }
+
+  // Gopher-style rule-flag gate: five boolean quality rules per doc
+  // (all exact integer cross-multiplied comparisons), rolled up to
+  // per-source survivor counts and per-rule failure attribution — the
+  // report that tells a curator WHICH threshold to move, where
+  // t_quality's scalar score only says "low".
+  q("t_gopher_rules",
+    """WITH t AS (SELECT source, string_split(text, ' ') AS ws,
+      |                  length(text) AS chars
+      |           FROM documents),
+      |f AS (SELECT source, len(ws) AS n, chars - (len(ws) - 1) AS letters,
+      |             len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+      |               AS n_alpha,
+      |             len(list_filter(ws, x -> x IN
+      |               ('the','a','an','of','and','or','to','in','is','it',
+      |                'for','on','with','as','at','by'))) AS n_stop,
+      |             len(list_distinct(ws)) AS n_uniq
+      |      FROM t),
+      |g AS (SELECT source,
+      |             CASE WHEN n BETWEEN 10 AND 1000 THEN 1 ELSE 0 END AS r_len,
+      |             CASE WHEN letters >= n * 3 AND letters <= n * 10
+      |                  THEN 1 ELSE 0 END AS r_wordlen,
+      |             CASE WHEN n_alpha * 5 >= n * 4 THEN 1 ELSE 0 END AS r_alpha,
+      |             CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stop,
+      |             CASE WHEN n_uniq * 5 >= n THEN 1 ELSE 0 END AS r_rep
+      |      FROM f)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(r_len * r_wordlen * r_alpha * r_stop * r_rep)
+      |            AS BIGINT) AS n_pass,
+      |       CAST(sum(1 - r_len) AS BIGINT) AS fail_len,
+      |       CAST(sum(1 - r_wordlen) AS BIGINT) AS fail_wordlen,
+      |       CAST(sum(1 - r_alpha) AS BIGINT) AS fail_alpha,
+      |       CAST(sum(1 - r_stop) AS BIGINT) AS fail_stop,
+      |       CAST(sum(1 - r_rep) AS BIGINT) AS fail_rep,
+      |       CAST(sum(r_len * r_wordlen * r_alpha * r_stop * r_rep)
+      |            * 1000000 // count(*) AS BIGINT) AS pass_ppm
+      |FROM g GROUP BY source""") { (s, d) =>
+    TextAnalysis.gopherRules(docs(s, d))
+  }
+
+  // ROC AUC of the quality score as a classifier for lang='en', per
+  // source — the standard eval a curator runs before trusting a score
+  // as a filter. AUC = U/(n⁺·n⁻) via the tie-aware rank-sum on the
+  // BOUNDED ×10⁴ score grid (the la_mannwhitney machinery: 2·rank
+  // stays integral, DECIMAL(38,0) exact at any corpus size; state
+  // after the first shuffle is the score domain, not the corpus).
+  q("t_quality_auc",
+    """WITH q AS (
+      |  SELECT source, lang = 'en' AS pos,
+      |         CAST(floor(round(least(len(list_filter(string_split(text, ' '),
+      |           x -> x IN ('the','a','an','of','and','or','to','in','is',
+      |                      'it','for','on','with','as','at','by'))) /
+      |           len(string_split(text, ' ')) * 2.5, 1.0) * 0.5 +
+      |           least((length(text) - (len(string_split(text, ' ')) - 1)) /
+      |           len(string_split(text, ' ')) / 8.0, 1.0) * 0.5, 4)
+      |           * 10000 + 0.5) AS BIGINT) AS su
+      |  FROM documents),
+      |vals AS (
+      |  SELECT source, su,
+      |         CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+      |         CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
+      |  FROM q GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT source, cp, cn,
+      |         CAST(sum(cp) OVER w AS BIGINT) AS ccp,
+      |         CAST(sum(cn) OVER w AS BIGINT) AS ccn
+      |  FROM vals
+      |  WINDOW w AS (PARTITION BY source ORDER BY su
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |st AS (
+      |  SELECT source,
+      |         CAST(sum(cp) AS BIGINT) AS npos, CAST(sum(cn) AS BIGINT) AS nneg,
+      |         sum(CAST(cp AS DECIMAL(38,0)) *
+      |             (2 * ((ccp - cp) + (ccn - cn)) + (cp + cn) + 1)) AS two_rp
+      |  FROM cum GROUP BY 1)
+      |SELECT source, npos, nneg,
+      |       round(CAST(two_rp - CAST(npos AS DECIMAL(38,0)) * (npos + 1)
+      |                  AS DOUBLE) /
+      |             (2 * CAST(npos AS DOUBLE) * nneg), 6) AS auc
+      |FROM st""") { (s, d) =>
+    val dec = "decimal(38,0)"
+    val q = TextAnalysis.qualityProjection(docs(s, d))
+      .select(col("doc_id"),
+        expr("CAST(floor(quality_score * 10000 + 0.5) AS BIGINT)").as("su"))
+      .join(docs(s, d).select(col("doc_id"), col("source"),
+        (col("lang") === "en").as("pos")), "doc_id")
+    val vals = q.groupBy("source", "su")
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("cn"))
+    val w = Window.partitionBy("source").orderBy("su")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vals
+      .withColumn("ccp", sum("cp").over(w))
+      .withColumn("ccn", sum("cn").over(w))
+    cum.groupBy("source")
+      .agg(sum("cp").as("npos"), sum("cn").as("nneg"),
+        sum(col("cp").cast(dec) *
+          (lit(2) * ((col("ccp") - col("cp")) + (col("ccn") - col("cn"))) +
+            (col("cp") + col("cn")) + 1)).as("two_rp"))
+      .select(col("source"), col("npos"), col("nneg"),
+        round((col("two_rp") - col("npos").cast(dec) * (col("npos") + 1))
+          .cast("double") /
+          (lit(2) * col("npos").cast("double") * col("nneg")), 6)
+          .as("auc"))
+  }
+
+  // Per-source 3-gram diversity (type-token + hapax shares in exact
+  // ppm) — the mode-collapse screen for templated/generated sources.
+  q("t_ngram_diversity",
+    """WITH toks AS (SELECT source, string_split(text, ' ') AS ws
+      |              FROM documents),
+      |grams AS (
+      |  SELECT source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+      |  FROM toks, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+      |  WHERE len(ws) >= 3),
+      |gc AS (SELECT source, gram, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM grams GROUP BY 1, 2)
+      |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_grams,
+      |       CAST(count(*) AS BIGINT) AS n_types,
+      |       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_hapax,
+      |       CAST(count(*) * 1000000 // sum(cnt) AS BIGINT) AS ttr_ppm,
+      |       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 1000000
+      |            // count(*) AS BIGINT) AS hapax_ppm
+      |FROM gc GROUP BY source""") { (s, d) =>
+    TextAnalysis.ngramDiversity(docs(s, d), n = 3)
+  }
 }

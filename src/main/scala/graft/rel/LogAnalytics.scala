@@ -2379,6 +2379,171 @@ object LogAnalytics extends QueryRegistry {
                 (col("na") + col("nb") - 1))))), 6).as("z"))
   }
 
+  /** Forecast-accuracy backtest per event type: one-step naive (lag-1)
+    * vs seasonal-naive (lag-7) absolute error over the daily mean
+    * series, plus MASE (Hyndman & Koehler 2006) — the standard "is
+    * your seasonal model beating persistence?" gate run before
+    * trusting `ts_holt_winters`. Exact integers end to end on the
+    * ×10⁴ day-mean grid: summed absolute errors, floor-divided MAEs,
+    * and mase_ppm = mae_snaive·10⁶ div mae_naive replayed identically
+    * by the oracle (dividing the pre-floored MAEs keeps every product
+    * under 2⁶³ at any horizon). Lags are observation lags over the
+    * BOUNDED day grid — per-type window state is the calendar, not
+    * the corpus.
+    */
+  q("ts_mase",
+    """WITH daily AS (
+      |  SELECT event_type,
+      |         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS st,
+      |         CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+      |              // count(*) AS BIGINT) AS xu
+      |  FROM events GROUP BY event_type, date_trunc('day', ts)),
+      |lagd AS (
+      |  SELECT event_type, st, xu,
+      |         lag(xu, 1) OVER w AS x1, lag(xu, 7) OVER w AS x7
+      |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY st)),
+      |agg AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |         CAST(count(x1) AS BIGINT) AS n_naive,
+      |         CAST(count(x7) AS BIGINT) AS n_snaive,
+      |         CAST(coalesce(sum(abs(xu - x1)), 0) AS BIGINT) AS sae_naive,
+      |         CAST(coalesce(sum(abs(xu - x7)), 0) AS BIGINT) AS sae_snaive
+      |  FROM lagd GROUP BY 1),
+      |mae AS (
+      |  SELECT event_type, n_days, n_naive, n_snaive,
+      |         CASE WHEN n_naive > 0
+      |              THEN CAST(sae_naive // n_naive AS BIGINT) END
+      |           AS mae_naive_u,
+      |         CASE WHEN n_snaive > 0
+      |              THEN CAST(sae_snaive // n_snaive AS BIGINT) END
+      |           AS mae_snaive_u
+      |  FROM agg)
+      |SELECT event_type, n_days, n_naive, n_snaive,
+      |       mae_naive_u, mae_snaive_u,
+      |       CASE WHEN mae_naive_u > 0 AND mae_snaive_u IS NOT NULL
+      |            THEN CAST(mae_snaive_u * 1000000 // mae_naive_u
+      |                      AS BIGINT) END AS mase_ppm
+      |FROM mae""") { (s, d) =>
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("st"))
+      .agg(expr(
+        "sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) div count(*)")
+        .as("xu"))
+    val w = Window.partitionBy("event_type").orderBy("st")
+    val lagd = daily
+      .withColumn("x1", lag("xu", 1).over(w))
+      .withColumn("x7", lag("xu", 7).over(w))
+    val agg = lagd.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        count(col("x1")).as("n_naive"),
+        count(col("x7")).as("n_snaive"),
+        coalesce(sum(abs(col("xu") - col("x1"))), lit(0L)).as("sae_naive"),
+        coalesce(sum(abs(col("xu") - col("x7"))), lit(0L)).as("sae_snaive"))
+    agg.select(col("event_type"), col("n_days"), col("n_naive"),
+        col("n_snaive"),
+        when(col("n_naive") > 0,
+          expr("sae_naive div n_naive")).as("mae_naive_u"),
+        when(col("n_snaive") > 0,
+          expr("sae_snaive div n_snaive")).as("mae_snaive_u"))
+      .withColumn("mase_ppm",
+        when(col("mae_naive_u") > 0 && col("mae_snaive_u").isNotNull,
+          expr("mae_snaive_u * 1000000L div mae_naive_u")))
+  }
+
+  /** Spearman rank correlation between event value and hour-of-day per
+    * event type — the monotone-association audit (does this metric
+    * drift across the day?) that Pearson (`x_corr`) misses under
+    * nonlinearity and heavy tails. NEVER a global row rank: with ties
+    * handled by average ranks, every row at grid value v shares rank
+    * (2·c_<(v) + t(v) + 1)/2, so ranks live on the BOUNDED grid —
+    * cumulative counts over the ×10⁴ value grid and the 24-hour grid,
+    * carried as 2·rank to stay integral. Spearman = Pearson on those
+    * ranks, accumulated over the joint (value, hour) grid in exact
+    * DECIMAL(38,0); the only corpus-sized pass is the first
+    * map-combined joint-grid count. The final float combination is
+    * written token-identically in both engines.
+    */
+  q("la_spearman",
+    """WITH obs AS (
+      |  SELECT event_type, CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vu,
+      |         CAST(hour(ts) AS BIGINT) AS hu
+      |  FROM events),
+      |joint AS (
+      |  SELECT event_type, vu, hu, CAST(count(*) AS BIGINT) AS c
+      |  FROM obs GROUP BY 1, 2, 3),
+      |mx AS (SELECT event_type, vu, CAST(sum(c) AS BIGINT) AS cx
+      |       FROM joint GROUP BY 1, 2),
+      |mxr AS (
+      |  SELECT event_type, vu,
+      |         2 * (CAST(sum(cx) OVER w AS BIGINT) - cx) + cx + 1 AS rx2
+      |  FROM mx
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY vu
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |my AS (SELECT event_type, hu, CAST(sum(c) AS BIGINT) AS cy
+      |       FROM joint GROUP BY 1, 2),
+      |myr AS (
+      |  SELECT event_type, hu,
+      |         2 * (CAST(sum(cy) OVER w AS BIGINT) - cy) + cy + 1 AS ry2
+      |  FROM my
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY hu
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |j AS (SELECT joint.event_type, c, rx2, ry2
+      |      FROM joint
+      |      JOIN mxr USING (event_type, vu)
+      |      JOIN myr USING (event_type, hu)),
+      |st AS (
+      |  SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+      |         sum(CAST(c AS DECIMAL(38,0)) * rx2) AS sx,
+      |         sum(CAST(c AS DECIMAL(38,0)) * ry2) AS sy,
+      |         sum(CAST(c AS DECIMAL(38,0)) * rx2 * rx2) AS sxx,
+      |         sum(CAST(c AS DECIMAL(38,0)) * ry2 * ry2) AS syy,
+      |         sum(CAST(c AS DECIMAL(38,0)) * rx2 * ry2) AS sxy
+      |  FROM j GROUP BY 1)
+      |SELECT event_type, n,
+      |       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+      |              CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |             sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |                   CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |                  (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+      |                   CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |         AS rho_s
+      |FROM st""") { (s, d) =>
+    val dec = "decimal(38,0)"
+    val obs = events(s, d).select(col("event_type"),
+      expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").as("vu"),
+      hour(col("ts")).cast("long").as("hu"))
+    val joint = obs.groupBy("event_type", "vu", "hu")
+      .agg(count(lit(1)).as("c"))
+    def rank2(grid: String, cnt: String, out: String) = {
+      val w = Window.partitionBy("event_type").orderBy(grid)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      joint.groupBy(col("event_type"), col(grid))
+        .agg(sum("c").as(cnt))
+        .withColumn(out,
+          lit(2) * (sum(cnt).over(w) - col(cnt)) + col(cnt) + 1)
+        .drop(cnt)
+    }
+    val j = joint
+      .join(rank2("vu", "cx", "rx2"), Seq("event_type", "vu"))
+      .join(rank2("hu", "cy", "ry2"), Seq("event_type", "hu"))
+    j.groupBy("event_type")
+      .agg(sum("c").as("n"),
+        sum(col("c").cast(dec) * col("rx2")).as("sx"),
+        sum(col("c").cast(dec) * col("ry2")).as("sy"),
+        sum(col("c").cast(dec) * col("rx2") * col("rx2")).as("sxx"),
+        sum(col("c").cast(dec) * col("ry2") * col("ry2")).as("syy"),
+        sum(col("c").cast(dec) * col("rx2") * col("ry2")).as("sxy"))
+      .select(col("event_type"), col("n"),
+        round((col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          sqrt((col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+            (col("n").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("rho_s"))
+  }
+
   /** Benford first-significant-digit audit of the value column — the
     * classic fabricated-/templated-data screen (natural multi-scale
     * measurements follow log10(1+1/d); synthetic or clipped feeds

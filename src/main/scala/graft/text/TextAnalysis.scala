@@ -897,4 +897,67 @@ object TextAnalysis {
     (size(toks).cast("long"),
       aggregate(scores, lit(0L), (acc, x) => acc + x))
   }
+
+  /** Gopher-style rule-flag quality gate (Rae et al. 2021 §A1.1.2,
+    * thresholds adapted to the corpus): five independent boolean rules
+    * per document, then per-source survivor accounting. Unlike the
+    * scalar [[qualityProjection]] score, the rule flags tell a curator
+    * WHICH filter fires — the per-rule failure counts are what a
+    * 100 TB curation run publishes to decide threshold moves.
+    *
+    * All comparisons are EXACT integer cross-multiplications (no float
+    * ratio knife-edges): mean word length `3 ≤ (chars−(n−1))/n ≤ 10`
+    * becomes `3n ≤ letters ≤ 10n`, the 80% alpha-token floor becomes
+    * `5·n_alpha ≥ 4·n`, the 20% distinct-token floor `5·n_uniq ≥ n`.
+    * One map-combined aggregate after a map-only projection; output is
+    * sources-sized.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val base = docs.select(col("source"),
+      size(toks).as("n"),
+      (length(col("text")) - (size(toks) - 1)).as("letters"),
+      size(filter(toks, t => t.rlike("[a-z]"))).as("n_alpha"),
+      stopwordCount(toks).as("n_stop"),
+      size(array_distinct(toks)).as("n_uniq"))
+    val flagged = base.select(col("source"),
+      (col("n") >= 10 && col("n") <= 1000).cast("long").as("r_len"),
+      (col("letters") >= col("n") * 3 &&
+        col("letters") <= col("n") * 10).cast("long").as("r_wordlen"),
+      (col("n_alpha") * 5 >= col("n") * 4).cast("long").as("r_alpha"),
+      (col("n_stop") >= 2).cast("long").as("r_stop"),
+      (col("n_uniq") * 5 >= col("n")).cast("long").as("r_rep"))
+    flagged.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("r_len") * col("r_wordlen") * col("r_alpha") *
+          col("r_stop") * col("r_rep")).as("n_pass"),
+        sum(lit(1L) - col("r_len")).as("fail_len"),
+        sum(lit(1L) - col("r_wordlen")).as("fail_wordlen"),
+        sum(lit(1L) - col("r_alpha")).as("fail_alpha"),
+        sum(lit(1L) - col("r_stop")).as("fail_stop"),
+        sum(lit(1L) - col("r_rep")).as("fail_rep"))
+      .withColumn("pass_ppm",
+        expr("n_pass * 1000000L div n_docs"))
+  }
+
+  /** Per-source n-gram diversity: gram occurrences vs distinct gram
+    * types vs hapax grams (seen once), with type-token and hapax
+    * shares in exact ppm. The de-facto Self-BLEU-style mode-collapse
+    * screen for generated/templated corpora — a source whose ttr_ppm
+    * craters is emitting the same passages over and over. Two-stage
+    * exact distinct (gram-keyed count, then source-keyed reduce): the
+    * big shuffle is on (source, gram) with map-side combine; nothing
+    * corpus-sized ever sits on one task.
+    */
+  def ngramDiversity(docs: DataFrame, n: Int): DataFrame = {
+    val grams = docs.select(col("source"),
+      explode(ngramsCol(tokens(col("text")), n)).as("gram"))
+    grams.groupBy("source", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("source")
+      .agg(sum("cnt").as("n_grams"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr_ppm", expr("n_types * 1000000L div n_grams"))
+      .withColumn("hapax_ppm", expr("n_hapax * 1000000L div n_types"))
+  }
 }

@@ -161,4 +161,18 @@ class GraphSpec extends AnyFunSuite {
     val r2 = GraphOps.basketLift(li2, 2L, 10).collect().head
     assert(r2.getLong(7) == 1500000L) // 2*3/(2*2)
   }
+
+  test("kHopReach: frontier counts on a path graph with an island") {
+    import spark.implicits._
+    // path 100-1-2-3-4 plus disconnected edge 7-8; seeds (mod 100): 100
+    val edges = Seq((1L, 100L), (1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L))
+      .toDF("a", "b")
+    val rows = GraphOps.kHopReach(edges, 100L, 3).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // 7 nodes total; hop 0: {100}, hop 1: +{1}, hop 2: +{2}, hop 3: +{3}
+    assert(rows(0) == ((1L, 142857L)))
+    assert(rows(1) == ((2L, 285714L)))
+    assert(rows(2) == ((3L, 428571L)))
+    assert(rows(3) == ((4L, 571428L)))
+  }
 }

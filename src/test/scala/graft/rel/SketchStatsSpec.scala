@@ -202,6 +202,104 @@ class SketchStatsSpec extends AnyFunSuite {
     assert(rows(3) == (("dedup", 1L, 5L, 200000L)))
   }
 
+  test("la_spearman: monotone, anti-monotone, and tied-rank cases") {
+    // hours 1..4 with strictly increasing values -> rho = 1
+    val up = eventsDir(Seq(
+      (0L, base + 1 * hour, 1L, "up", 1.0),
+      (1L, base + 2 * hour, 1L, "up", 2.0),
+      (2L, base + 3 * hour, 1L, "up", 3.0),
+      (3L, base + 4 * hour, 1L, "up", 4.0)))
+    assert(run("la_spearman", up).collect()
+      .head.getAs[Double]("rho_s") == 1.0)
+    // decreasing -> rho = -1; tied pairs (avg ranks) stay rho = 1
+    val mixed = eventsDir(Seq(
+      (0L, base + 1 * hour, 1L, "dn", 30.0),
+      (1L, base + 2 * hour, 1L, "dn", 20.0),
+      (2L, base + 3 * hour, 1L, "dn", 10.0),
+      (3L, base + 1 * hour, 1L, "tie", 5.0),
+      (4L, base + 1 * hour, 1L, "tie", 5.0),
+      (5L, base + 2 * hour, 1L, "tie", 7.0),
+      (6L, base + 2 * hour, 1L, "tie", 7.0)))
+    val m = run("la_spearman", mixed).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("rho_s")).toMap
+    assert(m("dn") == -1.0)
+    assert(m("tie") == 1.0)
+  }
+
+  test("t_gopher_rules: per-rule failure attribution on a hand corpus") {
+    val dir = docsDir(Seq(
+      (0L, "the cat and dog run fast over long green hill", "s"), // pass
+      (1L, "tiny doc", "s"), // fails len (2 tokens) + stop (0 hits)
+      (2L, "a a a a a a a a a a", "s"))) // fails wordlen + rep
+    val r = run("t_gopher_rules", dir).collect().head
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("n_pass") == 1L)
+    assert(r.getAs[Long]("fail_len") == 1L)
+    assert(r.getAs[Long]("fail_wordlen") == 1L)
+    assert(r.getAs[Long]("fail_alpha") == 0L)
+    assert(r.getAs[Long]("fail_stop") == 1L)
+    assert(r.getAs[Long]("fail_rep") == 1L)
+    assert(r.getAs[Long]("pass_ppm") == 333333L)
+  }
+
+  test("t_ngram_diversity: type-token and hapax shares on known grams") {
+    // "a b c d" -> grams {a b c, b c d}; "a b c" -> {a b c}
+    // 3 occurrences, 2 types, 1 hapax (b c d)
+    val dir = docsDir(Seq((0L, "a b c d", "s"), (1L, "a b c", "s")))
+    val r = run("t_ngram_diversity", dir).collect().head
+    assert(r.getAs[Long]("n_grams") == 3L)
+    assert(r.getAs[Long]("n_types") == 2L)
+    assert(r.getAs[Long]("n_hapax") == 1L)
+    assert(r.getAs[Long]("ttr_ppm") == 666666L)
+    assert(r.getAs[Long]("hapax_ppm") == 500000L)
+  }
+
+  test("t_quality_auc: separable scores give AUC 1, identical give 0.5") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("ss_auc").toString
+    Seq(
+      // sep: en docs are all-stopword (score 0.6484), zh docs score 0.25
+      (0L, "the of and to in is it for", "en", "sep", 26L),
+      (1L, "the of and to in is it for", "en", "sep", 26L),
+      (2L, "zzzz yyyy xxxx wwww", "zh", "sep", 19L),
+      (3L, "zzzz yyyy xxxx wwww", "zh", "sep", 19L),
+      // tie: identical text across labels -> AUC = 1/2 by avg rank
+      (4L, "same text here", "en", "tie", 14L),
+      (5L, "same text here", "zh", "tie", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val m = run("t_quality_auc", d).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("npos"),
+        r.getAs[Long]("nneg"), r.getAs[Double]("auc")))).toMap
+    assert(m("sep") == ((2L, 2L, 1.0)))
+    assert(m("tie") == ((1L, 1L, 0.5)))
+  }
+
+  test("ts_mase: constant series has zero MAE; lag coverage counts") {
+    // 9 consecutive days, constant value -> both MAEs 0, mase null
+    val dir = eventsDir((0 until 9).map(i =>
+      (i.toLong, base + i * day, 1L, "a", 5.0)))
+    val r = run("ts_mase", dir).collect().head
+    assert(r.getAs[Long]("n_days") == 9L)
+    assert(r.getAs[Long]("n_naive") == 8L) // days 2..9 have a lag-1
+    assert(r.getAs[Long]("n_snaive") == 2L) // days 8..9 have a lag-7
+    assert(r.getAs[Long]("mae_naive_u") == 0L)
+    assert(r.getAs[Long]("mae_snaive_u") == 0L)
+    assert(r.isNullAt(r.fieldIndex("mase_ppm"))) // 0-denominator guarded
+  }
+
+  test("ts_mase: weekly-periodic series scores snaive far below naive") {
+    // value = day-of-week index over 14 days: snaive error 0, naive > 0
+    val dir = eventsDir((0 until 14).map(i =>
+      (i.toLong, base + i * day, 1L, "a", (i % 7).toDouble)))
+    val r = run("ts_mase", dir).collect().head
+    // naive: |diff| = 1 six times then |0-6|=6, per week; 13 lag pairs
+    // sae = 6*1+6 + 6*1 = 18 over 13 -> floor 13846 on the x1e4 grid
+    assert(r.getAs[Long]("mae_naive_u") == 180000L / 13L)
+    assert(r.getAs[Long]("mae_snaive_u") == 0L)
+    assert(r.getAs[Long]("mase_ppm") == 0L)
+  }
+
   test("la_mannwhitney: identical arms give U = na*nb/2 and z = 0") {
     val dir = eventsDir(Seq(
       (0L, base, 2L, "a", 1.0), (1L, base, 1L, "a", 1.0),
