@@ -640,6 +640,93 @@ object StreamQueries extends QueryRegistry {
         unix_micros(col("c_ts")).as("c_us"))
   }
 
+  /** Streaming PSI drift monitor: per-DAY Population Stability Index
+    * of the value-bucket distribution against the full-corpus
+    * reference — the live "is today's feed drifting from the serving
+    * distribution" alarm (`t_psi_drift`'s streaming sibling; same
+    * +1-smoothed µ-unit terms). The STREAM carries all corpus-sized
+    * state as one complete-mode (day × 10-bucket) count — constant
+    * state per day regardless of volume; the PSI combination is a
+    * tiny batch post-pass over the sink table joined to the broadcast
+    * reference histogram (streaming can't chain a second aggregation,
+    * and shouldn't: the grid is days×10 rows). Buckets clamp value/1000
+    * into [0,9] via floor-then-clamp so negative outliers land in
+    * bucket 0 identically on both engines (Spark `div` truncates
+    * toward zero where DuckDB `//` floors — the float `floor(x/1000)`
+    * sidesteps that divergence).
+    */
+  q("st_psi_drift",
+    """WITH b AS (
+      |  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400
+      |           AS day_start,
+      |         least(greatest(CAST(floor(value / 1000) AS BIGINT), 0), 9)
+      |           AS bucket
+      |  FROM events),
+      |w AS (SELECT day_start, bucket, CAST(count(*) AS BIGINT) AS c_w
+      |      FROM b GROUP BY 1, 2),
+      |ref AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_ref
+      |        FROM b GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c_ref) AS BIGINT) AS n_ref,
+      |               CAST(count(*) AS BIGINT) AS k FROM ref),
+      |days AS (SELECT DISTINCT day_start FROM b),
+      |nw AS (SELECT day_start, CAST(sum(c_w) AS BIGINT) AS n_w
+      |       FROM w GROUP BY 1),
+      |g AS (SELECT d.day_start, r.bucket, coalesce(w.c_w, 0) AS c_w,
+      |             r.c_ref, nw.n_w, n_ref, k
+      |      FROM days d CROSS JOIN ref r
+      |      LEFT JOIN w ON w.day_start = d.day_start AND w.bucket = r.bucket
+      |      JOIN nw ON nw.day_start = d.day_start, tot),
+      |t AS (SELECT day_start, bucket, c_w, c_ref,
+      |        CAST(round((CAST(c_w + 1 AS DOUBLE) / CAST(n_w + k AS DOUBLE) -
+      |            CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + k AS DOUBLE)) *
+      |          ln((CAST(c_w + 1 AS DOUBLE) / CAST(n_w + k AS DOUBLE)) /
+      |            (CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + k AS DOUBLE)))
+      |          * 1000000) AS BIGINT) AS psi_term_u
+      |      FROM g)
+      |SELECT day_start, bucket, c_w, c_ref, psi_term_u,
+      |       CAST(sum(psi_term_u) OVER (PARTITION BY day_start) AS BIGINT)
+      |         AS psi_day_u
+      |FROM t""") { (s, d) =>
+    val sink = runToCompletion(psiDayCounts(eventStream(s, d)), "complete")
+    val bucket = least(greatest(
+      expr("CAST(floor(value / 1000) AS BIGINT)"), lit(0L)), lit(9L))
+    val ref = Tables.load(s, d, "events").select(bucket.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c_ref"))
+    val tot = ref.agg(sum("c_ref").as("n_ref"), count(lit(1)).as("k"))
+    // days/nw branch off the sink table too — alias every rejoined
+    // column so the three-way self-join carries distinct attribute ids
+    val days = sink.select(col("day_start").as("d_day")).distinct()
+    val nw = sink.groupBy("day_start").agg(sum("c_w").as("n_w"))
+      .select(col("day_start").as("nw_day"), col("n_w"))
+    val g = days.crossJoin(ref)
+      .join(sink,
+        col("d_day") === sink("day_start") && ref("bucket") === sink("bucket"),
+        "left")
+      .na.fill(0L, Seq("c_w"))
+      .join(nw, col("d_day") === col("nw_day"))
+      .crossJoin(broadcast(tot))
+    val pa = (col("c_w") + 1).cast("double") /
+      (col("n_w") + col("k")).cast("double")
+    val pb = (col("c_ref") + 1).cast("double") /
+      (col("n_ref") + col("k")).cast("double")
+    g.select(col("d_day").as("day_start"), ref("bucket"), col("c_w"),
+        col("c_ref"),
+        round((pa - pb) * log(pa / pb) * 1e6).cast("long").as("psi_term_u"))
+      .withColumn("psi_day_u", sum("psi_term_u").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("day_start")))
+  }
+
+  /** The streaming half of st_psi_drift: complete-mode per-day
+    * value-bucket counts — (days × 10) state rows total.
+    */
+  def psiDayCounts(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("tsu"), "1 day"),
+        least(greatest(expr("CAST(floor(value / 1000) AS BIGINT)"),
+          lit(0L)), lit(9L)).as("bucket"))
+      .agg(count(lit(1)).as("c_w"))
+      .select(unix_timestamp(col("window.start")).as("day_start"),
+        col("bucket"), col("c_w"))
+
   /** The st_click_attribution transform over any events(-shaped)
     * stream (a stream self-join: both sides branch off `ev`).
     */

@@ -108,6 +108,19 @@ class StreamQueriesSpec extends AnyFunSuite {
     assert(rowSet(got) == rowSet(StreamQueries.distinctPairs(batchEvents)))
   }
 
+  test("streaming PSI day counts equal the batch aggregation across " +
+      "batches") {
+    val (got, batches) = run(
+      StreamQueries.psiDayCounts(multiBatchStream), "complete", "mb_psi")
+    assert(batches >= 4)
+    assert(rowSet(got) == rowSet(StreamQueries.psiDayCounts(batchEvents)))
+    // fixture values span [-20, 202]: the negatives clamp into bucket 0
+    // (not bucket -1) and nothing reaches bucket 1 — the clamp floor
+    // semantics are pinned by the whole set landing on exactly {0}
+    val buckets = got.select("bucket").collect().map(_.getLong(0)).toSet
+    assert(buckets == Set(0L))
+  }
+
   test("streaming DQ monitor equals the batch audit across batches") {
     val (got, batches) = run(
       StreamQueries.dqMonitor(multiBatchStream), "complete", "mb_dq")
