@@ -2807,6 +2807,13 @@ object PipelineQueries extends QueryRegistry {
     Search.bm25TopKIndexed(docs(s, d), bm25Terms, k = 25)
   }
 
+  // Retrieval-quality eval of that same ranking: nDCG@{5,10,20}
+  // against the capped term-occurrence relevance label. Integer
+  // µ-unit gains (order-free sums), exact ppm division.
+  q("t_ndcg", Search.ndcgOracleSql(bm25Terms)) { (s, d) =>
+    Search.ndcgAtK(docs(s, d), bm25Terms)
+  }
+
   /** Hybrid lexical + vector retrieval with reciprocal-rank fusion:
     * BM25 top-50 candidates, embedding re-rank against the label-0
     * centroid query vector, fused by RRF (k=60) — the standard

@@ -190,6 +190,123 @@ object Search {
        |LIMIT $k""".stripMargin
   }
 
+  /** nDCG@k of the BM25 ranking against a graded relevance label
+    * (total query-term occurrences capped at 4) — the retrieval-eval
+    * gate run before trusting a ranker change. One row per cutoff:
+    * dcg/idcg in µ-units and ndcg_ppm.
+    *
+    * Determinism contract: each rank's gain term rounds to an INTEGER
+    * µ-unit before summation (the PSI trick — float sums are
+    * order-sensitive, integer sums are not), ranks are total-ordered
+    * by (score desc, doc_id) on the exact BM25 doubles, and
+    * ndcg_ppm = dcg_u·10⁶ div idcg_u replays as pure integer
+    * arithmetic. Shape for scale: both sides are the BM25 corpus
+    * passes + a top-k heap (TakeOrderedAndProject); the unpartitioned
+    * rank windows run over ≤ max(cutoffs) rows, never the corpus.
+    */
+  def ndcgAtK(docs: DataFrame, terms: Seq[String],
+      cutoffs: Seq[Int] = Seq(5, 10, 20)): DataFrame = {
+    require(cutoffs.nonEmpty && cutoffs.forall(_ >= 1),
+      s"cutoffs must be positive: $cutoffs")
+    import org.apache.spark.sql.expressions.Window
+    import docs.sparkSession.implicits._
+    val k = cutoffs.max
+    val relOf: Column => Column = tot => least(tot, lit(4))
+    def gainU(rel: Column, rk: Column): Column =
+      round((pow(lit(2.0), rel.cast("double")) - 1) /
+        log2(rk.cast("double") + 1) * 1e6).cast("long")
+    val retrieved = bm25TopK(docs, terms, k)
+    val tfTotal = terms.indices.map(i => col(s"tf_$i")).reduce(_ + _)
+    val rterm = retrieved
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("rk"), gainU(relOf(tfTotal), col("rk")).as("term_u"))
+    val toks = TextAnalysis.tokens(col("text"))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(toks, x => x === t)).as(s"tf_$i")
+    }
+    val ideal = docs.select(col("doc_id") +: tfCols: _*)
+      .select(col("doc_id"), relOf(tfTotal).as("rel"))
+      .filter(col("rel") > 0)
+      .orderBy(col("rel").desc, col("doc_id")).limit(k)
+    val iterm = ideal
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rel").desc, col("doc_id"))))
+      .select(col("rk"), gainU(col("rel"), col("rk")).as("term_u"))
+    val cuts = cutoffs.toDF("k")
+    val d = cuts.join(rterm, col("rk") <= col("k"))
+      .groupBy("k").agg(sum("term_u").as("dcg_u"))
+    val i = cuts.join(iterm, col("rk") <= col("k"))
+      .groupBy("k").agg(sum("term_u").as("idcg_u"))
+      .withColumnRenamed("k", "ik")
+    d.join(i, col("k") === col("ik"))
+      .select(col("k"), col("dcg_u"), col("idcg_u"),
+        expr("dcg_u * 1000000L div idcg_u").as("ndcg_ppm"))
+  }
+
+  /** DuckDB oracle for [[ndcgAtK]] — same generated scoring tree as
+    * [[bm25OracleSql]], same µ-unit gain rounding, same integer
+    * division.
+    */
+  def ndcgOracleSql(terms: Seq[String],
+      cutoffs: Seq[Int] = Seq(5, 10, 20)): String = {
+    val k = cutoffs.max
+    val tfs = terms.zipWithIndex.map { case (t, i) =>
+      val esc = t.replace("'", "''")
+      s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$esc')) AS INT) AS tf_$i"
+    }.mkString(",\n       ")
+    val dfs = terms.indices.map(i =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i")
+      .mkString(",\n       ")
+    val contribs = terms.indices.map { i =>
+      s"""(((CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE)) + 0.5) /
+         |(CAST(df_$i AS DOUBLE) + 0.5)) *
+         |((CAST(tf_$i AS DOUBLE) * $K1PlusOne) /
+         |(CAST(tf_$i AS DOUBLE) + $K1 * ($OneMinusB +
+         |($B * CAST(dl AS DOUBLE)) /
+         |(CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"""
+        .stripMargin.linesIterator.mkString(" ")
+    }.mkString(" + ")
+    val tfTotal = terms.indices.map(i => s"tf_$i").mkString(" + ")
+    val cutRows = cutoffs.map(c => s"SELECT $c AS k").mkString(" UNION ALL ")
+    s"""WITH base AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |       CAST(len(string_split(text, ' ')) AS INT) AS dl,
+       |       $tfs
+       |  FROM documents
+       |), stats AS (
+       |  SELECT count(*) AS n_docs, sum(dl) AS total_dl,
+       |       $dfs
+       |  FROM base
+       |), scored AS (
+       |  SELECT doc_id, least($tfTotal, 4) AS rel, score
+       |  FROM (SELECT b.*, $contribs AS score FROM base b CROSS JOIN stats)
+       |  WHERE score > 0
+       |), ranked AS (
+       |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rk, rel
+       |  FROM scored
+       |), rterm AS (
+       |  SELECT rk, CAST(round((pow(2, rel) - 1) / log2(rk + 1) * 1000000)
+       |             AS BIGINT) AS term_u
+       |  FROM ranked WHERE rk <= $k
+       |), iranked AS (
+       |  SELECT row_number() OVER (ORDER BY rel DESC, doc_id) AS rk, rel
+       |  FROM (SELECT doc_id, least($tfTotal, 4) AS rel FROM base
+       |        WHERE $tfTotal > 0)
+       |), iterm AS (
+       |  SELECT rk, CAST(round((pow(2, rel) - 1) / log2(rk + 1) * 1000000)
+       |             AS BIGINT) AS term_u
+       |  FROM iranked WHERE rk <= $k
+       |), c AS ($cutRows),
+       |d AS (SELECT k, CAST(sum(term_u) AS BIGINT) AS dcg_u
+       |      FROM c JOIN rterm ON rk <= k GROUP BY k),
+       |i AS (SELECT k, CAST(sum(term_u) AS BIGINT) AS idcg_u
+       |      FROM c JOIN iterm ON rk <= k GROUP BY k)
+       |SELECT d.k, dcg_u, idcg_u,
+       |       CAST(dcg_u * 1000000 // idcg_u AS BIGINT) AS ndcg_ppm
+       |FROM d JOIN i USING (k)""".stripMargin
+  }
+
   /** Keyword-in-context (KWIC) span extraction — the corpus-auditing
     * view behind "show me every use of X with ±w words of context".
     * Pure column expressions: hit positions from a filtered index

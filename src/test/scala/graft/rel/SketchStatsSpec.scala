@@ -275,6 +275,31 @@ class SketchStatsSpec extends AnyFunSuite {
     assert(m("tie") == ((1L, 1L, 0.5)))
   }
 
+  test("t_ndcg: perfect when score order matches relevance; degraded " +
+      "when a rare term outranks the relevant doc") {
+    // identical docs -> identical scores and rels, doc_id tiebreak on
+    // both sides -> every cutoff exactly 1.0
+    val perfect = docsDir(Seq(
+      (0L, "dup spark a b", "s"), (1L, "dup spark a b", "s"),
+      (2L, "dup spark a b", "s"), (3L, "x y z", "s")))
+    run("t_ndcg", perfect).collect().foreach { r =>
+      assert(r.getAs[Long]("ndcg_ppm") == 1000000L)
+      assert(r.getAs[Long]("dcg_u") == r.getAs[Long]("idcg_u"))
+    }
+    // rare 'dup' (df=1) outscores the rel-4 spark doc -> dcg < idcg
+    val skewed = docsDir(Seq(
+      (0L, "spark spark spark spark", "s"),
+      (1L, "dup a b c", "s"),
+      (2L, "spark a b c", "s"),
+      (3L, "spark b c d", "s")))
+    val r = run("t_ndcg", skewed).collect()
+      .find(_.getAs[Int]("k") == 5).get
+    assert(r.getAs[Long]("dcg_u") > 0L)
+    assert(r.getAs[Long]("dcg_u") < r.getAs[Long]("idcg_u"))
+    val ppm = r.getAs[Long]("ndcg_ppm")
+    assert(ppm > 500000L && ppm < 1000000L)
+  }
+
   test("ts_mase: constant series has zero MAE; lag coverage counts") {
     // 9 consecutive days, constant value -> both MAEs 0, mase null
     val dir = eventsDir((0 until 9).map(i =>
