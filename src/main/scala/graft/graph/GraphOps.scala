@@ -270,6 +270,47 @@ object GraphOps {
     result
   }
 
+  /** Synchronous label propagation (RAK 2007) for community detection,
+    * made DETERMINISTIC: every node starts as its own label; each
+    * round it adopts the most frequent label among its neighbors with
+    * ties broken toward the SMALLEST label — no RNG, no visit-order
+    * dependence, so a SQL oracle can replay every round exactly.
+    * Per-round shape: one edge⋈label join, a (node, label) count with
+    * map-side combine, and a per-node top-1 window whose state is
+    * bounded by the node's distinct neighbor labels (≤ degree), never
+    * the graph. Same per-iteration materialization discipline as
+    * [[pageRankOnView]] (lazy persist per round, eager checkpoint of
+    * the result, all persists released).
+    */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
+    import org.apache.spark.sql.expressions.Window
+    val dd = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var lbl = dd.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    var cached: Seq[DataFrame] = Seq(dd)
+    for (i <- 1 to iters) {
+      val counts = dd.join(lbl, dd("src") === lbl("node"))
+        .select(col("dst").as("n2"), col("lbl").as("l2"))
+        .groupBy("n2", "l2").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("n2").orderBy(col("c").desc, col("l2"))
+      lbl = counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("n2").as("node"), col("l2").as("lbl"))
+      if (i < iters) {
+        val mat = lbl.persist(StorageLevel.MEMORY_AND_DISK)
+        cached = cached :+ mat
+        lbl = mat
+      }
+    }
+    val result = lbl.select(col("node"), col("lbl").as("community"))
+      .localCheckpoint(true)
+    cached.foreach(_.unpersist(false))
+    result
+  }
+
   /** Standing edge view for iterative graph ops — (src, dst, deg) both
     * directions, eagerly materialized via localCheckpoint (lineage
     * truncates to the stored partitions; the ContextCleaner frees the

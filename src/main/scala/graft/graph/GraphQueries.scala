@@ -116,6 +116,14 @@ object GraphQueries extends QueryRegistry {
     GraphOps.kHopReach(GraphOps.copurchaseEdges(li(s, d)), 100L, 3)
   }
 
+  /** Deterministic synchronous label propagation, 2 rounds: per-node
+    * community label (most frequent neighbor label, ties to the
+    * smallest). The oracle chains one count+top-1 CTE pair per round.
+    */
+  q("g_lpa", lpaSql(2)) { (s, d) =>
+    GraphOps.labelPropagation(GraphOps.copurchaseEdges(li(s, d)), 2)
+  }
+
   q("g_hits", hitsSql(2)) { (s, d) =>
     val orders = Tables.load(s, d, "orders")
     val e = orders.select(org.apache.spark.sql.functions.col("o_orderkey"),
@@ -126,6 +134,32 @@ object GraphQueries extends QueryRegistry {
         "o_orderkey")
       .select("c", "p").distinct()
     GraphOps.hits(e, 2)
+  }
+
+  /** Chained-CTE oracle for deterministic label propagation: one
+    * neighbor-label count + row_number top-1 pair per round, ties
+    * broken (count desc, label asc) exactly like the engine's window.
+    */
+  private def lpaSql(iters: Int): String = {
+    val sb = new StringBuilder(edgeCte)
+    sb.append(""",
+      |dd AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+      |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM dd)""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(s""",
+        |c$i AS (SELECT dd.dst AS node, l.lbl, count(*) AS c
+        |        FROM dd JOIN l${i - 1} l ON dd.src = l.node
+        |        GROUP BY 1, 2),
+        |l$i AS (SELECT node, lbl FROM (
+        |          SELECT node, lbl,
+        |                 row_number() OVER (PARTITION BY node
+        |                   ORDER BY c DESC, lbl) AS rn
+        |          FROM c$i) t WHERE rn = 1)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS community
+      |FROM l$iters""".stripMargin)
+    sb.toString
   }
 
   /** Chained-CTE oracle for k-hop reachability: r_i = distinct union

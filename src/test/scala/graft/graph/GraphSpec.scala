@@ -162,6 +162,23 @@ class GraphSpec extends AnyFunSuite {
     assert(r2.getLong(7) == 1500000L) // 2*3/(2*2)
   }
 
+  test("labelPropagation: two cliques bridged by one edge keep " +
+      "separate min-labels") {
+    import spark.implicits._
+    // clique {1,2,3}, clique {10,11,12}, bridge 3-10
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)).toDF("a", "b")
+    val m = GraphOps.labelPropagation(edges, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand trace. round 1 (labels = ids): 1->2, 2->1, 3->1 (min of
+    // {1,2,10}), 10->3 (min of {3,11,12}), 11->10, 12->10.
+    // round 2: clique A settles on 1; 11/12 see {3, 10} tied -> 3;
+    // 10 sees {1, 10, 10} -> 10.
+    assert(m(1L) == 1L && m(2L) == 1L && m(3L) == 1L)
+    assert(m(10L) == 10L && m(11L) == 3L && m(12L) == 3L)
+    assert(m.size == 6)
+  }
+
   test("kHopReach: frontier counts on a path graph with an island") {
     import spark.implicits._
     // path 100-1-2-3-4 plus disconnected edge 7-8; seeds (mod 100): 100
