@@ -52,7 +52,14 @@ object Bench {
     "t_dsir_weights", "t_quality_ols", "t_winnow", "dd_winnow_pairs",
     // Poisson-bootstrap CI: the 100x replica explode with immediate
     // map-side combine — the method's cost shape, timed honestly
-    "la_bootstrap_ci")
+    "la_bootstrap_ci",
+    // curation-eval sweep: rule-flag gate + n-gram diversity (both one
+    // map-combined pass over the token arrays), the bounded-grid AUC
+    // and Spearman rank stats, nDCG over the BM25 ranking (two corpus
+    // passes + top-k heaps), and the iterative graph additions (BFS
+    // frontier expansion; 2-round label propagation)
+    "t_gopher_rules", "t_ngram_diversity", "t_quality_auc",
+    "la_spearman", "t_ndcg", "g_khop", "g_lpa", "ts_mase")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -142,7 +149,10 @@ object Bench {
       "g_pagerank" -> "lineitem", "g_triangles" -> "lineitem",
       "g_lift" -> "lineitem",
       "pipeline_polytrend" -> "events", "k3_dbest_change" -> "events",
-      "t_dsir_weights" -> "documents", "t_winnow" -> "documents")
+      "t_dsir_weights" -> "documents", "t_winnow" -> "documents",
+      // r9 curation-eval additions with a plausible hidden constant:
+      // g_lpa's per-round join fan-in and t_ndcg's dual corpus pass
+      "g_lpa" -> "lineitem", "t_ndcg" -> "documents")
     val sf1Names = sf1Needs.collect { case (n, t)
       if java.nio.file.Files.exists(
         java.nio.file.Paths.get(sf1Dir, s"$t.parquet")) => n }

@@ -72,7 +72,13 @@ object Plans {
     "sim_index_pipeline" -> "shared IVF index composite (r9): ONE eagerly-materialized cell assignment (localCheckpoint — GC-freed, not a session persist) feeds BOTH the retrieval probe join and the within-cell margin pairs — one less full embedding pass per consumer; look for the checkpoint scan reused by both arms",
     "t_cdc_chunks" -> "content-defined chunking (r9): boundary flags are a map-local transform (native codegen'd rolling_hash per window — no UDF); chunk ids ride ONE doc-keyed cumsum window and assembly the doc-keyed sorted collect (spanDedup's exchange contract, state bounded by one doc's length); chunk fingerprints are md5 — chunk-level dedup joins carry 16-byte keys",
     "t_dsir_weights" -> "DSIR importance weights (r9): feature counts map-combined with state <= hashBuckets; the bucket-bounded µ-nat LLR table BROADCASTS to the exploded token stream (corpus text never shuffles); per-doc scores reduce map-side as exact BIGINT sums — two token exchanges total, both model-bounded or doc-keyed",
-    "t_winnow" -> "winnowing fingerprints (r9): gram hashes map-local; rightmost-minimal selection is max(struct(-h, p)) over the w-row sliding frame of ONE doc-keyed sort — a single Exchange, and the distinct + per-doc summary aggregations reuse its partitioning (no second exchange until the tiny ng join)")
+    "t_winnow" -> "winnowing fingerprints (r9): gram hashes map-local; rightmost-minimal selection is max(struct(-h, p)) over the w-row sliding frame of ONE doc-keyed sort — a single Exchange, and the distinct + per-doc summary aggregations reuse its partitioning (no second exchange until the tiny ng join)",
+    "t_gopher_rules" -> "rule-flag quality gate (r9): one map-only token-array projection (every rule an integer cross-multiplication inside codegen) -> one map-combined per-source aggregate — zero wide shuffles, output = sources",
+    "la_spearman" -> "Spearman rank correlation (r9): the joint (value,hour) grid count is the ONLY corpus-sized pass (map-combined); marginal 2x-avg-ranks ride per-type cum windows over the BOUNDED grid; both rank maps join back AQE-sized; final reduce is exact DECIMAL(38,0) — ranks never touch a global row sort",
+    "t_quality_auc" -> "ROC AUC (r9): la_mannwhitney's bounded-grid rank-sum shape on documents — per-source score-grid counts, cum window over the grid (state = score domain, not docs), one DECIMAL(38,0) reduce; no per-doc rank window anywhere",
+    "t_ndcg" -> "nDCG (r9): two BM25 corpus passes with the stats row broadcast back, retrieved and ideal sides both cut by TakeOrderedAndProject heaps; the rank windows run over <= max(cutoff) rows; per-rank gains round to integer µ-units so the cutoff sums are order-free",
+    "g_khop" -> "BFS reachability (r9): per hop ONE edges-probe join (reached side broadcast by AQE while it fits) + nodes-sized distinct; lazy per-hop persists fold all counts into a single job; steady-state callers amortize the dominant copurchase build via kHopReachOnView",
+    "g_lpa" -> "label propagation (r9): per round one edge-label join + (node,label) map-combined count + per-node top-1 window whose state is bounded by degree; deterministic ties -> the chained SQL oracle replays every round bit for bit")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
