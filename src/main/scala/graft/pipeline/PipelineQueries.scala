@@ -1829,6 +1829,65 @@ object PipelineQueries extends QueryRegistry {
     Similarity.signRandomProjection(embs(s, d), outDims = 16)
   }
 
+  // Top principal component by exact integer power iteration (3
+  // rounds): ×1e4 grid elements, DECIMAL/HUGEINT-exact centered
+  // covariance, ±1e6 truncating rescale with the sign split so
+  // Spark `div` and DuckDB `//` agree on negatives, HITS-style
+  // max-norm per round. The oracle chains one (w, max, v) CTE trio
+  // per iteration over the same 64×64 integer matrix.
+  q("sim_pca_top1", {
+    val iters = 3
+    val sb = new StringBuilder(
+      """WITH el AS (
+        |  SELECT vec_id, i AS j,
+        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5)
+        |              AS BIGINT) AS q
+        |  FROM embeddings,
+        |       unnest(generate_series(1, len(embedding))) AS t(i)),
+        |up AS (
+        |  SELECT a.j AS i, b.j AS j, CAST(sum(a.q * b.q) AS HUGEINT) AS sqq
+        |  FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.j <= b.j
+        |  GROUP BY 1, 2),
+        |fullm AS (
+        |  SELECT i, j, sqq FROM up
+        |  UNION ALL
+        |  SELECT j, i, sqq FROM up WHERE i <> j),
+        |sums AS (SELECT j, CAST(sum(q) AS HUGEINT) AS sq FROM el GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings),
+        |raw AS (
+        |  SELECT f.i, f.j, n * sqq - si.sq * sj.sq AS s
+        |  FROM fullm f JOIN sums si ON si.j = f.i
+        |              JOIN sums sj ON sj.j = f.j, nn),
+        |mx AS (SELECT max(abs(s)) AS m FROM raw),
+        |cv AS (
+        |  SELECT i, j,
+        |         CASE WHEN s < 0
+        |              THEN -CAST(abs(s * 1000000) // m AS BIGINT)
+        |              ELSE CAST(abs(s * 1000000) // m AS BIGINT) END AS c
+        |  FROM raw, mx),
+        |v0 AS (SELECT DISTINCT i AS j, CAST(1000000 AS BIGINT) AS v
+        |       FROM cv)""".stripMargin)
+    for (t <- 1 to iters) {
+      sb.append(s""",
+        |w$t AS (SELECT cv.i, CAST(sum(c * v) AS BIGINT) AS w
+        |        FROM cv JOIN v${t - 1} vv ON cv.j = vv.j GROUP BY 1),
+        |m$t AS (SELECT max(abs(w)) AS mw FROM w$t),
+        |v$t AS (SELECT i AS j,
+        |              CASE WHEN w < 0
+        |                   THEN -CAST(abs(CAST(w AS HUGEINT) * 1000000)
+        |                              // CAST(mw AS HUGEINT) AS BIGINT)
+        |                   ELSE CAST(abs(CAST(w AS HUGEINT) * 1000000)
+        |                             // CAST(mw AS HUGEINT) AS BIGINT)
+        |              END AS v
+        |        FROM w$t, m$t)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT CAST(j AS BIGINT) AS dim, v AS v_u FROM v$iters""".stripMargin)
+    sb.toString
+  }) { (s, d) =>
+    Similarity.pcaTop1(embs(s, d), iters = 3, dims = 64)
+  }
+
   /** IVF top-k reproduced in DuckDB: the deterministic hash-sampled
     * coarse quantizer ([[Similarity.hashSampledQuantizer]] — centers =
     * the 16 vectors with smallest md5(vec_id), cell id = md5 rank) lets

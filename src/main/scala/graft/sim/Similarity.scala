@@ -643,4 +643,83 @@ object Similarity {
       round(amax, 6).as("amax"),
       array_join(codes.cast("array<string>"), ",").as("q_codes"))
   }
+
+  /** Top principal component of the embedding corpus by EXACT INTEGER
+    * power iteration — the dominant-variance direction behind
+    * whitening, drift monitoring, and "is one axis eating the
+    * embedding space" anisotropy audits (Ethayarajh 2019).
+    *
+    * Everything is deterministic integer arithmetic so a SQL oracle
+    * replays it bit for bit: elements land on the ×10⁴ grid; the
+    * centered covariance numerator S_ij = n·Σqᵢqⱼ − ΣqᵢΣqⱼ is exact
+    * DECIMAL(38,0); S rescales to ±10⁶ by truncating division (sign
+    * split so Spark's `div` and DuckDB's floor `//` agree on
+    * negatives); each iteration is one d²-row matrix-vector join with
+    * BIGINT sums and a max-norm rescale (the HITS contract, extended
+    * to signed values).
+    *
+    * Scale shape: the ONLY corpus-sized pass is the upper-triangle
+    * pair generation — map-local flatten over each row's array with
+    * map-side combine into the d(d+1)/2-key aggregate (never a
+    * corpus self-join); the covariance table is eagerly checkpointed
+    * (d² rows) so the 3 iterations replay a 4096-row lineage, not the
+    * corpus.
+    */
+  def pcaTop1(embeddings: DataFrame, iters: Int = 3,
+      dims: Int = 64): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"iters out of range: $iters")
+    val dec = "decimal(38,0)"
+    val spark = embeddings.sparkSession
+    val pairs = embeddings.select(explode(expr(
+      """flatten(transform(sequence(1, size(embedding)), i ->
+        |  transform(sequence(CAST(i AS INT), size(embedding)), j ->
+        |    named_struct('i', i, 'j', j,
+        |      'p', CAST(floor(CAST(element_at(embedding, i) AS DOUBLE)
+        |                      * 10000 + 0.5) AS BIGINT)
+        |         * CAST(floor(CAST(element_at(embedding, j) AS DOUBLE)
+        |                      * 10000 + 0.5) AS BIGINT)))))""".stripMargin))
+      .as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
+    val upper = pairs.groupBy("i", "j").agg(sum("p").as("sqq"))
+    val fullM = upper.union(upper.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("sqq")))
+    val sums = embeddings
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select((col("pos") + 1).as("j"),
+        expr("CAST(floor(CAST(v AS DOUBLE) * 10000 + 0.5) AS BIGINT)")
+          .as("q"))
+      .groupBy("j").agg(sum("q").as("sq"))
+    val n = embeddings.agg(count(lit(1)).as("n"))
+    val raw = fullM
+      .join(sums.select(col("j").as("i"), col("sq").as("sqi")), "i")
+      .join(sums.select(col("j"), col("sq").as("sqj")), "j")
+      .crossJoin(broadcast(n))
+      .select(col("i"), col("j"),
+        (col("n").cast(dec) * col("sqq").cast(dec) -
+          col("sqi").cast(dec) * col("sqj").cast(dec)).as("s"))
+    val mx = raw.agg(max(abs(col("s"))).as("m"))
+    // sign-split truncating division: div floors toward zero on the
+    // POSITIVE magnitude in both engines (DuckDB replays via // on
+    // the absolute value), so negative entries cannot diverge between
+    // Spark's truncate-div and a floor-div oracle
+    val cv = raw.crossJoin(broadcast(mx))
+      .select(col("i"), col("j"),
+        when(col("s") < 0, -expr("abs(s * 1000000) div m"))
+          .otherwise(expr("abs(s * 1000000) div m")).as("c"))
+      .localCheckpoint(true)
+    var v = spark.range(1, dims + 1)
+      .select(col("id").as("j"), lit(1000000L).as("v"))
+    for (_ <- 1 to iters) {
+      val w = cv.join(v, "j")
+        .groupBy(col("i")).agg(sum(col("c") * col("v")).as("w"))
+      val mw = w.agg(max(abs(col("w"))).as("mw"))
+      v = w.crossJoin(broadcast(mw))
+        .select(col("i").as("j"),
+          when(col("w") < 0,
+            -expr(s"abs(CAST(w AS $dec) * 1000000) div mw"))
+            .otherwise(expr(s"abs(CAST(w AS $dec) * 1000000) div mw"))
+            .as("v"))
+    }
+    v.select(col("j").cast("long").as("dim"), col("v").as("v_u"))
+  }
 }

@@ -1379,4 +1379,20 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(got((id, k.toLong)) == expected, s"vec $id comp $k")
     }
   }
+
+  test("pcaTop1: axis-aligned variance converges to the dominant axis") {
+    import spark.implicits._
+    // zero-mean, axis-aligned: var(dim1) = 100 dominates var(dim2) = 1;
+    // dims 3 and 4 are constant zero. Hand-traced integer iteration:
+    // C_u = diag(1e6, 1e4, 0, 0) -> v after 3 rounds = (1e6, 1, 0, 0)
+    val df = Seq(
+      (1L, Array(10.0f, 1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(-10.0f, 1.0f, 0.0f, 0.0f), 0),
+      (3L, Array(10.0f, -1.0f, 0.0f, 0.0f), 0),
+      (4L, Array(-10.0f, -1.0f, 0.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val v = Similarity.pcaTop1(df, iters = 3, dims = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v == Map(1L -> 1000000L, 2L -> 1L, 3L -> 0L, 4L -> 0L))
+  }
 }
