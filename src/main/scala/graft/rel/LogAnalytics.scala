@@ -2451,6 +2451,83 @@ object LogAnalytics extends QueryRegistry {
           expr("mae_snaive_u * 1000000L div mae_naive_u")))
   }
 
+  /** Single-breakpoint binary segmentation per event type (the first
+    * split CUSUM's drift statistic only hints at): the day t whose
+    * left/right mean gap is largest. The standard mean-shift scan,
+    * kept EXACT: with prefix sum Sₗ over the ×10⁴ day means, the gap
+    * |Sₗ/t − Sᵣ/(T−t)| ranks by the µ-scaled integer
+    * num·10⁶ div (t·(T−t)) where num = |Sₗ·(T−t) − Sᵣ·t| — one
+    * DECIMAL-exact product, floor-divided identically by both engines
+    * (all positive), tie-broken to the earliest day. Window state is
+    * the per-type day grid (the calendar, not the corpus); guard
+    * segments of ≥ 2 days on each side.
+    */
+  q("ts_breakpoint",
+    """WITH daily AS (
+      |  SELECT event_type,
+      |         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS st,
+      |         CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+      |              // count(*) AS BIGINT) AS xu
+      |  FROM events GROUP BY event_type, date_trunc('day', ts)),
+      |cum AS (
+      |  SELECT event_type, st, xu,
+      |         CAST(row_number() OVER w AS BIGINT) AS rn,
+      |         CAST(sum(xu) OVER w AS BIGINT) AS sl,
+      |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS t_n,
+      |         CAST(sum(xu) OVER (PARTITION BY event_type) AS BIGINT) AS s_n
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY st
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |cand AS (
+      |  SELECT event_type, st, rn, t_n,
+      |         sl // rn AS mean_left_u,
+      |         (s_n - sl) // (t_n - rn) AS mean_right_u,
+      |         CAST(abs(CAST(sl AS HUGEINT) * (t_n - rn) -
+      |                  CAST(s_n - sl AS HUGEINT) * rn) * 1000000
+      |              // (rn * (t_n - rn)) AS BIGINT) AS score_u
+      |  FROM cum WHERE rn >= 2 AND rn <= t_n - 2),
+      |best AS (
+      |  SELECT event_type, st, rn, t_n, mean_left_u, mean_right_u, score_u,
+      |         row_number() OVER (PARTITION BY event_type
+      |           ORDER BY score_u DESC, rn) AS pick
+      |  FROM cand)
+      |SELECT event_type, st AS split_day, CAST(rn AS BIGINT) AS split_idx,
+      |       t_n AS n_days, CAST(mean_left_u AS BIGINT) AS mean_left_u,
+      |       CAST(mean_right_u AS BIGINT) AS mean_right_u, score_u
+      |FROM best WHERE pick = 1""") { (s, d) =>
+    val dec = "decimal(38,0)"
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("st"))
+      .agg(expr(
+        "sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) div count(*)")
+        .as("xu"))
+    val w = Window.partitionBy("event_type").orderBy("st")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy("event_type")
+    val cum = daily
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("st")).cast("long"))
+      .withColumn("sl", sum("xu").over(w))
+      .withColumn("t_n", count(lit(1)).over(whole))
+      .withColumn("s_n", sum("xu").over(whole))
+    val cand = cum
+      .filter(col("rn") >= 2 && col("rn") <= col("t_n") - 2)
+      .select(col("event_type"), col("st"), col("rn"), col("t_n"),
+        expr("sl div rn").as("mean_left_u"),
+        expr("(s_n - sl) div (t_n - rn)").as("mean_right_u"),
+        expr(s"""abs(CAST(sl AS $dec) * (t_n - rn) -
+                |    CAST(s_n - sl AS $dec) * rn) * 1000000
+                |  div (rn * (t_n - rn))""".stripMargin).as("score_u"))
+    cand.withColumn("pick", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(col("score_u").desc, col("rn"))))
+      .filter(col("pick") === 1)
+      .select(col("event_type"), col("st").as("split_day"),
+        col("rn").as("split_idx"), col("t_n").as("n_days"),
+        col("mean_left_u"), col("mean_right_u"), col("score_u"))
+  }
+
   /** Spearman rank correlation between event value and hour-of-day per
     * event type — the monotone-association audit (does this metric
     * drift across the day?) that Pearson (`x_corr`) misses under

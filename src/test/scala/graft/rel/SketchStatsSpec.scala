@@ -325,6 +325,21 @@ class SketchStatsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("mase_ppm") == 0L)
   }
 
+  test("ts_breakpoint: level shift found at the true split day") {
+    // 8 days: 4 at value 1.0 then 4 at 5.0 -> best split at rn = 4,
+    // mean_left_u = 10000, mean_right_u = 50000, gap 40000 ppm-u
+    val dir = eventsDir((0 until 8).map(i =>
+      (i.toLong, base + i * day, 1L, "a", if (i < 4) 1.0 else 5.0)))
+    val r = run("ts_breakpoint", dir).collect().head
+    assert(r.getAs[Long]("split_idx") == 4L)
+    assert(r.getAs[Long]("n_days") == 8L)
+    assert(r.getAs[Long]("mean_left_u") == 10000L)
+    assert(r.getAs[Long]("mean_right_u") == 50000L)
+    // score = |40000*4 - 200000*4| * 1e6 / (4*4) = delta-mean 40000
+    // in x1e4 grid units, micro-scaled
+    assert(r.getAs[Long]("score_u") == 40000L * 1000000L)
+  }
+
   test("la_mannwhitney: identical arms give U = na*nb/2 and z = 0") {
     val dir = eventsDir(Seq(
       (0L, base, 2L, "a", 1.0), (1L, base, 1L, "a", 1.0),
