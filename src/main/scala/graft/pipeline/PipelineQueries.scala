@@ -3786,6 +3786,75 @@ object PipelineQueries extends QueryRegistry {
       Multimodal.extractFeatures(s, Multimodal.payloads(s, d)), 64, 64)
   }
 
+  // Per-source data card: the one-stop corpus report a curator
+  // publishes with a release — volume, token mass, mean length,
+  // language mix (count + deterministic top language + its share),
+  // exact-dup rate (md5 digests — text never shuffles), and mean
+  // quality, all exact integers. One text pass projects the per-doc
+  // metrics; everything downstream is source-keyed aggregation.
+  q("t_datacard",
+    """WITH m AS (
+      |  SELECT source, lang, md5(text) AS dg,
+      |         len(string_split(text, ' ')) AS n_toks,
+      |         CAST(floor(round(least(len(list_filter(string_split(text, ' '),
+      |           x -> x IN ('the','a','an','of','and','or','to','in','is',
+      |                      'it','for','on','with','as','at','by'))) /
+      |           len(string_split(text, ' ')) * 2.5, 1.0) * 0.5 +
+      |           least((length(text) - (len(string_split(text, ' ')) - 1)) /
+      |           len(string_split(text, ' ')) / 8.0, 1.0) * 0.5, 4)
+      |           * 10000 + 0.5) AS BIGINT) AS score_u
+      |  FROM documents),
+      |agg AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+      |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |         CAST(count(DISTINCT dg) AS BIGINT) AS n_uniq,
+      |         CAST(sum(score_u) AS BIGINT) AS sum_q
+      |  FROM m GROUP BY 1),
+      |lc AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+      |       FROM m GROUP BY 1, 2),
+      |top AS (
+      |  SELECT source, lang AS top_lang, c AS top_c FROM (
+      |    SELECT source, lang, c,
+      |           row_number() OVER (PARTITION BY source
+      |             ORDER BY c DESC, lang) AS rn
+      |    FROM lc) t WHERE rn = 1)
+      |SELECT a.source, n_docs, n_tokens,
+      |       CAST(n_tokens * 100 // n_docs AS BIGINT) AS mean_tokens_x100,
+      |       n_langs, top_lang,
+      |       CAST(top_c * 1000000 // n_docs AS BIGINT) AS top_lang_ppm,
+      |       CAST((n_docs - n_uniq) * 1000000 // n_docs AS BIGINT) AS dup_ppm,
+      |       CAST(sum_q // n_docs AS BIGINT) AS mean_quality_u
+      |FROM agg a JOIN top t ON t.source = a.source""") { (s, d) =>
+    val toks = TextAnalysis.tokens(col("text"))
+    val m = docs(s, d).select(col("doc_id"), col("source"), col("lang"),
+        md5(col("text").cast("binary")).as("dg"),
+        size(toks).cast("long").as("n_toks"))
+      .join(TextAnalysis.qualityProjection(docs(s, d))
+        .select(col("doc_id"),
+          expr("CAST(floor(quality_score * 10000 + 0.5) AS BIGINT)")
+            .as("score_u")), "doc_id")
+    val agg = m.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("dg").as("n_uniq"),
+        sum("score_u").as("sum_q"))
+    val top = m.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("c").desc, col("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"),
+        col("c").as("top_c"))
+    agg.join(top, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("n_tokens * 100L div n_docs").as("mean_tokens_x100"),
+        col("n_langs"), col("top_lang"),
+        expr("top_c * 1000000L div n_docs").as("top_lang_ppm"),
+        expr("(n_docs - n_uniq) * 1000000L div n_docs").as("dup_ppm"),
+        expr("sum_q div n_docs").as("mean_quality_u"))
+  }
+
   // Gopher-style rule-flag gate: five boolean quality rules per doc
   // (all exact integer cross-multiplied comparisons), rolled up to
   // per-source survivor counts and per-rule failure attribution — the

@@ -2451,6 +2451,89 @@ object LogAnalytics extends QueryRegistry {
           expr("mae_snaive_u * 1000000L div mae_naive_u")))
   }
 
+  /** Difference-in-differences estimate per event type: user-parity
+    * arms (the la_ks/la_ab_ttest convention), pre/post periods split
+    * at the midpoint of the observed day range (deterministic integer
+    * pivot). The four cell means live on the ×10⁴ grid as exact
+    * floor-divided integers and did_u = (postA−preA)−(postB−preB)
+    * replays as pure BIGINT arithmetic. One map-combined aggregate;
+    * state = 4 cells per event type regardless of volume.
+    */
+  q("la_diff_in_diff",
+    """WITH b AS (
+      |  SELECT event_type, user_id % 2 = 0 AS arm_a,
+      |         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS st,
+      |         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vu
+      |  FROM events),
+      |piv AS (
+      |  SELECT event_type,
+      |         min(st) + (max(st) - min(st)) // 2 AS pvt
+      |  FROM b GROUP BY 1),
+      |cells AS (
+      |  SELECT b.event_type,
+      |         CAST(sum(CASE WHEN arm_a AND st < pvt THEN vu ELSE 0 END)
+      |              AS BIGINT) AS s_pre_a,
+      |         CAST(sum(CASE WHEN arm_a AND st < pvt THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n_pre_a,
+      |         CAST(sum(CASE WHEN arm_a AND st >= pvt THEN vu ELSE 0 END)
+      |              AS BIGINT) AS s_post_a,
+      |         CAST(sum(CASE WHEN arm_a AND st >= pvt THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n_post_a,
+      |         CAST(sum(CASE WHEN NOT arm_a AND st < pvt THEN vu ELSE 0 END)
+      |              AS BIGINT) AS s_pre_b,
+      |         CAST(sum(CASE WHEN NOT arm_a AND st < pvt THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n_pre_b,
+      |         CAST(sum(CASE WHEN NOT arm_a AND st >= pvt THEN vu ELSE 0 END)
+      |              AS BIGINT) AS s_post_b,
+      |         CAST(sum(CASE WHEN NOT arm_a AND st >= pvt THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n_post_b
+      |  FROM b JOIN piv ON piv.event_type = b.event_type
+      |  GROUP BY 1)
+      |SELECT event_type,
+      |       n_pre_a, n_post_a, n_pre_b, n_post_b,
+      |       CAST(s_pre_a // n_pre_a AS BIGINT) AS pre_a_u,
+      |       CAST(s_post_a // n_post_a AS BIGINT) AS post_a_u,
+      |       CAST(s_pre_b // n_pre_b AS BIGINT) AS pre_b_u,
+      |       CAST(s_post_b // n_post_b AS BIGINT) AS post_b_u,
+      |       CAST((s_post_a // n_post_a - s_pre_a // n_pre_a) -
+      |            (s_post_b // n_post_b - s_pre_b // n_pre_b)
+      |            AS BIGINT) AS did_u
+      |FROM cells
+      |WHERE n_pre_a > 0 AND n_post_a > 0 AND n_pre_b > 0 AND n_post_b > 0
+      |""") { (s, d) =>
+    val b = events(s, d).select(col("event_type"),
+      (col("user_id") % 2 === 0).as("arm_a"),
+      unix_timestamp(date_trunc("day", col("ts"))).as("st"),
+      expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").as("vu"))
+    val piv = b.groupBy("event_type")
+      .agg(expr("min(st) + (max(st) - min(st)) div 2").as("pvt"))
+    def cell(p: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+      sum(when(p, v).otherwise(0L))
+    val cells = b.join(piv, "event_type")
+      .groupBy("event_type")
+      .agg(
+        cell(col("arm_a") && col("st") < col("pvt"), col("vu")).as("s_pre_a"),
+        cell(col("arm_a") && col("st") < col("pvt"), lit(1L)).as("n_pre_a"),
+        cell(col("arm_a") && col("st") >= col("pvt"), col("vu")).as("s_post_a"),
+        cell(col("arm_a") && col("st") >= col("pvt"), lit(1L)).as("n_post_a"),
+        cell(!col("arm_a") && col("st") < col("pvt"), col("vu")).as("s_pre_b"),
+        cell(!col("arm_a") && col("st") < col("pvt"), lit(1L)).as("n_pre_b"),
+        cell(!col("arm_a") && col("st") >= col("pvt"), col("vu")).as("s_post_b"),
+        cell(!col("arm_a") && col("st") >= col("pvt"), lit(1L)).as("n_post_b"))
+    cells
+      .filter(col("n_pre_a") > 0 && col("n_post_a") > 0 &&
+        col("n_pre_b") > 0 && col("n_post_b") > 0)
+      .select(col("event_type"),
+        col("n_pre_a"), col("n_post_a"), col("n_pre_b"), col("n_post_b"),
+        expr("s_pre_a div n_pre_a").as("pre_a_u"),
+        expr("s_post_a div n_post_a").as("post_a_u"),
+        expr("s_pre_b div n_pre_b").as("pre_b_u"),
+        expr("s_post_b div n_post_b").as("post_b_u"),
+        expr("""(s_post_a div n_post_a - s_pre_a div n_pre_a) -
+               |(s_post_b div n_post_b - s_pre_b div n_pre_b)"""
+          .stripMargin).as("did_u"))
+  }
+
   /** Single-breakpoint binary segmentation per event type (the first
     * split CUSUM's drift statistic only hints at): the day t whose
     * left/right mean gap is largest. The standard mean-shift scan,

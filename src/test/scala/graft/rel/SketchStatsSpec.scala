@@ -340,6 +340,41 @@ class SketchStatsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("score_u") == 40000L * 1000000L)
   }
 
+  test("la_diff_in_diff: hand-built cells give did_u = 10000") {
+    // pivot = day0 + 1 day; A(users even) pre 1.0 -> post 3.0,
+    // B pre 1.0 -> post 2.0: did = (3-1) - (2-1) = 1.0 -> 10000 u
+    val dir = eventsDir(Seq(
+      (0L, base, 2L, "a", 1.0), (1L, base + 2 * day, 2L, "a", 3.0),
+      (2L, base, 1L, "a", 1.0), (3L, base + 2 * day, 1L, "a", 2.0)))
+    val r = run("la_diff_in_diff", dir).collect().head
+    assert(r.getAs[Long]("pre_a_u") == 10000L)
+    assert(r.getAs[Long]("post_a_u") == 30000L)
+    assert(r.getAs[Long]("pre_b_u") == 10000L)
+    assert(r.getAs[Long]("post_b_u") == 20000L)
+    assert(r.getAs[Long]("did_u") == 10000L)
+  }
+
+  test("t_datacard: volume, language mix, dup rate, quality on a " +
+      "hand corpus") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("ss_dc").toString
+    Seq(
+      (0L, "a b", "en", "s", 3L), (1L, "a b", "en", "s", 3L), // dup pair
+      (2L, "c d e", "de", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val r = run("t_datacard", d).collect().head
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("n_tokens") == 7L)
+    assert(r.getAs[Long]("mean_tokens_x100") == 233L)
+    assert(r.getAs[Long]("n_langs") == 2L)
+    assert(r.getAs[String]("top_lang") == "en")
+    assert(r.getAs[Long]("top_lang_ppm") == 666666L)
+    assert(r.getAs[Long]("dup_ppm") == 333333L)
+    // scores: "a b" = 0.5625 (x2), "c d e" = 0.0625 -> mean 3958
+    assert(r.getAs[Long]("mean_quality_u") == 3958L)
+  }
+
   test("la_mannwhitney: identical arms give U = na*nb/2 and z = 0") {
     val dir = eventsDir(Seq(
       (0L, base, 2L, "a", 1.0), (1L, base, 1L, "a", 1.0),
