@@ -1829,14 +1829,11 @@ object PipelineQueries extends QueryRegistry {
     Similarity.signRandomProjection(embs(s, d), outDims = 16)
   }
 
-  // Top principal component by exact integer power iteration (3
-  // rounds): ×1e4 grid elements, DECIMAL/HUGEINT-exact centered
-  // covariance, ±1e6 truncating rescale with the sign split so
-  // Spark `div` and DuckDB `//` agree on negatives, HITS-style
-  // max-norm per round. The oracle chains one (w, max, v) CTE trio
-  // per iteration over the same 64×64 integer matrix.
-  q("sim_pca_top1", {
-    val iters = 3
+  /** Shared WITH-body for the integer power-iteration oracles:
+    * grid elements → exact centered covariance (`raw`/`cv`) → chained
+    * (w, max, v) CTE trio per round ending at `v<iters>`.
+    */
+  private def pcaOracleCtes(iters: Int): String = {
     val sb = new StringBuilder(
       """WITH el AS (
         |  SELECT vec_id, i AS j,
@@ -1881,11 +1878,47 @@ object PipelineQueries extends QueryRegistry {
         |              END AS v
         |        FROM w$t, m$t)""".stripMargin)
     }
-    sb.append(s"""
-      |SELECT CAST(j AS BIGINT) AS dim, v AS v_u FROM v$iters""".stripMargin)
     sb.toString
-  }) { (s, d) =>
+  }
+
+  // Top principal component by exact integer power iteration (3
+  // rounds): ×1e4 grid elements, DECIMAL/HUGEINT-exact centered
+  // covariance, ±1e6 truncating rescale with the sign split so
+  // Spark `div` and DuckDB `//` agree on negatives, HITS-style
+  // max-norm per round. The oracle chains one (w, max, v) CTE trio
+  // per iteration over the same 64×64 integer matrix.
+  q("sim_pca_top1",
+    pcaOracleCtes(3) + s"""
+      |SELECT CAST(j AS BIGINT) AS dim, v AS v_u FROM v3""".stripMargin
+  ) { (s, d) =>
     Similarity.pcaTop1(embs(s, d), iters = 3, dims = 64)
+  }
+
+  // Variance-explained share of that top component: the anisotropy
+  // audit (Ethayarajh 2019 — "is one axis eating the space"). Exact
+  // two-step floor division keeps every product inside DECIMAL(38,0)/
+  // HUGEINT: lambda1_est = vᵀSv div |v|² (the Rayleigh numerator per
+  // unit v), share_ppm = lambda1_est·10⁶ div tr(S). All inputs are
+  // the checkpointed 64×64 covariance and the 64-row eigenvector.
+  q("sim_anisotropy",
+    pcaOracleCtes(3) + s"""
+      |, vsv AS (
+      |  SELECT CAST(sum(CAST(va.v AS HUGEINT) * r.s * vb.v) AS HUGEINT)
+      |           AS num
+      |  FROM raw r JOIN v3 va ON va.j = r.i JOIN v3 vb ON vb.j = r.j),
+      |nrm AS (SELECT CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS n2
+      |        FROM v3),
+      |tr AS (SELECT CAST(sum(s) AS HUGEINT) AS trace FROM raw WHERE i = j),
+      |l1 AS (SELECT CASE WHEN num < 0 THEN -(abs(num) // n2)
+      |                   ELSE num // n2 END AS lam FROM vsv, nrm)
+      |SELECT CAST(lam AS BIGINT) AS lambda1_est,
+      |       CAST(trace AS BIGINT) AS trace_s,
+      |       CAST(CASE WHEN lam < 0 THEN -(abs(lam * 1000000) // trace)
+      |                 ELSE lam * 1000000 // trace END AS BIGINT)
+      |         AS share_ppm
+      |FROM l1, tr""".stripMargin
+  ) { (s, d) =>
+    Similarity.anisotropy(embs(s, d), iters = 3, dims = 64)
   }
 
   /** IVF top-k reproduced in DuckDB: the deterministic hash-sampled

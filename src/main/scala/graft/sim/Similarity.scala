@@ -666,7 +666,48 @@ object Similarity {
     * corpus.
     */
   def pcaTop1(embeddings: DataFrame, iters: Int = 3,
+      dims: Int = 64): DataFrame =
+    pcaParts(embeddings, iters, dims)._2
+      .select(col("j").cast("long").as("dim"), col("v").as("v_u"))
+
+  /** Variance-explained share of the top principal component — the
+    * anisotropy audit: lambda1_est = vᵀSv div |v|² (Rayleigh numerator
+    * per unit v, exact two-step floor so every product stays inside
+    * DECIMAL(38,0)), share_ppm = lambda1_est·10⁶ div tr(S). Joins the
+    * checkpointed 64×64 covariance with the 64-row eigenvector —
+    * nothing corpus-sized beyond [[pcaTop1]]'s single pass.
+    */
+  def anisotropy(embeddings: DataFrame, iters: Int = 3,
       dims: Int = 64): DataFrame = {
+    val dec = "decimal(38,0)"
+    val (raw, v) = pcaParts(embeddings, iters, dims)
+    val vsv = raw
+      .join(v.select(col("j").as("i"), col("v").as("va")), "i")
+      .join(v.select(col("j"), col("v").as("vb")), "j")
+      .agg(sum(col("va").cast(dec) * col("s") * col("vb")).as("num"))
+    val nrm = v.agg(sum(col("v").cast(dec) * col("v")).as("n2"))
+    val tr = raw.filter(col("i") === col("j")).agg(sum("s").as("trace"))
+    vsv.crossJoin(nrm).crossJoin(tr)
+      .select(
+        when(col("num") < 0, -expr("abs(num) div n2"))
+          .otherwise(expr("num div n2")).as("lam"),
+        col("trace"))
+      .select(col("lam").as("lambda1_est"),
+        col("trace").cast("long").as("trace_s"),
+        when(col("lam") < 0,
+          -expr(s"abs(CAST(lam AS $dec) * 1000000) div trace"))
+          .otherwise(expr(s"CAST(lam AS $dec) * 1000000 div trace"))
+          .as("share_ppm"))
+  }
+
+  /** The shared internals of [[pcaTop1]]/[[anisotropy]]: the exact
+    * centered covariance numerator table S (i, j, s: DECIMAL(38,0))
+    * and the iterated max-norm eigenvector (j, v). The covariance is
+    * eagerly checkpointed so every consumer replays 64×64 rows, not
+    * the corpus.
+    */
+  private def pcaParts(embeddings: DataFrame, iters: Int,
+      dims: Int): (DataFrame, DataFrame) = {
     require(iters >= 1 && iters <= 10, s"iters out of range: $iters")
     val dec = "decimal(38,0)"
     val spark = embeddings.sparkSession
@@ -697,6 +738,10 @@ object Similarity {
       .select(col("i"), col("j"),
         (col("n").cast(dec) * col("sqq").cast(dec) -
           col("sqi").cast(dec) * col("sqj").cast(dec)).as("s"))
+      // the corpus pass ends HERE: every consumer (rescale, the
+      // iterations, anisotropy's quadratic form and trace) replays
+      // these d² stored rows
+      .localCheckpoint(true)
     val mx = raw.agg(max(abs(col("s"))).as("m"))
     // sign-split truncating division: div floors toward zero on the
     // POSITIVE magnitude in both engines (DuckDB replays via // on
@@ -706,7 +751,6 @@ object Similarity {
       .select(col("i"), col("j"),
         when(col("s") < 0, -expr("abs(s * 1000000) div m"))
           .otherwise(expr("abs(s * 1000000) div m")).as("c"))
-      .localCheckpoint(true)
     var v = spark.range(1, dims + 1)
       .select(col("id").as("j"), lit(1000000L).as("v"))
     for (_ <- 1 to iters) {
@@ -720,6 +764,6 @@ object Similarity {
             .otherwise(expr(s"abs(CAST(w AS $dec) * 1000000) div mw"))
             .as("v"))
     }
-    v.select(col("j").cast("long").as("dim"), col("v").as("v_u"))
+    (raw, v)
   }
 }

@@ -1394,5 +1394,11 @@ class PipelineOpsSpec extends AnyFunSuite {
     val v = Similarity.pcaTop1(df, iters = 3, dims = 4).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(v == Map(1L -> 1000000L, 2L -> 1L, 3L -> 0L, 4L -> 0L))
+    // anisotropy on the same fixture: var = diag(100, 1, 0, 0) so the
+    // top axis explains ~100/101 of total variance = 990099 ppm (the
+    // residual 1e-6-scale v2 component perturbs below the ppm floor)
+    val a = Similarity.anisotropy(df, iters = 3, dims = 4).collect().head
+    assert(a.getAs[Long]("share_ppm") == 990099L)
+    assert(a.getAs[Long]("trace_s") > 0L)
   }
 }
