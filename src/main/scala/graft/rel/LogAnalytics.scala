@@ -2451,6 +2451,90 @@ object LogAnalytics extends QueryRegistry {
           expr("mae_snaive_u * 1000000L div mae_naive_u")))
   }
 
+  /** Kaplan-Meier survival of user lifetimes per event type — the
+    * censoring-aware retention curve (a plain churn histogram
+    * understates survival because still-active users haven't churned
+    * YET). Lifetime = last−first active day; users last seen within
+    * 7 days of the stream's end are right-censored (they reduce the
+    * at-risk set but contribute no event). S(t) chains the product
+    * Π(1 − dᵢ/nᵢ) as exact ppm integers — sᵢ = sᵢ₋₁·(nᵢ−dᵢ) div nᵢ
+    * over ascending t — via the type-keyed sorted-array fold
+    * (`ts_holt`'s shape: the corpus reaches the fold only as
+    * duration-grid rows; the oracle replays with a recursive CTE
+    * carrying the identical floor division). At-risk counts are a
+    * descending cumulative sum over the bounded duration grid.
+    */
+  q("la_kaplan_meier",
+    """WITH RECURSIVE dy AS (
+      |  SELECT event_type, user_id,
+      |         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS dy
+      |  FROM events),
+      |lif AS (SELECT event_type, user_id, min(dy) AS f, max(dy) AS l
+      |        FROM dy GROUP BY 1, 2),
+      |gm AS (SELECT event_type, max(l) AS gmax FROM lif GROUP BY 1),
+      |base AS (
+      |  SELECT l.event_type, (l.l - l.f) // 86400 AS t,
+      |         CASE WHEN l.l >= gm.gmax - 604800 THEN 1 ELSE 0 END AS cens
+      |  FROM lif l JOIN gm ON gm.event_type = l.event_type),
+      |dt AS (SELECT event_type, t, CAST(count(*) AS BIGINT) AS m,
+      |              CAST(sum(1 - cens) AS BIGINT) AS d
+      |       FROM base GROUP BY 1, 2),
+      |risk AS (
+      |  SELECT event_type, t, d,
+      |         CAST(sum(m) OVER (PARTITION BY event_type ORDER BY t DESC
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |              AS BIGINT) AS n,
+      |         CAST(row_number() OVER (PARTITION BY event_type
+      |              ORDER BY t) AS BIGINT) AS rn
+      |  FROM dt),
+      |r AS (
+      |  SELECT event_type, t, d, n, rn,
+      |         CAST(1000000 * (n - d) // n AS BIGINT) AS s
+      |  FROM risk WHERE rn = 1
+      |  UNION ALL
+      |  SELECT x.event_type, x.t, x.d, x.n, x.rn,
+      |         CAST((r.s * (x.n - x.d)) // x.n AS BIGINT)
+      |  FROM r JOIN risk x ON x.event_type = r.event_type
+      |                    AND x.rn = r.rn + 1)
+      |SELECT event_type, t AS t_days, d AS n_events, n AS n_risk,
+      |       s AS s_ppm
+      |FROM r""") { (s, d) =>
+    val lif = events(s, d)
+      .select(col("event_type"), col("user_id"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("dy"))
+      .groupBy("event_type", "user_id")
+      .agg(min("dy").as("f"), max("dy").as("l"))
+    val gm = lif.groupBy("event_type").agg(max("l").as("gmax"))
+    val base = lif.join(gm, "event_type")
+      .select(col("event_type"),
+        expr("(l - f) div 86400").as("t"),
+        when(col("l") >= col("gmax") - 604800L, 1L).otherwise(0L)
+          .as("cens"))
+    val dt = base.groupBy("event_type", "t")
+      .agg(count(lit(1)).as("m"), sum(lit(1L) - col("cens")).as("d"))
+    val w = Window.partitionBy("event_type").orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = dt.withColumn("n", sum("m").over(w))
+    risk.groupBy("event_type")
+      .agg(sort_array(collect_list(
+        struct(col("t"), col("d"), col("n")))).as("rows"))
+      .select(col("event_type"), explode(expr(
+        """aggregate(rows,
+          |  CAST(named_struct('out', array(), 's', 1000000L) AS
+          |    STRUCT<out: ARRAY<STRUCT<t: BIGINT, d: BIGINT,
+          |                             n: BIGINT, s: BIGINT>>,
+          |           s: BIGINT>),
+          |  (acc, x) -> named_struct(
+          |    'out', concat(acc.out, array(named_struct(
+          |      't', x.t, 'd', x.d, 'n', x.n,
+          |      's', (acc.s * (x.n - x.d)) div x.n))),
+          |    's', (acc.s * (x.n - x.d)) div x.n),
+          |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("event_type"), col("r.t").as("t_days"),
+        col("r.d").as("n_events"), col("r.n").as("n_risk"),
+        col("r.s").as("s_ppm"))
+  }
+
   /** Difference-in-differences estimate per event type: user-parity
     * arms (the la_ks/la_ab_ttest convention), pre/post periods split
     * at the midpoint of the observed day range (deterministic integer

@@ -375,6 +375,26 @@ class SketchStatsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("mean_quality_u") == 3958L)
   }
 
+  test("la_kaplan_meier: censoring reduces risk without an event") {
+    // 4 users: u1 spans d0-d10 (censored: last seen at stream end),
+    // u2 d0-d2 (event, t=2), u3 d0-d2 (event, t=2), u4 d0 only
+    // (event, t=0). Stream max = d10; censor window = last 7 days.
+    val dir = eventsDir(Seq(
+      (0L, base, 1L, "a", 1.0), (1L, base + 10 * day, 1L, "a", 1.0),
+      (2L, base, 2L, "a", 1.0), (3L, base + 2 * day, 2L, "a", 1.0),
+      (4L, base, 3L, "a", 1.0), (5L, base + 2 * day, 3L, "a", 1.0),
+      (6L, base, 4L, "a", 1.0)))
+    val rows = run("la_kaplan_meier", dir).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // t=0: d=1 (u4), n=4 -> S = 1e6*3/4 = 750000
+    assert(rows(0L) == ((1L, 4L, 750000L)))
+    // t=2: d=2, n=3 -> S = 750000*(1/3) = 250000
+    assert(rows(2L) == ((2L, 3L, 250000L)))
+    // t=10: u1 censored -> d=0, n=1, S unchanged
+    assert(rows(10L) == ((0L, 1L, 250000L)))
+  }
+
   test("la_mannwhitney: identical arms give U = na*nb/2 and z = 0") {
     val dir = eventsDir(Seq(
       (0L, base, 2L, "a", 1.0), (1L, base, 1L, "a", 1.0),
