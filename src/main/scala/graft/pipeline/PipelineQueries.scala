@@ -1717,17 +1717,41 @@ object PipelineQueries extends QueryRegistry {
        |          ON r2.cell = c1l.cell AND r2.dim = c1l.dim),
        |c2 AS (SELECT cell, list(v ORDER BY dim) AS c FROM c2l
        |       GROUP BY cell),
-       |dd2 AS (${dst("c2")})
-       |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cell AS INT) AS cell,
-       |       round(d2, 6) AS d2
-       |FROM (SELECT vec_id, cell, d2,
-       |             row_number() OVER (PARTITION BY vec_id
-       |                                ORDER BY d2, cell) AS pr
-       |      FROM dd2) s WHERE pr = 1""".stripMargin
+       |dd2 AS (${dst("c2")})""".stripMargin
   }
 
-  q("sim_kmeans", kmeansOracleSql) { (s, d) =>
+  q("sim_kmeans", kmeansOracleSql + """
+      |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cell AS INT) AS cell,
+      |       round(d2, 6) AS d2
+      |FROM (SELECT vec_id, cell, d2,
+      |             row_number() OVER (PARTITION BY vec_id
+      |                                ORDER BY d2, cell) AS pr
+      |      FROM dd2) s WHERE pr = 1""".stripMargin) { (s, d) =>
     Similarity.kmeansAssign(embs(s, d), k = 8, iters = 2)
+  }
+
+  // Simplified silhouette per cell over the SAME replayed fit: a/b
+  // from the pr=1/pr=2 distance ranks, s rounded to ppm per vector
+  // before the per-cell mean (order-free integer sums).
+  q("sim_silhouette", kmeansOracleSql + """
+      |, pr AS (SELECT vec_id, cell, d2,
+      |               row_number() OVER (PARTITION BY vec_id
+      |                                  ORDER BY d2, cell) AS pr
+      |        FROM dd2),
+      |ab AS (SELECT p1.vec_id, p1.cell, p1.d2 AS a, p2.d2 AS b
+      |       FROM pr p1 JOIN pr p2 ON p1.vec_id = p2.vec_id
+      |       WHERE p1.pr = 1 AND p2.pr = 2),
+      |sc AS (SELECT cell,
+      |              CASE WHEN greatest(a, b) = 0 THEN 0
+      |                   ELSE CAST(round((b - a) / greatest(a, b) * 1000000)
+      |                             AS BIGINT) END AS s_ppm
+      |       FROM ab)
+      |SELECT CAST(cell AS INT) AS cell, CAST(count(*) AS BIGINT) AS n_vecs,
+      |       CAST(sum(s_ppm) // count(*) AS BIGINT) AS mean_s_ppm,
+      |       CAST(min(s_ppm) AS BIGINT) AS min_s_ppm,
+      |       CAST(max(s_ppm) AS BIGINT) AS max_s_ppm
+      |FROM sc GROUP BY cell""".stripMargin) { (s, d) =>
+    Similarity.kmeansSilhouette(embs(s, d), k = 8, iters = 2)
   }
 
   // Symmetric int8 embedding quantization (ANN storage compression):

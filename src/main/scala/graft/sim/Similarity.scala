@@ -599,6 +599,25 @@ object Similarity {
     */
   def kmeansAssign(embeddings: DataFrame, k: Int = 8,
       iters: Int = 2): DataFrame = {
+    val q = kmeansFit(embeddings, k, iters)
+    val d2Udf = udf { (e: Seq[Double], cell: Int) =>
+      val c = q.centers(cell)
+      var d = 0.0
+      var j = 0
+      while (j < e.length) { val t = e(j) - c(j); d += t * t; j += 1 }
+      d
+    }
+    q.assign(embeddings)
+      .select(col("vec_id"), col("cell"),
+        round(d2Udf(col("e"), col("cell")), 6).as("d2"))
+  }
+
+  /** The Lloyd's fit loop shared by [[kmeansAssign]] and
+    * [[kmeansSilhouette]]: hash-sampled init, `iters` refits, each
+    * collecting only the k·dims (cell, dim) means.
+    */
+  private def kmeansFit(embeddings: DataFrame, k: Int,
+      iters: Int): IvfQuantizer = {
     var quant = hashSampledQuantizer(embeddings, nlist = k)
     for (_ <- 1 to iters) {
       val refit = quant.assign(embeddings)
@@ -612,17 +631,49 @@ object Similarity {
       }
       quant = IvfQuantizer(centers)
     }
-    val q = quant
-    val d2Udf = udf { (e: Seq[Double], cell: Int) =>
-      val c = q.centers(cell)
-      var d = 0.0
-      var j = 0
-      while (j < e.length) { val t = e(j) - c(j); d += t * t; j += 1 }
-      d
+    quant
+  }
+
+  /** Simplified (centroid-based) silhouette per cluster cell — the
+    * clustering-quality eval: per vector a = d² to its own centroid,
+    * b = d² to the second-nearest, s = (b−a)/max(a,b) ∈ [0, 1]. Each
+    * vector's s rounds to an integer ppm BEFORE the per-cell mean
+    * (order-free integer sums — the nDCG/PSI contract), so the k-row
+    * report hash-matches the oracle that replays the same fit.
+    * Map-only scoring (centroids ride the task closure) + one k-row
+    * aggregate; the corpus never shuffles.
+    */
+  def kmeansSilhouette(embeddings: DataFrame, k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val q = kmeansFit(embeddings, k, iters)
+    val abUdf = udf { (e: Seq[Double]) =>
+      val ds = q.centers.zipWithIndex.map { case (c, i) =>
+        var d = 0.0
+        var j = 0
+        while (j < e.length) { val t = e(j) - c(j); d += t * t; j += 1 }
+        (d, i)
+      }.sortBy(_._1) // stable: distance ties resolve to the lower cell
+      (ds(0)._2, ds(0)._1, ds(1)._1)
     }
-    q.assign(embeddings)
-      .select(col("vec_id"), col("cell"),
-        round(d2Udf(col("e"), col("cell")), 6).as("d2"))
+    embeddings
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("e"))
+      .select(col("vec_id"), abUdf(col("e")).as("ab"))
+      .select(col("ab._1").as("cell"), col("ab._2").as("a"),
+        col("ab._3").as("b"))
+      .select(col("cell"),
+        when(greatest(col("a"), col("b")) === 0.0, 0L)
+          .otherwise(round((col("b") - col("a")) /
+            greatest(col("a"), col("b")) * 1e6).cast("long"))
+          .as("s_ppm"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum("s_ppm").as("sum_s"),
+        min("s_ppm").as("min_s_ppm"),
+        max("s_ppm").as("max_s_ppm"))
+      .select(col("cell"), col("n_vecs"),
+        expr("sum_s div n_vecs").as("mean_s_ppm"),
+        col("min_s_ppm"), col("max_s_ppm"))
   }
 
   /** Symmetric int8 quantization per vector (q = floor(x·127/amax),

@@ -1401,4 +1401,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a.getAs[Long]("share_ppm") == 990099L)
     assert(a.getAs[Long]("trace_s") > 0L)
   }
+
+  test("kmeansSilhouette: ppm bounds, coverage, and separation on " +
+      "two tight blobs") {
+    import spark.implicits._
+    val blobA = (0 until 4).map(i => (i.toLong,
+      Array(0.0f + i * 0.01f, 0.0f, 0.0f, 0.0f), 0))
+    val blobB = (0 until 4).map(i => (10L + i,
+      Array(10.0f, 10.0f + i * 0.01f, 0.0f, 0.0f), 1))
+    val df = (blobA ++ blobB).toDF("vec_id", "embedding", "label")
+    val rows = Similarity.kmeansSilhouette(df, k = 2, iters = 2).collect()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == 8L)
+    rows.foreach { r =>
+      val (mn, mean, mx) = (r.getAs[Long]("min_s_ppm"),
+        r.getAs[Long]("mean_s_ppm"), r.getAs[Long]("max_s_ppm"))
+      assert(mn >= 0L && mn <= mean && mean <= mx && mx <= 1000000L)
+    }
+    // well-separated blobs: after 2 refits both cells score near 1
+    assert(rows.forall(_.getAs[Long]("mean_s_ppm") > 900000L))
+  }
 }
