@@ -3912,6 +3912,62 @@ object PipelineQueries extends QueryRegistry {
         expr("sum_q div n_docs").as("mean_quality_u"))
   }
 
+  // Top PMI token pairs (document-level co-occurrence): the
+  // collocation/phrase-mining audit over the vocabulary. Pairs
+  // generate MAP-LOCALLY from each doc's distinct-token array (never
+  // a doc-keyed self-join); the pair aggregate map-combines before
+  // its single vocab²-bounded shuffle. Ranking uses the EXACT
+  // integer lift (c_ab·N·10⁶ div c_a·c_b, DECIMAL-safe) so the
+  // top-50 cut has a total order — the float ln(PMI) is display-only
+  // (round 6, shared expression).
+  q("t_pmi_pairs",
+    """WITH dt AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      |  FROM documents),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |cu AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM dt GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.tok AS tok_a, b.tok AS tok_b,
+      |         CAST(count(*) AS BIGINT) AS c_ab
+      |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      |  GROUP BY 1, 2 HAVING count(*) >= 5)
+      |SELECT tok_a, tok_b, c_ab, ca.c AS c_a, cb.c AS c_b, n_docs,
+      |       CAST(CAST(c_ab AS HUGEINT) * n_docs * 1000000
+      |            // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS lift_ppm,
+      |       round(ln((CAST(c_ab AS DOUBLE) * n_docs) /
+      |                (CAST(ca.c AS DOUBLE) * cb.c)), 6) AS pmi
+      |FROM pairs JOIN cu ca ON ca.tok = tok_a
+      |           JOIN cu cb ON cb.tok = tok_b, n
+      |ORDER BY lift_ppm DESC, tok_a, tok_b LIMIT 50""") { (s, d) =>
+    val dec = "decimal(38,0)"
+    val dt = docs(s, d).select(col("doc_id"),
+      explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
+    val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
+    val cu = dt.groupBy("tok").agg(count(lit(1)).as("c"))
+    // map-local pair generation from the distinct-token array: the
+    // a<b nested transform never shuffles the doc twice
+    val pairs = docs(s, d).select(explode(expr(
+      """flatten(transform(array_sort(array_distinct(split(text, ' '))), (a, i) ->
+        |  transform(slice(array_sort(array_distinct(split(text, ' '))), i + 2,
+        |                  size(array_distinct(split(text, ' ')))), b ->
+        |    named_struct('tok_a', a, 'tok_b', b))))""".stripMargin)).as("p"))
+      .select(col("p.tok_a"), col("p.tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+    pairs
+      .join(cu.select(col("tok").as("tok_a"), col("c").as("c_a")), "tok_a")
+      .join(cu.select(col("tok").as("tok_b"), col("c").as("c_b")), "tok_b")
+      .crossJoin(broadcast(n))
+      .select(col("tok_a"), col("tok_b"), col("c_ab"), col("c_a"),
+        col("c_b"), col("n_docs"),
+        expr(s"CAST(c_ab AS $dec) * n_docs * 1000000 div " +
+          s"(CAST(c_a AS $dec) * c_b)").as("lift_ppm"),
+        round(log((col("c_ab").cast("double") * col("n_docs")) /
+          (col("c_a").cast("double") * col("c_b"))), 6).as("pmi"))
+      .orderBy(col("lift_ppm").desc, col("tok_a"), col("tok_b"))
+      .limit(50)
+  }
+
   // Gopher-style rule-flag gate: five boolean quality rules per doc
   // (all exact integer cross-multiplied comparisons), rolled up to
   // per-source survivor counts and per-rule failure attribution — the

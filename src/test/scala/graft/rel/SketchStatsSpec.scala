@@ -395,6 +395,20 @@ class SketchStatsSpec extends AnyFunSuite {
     assert(rows(10L) == ((0L, 1L, 250000L)))
   }
 
+  test("t_pmi_pairs: exact lift and min-count floor on a hand corpus") {
+    // (x, y) co-occur in 5 of 6 docs; z is independent filler.
+    // lift = 5*6/(5*5) = 1.2 -> 1200000 ppm, pmi = ln(1.2)
+    val dir = docsDir((0 until 5).map(i => (i.toLong, "x y", "s")) :+
+      (5L, "z w", "s"))
+    val rows = run("t_pmi_pairs", dir).collect()
+    assert(rows.length == 1) // (z, w) at c_ab=1 is below the floor
+    val r = rows.head
+    assert((r.getString(0), r.getString(1)) == (("x", "y")))
+    assert(r.getAs[Long]("c_ab") == 5L)
+    assert(r.getAs[Long]("lift_ppm") == 1200000L)
+    assert(r.getAs[Double]("pmi") == 0.182322)
+  }
+
   test("la_mannwhitney: identical arms give U = na*nb/2 and z = 0") {
     val dir = eventsDir(Seq(
       (0L, base, 2L, "a", 1.0), (1L, base, 1L, "a", 1.0),
