@@ -2835,6 +2835,278 @@ object LogAnalytics extends QueryRegistry {
         (expr("n * 1000000L div t") - col("benford_ppm")).as("dev_ppm"))
   }
 
+  /** Theil–Sen robust trend slope of the per-type daily composite —
+    * the breakdown-resistant sibling of `k1_regr_slope` (a single
+    * corrupted day moves OLS arbitrarily; the median pairwise slope
+    * tolerates ~29% outliers). Pairs are formed AFTER the daily
+    * aggregation, so the self-join is O(days²) per type — bounded by
+    * the calendar span squared (a year ⇒ ~66k pairs/type), never by
+    * the corpus. The median is the lower median (rank ⌈n/2⌉) over a
+    * total order (slope double, then dy, dx) — the IEEE quotient
+    * CAST(dy AS DOUBLE)/dx is bit-identical across engines for equal
+    * integer inputs, so the oracle hash-matches without a grid trick.
+    * Shape: one map-combined daily aggregation, one per-type
+    * self-join + window — all exchanges on event_type.
+    */
+  q("ts_theil_sen",
+    """WITH daily AS (
+      |  SELECT event_type,
+      |         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) // 86400
+      |           AS xd,
+      |         CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+      |              // count(*) AS BIGINT) AS xu
+      |  FROM events GROUP BY event_type, date_trunc('day', ts)),
+      |p AS (
+      |  SELECT a.event_type, b.xu - a.xu AS dy, b.xd - a.xd AS dx
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.xd < b.xd),
+      |r AS (
+      |  SELECT event_type, CAST(dy AS DOUBLE) / dx AS sl, dy, dx,
+      |         row_number() OVER (PARTITION BY event_type
+      |           ORDER BY CAST(dy AS DOUBLE) / dx, dy, dx) AS rn,
+      |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+      |           AS n_pairs
+      |  FROM p)
+      |SELECT event_type, n_pairs, round(sl, 6) AS sen_slope
+      |FROM r WHERE rn = (n_pairs + 1) // 2""") { (s, d) =>
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_timestamp(date_trunc('day', ts)) div 86400").as("xd"))
+      .agg(expr(
+        "sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) div count(*)")
+        .as("xu"))
+    val a = daily.as("a")
+    val b = daily.as("b")
+    val p = a.join(b,
+        col("a.event_type") === col("b.event_type") &&
+          col("a.xd") < col("b.xd"))
+      .select(col("a.event_type").as("event_type"),
+        (col("b.xu") - col("a.xu")).as("dy"),
+        (col("b.xd") - col("a.xd")).as("dx"))
+      .withColumn("sl", col("dy").cast("double") / col("dx"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("sl"), col("dy"), col("dx"))
+    p.withColumn("rn", row_number().over(w))
+      .withColumn("n_pairs",
+        count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("event_type"), col("n_pairs"),
+        round(col("sl"), 6).as("sen_slope"))
+  }
+
+  /** Ljung–Box portmanteau whiteness test (lags 1–5) on the per-type
+    * daily composite — the "is there ANY serial structure left"
+    * companion to `ts_acf` (and the standard residual gate after
+    * `ts_holt`/`ts_holt_winters`): Q = n(n+2)·Σ r_k²/(n−k). The
+    * autocorrelation numerators/denominator are the SAME exact
+    * integer sums as ts_acf (order-independent longs); the only float
+    * steps are the final token-identical expression shared with the
+    * oracle, so the match is exact, not rounding-lucky. Shape: one
+    * (type, day) map-combined aggregation, one per-type window over
+    * daily rows — time-bounded state, one exchange on event_type.
+    */
+  q("ts_ljung_box",
+    """WITH daily AS (
+      |  SELECT event_type,
+      |         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS st,
+      |         CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+      |              // count(*) AS BIGINT) AS xu
+      |  FROM events GROUP BY event_type, date_trunc('day', ts)),
+      |mu AS (
+      |  SELECT event_type,
+      |         CAST(sum(xu) // count(*) AS BIGINT) AS m,
+      |         CAST(count(*) AS BIGINT) AS n_days
+      |  FROM daily GROUP BY event_type),
+      |dev AS (
+      |  SELECT d.event_type, m.n_days, d.st, d.xu - m.m AS dv
+      |  FROM daily d JOIN mu m USING (event_type)),
+      |led AS (
+      |  SELECT event_type, n_days, dv,
+      |         lead(dv, 1) OVER w AS d1, lead(dv, 2) OVER w AS d2,
+      |         lead(dv, 3) OVER w AS d3, lead(dv, 4) OVER w AS d4,
+      |         lead(dv, 5) OVER w AS d5
+      |  FROM dev WINDOW w AS (PARTITION BY event_type ORDER BY st)),
+      |sums AS (
+      |  SELECT event_type, max(n_days) AS n_days,
+      |         sum(dv * dv) AS den,
+      |         sum(dv * d1) AS s1, sum(dv * d2) AS s2,
+      |         sum(dv * d3) AS s3, sum(dv * d4) AS s4,
+      |         sum(dv * d5) AS s5
+      |  FROM led GROUP BY event_type)
+      |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+      |       round(CAST(n_days AS DOUBLE) * (n_days + 2) *
+      |         ((((CAST(s1 AS DOUBLE) / CAST(den AS DOUBLE)) *
+      |            (CAST(s1 AS DOUBLE) / CAST(den AS DOUBLE)) / (n_days - 1) +
+      |            (CAST(s2 AS DOUBLE) / CAST(den AS DOUBLE)) *
+      |            (CAST(s2 AS DOUBLE) / CAST(den AS DOUBLE)) / (n_days - 2)) +
+      |            (CAST(s3 AS DOUBLE) / CAST(den AS DOUBLE)) *
+      |            (CAST(s3 AS DOUBLE) / CAST(den AS DOUBLE)) / (n_days - 3)) +
+      |            (CAST(s4 AS DOUBLE) / CAST(den AS DOUBLE)) *
+      |            (CAST(s4 AS DOUBLE) / CAST(den AS DOUBLE)) / (n_days - 4) +
+      |            (CAST(s5 AS DOUBLE) / CAST(den AS DOUBLE)) *
+      |            (CAST(s5 AS DOUBLE) / CAST(den AS DOUBLE)) / (n_days - 5)),
+      |         6) AS q_lb
+      |FROM sums""") { (s, d) =>
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("st"))
+      .agg(expr(
+        "sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) div count(*)")
+        .as("xu"))
+    val mu = daily.groupBy("event_type")
+      .agg(expr("sum(xu) div count(*)").as("m"),
+        count(lit(1)).as("n_days"))
+    val w = Window.partitionBy("event_type").orderBy("st")
+    val led = daily.join(mu, "event_type")
+      .withColumn("dv", col("xu") - col("m"))
+      .select(col("event_type") +: col("n_days") +: col("dv") +:
+        (1 to 5).map(l => lead(col("dv"), l).over(w).as(s"d$l")): _*)
+    val aggs = max(col("n_days")).as("n_days") +:
+      sum(col("dv") * col("dv")).as("den") +:
+      (1 to 5).map(l => sum(col("dv") * col(s"d$l")).as(s"s$l"))
+    val sums = led.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+    def r(l: Int) = col(s"s$l").cast("double") / col("den").cast("double")
+    def term(l: Int) = r(l) * r(l) / (col("n_days") - l)
+    // parenthesization mirrors the oracle text exactly:
+    // (((t1 + t2) + t3) + (t4 + t5)) — left-assoc + with the same grouping
+    val q15 = ((term(1) + term(2)) + term(3)) + (term(4) + term(5))
+    sums.select(col("event_type"), col("n_days"),
+      round(col("n_days").cast("double") * (col("n_days") + 2) * q15, 6)
+        .as("q_lb"))
+  }
+
+  /** Kruskal–Wallis rank analysis with Dunn-style per-group z-scores:
+    * the k-sample extension of `la_mannwhitney` — for EACH event type,
+    * how far its tie-corrected mean rank (over the global value grid)
+    * sits from the all-types expectation (N+1)/2, in units of the
+    * null standard error sqrt((N+1)(N−nᵢ)·C/(12nᵢ)) with the tie
+    * correction C = 1 − Σ(t³−t)/(N³−N). Per-group rows instead of the
+    * scalar H so every float step consumes only THAT group's exact
+    * integers plus global exact integers — no cross-group float
+    * summation whose order could differ between engines (H itself
+    * would need Σᵢ Rᵢ²/nᵢ, an order-sensitive float sum; the z-rows
+    * carry strictly more information anyway). 2·rank stays integral
+    * via the la_mannwhitney identity (2·avg_rank = 2·c_below + t + 1)
+    * in DECIMAL(38,0), exact to N ≈ 10¹⁸. State after the first
+    * shuffle is the value DOMAIN (the ×10⁴ grid), not the corpus —
+    * the la_quantiles bounded-grid shape; the global grid cumsum is a
+    * single-partition window over grid rows only.
+    */
+  q("la_kruskal_dunn",
+    """WITH obs AS (
+      |  SELECT event_type, CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vu
+      |  FROM events),
+      |grid AS (
+      |  SELECT event_type, vu, CAST(count(*) AS BIGINT) AS c
+      |  FROM obs GROUP BY 1, 2),
+      |gv AS (SELECT vu, CAST(sum(c) AS BIGINT) AS tv FROM grid GROUP BY 1),
+      |cum AS (
+      |  SELECT vu, tv,
+      |         CAST(sum(tv) OVER (ORDER BY vu
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS BIGINT) - tv AS below
+      |  FROM gv),
+      |tr AS (
+      |  SELECT g.event_type, CAST(sum(g.c) AS BIGINT) AS n_i,
+      |         sum(CAST(g.c AS DECIMAL(38,0)) * (2 * cu.below + cu.tv + 1))
+      |           AS two_r
+      |  FROM grid g JOIN cum cu ON g.vu = cu.vu GROUP BY 1),
+      |gl AS (
+      |  SELECT CAST(sum(tv) AS BIGINT) AS n,
+      |         sum(CAST(tv AS DECIMAL(38,0)) * tv * tv - tv) AS tie3
+      |  FROM gv),
+      |se AS (
+      |  SELECT event_type, n_i, n, two_r,
+      |         sqrt((CAST(n AS DOUBLE) + 1) * (CAST(n AS DOUBLE) - n_i) *
+      |              (1 - CAST(tie3 AS DOUBLE) /
+      |               (CAST(n AS DOUBLE) * n * n - n)) / (12 * n_i)) AS sd
+      |  FROM tr, gl)
+      |SELECT event_type, n_i, n,
+      |       round(CAST(two_r AS DOUBLE) / (2 * CAST(n_i AS DOUBLE)), 6)
+      |         AS mean_rank,
+      |       CASE WHEN sd = 0 THEN NULL ELSE
+      |         round((CAST(two_r AS DOUBLE) / (2 * CAST(n_i AS DOUBLE)) -
+      |                (CAST(n AS DOUBLE) + 1) / 2) / sd, 6) END AS z
+      |FROM se""") { (s, d) =>
+    val dec = "decimal(38,0)"
+    val obs = events(s, d).select(col("event_type"),
+      expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").as("vu"))
+    val grid = obs.groupBy("event_type", "vu")
+      .agg(count(lit(1)).as("c"))
+    val gv = grid.groupBy("vu").agg(sum("c").as("tv"))
+    val cum = gv.withColumn("below",
+      sum("tv").over(Window.orderBy("vu")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - col("tv"))
+    val tr = grid.join(cum, "vu")
+      .groupBy("event_type")
+      .agg(sum("c").as("n_i"),
+        sum(col("c").cast(dec) *
+          (lit(2) * col("below") + col("tv") + 1)).as("two_r"))
+    val glob = gv.agg(sum("tv").as("n"),
+      sum(col("tv").cast(dec) * col("tv") * col("tv") - col("tv"))
+        .as("tie3"))
+    val nD = col("n").cast("double")
+    val meanRank = col("two_r").cast("double") /
+      (lit(2) * col("n_i").cast("double"))
+    tr.crossJoin(broadcast(glob))
+      .withColumn("sd",
+        sqrt((nD + 1) * (nD - col("n_i")) *
+          (lit(1) - col("tie3").cast("double") /
+            (nD * col("n") * col("n") - col("n"))) /
+          (lit(12) * col("n_i"))))
+      .select(col("event_type"), col("n_i"), col("n"),
+        round(meanRank, 6).as("mean_rank"),
+        when(col("sd") === 0, lit(null).cast("double"))
+          .otherwise(round((meanRank - (nD + 1) / 2) / col("sd"), 6))
+          .as("z"))
+  }
+
+  /** Herfindahl–Hirschman concentration of per-user value share within
+    * each event type — the "is this metric carried by three whales"
+    * audit that complements `la_gini` (HHI weighs the head; Gini the
+    * whole curve) and `la_key_skew` (which measures row counts, not
+    * value mass). Exact integers end to end: per-user sums on the ×10⁴
+    * grid, Σs² and (Σs)² in DECIMAL(38,0) (safe to ~10¹⁵ total grid
+    * mass ⇒ ~10⁹ users × 10⁶ value), one ppm floor division replayed
+    * bit for bit by the oracle, and the effective-user count is the
+    * integer reciprocal 10¹²//hhi. Shape: one map-combined shuffle to
+    * (type, user), then a types-sized re-aggregation — nothing after
+    * the first exchange is data-sized.
+    */
+  q("la_hhi",
+    """WITH su AS (
+      |  SELECT event_type, user_id,
+      |         CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+      |              AS BIGINT) AS s
+      |  FROM events GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+      |         sum(CAST(s AS HUGEINT) * s) AS ss,
+      |         CAST(sum(s) AS HUGEINT) AS st
+      |  FROM su GROUP BY 1)
+      |SELECT event_type, n_users,
+      |       CAST(ss * 1000000 // (st * st) AS BIGINT) AS hhi_ppm,
+      |       CAST(CASE WHEN ss * 1000000 // (st * st) = 0 THEN NULL
+      |            ELSE 1000000000000 // (ss * 1000000 // (st * st)) END
+      |            AS BIGINT) AS eff_users_ppm
+      |FROM t""") { (s, d) =>
+    val dec = "decimal(38,0)"
+    val su = events(s, d)
+      .groupBy("event_type", "user_id")
+      .agg(expr("sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))").as("s"))
+    val t = su.groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("s").cast(dec) * col("s")).as("ss"),
+        sum("s").cast(dec).as("st"))
+    t.withColumn("hhi_ppm",
+        expr("CAST((ss * 1000000) div (st * st) AS BIGINT)"))
+      .select(col("event_type"), col("n_users"), col("hhi_ppm"),
+        when(col("hhi_ppm") === 0, lit(null).cast("long"))
+          .otherwise(expr("1000000000000 div hhi_ppm"))
+          .as("eff_users_ppm"))
+  }
+
   /** K2 Horner evaluation via the native poly_eval expression; oracle
     * replicates the exact Horner operation order.
     */

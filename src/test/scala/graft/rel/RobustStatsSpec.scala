@@ -1,0 +1,105 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Known-answer tests for the round-9 robust/nonparametric statistics
+  * entries: Theil–Sen slope, Ljung–Box Q, Kruskal–Wallis/Dunn rank
+  * z-scores, and the HHI concentration audit — driven through the REAL
+  * registered queries over per-test fixture dirs.
+  */
+class RobustStatsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val base = 1704067200L * 1000000000L // 2024-01-01T00:00Z ns
+  private val day = 86400L * 1000000000L
+
+  private def eventsDir(
+      rows: Seq[(Long, Long, Long, String, Double)]): String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("rs_ev").toString
+    rows.map { case (id, ns, u, t, v) => (id, ns, u, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  private def run(name: String, dir: String): DataFrame =
+    LogAnalytics.queries(name)(spark, dir)
+
+  test("ts_theil_sen: median pairwise slope shrugs off a single " +
+      "corrupted day that would wreck OLS") {
+    // days 0..4 at 1,2,3,4 then a wild 100.0 outlier on day 4:
+    // 6 of the 10 pairwise slopes are exactly 10000 xu/day, so the
+    // lower median (rank 5 of 10) is the clean slope.
+    val dir = eventsDir(Seq(1.0, 2.0, 3.0, 4.0, 100.0).zipWithIndex.map {
+      case (v, i) => (i.toLong, base + i * day, 1L, "a", v)
+    })
+    val r = run("ts_theil_sen", dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_pairs") == 10L)
+    assert(r.head.getAs[Double]("sen_slope") == 10000.0)
+  }
+
+  test("ts_ljung_box: a perfectly alternating series gives Q = 20 " +
+      "at n = 6 (r_k = -5/6, 2/3, -1/2, 1/3, -1/6)") {
+    val dir = eventsDir(Seq(1.0, 2.0, 1.0, 2.0, 1.0, 2.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, base + i * day, 1L, "a", v) })
+    val r = run("ts_ljung_box", dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_days") == 6L)
+    assert(math.abs(r.head.getAs[Double]("q_lb") - 20.0) < 1e-4)
+  }
+
+  test("la_kruskal_dunn: disjoint value ranges give mean ranks 2/5 " +
+      "and the textbook z = ±1.963961 at n=6, no ties") {
+    val dir = eventsDir(Seq(
+      (0L, base, 1L, "a", 1.0), (1L, base, 2L, "a", 2.0),
+      (2L, base, 3L, "a", 3.0), (3L, base, 4L, "b", 4.0),
+      (4L, base, 5L, "b", 5.0), (5L, base, 6L, "b", 6.0)))
+    val r = run("la_kruskal_dunn", dir).collect()
+      .map(x => x.getAs[String]("event_type") ->
+        (x.getAs[Double]("mean_rank"), x.getAs[Double]("z"))).toMap
+    assert(r("a")._1 == 2.0 && r("b")._1 == 5.0)
+    // z = (2 - 3.5) / sqrt(7 * 3 / (12 * 3)) = -1.5 / 0.7637626
+    assert(math.abs(r("a")._2 + 1.963961) < 1e-5)
+    assert(math.abs(r("b")._2 - 1.963961) < 1e-5)
+  }
+
+  test("la_kruskal_dunn: all-tied values give z = 0 (tie correction " +
+      "keeps the denominator finite, mean rank = (N+1)/2 exactly)") {
+    val dir = eventsDir((0L until 8L).map { i =>
+      (i, base, i, if (i % 2 == 0) "a" else "b", 7.5)
+    })
+    // every value identical: one grid row, tv = 8, tie3 = 504,
+    // C = 1 - 504/504 = 0 -> denominator 0 -> z NULL; mean_rank 4.5
+    val r = run("la_kruskal_dunn", dir).collect()
+    assert(r.forall(_.getAs[Double]("mean_rank") == 4.5))
+    assert(r.forall(x => x.isNullAt(x.fieldIndex("z")) ||
+      x.getAs[Double]("z").isNaN))
+  }
+
+  test("la_hhi: two users at 1:3 value share give HHI = 625000 ppm, " +
+      "1.6 effective users") {
+    val dir = eventsDir(Seq(
+      (0L, base, 1L, "a", 1.0), (1L, base, 2L, "a", 3.0)))
+    val r = run("la_hhi", dir).collect().head
+    assert(r.getAs[Long]("n_users") == 2L)
+    // ss = 1e8 + 9e8, st^2 = 1.6e9 -> 625000 ppm; 1e12 // 625000
+    assert(r.getAs[Long]("hhi_ppm") == 625000L)
+    assert(r.getAs[Long]("eff_users_ppm") == 1600000L)
+  }
+
+  test("la_hhi: a monopolist user is 10^6 ppm, one effective user") {
+    val dir = eventsDir(Seq((0L, base, 9L, "a", 2.0)))
+    val r = run("la_hhi", dir).collect().head
+    assert(r.getAs[Long]("hhi_ppm") == 1000000L)
+    assert(r.getAs[Long]("eff_users_ppm") == 1000000L)
+  }
+}
