@@ -433,6 +433,77 @@ object GraphOps {
     out
   }
 
+  /** Per-node LOCAL clustering coefficient, rolled into a bounded
+    * decile histogram (bucket = lcc_u div 1000 over the ×10⁴ scale, so
+    * 0..10 rows whatever the graph): for each node of degree ≥ 2,
+    * lcc = 2·tri(v) / (deg(deg−1)) — the "is my neighborhood a clique
+    * or a star" readout that the single global coefficient in
+    * [[triangleSummary]] averages away (Watts & Strogatz 1998
+    * definition). Corner counts ride the degree-ordered [[triangles]]
+    * enumeration (each triangle once, O(√m) out-neighborhoods — the
+    * skew posture is inherited, nothing new shuffles on hubs); the
+    * rollup output is 11 rows, so nothing after the corner count is
+    * graph-sized. Exact ×10⁴ floor integers end to end.
+    */
+  def localClustering(edges: DataFrame): DataFrame = {
+    // edges feeds three arms (orientation's degree join inside
+    // triangles, plus degrees here) — one materialization
+    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val corners = triangles(e)
+      .select(explode(array(col("x"), col("v"), col("w"))).as("node"))
+    val tc = corners.groupBy("node").agg(count(lit(1)).as("t"))
+    val out = degrees(e).filter(col("dg") >= 2)
+      .join(tc, Seq("node"), "left")
+      .select(col("node"), col("dg"),
+        coalesce(col("t"), lit(0L)).as("t"))
+      .withColumn("lcc_u", expr("(t * 20000L) div (dg * (dg - 1L))"))
+      .groupBy(expr("lcc_u div 1000L").as("bucket"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("t")).as("sum_t"))
+      .localCheckpoint(true)
+    e.unpersist(false)
+    out
+  }
+
+  /** Capped-round k-core peeling (Seidman 1983): each round drops
+    * every node whose CURRENT degree is below `k` together with its
+    * edges, and reports (round, n_nodes, n_edges) of the survivor
+    * graph — the standard "dense backbone vs fringe" decomposition a
+    * curation pipeline runs on domain/link graphs before trusting
+    * centrality scores. Fixed `rounds` (not run-to-fixpoint) keeps the
+    * plan depth bounded and lets a chained-CTE oracle replay every
+    * round exactly — the [[kHopReachOnView]] posture; at fixpoint the
+    * rows simply repeat. Per-round shape: one map-combined degree
+    * aggregate + two node-keyed semi-join-shaped filters (AQE
+    * broadcasts the keep set while it fits, shuffles beyond); per-round
+    * lazy persists cap lineage depth, all released on return.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 2 && k <= 1000, s"k out of range: $k")
+    require(rounds >= 1 && rounds <= 20, s"rounds out of range: $rounds")
+    var dd = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+    var cached: Seq[DataFrame] = Nil
+    var stats: Seq[DataFrame] = Nil
+    for (i <- 1 to rounds) {
+      val keep = dd.groupBy("src").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= k).select(col("src").as("node"))
+      val next = dd
+        .join(keep.select(col("node").as("src")), "src")
+        .join(keep.select(col("node").as("dst")), "dst")
+        .select(col("src"), col("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      cached = cached :+ next
+      dd = next
+      stats = stats :+ dd.agg(
+          countDistinct(col("src")).as("n_nodes"),
+          expr("count(*) div 2L").as("n_edges"))
+        .select(lit(i).as("round"), col("n_nodes"), col("n_edges"))
+    }
+    val out = stats.reduce(_.unionAll(_)).localCheckpoint(true)
+    cached.foreach(_.unpersist(false))
+    out
+  }
+
   /** Association-rule mining over the baskets (the market-basket
     * support/confidence/lift primitive): for each part pair a<b with
     * co-basket count ≥ minSupport, emit ppm-integer support

@@ -73,6 +73,41 @@ object GraphQueries extends QueryRegistry {
     GraphOps.pageRank(GraphOps.copurchaseEdges(li(s, d)), 5)
   }
 
+  /** Local clustering coefficient decile histogram — see
+    * [[GraphOps.localClustering]]; the oracle enumerates triangles
+    * with the a<b<c canonical join and replays the ×10⁴ floor
+    * arithmetic bit for bit.
+    */
+  q("g_local_clustering",
+    s"""$edgeCte,
+      |d AS (SELECT a AS node FROM e UNION ALL SELECT b FROM e),
+      |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS dg FROM d GROUP BY 1),
+      |tri AS (SELECT e1.a AS x, e1.b AS v, e2.b AS w
+      |        FROM e e1 JOIN e e2 ON e1.b = e2.a
+      |                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |crn AS (SELECT x AS node FROM tri UNION ALL SELECT v FROM tri
+      |        UNION ALL SELECT w FROM tri),
+      |tc AS (SELECT node, CAST(count(*) AS BIGINT) AS t FROM crn GROUP BY 1),
+      |l AS (SELECT deg.node, deg.dg, COALESCE(tc.t, 0) AS t,
+      |             CAST((COALESCE(tc.t, 0) * 20000) //
+      |                  (deg.dg * (deg.dg - 1)) AS BIGINT) AS lcc_u
+      |      FROM deg LEFT JOIN tc ON deg.node = tc.node
+      |      WHERE deg.dg >= 2)
+      |SELECT CAST(lcc_u // 1000 AS BIGINT) AS bucket,
+      |       CAST(count(*) AS BIGINT) AS n_nodes,
+      |       CAST(sum(t) AS BIGINT) AS sum_t
+      |FROM l GROUP BY 1""") { (s, d) =>
+    GraphOps.localClustering(GraphOps.copurchaseEdges(li(s, d)))
+  }
+
+  /** Capped 3-round 3-core peeling — see [[GraphOps.kCore]]; the
+    * oracle chains one (degree-filter + edge-restrict) CTE pair per
+    * round, the fixed-k g_khop pattern.
+    */
+  q("g_kcore", kCoreSql(3, 3)) { (s, d) =>
+    GraphOps.kCore(GraphOps.copurchaseEdges(li(s, d)), 3, 3)
+  }
+
   /** Market-basket association rules: ppm-integer support/confidence/
     * lift per co-purchased pair, top-50 by lift (total order). All
     * integer `div` — the oracle replays the arithmetic bit for bit.
@@ -165,6 +200,31 @@ object GraphQueries extends QueryRegistry {
   /** Chained-CTE oracle for k-hop reachability: r_i = distinct union
     * of r_{i-1} and its out-neighbors; one count row per hop.
     */
+  /** Chained-CTE oracle for capped k-core peeling: per round, a
+    * degree-filtered keep set then both-endpoints edge restriction.
+    */
+  private def kCoreSql(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder(edgeCte)
+    sb.append(
+      ",\nd0 AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e)")
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+        |k$i AS (SELECT src AS node FROM (
+        |  SELECT src, count(*) AS c FROM d${i - 1} GROUP BY 1) t
+        |  WHERE c >= $k),
+        |d$i AS (SELECT d.src, d.dst FROM d${i - 1} d
+        |        JOIN k$i x ON d.src = x.node
+        |        JOIN k$i y ON d.dst = y.node)""".stripMargin)
+    }
+    val rows = (1 to rounds).map(i =>
+      s"""SELECT CAST($i AS INT) AS round,
+         |  CAST((SELECT count(DISTINCT src) FROM d$i) AS BIGINT) AS n_nodes,
+         |  CAST((SELECT count(*) FROM d$i) // 2 AS BIGINT) AS n_edges"""
+        .stripMargin).mkString("\nUNION ALL\n")
+    sb.append(s"\n$rows")
+    sb.toString
+  }
+
   private def kHopSql(k: Int, seedMod: Long): String = {
     val sb = new StringBuilder(edgeCte)
     sb.append(s""",

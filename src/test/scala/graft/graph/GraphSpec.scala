@@ -192,4 +192,34 @@ class GraphSpec extends AnyFunSuite {
     assert(rows(2) == ((3L, 428571L)))
     assert(rows(3) == ((4L, 571428L)))
   }
+
+  test("localClustering: triangle + pendant gives buckets 10 and 3") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant edge 3-4: lcc(1)=lcc(2)=1 (bucket 10),
+    // lcc(3)=2*1/(3*2)=3333u (bucket 3); node 4 has deg 1, excluded
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val rows = GraphOps.localClustering(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows == Map(10L -> ((2L, 2L)), 3L -> ((1L, 1L))))
+  }
+
+  test("kCore: K4 survives 3-core peeling, its tail does not") {
+    import spark.implicits._
+    // complete K4 on {1,2,3,4} plus tail 4-5-6: round 1 drops 5 and 6,
+    // K4 (all degrees 3) is the stable 3-core
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val rows = GraphOps.kCore(edges, 3, 3).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows == Map(1 -> ((4L, 6L)), 2 -> ((4L, 6L)), 3 -> ((4L, 6L))))
+  }
+
+  test("kCore: a path fully dissolves under 2-core cascading peels") {
+    import spark.implicits._
+    // path 1-2-3-4-5: round 1 drops the endpoints, round 2 the rest
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val rows = GraphOps.kCore(edges, 2, 3).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows == Map(1 -> ((3L, 2L)), 2 -> ((0L, 0L)), 3 -> ((0L, 0L))))
+  }
 }
