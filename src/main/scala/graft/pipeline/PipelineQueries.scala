@@ -2091,6 +2091,46 @@ object PipelineQueries extends QueryRegistry {
       .groupBy("n_hits").agg(count(lit(1)).as("n_queries"))
   }
 
+  /** Matryoshka truncation audit: overlap histogram between exact
+    * top-5 on full 64-dim vectors and on the first-16-dim prefix —
+    * see Similarity.truncationRecall. The oracle replays both brute
+    * sides with list_cosine_similarity over the full and sliced
+    * lists and must land on the identical integer histogram.
+    */
+  q("sim_trunc_recall", {
+    val (pfx, k, nq) = (16, 5, 20)
+    def side(src: String, name: String) =
+      s"""${name}sc AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |         list_cosine_similarity(q.e, c.e) AS cos_raw
+         |  FROM $src q JOIN $src c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < $nq),
+         |$name AS (
+         |  SELECT query_id, cand_id
+         |  FROM (SELECT query_id, cand_id,
+         |          row_number() OVER (PARTITION BY query_id
+         |                             ORDER BY cos_raw DESC, cand_id) AS rank
+         |        FROM ${name}sc)
+         |  WHERE rank <= $k)""".stripMargin
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |            FROM embeddings),
+       |trc AS (SELECT vec_id, list_slice(e, 1, $pfx) AS e FROM emb),
+       |${side("emb", "fl")},
+       |${side("trc", "tr")},
+       |ov AS (
+       |  SELECT f.query_id, count(t.cand_id) AS n_hits
+       |  FROM fl f
+       |  LEFT JOIN tr t ON t.query_id = f.query_id
+       |                AND t.cand_id = f.cand_id
+       |  GROUP BY 1)
+       |SELECT CAST(n_hits AS INT) AS n_hits,
+       |       CAST(count(*) AS BIGINT) AS n_queries
+       |FROM ov GROUP BY 1""".stripMargin
+  }) { (s, d) =>
+    Similarity.truncationRecall(embs(s, d), prefixDims = 16, k = 5,
+      nQueries = 20)
+  }
+
   /** PQ/ADC top-k reproduced in DuckDB: codebook centroids re-derived
     * from the table (sub-slices of the ksub smallest-md5 vectors — the
     * same hash-sampling as the IVF oracle), per-subspace nearest-code
@@ -4005,6 +4045,56 @@ object PipelineQueries extends QueryRegistry {
       |            * 1000000 // count(*) AS BIGINT) AS pass_ppm
       |FROM g GROUP BY source""") { (s, d) =>
     TextAnalysis.gopherRules(docs(s, d))
+  }
+
+  // Cohen's kappa between the Gopher rule gate and the quality-score
+  // threshold gate (su >= 5000), per source — "do the two filters
+  // agree beyond chance" before swapping one for the other. See
+  // TextAnalysis.gateKappa; exact ppm floor arithmetic replayed by
+  // the oracle.
+  q("t_gate_kappa",
+    """WITH t AS (SELECT source, string_split(text, ' ') AS ws,
+      |                  length(text) AS chars
+      |           FROM documents),
+      |f AS (SELECT source, len(ws) AS n, chars,
+      |             chars - (len(ws) - 1) AS letters,
+      |             len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+      |               AS n_alpha,
+      |             len(list_filter(ws, x -> x IN
+      |               ('the','a','an','of','and','or','to','in','is','it',
+      |                'for','on','with','as','at','by'))) AS n_stop,
+      |             len(list_distinct(ws)) AS n_uniq
+      |      FROM t),
+      |g AS (SELECT source,
+      |             CASE WHEN n BETWEEN 10 AND 1000
+      |                  AND letters >= n * 3 AND letters <= n * 10
+      |                  AND n_alpha * 5 >= n * 4 AND n_stop >= 2
+      |                  AND n_uniq * 5 >= n THEN 1 ELSE 0 END AS ga,
+      |             CASE WHEN CAST(floor(round(
+      |                    least(n_stop / n * 2.5, 1.0) * 0.5 +
+      |                    least((chars - (n - 1)) / n / 8.0, 1.0) * 0.5, 4)
+      |                    * 10000 + 0.5) AS BIGINT) >= 5000
+      |                  THEN 1 ELSE 0 END AS gb
+      |      FROM f),
+      |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |             CAST(sum(ga) AS BIGINT) AS a1,
+      |             CAST(sum(gb) AS BIGINT) AS b1,
+      |             CAST(sum(ga * gb + (1 - ga) * (1 - gb)) AS BIGINT)
+      |               AS n_agree
+      |      FROM g GROUP BY 1),
+      |k AS (SELECT source, n_docs, a1, b1, n_agree,
+      |             CAST(a1 AS HUGEINT) * b1 +
+      |               CAST(n_docs - a1 AS HUGEINT) * (n_docs - b1) AS pe
+      |      FROM c)
+      |SELECT source, n_docs, a1 AS n_pass_gopher, b1 AS n_pass_score,
+      |       n_agree,
+      |       CAST(n_agree * 1000000 // n_docs AS BIGINT) AS agree_ppm,
+      |       CAST(CASE WHEN CAST(n_docs AS HUGEINT) * n_docs = pe THEN NULL
+      |            ELSE ((CAST(n_agree AS HUGEINT) * n_docs - pe) * 1000000)
+      |                 // (CAST(n_docs AS HUGEINT) * n_docs - pe) END
+      |            AS BIGINT) AS kappa_ppm
+      |FROM k""") { (s, d) =>
+    TextAnalysis.gateKappa(docs(s, d))
   }
 
   // ROC AUC of the quality score as a classifier for lang='en', per

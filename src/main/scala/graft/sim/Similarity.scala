@@ -44,6 +44,34 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
+  /** Matryoshka-style truncation audit (Kusupati et al. 2022): how
+    * much of the exact full-dimension top-k survives when retrieval
+    * runs on only the FIRST `prefixDims` coordinates — the overlap
+    * histogram (n_hits 0..k → n_queries) between brute-force top-k on
+    * the full vectors and on the prefix slice, over the guarded query
+    * subset. The go/no-go measurement before shipping truncated
+    * embeddings as the cheap first-stage retriever (4× less compute
+    * and shuffle per query at prefix 16 of 64). Both sides reuse
+    * [[bruteForceTopK]] (exact, corpus-size guarded — at scale swap
+    * the prefix side for ivfTopK over sliced vectors; the audit shape
+    * is unchanged); all outputs are integers, so the oracle's full
+    * replay must land on the identical histogram.
+    */
+  def truncationRecall(emb: DataFrame, prefixDims: Int, k: Int,
+      nQueries: Long): DataFrame = {
+    require(prefixDims >= 1, s"prefixDims out of range: $prefixDims")
+    val full = bruteForceTopK(emb.filter(col("vec_id") < nQueries), emb, k)
+      .select("query_id", "cand_id")
+    val tr = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, prefixDims).as("embedding"))
+    val hits = bruteForceTopK(tr.filter(col("vec_id") < nQueries), tr, k)
+      .select(col("query_id"), col("cand_id"), lit(1).as("hit"))
+    full.join(hits, Seq("query_id", "cand_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("n_hits"))
+      .groupBy("n_hits").agg(count(lit(1)).as("n_queries"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (seed, plane,
     * dim) — splitmix64 mapped to ±1.
     */

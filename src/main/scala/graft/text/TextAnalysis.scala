@@ -940,6 +940,64 @@ object TextAnalysis {
         expr("n_pass * 1000000L div n_docs"))
   }
 
+  /** Cohen's kappa agreement between the repo's two document gates —
+    * the five-rule Gopher flag conjunction ([[gopherRules]]) and the
+    * scalar quality-score threshold ([[qualityProjection]] score ≥
+    * thresholdU on the ×10⁴ grid) — per source. Kappa is the standard
+    * "do two labelers agree beyond chance" statistic (Cohen 1960); a
+    * curator runs it before swapping one gate for the cheaper other.
+    * Exact integers end to end: the 2×2 cell counts are map-combined
+    * longs, chance agreement pe = (a₁b₁ + a₀b₀) and the kappa
+    * rational ((po·n − pe)·10⁶) / (n² − pe) run in DECIMAL(38,0)
+    * (n ≤ ~10⁹ docs keeps every product < 10²⁵), one floor division,
+    * NULL when marginals are degenerate (n² = pe ⇒ 0/0). Shape: one
+    * map-only flag projection, one sources-sized aggregate.
+    */
+  def gateKappa(docs: DataFrame, thresholdU: Long = 5000L): DataFrame = {
+    val dec = "decimal(38,0)"
+    val toks = tokens(col("text"))
+    val base = docs.select(col("source"),
+      size(toks).as("n"),
+      length(col("text")).as("chars"),
+      (length(col("text")) - (size(toks) - 1)).as("letters"),
+      size(filter(toks, t => t.rlike("[a-z]"))).as("n_alpha"),
+      stopwordCount(toks).as("n_stop"),
+      size(array_distinct(toks)).as("n_uniq"))
+    val flags = base.select(col("source"),
+      (col("n") >= 10 && col("n") <= 1000 &&
+        col("letters") >= col("n") * 3 &&
+        col("letters") <= col("n") * 10 &&
+        col("n_alpha") * 5 >= col("n") * 4 &&
+        col("n_stop") >= 2 &&
+        col("n_uniq") * 5 >= col("n")).cast("long").as("ga"),
+      (expr("""CAST(floor(round(
+          least(n_stop / n * 2.5, 1.0) * 0.5 +
+          least((chars - (n - 1)) / n / 8.0, 1.0) * 0.5, 4)
+          * 10000 + 0.5) AS BIGINT)""") >= thresholdU)
+        .cast("long").as("gb"))
+    flags.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ga")).as("n_pass_gopher"),
+        sum(col("gb")).as("n_pass_score"),
+        sum(col("ga") * col("gb") +
+          (lit(1L) - col("ga")) * (lit(1L) - col("gb"))).as("n_agree"))
+      .withColumn("pe",
+        col("n_pass_gopher").cast(dec) * col("n_pass_score") +
+          (col("n_docs") - col("n_pass_gopher")).cast(dec) *
+            (col("n_docs") - col("n_pass_score")))
+      .select(col("source"), col("n_docs"), col("n_pass_gopher"),
+        col("n_pass_score"), col("n_agree"),
+        expr("n_agree * 1000000L div n_docs").as("agree_ppm"),
+        when(col("n_docs").cast(dec) * col("n_docs") === col("pe"),
+          lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST(((n_agree * CAST(n_docs AS DECIMAL(38,0)) - pe)
+              | * 1000000) div
+              | (CAST(n_docs AS DECIMAL(38,0)) * n_docs - pe)
+              | AS BIGINT)""".stripMargin))
+          .as("kappa_ppm"))
+  }
+
   /** Per-source n-gram diversity: gram occurrences vs distinct gram
     * types vs hapax grams (seen once), with type-token and hapax
     * shares in exact ppm. The de-facto Self-BLEU-style mode-collapse

@@ -1420,4 +1420,53 @@ class PipelineOpsSpec extends AnyFunSuite {
     // well-separated blobs: after 2 refits both cells score near 1
     assert(rows.forall(_.getAs[Long]("mean_s_ppm") > 900000L))
   }
+
+  test("gateKappa: hand 2x2 table gives kappa 0 (chance-level) and " +
+      "a perfectly-agreeing source gives 10^6 ppm") {
+    import spark.implicits._
+    // s1: one doc per 2x2 cell -> po = pe = 0.5 -> kappa exactly 0.
+    val passBoth = "the cat sat on a mat with some very fine hats today"
+    val failBoth = "x y z"
+    // 20 tokens, exactly 2 three-letter stopwords: gopher passes,
+    // score = 0.1*2.5*0.5 + (3/8)*0.5 = 0.3125 < 0.5 fails
+    val gopherOnly = "the and cat dog pig cow fox hen bat rat owl ant " +
+      "bee elk yak ape asp cod eel emu"
+    // 5 long words (n < 10 fails gopher), stop ratio 0.4 and mean
+    // token length 7.8 push the score to 0.9875 >= 0.5
+    val scoreOnly = "absolutely the magnificent of extraordinary"
+    val df = Seq(
+      (0L, passBoth, "s1"), (1L, failBoth, "s1"),
+      (2L, gopherOnly, "s1"), (3L, scoreOnly, "s1"),
+      (4L, passBoth, "s2"), (5L, failBoth, "s2"))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.gateKappa(df).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    val s1 = r("s1")
+    assert(s1.getAs[Long]("n_pass_gopher") == 2L)
+    assert(s1.getAs[Long]("n_pass_score") == 2L)
+    assert(s1.getAs[Long]("n_agree") == 2L)
+    assert(s1.getAs[Long]("agree_ppm") == 500000L)
+    assert(s1.getAs[Long]("kappa_ppm") == 0L)
+    val s2 = r("s2")
+    assert(s2.getAs[Long]("n_agree") == 2L)
+    assert(s2.getAs[Long]("kappa_ppm") == 1000000L)
+  }
+
+  test("truncationRecall: planted prefix-blind neighbor costs exactly " +
+      "one hit") {
+    import spark.implicits._
+    // query v0; full top-2 = {v1, v3} (cos 1.0, 0.707) but the 2-dim
+    // prefix ranks v2 (prefix-parallel, cos 1.0) above v3 (0.707):
+    // prefix top-2 = {v1, v2} -> overlap 1 of 2
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.5f, 0.5f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val rows = Similarity.truncationRecall(df, prefixDims = 2, k = 2,
+      nQueries = 1).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Int]("n_hits") == 1)
+    assert(rows.head.getAs[Long]("n_queries") == 1L)
+  }
 }
