@@ -464,6 +464,43 @@ object GraphOps {
     out
   }
 
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the DIRECTED edge list (each undirected
+    * edge counted both ways, the standard symmetric convention) —
+    * positive on social-style graphs (hubs link hubs), negative on
+    * web/biology-style hub-and-spoke graphs; the one-number structure
+    * readout a curator checks before trusting degree-based sampling.
+    * Everything up to the final quotient is an exact DECIMAL(38,0)
+    * sum of degree products (order-independent — partial-agg order
+    * can never flip a bit; deg ≤ 10⁹ keeps M·Σxy < 10³⁸); by x↔y
+    * symmetry Σx = Σy and Σx² = Σy², so
+    * r = (M·Σxy − Σx·Σx) / (M·Σxx − Σx·Σx), one token-identical
+    * float division shared with the oracle. Shape: two node-keyed
+    * degree joins + one map-combined aggregate to a single row.
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val deg = degrees(edges)
+    val dd = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+    val ed = dd
+      .join(deg.select(col("node").as("src"), col("dg").as("dx")), "src")
+      .join(deg.select(col("node").as("dst"), col("dg").as("dy")), "dst")
+    ed.agg(count(lit(1)).as("m"),
+        sum(col("dx").cast(dec)).as("sx"),
+        sum(col("dx").cast(dec) * col("dx")).as("sxx"),
+        sum(col("dx").cast(dec) * col("dy")).as("sxy"))
+      .withColumn("den",
+        col("m").cast(dec) * col("sxx") - col("sx") * col("sx"))
+      .select(col("m"),
+        // a regular graph has zero degree variance: r undefined -> NULL
+        when(col("den") === 0, lit(null).cast("double"))
+          .otherwise(round((col("m").cast(dec) * col("sxy") -
+              col("sx") * col("sx")).cast("double") /
+            col("den").cast("double"), 6))
+          .as("assortativity"))
+  }
+
   /** Capped-round k-core peeling (Seidman 1983): each round drops
     * every node whose CURRENT degree is below `k` together with its
     * edges, and reports (round, n_nodes, n_edges) of the survivor

@@ -108,6 +108,33 @@ object GraphQueries extends QueryRegistry {
     GraphOps.kCore(GraphOps.copurchaseEdges(li(s, d)), 3, 3)
   }
 
+  /** Degree assortativity — see [[GraphOps.degreeAssortativity]]; the
+    * oracle replays the exact HUGEINT sums and the one shared float
+    * division.
+    */
+  q("g_assortativity",
+    s"""$edgeCte,
+      |d AS (SELECT a AS node FROM e UNION ALL SELECT b FROM e),
+      |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS dg FROM d GROUP BY 1),
+      |dd AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+      |ed AS (SELECT x.dg AS dx, y.dg AS dy
+      |       FROM dd JOIN deg x ON dd.src = x.node
+      |               JOIN deg y ON dd.dst = y.node),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+      |             sum(CAST(dx AS HUGEINT)) AS sx,
+      |             sum(CAST(dx AS HUGEINT) * dx) AS sxx,
+      |             sum(CAST(dx AS HUGEINT) * dy) AS sxy
+      |      FROM ed)
+      |SELECT m,
+      |       CASE WHEN CAST(m AS HUGEINT) * sxx - sx * sx = 0 THEN NULL
+      |            ELSE round(
+      |              CAST(CAST(m AS HUGEINT) * sxy - sx * sx AS DOUBLE) /
+      |              CAST(CAST(m AS HUGEINT) * sxx - sx * sx AS DOUBLE), 6)
+      |       END AS assortativity
+      |FROM s""") { (s, d) =>
+    GraphOps.degreeAssortativity(GraphOps.copurchaseEdges(li(s, d)))
+  }
+
   /** Market-basket association rules: ppm-integer support/confidence/
     * lift per co-purchased pair, top-50 by lift (total order). All
     * integer `div` — the oracle replays the arithmetic bit for bit.

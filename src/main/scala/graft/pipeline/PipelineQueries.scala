@@ -4163,6 +4163,64 @@ object PipelineQueries extends QueryRegistry {
           .as("auc"))
   }
 
+  // Reliability diagram + Brier score of the quality score against
+  // the lang='en' proxy label, per source — the CALIBRATION
+  // complement to t_quality_auc's ranking AUC (a score can rank
+  // perfectly yet be wildly miscalibrated as a probability; the bins
+  // say where). Bins are the score's ×10⁴ grid div 1000 (≤ 11 rows
+  // per source); per-bin observed positive rate and mean score are
+  // ppm/grid floor integers, and brier_e8 = Σ(su − y·10⁴)² div n is
+  // the exact integer Brier on the 10⁻⁸ scale — everything one
+  // map-combined (source, bin) aggregate, nothing data-sized after
+  // the first exchange, replayed bit for bit by the oracle.
+  q("t_quality_calibration",
+    """WITH q AS (
+      |  SELECT source, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+      |         CAST(floor(round(least(len(list_filter(string_split(text, ' '),
+      |           x -> x IN ('the','a','an','of','and','or','to','in','is',
+      |                      'it','for','on','with','as','at','by'))) /
+      |           len(string_split(text, ' ')) * 2.5, 1.0) * 0.5 +
+      |           least((length(text) - (len(string_split(text, ' ')) - 1)) /
+      |           len(string_split(text, ' ')) / 8.0, 1.0) * 0.5, 4)
+      |           * 10000 + 0.5) AS BIGINT) AS su
+      |  FROM documents),
+      |b AS (
+      |  SELECT source, su // 1000 AS bin,
+      |         CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(y) AS BIGINT) AS n_pos,
+      |         CAST(sum(su) AS BIGINT) AS ssu,
+      |         sum(CAST(su - y * 10000 AS HUGEINT) * (su - y * 10000))
+      |           AS sd2
+      |  FROM q GROUP BY 1, 2),
+      |s AS (
+      |  SELECT source, CAST(sum(sd2) // sum(n_docs) AS BIGINT) AS brier_e8
+      |  FROM b GROUP BY 1)
+      |SELECT b.source, CAST(bin AS INT) AS bin, n_docs, n_pos,
+      |       CAST(n_pos * 1000000 // n_docs AS BIGINT) AS pos_ppm,
+      |       CAST(ssu // n_docs AS BIGINT) AS bin_score_u,
+      |       s.brier_e8
+      |FROM b JOIN s USING (source)""") { (s, d) =>
+    val dec = "decimal(38,0)"
+    val q = TextAnalysis.qualityProjection(docs(s, d))
+      .select(col("doc_id"),
+        expr("CAST(floor(quality_score * 10000 + 0.5) AS BIGINT)").as("su"))
+      .join(docs(s, d).select(col("doc_id"), col("source"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y")), "doc_id")
+    val b = q.groupBy(col("source"), expr("su div 1000").as("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum("y").as("n_pos"),
+        sum("su").as("ssu"),
+        sum((col("su") - col("y") * 10000).cast(dec) *
+          (col("su") - col("y") * 10000)).as("sd2"))
+    val sb = b.groupBy("source")
+      .agg(expr("CAST(sum(sd2) div sum(n_docs) AS BIGINT)").as("brier_e8"))
+    b.join(sb, "source")
+      .select(col("source"), col("bin").cast("int").as("bin"),
+        col("n_docs"), col("n_pos"),
+        expr("n_pos * 1000000L div n_docs").as("pos_ppm"),
+        expr("ssu div n_docs").as("bin_score_u"),
+        col("brier_e8"))
+  }
+
   // Per-source 3-gram diversity (type-token + hapax shares in exact
   // ppm) — the mode-collapse screen for templated/generated sources.
   q("t_ngram_diversity",

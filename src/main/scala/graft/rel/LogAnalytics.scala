@@ -2975,6 +2975,85 @@ object LogAnalytics extends QueryRegistry {
         .as("q_lb"))
   }
 
+  /** Weekly seasonality strength as the day-of-week eta² (variance
+    * explained: SS_between/SS_total of the 7 day-of-week groups over
+    * the per-type daily composite) — the cheap "does this series have
+    * a weekly pulse" gate run before paying for `k5_stl_components`
+    * or `ts_holt_winters`'s seasonal state. Exact integers end to
+    * end: both sums of squares expand around the FLOORED means
+    * (mg = s_g div n_g, μ = s div n — the ts_acf centering
+    * discipline, so no second data pass is needed: SSB and SST come
+    * from one (type, dow) aggregation via Σx², Σng·mg², Σng·mg in
+    * HUGEINT/DECIMAL(38,0)), and eta²_ppm is one floor division.
+    * NULL on a constant series (SST = 0). Shape: one map-combined
+    * shuffle to (type, day), one to (type, dow) — ≤ 7 rows per type
+    * after that, nothing data-sized past the first exchange.
+    */
+  q("ts_seasonal_strength",
+    """WITH daily AS (
+      |  SELECT event_type,
+      |         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS st,
+      |         CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+      |              // count(*) AS BIGINT) AS xu
+      |  FROM events GROUP BY event_type, date_trunc('day', ts)),
+      |g AS (
+      |  SELECT event_type, (st // 86400 + 4) % 7 AS dow,
+      |         CAST(count(*) AS BIGINT) AS ng,
+      |         CAST(sum(xu) AS BIGINT) AS sg,
+      |         sum(CAST(xu AS HUGEINT) * xu) AS ssg
+      |  FROM daily GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, CAST(sum(ng) AS BIGINT) AS n,
+      |         CAST(sum(sg) AS BIGINT) AS s, sum(ssg) AS ss
+      |  FROM g GROUP BY 1),
+      |b AS (
+      |  SELECT g.event_type, m.n, m.s, m.ss, m.s // m.n AS mu,
+      |         sum(CAST(g.ng AS HUGEINT) * (g.sg // g.ng) * (g.sg // g.ng))
+      |           AS smm,
+      |         sum(CAST(g.ng AS HUGEINT) * (g.sg // g.ng)) AS sm
+      |  FROM g JOIN m USING (event_type)
+      |  GROUP BY 1, 2, 3, 4, 5),
+      |f AS (
+      |  SELECT event_type, n,
+      |         smm - 2 * CAST(mu AS HUGEINT) * sm +
+      |           CAST(mu AS HUGEINT) * mu * n AS ssb,
+      |         ss - 2 * CAST(mu AS HUGEINT) * s +
+      |           CAST(mu AS HUGEINT) * mu * n AS sst
+      |  FROM b)
+      |SELECT event_type, n AS n_days,
+      |       CAST(CASE WHEN sst = 0 THEN NULL
+      |            ELSE ssb * 1000000 // sst END AS BIGINT) AS eta2_ppm
+      |FROM f""") { (s, d) =>
+    val dec = "decimal(38,0)"
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("st"))
+      .agg(expr(
+        "sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) div count(*)")
+        .as("xu"))
+    val g = daily
+      .groupBy(col("event_type"), expr("((st div 86400) + 4) % 7").as("dow"))
+      .agg(count(lit(1)).as("ng"), sum("xu").as("sg"),
+        sum(col("xu").cast(dec) * col("xu")).as("ssg"))
+    val m = g.groupBy("event_type")
+      .agg(sum("ng").as("n"), sum("sg").as("s"), sum("ssg").as("ss"))
+    val b = g.join(m, "event_type")
+      .withColumn("mg", expr("sg div ng"))
+      .groupBy(col("event_type"), col("n"), col("s"), col("ss"),
+        expr("s div n").as("mu"))
+      .agg(sum(col("ng").cast(dec) * col("mg") * col("mg")).as("smm"),
+        sum(col("ng").cast(dec) * col("mg")).as("sm"))
+    b.select(col("event_type"), col("n"),
+        (col("smm") - lit(2) * col("mu").cast(dec) * col("sm") +
+          col("mu").cast(dec) * col("mu") * col("n")).as("ssb"),
+        (col("ss") - lit(2) * col("mu").cast(dec) * col("s") +
+          col("mu").cast(dec) * col("mu") * col("n")).as("sst"))
+      .select(col("event_type"), col("n").as("n_days"),
+        when(col("sst") === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST((ssb * 1000000) div sst AS BIGINT)"))
+          .as("eta2_ppm"))
+  }
+
   /** Kruskal–Wallis rank analysis with Dunn-style per-group z-scores:
     * the k-sample extension of `la_mannwhitney` — for EACH event type,
     * how far its tie-corrected mean rank (over the global value grid)

@@ -214,6 +214,18 @@ class GraphSpec extends AnyFunSuite {
     assert(rows == Map(1 -> ((4L, 6L)), 2 -> ((4L, 6L)), 3 -> ((4L, 6L))))
   }
 
+  test("degreeAssortativity: a perfect star is exactly -1; a cycle " +
+      "(regular, zero degree variance) is NULL") {
+    import spark.implicits._
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val r1 = GraphOps.degreeAssortativity(star).collect().head
+    assert(r1.getAs[Long]("m") == 6L)
+    assert(r1.getAs[Double]("assortativity") == -1.0)
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    val r2 = GraphOps.degreeAssortativity(cycle).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("assortativity")))
+  }
+
   test("kCore: a path fully dissolves under 2-core cascading peels") {
     import spark.implicits._
     // path 1-2-3-4-5: round 1 drops the endpoints, round 2 the rest

@@ -1452,6 +1452,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(s2.getAs[Long]("kappa_ppm") == 1000000L)
   }
 
+  test("t_quality_calibration: hand scores land in the right bins " +
+      "with the exact integer Brier") {
+    import spark.implicits._
+    // the four gateKappa fixture texts have known score_u values
+    // 6250 / 625 / 3125 / 9875 -> bins 6 / 0 / 3 / 9
+    val passBoth = "the cat sat on a mat with some very fine hats today"
+    val failBoth = "x y z"
+    val gopherOnly = "the and cat dog pig cow fox hen bat rat owl ant " +
+      "bee elk yak ape asp cod eel emu"
+    val scoreOnly = "absolutely the magnificent of extraordinary"
+    val dir = java.nio.file.Files.createTempDirectory("cal_docs").toString
+    Seq((0L, passBoth, "en"), (1L, failBoth, "xx"),
+      (2L, gopherOnly, "en"), (3L, scoreOnly, "xx"))
+      .map { case (id, t, lang) => (id, t, lang, "s1", t.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val rows = PipelineQueries.queries("t_quality_calibration")(spark, dir)
+      .collect().map(r => r.getAs[Int]("bin") ->
+        ((r.getAs[Long]("n_pos"), r.getAs[Long]("pos_ppm"),
+          r.getAs[Long]("bin_score_u"), r.getAs[Long]("brier_e8")))).toMap
+    // Brier = (3750^2 + 625^2 + 6875^2 + 9875^2) div 4 = 39808593
+    assert(rows(6) == ((1L, 1000000L, 6250L, 39808593L)))
+    assert(rows(0) == ((0L, 0L, 625L, 39808593L)))
+    assert(rows(3) == ((1L, 1000000L, 3125L, 39808593L)))
+    assert(rows(9) == ((0L, 0L, 9875L, 39808593L)))
+  }
+
   test("truncationRecall: planted prefix-blind neighbor costs exactly " +
       "one hit") {
     import spark.implicits._

@@ -96,6 +96,23 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("eff_users_ppm") == 1600000L)
   }
 
+  test("ts_seasonal_strength: an exact weekly pattern explains all " +
+      "variance (10^6 ppm); a constant series is NULL") {
+    // 14 days, value 10.0 on the first two weekdays of each week and
+    // 2.0 otherwise: zero within-dow variance -> eta2 = SSB/SST = 1
+    val weekly = eventsDir((0 until 14).map { i =>
+      (i.toLong, base + i * day, 1L, "a", if (i % 7 < 2) 10.0 else 2.0)
+    })
+    val r1 = run("ts_seasonal_strength", weekly).collect().head
+    assert(r1.getAs[Long]("n_days") == 14L)
+    assert(r1.getAs[Long]("eta2_ppm") == 1000000L)
+    val const = eventsDir((0 until 14).map { i =>
+      (i.toLong, base + i * day, 1L, "a", 3.0)
+    })
+    val r2 = run("ts_seasonal_strength", const).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("eta2_ppm")))
+  }
+
   test("la_hhi: a monopolist user is 10^6 ppm, one effective user") {
     val dir = eventsDir(Seq((0L, base, 9L, "a", 2.0)))
     val r = run("la_hhi", dir).collect().head
