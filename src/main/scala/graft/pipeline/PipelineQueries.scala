@@ -826,6 +826,74 @@ object PipelineQueries extends QueryRegistry {
         round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
+  /** Recall/precision audit of the MinHash-LSH candidate pairs
+    * against the EXACT 3-gram Jaccard ground truth at the same 0.5
+    * threshold — the honest sketch-quality metric that belongs next
+    * to dd_minhash_lsh's speed (the sim_ivf_recall posture, applied
+    * to dedup): a banding/bucket-cap/signature regression moves
+    * n_hit and fails the integer hash. One full-outer join of the two
+    * bounded pair sets; counts and ppm ratios are exact integers.
+    * The oracle re-derives BOTH sides (the complete HUGEINT minhash
+    * chain — generated from the same `Dedup.minhashParams`, so the
+    * two cannot drift — plus the exact posting-list intersection).
+    */
+  private val minhashRecallOracleSql: String = {
+    val cut = minhashOracleSql.indexOf("SELECT CAST(doc_a AS BIGINT)")
+    val ctes = minhashOracleSql.substring(0, cut).trim
+    s"""$ctes,
+       |found AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  WHERE len(list_filter(range(1, 33),
+       |        i -> sa[CAST(i AS INT)] = sb[CAST(i AS INT)])) / 32.0 >= 0.5),
+       |grams2 AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS g
+       |           FROM toks,
+       |           unnest(generate_series(1, greatest(len(l) - 2, 1))) AS t(i)),
+       |cnt2 AS (SELECT doc_id, count(*) AS n_grams FROM grams2
+       |         GROUP BY doc_id),
+       |inter2 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |                  count(*) AS n_inter
+       |           FROM grams2 a
+       |           JOIN grams2 b ON a.g = b.g AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2),
+       |truth AS (SELECT doc_a, doc_b
+       |          FROM inter2 JOIN cnt2 ca ON ca.doc_id = doc_a
+       |                      JOIN cnt2 cb ON cb.doc_id = doc_b
+       |          WHERE round(n_inter / (ca.n_grams + cb.n_grams - n_inter),
+       |                      4) >= 0.5),
+       |hit AS (SELECT t.doc_a FROM truth t JOIN found f
+       |        ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b),
+       |c AS (SELECT
+       |  CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+       |  CAST((SELECT count(*) FROM found) AS BIGINT) AS n_cand,
+       |  CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit)
+       |SELECT n_truth, n_cand, n_hit,
+       |  CAST(CASE WHEN n_truth = 0 THEN NULL
+       |       ELSE n_hit * 1000000 // n_truth END AS BIGINT) AS recall_ppm,
+       |  CAST(CASE WHEN n_cand = 0 THEN NULL
+       |       ELSE n_hit * 1000000 // n_cand END AS BIGINT) AS precision_ppm
+       |FROM c""".stripMargin
+  }
+
+  q("dd_minhash_recall", minhashRecallOracleSql) { (s, d) =>
+    val dc = docs(s, d)
+    val truth = Dedup.ngramJaccardPairs(dc, n = 3, minJaccard = 0.5)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
+    val found = Dedup.minhashCandidates(dc, minEstJaccard = 0.5)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("f"))
+    truth.join(found, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(sum(coalesce(col("t"), lit(0L))).as("n_truth"),
+        sum(coalesce(col("f"), lit(0L))).as("n_cand"),
+        sum(coalesce(col("t"), lit(0L)) * coalesce(col("f"), lit(0L)))
+          .as("n_hit"))
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        when(col("n_truth") === 0, lit(null).cast("long"))
+          .otherwise(expr("n_hit * 1000000L div n_truth"))
+          .as("recall_ppm"),
+        when(col("n_cand") === 0, lit(null).cast("long"))
+          .otherwise(expr("n_hit * 1000000L div n_cand"))
+          .as("precision_ppm"))
+  }
+
   /** Incremental NEAR-dup ingest oracle (r9): the full minhash
     * machinery (same HUGEINT folds and constants as
     * [[minhashOracleSql]] — generated from the same

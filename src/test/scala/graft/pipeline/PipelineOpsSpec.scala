@@ -1452,6 +1452,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(s2.getAs[Long]("kappa_ppm") == 1000000L)
   }
 
+  test("dd_minhash_recall: an exact duplicate pair is found (recall " +
+      "10^6 ppm), disjoint docs contribute nothing") {
+    import spark.implicits._
+    val dup = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val other = (0 until 40).map(i => s"zzz$i").mkString(" ")
+    val far = (0 until 40).map(i => s"qqq$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("mr_docs").toString
+    Seq((0L, dup), (1L, dup), (2L, other), (3L, far))
+      .map { case (id, t) => (id, t, "en", "s", t.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val r = PipelineQueries.queries("dd_minhash_recall")(spark, dir)
+      .collect().head
+    assert(r.getAs[Long]("n_truth") == 1L)
+    assert(r.getAs[Long]("n_hit") == 1L)
+    assert(r.getAs[Long]("recall_ppm") == 1000000L)
+    assert(r.getAs[Long]("precision_ppm") == 1000000L)
+  }
+
   test("t_quality_calibration: hand scores land in the right bins " +
       "with the exact integer Brier") {
     import spark.implicits._
