@@ -339,6 +339,49 @@ object GraphOps {
     result
   }
 
+  /** Newman modularity of the [[labelPropagation]] communities —
+    * Q = e_in/2m − Σ_c (d_c/2m)², the "did the partition actually find
+    * structure" score (Q ≈ 0: no better than random; Q ≳ 0.3: real
+    * community structure) a curator reads before acting on g_lpa's
+    * labels. Exact integers end to end: e_in counts DIRECTED
+    * same-community edges, d_c sums member degrees (Σ_c d_c = 2m, so
+    * no separate edge count), the single quotient is
+    * ((e_in·2m − Σd_c²)·10⁶) div (2m)² in DECIMAL(38,0) — truncating
+    * division matches the oracle's `//` on negatives too (both
+    * round toward zero). Shape: the LPA rounds (per-round bounded
+    * windows), then one edge-sized membership join + three tiny
+    * aggregates; the bidirectional edge view is persisted across its
+    * four consumers and released on return.
+    */
+  def lpaModularity(edges: DataFrame, iters: Int): DataFrame = {
+    val dec = "decimal(38,0)"
+    val dd = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val lbl = labelPropagationOnView(dd, iters)
+    val deg = dd.groupBy("src").agg(count(lit(1)).as("dg"))
+    val dc = deg.join(lbl, deg("src") === lbl("node"))
+      .groupBy("community").agg(sum("dg").as("d_c"))
+    val s = dc.agg(count(lit(1)).as("n_communities"),
+      sum("d_c").as("m2"),
+      sum(col("d_c").cast(dec) * col("d_c")).as("sdc2"))
+    val ei = dd
+      .join(lbl.select(col("node").as("src"), col("community").as("ca")),
+        "src")
+      .join(lbl.select(col("node").as("dst"), col("community").as("cb")),
+        "dst")
+      .filter(col("ca") === col("cb"))
+      .agg(count(lit(1)).as("e_in"))
+    val out = s.crossJoin(ei)
+      .select(col("n_communities"), col("m2"), col("e_in"),
+        expr("""CAST(((e_in * CAST(m2 AS DECIMAL(38,0)) - sdc2) * 1000000)
+          | div (CAST(m2 AS DECIMAL(38,0)) * m2) AS BIGINT)"""
+          .stripMargin).as("q_ppm"))
+      .localCheckpoint(true)
+    dd.unpersist(false)
+    out
+  }
+
   /** Standing edge view for iterative graph ops — (src, dst, deg) both
     * directions, eagerly materialized via localCheckpoint (lineage
     * truncates to the stored partitions; the ContextCleaner frees the

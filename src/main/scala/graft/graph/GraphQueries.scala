@@ -186,6 +186,15 @@ object GraphQueries extends QueryRegistry {
     GraphOps.labelPropagation(GraphOps.copurchaseEdges(li(s, d)), 2)
   }
 
+  /** Modularity of the 2-round LPA partition — see
+    * [[GraphOps.lpaModularity]]; the oracle replays the LPA rounds
+    * (same chain as g_lpa, generated from one builder so the two
+    * cannot drift) then the exact integer Q arithmetic.
+    */
+  q("g_modularity", modularitySql(2)) { (s, d) =>
+    GraphOps.lpaModularity(GraphOps.copurchaseEdges(li(s, d)), 2)
+  }
+
   q("g_hits", hitsSql(2)) { (s, d) =>
     val orders = Tables.load(s, d, "orders")
     val e = orders.select(org.apache.spark.sql.functions.col("o_orderkey"),
@@ -227,6 +236,33 @@ object GraphQueries extends QueryRegistry {
   /** Chained-CTE oracle for k-hop reachability: r_i = distinct union
     * of r_{i-1} and its out-neighbors; one count row per hop.
     */
+  /** Oracle for LPA modularity: the [[lpaSql]] CTE chain (string
+    * surgery keeps one source of truth) plus the exact integer Q.
+    */
+  private def modularitySql(iters: Int): String = {
+    val base = lpaSql(iters)
+    val cut = base.indexOf("SELECT CAST(node AS BIGINT)")
+    val ctes = base.substring(0, cut).trim
+    s"""$ctes,
+       |lbl AS (SELECT node, lbl AS community FROM l$iters),
+       |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS dg
+       |        FROM dd GROUP BY 1),
+       |dc AS (SELECT community, CAST(sum(dg) AS BIGINT) AS d_c
+       |       FROM deg JOIN lbl USING (node) GROUP BY 1),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+       |             CAST(sum(d_c) AS BIGINT) AS m2,
+       |             sum(CAST(d_c AS HUGEINT) * d_c) AS sdc2
+       |      FROM dc),
+       |ei AS (SELECT CAST(count(*) AS BIGINT) AS e_in
+       |       FROM dd JOIN lbl x ON dd.src = x.node
+       |               JOIN lbl y ON dd.dst = y.node
+       |       WHERE x.community = y.community)
+       |SELECT n_communities, m2, e_in,
+       |       CAST(((CAST(e_in AS HUGEINT) * m2 - sdc2) * 1000000)
+       |            // (CAST(m2 AS HUGEINT) * m2) AS BIGINT) AS q_ppm
+       |FROM s, ei""".stripMargin
+  }
+
   /** Chained-CTE oracle for capped k-core peeling: per round, a
     * degree-filtered keep set then both-endpoints edge restriction.
     */

@@ -651,6 +651,36 @@ object RelQueries extends QueryRegistry {
       round(avg("a").over(w), 6).as("ma3"))
   }
 
+  /** Distribution-rank window family (ntile/percent_rank/cume_dist)
+    * over per-user value totals — completes the ranking-window surface
+    * (w2/w4 cover row_number/rank). The window runs over PER-USER
+    * aggregates (state bounded by users per type, not events), the
+    * (tot DESC, user_id) order is total so every rank function is
+    * deterministic, and the two ratio outputs use the standard SQL
+    * definitions both engines share bit for bit.
+    */
+  q("w7_ntile_dist",
+    """WITH u AS (SELECT event_type, user_id,
+      |             CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+      |                  AS BIGINT) AS tot
+      |           FROM events GROUP BY 1, 2)
+      |SELECT event_type, CAST(user_id AS BIGINT) AS user_id, tot,
+      |       CAST(ntile(4) OVER w AS INT) AS quartile,
+      |       round(percent_rank() OVER w, 6) AS pct_rank,
+      |       round(cume_dist() OVER w, 6) AS cume
+      |FROM u WINDOW w AS (PARTITION BY event_type
+      |                    ORDER BY tot DESC, user_id)""") { (s, d) =>
+    val u = t(s, d, "events")
+      .groupBy("event_type", "user_id")
+      .agg(expr("sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))").as("tot"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("tot").desc, col("user_id"))
+    u.select(col("event_type"), col("user_id"), col("tot"),
+      ntile(4).over(w).as("quartile"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cume"))
+  }
+
   // ------------------------------------------- sorts / limits / set ops
 
   q("o1_topk",

@@ -214,6 +214,20 @@ class GraphSpec extends AnyFunSuite {
     assert(rows == Map(1 -> ((4L, 6L)), 2 -> ((4L, 6L)), 3 -> ((4L, 6L))))
   }
 
+  test("lpaModularity: two disjoint triangles resolve to two " +
+      "communities with Q exactly 0.5") {
+    import spark.implicits._
+    // LPA converges to one label per triangle; e_in = 2m = 12,
+    // d_c = 6 each -> Q = ((12*12 - 72) * 1e6) div 144 = 500000
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("a", "b")
+    val r = GraphOps.lpaModularity(edges, 2).collect().head
+    assert(r.getAs[Long]("n_communities") == 2L)
+    assert(r.getAs[Long]("m2") == 12L)
+    assert(r.getAs[Long]("e_in") == 12L)
+    assert(r.getAs[Long]("q_ppm") == 500000L)
+  }
+
   test("degreeAssortativity: a perfect star is exactly -1; a cycle " +
       "(regular, zero degree variance) is NULL") {
     import spark.implicits._
