@@ -2975,6 +2975,111 @@ object LogAnalytics extends QueryRegistry {
         .as("q_lb"))
   }
 
+  /** Partial autocorrelation (lags 1–3) of the per-type daily
+    * composite via the closed-form Durbin–Levinson recursion — the
+    * AR-order picker that `ts_acf` alone can't give (an AR(1) series
+    * shows geometric ACF at every lag but PACF cuts off after 1):
+    * φ₁₁ = r₁, φ₂₂ = (r₂−r₁²)/(1−r₁²),
+    * φ₃₃ = (r₃−φ₂₁r₂−φ₂₂r₁)/(1−φ₂₁r₁−φ₂₂r₂) with φ₂₁ = r₁−φ₂₂r₁.
+    * The r_k inputs are the SAME exact integer sums as ts_acf
+    * (order-independent longs); every float step after that is a
+    * short chain of named columns evaluated token-identically by the
+    * oracle, with NULL guards on the three degenerate denominators
+    * (constant or perfectly-correlated series) instead of ANSI
+    * divide-by-zero. Shape identical to ts_acf: one (type, day)
+    * aggregation, one per-type window over daily rows.
+    */
+  q("ts_pacf",
+    """WITH daily AS (
+      |  SELECT event_type,
+      |         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS st,
+      |         CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+      |              // count(*) AS BIGINT) AS xu
+      |  FROM events GROUP BY event_type, date_trunc('day', ts)),
+      |mu AS (
+      |  SELECT event_type,
+      |         CAST(sum(xu) // count(*) AS BIGINT) AS m,
+      |         CAST(count(*) AS BIGINT) AS n_days
+      |  FROM daily GROUP BY event_type),
+      |dev AS (
+      |  SELECT d.event_type, m.n_days, d.st, d.xu - m.m AS dv
+      |  FROM daily d JOIN mu m USING (event_type)),
+      |led AS (
+      |  SELECT event_type, n_days, dv,
+      |         lead(dv, 1) OVER w AS d1, lead(dv, 2) OVER w AS d2,
+      |         lead(dv, 3) OVER w AS d3
+      |  FROM dev WINDOW w AS (PARTITION BY event_type ORDER BY st)),
+      |sums AS (
+      |  SELECT event_type, max(n_days) AS n_days,
+      |         sum(dv * dv) AS den,
+      |         sum(dv * d1) AS s1, sum(dv * d2) AS s2,
+      |         sum(dv * d3) AS s3
+      |  FROM led GROUP BY event_type),
+      |r AS (
+      |  SELECT event_type, n_days,
+      |         CASE WHEN den = 0 THEN NULL
+      |              ELSE CAST(s1 AS DOUBLE) / CAST(den AS DOUBLE) END AS r1,
+      |         CASE WHEN den = 0 THEN NULL
+      |              ELSE CAST(s2 AS DOUBLE) / CAST(den AS DOUBLE) END AS r2,
+      |         CASE WHEN den = 0 THEN NULL
+      |              ELSE CAST(s3 AS DOUBLE) / CAST(den AS DOUBLE) END AS r3
+      |  FROM sums),
+      |p2 AS (
+      |  SELECT *, CASE WHEN 1 - r1 * r1 = 0 THEN NULL
+      |            ELSE (r2 - r1 * r1) / (1 - r1 * r1) END AS f22
+      |  FROM r),
+      |p3 AS (SELECT *, r1 - f22 * r1 AS f21 FROM p2),
+      |p4 AS (
+      |  SELECT *, CASE WHEN 1 - f21 * r1 - f22 * r2 = 0 THEN NULL
+      |            ELSE (r3 - f21 * r2 - f22 * r1) /
+      |                 (1 - f21 * r1 - f22 * r2) END AS f33
+      |  FROM p3)
+      |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+      |       CAST(l AS INT) AS lag, round([r1, f22, f33][l], 6) AS pacf
+      |FROM p4, unnest(generate_series(1, 3)) AS g(l)""") { (s, d) =>
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("st"))
+      .agg(expr(
+        "sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) div count(*)")
+        .as("xu"))
+    val mu = daily.groupBy("event_type")
+      .agg(expr("sum(xu) div count(*)").as("m"),
+        count(lit(1)).as("n_days"))
+    val w = Window.partitionBy("event_type").orderBy("st")
+    val led = daily.join(mu, "event_type")
+      .withColumn("dv", col("xu") - col("m"))
+      .select(col("event_type") +: col("n_days") +: col("dv") +:
+        (1 to 3).map(l => lead(col("dv"), l).over(w).as(s"d$l")): _*)
+    val aggs = max(col("n_days")).as("n_days") +:
+      sum(col("dv") * col("dv")).as("den") +:
+      (1 to 3).map(l => sum(col("dv") * col(s"d$l")).as(s"s$l"))
+    val sums = led.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+    def rk(l: Int) = when(col("den") === 0, lit(null).cast("double"))
+      .otherwise(col(s"s$l").cast("double") / col("den").cast("double"))
+    val p = sums
+      .withColumn("r1", rk(1)).withColumn("r2", rk(2))
+      .withColumn("r3", rk(3))
+      .withColumn("f22",
+        when(lit(1) - col("r1") * col("r1") === 0,
+          lit(null).cast("double"))
+          .otherwise((col("r2") - col("r1") * col("r1")) /
+            (lit(1) - col("r1") * col("r1"))))
+      .withColumn("f21", col("r1") - col("f22") * col("r1"))
+      .withColumn("f33",
+        when(lit(1) - col("f21") * col("r1") - col("f22") * col("r2") === 0,
+          lit(null).cast("double"))
+          .otherwise(
+            (col("r3") - col("f21") * col("r2") - col("f22") * col("r1")) /
+              (lit(1) - col("f21") * col("r1") - col("f22") * col("r2"))))
+    p.select(col("event_type"), col("n_days"),
+        posexplode(array(col("r1"), col("f22"), col("f33")))
+          .as(Seq("p", "v")))
+      .select(col("event_type"), col("n_days"),
+        (col("p") + 1).cast("int").as("lag"),
+        round(col("v"), 6).as("pacf"))
+  }
+
   /** Weekly seasonality strength as the day-of-week eta² (variance
     * explained: SS_between/SS_total of the 7 day-of-week groups over
     * the per-type daily composite) — the cheap "does this series have

@@ -85,6 +85,27 @@ class RobustStatsSpec extends AnyFunSuite {
       x.getAs[Double]("z").isNaN))
   }
 
+  test("ts_pacf: alternating series matches the hand Durbin-Levinson " +
+      "values; constant series is all-NULL") {
+    val alt = eventsDir((0 until 8).map { i =>
+      (i.toLong, base + i * day, 1L, "a",
+        if (i % 2 == 0) 1.0 else 2.0)
+    })
+    val r = run("ts_pacf", alt).collect()
+      .map(x => x.getAs[Int]("lag") -> x.getAs[Double]("pacf")).toMap
+    // r1 = -7/8; f22 = (3/4 - 49/64)/(1 - 49/64); f33 from the
+    // recursion on r = (-7/8, 3/4, -5/8)
+    assert(r(1) == -0.875)
+    assert(math.abs(r(2) + 0.066667) < 1e-5)
+    assert(math.abs(r(3) - 0.071429) < 1e-5)
+    val const = eventsDir((0 until 8).map { i =>
+      (i.toLong, base + i * day, 1L, "a", 3.0)
+    })
+    val rows = run("ts_pacf", const).collect()
+    assert(rows.length == 3)
+    assert(rows.forall(x => x.isNullAt(x.fieldIndex("pacf"))))
+  }
+
   test("la_hhi: two users at 1:3 value share give HHI = 625000 ppm, " +
       "1.6 effective users") {
     val dir = eventsDir(Seq(
