@@ -59,7 +59,15 @@ object Bench {
     // passes + top-k heaps), and the iterative graph additions (BFS
     // frontier expansion; 2-round label propagation)
     "t_gopher_rules", "t_ngram_diversity", "t_quality_auc",
-    "la_spearman", "t_ndcg", "g_khop", "g_lpa", "ts_mase")
+    "la_spearman", "t_ndcg", "g_khop", "g_lpa", "ts_mase",
+    // r9 second sweep: the structural-graph additions (triangle-corner
+    // enumeration, capped peeling, LPA + membership join, two degree
+    // joins), both honest-recall audits (each runs its approximate and
+    // its exact side), the global-grid rank stats, and the O(days²)
+    // pairwise-slope self-join
+    "g_local_clustering", "g_kcore", "g_modularity", "g_assortativity",
+    "dd_minhash_recall", "sim_trunc_recall", "la_kruskal_dunn",
+    "ts_theil_sen")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
