@@ -486,13 +486,22 @@ object Dedup {
     // rather than evicting at corpus scale.
     val sets = gramSets(docs, n, "text", "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verifyPairsNgram(jaccardCandidates(sets, minJaccard), sets, minJaccard)
+  }
+
+  /** AllPairs candidate generation shared by [[ngramJaccardPairs]] and
+    * [[jaccardThresholdCurve]]: prefix self-join + length-ratio cut,
+    * both LOSSLESS for true J ≥ minJaccard.
+    */
+  private def jaccardCandidates(sets: DataFrame,
+      minJaccard: Double): DataFrame = {
     val prefixLen = (col("n_grams") -
       floor(col("n_grams") * lit(minJaccard)) + 1).cast("int")
     val prefix = sets.select(col("doc_id"), col("n_grams"),
       explode(slice(col("grams"), lit(1), prefixLen)).as("g"))
     val a = prefix.as("pa")
     val b = prefix.as("pb")
-    val cands = a.join(b,
+    a.join(b,
         col("pa.g") === col("pb.g") &&
           col("pa.doc_id") < col("pb.doc_id") &&
           // length filter: J ≥ t ⟹ t·|B| ≤ |A| and t·|A| ≤ |B|
@@ -501,7 +510,41 @@ object Dedup {
           col("pa.n_grams") * lit(minJaccard) <= col("pb.n_grams") + lit(0.5))
       .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
       .distinct()
-    verifyPairsNgram(cands, sets, minJaccard)
+  }
+
+  /** Threshold-sensitivity curve for exact n-gram Jaccard dedup: how
+    * many pairs each threshold choice adds or removes — the histogram
+    * of exact Jaccard DECILES over all pairs with J ≥ minJaccard,
+    * plus the top-down cumulative (cum_pairs at bucket b = pairs a
+    * threshold of b/10 would keep). The audit a curator runs BEFORE
+    * pinning the dedup threshold: a fat bucket just under the current
+    * cut means the decision is knife-edged. Buckets are exact integer
+    * cross-multiplications ((n_inter·10) div union; the ≥ gate is
+    * 2·n_inter ≥ union) — no float knife-edge, oracle replays bit for
+    * bit. Cost note: the AllPairs prefix/length bounds are set by the
+    * LOWEST threshold in the curve (prefix length grows as (1−t)·n),
+    * so the curve costs what a single run at minJaccard costs; the
+    * ≤ 6-row histogram window is bucket-bounded.
+    */
+  def jaccardThresholdCurve(docs: DataFrame, n: Int = 3,
+      minJaccard: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = gramSets(docs, n, "text", "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val h = jaccardCandidates(sets, minJaccard)
+      .join(sets.select(col("doc_id").as("doc_a"), col("grams").as("ga"),
+        col("n_grams").as("n_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("grams").as("gb"),
+        col("n_grams").as("n_b")), "doc_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("un", col("n_a") + col("n_b") - col("n_inter"))
+      .filter(col("n_inter") * 2 >= col("un"))
+      .groupBy(expr("(n_inter * 10L) div un").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+    h.withColumn("cum_pairs",
+      sum("n_pairs").over(Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
   /** Exact n-gram CONTAINMENT pairs: C(sub→super) = |sub ∩ super| /

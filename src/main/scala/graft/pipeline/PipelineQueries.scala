@@ -1112,6 +1112,35 @@ object PipelineQueries extends QueryRegistry {
     Dedup.ngramJaccardPairs(docs(s, d), n = 3, minJaccard = 0.8)
   }
 
+  // Threshold-sensitivity curve for the Jaccard dedup threshold:
+  // exact-decile histogram + top-down cumulative over pairs with
+  // J >= 0.5 — see Dedup.jaccardThresholdCurve. Integer buckets
+  // ((n_inter*10) div union), no float knife-edge.
+  q("dd_threshold_curve",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |grams AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS g
+      |          FROM toks, unnest(generate_series(1, greatest(len(l) - 2, 1))) AS t(i)),
+      |cnt AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |sel AS (SELECT n_inter,
+      |               ca.n_grams + cb.n_grams - n_inter AS un
+      |        FROM inter
+      |        JOIN cnt ca ON ca.doc_id = doc_a
+      |        JOIN cnt cb ON cb.doc_id = doc_b
+      |        WHERE n_inter * 2 >= ca.n_grams + cb.n_grams - n_inter),
+      |h AS (SELECT CAST((n_inter * 10) // un AS BIGINT) AS bucket,
+      |             CAST(count(*) AS BIGINT) AS n_pairs
+      |      FROM sel GROUP BY 1)
+      |SELECT bucket, n_pairs,
+      |       CAST(sum(n_pairs) OVER (ORDER BY bucket DESC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |            AS BIGINT) AS cum_pairs
+      |FROM h""") { (s, d) =>
+    Dedup.jaccardThresholdCurve(docs(s, d), n = 3, minJaccard = 0.5)
+  }
+
   // Per-source dedup impact report: docs/tokens that exact dedup would
   // remove, ppm rate — the post-dedup curation dashboard. Keeper is
   // global min doc_id per text, so cross-source dups charge the
@@ -4120,7 +4149,7 @@ object PipelineQueries extends QueryRegistry {
   // agree beyond chance" before swapping one for the other. See
   // TextAnalysis.gateKappa; exact ppm floor arithmetic replayed by
   // the oracle.
-  q("t_gate_kappa",
+  private[graft] val gateKappaSql: String =
     """WITH t AS (SELECT source, string_split(text, ' ') AS ws,
       |                  length(text) AS chars
       |           FROM documents),
@@ -4161,7 +4190,9 @@ object PipelineQueries extends QueryRegistry {
       |            ELSE ((CAST(n_agree AS HUGEINT) * n_docs - pe) * 1000000)
       |                 // (CAST(n_docs AS HUGEINT) * n_docs - pe) END
       |            AS BIGINT) AS kappa_ppm
-      |FROM k""") { (s, d) =>
+      |FROM k"""
+
+  q("t_gate_kappa", gateKappaSql) { (s, d) =>
     TextAnalysis.gateKappa(docs(s, d))
   }
 

@@ -220,6 +220,23 @@ object StreamQueries extends QueryRegistry {
       "append")
   }
 
+  /** Streaming gate-agreement kappa — the streaming twin of
+    * `t_gate_kappa` (oracle shared via one SQL builder, so the two
+    * cannot drift): both document gates are map-only column algebra
+    * and the 2×2 cell counts are ONE aggregation level, so the whole
+    * batch [[graft.text.TextAnalysis.gateKappa]] transform runs on
+    * the stream unchanged in complete mode — the live "are my two
+    * filters still agreeing" monitor an ingest pipeline keeps next to
+    * its DQ gate. Complete-mode state is sources-sized (the 2×2
+    * counts per source), invariant to micro-batch slicing because the
+    * cell sums commute.
+    */
+  q("st_gate_kappa", graft.pipeline.PipelineQueries.gateKappaSql) {
+    (s, d) =>
+      runToCompletion(
+        graft.text.TextAnalysis.gateKappa(docStream(s, d)), "complete")
+  }
+
   /** Streaming frequent n-grams (heavy hitters): complete-mode gram
     * counting with a support threshold — the streaming face of
     * [[graft.text.TextAnalysis.topKNgrams]]. A support FILTER stands in

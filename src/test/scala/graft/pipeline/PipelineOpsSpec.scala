@@ -1452,6 +1452,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(s2.getAs[Long]("kappa_ppm") == 1000000L)
   }
 
+  test("jaccardThresholdCurve: exact-dup and J=0.6 pairs land in " +
+      "buckets 10 and 6 with a top-down cumulative") {
+    val df = docsDf(
+      (0L, "x y z w v u"), (1L, "x y z w v u"),     // J = 1 -> bucket 10
+      (2L, "a b c d e f"), (3L, "a b c d e g"))     // 3/5 -> bucket 6
+    val rows = Dedup.jaccardThresholdCurve(df, n = 3, minJaccard = 0.5)
+      .collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("cum_pairs")))).toMap
+    assert(rows == Map(10L -> ((1L, 1L)), 6L -> ((1L, 2L))))
+  }
+
   test("dd_minhash_recall: an exact duplicate pair is found (recall " +
       "10^6 ppm), disjoint docs contribute nothing") {
     import spark.implicits._
