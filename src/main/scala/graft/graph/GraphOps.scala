@@ -66,33 +66,33 @@ object GraphOps {
     * lowest in the (degree, id) order), then v, then w.
     */
   def triangles(edges: DataFrame): DataFrame = {
-    val deg = degrees(edges)
-    val ed = edges
-      .join(deg.select(col("node").as("a"), col("dg").as("da")), "a")
-      .join(deg.select(col("node").as("b"), col("dg").as("db")), "b")
-    val aFirst = col("da") < col("db") ||
-      (col("da") === col("db") && col("a") < col("b"))
-    // the oriented edge view feeds THREE plan arms (both wedge sides +
-    // the closing-edge probe); persist so each arm reads the
-    // materialized view instead of re-deriving the edge set — the
-    // plan-deduped pattern pageRank's edge view uses. (The wedge JOIN
-    // itself still dominates enumeration cost; triangleCount avoids it
-    // entirely when only the count is needed.)
-    val o = ed.select(
-      when(aFirst, col("a")).otherwise(col("b")).as("src"),
-      when(aFirst, col("b")).otherwise(col("a")).as("dst"),
-      when(aFirst, col("db")).otherwise(col("da")).as("ddst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val o1 = o.select(col("src"), col("dst").as("v"), col("ddst").as("dv"))
-    val o2 = o.select(col("src"), col("dst").as("w"), col("ddst").as("dw"))
-    val wedges = o1.join(o2, "src")
-      .where(col("dv") < col("dw") ||
-        (col("dv") === col("dw") && col("v") < col("w")))
-    // the closing edge (v, w) is oriented v -> w by the same
-    // (degree, id) rule the wedge filter just applied
-    wedges.join(o.select(col("src").as("v"), col("dst").as("w")),
-        Seq("v", "w"))
-      .select(col("src").as("x"), col("v"), col("w"))
+    // same broadcast out-neighbor-array shape as [[triangleCount]],
+    // but exploding the intersection instead of summing its size: for
+    // each oriented edge (u, v), every w in N⁺(u) ∩ N⁺(v) closes
+    // exactly one triangle, found exactly once (at the edge between
+    // its two (degree, id)-lowest corners) — identical corner output
+    // to the old wedge JOIN at a fraction of the cost (the wedge join
+    // materialized Σ C(outdeg, 2) rows; this is one map-local
+    // intersect per edge against the nodes·√m-long broadcast table).
+    // r9 bench: g_local_clustering 10.7 s → wedge-join-free. At a
+    // scale where the neighbor table outgrows a broadcast, drop the
+    // hint — AQE falls back to a shuffle join on the same plan.
+    val o = oriented(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val nb = o.groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("ns"))
+    // eager checkpoint of the (3-long-per-triangle) corner set, then
+    // release the oriented view — the old wedge-join form leaked its
+    // persist for the session (the r8-advisory pattern)
+    val out = o
+      .join(broadcast(nb.select(col("src").as("u"), col("ns").as("nu"))),
+        col("src") === col("u"))
+      .join(broadcast(nb.select(col("src").as("v2"), col("ns").as("nv"))),
+        col("dst") === col("v2"))
+      .select(col("src").as("x"), col("dst").as("v"),
+        explode(array_intersect(col("nu"), col("nv"))).as("w"))
+      .localCheckpoint(true)
+    o.unpersist(false)
+    out
   }
 
   /** One-row whole-graph summary: node/edge/wedge/triangle counts and
@@ -523,13 +523,19 @@ object GraphOps {
     */
   def degreeAssortativity(edges: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
-    val deg = degrees(edges)
+    // one materialization of the (self-join-derived) edge table feeds
+    // the degree aggregate AND both sides of the membership join —
+    // unpersisted, the copurchase self-join re-ran three times
+    // (r9 bench: 4.8 s, dominated by the rebuilds)
     val dd = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = dd.groupBy("src").agg(count(lit(1)).as("dg"))
+      .select(col("src").as("node"), col("dg"))
     val ed = dd
       .join(deg.select(col("node").as("src"), col("dg").as("dx")), "src")
       .join(deg.select(col("node").as("dst"), col("dg").as("dy")), "dst")
-    ed.agg(count(lit(1)).as("m"),
+    val out = ed.agg(count(lit(1)).as("m"),
         sum(col("dx").cast(dec)).as("sx"),
         sum(col("dx").cast(dec) * col("dx")).as("sxx"),
         sum(col("dx").cast(dec) * col("dy")).as("sxy"))
@@ -542,6 +548,9 @@ object GraphOps {
               col("sx") * col("sx")).cast("double") /
             col("den").cast("double"), 6))
           .as("assortativity"))
+      .localCheckpoint(true)
+    dd.unpersist(false)
+    out
   }
 
   /** Capped-round k-core peeling (Seidman 1983): each round drops
@@ -560,9 +569,13 @@ object GraphOps {
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 2 && k <= 1000, s"k out of range: $k")
     require(rounds >= 1 && rounds <= 20, s"rounds out of range: $rounds")
+    // the round-1 degree aggregate and both keep-joins all read the
+    // initial (self-join-derived) edge table — one materialization
+    // instead of three rebuilds (r9 bench: 7.7 s, rebuild-dominated)
     var dd = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
-    var cached: Seq[DataFrame] = Nil
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var cached: Seq[DataFrame] = Seq(dd)
     var stats: Seq[DataFrame] = Nil
     for (i <- 1 to rounds) {
       val keep = dd.groupBy("src").agg(count(lit(1)).as("c"))

@@ -78,6 +78,51 @@ object Multimodal {
           .as("frame_fp"))
   }
 
+  /** Near-duplicate media detection by SHARED FRAME FINGERPRINTS —
+    * the "same video re-encoded / trimmed / re-containered" relation
+    * whole-payload checksums miss (one changed byte breaks the
+    * checksum; most frames still collide): pairs of docs sharing ≥
+    * `minShared` distinct sampled-frame fingerprints, scored by
+    * overlap_ppm = shared / min(|fp_a|, |fp_b|) (containment-style, so
+    * a clip inside a longer cut still scores high). Rides
+    * [[frameSample]]'s native rolling-hash fingerprints, so the
+    * DuckDB oracle replays the identical HUGEINT fold. Shape: one
+    * (frame_fp)-keyed posting self-join — the LSH band-join contract;
+    * `maxDocFreq` is the production skew knob (a blank/boilerplate
+    * frame shared by k docs emits O(k²) pair rows; grams above the
+    * cap leave candidate generation via a per-fp df table, the
+    * ngramContainmentPairs pattern — bounded recall loss, since
+    * near-dup media share rare frames too).
+    */
+  def frameOverlapPairs(media: DataFrame, frameBytes: Int, everyK: Int,
+      minShared: Long, maxDocFreq: Option[Int] = None): DataFrame = {
+    require(minShared >= 1, s"minShared out of range: $minShared")
+    val fps = frameSample(media, frameBytes, everyK)
+      .select(col("doc_id"), col("frame_fp")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val joinable = maxDocFreq match {
+      case Some(cap) =>
+        require(cap >= 2, s"maxDocFreq out of range: $cap")
+        val df = fps.groupBy("frame_fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("frame_fp")
+        fps.join(df, "frame_fp")
+      case None => fps
+    }
+    val cnt = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    joinable.as("x").join(joinable.as("y"),
+        col("x.frame_fp") === col("y.frame_fp") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n_fp").as("fp_a")),
+        "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n_fp").as("fp_b")),
+        "doc_b")
+      .withColumn("overlap_ppm",
+        expr("n_shared * 1000000L div least(fp_a, fp_b)"))
+  }
+
   /** Resize plumbing: target dimensions + exact scale factors from the
     * decoded dims. A codec-backed implementation would resample pixels
     * per partition; the plan shape (dims in, scales + target out) is

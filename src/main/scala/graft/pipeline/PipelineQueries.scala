@@ -3946,6 +3946,45 @@ object PipelineQueries extends QueryRegistry {
       everyK = 2)
   }
 
+  // Near-dup media by shared frame fingerprints — see
+  // Multimodal.frameOverlapPairs; the oracle replays the frame slice +
+  // HUGEINT rolling-hash fold, then the same posting self-join and
+  // integer overlap arithmetic.
+  q("mm_frame_overlap",
+    """WITH f AS (
+      |  SELECT doc_id, i AS frame_idx,
+      |         substr(text, CAST(i * 32 + 1 AS INT), 32) AS frame
+      |  FROM documents,
+      |       unnest(generate_series(0, length(text) // 32 - 1)) AS t(i)
+      |  WHERE length(text) // 32 > 0 AND i % 2 = 0),
+      |h AS (
+      |  SELECT DISTINCT doc_id,
+      |         list_reduce(
+      |           list_prepend(CAST(0 AS HUGEINT),
+      |             list_transform(range(1, length(frame) + 1),
+      |               j -> CAST(ord(substr(frame, CAST(j AS INT), 1))
+      |                         AS HUGEINT))),
+      |           (acc, ch) -> (acc * 1000003 + ch)
+      |                        % CAST('18446744073709551616' AS HUGEINT))
+      |           AS fp
+      |  FROM f),
+      |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+      |        FROM h GROUP BY 1),
+      |pr AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |              CAST(count(*) AS BIGINT) AS n_shared
+      |       FROM h x JOIN h y ON x.fp = y.fp AND x.doc_id < y.doc_id
+      |       GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT CAST(doc_a AS BIGINT) AS doc_a,
+      |       CAST(doc_b AS BIGINT) AS doc_b, n_shared,
+      |       ca.n_fp AS fp_a, cb.n_fp AS fp_b,
+      |       CAST(n_shared * 1000000 // least(ca.n_fp, cb.n_fp)
+      |            AS BIGINT) AS overlap_ppm
+      |FROM pr JOIN cnt ca ON ca.doc_id = doc_a
+      |        JOIN cnt cb ON cb.doc_id = doc_b""") { (s, d) =>
+    Multimodal.frameOverlapPairs(Multimodal.payloads(s, d),
+      frameBytes = 32, everyK = 2, minShared = 2)
+  }
+
   // Resize plumbing: stub-decoded dims -> target dims + exact scale
   // factors (one int/int division each — identical IEEE on both
   // engines, then round 6).

@@ -1452,6 +1452,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(s2.getAs[Long]("kappa_ppm") == 1000000L)
   }
 
+  test("frameOverlapPairs: shared frames pair up with containment " +
+      "ppm; the df cap drops the boilerplate frame") {
+    import spark.implicits._
+    def media(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        lit("text/fake").as("media_type"),
+        octet_length(col("text").cast("binary")).as("n_bytes"))
+    // frames of 4 bytes, every frame sampled: docs 0/1 share
+    // AAAA+BBBB+CCCC (AAAA also in doc 2 -> df 3)
+    val m = media((0L, "AAAABBBBCCCC"), (1L, "AAAABBBBCCCCDDDD"),
+      (2L, "AAAAZZZZ"))
+    val un = Multimodal.frameOverlapPairs(m, 4, 1, minShared = 2)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("n_shared"), r.getAs[Long]("overlap_ppm")))
+    // uncapped: (0,1) share 3 of min(3,4) fps -> 1e6 exactly
+    assert(un.toSeq == Seq((0L, 1L, 3L, 1000000L)))
+    val capped = Multimodal.frameOverlapPairs(m, 4, 1, minShared = 2,
+      maxDocFreq = Some(2)).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("n_shared")))
+    // AAAA (df 3) leaves candidate generation; BBBB+CCCC remain
+    assert(capped.toSeq == Seq((0L, 1L, 2L)))
+  }
+
   test("jaccardThresholdCurve: exact-dup and J=0.6 pairs land in " +
       "buckets 10 and 6 with a top-down cumulative") {
     val df = docsDf(
