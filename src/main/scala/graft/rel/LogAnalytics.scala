@@ -2975,6 +2975,161 @@ object LogAnalytics extends QueryRegistry {
         .as("q_lb"))
   }
 
+  /** Chow structural-break F-test at the series midpoint: does fitting
+    * SEPARATE lines to the two halves of the per-type daily composite
+    * beat one pooled line — the inferential companion to
+    * `ts_breakpoint` (which locates a break; this one says whether the
+    * break is statistically real):
+    * F = ((RSS_p − RSS₁ − RSS₂)/2) / ((RSS₁+RSS₂)/(n−4)).
+    * Every sufficient statistic (n, Σt, Σy, Σty, Σt², Σy² per half,
+    * pooled = their sums) is an exact DECIMAL(38,0) — both halves
+    * pivot out of ONE conditional aggregation, so there is a single
+    * (type, day) exchange and a types-sized row after it. The three
+    * RSS values and F are a short chain of named double columns
+    * evaluated token-identically by the oracle, NULL-guarded for
+    * degenerate halves (constant t, n ≤ 4). Day index t is rebased to
+    * the per-type minimum so t² stays ≤ span², epoch-magnitude-proof.
+    */
+  q("ts_chow_test",
+    """WITH daily AS (
+      |  SELECT event_type,
+      |         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) // 86400
+      |           AS xd,
+      |         CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+      |              // count(*) AS BIGINT) AS xu
+      |  FROM events GROUP BY event_type, date_trunc('day', ts)),
+      |b AS (
+      |  SELECT event_type, CAST(min(xd) AS BIGINT) AS x0,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM daily GROUP BY 1),
+      |r AS (
+      |  SELECT d.event_type, b.n, d.xu AS y, d.xd - b.x0 AS t,
+      |         CASE WHEN row_number() OVER (PARTITION BY d.event_type
+      |                ORDER BY d.xd) * 2 <= b.n THEN 1 ELSE 2 END AS seg
+      |  FROM daily d JOIN b USING (event_type)),
+      |s AS (
+      |  SELECT event_type, max(n) AS n,
+      |         CAST(sum(CASE WHEN seg = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n1,
+      |         sum(CASE WHEN seg = 1 THEN CAST(t AS HUGEINT) ELSE 0 END) AS st1,
+      |         sum(CASE WHEN seg = 1 THEN CAST(y AS HUGEINT) ELSE 0 END) AS sy1,
+      |         sum(CASE WHEN seg = 1 THEN CAST(t AS HUGEINT) * y ELSE 0 END) AS sty1,
+      |         sum(CASE WHEN seg = 1 THEN CAST(t AS HUGEINT) * t ELSE 0 END) AS stt1,
+      |         sum(CASE WHEN seg = 1 THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS syy1,
+      |         CAST(sum(CASE WHEN seg = 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n2,
+      |         sum(CASE WHEN seg = 2 THEN CAST(t AS HUGEINT) ELSE 0 END) AS st2,
+      |         sum(CASE WHEN seg = 2 THEN CAST(y AS HUGEINT) ELSE 0 END) AS sy2,
+      |         sum(CASE WHEN seg = 2 THEN CAST(t AS HUGEINT) * y ELSE 0 END) AS sty2,
+      |         sum(CASE WHEN seg = 2 THEN CAST(t AS HUGEINT) * t ELSE 0 END) AS stt2,
+      |         sum(CASE WHEN seg = 2 THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS syy2
+      |  FROM r GROUP BY 1),
+      |f AS (
+      |  SELECT event_type, n, n1, n2,
+      |         CAST(n1 AS DOUBLE) * CAST(stt1 AS DOUBLE) -
+      |           CAST(st1 AS DOUBLE) * CAST(st1 AS DOUBLE) AS vx1,
+      |         CAST(n1 AS DOUBLE) * CAST(sty1 AS DOUBLE) -
+      |           CAST(st1 AS DOUBLE) * CAST(sy1 AS DOUBLE) AS cx1,
+      |         CAST(n1 AS DOUBLE) * CAST(syy1 AS DOUBLE) -
+      |           CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE) AS vy1,
+      |         CAST(n2 AS DOUBLE) * CAST(stt2 AS DOUBLE) -
+      |           CAST(st2 AS DOUBLE) * CAST(st2 AS DOUBLE) AS vx2,
+      |         CAST(n2 AS DOUBLE) * CAST(sty2 AS DOUBLE) -
+      |           CAST(st2 AS DOUBLE) * CAST(sy2 AS DOUBLE) AS cx2,
+      |         CAST(n2 AS DOUBLE) * CAST(syy2 AS DOUBLE) -
+      |           CAST(sy2 AS DOUBLE) * CAST(sy2 AS DOUBLE) AS vy2,
+      |         CAST(n AS DOUBLE) * CAST(stt1 + stt2 AS DOUBLE) -
+      |           CAST(st1 + st2 AS DOUBLE) * CAST(st1 + st2 AS DOUBLE) AS vxp,
+      |         CAST(n AS DOUBLE) * CAST(sty1 + sty2 AS DOUBLE) -
+      |           CAST(st1 + st2 AS DOUBLE) * CAST(sy1 + sy2 AS DOUBLE) AS cxp,
+      |         CAST(n AS DOUBLE) * CAST(syy1 + syy2 AS DOUBLE) -
+      |           CAST(sy1 + sy2 AS DOUBLE) * CAST(sy1 + sy2 AS DOUBLE) AS vyp
+      |  FROM s),
+      |g AS (
+      |  SELECT event_type, n, n1, n2,
+      |         CASE WHEN vx1 = 0 THEN NULL
+      |              ELSE (vy1 - cx1 * cx1 / vx1) / CAST(n1 AS DOUBLE)
+      |         END AS rss1,
+      |         CASE WHEN vx2 = 0 THEN NULL
+      |              ELSE (vy2 - cx2 * cx2 / vx2) / CAST(n2 AS DOUBLE)
+      |         END AS rss2,
+      |         CASE WHEN vxp = 0 THEN NULL
+      |              ELSE (vyp - cxp * cxp / vxp) / CAST(n AS DOUBLE)
+      |         END AS rssp
+      |  FROM f)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_days, n1, n2,
+      |       CASE WHEN n <= 4 OR rss1 IS NULL OR rss2 IS NULL
+      |                 OR rssp IS NULL OR rss1 + rss2 = 0 THEN NULL
+      |            ELSE round(((rssp - rss1 - rss2) / 2) /
+      |                       ((rss1 + rss2) / (n - 4)), 6) END AS f_chow
+      |FROM g""") { (s, d) =>
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_timestamp(date_trunc('day', ts)) div 86400").as("xd"))
+      .agg(expr(
+        "sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) div count(*)")
+        .as("xu"))
+    val b = daily.groupBy("event_type")
+      .agg(min("xd").as("x0"), count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("xd")
+    val r = daily.join(b, "event_type")
+      .select(col("event_type"), col("n"), col("xu").as("y"),
+        (col("xd") - col("x0")).as("t"),
+        when(row_number().over(w) * 2 <= col("n"), 1).otherwise(2)
+          .as("seg"))
+    val dec = "decimal(38,0)"
+    def seg(i: Int, e: String, alias: String) =
+      sum(when(col("seg") === i, expr(e).cast(dec)).otherwise(lit(0)))
+        .as(alias)
+    val st = r.groupBy("event_type").agg(
+      max("n").as("n"),
+      sum(when(col("seg") === 1, 1L).otherwise(0L)).as("n1"),
+      seg(1, "t", "st1"), seg(1, "y", "sy1"), seg(1, "t * y", "sty1"),
+      seg(1, "t * t", "stt1"), seg(1, "y * y", "syy1"),
+      sum(when(col("seg") === 2, 1L).otherwise(0L)).as("n2"),
+      seg(2, "t", "st2"), seg(2, "y", "sy2"), seg(2, "t * y", "sty2"),
+      seg(2, "t * t", "stt2"), seg(2, "y * y", "syy2"))
+    def d2(c: org.apache.spark.sql.Column) = c.cast("double")
+    val f = st.select(col("event_type"), col("n"), col("n1"), col("n2"),
+      (d2(col("n1")) * d2(col("stt1")) - d2(col("st1")) * d2(col("st1")))
+        .as("vx1"),
+      (d2(col("n1")) * d2(col("sty1")) - d2(col("st1")) * d2(col("sy1")))
+        .as("cx1"),
+      (d2(col("n1")) * d2(col("syy1")) - d2(col("sy1")) * d2(col("sy1")))
+        .as("vy1"),
+      (d2(col("n2")) * d2(col("stt2")) - d2(col("st2")) * d2(col("st2")))
+        .as("vx2"),
+      (d2(col("n2")) * d2(col("sty2")) - d2(col("st2")) * d2(col("sy2")))
+        .as("cx2"),
+      (d2(col("n2")) * d2(col("syy2")) - d2(col("sy2")) * d2(col("sy2")))
+        .as("vy2"),
+      (d2(col("n")) * d2(col("stt1") + col("stt2")) -
+        d2(col("st1") + col("st2")) * d2(col("st1") + col("st2")))
+        .as("vxp"),
+      (d2(col("n")) * d2(col("sty1") + col("sty2")) -
+        d2(col("st1") + col("st2")) * d2(col("sy1") + col("sy2")))
+        .as("cxp"),
+      (d2(col("n")) * d2(col("syy1") + col("syy2")) -
+        d2(col("sy1") + col("sy2")) * d2(col("sy1") + col("sy2")))
+        .as("vyp"))
+    def rss(vy: String, cx: String, vx: String, nn: org.apache.spark.sql.Column) =
+      when(col(vx) === 0, lit(null).cast("double"))
+        .otherwise((col(vy) - col(cx) * col(cx) / col(vx)) /
+          nn.cast("double"))
+    val g = f.select(col("event_type"), col("n"), col("n1"), col("n2"),
+      rss("vy1", "cx1", "vx1", col("n1")).as("rss1"),
+      rss("vy2", "cx2", "vx2", col("n2")).as("rss2"),
+      rss("vyp", "cxp", "vxp", col("n")).as("rssp"))
+    g.select(col("event_type"), col("n").as("n_days"), col("n1"),
+      col("n2"),
+      when(col("n") <= 4 || col("rss1").isNull || col("rss2").isNull ||
+        col("rssp").isNull || col("rss1") + col("rss2") === 0,
+        lit(null).cast("double"))
+        .otherwise(round(((col("rssp") - col("rss1") - col("rss2")) / 2) /
+          ((col("rss1") + col("rss2")) / (col("n") - 4)), 6))
+        .as("f_chow"))
+  }
+
   /** Partial autocorrelation (lags 1–3) of the per-type daily
     * composite via the closed-form Durbin–Levinson recursion — the
     * AR-order picker that `ts_acf` alone can't give (an AR(1) series
@@ -3244,6 +3399,169 @@ object LogAnalytics extends QueryRegistry {
         when(col("sd") === 0, lit(null).cast("double"))
           .otherwise(round((meanRank - (nD + 1) / 2) / col("sd"), 6))
           .as("z"))
+  }
+
+  /** Minimum detectable effect (80% power, two-sided α = 0.05) for the
+    * user-parity A/B arms per event type — the "is this experiment even
+    * worth running at this n" calculator that belongs next to
+    * `la_ab_ttest` (which tests an effect after the fact; this one
+    * says what effect the current sample could ever see):
+    * MDE = (z_{α/2} + z_β)·sqrt(s₁²/n₁ + s₂²/n₂) with the two z's as
+    * compile-time literals (2.801585 = 1.959964 + 0.841621). Variances
+    * come from exact HUGEINT/DECIMAL sums on the ×10⁴ grid (one
+    * map-combined aggregate, types-sized output); the sqrt/division
+    * chain is token-identical with the oracle, NULL on degenerate
+    * arms (n ≤ 1 or zero variance handled by the float path).
+    */
+  q("la_power_mde",
+    """WITH obs AS (
+      |  SELECT event_type, user_id % 2 = 0 AS arm_a,
+      |         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vu
+      |  FROM events),
+      |s AS (
+      |  SELECT event_type,
+      |         CAST(sum(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |         sum(CASE WHEN arm_a THEN CAST(vu AS HUGEINT) ELSE 0 END) AS sa,
+      |         sum(CASE WHEN arm_a THEN CAST(vu AS HUGEINT) * vu ELSE 0 END)
+      |           AS ssa,
+      |         CAST(sum(CASE WHEN arm_a THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+      |         sum(CASE WHEN arm_a THEN 0 ELSE CAST(vu AS HUGEINT) END) AS sb,
+      |         sum(CASE WHEN arm_a THEN 0 ELSE CAST(vu AS HUGEINT) * vu END)
+      |           AS ssb
+      |  FROM obs GROUP BY 1),
+      |v AS (
+      |  SELECT event_type, na, nb, sa, sb,
+      |         (CAST(na AS DOUBLE) * CAST(ssa AS DOUBLE) -
+      |          CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) /
+      |         (CAST(na AS DOUBLE) * (na - 1)) AS va,
+      |         (CAST(nb AS DOUBLE) * CAST(ssb AS DOUBLE) -
+      |          CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) /
+      |         (CAST(nb AS DOUBLE) * (nb - 1)) AS vb
+      |  FROM s WHERE na > 1 AND nb > 1)
+      |SELECT event_type, na AS n_a, nb AS n_b,
+      |       round(2.801585 * sqrt(va / na + vb / nb), 4) AS mde_u,
+      |       round(2.801585 * sqrt(va / na + vb / nb) /
+      |             ((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / (na + nb)),
+      |             6) AS mde_rel
+      |FROM v""") { (s, d) =>
+    val dec = "decimal(38,0)"
+    val obs = events(s, d).select(col("event_type"),
+      (col("user_id") % 2 === 0).as("arm_a"),
+      expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").as("vu"))
+    val st = obs.groupBy("event_type").agg(
+      sum(when(col("arm_a"), 1L).otherwise(0L)).as("na"),
+      sum(when(col("arm_a"), col("vu").cast(dec)).otherwise(lit(0)))
+        .as("sa"),
+      sum(when(col("arm_a"), col("vu").cast(dec) * col("vu"))
+        .otherwise(lit(0))).as("ssa"),
+      sum(when(col("arm_a"), 0L).otherwise(1L)).as("nb"),
+      sum(when(col("arm_a"), lit(0)).otherwise(col("vu").cast(dec)))
+        .as("sb"),
+      sum(when(col("arm_a"), lit(0))
+        .otherwise(col("vu").cast(dec) * col("vu"))).as("ssb"))
+    def d2(c: org.apache.spark.sql.Column) = c.cast("double")
+    val v = st.filter(col("na") > 1 && col("nb") > 1)
+      .withColumn("va",
+        (d2(col("na")) * d2(col("ssa")) - d2(col("sa")) * d2(col("sa"))) /
+          (d2(col("na")) * (col("na") - 1)))
+      .withColumn("vb",
+        (d2(col("nb")) * d2(col("ssb")) - d2(col("sb")) * d2(col("sb"))) /
+          (d2(col("nb")) * (col("nb") - 1)))
+    val mde = lit(2.801585) *
+      sqrt(col("va") / col("na") + col("vb") / col("nb"))
+    v.select(col("event_type"), col("na").as("n_a"), col("nb").as("n_b"),
+      round(mde, 4).as("mde_u"),
+      round(mde / ((d2(col("sa")) + d2(col("sb"))) /
+        (col("na") + col("nb"))), 6).as("mde_rel"))
+  }
+
+  /** CUPED variance reduction (Deng et al. 2013) per event type: split
+    * the observed time range at its midpoint, use each user's
+    * FIRST-half value sum as the pre-experiment covariate for their
+    * second-half metric, and report θ = cov(pre, post)/var(pre) plus
+    * the achievable variance reduction ρ² — the "how much smaller
+    * could this experiment be" readout computed BEFORE any experiment
+    * runs. Two map-combined exchanges ((type) bounds broadcast back,
+    * then (type, user) conditional sums), users-sized state, and all
+    * five covariance sufficient statistics are exact DECIMAL(38,0);
+    * θ and ρ² are token-identical float quotients, NULL on degenerate
+    * variances. Missing halves count as 0 (the standard
+    * new-user-imputation convention, stated here).
+    */
+  q("la_cuped",
+    """WITH bnd AS (
+      |  SELECT event_type,
+      |         (CAST(min(floor(epoch(ts))) AS BIGINT) +
+      |          CAST(max(floor(epoch(ts))) AS BIGINT)) // 2 AS mid
+      |  FROM events GROUP BY 1),
+      |u AS (
+      |  SELECT e.event_type, e.user_id,
+      |         CAST(sum(CASE WHEN CAST(floor(epoch(e.ts)) AS BIGINT) < b.mid
+      |              THEN CAST(floor(e.value * 10000 + 0.5) AS BIGINT)
+      |              ELSE 0 END) AS BIGINT) AS pre,
+      |         CAST(sum(CASE WHEN CAST(floor(epoch(e.ts)) AS BIGINT) >= b.mid
+      |              THEN CAST(floor(e.value * 10000 + 0.5) AS BIGINT)
+      |              ELSE 0 END) AS BIGINT) AS post
+      |  FROM events e JOIN bnd b USING (event_type)
+      |  GROUP BY 1, 2),
+      |s AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |         sum(CAST(pre AS HUGEINT)) AS sp,
+      |         sum(CAST(post AS HUGEINT)) AS so,
+      |         sum(CAST(pre AS HUGEINT) * pre) AS spp,
+      |         sum(CAST(post AS HUGEINT) * post) AS soo,
+      |         sum(CAST(pre AS HUGEINT) * post) AS spo
+      |  FROM u GROUP BY 1),
+      |v AS (
+      |  SELECT event_type, n,
+      |         CAST(n AS DOUBLE) * CAST(spo AS DOUBLE) -
+      |           CAST(sp AS DOUBLE) * CAST(so AS DOUBLE) AS cxy,
+      |         CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) -
+      |           CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) AS vx,
+      |         CAST(n AS DOUBLE) * CAST(soo AS DOUBLE) -
+      |           CAST(so AS DOUBLE) * CAST(so AS DOUBLE) AS vy
+      |  FROM s)
+      |SELECT event_type, n AS n_users,
+      |       CASE WHEN vx = 0 THEN NULL
+      |            ELSE round(cxy / vx, 6) END AS theta,
+      |       CASE WHEN vx = 0 OR vy = 0 THEN NULL
+      |            ELSE round(cxy * cxy / (vx * vy), 6)
+      |       END AS var_reduction
+      |FROM v""") { (s, d) =>
+    val dec = "decimal(38,0)"
+    val bnd = events(s, d).groupBy("event_type")
+      .agg(expr(
+        "(min(unix_timestamp(ts)) + max(unix_timestamp(ts))) div 2")
+        .as("mid"))
+    val u = events(s, d).join(broadcast(bnd), "event_type")
+      .groupBy("event_type", "user_id")
+      .agg(
+        sum(when(expr("unix_timestamp(ts)") < col("mid"),
+          expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)"))
+          .otherwise(0L)).as("pre"),
+        sum(when(expr("unix_timestamp(ts)") >= col("mid"),
+          expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)"))
+          .otherwise(0L)).as("post"))
+    val st = u.groupBy("event_type").agg(count(lit(1)).as("n"),
+      sum(col("pre").cast(dec)).as("sp"),
+      sum(col("post").cast(dec)).as("so"),
+      sum(col("pre").cast(dec) * col("pre")).as("spp"),
+      sum(col("post").cast(dec) * col("post")).as("soo"),
+      sum(col("pre").cast(dec) * col("post")).as("spo"))
+    def d2(c: org.apache.spark.sql.Column) = c.cast("double")
+    val v = st.select(col("event_type"), col("n"),
+      (d2(col("n")) * d2(col("spo")) - d2(col("sp")) * d2(col("so")))
+        .as("cxy"),
+      (d2(col("n")) * d2(col("spp")) - d2(col("sp")) * d2(col("sp")))
+        .as("vx"),
+      (d2(col("n")) * d2(col("soo")) - d2(col("so")) * d2(col("so")))
+        .as("vy"))
+    v.select(col("event_type"), col("n").as("n_users"),
+      when(col("vx") === 0, lit(null).cast("double"))
+        .otherwise(round(col("cxy") / col("vx"), 6)).as("theta"),
+      when(col("vx") === 0 || col("vy") === 0, lit(null).cast("double"))
+        .otherwise(round(col("cxy") * col("cxy") /
+          (col("vx") * col("vy")), 6)).as("var_reduction"))
   }
 
   /** Herfindahl–Hirschman concentration of per-user value share within

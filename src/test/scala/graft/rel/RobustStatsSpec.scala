@@ -106,6 +106,49 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(rows.forall(x => x.isNullAt(x.fieldIndex("pacf"))))
   }
 
+  test("ts_chow_test: a planted regime change yields a huge F; a " +
+      "perfect single line is NULL (zero residuals both ways)") {
+    // within-half noise keeps RSS1+RSS2 > 0 (perfect half-fits hit
+    // the zero-denominator NULL guard, tested below via the line)
+    val h1 = Seq(1.0, 2.0, 3.5, 4.0, 5.0)
+    val h2 = Seq(100.0, 99.0, 97.5, 97.0, 96.0)
+    val break_ = eventsDir((h1 ++ h2).zipWithIndex.map { case (v, i) =>
+      (i.toLong, base + i * day, 1L, "a", v)
+    })
+    val r1 = run("ts_chow_test", break_).collect().head
+    assert(r1.getAs[Long]("n1") == 5L && r1.getAs[Long]("n2") == 5L)
+    assert(r1.getAs[Double]("f_chow") > 1000.0)
+    val line = eventsDir((0 until 10).map { i =>
+      (i.toLong, base + i * day, 1L, "a", (i + 1).toDouble)
+    })
+    val r2 = run("ts_chow_test", line).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("f_chow")))
+  }
+
+  test("la_power_mde: zero-variance arm A and known arm-B variance " +
+      "give the closed-form MDE exactly") {
+    val dir = eventsDir(Seq(
+      (0L, base, 2L, "a", 1.0), (1L, base, 4L, "a", 1.0),   // arm A
+      (2L, base, 1L, "a", 1.0), (3L, base, 3L, "a", 3.0)))  // arm B
+    val r = run("la_power_mde", dir).collect().head
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    // vb = (2*(1e8+9e8) - 1.6e9)/2 = 2e8 -> mde = 2.801585 * 1e4
+    assert(r.getAs[Double]("mde_u") == 28015.85)
+    assert(math.abs(r.getAs[Double]("mde_rel") - 1.867723) < 1e-6)
+  }
+
+  test("la_cuped: post = 2*pre exactly gives theta 2, full variance " +
+      "reduction") {
+    val dir = eventsDir(Seq(
+      (0L, base, 1L, "a", 1.0), (1L, base + 9 * day, 1L, "a", 2.0),
+      (2L, base, 2L, "a", 2.0), (3L, base + 9 * day, 2L, "a", 4.0),
+      (4L, base, 3L, "a", 3.0), (5L, base + 9 * day, 3L, "a", 6.0)))
+    val r = run("la_cuped", dir).collect().head
+    assert(r.getAs[Long]("n_users") == 3L)
+    assert(r.getAs[Double]("theta") == 2.0)
+    assert(r.getAs[Double]("var_reduction") == 1.0)
+  }
+
   test("la_hhi: two users at 1:3 value share give HHI = 625000 ppm, " +
       "1.6 effective users") {
     val dir = eventsDir(Seq(
