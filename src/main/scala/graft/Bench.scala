@@ -67,7 +67,11 @@ object Bench {
     // pairwise-slope self-join
     "g_local_clustering", "g_kcore", "g_modularity", "g_assortativity",
     "dd_minhash_recall", "sim_trunc_recall", "la_kruskal_dunn",
-    "ts_theil_sen")
+    "ts_theil_sen",
+    // frame-fingerprint posting join, the AllPairs sweep at its
+    // cost-setting lowest threshold, and the structural-break test
+    "mm_frame_overlap", "dd_threshold_curve", "ts_chow_test",
+    "dd_threshold_curve_capped")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -160,7 +164,17 @@ object Bench {
       "t_dsir_weights" -> "documents", "t_winnow" -> "documents",
       // r9 curation-eval additions with a plausible hidden constant:
       // g_lpa's per-round join fan-in and t_ndcg's dual corpus pass
-      "g_lpa" -> "lineitem", "t_ndcg" -> "documents")
+      "g_lpa" -> "lineitem", "t_ndcg" -> "documents",
+      // r9 second sweep: structural-graph ops (corner enumeration /
+      // peel rounds / membership join) and the two posting-join
+      // pipelines whose pair volume could hide a superlinear constant
+      "g_local_clustering" -> "lineitem", "g_kcore" -> "lineitem",
+      "g_modularity" -> "lineitem",
+      // capped twin ONLY at sf1: the uncapped form measured 126 s at
+      // 10x data (56x its sf0.1 cost — the quadratic the cap removes);
+      // re-measure it manually when revisiting, not in every round
+      "dd_threshold_curve_capped" -> "documents",
+      "mm_frame_overlap" -> "documents")
     val sf1Names = sf1Needs.collect { case (n, t)
       if java.nio.file.Files.exists(
         java.nio.file.Paths.get(sf1Dir, s"$t.parquet")) => n }

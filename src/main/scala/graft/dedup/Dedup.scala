@@ -493,12 +493,29 @@ object Dedup {
     * [[jaccardThresholdCurve]]: prefix self-join + length-ratio cut,
     * both LOSSLESS for true J ≥ minJaccard.
     */
-  private def jaccardCandidates(sets: DataFrame,
-      minJaccard: Double): DataFrame = {
+  private def jaccardCandidates(sets: DataFrame, minJaccard: Double,
+      maxDocFreq: Option[Int] = None): DataFrame = {
     val prefixLen = (col("n_grams") -
       floor(col("n_grams") * lit(minJaccard)) + 1).cast("int")
-    val prefix = sets.select(col("doc_id"), col("n_grams"),
+    val raw = sets.select(col("doc_id"), col("n_grams"),
       explode(slice(col("grams"), lit(1), prefixLen)).as("g"))
+    // At LOW thresholds the prefix is a large fraction of each doc's
+    // grams, so common shingles land in MANY prefixes and the
+    // self-join pays Σ prefix-df² on them — measured 56× cost at 10×
+    // data (sf1, t=0.5) before the cap. `maxDocFreq` drops grams whose
+    // prefix doc-frequency exceeds the cap from CANDIDATE GENERATION
+    // (per-gram df table equi-joined back, the ngramContainmentPairs
+    // pattern); verification stays exact, so a true pair is lost only
+    // when every gram it shares inside both prefixes is hot — the
+    // standard bounded-recall trade.
+    val prefix = maxDocFreq match {
+      case Some(cap) =>
+        require(cap >= 2, s"maxDocFreq out of range: $cap")
+        val df = raw.groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("g")
+        raw.join(df, "g")
+      case None => raw
+    }
     val a = prefix.as("pa")
     val b = prefix.as("pb")
     a.join(b,
@@ -527,11 +544,12 @@ object Dedup {
     * ≤ 6-row histogram window is bucket-bounded.
     */
   def jaccardThresholdCurve(docs: DataFrame, n: Int = 3,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5,
+      maxDocFreq: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sets = gramSets(docs, n, "text", "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val h = jaccardCandidates(sets, minJaccard)
+    val h = jaccardCandidates(sets, minJaccard, maxDocFreq)
       .join(sets.select(col("doc_id").as("doc_a"), col("grams").as("ga"),
         col("n_grams").as("n_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("grams").as("gb"),

@@ -1141,6 +1141,39 @@ object PipelineQueries extends QueryRegistry {
     Dedup.jaccardThresholdCurve(docs(s, d), n = 3, minJaccard = 0.5)
   }
 
+  // Capped threshold-curve twin: the production df knob for the
+  // low-threshold AllPairs prefix join (56x cost at 10x data
+  // uncapped — the prefix at t=0.5 is half of every doc, so common
+  // shingles pay Σ prefix-df² in the self-join). The oracle is the
+  // same uncapped-exact SQL: the entry asserts the bounded-recall
+  // trade loses NO pair at test scale, while the bench rows time
+  // capped vs uncapped at sf0.1/sf1 — the containment_capped pattern.
+  q("dd_threshold_curve_capped",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |grams AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS g
+      |          FROM toks, unnest(generate_series(1, greatest(len(l) - 2, 1))) AS t(i)),
+      |cnt AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |sel AS (SELECT n_inter,
+      |               ca.n_grams + cb.n_grams - n_inter AS un
+      |        FROM inter
+      |        JOIN cnt ca ON ca.doc_id = doc_a
+      |        JOIN cnt cb ON cb.doc_id = doc_b
+      |        WHERE n_inter * 2 >= ca.n_grams + cb.n_grams - n_inter),
+      |h AS (SELECT CAST((n_inter * 10) // un AS BIGINT) AS bucket,
+      |             CAST(count(*) AS BIGINT) AS n_pairs
+      |      FROM sel GROUP BY 1)
+      |SELECT bucket, n_pairs,
+      |       CAST(sum(n_pairs) OVER (ORDER BY bucket DESC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |            AS BIGINT) AS cum_pairs
+      |FROM h""") { (s, d) =>
+    Dedup.jaccardThresholdCurve(docs(s, d), n = 3, minJaccard = 0.5,
+      maxDocFreq = Some(16))
+  }
+
   // Per-source dedup impact report: docs/tokens that exact dedup would
   // remove, ppm rate — the post-dedup curation dashboard. Keeper is
   // global min doc_id per text, so cross-source dups charge the

@@ -1486,6 +1486,17 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("bucket") ->
         ((r.getAs[Long]("n_pairs"), r.getAs[Long]("cum_pairs")))).toMap
     assert(rows == Map(10L -> ((1L, 1L)), 6L -> ((1L, 2L))))
+    // a permissive cap keeps every pair (prefix dfs here are <= 2)...
+    val capped = Dedup.jaccardThresholdCurve(df, n = 3, minJaccard = 0.5,
+      maxDocFreq = Some(16)).collect()
+    assert(capped.length == 2)
+    // ...while a cap below the duplicate family's df demonstrates the
+    // bounded-recall trade: three identical docs make every gram df 3,
+    // so cap=2 removes the whole family from candidate generation
+    val tri = docsDf((0L, "x y z w v u"), (1L, "x y z w v u"),
+      (2L, "x y z w v u"))
+    assert(Dedup.jaccardThresholdCurve(tri, 3, 0.5, Some(2)).count() == 0L)
+    assert(Dedup.jaccardThresholdCurve(tri, 3, 0.5, None).count() == 1L)
   }
 
   test("dd_minhash_recall: an exact duplicate pair is found (recall " +
