@@ -3,6 +3,7 @@ package graft.rel
 import graft.QueryRegistry
 import graft.functions.PolyEval.poly_eval
 import graft.io.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -3401,6 +3402,43 @@ object LogAnalytics extends QueryRegistry {
           .as("z"))
   }
 
+  /** Per-stream freshness audit — the third leg of the DQ suite
+    * (constraints say values are sane, completeness says days exist;
+    * this one says the feed is ALIVE): per event type, the last event
+    * time, its staleness against the freshest stream (a dead producer
+    * shows up as a growing gap even while its historical data passes
+    * every other check), and 1-day/7-day arrival counts. One
+    * map-combined aggregate + a 1-row global-max broadcast — output
+    * is types-sized, exact integer seconds end to end.
+    */
+  q("dq_freshness",
+    """WITH t AS (SELECT event_type,
+      |                  CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |           FROM events),
+      |g AS (SELECT CAST(max(sec) AS BIGINT) AS gmax FROM t)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(max(sec) AS BIGINT) AS last_sec,
+      |       CAST(g.gmax - max(sec) AS BIGINT) AS staleness_s,
+      |       CAST(sum(CASE WHEN sec >= g.gmax - 86400 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_last_day,
+      |       CAST(sum(CASE WHEN sec >= g.gmax - 604800 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_last_week
+      |FROM t, g GROUP BY event_type, g.gmax""") { (s, d) =>
+    val t = events(s, d).select(col("event_type"),
+      expr("unix_timestamp(ts)").as("sec"))
+    val g = t.agg(max("sec").as("gmax"))
+    t.crossJoin(broadcast(g))
+      .groupBy("event_type", "gmax")
+      .agg(count(lit(1)).as("n_events"), max("sec").as("last_sec"),
+        sum(when(col("sec") >= col("gmax") - 86400, 1L).otherwise(0L))
+          .as("n_last_day"),
+        sum(when(col("sec") >= col("gmax") - 604800, 1L).otherwise(0L))
+          .as("n_last_week"))
+      .select(col("event_type"), col("n_events"), col("last_sec"),
+        (col("gmax") - col("last_sec")).as("staleness_s"),
+        col("n_last_day"), col("n_last_week"))
+  }
+
   /** Minimum detectable effect (80% power, two-sided α = 0.05) for the
     * user-parity A/B arms per event type — the "is this experiment even
     * worth running at this n" calculator that belongs next to
@@ -3413,7 +3451,7 @@ object LogAnalytics extends QueryRegistry {
     * chain is token-identical with the oracle, NULL on degenerate
     * arms (n ≤ 1 or zero variance handled by the float path).
     */
-  q("la_power_mde",
+  private[graft] val powerMdeSql: String =
     """WITH obs AS (
       |  SELECT event_type, user_id % 2 = 0 AS arm_a,
       |         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vu
@@ -3443,9 +3481,17 @@ object LogAnalytics extends QueryRegistry {
       |       round(2.801585 * sqrt(va / na + vb / nb) /
       |             ((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / (na + nb)),
       |             6) AS mde_rel
-      |FROM v""") { (s, d) =>
+      |FROM v"""
+
+  q("la_power_mde", powerMdeSql) { (s, d) => powerMde(events(s, d)) }
+
+  /** The la_power_mde transform over any events(-shaped) frame — ONE
+    * aggregation level plus row-local float math, so the identical
+    * code runs on a stream in complete mode (`st_power_mde`).
+    */
+  def powerMde(ev: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
-    val obs = events(s, d).select(col("event_type"),
+    val obs = ev.select(col("event_type"),
       (col("user_id") % 2 === 0).as("arm_a"),
       expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").as("vu"))
     val st = obs.groupBy("event_type").agg(

@@ -237,6 +237,18 @@ object StreamQueries extends QueryRegistry {
         graft.text.TextAnalysis.gateKappa(docStream(s, d)), "complete")
   }
 
+  /** Streaming minimum-detectable-effect monitor — the live "has this
+    * experiment accrued enough sample yet" readout (complete mode;
+    * oracle shared with `la_power_mde` via one SQL builder). The arm
+    * sums are ONE aggregation level of exact DECIMAL partials —
+    * commutative, so micro-batch slicing cannot change a bit — and
+    * the MDE float chain is row-local on the types-sized state.
+    */
+  q("st_power_mde", graft.rel.LogAnalytics.powerMdeSql) { (s, d) =>
+    runToCompletion(
+      graft.rel.LogAnalytics.powerMde(eventStream(s, d)), "complete")
+  }
+
   /** Streaming frequent n-grams (heavy hitters): complete-mode gram
     * counting with a support threshold — the streaming face of
     * [[graft.text.TextAnalysis.topKNgrams]]. A support FILTER stands in

@@ -149,6 +149,21 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("var_reduction") == 1.0)
   }
 
+  test("dq_freshness: a stale stream shows its exact staleness and " +
+      "empty arrival windows") {
+    val dir = eventsDir(Seq(
+      (0L, base, 1L, "a", 1.0), (1L, base + 2 * day, 1L, "a", 1.0),
+      (2L, base, 2L, "b", 1.0), (3L, base + 9 * day, 2L, "b", 1.0)))
+    val r = run("dq_freshness", dir).collect()
+      .map(x => x.getAs[String]("event_type") ->
+        ((x.getAs[Long]("staleness_s"), x.getAs[Long]("n_last_day"),
+          x.getAs[Long]("n_last_week")))).toMap
+    // global max = base+9d; stream a last seen base+2d -> 7 days stale,
+    // its boundary event counts in the >= 7d window but not the 1d one
+    assert(r("a") == ((604800L, 0L, 1L)))
+    assert(r("b") == ((0L, 1L, 1L)))
+  }
+
   test("la_hhi: two users at 1:3 value share give HHI = 625000 ppm, " +
       "1.6 effective users") {
     val dir = eventsDir(Seq(
