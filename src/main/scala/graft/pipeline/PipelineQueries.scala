@@ -2141,8 +2141,12 @@ object PipelineQueries extends QueryRegistry {
     * histogram, so a recall regression in probing, assignment or
     * tie-breaking shifts a bucket and fails the hash.
     */
-  private val ivfRecallOracleSql: String = {
-    val (nlist, nprobe, k, dims, nq) = (16, 4, 5, 64, 20)
+  /** The full IVF-vs-brute overlap CTE chain (through `ov`: one row
+    * per query with its brute∩IVF hit count) for a given nprobe —
+    * shared by the recall histogram and the nprobe tuning curve.
+    */
+  private def ivfOverlapCtes(nprobe: Int): String = {
+    val (nlist, k, dims, nq) = (16, 5, 64, 20)
     s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
        |            FROM embeddings),
        |ctr0 AS (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, e
@@ -2200,11 +2204,14 @@ object PipelineQueries extends QueryRegistry {
        |  FROM brute b
        |  LEFT JOIN ivf i ON i.query_id = b.query_id
        |                 AND i.cand_id = b.cand_id
-       |  GROUP BY b.query_id)
+       |  GROUP BY b.query_id)""".stripMargin
+  }
+
+  private val ivfRecallOracleSql: String =
+    s"""${ivfOverlapCtes(4)}
        |SELECT CAST(n_hits AS INT) AS n_hits,
        |       CAST(count(*) AS BIGINT) AS n_queries
        |FROM ov GROUP BY 1""".stripMargin
-  }
 
   q("sim_ivf_recall", ivfRecallOracleSql) { (s, d) =>
     val e = embs(s, d)
@@ -2259,6 +2266,51 @@ object PipelineQueries extends QueryRegistry {
   }) { (s, d) =>
     Similarity.truncationRecall(embs(s, d), prefixDims = 16, k = 5,
       nQueries = 20)
+  }
+
+  /** IVF nprobe tuning curve: exact recall@5 vs the probe budget
+    * (nprobe ∈ {1, 2, 4, 8}) against the brute-force ground truth —
+    * the measurement that picks the recall/latency operating point
+    * BEFORE the index ships (every real ANN deployment tunes this;
+    * publishing the curve next to the speed numbers is the honest
+    * form). The brute side computes ONCE (persisted) and each arm is
+    * the existing bounded ivfTopK probe; the oracle replays all four
+    * arms as UNION ALL'd subquery chains generated from ONE builder
+    * (the per-arm `ov` chain shared with sim_ivf_recall, so the two
+    * cannot drift). Integer recall_ppm = Σhits·10⁶ div (queries·k).
+    */
+  q("sim_ivf_probe_curve", {
+    val arms = Seq(1, 2, 4, 8).map { p =>
+      s"""SELECT * FROM (
+         |${ivfOverlapCtes(p)}
+         |SELECT $p AS nprobe, CAST(count(*) AS BIGINT) AS n_queries,
+         |       CAST(sum(n_hits) AS BIGINT) AS sum_hits
+         |FROM ov)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT CAST(nprobe AS INT) AS nprobe, n_queries, sum_hits,
+       |       CAST(sum_hits * 1000000 // (n_queries * 5) AS BIGINT)
+       |         AS recall_ppm
+       |FROM ($arms)""".stripMargin
+  }) { (s, d) =>
+    val e = embs(s, d)
+    val quant = Similarity.hashSampledQuantizer(e, nlist = 16)
+    val brute = Similarity.bruteForceTopK(e.filter(col("vec_id") < 20),
+        e, k = 5)
+      .select("query_id", "cand_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val arms = Seq(1, 2, 4, 8).map { p =>
+      val ivf = Similarity.ivfTopK(quant, e, k = 5, nprobe = p)
+        .filter(col("query_id") < 20)
+        .select(col("query_id"), col("cand_id"), lit(1L).as("hit"))
+      brute.join(ivf, Seq("query_id", "cand_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .agg(count(lit(1)).as("n_queries"), sum("n_hits").as("sum_hits"))
+        .select(lit(p).as("nprobe"), col("n_queries"), col("sum_hits"))
+    }
+    arms.reduce(_.unionAll(_))
+      .select(col("nprobe"), col("n_queries"), col("sum_hits"),
+        expr("sum_hits * 1000000L div (n_queries * 5)").as("recall_ppm"))
   }
 
   /** PQ/ADC top-k reproduced in DuckDB: codebook centroids re-derived

@@ -1452,6 +1452,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(s2.getAs[Long]("kappa_ppm") == 1000000L)
   }
 
+  test("sim_ivf_probe_curve: recall is monotone in nprobe and every " +
+      "query is audited") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pc_embs").toString
+    val rnd = new scala.util.Random(3)
+    (0 until 40).map { i =>
+      val c = if (i % 2 == 0) 0.0f else 10.0f
+      (i.toLong, Array(c + rnd.nextFloat(), c + rnd.nextFloat(),
+        rnd.nextFloat(), rnd.nextFloat()), i % 2)
+    }.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val rows = PipelineQueries.queries("sim_ivf_probe_curve")(spark, dir)
+      .collect().sortBy(_.getAs[Int]("nprobe"))
+    assert(rows.map(_.getAs[Int]("nprobe")).toSeq == Seq(1, 2, 4, 8))
+    assert(rows.forall(_.getAs[Long]("n_queries") == 20L))
+    val rec = rows.map(_.getAs[Long]("recall_ppm")).toSeq
+    assert(rec.zip(rec.tail).forall { case (a, b) => a <= b })
+  }
+
   test("frameOverlapPairs: shared frames pair up with containment " +
       "ppm; the df cap drops the boilerplate frame") {
     import spark.implicits._
