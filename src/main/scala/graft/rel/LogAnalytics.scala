@@ -3521,6 +3521,121 @@ object LogAnalytics extends QueryRegistry {
         (col("na") + col("nb"))), 6).as("mde_rel"))
   }
 
+  /** Benjamini–Hochberg FDR control over the per-type A/B Welch
+    * z-tests — the multiple-testing step every metrics platform runs
+    * when one experiment readout spans many metrics/segments (testing
+    * 5 types at α=0.05 uncorrected inflates the family error to
+    * ~23%). z comes from the same exact DECIMAL arm sums as
+    * `la_power_mde`; the two-sided p uses the Abramowitz–Stegun
+    * 26.2.17 polynomial tail (|error| < 7.5e-8, far inside the round-6
+    * grid) written token-identically in both engines, and the BH
+    * step-up (largest rank k with p₍ᵢ₎ ≤ α·i/m; reject ranks ≤ k)
+    * runs on the ROUNDED p₆ so the accept/reject boundary is a
+    * deterministic grid compare, not a float knife-edge. The rank
+    * window is FAMILY-sized (one row per type) — the only
+    * unpartitioned window is over m test rows, never data.
+    */
+  q("la_bh_fdr",
+    """WITH obs AS (
+      |  SELECT event_type, user_id % 2 = 0 AS arm_a,
+      |         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vu
+      |  FROM events),
+      |s AS (
+      |  SELECT event_type,
+      |         CAST(sum(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |         sum(CASE WHEN arm_a THEN CAST(vu AS HUGEINT) ELSE 0 END) AS sa,
+      |         sum(CASE WHEN arm_a THEN CAST(vu AS HUGEINT) * vu ELSE 0 END)
+      |           AS ssa,
+      |         CAST(sum(CASE WHEN arm_a THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+      |         sum(CASE WHEN arm_a THEN 0 ELSE CAST(vu AS HUGEINT) END) AS sb,
+      |         sum(CASE WHEN arm_a THEN 0 ELSE CAST(vu AS HUGEINT) * vu END)
+      |           AS ssb
+      |  FROM obs GROUP BY 1),
+      |z AS (
+      |  SELECT event_type, na, nb,
+      |         (CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) /
+      |         sqrt((CAST(na AS DOUBLE) * CAST(ssa AS DOUBLE) -
+      |               CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) /
+      |              (CAST(na AS DOUBLE) * (na - 1)) / na +
+      |              (CAST(nb AS DOUBLE) * CAST(ssb AS DOUBLE) -
+      |               CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) /
+      |              (CAST(nb AS DOUBLE) * (nb - 1)) / nb) AS zv
+      |  FROM s WHERE na > 1 AND nb > 1
+      |    AND (CAST(na AS HUGEINT) * ssa - sa * sa > 0
+      |         OR CAST(nb AS HUGEINT) * ssb - sb * sb > 0)),
+      |p AS (
+      |  SELECT event_type, zv,
+      |         round(2 * (0.3989422804014327 * exp(-0.5 * abs(zv) * abs(zv))
+      |           * (1 / (1 + 0.2316419 * abs(zv)))
+      |           * (0.319381530 + (1 / (1 + 0.2316419 * abs(zv)))
+      |           * (-0.356563782 + (1 / (1 + 0.2316419 * abs(zv)))
+      |           * (1.781477937 + (1 / (1 + 0.2316419 * abs(zv)))
+      |           * (-1.821255978 + (1 / (1 + 0.2316419 * abs(zv)))
+      |           * 1.330274429))))), 6) AS p6
+      |  FROM z),
+      |r AS (
+      |  SELECT event_type, zv, p6,
+      |         row_number() OVER (ORDER BY p6, event_type) AS rk,
+      |         CAST(count(*) OVER () AS BIGINT) AS m
+      |  FROM p),
+      |k AS (
+      |  SELECT coalesce(max(CASE WHEN p6 * m <= 0.05 * rk THEN rk END), 0)
+      |           AS kmax
+      |  FROM r)
+      |SELECT event_type, round(zv, 6) AS z, p6 AS p,
+      |       CAST(rk AS INT) AS rk, m,
+      |       CAST(CASE WHEN rk <= kmax THEN 1 ELSE 0 END AS INT)
+      |         AS rejected
+      |FROM r, k""") { (s, d) =>
+    val dec = "decimal(38,0)"
+    val obs = events(s, d).select(col("event_type"),
+      (col("user_id") % 2 === 0).as("arm_a"),
+      expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").as("vu"))
+    val st = obs.groupBy("event_type").agg(
+      sum(when(col("arm_a"), 1L).otherwise(0L)).as("na"),
+      sum(when(col("arm_a"), col("vu").cast(dec)).otherwise(lit(0)))
+        .as("sa"),
+      sum(when(col("arm_a"), col("vu").cast(dec) * col("vu"))
+        .otherwise(lit(0))).as("ssa"),
+      sum(when(col("arm_a"), 0L).otherwise(1L)).as("nb"),
+      sum(when(col("arm_a"), lit(0)).otherwise(col("vu").cast(dec)))
+        .as("sb"),
+      sum(when(col("arm_a"), lit(0))
+        .otherwise(col("vu").cast(dec) * col("vu"))).as("ssb"))
+    def d2(c: org.apache.spark.sql.Column) = c.cast("double")
+    val z = st.filter(col("na") > 1 && col("nb") > 1 &&
+        (col("na").cast(dec) * col("ssa") - col("sa") * col("sa") > 0 ||
+          col("nb").cast(dec) * col("ssb") - col("sb") * col("sb") > 0))
+      .withColumn("zv",
+        (d2(col("sa")) / col("na") - d2(col("sb")) / col("nb")) /
+          sqrt((d2(col("na")) * d2(col("ssa")) -
+            d2(col("sa")) * d2(col("sa"))) /
+            (d2(col("na")) * (col("na") - 1)) / col("na") +
+            (d2(col("nb")) * d2(col("ssb")) -
+              d2(col("sb")) * d2(col("sb"))) /
+              (d2(col("nb")) * (col("nb") - 1)) / col("nb")))
+    val t = lit(1) / (lit(1) + lit(0.2316419) * abs(col("zv")))
+    val p = z.withColumn("p6",
+      round(lit(2) * (lit(0.3989422804014327) *
+        exp(lit(-0.5) * abs(col("zv")) * abs(col("zv"))) * t *
+        (lit(0.319381530) + t * (lit(-0.356563782) + t *
+          (lit(1.781477937) + t * (lit(-1.821255978) + t *
+            lit(1.330274429)))))), 6))
+    val r = p
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("p6"), col("event_type"))))
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy()))
+    val k = r.agg(coalesce(max(when(
+        col("p6") * col("m") <= lit(0.05) * col("rk"), col("rk"))),
+      lit(0)).as("kmax"))
+    r.crossJoin(broadcast(k))
+      .select(col("event_type"), round(col("zv"), 6).as("z"),
+        col("p6").as("p"), col("rk").cast("int").as("rk"), col("m"),
+        when(col("rk") <= col("kmax"), 1).otherwise(0).cast("int")
+          .as("rejected"))
+  }
+
   /** CUPED variance reduction (Deng et al. 2013) per event type: split
     * the observed time range at its midpoint, use each user's
     * FIRST-half value sum as the pre-experiment covariate for their

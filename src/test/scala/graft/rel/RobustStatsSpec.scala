@@ -149,6 +149,23 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("var_reduction") == 1.0)
   }
 
+  test("la_bh_fdr: a planted massive effect is rejected at rank 1, " +
+      "the null metric survives") {
+    val dir = eventsDir(Seq(
+      // type a: arms differ hugely (1.0/1.1 vs 5.0/5.1)
+      (0L, base, 2L, "a", 1.0), (1L, base, 4L, "a", 1.1),
+      (2L, base, 1L, "a", 5.0), (3L, base, 3L, "a", 5.1),
+      // type b: identical arms -> z = 0, p ~ 1
+      (4L, base, 2L, "b", 1.0), (5L, base, 4L, "b", 1.1),
+      (6L, base, 1L, "b", 1.0), (7L, base, 3L, "b", 1.1)))
+    val r = run("la_bh_fdr", dir).collect()
+      .map(x => x.getAs[String]("event_type") ->
+        ((x.getAs[Int]("rk"), x.getAs[Int]("rejected"),
+          x.getAs[Double]("p")))).toMap
+    assert(r("a")._1 == 1 && r("a")._2 == 1 && r("a")._3 < 1e-4)
+    assert(r("b")._2 == 0 && r("b")._3 > 0.99)
+  }
+
   test("dq_freshness: a stale stream shows its exact staleness and " +
       "empty arrival windows") {
     val dir = eventsDir(Seq(
