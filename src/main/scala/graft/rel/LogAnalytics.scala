@@ -3521,6 +3521,47 @@ object LogAnalytics extends QueryRegistry {
         (col("na") + col("nb"))), 6).as("mde_rel"))
   }
 
+  /** Sample-ratio-mismatch guard for the user-parity A/B split — the
+    * first check any experiment readout must pass (a biased
+    * randomizer invalidates every downstream metric; SRM is the
+    * canonical symptom): χ²(1df) of DISTINCT-USER arm counts against
+    * the expected 50/50, flagged at the 0.05 critical value 3.841459.
+    * Randomization units are USERS, not events — counting events
+    * would let a single heavy user fake (or mask) a mismatch. One
+    * distinct-user aggregate (map-combined (type, user) exchange),
+    * types-sized output; χ² = (n_a−n_b)²/(n_a+n_b) from exact longs,
+    * and the flag boundary compares a quotient of integers — both
+    * engines derive the identical double.
+    */
+  q("la_srm",
+    """WITH u AS (
+      |  SELECT DISTINCT event_type, user_id, user_id % 2 = 0 AS arm_a
+      |  FROM events),
+      |c AS (
+      |  SELECT event_type,
+      |         CAST(sum(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |         CAST(sum(CASE WHEN arm_a THEN 0 ELSE 1 END) AS BIGINT) AS nb
+      |  FROM u GROUP BY 1)
+      |SELECT event_type, na AS n_a, nb AS n_b,
+      |       round(CAST((na - nb) * (na - nb) AS DOUBLE) / (na + nb), 6)
+      |         AS chi2,
+      |       CAST(CASE WHEN CAST((na - nb) * (na - nb) AS DOUBLE) /
+      |                      (na + nb) > 3.841459
+      |            THEN 1 ELSE 0 END AS INT) AS srm_flag
+      |FROM c""") { (s, d) =>
+    val u = events(s, d)
+      .select(col("event_type"), col("user_id"),
+        (col("user_id") % 2 === 0).as("arm_a")).distinct()
+    val c = u.groupBy("event_type")
+      .agg(sum(when(col("arm_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("arm_a"), 0L).otherwise(1L)).as("nb"))
+    val chi = ((col("na") - col("nb")) * (col("na") - col("nb")))
+      .cast("double") / (col("na") + col("nb"))
+    c.select(col("event_type"), col("na").as("n_a"), col("nb").as("n_b"),
+      round(chi, 6).as("chi2"),
+      when(chi > 3.841459, 1).otherwise(0).cast("int").as("srm_flag"))
+  }
+
   /** Benjamini–Hochberg FDR control over the per-type A/B Welch
     * z-tests — the multiple-testing step every metrics platform runs
     * when one experiment readout spans many metrics/segments (testing

@@ -149,6 +149,25 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("var_reduction") == 1.0)
   }
 
+  test("la_srm: a biased split is flagged on distinct users, balance " +
+      "is not, and a heavy user cannot fake a mismatch") {
+    // type a: 12 even-user ids vs 2 odd -> chi2 = 100/14 = 7.142857
+    val biased = (0 until 12).map(i =>
+      (i.toLong, base, i * 2L, "a", 1.0)) ++
+      Seq((20L, base, 1L, "a", 1.0), (21L, base, 3L, "a", 1.0)) ++
+      // type b: 3 users per arm, but one user fires 50 events
+      (0 until 50).map(i => (30L + i, base, 2L, "b", 1.0)) ++
+      Seq((90L, base, 4L, "b", 1.0), (91L, base, 6L, "b", 1.0),
+        (92L, base, 1L, "b", 1.0), (93L, base, 3L, "b", 1.0),
+        (94L, base, 5L, "b", 1.0))
+    val r = run("la_srm", eventsDir(biased)).collect()
+      .map(x => x.getAs[String]("event_type") ->
+        ((x.getAs[Long]("n_a"), x.getAs[Long]("n_b"),
+          x.getAs[Double]("chi2"), x.getAs[Int]("srm_flag")))).toMap
+    assert(r("a") == ((12L, 2L, 7.142857, 1)))
+    assert(r("b") == ((3L, 3L, 0.0, 0)))
+  }
+
   test("la_bh_fdr: a planted massive effect is rejected at rank 1, " +
       "the null metric survives") {
     val dir = eventsDir(Seq(
