@@ -2976,6 +2976,110 @@ object LogAnalytics extends QueryRegistry {
         .as("q_lb"))
   }
 
+  /** Dynamic-time-warping distance between every PAIR of event types'
+    * daily composites — the alignment-tolerant series similarity that
+    * `ts_xcorr`'s fixed-lag correlation can't give (two series with
+    * the same shape but drifting phase correlate poorly at every
+    * single lag; DTW warps time to match them). Exact integers end to
+    * end: cost = |Δxu| on the ×10⁴ grid, and the full O(n·m) DP runs
+    * as ONE linear fold over the flattened cell sequence with a
+    * sliding (m+1)-wide window as the accumulator (A holds
+    * D[k−m−1..k−1], so left/up/diag are A[end]/A[2]/A[1]; border
+    * cells read an INF sentinel) — no recursion, no UDF, and the
+    * identical fold replays in DuckDB list_reduce, so the oracle
+    * hash-matches bit for bit. Scale: the series are CALENDAR-bounded
+    * (the K1–K5 kernel contract — days, never rows), pairs are
+    * types², and each pair's fold is O(n·m) cells × O(m) window copy
+    * — at a year of days ~49M long-copies per pair, still bounded by
+    * the calendar; a multi-year horizon would move to the standard
+    * Sakoe-Chiba band (cap |i−j|), shrinking both factors.
+    */
+  q("ts_dtw_pairs",
+    """WITH daily AS (
+      |  SELECT event_type,
+      |         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS st,
+      |         CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+      |              // count(*) AS BIGINT) AS xu
+      |  FROM events GROUP BY event_type, date_trunc('day', ts)),
+      |ser AS (
+      |  SELECT event_type, list(xu ORDER BY st) AS ys,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM daily GROUP BY 1),
+      |p AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |         a.n AS n_a, b.n AS n_b, a.ys AS xs, b.ys AS ys
+      |  FROM ser a JOIN ser b ON a.event_type < b.event_type),
+      |dpp AS (
+      |  SELECT type_a, type_b, n_a, n_b,
+      |    list_reduce(
+      |      list_prepend(
+      |        list_transform(range(0, CAST(n_b + 1 AS INT)),
+      |                       z -> CAST(9000000000000000 AS BIGINT)),
+      |        list_transform(range(0, CAST(n_a * n_b AS INT)),
+      |                       k -> [CAST(k AS BIGINT)])),
+      |      (A, kk) -> list_append(
+      |        A[2:],
+      |        abs(xs[CAST(kk[1] // n_b AS INT) + 1] -
+      |            ys[CAST(kk[1] % n_b AS INT) + 1]) +
+      |        CASE WHEN kk[1] = 0 THEN 0
+      |             ELSE least(
+      |               CASE WHEN kk[1] % n_b = 0
+      |                    THEN CAST(9000000000000000 AS BIGINT)
+      |                    ELSE A[len(A)] END,
+      |               CASE WHEN kk[1] // n_b = 0
+      |                    THEN CAST(9000000000000000 AS BIGINT)
+      |                    ELSE A[2] END,
+      |               CASE WHEN kk[1] % n_b = 0 OR kk[1] // n_b = 0
+      |                    THEN CAST(9000000000000000 AS BIGINT)
+      |                    ELSE A[1] END) END)) AS dp
+      |  FROM p)
+      |SELECT type_a, type_b, n_a, n_b,
+      |       CAST(dp[len(dp)] AS BIGINT) AS dtw_u,
+      |       CAST(dp[len(dp)] // (n_a + n_b) AS BIGINT) AS dtw_per_step_u
+      |FROM dpp""") { (s, d) =>
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("st"))
+      .agg(expr(
+        "sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) div count(*)")
+        .as("xu"))
+    val ser = daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("st"), col("xu"))))
+        .as("days"))
+      .select(col("event_type"),
+        expr("transform(days, x -> x.xu)").as("ys"),
+        size(col("days")).cast("long").as("n"))
+    val a = ser.as("a")
+    val b = ser.as("b")
+    a.join(b, col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        col("a.ys").as("xs"), col("b.ys").as("ys"))
+      .withColumn("dtw_u", expr(
+        """element_at(
+          |  aggregate(
+          |    sequence(0L, n_a * n_b - 1),
+          |    array_repeat(9000000000000000L, CAST(n_b + 1 AS INT)),
+          |    (A, k) -> concat(
+          |      slice(A, 2, size(A) - 1),
+          |      array(
+          |        abs(element_at(xs, CAST(k div n_b AS INT) + 1) -
+          |            element_at(ys, CAST(k % n_b AS INT) + 1)) +
+          |        CASE WHEN k = 0L THEN 0L
+          |             ELSE least(
+          |               CASE WHEN k % n_b = 0 THEN 9000000000000000L
+          |                    ELSE element_at(A, size(A)) END,
+          |               CASE WHEN k div n_b = 0 THEN 9000000000000000L
+          |                    ELSE element_at(A, 2) END,
+          |               CASE WHEN k % n_b = 0 OR k div n_b = 0
+          |                    THEN 9000000000000000L
+          |                    ELSE element_at(A, 1) END) END))),
+          |  -1)""".stripMargin))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("dtw_u"), expr("dtw_u div (n_a + n_b)").as("dtw_per_step_u"))
+  }
+
   /** Chow structural-break F-test at the series midpoint: does fitting
     * SEPARATE lines to the two halves of the per-type daily composite
     * beat one pooled line — the inferential companion to

@@ -149,6 +149,26 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("var_reduction") == 1.0)
   }
 
+  test("ts_dtw_pairs: a phase-shifted copy warps to distance 0; a " +
+      "constant mismatch accumulates |delta| per aligned cell") {
+    // a = [1,2,3]; b = [1,1,2,3] -> DTW aligns the doubled 1 for free
+    val shifted = eventsDir(
+      Seq(1.0, 2.0, 3.0).zipWithIndex.map { case (v, i) =>
+        (i.toLong, base + i * day, 1L, "a", v) } ++
+      Seq(1.0, 1.0, 2.0, 3.0).zipWithIndex.map { case (v, i) =>
+        (10L + i, base + i * day, 1L, "b", v) })
+    val r1 = run("ts_dtw_pairs", shifted).collect().head
+    assert(r1.getAs[Long]("n_a") == 3L && r1.getAs[Long]("n_b") == 4L)
+    assert(r1.getAs[Long]("dtw_u") == 0L)
+    // a = [1,1]; b = [5]: both cells align to the single 5
+    val const = eventsDir(Seq(
+      (0L, base, 1L, "a", 1.0), (1L, base + day, 1L, "a", 1.0),
+      (2L, base, 1L, "b", 5.0)))
+    val r2 = run("ts_dtw_pairs", const).collect().head
+    assert(r2.getAs[Long]("dtw_u") == 80000L)
+    assert(r2.getAs[Long]("dtw_per_step_u") == 26666L)
+  }
+
   test("la_srm: a biased split is flagged on distinct users, balance " +
       "is not, and a heavy user cannot fake a mismatch") {
     // type a: 12 even-user ids vs 2 odd -> chi2 = 100/14 = 7.142857
