@@ -71,7 +71,10 @@ object Bench {
     // frame-fingerprint posting join, the AllPairs sweep at its
     // cost-setting lowest threshold, and the structural-break test
     "mm_frame_overlap", "dd_threshold_curve", "ts_chow_test",
-    "dd_threshold_curve_capped")
+    "dd_threshold_curve_capped",
+    // the O(n*m) DTW fold, the four-arm probe-budget audit, and the
+    // experimentation guards (one map-combined aggregate each)
+    "ts_dtw_pairs", "sim_ivf_probe_curve", "la_bh_fdr", "la_cuped")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
