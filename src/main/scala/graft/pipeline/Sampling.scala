@@ -153,6 +153,21 @@ object Sampling {
     * so no single-task collapse) plus the collected per-partition
     * token totals as literal offsets (numParts rows — bounded by the
     * partition count, not the data).
+    *
+    * Unlike la_gini (whose reduction folds into ONE action), the
+    * filtered rows must flow on to the caller, so two actions over the
+    * ranged frame are unavoidable — and RangePartitioner's
+    * reservoir-sample seed depends on the RDD id, so two executions of
+    * an UNPERSISTED repartitionByRange lineage can derive different
+    * range boundaries once partitions outgrow the sample size
+    * (silently corrupting the cumulative-token cut; r9 verdict #1).
+    * The fix is an eager localCheckpoint: the ranged+windowed frame is
+    * materialized ONCE, and both the offsets collect and the returned
+    * plan read that single frozen partitioning. The checkpoint blocks
+    * live until the returned frame is GC'd (ContextCleaner);
+    * SamplingDriftSpec proves drift-immunity by forcing
+    * non-exhaustive reservoir sampling
+    * (rangeExchange.sampleSizePerPartition=1).
     */
   def budgetSelect(df: DataFrame, idCol: String, scoreCol: String,
       nTokensCol: String, budget: Long): DataFrame = {
@@ -167,6 +182,7 @@ object Sampling {
       .partitionBy("pid").orderBy(col(scoreCol).desc, col(idCol))
     val local = ranged.withColumn("local_cum",
       sum(col(nTokensCol).cast("long")).over(w))
+      .localCheckpoint(true)
     val counts = local.groupBy("pid")
       .agg(max(col("local_cum")).as("tot")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap

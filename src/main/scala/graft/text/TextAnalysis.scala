@@ -341,16 +341,25 @@ object TextAnalysis {
     // lower 33 bits ARE the per-partition record ordinal (sequential
     // by construction), so the per-partition row number costs zero
     // extra exchanges. Range partitions tile the global (c desc, tok)
-    // order, so offset + ordinal equals the global row_number (the
-    // range sampler is seed-deterministic, so both executions of this
-    // subtree see identical boundaries; PipelineOpsSpec pins equality
-    // with the naive global rank).
+    // order, so offset + ordinal equals the global row_number —
+    // PROVIDED both the counts collect below and the vocab join read
+    // the SAME partitioning. RangePartitioner's reservoir-sample seed
+    // depends on the RDD id, so two executions of an unpersisted
+    // repartitionByRange lineage can derive DIFFERENT boundaries once
+    // partitions outgrow the sample size (r9 verdict #1 — the
+    // la_gini/budgetSelect drift bug). The eager localCheckpoint
+    // freezes one materialized partitioning for both actions;
+    // SamplingDriftSpec forces non-exhaustive sampling
+    // (sampleSizePerPartition=1) and asserts the ids still equal the
+    // naive global row_number. PipelineOpsSpec pins equality at
+    // exhaustive-sampling scale.
     val ranked = unigramCounts(docs)
       .repartitionByRange(numParts, col("c").desc, col("tok"))
       .sortWithinPartitions(col("c").desc, col("tok"))
       .select(col("tok"), spark_partition_id().as("pid"),
         (monotonically_increasing_id()
           .bitwiseAND(lit((1L << 33) - 1)) + 1L).as("local_rn"))
+      .localCheckpoint(true)
     // Phase 2: per-partition row counts — a numParts-row aggregate,
     // collected once at plan-build time (the same bounded-collect
     // pattern as the 16-row ANN quantizer fits) and re-emitted as a
