@@ -20,6 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Materialize the bounded result (eager localCheckpoint) and release
+    * the shared persisted subframes that fed it — the r8/r9-advisory
+    * discipline: a persist returned inside a lazy frame otherwise lives
+    * for the whole session. The checkpointed result is pair/report-
+    * sized by construction everywhere this is used; its blocks are
+    * released by the ContextCleaner when the frame is GC'd.
+    */
+  private def materializeAndRelease(out: DataFrame,
+      shared: DataFrame*): DataFrame = {
+    val cp = out.localCheckpoint(true)
+    shared.foreach(_.unpersist(false))
+    cp
+  }
+
   // ------------------------------------------------------------- exact
 
   /** Exact dedup: keep the smallest doc_id per identical text. The
@@ -242,7 +256,7 @@ object Dedup {
           col("ba.doc_id") < col("bb.doc_id"))
       .select(col("ba.doc_id").as("doc_a"), col("bb.doc_id").as("doc_b"))
       .distinct()
-    pairs
+    materializeAndRelease(pairs
       .join(signed.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
         "doc_a")
       .join(signed.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
@@ -250,7 +264,7 @@ object Dedup {
       .withColumn("est_jaccard",
         estJaccardCol(col("sig_a"), col("sig_b"), numHashes))
       .filter(col("est_jaccard") >= minEstJaccard)
-      .select("doc_a", "doc_b", "est_jaccard")
+      .select("doc_a", "doc_b", "est_jaccard"), signed)
   }
 
   /** Incremental NEAR-dup ingest — the MinHash-LSH analog of
@@ -320,7 +334,7 @@ object Dedup {
         .select(col("a.doc_id").as("doc_id"),
           col("b.doc_id").as("match_id")).distinct(),
       incSigs)
-    incSigs.select("doc_id")
+    materializeAndRelease(incSigs.select("doc_id")
       .join(corpusBest.select(col("doc_id"), col("match_id").as("cm"),
         col("est").as("ce")), Seq("doc_id"), "left")
       .join(batchBest.select(col("doc_id"), col("match_id").as("bm"),
@@ -332,7 +346,7 @@ object Dedup {
         when(col("cm").isNotNull, col("cm")).otherwise(col("bm"))
           .as("match_id"),
         round(when(col("cm").isNotNull, col("ce")).otherwise(col("be")), 4)
-          .as("est_jaccard"))
+          .as("est_jaccard")), incSigs)
   }
 
   // --------------------------------------------------------------- kmv
@@ -480,13 +494,16 @@ object Dedup {
       minJaccard: Double = 0.8): DataFrame = {
     // materialize-once: the gram-set projection feeds FOUR plan arms
     // (prefix self-join both sides + verify both sides); persisting it
-    // computes the tokenize+hash+sort work once instead of four times.
-    // Spark's CacheManager dedupes by canonical plan, so repeated calls
-    // over the same input reuse one cache entry; MEMORY_AND_DISK spills
-    // rather than evicting at corpus scale.
+    // computes the tokenize+hash+sort work once instead of four times,
+    // MEMORY_AND_DISK spills rather than evicting at corpus scale —
+    // then the cache entry is RELEASED once the (pair-sized) result is
+    // checkpointed, so the call leaves no session-lived state (r9
+    // advisory leak pattern).
     val sets = gramSets(docs, n, "text", "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    verifyPairsNgram(jaccardCandidates(sets, minJaccard), sets, minJaccard)
+    materializeAndRelease(
+      verifyPairsNgram(jaccardCandidates(sets, minJaccard), sets,
+        minJaccard), sets)
   }
 
   /** AllPairs candidate generation shared by [[ngramJaccardPairs]] and
@@ -560,9 +577,33 @@ object Dedup {
       .filter(col("n_inter") * 2 >= col("un"))
       .groupBy(expr("(n_inter * 10L) div un").as("bucket"))
       .agg(count(lit(1)).as("n_pairs"))
-    h.withColumn("cum_pairs",
-      sum("n_pairs").over(Window.orderBy(col("bucket").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    materializeAndRelease(
+      h.withColumn("cum_pairs",
+        sum("n_pairs").over(Window.orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))),
+      sets)
+  }
+
+  /** Audit helper for the capped-curve correctness gate's DATA-DEPENDENT
+    * assumption: `dd_threshold_curve_capped` verifies the
+    * maxDocFreq-capped plan against the UNCAPPED exact oracle, which is
+    * only an identity while no prefix gram's doc-frequency exceeds the
+    * cap at verify scale (then the df filter passes everything and
+    * capped ≡ uncapped). This returns the max prefix-gram df so a spec
+    * can assert the assumption against the committed testdata — a
+    * future regen with a hotter gram distribution then fails with a
+    * POINTED message (documented bounded-recall trade, regenerate or
+    * re-tune the cap) instead of an opaque oracle-hash red.
+    */
+  def maxPrefixDocFreq(docs: DataFrame, n: Int = 3,
+      minJaccard: Double = 0.5): Long = {
+    val sets = gramSets(docs, n, "text", "doc_id")
+    val prefixLen = (col("n_grams") -
+      floor(col("n_grams") * lit(minJaccard)) + 1).cast("int")
+    sets.select(col("doc_id"),
+        explode(slice(col("grams"), lit(1), prefixLen)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .agg(max(col("df"))).collect()(0).getLong(0)
   }
 
   /** Exact n-gram CONTAINMENT pairs: C(sub→super) = |sub ∩ super| /
@@ -618,7 +659,7 @@ object Dedup {
     val cands = sub.join(sup, Seq("g"))
       .filter(col("doc_sub") =!= col("doc_super"))
       .select("doc_sub", "doc_super").distinct()
-    cands
+    materializeAndRelease(cands
       .join(sets.select(col("doc_id").as("doc_sub"), col("grams").as("gs"),
         col("n_grams").as("n_sub")), "doc_sub")
       .join(sets.select(col("doc_id").as("doc_super"),
@@ -626,7 +667,7 @@ object Dedup {
       .withColumn("containment",
         round(size(array_intersect(col("gs"), col("gp"))) / col("n_sub"), 4))
       .filter(col("containment") >= minContainment)
-      .select("doc_sub", "doc_super", "containment")
+      .select("doc_sub", "doc_super", "containment"), sets)
   }
 
   /** Winnowing-fingerprint pair search (the MOSS detection step over
@@ -661,7 +702,7 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-    pairs
+    materializeAndRelease(pairs
       .join(cnt.select(col("doc_id").as("doc_a"), col("nf").as("nf_a")),
         "doc_a")
       .join(cnt.select(col("doc_id").as("doc_b"), col("nf").as("nf_b")),
@@ -669,7 +710,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
         col("nf_a"), col("nf_b"),
         expr("CAST(n_shared * 1000000 div least(nf_a, nf_b) AS BIGINT)")
-          .as("score_ppm"))
+          .as("score_ppm")), ph)
   }
 
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against

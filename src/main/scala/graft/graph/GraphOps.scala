@@ -73,10 +73,15 @@ object GraphOps {
     // its two (degree, id)-lowest corners) — identical corner output
     // to the old wedge JOIN at a fraction of the cost (the wedge join
     // materialized Σ C(outdeg, 2) rows; this is one map-local
-    // intersect per edge against the nodes·√m-long broadcast table).
-    // r9 bench: g_local_clustering 10.7 s → wedge-join-free. At a
-    // scale where the neighbor table outgrows a broadcast, drop the
-    // hint — AQE falls back to a shuffle join on the same plan.
+    // intersect per edge against the nodes·√m-long neighbor table).
+    // r9 bench: g_local_clustering 10.7 s → wedge-join-free.
+    // NO broadcast() hint on the adjacency table (r10, r9 advisory):
+    // an explicit hint bypasses autoBroadcastJoinThreshold and is not
+    // demoted by AQE, so once the table outgrows executor memory the
+    // job fails outright with no code-free escape. AQE promotes the
+    // join to broadcast at runtime from the REAL post-agg size when it
+    // fits (sf0.1 bench parity verified), and keeps the shuffle join
+    // when it doesn't — the behavior a 100-TB graph needs.
     val o = oriented(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val nb = o.groupBy("src")
       .agg(sort_array(collect_list(col("dst"))).as("ns"))
@@ -84,9 +89,9 @@ object GraphOps {
     // release the oriented view — the old wedge-join form leaked its
     // persist for the session (the r8-advisory pattern)
     val out = o
-      .join(broadcast(nb.select(col("src").as("u"), col("ns").as("nu"))),
+      .join(nb.select(col("src").as("u"), col("ns").as("nu")),
         col("src") === col("u"))
-      .join(broadcast(nb.select(col("src").as("v2"), col("ns").as("nv"))),
+      .join(nb.select(col("src").as("v2"), col("ns").as("nv")),
         col("dst") === col("v2"))
       .select(col("src").as("x"), col("dst").as("v"),
         explode(array_intersect(col("nu"), col("nv"))).as("w"))
@@ -116,22 +121,24 @@ object GraphOps {
   /** Exact triangle COUNT via per-edge out-neighborhood intersection:
     * for every oriented edge (u, v), |N⁺(u) ∩ N⁺(v)| closes exactly
     * the triangles with apex u — so the total is one map-local
-    * `array_intersect` pass over the edges against the BROADCAST
+    * `array_intersect` pass over the edges against the
     * out-neighbor-array table (orientation caps each array at O(√m),
     * so the table is nodes·√m longs — MBs where the wedge-join
     * materialization is GBs). Measured 9.8 s → ~3 s at sf0.1 vs the
     * enumeration join. [[triangles]] keeps the corner enumeration for
-    * consumers that need the actual corners (edge Jaccard). At a
-    * scale where the neighbor table outgrows a broadcast, drop the
-    * hint — AQE falls back to a shuffle join on the same plan.
+    * consumers that need the actual corners (edge Jaccard). The join
+    * carries NO broadcast() hint (r10): AQE promotes it to broadcast
+    * at runtime from the real post-agg size when it fits, and keeps
+    * the shuffle join when the table outgrows memory — an explicit
+    * hint would bypass the threshold and fail outright at that scale.
     */
   def triangleCount(edges: DataFrame): DataFrame = {
     val o = oriented(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val nb = o.groupBy("src")
       .agg(sort_array(collect_list(col("dst"))).as("ns"))
-    o.join(broadcast(nb.select(col("src").as("u"), col("ns").as("nu"))),
+    o.join(nb.select(col("src").as("u"), col("ns").as("nu")),
         col("src") === col("u"))
-      .join(broadcast(nb.select(col("src").as("v"), col("ns").as("nv"))),
+      .join(nb.select(col("src").as("v"), col("ns").as("nv")),
         col("dst") === col("v"))
       .agg(coalesce(sum(size(array_intersect(col("nu"), col("nv")))
         .cast("long")), lit(0L)).as("n_triangles"))

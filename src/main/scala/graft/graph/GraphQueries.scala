@@ -242,6 +242,12 @@ object GraphQueries extends QueryRegistry {
   private def modularitySql(iters: Int): String = {
     val base = lpaSql(iters)
     val cut = base.indexOf("SELECT CAST(node AS BIGINT)")
+    // guarded splice (r9 advisory): anchor drift must fail with a
+    // pointed message, not a StringIndexOutOfBounds at class-init that
+    // takes down the whole query registry
+    require(cut >= 0, "modularitySql splice anchor " +
+      "\"SELECT CAST(node AS BIGINT)\" not found in lpaSql — the lpaSql " +
+      "final SELECT was reworded; update the anchor here to match")
     val ctes = base.substring(0, cut).trim
     s"""$ctes,
        |lbl AS (SELECT node, lbl AS community FROM l$iters),

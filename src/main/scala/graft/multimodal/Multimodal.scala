@@ -109,7 +109,10 @@ object Multimodal {
       case None => fps
     }
     val cnt = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
-    joinable.as("x").join(joinable.as("y"),
+    // materialize the (pair-sized) result, then release the shared
+    // fingerprint cache — a lazy return would leak the persist for the
+    // session (r9 advisory)
+    val out = joinable.as("x").join(joinable.as("y"),
         col("x.frame_fp") === col("y.frame_fp") &&
           col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -121,6 +124,9 @@ object Multimodal {
         "doc_b")
       .withColumn("overlap_ppm",
         expr("n_shared * 1000000L div least(fp_a, fp_b)"))
+      .localCheckpoint(true)
+    fps.unpersist(false)
+    out
   }
 
   /** Resize plumbing: target dimensions + exact scale factors from the

@@ -839,6 +839,12 @@ object PipelineQueries extends QueryRegistry {
     */
   private val minhashRecallOracleSql: String = {
     val cut = minhashOracleSql.indexOf("SELECT CAST(doc_a AS BIGINT)")
+    // guarded splice (r9 advisory): anchor drift must fail with a
+    // pointed message, not a StringIndexOutOfBounds at class-init that
+    // takes down the whole query registry
+    require(cut >= 0, "minhashRecallOracleSql splice anchor " +
+      "\"SELECT CAST(doc_a AS BIGINT)\" not found in minhashOracleSql — " +
+      "the final SELECT was reworded; update the anchor here to match")
     val ctes = minhashOracleSql.substring(0, cut).trim
     s"""$ctes,
        |found AS (
@@ -1148,6 +1154,13 @@ object PipelineQueries extends QueryRegistry {
   // same uncapped-exact SQL: the entry asserts the bounded-recall
   // trade loses NO pair at test scale, while the bench rows time
   // capped vs uncapped at sf0.1/sf1 — the containment_capped pattern.
+  // DATA-DEPENDENT assumption (r9 advisory): capped ≡ uncapped only
+  // while no prefix gram's df exceeds 16 at verify scale — true of
+  // the committed testdata and PINNED by PipelineOpsSpec via
+  // Dedup.maxPrefixDocFreq on sf0.001/sf0.01, so a testdata regen
+  // with hotter grams fails there with a pointed message (re-tune the
+  // cap or accept the documented recall trade), not as an opaque
+  // oracle-hash red here.
   q("dd_threshold_curve_capped",
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
       |grams AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS g
@@ -2308,9 +2321,14 @@ object PipelineQueries extends QueryRegistry {
         .agg(count(lit(1)).as("n_queries"), sum("n_hits").as("sum_hits"))
         .select(lit(p).as("nprobe"), col("n_queries"), col("sum_hits"))
     }
-    arms.reduce(_.unionAll(_))
+    // 4-row result checkpointed eagerly, brute cache released — a lazy
+    // return would leak the persist for the session (r9 advisory)
+    val out = arms.reduce(_.unionAll(_))
       .select(col("nprobe"), col("n_queries"), col("sum_hits"),
         expr("sum_hits * 1000000L div (n_queries * 5)").as("recall_ppm"))
+      .localCheckpoint(true)
+    brute.unpersist(false)
+    out
   }
 
   /** PQ/ADC top-k reproduced in DuckDB: codebook centroids re-derived

@@ -2968,9 +2968,13 @@ object LogAnalytics extends QueryRegistry {
     val sums = led.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
     def r(l: Int) = col(s"s$l").cast("double") / col("den").cast("double")
     def term(l: Int) = r(l) * r(l) / (col("n_days") - l)
-    // parenthesization mirrors the oracle text exactly:
-    // (((t1 + t2) + t3) + (t4 + t5)) — left-assoc + with the same grouping
-    val q15 = ((term(1) + term(2)) + term(3)) + (term(4) + term(5))
+    // FP addition is non-associative, so the summation grouping must be
+    // token-identical to the oracle text. The SQL has no parens around
+    // the t4+t5 pair, so SQL left-associativity yields
+    // ((((t1 + t2) + t3) + t4) + t5) — mirror exactly (r9 advisory: the
+    // previous (t4 + t5) grouping could differ by ~1 ulp pre-round and
+    // flip a knife-edge rounded value between engines).
+    val q15 = (((term(1) + term(2)) + term(3)) + term(4)) + term(5)
     sums.select(col("event_type"), col("n_days"),
       round(col("n_days").cast("double") * (col("n_days") + 2) * q15, 6)
         .as("q_lb"))

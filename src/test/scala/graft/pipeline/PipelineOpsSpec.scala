@@ -1581,4 +1581,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.head.getAs[Int]("n_hits") == 1)
     assert(rows.head.getAs[Long]("n_queries") == 1L)
   }
+
+  test("testdata assumption: dd_threshold_curve_capped's df cap (16) is " +
+      "inactive at verify scale") {
+    // The capped curve is verified against the UNCAPPED exact oracle,
+    // which is an identity only while no prefix gram's doc-frequency
+    // exceeds the cap in the committed testdata (then the df filter
+    // passes everything). If a testdata regen makes this fail, that is
+    // the documented bounded-recall trade becoming active — re-tune
+    // maxDocFreq in the dd_threshold_curve_capped entry or regenerate
+    // colder grams; it is NOT a code regression.
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val docs = graft.io.Tables.load(spark, s"/root/testdata/$sf",
+        "documents")
+      val maxDf = Dedup.maxPrefixDocFreq(docs, n = 3, minJaccard = 0.5)
+      assert(maxDf <= 16L,
+        s"$sf: max prefix-gram df $maxDf exceeds the cap 16 — the " +
+          "dd_threshold_curve_capped oracle gate's capped==uncapped " +
+          "assumption no longer holds for this testdata")
+    }
+  }
 }
