@@ -74,7 +74,13 @@ object Bench {
     "dd_threshold_curve_capped",
     // the O(n*m) DTW fold, the four-arm probe-budget audit, and the
     // experimentation guards (one map-combined aggregate each)
-    "ts_dtw_pairs", "sim_ivf_probe_curve", "la_bh_fdr", "la_cuped")
+    "ts_dtw_pairs", "sim_ivf_probe_curve", "la_bh_fdr", "la_cuped",
+    // r10 additions: the structural suite on ONE shared edge view
+    // (amortization twin of the four standalone entries), and the
+    // DBEST end-to-end journey (scan → composite → K3 kernel →
+    // per-change decode → stats as one plan, the pipeline_polytrend
+    // pattern for the second reference journey)
+    "g_suite_on_view", "pipeline_dbest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -177,7 +183,14 @@ object Bench {
       // 10x data (56x its sf0.1 cost — the quadratic the cap removes);
       // re-measure it manually when revisiting, not in every round
       "dd_threshold_curve_capped" -> "documents",
-      "mm_frame_overlap" -> "documents")
+      "mm_frame_overlap" -> "documents",
+      // r10: the curation/text heavy hitters were missing from the
+      // 10x stretch (r9 verdict #4) — the text pipeline's scaling was
+      // unmeasured; plus the two new composites
+      "t_budget_select" -> "documents", "t_token_ids" -> "documents",
+      "t_heavy_hitters" -> "documents", "dd_semdedup" -> "embeddings",
+      "t_curation_funnel" -> "documents",
+      "g_suite_on_view" -> "lineitem", "pipeline_dbest" -> "events")
     val sf1Names = sf1Needs.collect { case (n, t)
       if java.nio.file.Files.exists(
         java.nio.file.Paths.get(sf1Dir, s"$t.parquet")) => n }
@@ -211,7 +224,24 @@ object Bench {
     // cache/GC state shared across the run), not a code regression
     // (A/B n=3-min at sf0.1, 2026-08-13).
     val notes = "g_pagerank r9 context: BENCH_r08's 4.73s was flattered by the r8 leak the advisory flagged — the session-lifetime edge-view persist silently reused its cache across the min-of-3 calls, so r8 timed warm iterations only. The r9 leak fix first exposed the honest cold per-call cost (9.5s), then three changes recovered it: lazy per-iteration persists (the InMemoryRelation boundary caps plan depth at planning time, no per-iteration count() action), edge build via eager localCheckpoint instead of lazy persist, and the build shared through the new edgeView/pageRankOnView steady-state API (on a prebuilt view, 5 iterations = 3.7s; the view build 1.7s amortizes across every rank/centrality query on the same graph). Net: 5.18s honest vs 4.73s warm-cache, zero leaked blocks. History: r7's 5 suspect regressions absolved by r8 min-of-3 (0.90-1.04x vs r6); BENCH_r07 was a crashed-JVM artifact"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"comparable_r2_total":$comparable,"queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","notes":"$notes"$sf1}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"comparable_r2_total":$comparable,"queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","notes":"$notes"$sf1}"""
+    println(json)
+    // Durable artifact (r9 verdict #5): the driver's BENCH_rN.json only
+    // preserves a 2000-char stdout tail, which loses the per-query map
+    // and forced a full judge re-run for the r8→r9 comparison. The
+    // identical JSON object is also written to target/bench_full.json
+    // (path noted in README) so round-over-round per-query deltas
+    // survive on disk. Skipped for dev-only SPARK_GRAFT_BENCH_ONLY
+    // subset runs, which must not clobber the full-run artifact.
+    if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").isEmpty) {
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("target/bench_full.json"),
+          json.getBytes("UTF-8"))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
     if (failed.nonEmpty) sys.exit(2)
   }

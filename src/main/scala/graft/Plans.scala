@@ -84,7 +84,8 @@ object Plans {
     "la_kruskal_dunn" -> "Kruskal-Wallis/Dunn ranks (r9): state after the first exchange is the x10^4 VALUE GRID, not the corpus; the global-grid cumsum is the one single-partition window (domain-bounded by construction); per-group z-rows avoid any cross-group float sum",
     "dd_minhash_recall" -> "LSH recall audit (r9): both arms are the EXISTING bounded pipelines (banded minhash, prefix-filtered exact Jaccard); the audit itself is one full-outer pair join + a single-row count aggregate",
     "dd_threshold_curve" -> "Jaccard threshold curve (r9): ONE AllPairs candidate pass at the lowest threshold feeds the exact-decile histogram; integer cross-multiplied buckets, <=6-row cumulative window",
-    "mm_frame_overlap" -> "frame-fingerprint near-dup (r9): rolling-hash fingerprints map-local, the posting self-join keys on frame_fp (the LSH band-join contract, df-cap knob for boilerplate frames), overlap arithmetic exact integer ppm")
+    "mm_frame_overlap" -> "frame-fingerprint near-dup (r9): rolling-hash fingerprints map-local, the posting self-join keys on frame_fp (the LSH band-join contract, df-cap knob for boilerplate frames), overlap arithmetic exact integer ppm",
+    "g_suite_on_view" -> "structural graph suite on ONE shared view (r10): the copurchase self-join + distinct — the dominant per-call cost of g_kcore/g_local_clustering/g_modularity/g_assortativity standalone — builds ONCE as an eager localCheckpoint; all four ops read the checkpointed edge scan (look for the single RDD scan feeding every arm), so the suite pays one build instead of four; outputs map to a uniform (op,a,b,c) BIGINT union")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -2,6 +2,7 @@ package graft.graph
 
 import graft.QueryRegistry
 import graft.io.Tables
+import org.apache.spark.sql.functions.{col, floor, lit}
 
 /** Driver-contract entries for the graph-analytics family over the
   * part co-purchase graph (parts linked when they appear in the same
@@ -78,7 +79,7 @@ object GraphQueries extends QueryRegistry {
     * with the a<b<c canonical join and replays the ×10⁴ floor
     * arithmetic bit for bit.
     */
-  q("g_local_clustering",
+  private val lccSql =
     s"""$edgeCte,
       |d AS (SELECT a AS node FROM e UNION ALL SELECT b FROM e),
       |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS dg FROM d GROUP BY 1),
@@ -96,7 +97,9 @@ object GraphQueries extends QueryRegistry {
       |SELECT CAST(lcc_u // 1000 AS BIGINT) AS bucket,
       |       CAST(count(*) AS BIGINT) AS n_nodes,
       |       CAST(sum(t) AS BIGINT) AS sum_t
-      |FROM l GROUP BY 1""") { (s, d) =>
+      |FROM l GROUP BY 1""".stripMargin
+
+  q("g_local_clustering", lccSql) { (s, d) =>
     GraphOps.localClustering(GraphOps.copurchaseEdges(li(s, d)))
   }
 
@@ -112,7 +115,7 @@ object GraphQueries extends QueryRegistry {
     * oracle replays the exact HUGEINT sums and the one shared float
     * division.
     */
-  q("g_assortativity",
+  private val assortSql =
     s"""$edgeCte,
       |d AS (SELECT a AS node FROM e UNION ALL SELECT b FROM e),
       |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS dg FROM d GROUP BY 1),
@@ -131,8 +134,57 @@ object GraphQueries extends QueryRegistry {
       |              CAST(CAST(m AS HUGEINT) * sxy - sx * sx AS DOUBLE) /
       |              CAST(CAST(m AS HUGEINT) * sxx - sx * sx AS DOUBLE), 6)
       |       END AS assortativity
-      |FROM s""") { (s, d) =>
+      |FROM s""".stripMargin
+
+  q("g_assortativity", assortSql) { (s, d) =>
     GraphOps.degreeAssortativity(GraphOps.copurchaseEdges(li(s, d)))
+  }
+
+  /** The structural suite on ONE shared prebuilt edge view (r9 verdict
+    * #6): g_kcore / g_local_clustering / g_modularity /
+    * g_assortativity each pay the copurchase self-join + distinct as
+    * their dominant per-call cost when run standalone; a long-lived
+    * engine builds that edge set ONCE (eager localCheckpoint — the
+    * [[GraphOps.edgeView]] posture) and runs the whole suite against
+    * it. Results are the four ops' outputs mapped to one uniform
+    * (op, a, b, c) BIGINT schema; every value is the exact integer the
+    * standalone entries verify (assortativity enters as
+    * floor(r·10⁶) of the same token-identical rounded double). The
+    * oracle replays all four chains UNION ALL'd — each arm is the
+    * SAME SQL text as the standalone oracle (shared vals/builders, so
+    * they cannot drift).
+    */
+  q("g_suite_on_view",
+    s"""SELECT 'kcore' AS op, CAST(round AS BIGINT) AS a,
+       |       n_nodes AS b, n_edges AS c
+       |FROM (${kCoreSql(3, 3)})
+       |UNION ALL
+       |SELECT 'lcc' AS op, bucket AS a, n_nodes AS b, sum_t AS c
+       |FROM ($lccSql)
+       |UNION ALL
+       |SELECT 'modularity' AS op, n_communities AS a, e_in AS b,
+       |       q_ppm AS c
+       |FROM (${modularitySql(2)})
+       |UNION ALL
+       |SELECT 'assort' AS op, m AS a,
+       |       CAST(floor(assortativity * 1000000) AS BIGINT) AS b,
+       |       CAST(0 AS BIGINT) AS c
+       |FROM ($assortSql)""".stripMargin) { (s, d) =>
+    val e = GraphOps.copurchaseEdges(li(s, d)).localCheckpoint(true)
+    val kcore = GraphOps.kCore(e, 3, 3)
+      .select(lit("kcore").as("op"), col("round").cast("long").as("a"),
+        col("n_nodes").as("b"), col("n_edges").as("c"))
+    val lcc = GraphOps.localClustering(e)
+      .select(lit("lcc").as("op"), col("bucket").as("a"),
+        col("n_nodes").as("b"), col("sum_t").as("c"))
+    val mod = GraphOps.lpaModularity(e, 2)
+      .select(lit("modularity").as("op"), col("n_communities").as("a"),
+        col("e_in").as("b"), col("q_ppm").as("c"))
+    val ast = GraphOps.degreeAssortativity(e)
+      .select(lit("assort").as("op"), col("m").as("a"),
+        floor(col("assortativity") * 1000000).cast("long").as("b"),
+        lit(0L).as("c"))
+    kcore.unionAll(lcc).unionAll(mod).unionAll(ast)
   }
 
   /** Market-basket association rules: ppm-integer support/confidence/

@@ -157,6 +157,31 @@ object TrendPipeline {
       .withColumn("pct_no_trend", pct(col("n_no_trend")))
   }
 
+  /** Summary statistics over a [[dbestChange]] change map — the
+    * region-level readout the reference's DBEST journey ends on (the
+    * aggregate counterpart of `dbest_visualize_polygon`,
+    * `calculations/dbest.py:571-573`): how many pixels were analyzed,
+    * how many carry a detected change, the abrupt/non-abrupt and
+    * significance splits, and the mean |change| magnitude. One
+    * map-combined aggregate to a single row; counts are exact longs,
+    * the magnitude is a rounded mean (ratio of two exact sums on the
+    * ×10⁴ grid).
+    */
+  def dbestStatistics(changes: DataFrame): DataFrame =
+    changes.agg(
+      count(lit(1)).as("n_pixels"),
+      sum(when(col("start") >= 0, 1L).otherwise(0L)).as("n_with_change"),
+      sum(when(col("change_type") === 1, 1L).otherwise(0L)).as("n_abrupt"),
+      sum(when(col("start") >= 0 && col("change_type") === 0, 1L)
+        .otherwise(0L)).as("n_nonabrupt"),
+      sum(when(col("significance") === 1, 1L).otherwise(0L))
+        .as("n_significant"),
+      sum(col("breakpoint_no").cast("long")).as("n_breakpoints_total"),
+      round(sum(when(col("start") >= 0,
+          floor(abs(col("change")) * 10000 + lit(0.5))).otherwise(0.0)) /
+        greatest(sum(when(col("start") >= 0, 1L).otherwise(0L)), lit(1L)),
+        0).cast("long").as("mean_abs_change_u"))
+
   /** DBEST-for-region: monthly composite → per-pixel STL + breakpoint
     * detection. Returns one row per pixel with the first (largest)
     * change, matching the reference's polygon decode

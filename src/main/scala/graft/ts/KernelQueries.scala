@@ -121,6 +121,27 @@ object KernelQueries extends QueryRegistry {
     TrendPipeline.ptStatistics(results)
   }
 
+  // The reference's OTHER end-to-end journey (`calculations/dbest.py:
+  // 495-625`, r9 verdict #7): scan → temporal filter → 6-hour
+  // composite → K3 change detection → region-level stats as ONE timed
+  // plan (the pipeline_polytrend pattern for DBEST). rows-only by the
+  // same necessity as every K3 payload (the DP segmentation has no
+  // SQL twin); the path is identity-anchored by the green
+  // oracle-checked k3_decomp_identity / k3_fit_identity /
+  // k3_change_identity entries, which pin the SAME composite, series
+  // assembly, eligibility gate, and decomposition at the SAME params.
+  qNoOracle("pipeline_dbest") { (s, d) =>
+    val obs = TrendPipeline.eventsAsObservations(s, d)
+    val changes = TrendPipeline.dbestChange(s, obs,
+      TrendPipeline.DbestPipelineParams(
+        startDate = "2024-01-01", endDate = "2026-01-01",
+        threshold = -1e18,
+        kernel = Dbest.Params(seasonality = 4, duration = 8,
+          firstLevelShift = 0.5, secondLevelShift = 0.5)),
+      composite = TrendPipeline.timeBucketComposite(_, 21600))
+    TrendPipeline.dbestStatistics(changes)
+  }
+
   // K2: linear fit + eval at the series endpoints — oracle-checked via
   // DuckDB regr_slope/regr_intercept (same x = epoch-day index).
   q("k2_linear_eval",
