@@ -585,4 +585,63 @@ object KernelQueries extends QueryRegistry {
       .select(col("longitude").cast("long").as("user_id"),
         col("n_points"), col("seasonal_periodic"), col("seasonal_centered"))
   }
+
+  // K5 loess-weight closure (r9 verdict #3): the identities above pin
+  // everything EXCEPT the loess smoother itself. The committed fixture
+  // `fixtures/stl_golden.parquet` holds three fixed series decomposed
+  // by an INDEPENDENT Python implementation of the same published
+  // procedure (tools/stl_reference.py — written from Cleveland et al.
+  // 1990; R is unavailable in this sandbox, so a second independent
+  // implementation plays its role: a loess bug in either side would
+  // not be replicated by the other). Spark recomputes the
+  // decomposition with graft.ts.Stl and counts per-series indices
+  // agreeing within 1e-6 ABS per component; the oracle replays the
+  // committed goldens (match counts ≡ n_points) and REALLY
+  // cross-checks n_points and the goldens' additive identity. A loess
+  // regression (weights, neighborhood clipping, singular fallback,
+  // bisquare robustness — series 3 exercises outer=1 with planted
+  // outliers) drops a match count below n_points and hash-fails.
+  q("k5_stl_golden",
+    """WITH g AS (
+      |  SELECT * FROM read_parquet('/root/repo/fixtures/stl_golden.parquet'))
+      |SELECT CAST(series_id AS INT) AS series_id,
+      |       CAST(count(*) AS BIGINT) AS n_points,
+      |       CAST(count(*) AS BIGINT) AS trend_match,
+      |       CAST(count(*) AS BIGINT) AS seasonal_match,
+      |       CAST(count(*) AS BIGINT) AS remainder_match,
+      |       CAST(sum(CASE WHEN abs(y - (trend_g + seasonal_g + remainder_g))
+      |                     <= 1e-9 THEN 1 ELSE 0 END) AS BIGINT) AS additive_ok
+      |FROM g GROUP BY 1""") { (s, d) =>
+    val fx = s.read.parquet("/root/repo/fixtures/stl_golden.parquet")
+    val dec = udf { (period: Int, outer: Int, ys: Seq[Double]) =>
+      val r = Stl.decompose(ys.toArray, period, 2, outer)
+      (r.trend, r.seasonal, r.remainder)
+    }
+    def matches(computed: org.apache.spark.sql.Column,
+        golden: org.apache.spark.sql.Column) =
+      aggregate(
+        zip_with(computed, golden,
+          (a, b) => when(abs(a - b) <= 1e-6, 1L).otherwise(0L)),
+        lit(0L), (acc, v) => acc + v)
+    fx.groupBy(col("series_id"), col("period"), col("outer_iters"))
+      .agg(sort_array(collect_list(struct(col("idx"), col("y"),
+        col("trend_g"), col("seasonal_g"), col("remainder_g"))))
+        .as("rows"))
+      .select(col("series_id"), col("period"), col("outer_iters"),
+        transform(col("rows"), r => r.getField("y")).as("ys"),
+        transform(col("rows"), r => r.getField("trend_g")).as("tg"),
+        transform(col("rows"), r => r.getField("seasonal_g")).as("sg"),
+        transform(col("rows"), r => r.getField("remainder_g")).as("rg"))
+      .withColumn("dec", dec(col("period"), col("outer_iters"), col("ys")))
+      .select(col("series_id"),
+        size(col("ys")).cast("long").as("n_points"),
+        matches(col("dec._1"), col("tg")).as("trend_match"),
+        matches(col("dec._2"), col("sg")).as("seasonal_match"),
+        matches(col("dec._3"), col("rg")).as("remainder_match"),
+        aggregate(zip_with(col("ys"),
+            zip_with(zip_with(col("tg"), col("sg"), (a, b) => a + b),
+              col("rg"), (a, b) => a + b),
+            (y, s2) => when(abs(y - s2) <= 1e-9, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("additive_ok"))
+  }
 }
