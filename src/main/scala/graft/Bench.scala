@@ -76,11 +76,13 @@ object Bench {
     // experimentation guards (one map-combined aggregate each)
     "ts_dtw_pairs", "sim_ivf_probe_curve", "la_bh_fdr", "la_cuped",
     // r10 additions: the structural suite on ONE shared edge view
-    // (amortization twin of the four standalone entries), and the
-    // DBEST end-to-end journey (scan → composite → K3 kernel →
-    // per-change decode → stats as one plan, the pipeline_polytrend
-    // pattern for the second reference journey)
-    "g_suite_on_view", "pipeline_dbest")
+    // (amortization twin of the four standalone entries), the DBEST
+    // end-to-end journey (scan → composite → K3 kernel → per-change
+    // decode → stats as one plan, the pipeline_polytrend pattern for
+    // the second reference journey), and the Sakoe-Chiba banded DTW
+    // (n·w² work vs the full twin's n·m·(m+1) — the
+    // capped-vs-uncapped containment pattern for series alignment)
+    "g_suite_on_view", "pipeline_dbest", "ts_dtw_pairs_banded")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

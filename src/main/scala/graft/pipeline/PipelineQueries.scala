@@ -2331,6 +2331,64 @@ object PipelineQueries extends QueryRegistry {
     out
   }
 
+  /** Auto-nprobe knee pick (r9 verdict #8 stretch): turn the measured
+    * probe curve into the DEFAULT operating point —
+    * [[graft.sim.Similarity.autoNprobe]] picks the smallest nprobe
+    * within 20 000 ppm (2%) recall of the best measured arm. The curve
+    * collect is 4 rows (model-sized); the pick itself is the exercised
+    * library API, and the oracle re-derives the identical choice from
+    * the same UNION ALL'd arm chains with a SQL min-over-slack filter
+    * — so an off-by-one in the knee rule on either side hash-fails.
+    * Trade documented in SCALE.md (IVF cost is linear in nprobe,
+    * recall saturates past the knee).
+    */
+  q("sim_auto_nprobe", {
+    val arms = Seq(1, 2, 4, 8).map { p =>
+      s"""SELECT * FROM (
+         |${ivfOverlapCtes(p)}
+         |SELECT $p AS nprobe, CAST(count(*) AS BIGINT) AS n_queries,
+         |       CAST(sum(n_hits) AS BIGINT) AS sum_hits
+         |FROM ov)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH curve AS (
+       |  SELECT CAST(nprobe AS INT) AS nprobe,
+       |         CAST(sum_hits * 1000000 // (n_queries * 5) AS BIGINT)
+       |           AS recall_ppm
+       |  FROM ($arms))
+       |SELECT CAST(c.nprobe AS INT) AS chosen_nprobe,
+       |       c.recall_ppm AS chosen_recall_ppm,
+       |       b.best_recall_ppm
+       |FROM curve c,
+       |     (SELECT max(recall_ppm) AS best_recall_ppm FROM curve) b
+       |WHERE c.recall_ppm >= b.best_recall_ppm - 20000
+       |ORDER BY c.nprobe LIMIT 1""".stripMargin
+  }) { (s, d) =>
+    import s.implicits._
+    val e = embs(s, d)
+    val quant = Similarity.hashSampledQuantizer(e, nlist = 16)
+    val brute = Similarity.bruteForceTopK(e.filter(col("vec_id") < 20),
+        e, k = 5)
+      .select("query_id", "cand_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val curve: Seq[(Int, Long)] = Seq(1, 2, 4, 8).map { p =>
+      val ivf = Similarity.ivfTopK(quant, e, k = 5, nprobe = p)
+        .filter(col("query_id") < 20)
+        .select(col("query_id"), col("cand_id"), lit(1L).as("hit"))
+      val r = brute.join(ivf, Seq("query_id", "cand_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .agg(count(lit(1)).as("n_queries"), sum("n_hits").as("sum_hits"))
+        .select(expr("sum_hits * 1000000L div (n_queries * 5)"))
+        .collect()(0).getLong(0)
+      p -> r
+    }
+    brute.unpersist(false)
+    val chosen = Similarity.autoNprobe(curve)
+    val best = curve.map(_._2).max
+    Seq((chosen, curve.toMap.apply(chosen), best))
+      .toDF("chosen_nprobe", "chosen_recall_ppm", "best_recall_ppm")
+  }
+
   /** PQ/ADC top-k reproduced in DuckDB: codebook centroids re-derived
     * from the table (sub-slices of the ksub smallest-md5 vectors — the
     * same hash-sampling as the IVF oracle), per-subspace nearest-code

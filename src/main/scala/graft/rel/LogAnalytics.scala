@@ -2995,8 +2995,9 @@ object LogAnalytics extends QueryRegistry {
     * (the K1–K5 kernel contract — days, never rows), pairs are
     * types², and each pair's fold is O(n·m) cells × O(m) window copy
     * — at a year of days ~49M long-copies per pair, still bounded by
-    * the calendar; a multi-year horizon would move to the standard
-    * Sakoe-Chiba band (cap |i−j|), shrinking both factors.
+    * the calendar; for multi-year horizons the Sakoe-Chiba banded
+    * twin `ts_dtw_pairs_banded` caps |i−j| and shrinks both factors
+    * (r10 — parity-spec'd against this full form in DtwBandSpec).
     */
   q("ts_dtw_pairs",
     """WITH daily AS (
@@ -3082,6 +3083,141 @@ object LogAnalytics extends QueryRegistry {
           |  -1)""".stripMargin))
       .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
         col("dtw_u"), expr("dtw_u div (n_a + n_b)").as("dtw_per_step_u"))
+  }
+
+  /** Sakoe-Chiba BANDED DTW (Sakoe & Chiba 1978) — the scale path for
+    * multi-year horizons the full `ts_dtw_pairs` docstring promises:
+    * warping is restricted to |i−j| ≤ band (phase drift beyond `band`
+    * days is no longer considered alignment), so the DP visits
+    * n_a·w cells of a FIXED-WIDTH band (w = 2·band_eff+1, cell c in
+    * row i maps to column j = i + c − band_eff; out-of-range columns
+    * are INF pad) instead of n_a·n_b — and the fold's accumulator
+    * window shrinks from m+1 to w, cutting the per-cell copy the same
+    * way. Total long-copies drop from n·m·(m+1) to n·w² (~600× at a
+    * 2-year daily series with band 14). band_eff =
+    * max(band, |n_a−n_b|) per pair — the standard validity floor
+    * (a monotone path must bridge the length gap). Neighbor offsets in
+    * the w-window: diag = A[1] (k−w), up = A[2] (k−w+1), left =
+    * A[end]; the answer sits at window position band_eff+1+n_b−n_a.
+    * Same exact-integer grid as the full form; DuckDB replays the
+    * identical banded fold, and DtwBandSpec pins (a) banded ≡ full
+    * when band ≥ series length and (b) banded ≥ full always.
+    */
+  q("ts_dtw_pairs_banded",
+    """WITH daily AS (
+      |  SELECT event_type,
+      |         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS st,
+      |         CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+      |              // count(*) AS BIGINT) AS xu
+      |  FROM events GROUP BY event_type, date_trunc('day', ts)),
+      |ser AS (
+      |  SELECT event_type, list(xu ORDER BY st) AS ys,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM daily GROUP BY 1),
+      |p AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |         a.n AS n_a, b.n AS n_b, a.ys AS xs, b.ys AS ys,
+      |         greatest(CAST(14 AS BIGINT), abs(a.n - b.n)) AS band_eff,
+      |         2 * greatest(CAST(14 AS BIGINT), abs(a.n - b.n)) + 1 AS w
+      |  FROM ser a JOIN ser b ON a.event_type < b.event_type),
+      |dpp AS (
+      |  SELECT type_a, type_b, n_a, n_b, band_eff, w,
+      |    list_reduce(
+      |      list_prepend(
+      |        list_transform(range(0, CAST(w AS INT)),
+      |                       z -> CAST(9000000000000000 AS BIGINT)),
+      |        list_transform(range(0, CAST(n_a * w AS INT)),
+      |                       k -> [CAST(k AS BIGINT)])),
+      |      (A, kk) -> list_append(
+      |        A[2:],
+      |        CASE WHEN (kk[1] // w) + (kk[1] % w) - band_eff < 0
+      |                  OR (kk[1] // w) + (kk[1] % w) - band_eff >= n_b
+      |             THEN CAST(9000000000000000 AS BIGINT)
+      |             ELSE abs(xs[CAST(kk[1] // w AS INT) + 1] -
+      |                      ys[CAST((kk[1] // w) + (kk[1] % w) - band_eff
+      |                              AS INT) + 1]) +
+      |                  CASE WHEN kk[1] // w = 0
+      |                            AND (kk[1] % w) - band_eff = 0 THEN 0
+      |                       ELSE least(
+      |                         CASE WHEN kk[1] % w = 0
+      |                                   OR (kk[1] // w) + (kk[1] % w)
+      |                                      - band_eff = 0
+      |                              THEN CAST(9000000000000000 AS BIGINT)
+      |                              ELSE A[len(A)] END,
+      |                         CASE WHEN kk[1] // w = 0 OR kk[1] % w = w - 1
+      |                              THEN CAST(9000000000000000 AS BIGINT)
+      |                              ELSE A[2] END,
+      |                         CASE WHEN kk[1] // w = 0
+      |                                   OR (kk[1] // w) + (kk[1] % w)
+      |                                      - band_eff = 0
+      |                              THEN CAST(9000000000000000 AS BIGINT)
+      |                              ELSE A[1] END) END
+      |        END)) AS dp
+      |  FROM p)
+      |SELECT type_a, type_b, n_a, n_b,
+      |       CAST(dp[CAST(band_eff + 1 + n_b - n_a AS INT)] AS BIGINT)
+      |         AS dtw_band_u,
+      |       CAST(dp[CAST(band_eff + 1 + n_b - n_a AS INT)] // (n_a + n_b)
+      |            AS BIGINT) AS dtw_band_per_step_u
+      |FROM dpp""") { (s, d) =>
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("st"))
+      .agg(expr(
+        "sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) div count(*)")
+        .as("xu"))
+    val ser = daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("st"), col("xu"))))
+        .as("days"))
+      .select(col("event_type"),
+        expr("transform(days, x -> x.xu)").as("ys"),
+        size(col("days")).cast("long").as("n"))
+    val a = ser.as("a")
+    val b = ser.as("b")
+    a.join(b, col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        col("a.ys").as("xs"), col("b.ys").as("ys"))
+      .withColumn("band_eff",
+        greatest(lit(14L), abs(col("n_a") - col("n_b"))))
+      .withColumn("w", lit(2L) * col("band_eff") + 1L)
+      .withColumn("dtw_band_u", expr(
+        """element_at(
+          |  aggregate(
+          |    sequence(0L, n_a * w - 1),
+          |    array_repeat(9000000000000000L, CAST(w AS INT)),
+          |    (A, k) -> concat(
+          |      slice(A, 2, size(A) - 1),
+          |      array(
+          |        CASE WHEN (k div w) + (k % w) - band_eff < 0
+          |                  OR (k div w) + (k % w) - band_eff >= n_b
+          |             THEN 9000000000000000L
+          |             ELSE abs(element_at(xs, CAST(k div w AS INT) + 1) -
+          |                      element_at(ys,
+          |                        CAST((k div w) + (k % w) - band_eff
+          |                             AS INT) + 1)) +
+          |                  CASE WHEN k div w = 0L
+          |                            AND (k % w) - band_eff = 0L THEN 0L
+          |                       ELSE least(
+          |                         CASE WHEN k % w = 0L
+          |                                   OR (k div w) + (k % w)
+          |                                      - band_eff = 0L
+          |                              THEN 9000000000000000L
+          |                              ELSE element_at(A, size(A)) END,
+          |                         CASE WHEN k div w = 0L OR k % w = w - 1
+          |                              THEN 9000000000000000L
+          |                              ELSE element_at(A, 2) END,
+          |                         CASE WHEN k div w = 0L
+          |                                   OR (k div w) + (k % w)
+          |                                      - band_eff = 0L
+          |                              THEN 9000000000000000L
+          |                              ELSE element_at(A, 1) END) END
+          |        END))),
+          |  CAST(band_eff + 1 + n_b - n_a AS INT))""".stripMargin))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("dtw_band_u"),
+        expr("dtw_band_u div (n_a + n_b)").as("dtw_band_per_step_u"))
   }
 
   /** Chow structural-break F-test at the series midpoint: does fitting

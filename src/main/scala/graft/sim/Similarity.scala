@@ -250,6 +250,25 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
+  /** Pick the operating nprobe from a measured recall curve (r9
+    * verdict #8 stretch — the knee of the `sim_ivf_probe_curve`
+    * measurement): the SMALLEST nprobe whose recall is within
+    * `slackPpm` of the best measured recall. Rationale: IVF cost is
+    * linear in nprobe (each probe scans one more inverted list), while
+    * recall saturates — beyond the knee a doubling of the probe budget
+    * buys less than the slack, so the knee is the right default
+    * operating point; callers with a hard recall SLO pass their own
+    * slack. Driver-side over the (arms-sized, ≤ a handful of rows)
+    * curve — the model-sized-collect contract.
+    */
+  def autoNprobe(curve: Seq[(Int, Long)], slackPpm: Long = 20000L): Int = {
+    require(curve.nonEmpty, "empty recall curve")
+    require(slackPpm >= 0, s"slackPpm out of range: $slackPpm")
+    val best = curve.map(_._2).max
+    curve.sortBy(_._1)
+      .collectFirst { case (p, r) if r >= best - slackPpm => p }.get
+  }
+
   /** LSH-bucketed approximate top-k: vectors sharing any of the `tables`
     * signature buckets are candidates; exact cosine re-ranks. Recall is
     * tunable via planes/tables; each table is one shuffle key, so cost

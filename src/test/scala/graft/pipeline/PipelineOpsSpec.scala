@@ -1582,6 +1582,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.head.getAs[Long]("n_queries") == 1L)
   }
 
+  test("autoNprobe picks the smallest arm within slack of best recall") {
+    // best 715000, slack 20000 -> threshold 695000 -> knee = 2
+    val curve = Seq(1 -> 500000L, 2 -> 700000L, 4 -> 710000L, 8 -> 715000L)
+    assert(Similarity.autoNprobe(curve) == 2)
+    // input order must not matter
+    assert(Similarity.autoNprobe(curve.reverse) == 2)
+    // monotone-improving curve with big steps -> pick the max arm
+    assert(Similarity.autoNprobe(
+      Seq(1 -> 400000L, 2 -> 500000L, 4 -> 600000L, 8 -> 720000L)) == 8)
+    // single arm
+    assert(Similarity.autoNprobe(Seq(4 -> 100000L)) == 4)
+    // zero slack -> first arm attaining the max
+    assert(Similarity.autoNprobe(curve, slackPpm = 0L) == 8)
+  }
+
   test("testdata assumption: dd_threshold_curve_capped's df cap (16) is " +
       "inactive at verify scale") {
     // The capped curve is verified against the UNCAPPED exact oracle,
