@@ -85,7 +85,7 @@ object Plans {
     "dd_minhash_recall" -> "LSH recall audit (r9): both arms are the EXISTING bounded pipelines (banded minhash, prefix-filtered exact Jaccard); the audit itself is one full-outer pair join + a single-row count aggregate",
     "dd_threshold_curve" -> "Jaccard threshold curve (r9): ONE AllPairs candidate pass at the lowest threshold feeds the exact-decile histogram; integer cross-multiplied buckets, <=6-row cumulative window",
     "mm_frame_overlap" -> "frame-fingerprint near-dup (r9): rolling-hash fingerprints map-local, the posting self-join keys on frame_fp (the LSH band-join contract, df-cap knob for boilerplate frames), overlap arithmetic exact integer ppm",
-    "g_suite_on_view" -> "structural graph suite on ONE shared view (r10): the copurchase self-join + distinct — the dominant per-call cost of g_kcore/g_local_clustering/g_modularity/g_assortativity standalone — builds ONCE as an eager localCheckpoint; all four ops read the checkpointed edge scan (look for the single RDD scan feeding every arm), so the suite pays one build instead of four; outputs map to a uniform (op,a,b,c) BIGINT union")
+    "g_suite_on_view" -> "structural graph suite on ONE shared view (r10): the copurchase self-join + distinct — the dominant per-call cost of g_kcore/g_local_clustering/g_modularity/g_assortativity standalone — builds ONCE as an eager localCheckpoint that all four ops consume. The final plan shows only the four checkpointed RESULT scans union'd (each op materializes its bounded output eagerly); the sharing evidence is upstream of this plan — one edge-view job instead of four rebuilds — and shows up as the bench row running well under the sum of the four standalone rows")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
