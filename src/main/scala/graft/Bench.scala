@@ -107,13 +107,27 @@ object Bench {
     // plans); steady-state is the relevant throughput figure at scale,
     // where compilation amortizes — but the cold figure keeps
     // round-over-round totals comparable with pre-warm-up rounds.
+    // Between-query hygiene (r10): many operators eagerly
+    // localCheckpoint their bounded results and rely on the
+    // ContextCleaner to free the blocks once the frames are GC'd —
+    // correct in a long-lived session, but across a 125-query bench in
+    // an 8 GiB JVM the unreferenced blocks accumulate faster than GC
+    // notices and the sf1 tail died with Spark's OOM exit (52) in the
+    // r10 full run. Nothing is live between bench queries, so drop
+    // every leftover persisted/checkpointed RDD explicitly (untimed).
+    def dropLeftoverBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+
     val coldTotal = headline.map { name =>
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.mode("overwrite").format("noop").save()
-        (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => 0.0 }
+        val dt = (System.nanoTime() - t0) / 1e9
+        dropLeftoverBlocks()
+        dt
+      } catch { case _: Throwable => dropLeftoverBlocks(); 0.0 }
     }.sum
 
     // a failed query records -1 (never a near-zero duration that would
@@ -130,9 +144,12 @@ object Bench {
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          dropLeftoverBlocks()
           return -1.0
         }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        dropLeftoverBlocks()
+        dt
       }
       val times = Iterator.continually(once()).take(3)
         .takeWhile(_ >= 0).toSeq
@@ -193,9 +210,14 @@ object Bench {
       "t_heavy_hitters" -> "documents", "dd_semdedup" -> "embeddings",
       "t_curation_funnel" -> "documents",
       "g_suite_on_view" -> "lineitem", "pipeline_dbest" -> "events")
+    // the dev-only SPARK_GRAFT_BENCH_ONLY subset applies here too —
+    // before r10 a 5-query dev iteration still paid the full ~20-min
+    // sf1 sweep
     val sf1Names = sf1Needs.collect { case (n, t)
       if java.nio.file.Files.exists(
         java.nio.file.Paths.get(sf1Dir, s"$t.parquet")) => n }
+      .filter(n => sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .forall(_.split(',').toSet.contains(n)))
     val sf1 =
       if (sf1Names.nonEmpty) {
         val entries = sf1Names
@@ -207,9 +229,12 @@ object Bench {
                 .format("noop").save() }
               catch { case e: Throwable =>
                 System.err.println(s"[bench-sf1] $name failed: ${e.getMessage}")
+                dropLeftoverBlocks()
                 return -1.0
               }
-              (System.nanoTime() - t0) / 1e9
+              val dt = (System.nanoTime() - t0) / 1e9
+              dropLeftoverBlocks()
+              dt
             }
             val times = Iterator.continually(once()).take(3)
               .takeWhile(_ >= 0).toSeq

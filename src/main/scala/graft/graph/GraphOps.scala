@@ -361,10 +361,21 @@ object GraphOps {
     * four consumers and released on return.
     */
   def lpaModularity(edges: DataFrame, iters: Int): DataFrame = {
-    val dec = "decimal(38,0)"
     val dd = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val out = lpaModularityOnView(dd, iters)
+    dd.unpersist(false)
+    out
+  }
+
+  /** [[lpaModularity]] against a prebuilt bidirectional (src, dst)
+    * edge table — the steady-state mode (r10): the caller owns `dd`'s
+    * lifecycle, so a suite sharing one materialized view pays the
+    * copurchase build + union ONCE across every structural op.
+    */
+  def lpaModularityOnView(dd: DataFrame, iters: Int): DataFrame = {
+    val dec = "decimal(38,0)"
     val lbl = labelPropagationOnView(dd, iters)
     val deg = dd.groupBy("src").agg(count(lit(1)).as("dg"))
     val dc = deg.join(lbl, deg("src") === lbl("node"))
@@ -385,7 +396,6 @@ object GraphOps {
           | div (CAST(m2 AS DECIMAL(38,0)) * m2) AS BIGINT)"""
           .stripMargin).as("q_ppm"))
       .localCheckpoint(true)
-    dd.unpersist(false)
     out
   }
 
@@ -529,7 +539,6 @@ object GraphOps {
     * degree joins + one map-combined aggregate to a single row.
     */
   def degreeAssortativity(edges: DataFrame): DataFrame = {
-    val dec = "decimal(38,0)"
     // one materialization of the (self-join-derived) edge table feeds
     // the degree aggregate AND both sides of the membership join —
     // unpersisted, the copurchase self-join re-ran three times
@@ -537,6 +546,17 @@ object GraphOps {
     val dd = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val out = degreeAssortativityOnView(dd)
+    dd.unpersist(false)
+    out
+  }
+
+  /** [[degreeAssortativity]] against a prebuilt bidirectional
+    * (src, dst) edge table — caller owns `dd`'s lifecycle (r10, the
+    * suite-sharing mode).
+    */
+  def degreeAssortativityOnView(dd: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
     val deg = dd.groupBy("src").agg(count(lit(1)).as("dg"))
       .select(col("src").as("node"), col("dg"))
     val ed = dd
@@ -556,7 +576,6 @@ object GraphOps {
             col("den").cast("double"), 6))
           .as("assortativity"))
       .localCheckpoint(true)
-    dd.unpersist(false)
     out
   }
 
@@ -574,15 +593,25 @@ object GraphOps {
     * lazy persists cap lineage depth, all released on return.
     */
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    require(k >= 2 && k <= 1000, s"k out of range: $k")
-    require(rounds >= 1 && rounds <= 20, s"rounds out of range: $rounds")
     // the round-1 degree aggregate and both keep-joins all read the
     // initial (self-join-derived) edge table — one materialization
     // instead of three rebuilds (r9 bench: 7.7 s, rebuild-dominated)
-    var dd = edges.select(col("a").as("src"), col("b").as("dst"))
+    val dd0 = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var cached: Seq[DataFrame] = Seq(dd)
+    val out = kCoreOnView(dd0, k, rounds)
+    dd0.unpersist(false)
+    out
+  }
+
+  /** [[kCore]] against a prebuilt bidirectional (src, dst) edge table
+    * — caller owns `dd0`'s lifecycle (r10, the suite-sharing mode).
+    */
+  def kCoreOnView(dd0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 2 && k <= 1000, s"k out of range: $k")
+    require(rounds >= 1 && rounds <= 20, s"rounds out of range: $rounds")
+    var dd = dd0
+    var cached: Seq[DataFrame] = Nil
     var stats: Seq[DataFrame] = Nil
     for (i <- 1 to rounds) {
       val keep = dd.groupBy("src").agg(count(lit(1)).as("c"))

@@ -2389,6 +2389,75 @@ object PipelineQueries extends QueryRegistry {
       .toDF("chosen_nprobe", "chosen_recall_ppm", "best_recall_ppm")
   }
 
+  /** MMR diversified top-3 over the 8-candidate pool — see
+    * [[graft.sim.Similarity.mmrTopK]]. The oracle replays the FULL
+    * greedy: pool by exact cosine rank, then two chained
+    * select-score-argmax CTE steps (λ=0.5, ties by cand_id) with the
+    * candidate-candidate cosines recomputed by list_cosine_similarity
+    * — bit-equal to the fused native expression, so a greedy-order or
+    * tie-break regression on either side hash-fails.
+    */
+  q("sim_mmr_topk",
+    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |            FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, e AS eq FROM emb WHERE vec_id < 10),
+      |pool0 AS (
+      |  SELECT q.query_id, c.vec_id AS cand_id,
+      |         list_cosine_similarity(q.eq, c.e) AS rel, c.e AS ec,
+      |         row_number() OVER (PARTITION BY q.query_id
+      |           ORDER BY list_cosine_similarity(q.eq, c.e) DESC,
+      |                    c.vec_id) AS rk
+      |  FROM q JOIN emb c ON c.vec_id <> q.query_id),
+      |pool AS (SELECT query_id, cand_id, rel, ec FROM pool0 WHERE rk <= 8),
+      |s1 AS (SELECT query_id, cand_id, rel, ec FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY query_id
+      |                     ORDER BY rel DESC, cand_id) AS rk FROM pool) t
+      |       WHERE rk = 1),
+      |r2 AS (SELECT p.* FROM pool p
+      |       WHERE NOT EXISTS (SELECT 1 FROM s1
+      |                         WHERE s1.query_id = p.query_id
+      |                           AND s1.cand_id = p.cand_id)),
+      |ms2 AS (SELECT r.query_id, r.cand_id,
+      |               max(list_cosine_similarity(r.ec, s.ec)) AS maxsim
+      |        FROM r2 r JOIN s1 s ON s.query_id = r.query_id
+      |        GROUP BY 1, 2),
+      |s2 AS (SELECT query_id, cand_id, rel, ec FROM (
+      |         SELECT p.query_id, p.cand_id, p.rel, p.ec,
+      |                row_number() OVER (PARTITION BY p.query_id
+      |                  ORDER BY 0.5 * p.rel - 0.5 * m.maxsim DESC,
+      |                           p.cand_id) AS rk
+      |         FROM pool p JOIN ms2 m ON m.query_id = p.query_id
+      |                                AND m.cand_id = p.cand_id) t
+      |       WHERE rk = 1),
+      |sel2 AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+      |r3 AS (SELECT p.* FROM pool p
+      |       WHERE NOT EXISTS (SELECT 1 FROM sel2
+      |                         WHERE sel2.query_id = p.query_id
+      |                           AND sel2.cand_id = p.cand_id)),
+      |ms3 AS (SELECT r.query_id, r.cand_id,
+      |               max(list_cosine_similarity(r.ec, s.ec)) AS maxsim
+      |        FROM r3 r JOIN sel2 s ON s.query_id = r.query_id
+      |        GROUP BY 1, 2),
+      |s3 AS (SELECT query_id, cand_id, rel, ec FROM (
+      |         SELECT p.query_id, p.cand_id, p.rel, p.ec,
+      |                row_number() OVER (PARTITION BY p.query_id
+      |                  ORDER BY 0.5 * p.rel - 0.5 * m.maxsim DESC,
+      |                           p.cand_id) AS rk
+      |         FROM pool p JOIN ms3 m ON m.query_id = p.query_id
+      |                                AND m.cand_id = p.cand_id) t
+      |       WHERE rk = 1)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(1 AS INT) AS rank,
+      |       CAST(cand_id AS BIGINT) AS cand_id, round(rel, 6) AS rel
+      |FROM s1
+      |UNION ALL
+      |SELECT CAST(query_id AS BIGINT), CAST(2 AS INT),
+      |       CAST(cand_id AS BIGINT), round(rel, 6) FROM s2
+      |UNION ALL
+      |SELECT CAST(query_id AS BIGINT), CAST(3 AS INT),
+      |       CAST(cand_id AS BIGINT), round(rel, 6) FROM s3""") { (s, d) =>
+    Similarity.mmrTopK(embs(s, d), k = 3, poolSize = 8, nQueries = 10)
+  }
+
   /** PQ/ADC top-k reproduced in DuckDB: codebook centroids re-derived
     * from the table (sub-slices of the ksub smallest-md5 vectors — the
     * same hash-sampling as the IVF oracle), per-subspace nearest-code

@@ -250,6 +250,74 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
+  /** MMR diversified top-k (Carbonell & Goldstein 1998): greedy
+    * re-rank of a bounded candidate pool balancing relevance against
+    * redundancy — pick argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)
+    * k times. The de-duplicating retrieval step every RAG/search
+    * pipeline runs after ANN: plain top-k returns near-duplicate
+    * neighbors; MMR spends the k slots on DISTINCT relevant results.
+    *
+    * λ fixed at 0.5 (exactly representable — both λ and 1−λ are one
+    * float product each, so the score arithmetic replays bit-equal in
+    * the oracle); ties broken by cand_id (total order). Each greedy
+    * step is a bounded join: remaining pool × selected set (≤ k rows
+    * per query), a (query, cand) max-sim aggregate, and a per-query
+    * top-1 window — all state bounded by poolSize, never the corpus.
+    * The pool here comes from the guarded brute-force scorer so the
+    * DuckDB oracle can replay candidate generation exactly; at corpus
+    * scale feed the pool from [[ivfTopK]]/[[lshTopK]] candidates
+    * instead (the greedy stage is source-agnostic).
+    */
+  def mmrTopK(embeddings: DataFrame, k: Int = 3, poolSize: Int = 8,
+      nQueries: Int = 10, maxCorpusRows: Long = 100000L): DataFrame = {
+    require(k >= 1 && poolSize >= k,
+      s"bad mmr params: k=$k poolSize=$poolSize")
+    require(graft.Guards.atMost(embeddings, maxCorpusRows),
+      s"mmrTopK's brute pool scores |q|x|c| pairs: corpus exceeds " +
+        s"$maxCorpusRows rows; feed the pool from ivfTopK at scale")
+    val e = embeddings.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("e"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("eq"))
+    val c = e.select(col("vec_id").as("cand_id"), col("e").as("ec"))
+    val wRel = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("cand_id"))
+    val pool = q.join(broadcast(c), col("query_id") =!= col("cand_id"))
+      .withColumn("rel", cosineCol(col("eq"), col("ec")))
+      .withColumn("rk", row_number().over(wRel))
+      .filter(col("rk") <= poolSize)
+      .select("query_id", "cand_id", "rel", "ec")
+      .localCheckpoint(true) // nQueries·poolSize rows; feeds every step
+    var selected = pool
+      .withColumn("rk", row_number().over(wRel))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("cand_id"), col("rel"), col("ec"),
+        lit(1).as("rank"))
+    for (step <- 2 to k) {
+      val remaining = pool.join(
+        selected.select("query_id", "cand_id"),
+        Seq("query_id", "cand_id"), "left_anti")
+      val maxsim = remaining
+        .join(selected.select(col("query_id"), col("ec").as("es")),
+          Seq("query_id"))
+        .withColumn("sim", cosineCol(col("ec"), col("es")))
+        .groupBy("query_id", "cand_id")
+        .agg(max(col("sim")).as("maxsim"))
+      val wScore = Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("cand_id"))
+      val pick = pool.join(maxsim, Seq("query_id", "cand_id"))
+        .withColumn("score",
+          lit(0.5) * col("rel") - lit(0.5) * col("maxsim"))
+        .withColumn("rk", row_number().over(wScore))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("cand_id"), col("rel"), col("ec"),
+          lit(step).as("rank"))
+      selected = selected.unionByName(pick)
+    }
+    selected.select(col("query_id"), col("rank"), col("cand_id"),
+      round(col("rel"), 6).as("rel"))
+  }
+
   /** Pick the operating nprobe from a measured recall curve (r9
     * verdict #8 stretch — the knee of the `sim_ivf_probe_curve`
     * measurement): the SMALLEST nprobe whose recall is within

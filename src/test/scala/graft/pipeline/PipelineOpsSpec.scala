@@ -1582,6 +1582,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.head.getAs[Long]("n_queries") == 1L)
   }
 
+  test("mmrTopK spends rank 2 on the diverse candidate, not the near-dup") {
+    import spark.implicits._
+    // query v0; v1 is the top hit, v2 a near-duplicate of v1 (plain
+    // top-2 = {v1, v2}), v3 relevant-but-different. MMR's redundancy
+    // penalty must demote v2 and pick v3 at rank 2.
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.001f, 0.0f)),
+      (3L, Array(0.6f, 0.0f, 0.8f, 0.0f))).toDF("vec_id", "embedding")
+    val plain = Similarity.bruteForceTopK(df.filter($"vec_id" === 0), df, 2)
+      .orderBy("rank").select("cand_id").as[Long].collect().toSeq
+    assert(plain == Seq(1L, 2L), s"plain top-2 should be the dup pair: $plain")
+    val mmr = Similarity.mmrTopK(df, k = 2, poolSize = 3, nQueries = 1)
+      .orderBy("rank").select("cand_id").as[Long].collect().toSeq
+    assert(mmr == Seq(1L, 3L), s"mmr should diversify: $mmr")
+  }
+
   test("autoNprobe picks the smallest arm within slack of best recall") {
     // best 715000, slack 20000 -> threshold 695000 -> knee = 2
     val curve = Seq(1 -> 500000L, 2 -> 700000L, 4 -> 710000L, 8 -> 715000L)
