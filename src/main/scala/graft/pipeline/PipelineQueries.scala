@@ -1528,6 +1528,78 @@ object PipelineQueries extends QueryRegistry {
       minCosine = 0.4)
   }
 
+  /** DBSCAN over the cell-bucketed eps-graph — see
+    * [[graft.sim.Similarity.dbscan]]. The oracle re-derives the same
+    * hash-sampled cells, builds the in-cell eps-graph with bit-equal
+    * cosines, takes the EXACT reachability closure of the core
+    * subgraph as a recursive CTE (min reachable core id — the
+    * dd_cluster_components pattern, so the Spark side's capped
+    * pointer-jumped CC is checked against true transitive closure),
+    * and replays border attachment and the noise remainder.
+    */
+  private val dbscanOracleSql: String = {
+    val (nlist, dims, tau, minPts) = (16, 64, 0.3, 2)
+    s"""WITH RECURSIVE
+       |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |        FROM embeddings),
+       |ctr0 AS (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, e
+       |         FROM emb ORDER BY h LIMIT $nlist),
+       |ctr AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cell, e AS c
+       |        FROM ctr0),
+       |dst AS (
+       |  SELECT v.vec_id, c.cell,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, ${dims + 1}), i ->
+       |             (v.e[CAST(i AS INT)] - c.c[CAST(i AS INT)]) *
+       |             (v.e[CAST(i AS INT)] - c.c[CAST(i AS INT)]))),
+       |           (a, x) -> a + x) AS d2
+       |  FROM emb v CROSS JOIN ctr c),
+       |asg AS (
+       |  SELECT vec_id, cell
+       |  FROM (SELECT vec_id, cell,
+       |          row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY d2, cell) AS pr
+       |        FROM dst) WHERE pr = 1),
+       |edges AS (
+       |  SELECT a.vec_id AS s, b.vec_id AS t
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |  JOIN emb ea ON ea.vec_id = a.vec_id
+       |  JOIN emb eb ON eb.vec_id = b.vec_id
+       |  WHERE list_cosine_similarity(ea.e, eb.e) >= $tau),
+       |core AS (SELECT s AS vec_id FROM edges GROUP BY 1
+       |         HAVING count(*) >= $minPts),
+       |ce AS (SELECT e.s, e.t FROM edges e
+       |       JOIN core x ON x.vec_id = e.s
+       |       JOIN core y ON y.vec_id = e.t),
+       |reach(v, r) AS (
+       |  SELECT vec_id, vec_id FROM core
+       |  UNION
+       |  SELECT reach.v, ce.t FROM reach JOIN ce ON ce.s = reach.r),
+       |clab AS (SELECT v AS vec_id, min(r) AS cluster FROM reach GROUP BY v),
+       |border AS (
+       |  SELECT e.s AS vec_id, min(c.cluster) AS cluster
+       |  FROM edges e JOIN clab c ON c.vec_id = e.t
+       |  WHERE e.s NOT IN (SELECT vec_id FROM core)
+       |  GROUP BY 1)
+       |SELECT CAST(vec_id AS BIGINT) AS vec_id, 'core' AS role,
+       |       CAST(cluster AS BIGINT) AS cluster
+       |FROM clab
+       |UNION ALL
+       |SELECT CAST(vec_id AS BIGINT), 'border', CAST(cluster AS BIGINT)
+       |FROM border
+       |UNION ALL
+       |SELECT CAST(v.vec_id AS BIGINT), 'noise', CAST(-1 AS BIGINT)
+       |FROM emb v
+       |WHERE v.vec_id NOT IN (SELECT vec_id FROM clab)
+       |  AND v.vec_id NOT IN (SELECT vec_id FROM border)""".stripMargin
+  }
+
+  q("sim_dbscan", dbscanOracleSql) { (s, d) =>
+    val e = embs(s, d)
+    Similarity.dbscan(Similarity.hashSampledQuantizer(e, nlist = 16), e,
+      minCosine = 0.3, minPts = 2)
+  }
+
   /** Hard-negative mining oracle: same hash-sampled cell re-derivation
     * as the semDedup oracle; within-cell pairwise cosine, per-anchor
     * best same-/different-label similarity and the ×10⁴ margin.

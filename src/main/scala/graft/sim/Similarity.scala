@@ -250,6 +250,63 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
+  /** Density-based clustering (DBSCAN, Ester et al. 1996) over the
+    * cell-bucketed eps-graph — the clustering family member k-means
+    * can't cover (k-means wants convex, count-known clusters; DBSCAN
+    * finds arbitrary-shape dense regions and labels sparse points
+    * NOISE — the "junk cloud vs. coherent topic islands" readout of an
+    * embedding-space audit). Eps-neighborhood = cosine ≥ `minCosine`
+    * within the vector's coarse-quantizer cell (the SemDeDup bounded-
+    * recall trade: cross-cell neighbors are out of reach by
+    * construction — raise nlist/multi-assign for recall; pair cost is
+    * Σ|cell|², never n²). core = ≥ `minPts` neighbors; clusters =
+    * connected components of the core-core subgraph (min-reachable-id
+    * labels via [[graft.dedup.Dedup.connectedComponents]] — pointer-
+    * jumped, capped, convergence-checked); border = non-core with a
+    * core neighbor, attached to its minimum core cluster id; the rest
+    * is noise (cluster −1). Raw-cosine threshold compare (no rounding
+    * before the gate) keeps the DuckDB replay knife-edge-free.
+    */
+  def dbscan(quantizer: IvfQuantizer, embeddings: DataFrame,
+      minCosine: Double, minPts: Int): DataFrame = {
+    require(minPts >= 1, s"minPts out of range: $minPts")
+    val assigned = quantizer.assign(embeddings)
+    val a = assigned.select(col("cell"), col("vec_id").as("s"),
+      col("e").as("ea"))
+    val b = assigned.select(col("cell").as("cb"), col("vec_id").as("t"),
+      col("e").as("eb"))
+    // both directions of every in-cell eps-pair; feeds degree, the
+    // core subgraph, AND border attachment — one materialization
+    val edges = a.join(b, col("cell") === col("cb") && col("s") =!= col("t"))
+      .filter(cosineCol(col("ea"), col("eb")) >= minCosine)
+      .select("s", "t")
+      .localCheckpoint(true)
+    val core = edges.groupBy("s").agg(count(lit(1)).as("nn"))
+      .filter(col("nn") >= minPts).select(col("s").as("vec_id"))
+    val ce = edges
+      .join(core.select(col("vec_id").as("s")), Seq("s"))
+      .join(core.select(col("vec_id").as("t")), Seq("t"))
+      .select(col("s").as("doc_a"), col("t").as("doc_b"))
+    val clab = graft.dedup.Dedup.connectedComponents(core, ce,
+      idCol = "vec_id")
+    val border = edges
+      .join(core.select(col("vec_id").as("s")), Seq("s"), "left_anti")
+      .join(clab.select(col("vec_id").as("t"), col("cluster_id")),
+        Seq("t"))
+      .groupBy(col("s").as("vec_id"))
+      .agg(min(col("cluster_id")).as("cluster"))
+    val coreOut = clab.select(col("vec_id"), lit("core").as("role"),
+      col("cluster_id").as("cluster"))
+    val borderOut = border.select(col("vec_id"), lit("border").as("role"),
+      col("cluster"))
+    val noise = assigned.select("vec_id")
+      .join(clab.select("vec_id"), Seq("vec_id"), "left_anti")
+      .join(border.select("vec_id"), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), lit("noise").as("role"),
+        lit(-1L).as("cluster"))
+    coreOut.unionAll(borderOut).unionAll(noise)
+  }
+
   /** MMR diversified top-k (Carbonell & Goldstein 1998): greedy
     * re-rank of a bounded candidate pool balancing relevance against
     * redundancy — pick argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)

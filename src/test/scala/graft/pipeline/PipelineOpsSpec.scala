@@ -1582,6 +1582,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.head.getAs[Long]("n_queries") == 1L)
   }
 
+  test("dbscan: arc chain -> two cores merge to one cluster, endpoints " +
+      "border, orthogonal outlier noise") {
+    import spark.implicits._
+    // Unit vectors at 0/20/40/60 degrees in one plane: adjacent pairs
+    // cos20 = 0.94 >= 0.9, skip-one cos40 = 0.77 < 0.9. Degrees with
+    // minPts=2: v1,v2 core (the CC must MERGE them into one cluster,
+    // min core id 1); v0,v3 have one neighbor each -> border attached
+    // to cluster 1; v4 orthogonal -> noise. One quantizer cell
+    // (nlist=1) so the eps-graph is cell-complete.
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9397f, 0.342f, 0.0f, 0.0f)),
+      (2L, Array(0.766f, 0.6428f, 0.0f, 0.0f)),
+      (3L, Array(0.5f, 0.866f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val quant = Similarity.hashSampledQuantizer(df, nlist = 1)
+    val out = Similarity.dbscan(quant, df, minCosine = 0.9, minPts = 2)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[String]("role"), r.getAs[Long]("cluster"))).toMap
+    assert(out(1L) == (("core", 1L)))
+    assert(out(2L) == (("core", 1L))) // merged with v1, not its own id
+    assert(out(0L) == (("border", 1L)))
+    assert(out(3L) == (("border", 1L)))
+    assert(out(4L) == (("noise", -1L)))
+  }
+
   test("mmrTopK spends rank 2 on the diverse candidate, not the near-dup") {
     import spark.implicits._
     // query v0; v1 is the top hit, v2 a near-duplicate of v1 (plain
