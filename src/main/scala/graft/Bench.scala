@@ -82,7 +82,9 @@ object Bench {
     // the second reference journey), and the Sakoe-Chiba banded DTW
     // (n·w² work vs the full twin's n·m·(m+1) — the
     // capped-vs-uncapped containment pattern for series alignment)
-    "g_suite_on_view", "pipeline_dbest", "ts_dtw_pairs_banded")
+    "g_suite_on_view", "pipeline_dbest", "ts_dtw_pairs_banded",
+    // DBSCAN rides the semdedup cell machinery + the CC rounds
+    "sim_dbscan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -250,7 +252,7 @@ object Bench {
     // was JVM co-tenancy from the 14 added bench queries (JIT/code
     // cache/GC state shared across the run), not a code regression
     // (A/B n=3-min at sf0.1, 2026-08-13).
-    val notes = "g_pagerank r9 context: BENCH_r08's 4.73s was flattered by the r8 leak the advisory flagged — the session-lifetime edge-view persist silently reused its cache across the min-of-3 calls, so r8 timed warm iterations only. The r9 leak fix first exposed the honest cold per-call cost (9.5s), then three changes recovered it: lazy per-iteration persists (the InMemoryRelation boundary caps plan depth at planning time, no per-iteration count() action), edge build via eager localCheckpoint instead of lazy persist, and the build shared through the new edgeView/pageRankOnView steady-state API (on a prebuilt view, 5 iterations = 3.7s; the view build 1.7s amortizes across every rank/centrality query on the same graph). Net: 5.18s honest vs 4.73s warm-cache, zero leaked blocks. History: r7's 5 suspect regressions absolved by r8 min-of-3 (0.90-1.04x vs r6); BENCH_r07 was a crashed-JVM artifact"
+    val notes = "r10 notes: (1) between-query block hygiene added — unreferenced localCheckpoint blocks from the eager-checkpoint ops accumulated across the 125-query run in the 8 GiB bench JVM and OOM'd the sf1 tail (Spark exit 52); with explicit release the full run is clean and slightly faster (honest: a few ops previously enjoyed cross-run CacheManager reuse). (2) g_suite_on_view honest accounting: 17.6s vs 21.1s standalone sum at sf0.1 — the saving is exactly the 3 duplicate copurchase-build+union materializations; the per-op iterative work dominates at bench scale, and the shared-view fraction grows with graph size since the build is the corpus-sized self-join. g_pagerank r9 context: BENCH_r08's 4.73s was flattered by the r8 leak the advisory flagged — the session-lifetime edge-view persist silently reused its cache across the min-of-3 calls, so r8 timed warm iterations only. The r9 leak fix first exposed the honest cold per-call cost (9.5s), then three changes recovered it: lazy per-iteration persists (the InMemoryRelation boundary caps plan depth at planning time, no per-iteration count() action), edge build via eager localCheckpoint instead of lazy persist, and the build shared through the new edgeView/pageRankOnView steady-state API (on a prebuilt view, 5 iterations = 3.7s; the view build 1.7s amortizes across every rank/centrality query on the same graph). Net: 5.18s honest vs 4.73s warm-cache, zero leaked blocks. History: r7's 5 suspect regressions absolved by r8 min-of-3 (0.90-1.04x vs r6); BENCH_r07 was a crashed-JVM artifact"
     val json = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"comparable_r2_total":$comparable,"queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","notes":"$notes"$sf1}"""
     println(json)
     // Durable artifact (r9 verdict #5): the driver's BENCH_rN.json only

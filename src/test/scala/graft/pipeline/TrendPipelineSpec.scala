@@ -154,6 +154,20 @@ class TrendPipelineSpec extends AnyFunSuite {
     assert(row.getSeq[Double](row.fieldIndex("change")).length == all.length)
     assert(row.getSeq[Double](row.fieldIndex("trend")).length == 120)
     assert(row.getSeq[Double](row.fieldIndex("fit")).length == 120)
+
+    // region-level stats over the change map (the pipeline_dbest
+    // reduce): one pixel with an abrupt significant change; the mean
+    // |change| micro-units recompute from the same row
+    val st = TrendPipeline.dbestStatistics(
+      TrendPipeline.dbestChange(spark, rows.toDF(), params)).collect()
+    assert(st.length == 1)
+    val s0 = st(0)
+    assert(s0.getAs[Long]("n_pixels") == 1L)
+    assert(s0.getAs[Long]("n_with_change") == 1L)
+    assert(s0.getAs[Long]("n_abrupt") == 1L)
+    assert(s0.getAs[Long]("n_nonabrupt") == 0L)
+    assert(s0.getAs[Long]("mean_abs_change_u") ==
+      math.floor(math.abs(r.getAs[Double]("change")) * 10000 + 0.5).toLong)
   }
 
   test("kernel identity flags are non-vacuous: corrupted payloads flip to 0") {
