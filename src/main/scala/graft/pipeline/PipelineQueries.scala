@@ -1296,6 +1296,62 @@ object PipelineQueries extends QueryRegistry {
     Dedup.clusterDedup(dd, Dedup.ngramJaccardPairs(dd, n = 3, minJaccard = 0.8))
   }
 
+  /** Leakage-free train/test split (r10): hash-split on the DUPLICATE
+    * CLUSTER id instead of the doc id, so near-duplicate documents can
+    * never straddle the boundary — the structural fix for what
+    * `t_split_leakage` measures (a per-doc split puts one copy of a
+    * near-dup pair in train and its twin in test; the model then
+    * memorizes the "held-out" answer). Split membership stays a pure
+    * function of content (md5 of the min-reachable cluster id), so it
+    * is reproducible across engines, runs and cluster layouts like
+    * every split here. Output is per-split totals plus
+    * `n_straddling_clusters` — 0 BY CONSTRUCTION, a regression trap:
+    * any change that splits below cluster granularity flips it. The
+    * oracle re-derives the clusters as the exact recursive closure and
+    * replays the md5 bucket arithmetic.
+    */
+  q("t_cluster_split",
+    s"""WITH RECURSIVE
+      |$clusterCtes,
+      |clab AS (SELECT v AS doc_id, min(r) AS cluster_id
+      |         FROM reach GROUP BY v),
+      |sp AS (SELECT c.doc_id, c.cluster_id,
+      |         CASE WHEN CAST(('0x' ||
+      |             substr(md5(CAST(c.cluster_id AS VARCHAR)), 1, 8))
+      |             AS UBIGINT) % 100 < 80 THEN 'train' ELSE 'test' END
+      |           AS split,
+      |         len(string_split(d.text, ' ')) AS ntok
+      |       FROM clab c JOIN documents d ON d.doc_id = c.doc_id),
+      |strad AS (SELECT CAST(count(*) AS BIGINT) AS n_straddling_clusters
+      |          FROM (SELECT cluster_id FROM sp
+      |                GROUP BY 1 HAVING count(DISTINCT split) > 1))
+      |SELECT sp.split, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(count(DISTINCT sp.cluster_id) AS BIGINT) AS n_clusters,
+      |       CAST(sum(sp.ntok) AS BIGINT) AS n_tokens,
+      |       s.n_straddling_clusters
+      |FROM sp, strad s
+      |GROUP BY sp.split, s.n_straddling_clusters""".stripMargin) { (s, d) =>
+    val dd = docs(s, d)
+    val clusters = Dedup.clusterDedup(dd,
+        Dedup.ngramJaccardPairs(dd, n = 3, minJaccard = 0.8))
+      .select(col("doc_id"), col("cluster_id"))
+    val sp = clusters
+      .withColumn("split",
+        when(Sampling.hashBucket("cluster_id") < 80, "train")
+          .otherwise("test"))
+      .join(dd.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ntok")), Seq("doc_id"))
+    val strad = sp.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1)
+      .agg(count(lit(1)).as("n_straddling_clusters"))
+    sp.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"),
+        sum(col("ntok")).as("n_tokens"))
+      .crossJoin(broadcast(strad))
+  }
+
   /** Quality-aware keeper policy over the same duplicate clusters:
     * keeper = highest quality_score in the cluster (ties to the lower
     * id) instead of the min-id rule — the same CTE chain as
@@ -1598,6 +1654,68 @@ object PipelineQueries extends QueryRegistry {
     val e = embs(s, d)
     Similarity.dbscan(Similarity.hashSampledQuantizer(e, nlist = 16), e,
       minCosine = 0.3, minPts = 2)
+  }
+
+  /** Cluster-label purity audit: per quantizer cell, how concentrated
+    * are the ground-truth labels — the labeled-data QA readout that
+    * pairs with sim_kmeans/sim_dbscan ("do my embedding clusters agree
+    * with my labels, and which cells are mixed?"). majority label per
+    * cell (ties to the smaller label — total order), exact ppm purity.
+    * Shape: one cell-keyed count aggregate (state = cells × labels,
+    * both bounded) + a cells-sized top-1 window; the corpus appears
+    * only in the assignment scan.
+    */
+  q("sim_cluster_purity",
+    """WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+      |            FROM embeddings),
+      |ctr0 AS (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, e
+      |         FROM emb ORDER BY h LIMIT 16),
+      |ctr AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cell, e AS c
+      |        FROM ctr0),
+      |dst AS (
+      |  SELECT v.vec_id, v.label, c.cell,
+      |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list_transform(range(1, 65), i ->
+      |             (v.e[CAST(i AS INT)] - c.c[CAST(i AS INT)]) *
+      |             (v.e[CAST(i AS INT)] - c.c[CAST(i AS INT)]))),
+      |           (a, x) -> a + x) AS d2
+      |  FROM emb v CROSS JOIN ctr c),
+      |asg AS (
+      |  SELECT vec_id, label, cell
+      |  FROM (SELECT vec_id, label, cell,
+      |          row_number() OVER (PARTITION BY vec_id
+      |                             ORDER BY d2, cell) AS pr
+      |        FROM dst) WHERE pr = 1),
+      |lc AS (SELECT cell, label, CAST(count(*) AS BIGINT) AS n
+      |       FROM asg GROUP BY 1, 2),
+      |tot AS (SELECT cell, CAST(sum(n) AS BIGINT) AS n_members,
+      |               CAST(count(*) AS BIGINT) AS n_labels
+      |        FROM lc GROUP BY 1),
+      |top AS (SELECT cell, label AS top_label, n AS n_top
+      |        FROM (SELECT *, row_number() OVER (PARTITION BY cell
+      |                ORDER BY n DESC, label) AS rk FROM lc) t
+      |        WHERE rk = 1)
+      |SELECT CAST(t.cell AS INT) AS cell, o.n_members, o.n_labels,
+      |       CAST(t.top_label AS INT) AS top_label, t.n_top,
+      |       CAST(t.n_top * 1000000 // o.n_members AS BIGINT)
+      |         AS purity_ppm
+      |FROM top t JOIN tot o ON o.cell = t.cell""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = embs(s, d)
+    val quant = Similarity.hashSampledQuantizer(e, nlist = 16)
+    val asg = quant.assign(e)
+      .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val lc = asg.groupBy("cell", "label").agg(count(lit(1)).as("n"))
+    val tot = lc.groupBy("cell")
+      .agg(sum("n").as("n_members"), count(lit(1)).as("n_labels"))
+    val w = Window.partitionBy("cell").orderBy(col("n").desc, col("label"))
+    lc.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("cell"), col("label").as("top_label"),
+        col("n").as("n_top"))
+      .join(tot, Seq("cell"))
+      .select(col("cell").cast("int"), col("n_members"), col("n_labels"),
+        col("top_label").cast("int"), col("n_top"),
+        expr("n_top * 1000000L div n_members").as("purity_ppm"))
   }
 
   /** Hard-negative mining oracle: same hash-sampled cell re-derivation
