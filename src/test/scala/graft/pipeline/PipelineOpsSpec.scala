@@ -1582,6 +1582,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.head.getAs[Long]("n_queries") == 1L)
   }
 
+  test("t_cluster_split keeps a near-dup pair in ONE split where the " +
+      "doc-level split would straddle it") {
+    import spark.implicits._
+    // md5 buckets: doc 0 -> 16 (train), doc 8 -> 93 (test) — a
+    // DOC-level 80/20 split puts this near-dup pair on both sides of
+    // the boundary (the leakage). The pair's cluster id is min(0,8)=0
+    // -> bucket 16 -> both land in train under the cluster split.
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val fixture = Seq(
+      (0L, base + " endA"), (8L, base + " endB"),           // near-dups
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "uno dos tres cuatro cinco seis siete ocho"),
+      (19L, "red green blue yellow purple orange pink gray"))
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("csplit").toString
+    fixture.coalesce(1).write.parquet(s"$dir/documents.parquet")
+    // counterfactual: the doc-level buckets really do straddle
+    val buckets = Sampling.hashSplit(
+        spark.range(0, 1).selectExpr("0L AS doc_id")
+          .union(spark.range(0, 1).selectExpr("8L AS doc_id")),
+        "doc_id", 80)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(buckets(0L) == "train" && buckets(8L) == "test",
+      "fixture ids must straddle at doc level for the test to bite")
+    val out = PipelineQueries.queries("t_cluster_split")(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("split") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_clusters"),
+          r.getAs[Long]("n_straddling_clusters"))).toMap
+    assert(out.values.forall(_._3 == 0L), s"straddle must be 0: $out")
+    // 4 train docs (dup pair as ONE cluster + docs 1, 2), 1 test (19)
+    assert(out("train")._1 == 4L && out("train")._2 == 3L, s"$out")
+    assert(out("test")._1 == 1L && out("test")._2 == 1L, s"$out")
+  }
+
   test("dbscan: arc chain -> two cores merge to one cluster, endpoints " +
       "border, orthogonal outlier noise") {
     import spark.implicits._
