@@ -1656,6 +1656,155 @@ object PipelineQueries extends QueryRegistry {
       minCosine = 0.3, minPts = 2)
   }
 
+  /** Honest recall of the cell-bounded eps-graph (the dd_minhash_recall
+    * pattern for sim_dbscan): what fraction of the EXACT eps-pairs
+    * (cosine ≥ τ over all pairs — the guarded brute baseline) survive
+    * the within-cell restriction. This is the published number that
+    * belongs next to sim_dbscan's speed: cross-cell neighbors are the
+    * documented recall trade, and this row measures it instead of
+    * asserting it. Exact integers (pair counts + ppm).
+    */
+  q("sim_dbscan_recall",
+    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |            FROM embeddings),
+      |ctr0 AS (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, e
+      |         FROM emb ORDER BY h LIMIT 16),
+      |ctr AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cell, e AS c
+      |        FROM ctr0),
+      |dst AS (
+      |  SELECT v.vec_id, c.cell,
+      |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list_transform(range(1, 65), i ->
+      |             (v.e[CAST(i AS INT)] - c.c[CAST(i AS INT)]) *
+      |             (v.e[CAST(i AS INT)] - c.c[CAST(i AS INT)]))),
+      |           (a, x) -> a + x) AS d2
+      |  FROM emb v CROSS JOIN ctr c),
+      |asg AS (
+      |  SELECT vec_id, cell
+      |  FROM (SELECT vec_id, cell,
+      |          row_number() OVER (PARTITION BY vec_id
+      |                             ORDER BY d2, cell) AS pr
+      |        FROM dst) WHERE pr = 1),
+      |exact AS (
+      |  SELECT a.vec_id AS va, b.vec_id AS vb
+      |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.e, b.e) >= 0.3),
+      |incell AS (
+      |  SELECT e.va, e.vb
+      |  FROM exact e JOIN asg x ON x.vec_id = e.va
+      |               JOIN asg y ON y.vec_id = e.vb
+      |  WHERE x.cell = y.cell)
+      |SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+      |       CAST((SELECT count(*) FROM incell) AS BIGINT) AS n_found,
+      |       CAST((SELECT count(*) FROM incell) * 1000000 //
+      |            greatest((SELECT count(*) FROM exact), 1) AS BIGINT)
+      |         AS recall_ppm""") { (s, d) =>
+    val e = embs(s, d)
+    require(graft.Guards.atMost(e, 100000L),
+      "sim_dbscan_recall's exact side is O(n²); audit on a sample at scale")
+    val quant = Similarity.hashSampledQuantizer(e, nlist = 16)
+    val asg = quant.assign(e).select("vec_id", "cell")
+    val ee = e.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("e"))
+    val exact = ee.as("a").join(ee.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .filter(Dedup.cosineCol(col("a.e"), col("b.e")) >= 0.3)
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .localCheckpoint(true)
+    val found = exact
+      .join(asg.select(col("vec_id").as("va"), col("cell").as("ca")), "va")
+      .join(asg.select(col("vec_id").as("vb"), col("cell").as("cb")), "vb")
+      .filter(col("ca") === col("cb"))
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
+      .select(col("n_exact"), col("n_found"),
+        expr("n_found * 1000000L div greatest(n_exact, 1L)")
+          .as("recall_ppm"))
+  }
+
+  /** Multi-probe recall curve for the cell-bounded eps-graph: recall
+    * vs the ASSIGNMENT-probe budget p (each vector joins its p nearest
+    * cells; an eps-pair is found when the two share ANY cell) — the
+    * measured knob behind the dbscan docstring's "multi-assign for
+    * recall" remedy, in the sim_ivf_probe_curve mold. The p=1 row IS
+    * sim_dbscan_recall's number; the curve shows what each doubling of
+    * the probe budget buys (pair volume grows ~p², the
+    * recall/cost trade to pick deliberately). Exact integers.
+    */
+  q("sim_dbscan_recall_curve", {
+    val arms = Seq(1, 2, 4).map { p =>
+      s"""SELECT $p AS probes,
+         |  CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+         |  CAST((SELECT count(*) FROM (
+         |     SELECT DISTINCT e.va, e.vb
+         |     FROM exact e
+         |     JOIN asg x ON x.vec_id = e.va AND x.pr <= $p
+         |     JOIN asg y ON y.vec_id = e.vb AND y.pr <= $p
+         |     WHERE x.cell = y.cell)) AS BIGINT) AS n_found""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |            FROM embeddings),
+       |ctr0 AS (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, e
+       |         FROM emb ORDER BY h LIMIT 16),
+       |ctr AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cell, e AS c
+       |        FROM ctr0),
+       |dst AS (
+       |  SELECT v.vec_id, c.cell,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, 65), i ->
+       |             (v.e[CAST(i AS INT)] - c.c[CAST(i AS INT)]) *
+       |             (v.e[CAST(i AS INT)] - c.c[CAST(i AS INT)]))),
+       |           (a, x) -> a + x) AS d2
+       |  FROM emb v CROSS JOIN ctr c),
+       |asg AS (
+       |  SELECT vec_id, cell, pr
+       |  FROM (SELECT vec_id, cell,
+       |          row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY d2, cell) AS pr
+       |        FROM dst)),
+       |exact AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb
+       |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+       |  WHERE list_cosine_similarity(a.e, b.e) >= 0.3)
+       |SELECT CAST(probes AS INT) AS probes, n_exact, n_found,
+       |       CAST(n_found * 1000000 // greatest(n_exact, 1) AS BIGINT)
+       |         AS recall_ppm
+       |FROM ($arms)""".stripMargin
+  }) { (s, d) =>
+    val e = embs(s, d)
+    require(graft.Guards.atMost(e, 100000L),
+      "sim_dbscan_recall_curve's exact side is O(n²); sample at scale")
+    val quant = Similarity.hashSampledQuantizer(e, nlist = 16)
+    val ee = e.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("e"))
+    val exact = ee.as("a").join(ee.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .filter(Dedup.cosineCol(col("a.e"), col("b.e")) >= 0.3)
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .localCheckpoint(true)
+    val arms = Seq(1, 2, 4).map { p =>
+      val probeUdf = udf { (v: Seq[Double]) => quant.nearestCells(v, p) }
+      val asg = ee.select(col("vec_id"),
+        explode(probeUdf(col("e"))).as("cell"))
+      val found = exact
+        .join(asg.select(col("vec_id").as("va"), col("cell").as("ca")),
+          "va")
+        .join(asg.select(col("vec_id").as("vb"), col("cell").as("cb")),
+          "vb")
+        .filter(col("ca") === col("cb"))
+        .select("va", "vb").distinct()
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
+        .select(lit(p).as("probes"), col("n_exact"), col("n_found"))
+    }
+    val out = arms.reduce(_.unionAll(_))
+      .select(col("probes"), col("n_exact"), col("n_found"),
+        expr("n_found * 1000000L div greatest(n_exact, 1L)")
+          .as("recall_ppm"))
+      .localCheckpoint(true)
+    out
+  }
+
   /** Cluster-label purity audit: per quantizer cell, how concentrated
     * are the ground-truth labels — the labeled-data QA readout that
     * pairs with sim_kmeans/sim_dbscan ("do my embedding clusters agree

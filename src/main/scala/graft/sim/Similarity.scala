@@ -115,7 +115,7 @@ object Similarity {
   final case class IvfQuantizer(centers: Array[Array[Double]]) {
 
     /** Cell id + squared distance ranking for one vector. */
-    private[sim] def nearestCells(e: Seq[Double], nprobe: Int): Seq[Int] =
+    private[graft] def nearestCells(e: Seq[Double], nprobe: Int): Seq[Int] =
       centers.zipWithIndex.map { case (c, i) =>
         var d = 0.0
         var j = 0
@@ -258,8 +258,13 @@ object Similarity {
     * embedding-space audit). Eps-neighborhood = cosine ≥ `minCosine`
     * within the vector's coarse-quantizer cell (the SemDeDup bounded-
     * recall trade: cross-cell neighbors are out of reach by
-    * construction — raise nlist/multi-assign for recall; pair cost is
-    * Σ|cell|², never n²). core = ≥ `minPts` neighbors; clusters =
+    * construction; pair cost is Σ|cell|², never n²). The trade is
+    * MEASURED, not asserted: `sim_dbscan_recall` publishes the
+    * single-assign edge recall and `sim_dbscan_recall_curve` the
+    * multi-probe remedy (testdata: ~20% at p=1 → ~48% at p=2 → ~90%
+    * at p=4 probes for the loose τ=0.3 band, pair volume growing ~p²)
+    * — pick the probe budget from the curve like nprobe from
+    * sim_ivf_probe_curve. core = ≥ `minPts` neighbors; clusters =
     * connected components of the core-core subgraph (min-reachable-id
     * labels via [[graft.dedup.Dedup.connectedComponents]] — pointer-
     * jumped, capped, convergence-checked); border = non-core with a
