@@ -1722,6 +1722,95 @@ object PipelineQueries extends QueryRegistry {
           .as("recall_ppm"))
   }
 
+  /** Embedding-distribution drift monitor: split the corpus into two
+    * deterministic md5 halves (stand-ins for reference vs candidate
+    * batches — e.g. last week's embedding snapshot vs today's, or two
+    * encoder versions) and compare their per-dimension centroids — the
+    * DQ gate that catches a silently retrained/renormalized encoder
+    * before cosine thresholds tuned on the old distribution corrupt
+    * every downstream dedup/retrieval decision. Outputs the centroid
+    * cosine, the worst per-dim mean shift, and the count of dims
+    * shifted beyond 0.05.
+    *
+    * Exactness: per-dim sums are exact integer µ-units
+    * (floor(v·10⁶+0.5) — float32→double is exact, so the floor grid is
+    * engine-identical and the sums are order-free); the per-dim mean
+    * difference is the exact cross-multiplied integer
+    * |sa·n_b − sb·n_a| div (n_a·n_b); only the final centroid cosine
+    * touches doubles, computed token-identically from the SAME exact
+    * integer sums on both engines. Shape: one (half, dim) map-combined
+    * aggregate — post-shuffle state is 2·dims rows, never the corpus.
+    */
+  q("sim_embed_drift",
+    """WITH ex AS (
+      |  SELECT CASE WHEN CAST(('0x' ||
+      |           substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+      |           % 2 = 0 THEN 'a' ELSE 'b' END AS half,
+      |         vec_id, generate_subscripts(embedding, 1) AS dim,
+      |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000
+      |              + 0.5) AS BIGINT) AS vu
+      |  FROM embeddings),
+      |sums AS (
+      |  SELECT half, dim, CAST(sum(vu) AS BIGINT) AS s
+      |  FROM ex GROUP BY 1, 2),
+      |cnt AS (
+      |  SELECT half, CAST(count(DISTINCT vec_id) AS BIGINT) AS n
+      |  FROM ex GROUP BY 1),
+      |wide AS (
+      |  SELECT a.dim, a.s AS sa, b.s AS sb, ca.n AS n_a, cb.n AS n_b
+      |  FROM sums a JOIN sums b ON a.dim = b.dim
+      |  JOIN cnt ca ON ca.half = 'a' JOIN cnt cb ON cb.half = 'b'
+      |  WHERE a.half = 'a' AND b.half = 'b'),
+      |dm AS (
+      |  SELECT dim, n_a, n_b,
+      |         abs(sa * n_b - sb * n_a) // (n_a * n_b) AS dmean_u,
+      |         CAST(sa AS HUGEINT) * sb AS dot_t,
+      |         CAST(sa AS HUGEINT) * sa AS aa_t,
+      |         CAST(sb AS HUGEINT) * sb AS bb_t
+      |  FROM wide)
+      |SELECT max(n_a) AS n_a, max(n_b) AS n_b,
+      |       round(CAST(sum(dot_t) AS DOUBLE) /
+      |             (sqrt(CAST(sum(aa_t) AS DOUBLE)) *
+      |              sqrt(CAST(sum(bb_t) AS DOUBLE))), 6) AS centroid_cos,
+      |       CAST(max(dmean_u) AS BIGINT) AS max_dmean_u,
+      |       CAST(sum(CASE WHEN dmean_u > 50000 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_drifted_dims
+      |FROM dm""") { (s, d) =>
+    val dec = "decimal(38,0)"
+    val ex = embs(s, d)
+      .withColumn("half",
+        when(Sampling.hashBucket("vec_id") % 2 === 0, "a").otherwise("b"))
+      .select(col("half"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim0", "v")))
+      .select(col("half"), col("vec_id"), (col("dim0") + 1).as("dim"),
+        floor(col("v").cast("double") * 1000000 + lit(0.5))
+          .cast("long").as("vu"))
+    val sums = ex.groupBy("half", "dim").agg(sum(col("vu")).as("s"))
+    val cnt = ex.groupBy("half")
+      .agg(countDistinct(col("vec_id")).as("n"))
+    val wide = sums.filter(col("half") === "a")
+      .select(col("dim"), col("s").as("sa"))
+      .join(sums.filter(col("half") === "b")
+        .select(col("dim"), col("s").as("sb")), Seq("dim"))
+      .crossJoin(broadcast(cnt.filter(col("half") === "a")
+        .select(col("n").as("n_a"))))
+      .crossJoin(broadcast(cnt.filter(col("half") === "b")
+        .select(col("n").as("n_b"))))
+    wide
+      .select(col("dim"), col("n_a"), col("n_b"),
+        expr("abs(sa * n_b - sb * n_a) div (n_a * n_b)").as("dmean_u"),
+        (col("sa").cast(dec) * col("sb")).as("dot_t"),
+        (col("sa").cast(dec) * col("sa")).as("aa_t"),
+        (col("sb").cast(dec) * col("sb")).as("bb_t"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        round(sum(col("dot_t")).cast("double") /
+          (sqrt(sum(col("aa_t")).cast("double")) *
+            sqrt(sum(col("bb_t")).cast("double"))), 6).as("centroid_cos"),
+        max(col("dmean_u")).cast("long").as("max_dmean_u"),
+        sum(when(col("dmean_u") > 50000, 1L).otherwise(0L))
+          .as("n_drifted_dims"))
+  }
+
   /** Multi-probe recall curve for the cell-bounded eps-graph: recall
     * vs the ASSIGNMENT-probe budget p (each vector joins its p nearest
     * cells; an eps-pair is found when the two share ANY cell) — the

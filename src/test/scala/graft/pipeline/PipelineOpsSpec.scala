@@ -1582,6 +1582,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.head.getAs[Long]("n_queries") == 1L)
   }
 
+  test("sim_embed_drift flags a planted per-dim shift between the halves") {
+    import spark.implicits._
+    // md5 halves: ids 0,1,3 -> 'a'; ids 2,4,5 -> 'b'. Half b shifted
+    // +0.2 in dim 2 only -> max_dmean_u = 200000, exactly 1 drifted
+    // dim (> 50000 gate), and a centroid cosine below 1.
+    val fixture = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (3L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.2f, 0.0f, 0.0f), 1),
+      (4L, Array(1.0f, 0.2f, 0.0f, 0.0f), 1),
+      (5L, Array(1.0f, 0.2f, 0.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("edrift").toString
+    fixture.coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val r = PipelineQueries.queries("sim_embed_drift")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Long]("max_dmean_u") == 200000L)
+    assert(r.getAs[Long]("n_drifted_dims") == 1L)
+    val cos = r.getAs[Double]("centroid_cos")
+    assert(cos > 0.9 && cos < 1.0, s"cos $cos")
+  }
+
   test("t_cluster_split keeps a near-dup pair in ONE split where the " +
       "doc-level split would straddle it") {
     import spark.implicits._
