@@ -85,6 +85,7 @@ object Plans {
     "dd_minhash_recall" -> "LSH recall audit (r9): both arms are the EXISTING bounded pipelines (banded minhash, prefix-filtered exact Jaccard); the audit itself is one full-outer pair join + a single-row count aggregate",
     "dd_threshold_curve" -> "Jaccard threshold curve (r9): ONE AllPairs candidate pass at the lowest threshold feeds the exact-decile histogram; integer cross-multiplied buckets, <=6-row cumulative window",
     "mm_frame_overlap" -> "frame-fingerprint near-dup (r9): rolling-hash fingerprints map-local, the posting self-join keys on frame_fp (the LSH band-join contract, df-cap knob for boilerplate frames), overlap arithmetic exact integer ppm",
+    "sim_embed_drift" -> "embedding drift monitor (r10): ONE (half, dim) map-combined integer-µ aggregate — post-shuffle state is 2·dims rows; the centroid cosine derives from the exact integer sums, so the drift alert is bit-stable across cluster layouts (FP summation order can never flap it)",
     "sim_dbscan" -> "DBSCAN (r10): the eps-graph is the ONLY corpus-sized stage and it joins within coarse-quantizer cells (cell is the shuffle key — Σ|cell|² pairs, never n²); degree filter and border attachment reuse the checkpointed edge set; CC runs on the (much smaller) core subgraph with pointer jumping",
     "sim_mmr_topk" -> "MMR re-rank (r10): the corpus appears only in the pool-building scan; every greedy step is a poolSize-bounded join + (query,cand) max-sim aggregate + per-query top-1 window — k steps of bounded work, source-agnostic (swap the brute pool for ivfTopK candidates at scale)",
     "g_suite_on_view" -> "structural graph suite on ONE shared view (r10): the copurchase self-join + distinct — the dominant per-call cost of g_kcore/g_local_clustering/g_modularity/g_assortativity standalone — builds ONCE as an eager localCheckpoint that all four ops consume. The final plan shows only the four checkpointed RESULT scans union'd (each op materializes its bounded output eagerly); the sharing evidence is upstream of this plan — one edge-view job instead of four rebuilds — and shows up as the bench row running well under the sum of the four standalone rows")
