@@ -1741,7 +1741,10 @@ object PipelineQueries extends QueryRegistry {
     * integer sums on both engines. Shape: one (half, dim) map-combined
     * aggregate — post-shuffle state is 2·dims rows, never the corpus.
     */
-  q("sim_embed_drift",
+  /** Shared oracle text for the batch entry and its streaming twin
+    * `st_embed_drift` (one builder, so the two cannot drift).
+    */
+  private[graft] val embedDriftSql: String =
     """WITH ex AS (
       |  SELECT CASE WHEN CAST(('0x' ||
       |           substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS UBIGINT)
@@ -1775,7 +1778,9 @@ object PipelineQueries extends QueryRegistry {
       |       CAST(max(dmean_u) AS BIGINT) AS max_dmean_u,
       |       CAST(sum(CASE WHEN dmean_u > 50000 THEN 1 ELSE 0 END)
       |            AS BIGINT) AS n_drifted_dims
-      |FROM dm""") { (s, d) =>
+      |FROM dm""".stripMargin
+
+  q("sim_embed_drift", embedDriftSql) { (s, d) =>
     val dec = "decimal(38,0)"
     val ex = embs(s, d)
       .withColumn("half",

@@ -188,6 +188,13 @@ object StreamQueries extends QueryRegistry {
       .option("basePath", dir)
       .parquet(dir + "/documents.[p]arquet")
 
+  /** File-source stream over the embeddings table. */
+  def embStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+      .option("basePath", dir)
+      .parquet(dir + "/embeddings.[p]arquet")
+
   /** Streaming epoch-aware dataset mixing — the streaming twin of
     * [[graft.pipeline.Sampling.epochMix]]: entirely map-local
     * (integer-exact md5 remainder threshold + sequence explode), so it
@@ -743,6 +750,58 @@ object StreamQueries extends QueryRegistry {
         round((pa - pb) * log(pa / pb) * 1e6).cast("long").as("psi_term_u"))
       .withColumn("psi_day_u", sum("psi_term_u").over(
         org.apache.spark.sql.expressions.Window.partitionBy("day_start")))
+  }
+
+  /** Streaming embedding-drift monitor — the streaming twin of
+    * `sim_embed_drift` (oracle shared via one SQL builder, so the two
+    * cannot drift): the (half, dim) integer-µ sums run as ONE
+    * complete-mode streaming aggregation whose state is 2·dims rows —
+    * CONSTANT, never the corpus — and invariant to micro-batch slicing
+    * because integer sums commute; the centroid-cosine/drift
+    * derivation is a batch post-pass over the dims-sized sink. The
+    * live "did the encoder distribution move" gate an embedding-ingest
+    * pipeline keeps next to its DQ monitors.
+    */
+  q("st_embed_drift", graft.pipeline.PipelineQueries.embedDriftSql) {
+    (s, d) =>
+    val dec = "decimal(38,0)"
+    val ex = embStream(s, d)
+      .withColumn("half",
+        when(graft.pipeline.Sampling.hashBucket("vec_id") % 2 === 0, "a")
+          .otherwise("b"))
+      .select(col("half"), posexplode(col("embedding")).as(Seq("dim0", "v")))
+      .select(col("half"), (col("dim0") + 1).as("dim"),
+        floor(col("v").cast("double") * 1000000 + lit(0.5))
+          .cast("long").as("vu"))
+    val sink = runToCompletion(
+      ex.groupBy("half", "dim")
+        .agg(sum(col("vu")).as("s"), count(lit(1)).as("n")),
+      "complete")
+    // the memory-sink view cannot self-join (conflicting attribute
+    // ids); the state is 2·dims rows — snapshot it through a bounded
+    // collect (model-sized, the quantizer-fit contract) and rebuild
+    import s.implicits._
+    val snap = sink.collect().toSeq
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toDF("half", "dim", "s", "n")
+    val wide = snap.filter(col("half") === "a")
+      .select(col("dim"), col("s").as("sa"), col("n").as("n_a"))
+      .join(snap.filter(col("half") === "b")
+        .select(col("dim"), col("s").as("sb"), col("n").as("n_b")),
+        Seq("dim"))
+    wide
+      .select(col("n_a"), col("n_b"),
+        expr("abs(sa * n_b - sb * n_a) div (n_a * n_b)").as("dmean_u"),
+        (col("sa").cast(dec) * col("sb")).as("dot_t"),
+        (col("sa").cast(dec) * col("sa")).as("aa_t"),
+        (col("sb").cast(dec) * col("sb")).as("bb_t"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        round(sum(col("dot_t")).cast("double") /
+          (sqrt(sum(col("aa_t")).cast("double")) *
+            sqrt(sum(col("bb_t")).cast("double"))), 6).as("centroid_cos"),
+        max(col("dmean_u")).cast("long").as("max_dmean_u"),
+        sum(when(col("dmean_u") > 50000, 1L).otherwise(0L))
+          .as("n_drifted_dims"))
   }
 
   /** The streaming half of st_psi_drift: complete-mode per-day
