@@ -1593,7 +1593,7 @@ object PipelineQueries extends QueryRegistry {
     * pointer-jumped CC is checked against true transitive closure),
     * and replays border attachment and the noise remainder.
     */
-  private val dbscanOracleSql: String = {
+  private def dbscanOracleSql(probes: Int): String = {
     val (nlist, dims, tau, minPts) = (16, 64, 0.3, 2)
     s"""WITH RECURSIVE
        |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
@@ -1615,9 +1615,9 @@ object PipelineQueries extends QueryRegistry {
        |  FROM (SELECT vec_id, cell,
        |          row_number() OVER (PARTITION BY vec_id
        |                             ORDER BY d2, cell) AS pr
-       |        FROM dst) WHERE pr = 1),
+       |        FROM dst) WHERE pr <= $probes),
        |edges AS (
-       |  SELECT a.vec_id AS s, b.vec_id AS t
+       |  SELECT DISTINCT a.vec_id AS s, b.vec_id AS t
        |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id
        |  JOIN emb ea ON ea.vec_id = a.vec_id
        |  JOIN emb eb ON eb.vec_id = b.vec_id
@@ -1650,10 +1650,22 @@ object PipelineQueries extends QueryRegistry {
        |  AND v.vec_id NOT IN (SELECT vec_id FROM border)""".stripMargin
   }
 
-  q("sim_dbscan", dbscanOracleSql) { (s, d) =>
+  q("sim_dbscan", dbscanOracleSql(probes = 1)) { (s, d) =>
     val e = embs(s, d)
     Similarity.dbscan(Similarity.hashSampledQuantizer(e, nlist = 16), e,
       minCosine = 0.3, minPts = 2)
+  }
+
+  // The production operating point the measured recall curve picks
+  // (sim_dbscan_recall_curve: 20% edge recall at p=1 vs 48% at p=2,
+  // 90% at p=4): the SAME DBSCAN with multi-probe assignment — each
+  // vector joins its 2 nearest cells, pair volume ~p². Same oracle
+  // builder at probes=2, so candidate generation, roles and the CC
+  // replay exactly.
+  q("sim_dbscan_p2", dbscanOracleSql(probes = 2)) { (s, d) =>
+    val e = embs(s, d)
+    Similarity.dbscan(Similarity.hashSampledQuantizer(e, nlist = 16), e,
+      minCosine = 0.3, minPts = 2, probes = 2)
   }
 
   /** Honest recall of the cell-bounded eps-graph (the dd_minhash_recall
