@@ -294,9 +294,12 @@ object Similarity {
       col("e").as("eb"))
     // both directions of every in-cell eps-pair; feeds degree, the
     // core subgraph, AND border attachment — one materialization
-    val edges = a.join(b, col("cell") === col("cb") && col("s") =!= col("t"))
+    val rawEdges = a
+      .join(b, col("cell") === col("cb") && col("s") =!= col("t"))
       .filter(cosineCol(col("ea"), col("eb")) >= minCosine)
-      .select("s", "t").distinct()
+      .select("s", "t")
+    // single-assign pairs are already unique — skip the dedup shuffle
+    val edges = (if (probes > 1) rawEdges.distinct() else rawEdges)
       .localCheckpoint(true)
     val core = edges.groupBy("s").agg(count(lit(1)).as("nn"))
       .filter(col("nn") >= minPts).select(col("s").as("vec_id"))
