@@ -510,12 +510,23 @@ object Dedup {
     * [[jaccardThresholdCurve]]: prefix self-join + length-ratio cut,
     * both LOSSLESS for true J ≥ minJaccard.
     */
+  /** AllPairs prefix length `n_grams - floor(t·n_grams) + 1` as a
+    * column expression — the ONE definition of the prefix rule, shared
+    * by candidate generation ([[jaccardCandidates]],
+    * [[ngramContainmentPairs]]) and the df-cap audit helper
+    * ([[maxPrefixDocFreq]]): if the rule is ever re-tuned, the audit
+    * pins the same quantity by construction (r10 advisory — a private
+    * copy in the helper would silently drift).
+    */
+  private def prefixLenCol(threshold: Double) =
+    (col("n_grams") - floor(col("n_grams") * lit(threshold)) + 1)
+      .cast("int")
+
   private def jaccardCandidates(sets: DataFrame, minJaccard: Double,
       maxDocFreq: Option[Int] = None): DataFrame = {
-    val prefixLen = (col("n_grams") -
-      floor(col("n_grams") * lit(minJaccard)) + 1).cast("int")
     val raw = sets.select(col("doc_id"), col("n_grams"),
-      explode(slice(col("grams"), lit(1), prefixLen)).as("g"))
+      explode(slice(col("grams"), lit(1), prefixLenCol(minJaccard)))
+        .as("g"))
     // At LOW thresholds the prefix is a large fraction of each doc's
     // grams, so common shingles land in MANY prefixes and the
     // self-join pays Σ prefix-df² on them — measured 56× cost at 10×
@@ -598,10 +609,9 @@ object Dedup {
   def maxPrefixDocFreq(docs: DataFrame, n: Int = 3,
       minJaccard: Double = 0.5): Long = {
     val sets = gramSets(docs, n, "text", "doc_id")
-    val prefixLen = (col("n_grams") -
-      floor(col("n_grams") * lit(minJaccard)) + 1).cast("int")
     sets.select(col("doc_id"),
-        explode(slice(col("grams"), lit(1), prefixLen)).as("g"))
+        explode(slice(col("grams"), lit(1), prefixLenCol(minJaccard)))
+          .as("g"))
       .groupBy("g").agg(count(lit(1)).as("df"))
       .agg(max(col("df"))).collect()(0).getLong(0)
   }
@@ -641,10 +651,9 @@ object Dedup {
       maxDocFreq: Option[Int] = None): DataFrame = {
     val sets = gramSets(docs, n, "text", "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val prefixLen = (col("n_grams") -
-      floor(col("n_grams") * lit(minContainment)) + 1).cast("int")
     val subAll = sets.select(col("doc_id").as("doc_sub"),
-      explode(slice(col("grams"), lit(1), prefixLen)).as("g"))
+      explode(slice(col("grams"), lit(1), prefixLenCol(minContainment)))
+        .as("g"))
     val supAll = sets.select(col("doc_id").as("doc_super"),
       explode(col("grams")).as("g"))
     val (sub, sup) = maxDocFreq match {

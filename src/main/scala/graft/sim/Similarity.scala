@@ -271,6 +271,15 @@ object Similarity {
     * core neighbor, attached to its minimum core cluster id; the rest
     * is noise (cluster −1). Raw-cosine threshold compare (no rounding
     * before the gate) keeps the DuckDB replay knife-edge-free.
+    *
+    * `minPts` CONVENTION (deliberate, r10 advisory): it counts
+    * eps-NEIGHBORS EXCLUDING the point itself (the degree filter runs
+    * over `s =!= t` edges), whereas Ester et al. define core via
+    * |N_eps(p)| ≥ minPts WITH p included — so `minPts = k` here equals
+    * the paper's `minPts = k + 1`. The DuckDB oracle replays the same
+    * exclusive-degree rule, and every registered entry passes the same
+    * value to both sides, so results are consistent; callers porting a
+    * paper-tuned minPts should subtract one.
     */
   def dbscan(quantizer: IvfQuantizer, embeddings: DataFrame,
       minCosine: Double, minPts: Int, probes: Int = 1): DataFrame = {

@@ -761,6 +761,16 @@ object StreamQueries extends QueryRegistry {
     * derivation is a batch post-pass over the dims-sized sink. The
     * live "did the encoder distribution move" gate an embedding-ingest
     * pipeline keeps next to its DQ monitors.
+    *
+    * FIXED-WIDTH invariant (r10 advisory): per-half vector counts come
+    * from the per-(half, dim) exploded-row count, while the shared
+    * oracle (and the batch twin) counts DISTINCT vec_id per half —
+    * identical exactly because every embedding carries every dimension
+    * (the testdata contract: dense float32[64], no ragged or
+    * null-padded arrays). A variable-width source would need a second
+    * per-half distinct-vec_id streaming aggregate here; the exploded
+    * count is deliberately kept because it avoids carrying vec_id
+    * through the (half, dim) state at corpus scale.
     */
   q("st_embed_drift", graft.pipeline.PipelineQueries.embedDriftSql) {
     (s, d) =>

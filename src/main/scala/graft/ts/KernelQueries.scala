@@ -15,6 +15,15 @@ import org.apache.spark.sql.expressions.Window
   */
 object KernelQueries extends QueryRegistry {
 
+  /** Committed STL golden fixture, resolved relative to the process
+    * working directory (sbt/driver both run from the repo root) so the
+    * entry survives a checkout at any path (r10 advisory) — ONE
+    * resolution shared by the Spark reader and the interpolated DuckDB
+    * oracle below.
+    */
+  private[graft] val stlGoldenPath: String =
+    new java.io.File("fixtures/stl_golden.parquet").getAbsolutePath
+
   /** Hourly mean composite per user: (user_id, hbucket, value). */
   private def hourlySeries(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.load(s, d, "events")
@@ -602,8 +611,8 @@ object KernelQueries extends QueryRegistry {
   // bisquare robustness — series 3 exercises outer=1 with planted
   // outliers) drops a match count below n_points and hash-fails.
   q("k5_stl_golden",
-    """WITH g AS (
-      |  SELECT * FROM read_parquet('/root/repo/fixtures/stl_golden.parquet'))
+    s"""WITH g AS (
+      |  SELECT * FROM read_parquet('$stlGoldenPath'))
       |SELECT CAST(series_id AS INT) AS series_id,
       |       CAST(count(*) AS BIGINT) AS n_points,
       |       CAST(count(*) AS BIGINT) AS trend_match,
@@ -612,7 +621,7 @@ object KernelQueries extends QueryRegistry {
       |       CAST(sum(CASE WHEN abs(y - (trend_g + seasonal_g + remainder_g))
       |                     <= 1e-9 THEN 1 ELSE 0 END) AS BIGINT) AS additive_ok
       |FROM g GROUP BY 1""") { (s, d) =>
-    val fx = s.read.parquet("/root/repo/fixtures/stl_golden.parquet")
+    val fx = s.read.parquet(stlGoldenPath)
     val dec = udf { (period: Int, outer: Int, ys: Seq[Double]) =>
       val r = Stl.decompose(ys.toArray, period, 2, outer)
       (r.trend, r.seasonal, r.remainder)

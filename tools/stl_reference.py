@@ -25,6 +25,16 @@ Algorithm spec shared by both implementations:
     robustness weights from |residual| / (6*median|residual|).
   - remainder = y - trend - seasonal.
 
+INDEPENDENCE SCOPE (r10 advisory): the two implementations share the
+spec above BY DESIGN — including its discretionary choices (boundary
+window clipping, h = max distance to a window end, singular-fit
+fallback to the weighted mean, nextOdd(1.5*period) trend span,
+6*median bisquare scale). The cross-check therefore catches
+IMPLEMENTATION bugs (weights, neighborhoods, loop structure) but NOT
+an error in those shared spec-level choices; validating one series
+against statsmodels/R STL offline remains the stronger check when
+those tools are available.
+
 Run from the repo root: python3 tools/stl_reference.py
 Writes fixtures/stl_golden.parquet (committed; FIXTURES.md row A4).
 """
