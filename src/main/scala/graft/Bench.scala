@@ -121,16 +121,26 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
 
-    val coldTotal = headline.map { name =>
+    // r11 (r10 verdict #1): the cold pass records PER-QUERY times, not
+    // just the total — round-over-round shifts were unattributable
+    // ("honest-cold accounting vs real regression") while only the
+    // warm min-of-3 survived per query. cold−warm per query is the
+    // compile/broadcast/first-materialization share; a query whose
+    // WARM time moved needs a code explanation, one whose COLD moved
+    // usually needs an accounting one.
+    val coldRuns: Seq[(String, Double)] = headline.map { name =>
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.mode("overwrite").format("noop").save()
         val dt = (System.nanoTime() - t0) / 1e9
         dropLeftoverBlocks()
-        dt
-      } catch { case _: Throwable => dropLeftoverBlocks(); 0.0 }
-    }.sum
+        name -> dt
+      } catch { case _: Throwable => dropLeftoverBlocks(); name -> 0.0 }
+    }
+    val coldTotal = coldRuns.map(_._2).sum
+    val coldQs = coldRuns.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
 
     // a failed query records -1 (never a near-zero duration that would
     // deflate the headline total) and is listed in "failed". Each query
@@ -222,7 +232,7 @@ object Bench {
         .forall(_.split(',').toSet.contains(n)))
     val sf1 =
       if (sf1Names.nonEmpty) {
-        val entries = sf1Names
+        val runs = sf1Names
           .map { name =>
             val fn = SparkEntry.queries(name)
             def once(): Double = {
@@ -240,10 +250,16 @@ object Bench {
             }
             val times = Iterator.continually(once()).take(3)
               .takeWhile(_ >= 0).toSeq
-            "\"" + name + "\":" +
-              (if (times.length < 3) -1.0 else times.drop(1).min)
+            // (name, cold = first run, warm = min of the rest)
+            (name,
+              if (times.isEmpty) -1.0 else times.head,
+              if (times.length < 3) -1.0 else times.drop(1).min)
           }
-        s""","sf1":{"dir":"$sf1Dir","queries":${entries.mkString("{", ",", "}")}}"""
+        val w = runs.map { case (n, _, v) => "\"" + n + "\":" + v }
+          .mkString("{", ",", "}")
+        val c = runs.map { case (n, v, _) => "\"" + n + "\":" + v }
+          .mkString("{", ",", "}")
+        s""","sf1":{"dir":"$sf1Dir","queries":$w,"cold_queries":$c}"""
       } else ""
     // r6 movers absolved (verdict item 6): restricted to the frozen
     // 23-query set (r5 JVM conditions), current code times
@@ -253,7 +269,7 @@ object Bench {
     // cache/GC state shared across the run), not a code regression
     // (A/B n=3-min at sf0.1, 2026-08-13).
     val notes = "r10 notes: (1) between-query block hygiene added — unreferenced localCheckpoint blocks from the eager-checkpoint ops accumulated across the 125-query run in the 8 GiB bench JVM and OOM'd the sf1 tail (Spark exit 52); with explicit release the full run is clean and slightly faster (honest: a few ops previously enjoyed cross-run CacheManager reuse). (2) g_suite_on_view honest accounting: 17.6s vs 21.1s standalone sum at sf0.1 — the saving is exactly the 3 duplicate copurchase-build+union materializations; the per-op iterative work dominates at bench scale, and the shared-view fraction grows with graph size since the build is the corpus-sized self-join. g_pagerank r9 context: BENCH_r08's 4.73s was flattered by the r8 leak the advisory flagged — the session-lifetime edge-view persist silently reused its cache across the min-of-3 calls, so r8 timed warm iterations only. The r9 leak fix first exposed the honest cold per-call cost (9.5s), then three changes recovered it: lazy per-iteration persists (the InMemoryRelation boundary caps plan depth at planning time, no per-iteration count() action), edge build via eager localCheckpoint instead of lazy persist, and the build shared through the new edgeView/pageRankOnView steady-state API (on a prebuilt view, 5 iterations = 3.7s; the view build 1.7s amortizes across every rank/centrality query on the same graph). Net: 5.18s honest vs 4.73s warm-cache, zero leaked blocks. History: r7's 5 suspect regressions absolved by r8 min-of-3 (0.90-1.04x vs r6); BENCH_r07 was a crashed-JVM artifact"
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"comparable_r2_total":$comparable,"queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","notes":"$notes"$sf1}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"comparable_r2_total":$comparable,"queries":$qs,"cold_queries":$coldQs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","notes":"$notes"$sf1}"""
     println(json)
     // Durable artifact (r9 verdict #5): the driver's BENCH_rN.json only
     // preserves a 2000-char stdout tail, which loses the per-query map
