@@ -83,8 +83,15 @@ object Bench {
     // (n·w² work vs the full twin's n·m·(m+1) — the
     // capped-vs-uncapped containment pattern for series alignment)
     "g_suite_on_view", "pipeline_dbest", "ts_dtw_pairs_banded",
-    // DBSCAN rides the semdedup cell machinery + the CC rounds
-    "sim_dbscan")
+    // DBSCAN rides the semdedup cell machinery + the CC rounds.
+    // r11: the default moved to the curve-picked p=4 (r10 verdict #2)
+    // — sim_dbscan timings are NOT comparable to r10's p=1 rows; the
+    // p=1 twin keeps the old operating point as the cost baseline
+    "sim_dbscan", "sim_dbscan_p1",
+    // r11 additions: MMR over the IVF-fed pool (the at-scale path,
+    // r10 verdict #3) and the suite now containing triangles +
+    // local clustering (verdict #4) is timed via g_suite_on_view
+    "sim_mmr_topk", "sim_mmr_ivf", "sim_embed_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -117,9 +124,17 @@ object Bench {
     // notices and the sf1 tail died with Spark's OOM exit (52) in the
     // r10 full run. Nothing is live between bench queries, so drop
     // every leftover persisted/checkpointed RDD explicitly (untimed).
+    // SPARK_GRAFT_KEEP_BLOCKS=1 (diagnostic only — never set by the
+    // driver) disables the hygiene so a rerun can A/B "honest-cold
+    // accounting" vs "real regression" for checkpoint-carrying
+    // queries: with blocks kept, min-of-3 silently reuses the eager
+    // localCheckpoint blocks across runs, which is exactly the
+    // pre-r10 warm-cache figure.
+    val keepBlocks = sys.env.get("SPARK_GRAFT_KEEP_BLOCKS").contains("1")
     def dropLeftoverBlocks(): Unit =
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      if (!keepBlocks)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
 
     // r11 (r10 verdict #1): the cold pass records PER-QUERY times, not
     // just the total — round-over-round shifts were unattributable
@@ -221,7 +236,15 @@ object Bench {
       "t_budget_select" -> "documents", "t_token_ids" -> "documents",
       "t_heavy_hitters" -> "documents", "dd_semdedup" -> "embeddings",
       "t_curation_funnel" -> "documents",
-      "g_suite_on_view" -> "lineitem", "pipeline_dbest" -> "events")
+      "g_suite_on_view" -> "lineitem", "pipeline_dbest" -> "events",
+      // r11 (r10 verdict #5): the embedding ops' 10× behavior measured,
+      // not asserted — DBSCAN's ~p² pair volume at the new p=4 default
+      // (plus the p=1/p=2 cost baselines), the drift monitor's
+      // integer-µ sums, the probe-curve audit, and both MMR pools
+      "sim_dbscan" -> "embeddings", "sim_dbscan_p1" -> "embeddings",
+      "sim_dbscan_p2" -> "embeddings", "sim_mmr_topk" -> "embeddings",
+      "sim_mmr_ivf" -> "embeddings", "sim_embed_drift" -> "embeddings",
+      "sim_ivf_probe_curve" -> "embeddings")
     // the dev-only SPARK_GRAFT_BENCH_ONLY subset applies here too —
     // before r10 a 5-query dev iteration still paid the full ~20-min
     // sf1 sweep
@@ -268,7 +291,7 @@ object Bench {
     // was JVM co-tenancy from the 14 added bench queries (JIT/code
     // cache/GC state shared across the run), not a code regression
     // (A/B n=3-min at sf0.1, 2026-08-13).
-    val notes = "r10 notes: (1) between-query block hygiene added — unreferenced localCheckpoint blocks from the eager-checkpoint ops accumulated across the 125-query run in the 8 GiB bench JVM and OOM'd the sf1 tail (Spark exit 52); with explicit release the full run is clean and slightly faster (honest: a few ops previously enjoyed cross-run CacheManager reuse). (2) g_suite_on_view honest accounting: 17.6s vs 21.1s standalone sum at sf0.1 — the saving is exactly the 3 duplicate copurchase-build+union materializations; the per-op iterative work dominates at bench scale, and the shared-view fraction grows with graph size since the build is the corpus-sized self-join. g_pagerank r9 context: BENCH_r08's 4.73s was flattered by the r8 leak the advisory flagged — the session-lifetime edge-view persist silently reused its cache across the min-of-3 calls, so r8 timed warm iterations only. The r9 leak fix first exposed the honest cold per-call cost (9.5s), then three changes recovered it: lazy per-iteration persists (the InMemoryRelation boundary caps plan depth at planning time, no per-iteration count() action), edge build via eager localCheckpoint instead of lazy persist, and the build shared through the new edgeView/pageRankOnView steady-state API (on a prebuilt view, 5 iterations = 3.7s; the view build 1.7s amortizes across every rank/centrality query on the same graph). Net: 5.18s honest vs 4.73s warm-cache, zero leaked blocks. History: r7's 5 suspect regressions absolved by r8 min-of-3 (0.90-1.04x vs r6); BENCH_r07 was a crashed-JVM artifact"
+    val notes = "r11 notes: (1) ATTRIBUTION CLOSED (see ATTRIBUTION_r11.md, raw JSONs target/attrib/, tools/bench_attrib.sh): every r10 >=1.5x round-over-round query rerun in fresh single-query JVMs at HEAD vs the r9 tip under identical conditions — la_bh_fdr/la_cuped/ts_theil_sen/ts_chow_test/dd_threshold_curve_capped/g_pagerank@sf1 are at parity or FASTER than r9 (the 2.4-2.5x bench inflation was 105-query 8-GiB shared-JVM co-tenancy, the r6 lesson at r10 scale); mm_frame_overlap/dd_threshold_curve/dd_minhash_recall/sim_ivf_probe_curve run 1.19-1.27x r9 isolated BY DESIGN — their r9 versions leaked session-lifetime persists that CacheManager silently reused across min-of-3 (r9 timed a warm cache no production call sees); a SPARK_GRAFT_KEEP_BLOCKS=1 A/B shows the between-query hygiene share is only 0.01-0.35s, the rest is the eliminated leak. Zero real regressions; the five r10 weak flags clear. (2) per-query COLD times now durable next to warm (cold_queries at sf0.1 + sf1) so accounting-vs-regression reads from the artifact alone. (3) sim_dbscan default moved to the curve-picked p=4 (r10 verdict #2) — NOT comparable to r10's p=1 row; sim_dbscan_p1 keeps the old operating point and sim_dbscan_p2/sim_dbscan_auto complete the curve. (4) g_suite_on_view now contains triangles + local clustering on the shared view (5 ops, 5th arm 'tri') — compare against the 5-op standalone sum, not r10's 4-op row. History: r10 bench-context absolutions documented in ATTRIBUTION_r11.md; r7's 5 suspect regressions absolved by r8 min-of-3; BENCH_r07 was a crashed-JVM artifact"
     val json = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"comparable_r2_total":$comparable,"queries":$qs,"cold_queries":$coldQs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","notes":"$notes"$sf1}"""
     println(json)
     // Durable artifact (r9 verdict #5): the driver's BENCH_rN.json only

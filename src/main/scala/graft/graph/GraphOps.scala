@@ -82,12 +82,31 @@ object GraphOps {
     // join to broadcast at runtime from the REAL post-agg size when it
     // fits (sf0.1 bench parity verified), and keeps the shuffle join
     // when it doesn't — the behavior a 100-TB graph needs.
-    val o = oriented(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    trianglesFromOriented(oriented(edges))
+  }
+
+  /** [[triangles]] from a prebuilt bidirectional (src, dst) edge view
+    * (r10 verdict #4 — the suite-sharing mode, caller owns the view's
+    * lifecycle): degrees and orientation come from the view itself
+    * (one count aggregate + a filter — the expensive copurchase
+    * self-join is what the shared view already paid for), then the
+    * same per-edge out-neighborhood intersection. Corner output is
+    * identical to [[triangles]] — the (degree, id) orientation is a
+    * property of the graph, not of the input form.
+    */
+  def trianglesOnView(dd: DataFrame): DataFrame =
+    trianglesFromOriented(orientedOnView(dd))
+
+  /** The shared corner enumeration over ANY oriented (src, dst) edge
+    * set: out-neighbor arrays, per-edge intersection, exploded
+    * corners. Eager checkpoint of the (3-long-per-triangle) corner
+    * set, then release of the oriented view — the old wedge-join form
+    * leaked its persist for the session (the r8-advisory pattern).
+    */
+  private def trianglesFromOriented(o0: DataFrame): DataFrame = {
+    val o = o0.persist(StorageLevel.MEMORY_AND_DISK)
     val nb = o.groupBy("src")
       .agg(sort_array(collect_list(col("dst"))).as("ns"))
-    // eager checkpoint of the (3-long-per-triangle) corner set, then
-    // release the oriented view — the old wedge-join form leaked its
-    // persist for the session (the r8-advisory pattern)
     val out = o
       .join(nb.select(col("src").as("u"), col("ns").as("nu")),
         col("src") === col("u"))
@@ -98,6 +117,23 @@ object GraphOps {
       .localCheckpoint(true)
     o.unpersist(false)
     out
+  }
+
+  /** Degree-ordered orientation from a prebuilt bidirectional
+    * (src, dst) view: the view holds BOTH directions of every
+    * undirected edge, so orienting is a filter to the (degree, id)-
+    * ascending direction — no second join against the undirected
+    * form. Degrees are one count aggregate over the view (each
+    * neighbor appears once per direction).
+    */
+  private def orientedOnView(dd: DataFrame): DataFrame = {
+    val deg = dd.groupBy("src").agg(count(lit(1)).as("dg"))
+    dd.join(deg.select(col("src"), col("dg").as("dsrc")), "src")
+      .join(deg.select(col("src").as("dst"), col("dg").as("ddst")),
+        "dst")
+      .filter(col("dsrc") < col("ddst") ||
+        (col("dsrc") === col("ddst") && col("src") < col("dst")))
+      .select(col("src"), col("dst"))
   }
 
   /** One-row whole-graph summary: node/edge/wedge/triangle counts and
@@ -132,8 +168,17 @@ object GraphOps {
     * the shuffle join when the table outgrows memory — an explicit
     * hint would bypass the threshold and fail outright at that scale.
     */
-  def triangleCount(edges: DataFrame): DataFrame = {
-    val o = oriented(edges).persist(StorageLevel.MEMORY_AND_DISK)
+  def triangleCount(edges: DataFrame): DataFrame =
+    triangleCountFromOriented(oriented(edges))
+
+  /** [[triangleCount]] from a prebuilt bidirectional view — see
+    * [[trianglesOnView]].
+    */
+  def triangleCountOnView(dd: DataFrame): DataFrame =
+    triangleCountFromOriented(orientedOnView(dd))
+
+  private def triangleCountFromOriented(o0: DataFrame): DataFrame = {
+    val o = o0.persist(StorageLevel.MEMORY_AND_DISK)
     val nb = o.groupBy("src")
       .agg(sort_array(collect_list(col("dst"))).as("ns"))
     o.join(nb.select(col("src").as("u"), col("ns").as("nu")),
@@ -154,6 +199,24 @@ object GraphOps {
       sum(expr("(dg * (dg - 1L)) div 2L")).as("n_wedges"))
     val edgeAgg = e.agg(count(lit(1)).as("n_edges"))
     val triAgg = triangleCount(e)
+    degAgg.crossJoin(edgeAgg).crossJoin(triAgg)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        expr("(n_triangles * 30000L) div n_wedges").as("clustering_u"))
+  }
+
+  /** [[triangleSummary]] from a prebuilt bidirectional view (r10
+    * verdict #4): degrees/wedges are one count aggregate over the
+    * view, edges = view rows div 2, triangle count via
+    * [[triangleCountOnView]] — nothing rebuilds the copurchase
+    * self-join.
+    */
+  def triangleSummaryOnView(dd: DataFrame): DataFrame = {
+    val degAgg = dd.groupBy("src").agg(count(lit(1)).as("dg"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(expr("(dg * (dg - 1L)) div 2L")).as("n_wedges"))
+    val edgeAgg = dd.agg(expr("count(*) div 2L").as("n_edges"))
+    val triAgg = triangleCountOnView(dd)
     degAgg.crossJoin(edgeAgg).crossJoin(triAgg)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),
@@ -522,6 +585,28 @@ object GraphOps {
       .localCheckpoint(true)
     e.unpersist(false)
     out
+  }
+
+  /** [[localClustering]] from a prebuilt bidirectional view (r10
+    * verdict #4 — the last per-op rebuilder wired into the suite's
+    * shared view): corner counts ride [[trianglesOnView]], degrees
+    * are one count aggregate over the view, and the same ×10⁴ floor
+    * rollup closes it. The 11-row output is checkpoint-free — the
+    * corner set inside trianglesOnView is already the materialization
+    * boundary.
+    */
+  def localClusteringOnView(dd: DataFrame): DataFrame = {
+    val corners = trianglesOnView(dd)
+      .select(explode(array(col("x"), col("v"), col("w"))).as("node"))
+    val tc = corners.groupBy("node").agg(count(lit(1)).as("t"))
+    dd.groupBy(col("src").as("node")).agg(count(lit(1)).as("dg"))
+      .filter(col("dg") >= 2)
+      .join(tc, Seq("node"), "left")
+      .select(col("node"), col("dg"),
+        coalesce(col("t"), lit(0L)).as("t"))
+      .withColumn("lcc_u", expr("(t * 20000L) div (dg * (dg - 1L))"))
+      .groupBy(expr("lcc_u div 1000L").as("bucket"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("t")).as("sum_t"))
   }
 
   /** Degree assortativity (Newman 2002): the Pearson correlation of

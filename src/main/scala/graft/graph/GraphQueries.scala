@@ -33,7 +33,10 @@ object GraphQueries extends QueryRegistry {
     GraphOps.degreeHistogram(GraphOps.copurchaseEdges(li(s, d)))
   }
 
-  q("g_triangles",
+  /** Whole-graph triangle summary oracle — shared by the standalone
+    * entry and the suite arm (one val, so they cannot drift).
+    */
+  private val triSql =
     s"""$edgeCte,
       |d AS (SELECT a AS node FROM e UNION ALL SELECT b FROM e),
       |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS dg FROM d GROUP BY 1),
@@ -46,7 +49,9 @@ object GraphQueries extends QueryRegistry {
       |                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
       |SELECT n_nodes, n_edges, n_wedges, n_triangles,
       |       CAST((n_triangles * 30000) // n_wedges AS BIGINT) AS clustering_u
-      |FROM nn, m, t""") { (s, d) =>
+      |FROM nn, m, t""".stripMargin
+
+  q("g_triangles", triSql) { (s, d) =>
     GraphOps.triangleSummary(GraphOps.copurchaseEdges(li(s, d)))
   }
 
@@ -169,14 +174,18 @@ object GraphQueries extends QueryRegistry {
        |SELECT 'assort' AS op, m AS a,
        |       CAST(floor(assortativity * 1000000) AS BIGINT) AS b,
        |       CAST(0 AS BIGINT) AS c
-       |FROM ($assortSql)""".stripMargin) { (s, d) =>
+       |FROM ($assortSql)
+       |UNION ALL
+       |SELECT 'tri' AS op, n_triangles AS a, n_wedges AS b,
+       |       clustering_u AS c
+       |FROM ($triSql)""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.functions.{col => c}
-    // TWO shared materializations for the whole suite: the undirected
-    // copurchase edge set (self-join + distinct — the dominant build)
-    // and its bidirectional (src, dst) form, each built ONCE; the
-    // three dd-consumers run OnView (no per-op union+persist), only
-    // localClustering reads the undirected form (its orientation is
-    // internal).
+    // ONE shared materialization chain for the whole suite: the
+    // undirected copurchase edge set (self-join + distinct — the
+    // dominant build) and its bidirectional (src, dst) form, each
+    // built ONCE; since r11 ALL FIVE consumers run OnView against dd
+    // (r10 verdict #4 — triangles and local clustering no longer
+    // rebuild orientation from the undirected form).
     val e = GraphOps.copurchaseEdges(li(s, d)).localCheckpoint(true)
     val dd = e.select(c("a").as("src"), c("b").as("dst"))
       .union(e.select(c("b").as("src"), c("a").as("dst")))
@@ -184,7 +193,7 @@ object GraphQueries extends QueryRegistry {
     val kcore = GraphOps.kCoreOnView(dd, 3, 3)
       .select(lit("kcore").as("op"), col("round").cast("long").as("a"),
         col("n_nodes").as("b"), col("n_edges").as("c"))
-    val lcc = GraphOps.localClustering(e)
+    val lcc = GraphOps.localClusteringOnView(dd)
       .select(lit("lcc").as("op"), col("bucket").as("a"),
         col("n_nodes").as("b"), col("sum_t").as("c"))
     val mod = GraphOps.lpaModularityOnView(dd, 2)
@@ -194,7 +203,10 @@ object GraphQueries extends QueryRegistry {
       .select(lit("assort").as("op"), col("m").as("a"),
         floor(col("assortativity") * 1000000).cast("long").as("b"),
         lit(0L).as("c"))
-    kcore.unionAll(lcc).unionAll(mod).unionAll(ast)
+    val tri = GraphOps.triangleSummaryOnView(dd)
+      .select(lit("tri").as("op"), col("n_triangles").as("a"),
+        col("n_wedges").as("b"), col("clustering_u").as("c"))
+    kcore.unionAll(lcc).unionAll(mod).unionAll(ast).unionAll(tri)
   }
 
   /** Market-basket association rules: ppm-integer support/confidence/

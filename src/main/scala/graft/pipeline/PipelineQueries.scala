@@ -1650,22 +1650,130 @@ object PipelineQueries extends QueryRegistry {
        |  AND v.vec_id NOT IN (SELECT vec_id FROM border)""".stripMargin
   }
 
-  q("sim_dbscan", dbscanOracleSql(probes = 1)) { (s, d) =>
+  // The HEADLINE entry runs at the CURVE-PICKED probe count (r10
+  // verdict #2): `Similarity.curvePick` over the measured
+  // sim_dbscan_recall_curve (20%→48%→90% edge recall at probes
+  // 1/2/4, default 2% slack) lands on p=4, and `sim_dbscan_auto`
+  // below exercises + oracle-checks that pick live; this entry pins
+  // the picked operating point statically so its oracle replays at a
+  // literal probe count. A clustering default that silently misses
+  // 80% of eps-edges (the old p=1) was the first thing a real user
+  // would trip on; p=1/p=2 stay below as the cost-curve baselines
+  // (pair volume grows ~p² — the measured trade, SCALE.md).
+  q("sim_dbscan", dbscanOracleSql(probes = 4)) { (s, d) =>
+    val e = embs(s, d)
+    Similarity.dbscan(Similarity.hashSampledQuantizer(e, nlist = 16), e,
+      minCosine = 0.3, minPts = 2, probes = 4)
+  }
+
+  // Cost baselines for the probe knob (same oracle builder at p=1 /
+  // p=2, so candidate generation, roles and the CC replay exactly):
+  // the bench times them next to the p=4 default — the
+  // capped-vs-uncapped containment pattern for the recall/pair-volume
+  // trade.
+  q("sim_dbscan_p1", dbscanOracleSql(probes = 1)) { (s, d) =>
     val e = embs(s, d)
     Similarity.dbscan(Similarity.hashSampledQuantizer(e, nlist = 16), e,
       minCosine = 0.3, minPts = 2)
   }
-
-  // The production operating point the measured recall curve picks
-  // (sim_dbscan_recall_curve: 20% edge recall at p=1 vs 48% at p=2,
-  // 90% at p=4): the SAME DBSCAN with multi-probe assignment — each
-  // vector joins its 2 nearest cells, pair volume ~p². Same oracle
-  // builder at probes=2, so candidate generation, roles and the CC
-  // replay exactly.
   q("sim_dbscan_p2", dbscanOracleSql(probes = 2)) { (s, d) =>
     val e = embs(s, d)
     Similarity.dbscan(Similarity.hashSampledQuantizer(e, nlist = 16), e,
       minCosine = 0.3, minPts = 2, probes = 2)
+  }
+
+  /** The probe pick EXERCISED live (r10 verdict #2 + #8): compute the
+    * measured recall curve (probes 1/2/4 against the Guards-gated
+    * exact eps-pair baseline — audit-sized corpora; sample at scale),
+    * feed it to [[graft.sim.Similarity.autoProbes]] (=
+    * `curvePick`, the same audited knee rule as `sim_auto_nprobe`),
+    * and report the chosen probe count. The oracle re-derives the
+    * identical curve arms in SQL and applies the same
+    * min-over-slack filter, so an off-by-one in the knee rule on
+    * either side hash-fails. With the committed testdata the pick is
+    * p=4 — the value `sim_dbscan` pins statically.
+    */
+  q("sim_dbscan_auto", {
+    val arms = Seq(1, 2, 4).map { p =>
+      s"""SELECT $p AS probes,
+         |  CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+         |  CAST((SELECT count(*) FROM (
+         |     SELECT DISTINCT e.va, e.vb
+         |     FROM exact e
+         |     JOIN asg x ON x.vec_id = e.va AND x.pr <= $p
+         |     JOIN asg y ON y.vec_id = e.vb AND y.pr <= $p
+         |     WHERE x.cell = y.cell)) AS BIGINT) AS n_found""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |            FROM embeddings),
+       |ctr0 AS (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, e
+       |         FROM emb ORDER BY h LIMIT 16),
+       |ctr AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cell, e AS c
+       |        FROM ctr0),
+       |dst AS (
+       |  SELECT v.vec_id, c.cell,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, 65), i ->
+       |             (v.e[CAST(i AS INT)] - c.c[CAST(i AS INT)]) *
+       |             (v.e[CAST(i AS INT)] - c.c[CAST(i AS INT)]))),
+       |           (a, x) -> a + x) AS d2
+       |  FROM emb v CROSS JOIN ctr c),
+       |asg AS (
+       |  SELECT vec_id, cell, pr
+       |  FROM (SELECT vec_id, cell,
+       |          row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY d2, cell) AS pr
+       |        FROM dst)),
+       |exact AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb
+       |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+       |  WHERE list_cosine_similarity(a.e, b.e) >= 0.3),
+       |curve AS (
+       |  SELECT CAST(probes AS INT) AS probes,
+       |         CAST(n_found * 1000000 // greatest(n_exact, 1) AS BIGINT)
+       |           AS recall_ppm
+       |  FROM ($arms))
+       |SELECT CAST(c.probes AS INT) AS chosen_probes,
+       |       c.recall_ppm AS chosen_recall_ppm,
+       |       b.best_recall_ppm
+       |FROM curve c,
+       |     (SELECT max(recall_ppm) AS best_recall_ppm FROM curve) b
+       |WHERE c.recall_ppm >= b.best_recall_ppm - 20000
+       |ORDER BY c.probes LIMIT 1""".stripMargin
+  }) { (s, d) =>
+    import s.implicits._
+    val e = embs(s, d)
+    require(graft.Guards.atMost(e, 100000L),
+      "sim_dbscan_auto's exact side is O(n²); pick from a sample at scale")
+    val quant = Similarity.hashSampledQuantizer(e, nlist = 16)
+    val ee = e.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("e"))
+    val exact = ee.as("a").join(ee.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .filter(Dedup.cosineCol(col("a.e"), col("b.e")) >= 0.3)
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .localCheckpoint(true)
+    val curve: Seq[(Int, Long)] = Seq(1, 2, 4).map { p =>
+      val probeUdf = udf { (v: Seq[Double]) => quant.nearestCells(v, p) }
+      val asg = ee.select(col("vec_id"),
+        explode(probeUdf(col("e"))).as("cell"))
+      val found = exact
+        .join(asg.select(col("vec_id").as("va"), col("cell").as("ca")),
+          "va")
+        .join(asg.select(col("vec_id").as("vb"), col("cell").as("cb")),
+          "vb")
+        .filter(col("ca") === col("cb"))
+        .select("va", "vb").distinct()
+      val r = exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
+        .select(expr("n_found * 1000000L div greatest(n_exact, 1L)"))
+        .collect()(0).getLong(0)
+      p -> r
+    }
+    val chosen = Similarity.autoProbes(curve)
+    val best = curve.map(_._2).max
+    Seq((chosen, curve.toMap.apply(chosen), best))
+      .toDF("chosen_probes", "chosen_recall_ppm", "best_recall_ppm")
   }
 
   /** Honest recall of the cell-bounded eps-graph (the dd_minhash_recall
@@ -2842,18 +2950,16 @@ object PipelineQueries extends QueryRegistry {
     * — bit-equal to the fused native expression, so a greedy-order or
     * tie-break regression on either side hash-fails.
     */
-  q("sim_mmr_topk",
-    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-      |            FROM embeddings),
-      |q AS (SELECT vec_id AS query_id, e AS eq FROM emb WHERE vec_id < 10),
-      |pool0 AS (
-      |  SELECT q.query_id, c.vec_id AS cand_id,
-      |         list_cosine_similarity(q.eq, c.e) AS rel, c.e AS ec,
-      |         row_number() OVER (PARTITION BY q.query_id
-      |           ORDER BY list_cosine_similarity(q.eq, c.e) DESC,
-      |                    c.vec_id) AS rk
-      |  FROM q JOIN emb c ON c.vec_id <> q.query_id),
-      |pool AS (SELECT query_id, cand_id, rel, ec FROM pool0 WHERE rk <= 8),
+  /** The chained greedy-MMR CTE replay (two select-score-argmax steps
+    * after the rel-top seed; λ=0.5, ties by cand_id) over ANY `pool`
+    * CTE with columns (query_id, cand_id, rel, ec) — ONE builder
+    * shared by the brute-pool (`sim_mmr_topk`) and IVF-pool
+    * (`sim_mmr_ivf`) oracles, so the greedy replay cannot drift
+    * between them. `poolCtes` must open the WITH clause and define
+    * `pool` as its last CTE.
+    */
+  private def mmrGreedySql(poolCtes: String): String =
+    s"""$poolCtes,
       |s1 AS (SELECT query_id, cand_id, rel, ec FROM (
       |         SELECT *, row_number() OVER (PARTITION BY query_id
       |                     ORDER BY rel DESC, cand_id) AS rk FROM pool) t
@@ -2899,8 +3005,77 @@ object PipelineQueries extends QueryRegistry {
       |       CAST(cand_id AS BIGINT), round(rel, 6) FROM s2
       |UNION ALL
       |SELECT CAST(query_id AS BIGINT), CAST(3 AS INT),
-      |       CAST(cand_id AS BIGINT), round(rel, 6) FROM s3""") { (s, d) =>
+      |       CAST(cand_id AS BIGINT), round(rel, 6) FROM s3""".stripMargin
+
+  q("sim_mmr_topk", mmrGreedySql(
+    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |            FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, e AS eq FROM emb WHERE vec_id < 10),
+      |pool0 AS (
+      |  SELECT q.query_id, c.vec_id AS cand_id,
+      |         list_cosine_similarity(q.eq, c.e) AS rel, c.e AS ec,
+      |         row_number() OVER (PARTITION BY q.query_id
+      |           ORDER BY list_cosine_similarity(q.eq, c.e) DESC,
+      |                    c.vec_id) AS rk
+      |  FROM q JOIN emb c ON c.vec_id <> q.query_id),
+      |pool AS (SELECT query_id, cand_id, rel, ec FROM pool0 WHERE rk <= 8)"""
+      .stripMargin)) { (s, d) =>
     Similarity.mmrTopK(embs(s, d), k = 3, poolSize = 8, nQueries = 10)
+  }
+
+  /** MMR over the IVF-FED pool (r10 verdict #3 — the at-scale path
+    * exercised, not just documented): candidate generation replays
+    * [[graft.sim.Similarity.ivfTopK]] exactly (hash-sampled centers,
+    * sequential squared-L2 assignment, nprobe=4 probing, raw-cosine
+    * top-`poolSize` per query — the sim_ivf_topk CTE chain), then the
+    * SAME chained greedy CTEs as `sim_mmr_topk` run over that pool —
+    * one shared [[mmrGreedySql]] builder, so the two entries' greedy
+    * replays cannot diverge. The corpus-sized stage on the Spark side
+    * is the bucketed inverted-list join; the greedy is
+    * poolSize-bounded (PLANS.md evidence).
+    */
+  q("sim_mmr_ivf", mmrGreedySql(
+    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |            FROM embeddings),
+      |ctr0 AS (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, e
+      |         FROM emb ORDER BY h LIMIT 16),
+      |ctr AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cell, e AS c
+      |        FROM ctr0),
+      |dst AS (
+      |  SELECT v.vec_id, v.e, c.cell,
+      |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list_transform(range(1, 65), i ->
+      |             (v.e[CAST(i AS INT)] - c.c[CAST(i AS INT)]) *
+      |             (v.e[CAST(i AS INT)] - c.c[CAST(i AS INT)]))),
+      |           (a, x) -> a + x) AS d2
+      |  FROM emb v CROSS JOIN ctr c),
+      |rankd AS (
+      |  SELECT vec_id, e, cell,
+      |         row_number() OVER (PARTITION BY vec_id
+      |                            ORDER BY d2, cell) AS pr
+      |  FROM dst),
+      |cands AS (
+      |  SELECT DISTINCT q.vec_id AS query_id, a.vec_id AS cand_id
+      |  FROM (SELECT vec_id, cell FROM rankd WHERE pr <= 4) q
+      |  JOIN (SELECT vec_id, cell FROM rankd WHERE pr = 1) a
+      |    ON a.cell = q.cell AND a.vec_id <> q.vec_id),
+      |scored AS (
+      |  SELECT c.query_id, c.cand_id,
+      |         list_cosine_similarity(ea.e, eb.e) AS rel, eb.e AS ec
+      |  FROM cands c
+      |  JOIN emb ea ON ea.vec_id = c.query_id
+      |  JOIN emb eb ON eb.vec_id = c.cand_id
+      |  WHERE c.query_id < 10),
+      |ranked AS (
+      |  SELECT query_id, cand_id, rel, ec,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY rel DESC, cand_id) AS rk
+      |  FROM scored),
+      |pool AS (SELECT query_id, cand_id, rel, ec FROM ranked WHERE rk <= 8)"""
+      .stripMargin)) { (s, d) =>
+    val e = embs(s, d)
+    Similarity.mmrTopKIvf(Similarity.hashSampledQuantizer(e, nlist = 16),
+      e, k = 3, poolSize = 8, nQueries = 10, nprobe = 4)
   }
 
   /** PQ/ADC top-k reproduced in DuckDB: codebook centroids re-derived

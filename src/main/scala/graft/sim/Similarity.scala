@@ -373,7 +373,50 @@ object Similarity {
       .withColumn("rk", row_number().over(wRel))
       .filter(col("rk") <= poolSize)
       .select("query_id", "cand_id", "rel", "ec")
-      .localCheckpoint(true) // nQueries·poolSize rows; feeds every step
+    mmrGreedy(pool, k)
+  }
+
+  /** MMR with the pool fed from the IVF index (r10 verdict #3 — the
+    * AT-SCALE path the [[mmrTopK]] docstring promises): candidate
+    * generation is [[ivfTopK]]'s bucketed inverted-list join (the
+    * corpus appears ONLY there — no broadcast crossJoin, no Guards
+    * gate needed), the per-query top-`poolSize` candidates join back
+    * their embedding vectors, and the SAME greedy re-rank runs over
+    * the bounded pool. Recall inherits the IVF operating point
+    * (nprobe from the measured curve — `sim_ivf_probe_curve` /
+    * [[autoNprobe]]); queries landing in sparse cells may pool fewer
+    * than `poolSize` candidates and then yield fewer than `k` ranks —
+    * the honest ANN-fed behavior, replayed identically by the oracle.
+    */
+  def mmrTopKIvf(quantizer: IvfQuantizer, embeddings: DataFrame,
+      k: Int = 3, poolSize: Int = 8, nQueries: Int = 10,
+      nprobe: Int = 4): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("e"))
+    val cands = ivfTopK(quantizer, embeddings, k = poolSize,
+        nprobe = nprobe)
+      .filter(col("query_id") < nQueries)
+      .select("query_id", "cand_id")
+    val pool = cands
+      .join(e.select(col("vec_id").as("query_id"), col("e").as("eq")),
+        "query_id")
+      .join(e.select(col("vec_id").as("cand_id"), col("e").as("ec")),
+        "cand_id")
+      .withColumn("rel", cosineCol(col("eq"), col("ec")))
+      .select("query_id", "cand_id", "rel", "ec")
+    mmrGreedy(pool, k)
+  }
+
+  /** The greedy MMR re-rank over ANY (query_id, cand_id, rel, ec)
+    * pool — source-agnostic (brute [[mmrTopK]], IVF [[mmrTopKIvf]], or
+    * any retriever). Pool is eagerly materialized once
+    * (nQueries·poolSize rows) and feeds every step; each step is a
+    * pool-bounded join + max-sim aggregate + per-query top-1 window.
+    */
+  private def mmrGreedy(pool0: DataFrame, k: Int): DataFrame = {
+    val wRel = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("cand_id"))
+    val pool = pool0.localCheckpoint(true)
     var selected = pool
       .withColumn("rk", row_number().over(wRel))
       .filter(col("rk") === 1)
@@ -415,13 +458,38 @@ object Similarity {
     * slack. Driver-side over the (arms-sized, ≤ a handful of rows)
     * curve — the model-sized-collect contract.
     */
-  def autoNprobe(curve: Seq[(Int, Long)], slackPpm: Long = 20000L): Int = {
+  def autoNprobe(curve: Seq[(Int, Long)], slackPpm: Long = 20000L): Int =
+    curvePick(curve, slackPpm)
+
+  /** The ONE curve-driven knob picker (r10 verdict #8): every
+    * bounded-recall parameter in the repo — IVF `nprobe`
+    * ([[autoNprobe]] / `sim_auto_nprobe`), DBSCAN assignment probes
+    * ([[autoProbes]] / `sim_dbscan_auto`), and any future LSH
+    * band/table count — is chosen from its MEASURED (knob, recall_ppm)
+    * curve by this same audited rule: the SMALLEST knob value whose
+    * recall is within `slackPpm` of the best measured arm. Cost is
+    * monotone in the knob (linear for nprobe, ~quadratic in pair
+    * volume for DBSCAN probes) while recall saturates, so the knee is
+    * the right default operating point; callers with a hard recall SLO
+    * pass their own slack. Driver-side over an arms-sized (≤ handful
+    * of rows) curve — the model-sized-collect contract. The SQL twin
+    * of this rule is a min-over-slack filter over the same UNION ALL'd
+    * arm chains, so an off-by-one on either side hash-fails the auto
+    * entries.
+    */
+  def curvePick(curve: Seq[(Int, Long)], slackPpm: Long = 20000L): Int = {
     require(curve.nonEmpty, "empty recall curve")
     require(slackPpm >= 0, s"slackPpm out of range: $slackPpm")
     val best = curve.map(_._2).max
     curve.sortBy(_._1)
       .collectFirst { case (p, r) if r >= best - slackPpm => p }.get
   }
+
+  /** DBSCAN assignment-probe pick from the measured
+    * `sim_dbscan_recall_curve` — same rule, named for the knob.
+    */
+  def autoProbes(curve: Seq[(Int, Long)], slackPpm: Long = 20000L): Int =
+    curvePick(curve, slackPpm)
 
   /** LSH-bucketed approximate top-k: vectors sharing any of the `tables`
     * signature buckets are candidates; exact cosine re-ranks. Recall is
