@@ -88,7 +88,9 @@ object Plans {
     "sim_embed_drift" -> "embedding drift monitor (r10): ONE (half, dim) map-combined integer-µ aggregate — post-shuffle state is 2·dims rows; the centroid cosine derives from the exact integer sums, so the drift alert is bit-stable across cluster layouts (FP summation order can never flap it)",
     "sim_dbscan" -> "DBSCAN (r10): the eps-graph is the ONLY corpus-sized stage and it joins within coarse-quantizer cells (cell is the shuffle key — Σ|cell|² pairs, never n²); degree filter and border attachment reuse the checkpointed edge set; CC runs on the (much smaller) core subgraph with pointer jumping",
     "sim_mmr_topk" -> "MMR re-rank (r10): the corpus appears only in the pool-building scan; every greedy step is a poolSize-bounded join + (query,cand) max-sim aggregate + per-query top-1 window — k steps of bounded work, source-agnostic (swap the brute pool for ivfTopK candidates at scale)",
-    "g_suite_on_view" -> "structural graph suite on ONE shared view (r10): the copurchase self-join + distinct — the dominant per-call cost of g_kcore/g_local_clustering/g_modularity/g_assortativity standalone — builds ONCE as an eager localCheckpoint that all four ops consume. The final plan shows only the four checkpointed RESULT scans union'd (each op materializes its bounded output eagerly); the sharing evidence is upstream of this plan — one edge-view job instead of four rebuilds — and shows up as the bench row running well under the sum of the four standalone rows")
+    "g_suite_on_view" -> "structural graph suite on ONE shared view (r10; r11 widened to FIVE ops): the copurchase self-join + distinct — the dominant per-call cost of g_kcore/g_local_clustering/g_modularity/g_assortativity/g_triangles standalone — builds ONCE as an eager localCheckpoint that all five ops consume (triangles/local-clustering orient by FILTERING the bidirectional view — one count aggregate, no degree-join rebuild). The final plan shows the checkpointed RESULT scans union'd; the sharing evidence is upstream — one edge-view job instead of five rebuilds — and shows up as the bench row running well under the sum of the standalone rows",
+    "sim_mmr_ivf" -> "MMR over the IVF-FED pool (r11, the at-scale path): the corpus-sized stage is the bucketed inverted-list equi join inside ivfTopK (cell is the shuffle key) — NO broadcast crossJoin, no Guards-gated brute scorer anywhere in the plan; the greedy steps are identical to sim_mmr_topk's poolSize-bounded joins. Look for the checkpointed assignment scan feeding both the query and candidate arms, then the bounded greedy chain",
+    "sim_dbscan_auto" -> "curve-driven probe pick (r11): three measured curve arms (each a cell-keyed overlap join against the ONE checkpointed exact pair set) reduce to 3 driver rows; the pick is Similarity.curvePick — the same audited knee rule as autoNprobe — and the returned plan is a 1-row LocalRelation; the exact side is the declared Guards-gated audit, sampled at scale")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -203,6 +203,29 @@ class GraphSpec extends AnyFunSuite {
     assert(rows == Map(10L -> ((2L, 2L)), 3L -> ((1L, 1L))))
   }
 
+  test("OnView twins reproduce triangles/LCC/summary from the " +
+      "bidirectional view") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // K4 + pendant + a disjoint triangle — degree ties exercise the
+    // (degree, id) orientation tie-break on both paths
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (7L, 8L), (7L, 9L), (8L, 9L)).toDF("a", "b")
+    val dd = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+    def cornerSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    assert(cornerSet(GraphOps.trianglesOnView(dd)) ==
+      cornerSet(GraphOps.triangles(edges)))
+    assert(GraphOps.localClusteringOnView(dd).collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap ==
+      GraphOps.localClustering(edges).collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap)
+    assert(GraphOps.triangleSummaryOnView(dd).collect().head.toSeq ==
+      GraphOps.triangleSummary(edges).collect().head.toSeq)
+  }
+
   test("kCore: K4 survives 3-core peeling, its tail does not") {
     import spark.implicits._
     // complete K4 on {1,2,3,4} plus tail 4-5-6: round 1 drops 5 and 6,

@@ -1688,6 +1688,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(mmr == Seq(1L, 3L), s"mmr should diversify: $mmr")
   }
 
+  test("mmrTopKIvf diversifies over the IVF-fed pool") {
+    import spark.implicits._
+    // same planted geometry as the brute-pool test; with nlist=1 the
+    // IVF candidate set is the whole (tiny) corpus, so the greedy must
+    // make the identical diversify-not-duplicate choice — proving the
+    // pool swap changes candidate GENERATION, not the greedy
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.001f, 0.0f)),
+      (3L, Array(0.6f, 0.0f, 0.8f, 0.0f))).toDF("vec_id", "embedding")
+    val quant = Similarity.hashSampledQuantizer(df, nlist = 1)
+    val mmr = Similarity.mmrTopKIvf(quant, df, k = 2, poolSize = 3,
+        nQueries = 1, nprobe = 1)
+      .orderBy("rank").select("cand_id").as[Long].collect().toSeq
+    assert(mmr == Seq(1L, 3L), s"ivf-fed mmr should diversify: $mmr")
+  }
+
   test("autoNprobe picks the smallest arm within slack of best recall") {
     // best 715000, slack 20000 -> threshold 695000 -> knee = 2
     val curve = Seq(1 -> 500000L, 2 -> 700000L, 4 -> 710000L, 8 -> 715000L)
