@@ -86,8 +86,11 @@ object Bench {
     // DBSCAN rides the semdedup cell machinery + the CC rounds.
     // r11: the default moved to the curve-picked p=4 (r10 verdict #2)
     // — sim_dbscan timings are NOT comparable to r10's p=1 rows; the
-    // p=1 twin keeps the old operating point as the cost baseline
-    "sim_dbscan", "sim_dbscan_p1",
+    // p=1 twin keeps the old operating point as the cost baseline,
+    // and the √n-cell variant is the configuration-that-scales twin
+    // (pinned nlist=16 at p=4 is Σ|cell|² ≈ n² — quadratic by
+    // construction; √n cells keep it ≈ n^1.5)
+    "sim_dbscan", "sim_dbscan_p1", "sim_dbscan_scaled",
     // r11 additions: MMR over the IVF-fed pool (the at-scale path,
     // r10 verdict #3) and the suite now containing triangles +
     // local clustering (verdict #4) is timed via g_suite_on_view
@@ -244,7 +247,11 @@ object Bench {
       "sim_dbscan" -> "embeddings", "sim_dbscan_p1" -> "embeddings",
       "sim_dbscan_p2" -> "embeddings", "sim_mmr_topk" -> "embeddings",
       "sim_mmr_ivf" -> "embeddings", "sim_embed_drift" -> "embeddings",
-      "sim_ivf_probe_curve" -> "embeddings")
+      "sim_ivf_probe_curve" -> "embeddings",
+      // the √n-cell variant NEXT TO the pinned-16 row: the sf1 pair
+      // (98.6 s pinned vs this) is the measured case for sizing the
+      // quantizer with the corpus instead of pinning it
+      "sim_dbscan_scaled" -> "embeddings")
     // the dev-only SPARK_GRAFT_BENCH_ONLY subset applies here too —
     // before r10 a 5-query dev iteration still paid the full ~20-min
     // sf1 sweep

@@ -1593,13 +1593,14 @@ object PipelineQueries extends QueryRegistry {
     * pointer-jumped CC is checked against true transitive closure),
     * and replays border attachment and the noise remainder.
     */
-  private def dbscanOracleSql(probes: Int): String = {
-    val (nlist, dims, tau, minPts) = (16, 64, 0.3, 2)
+  private def dbscanOracleSql(probes: Int,
+      nlistSql: String = "16"): String = {
+    val (dims, tau, minPts) = (64, 0.3, 2)
     s"""WITH RECURSIVE
        |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
        |        FROM embeddings),
        |ctr0 AS (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, e
-       |         FROM emb ORDER BY h LIMIT $nlist),
+       |         FROM emb ORDER BY h LIMIT $nlistSql),
        |ctr AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cell, e AS c
        |        FROM ctr0),
        |dst AS (
@@ -1680,6 +1681,31 @@ object PipelineQueries extends QueryRegistry {
     val e = embs(s, d)
     Similarity.dbscan(Similarity.hashSampledQuantizer(e, nlist = 16), e,
       minCosine = 0.3, minPts = 2, probes = 2)
+  }
+
+  // The AT-SCALE operating point (r11): nlist pinned at 16 makes the
+  // multi-probe eps-graph effectively QUADRATIC — at p=4 of 16 cells
+  // every cell holds ~n/4 vectors, so Σ|cell|² ≈ n² (measured:
+  // sim_dbscan 5.6 s at sf0.1 → 98.6 s at sf1, 17.5× for 10× data).
+  // The engine's own sizing guidance (Similarity.buildIndex:
+  // nlist ≈ √n keeps Σ|cell|² ≈ n^1.5) is applied HERE as
+  // configuration-that-scales: nlist = ceil(√n) is derived from the
+  // corpus count on BOTH engines (the oracle computes the identical
+  // LIMIT from a scalar subquery over the same table), so a 10× corpus
+  // re-sizes the cells instead of silently going quadratic. The bench
+  // times this next to the pinned-16 row at sf0.1 AND sf1 — the
+  // capped-vs-uncapped pattern, now for quantizer sizing. Recall at a
+  // given p shifts as cells shrink (smaller cells = tighter
+  // neighborhoods); re-run sim_dbscan_recall_curve at the target nlist
+  // when porting the probe pick.
+  q("sim_dbscan_scaled", dbscanOracleSql(probes = 4,
+    nlistSql =
+      "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM emb)")) {
+    (s, d) =>
+      val e = embs(s, d)
+      val nlist = math.ceil(math.sqrt(e.count().toDouble)).toInt
+      Similarity.dbscan(Similarity.hashSampledQuantizer(e, nlist), e,
+        minCosine = 0.3, minPts = 2, probes = 4)
   }
 
   /** The probe pick EXERCISED live (r10 verdict #2 + #8): compute the
@@ -1835,6 +1861,81 @@ object PipelineQueries extends QueryRegistry {
       .join(asg.select(col("vec_id").as("va"), col("cell").as("ca")), "va")
       .join(asg.select(col("vec_id").as("vb"), col("cell").as("cb")), "vb")
       .filter(col("ca") === col("cb"))
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
+      .select(col("n_exact"), col("n_found"),
+        expr("n_found * 1000000L div greatest(n_exact, 1L)")
+          .as("recall_ppm"))
+  }
+
+  /** Recall at the SCALED operating point (r11): `sim_dbscan_scaled`
+    * trades pinned-16 cells for nlist = ⌈√n⌉, which shrinks cells and
+    * therefore shifts edge recall at a given probe budget — this entry
+    * MEASURES the shifted number instead of leaving the
+    * `sim_dbscan_scaled` docstring caveat as prose (the
+    * sim_dbscan_recall pattern at the √n quantizer). Same exact
+    * brute-force baseline (Guards-gated, audit-only), same ppm
+    * integers; DISTINCT on the in-cell pairs because multi-probe
+    * assignment can find a pair in several shared cells.
+    */
+  q("sim_dbscan_scaled_recall",
+    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |            FROM embeddings),
+      |ctr0 AS (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, e
+      |         FROM emb ORDER BY h
+      |         LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+      |                FROM emb)),
+      |ctr AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cell, e AS c
+      |        FROM ctr0),
+      |dst AS (
+      |  SELECT v.vec_id, c.cell,
+      |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list_transform(range(1, 65), i ->
+      |             (v.e[CAST(i AS INT)] - c.c[CAST(i AS INT)]) *
+      |             (v.e[CAST(i AS INT)] - c.c[CAST(i AS INT)]))),
+      |           (a, x) -> a + x) AS d2
+      |  FROM emb v CROSS JOIN ctr c),
+      |asg AS (
+      |  SELECT vec_id, cell
+      |  FROM (SELECT vec_id, cell,
+      |          row_number() OVER (PARTITION BY vec_id
+      |                             ORDER BY d2, cell) AS pr
+      |        FROM dst) WHERE pr <= 4),
+      |exact AS (
+      |  SELECT a.vec_id AS va, b.vec_id AS vb
+      |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.e, b.e) >= 0.3),
+      |incell AS (
+      |  SELECT DISTINCT e.va, e.vb
+      |  FROM exact e JOIN asg x ON x.vec_id = e.va
+      |               JOIN asg y ON y.vec_id = e.vb
+      |  WHERE x.cell = y.cell)
+      |SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+      |       CAST((SELECT count(*) FROM incell) AS BIGINT) AS n_found,
+      |       CAST((SELECT count(*) FROM incell) * 1000000 //
+      |            greatest((SELECT count(*) FROM exact), 1) AS BIGINT)
+      |         AS recall_ppm""") { (s, d) =>
+    val e = embs(s, d)
+    require(graft.Guards.atMost(e, 100000L),
+      "sim_dbscan_scaled_recall's exact side is O(n²); audit on a " +
+        "sample at scale")
+    val nlist = math.ceil(math.sqrt(e.count().toDouble)).toInt
+    val quant = Similarity.hashSampledQuantizer(e, nlist)
+    val probeUdf = udf { (v: Seq[Double]) => quant.nearestCells(v, 4) }
+    val ee = e.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("e"))
+    val asg = ee.select(col("vec_id"),
+      explode(probeUdf(col("e"))).as("cell"))
+    val exact = ee.as("a").join(ee.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .filter(Dedup.cosineCol(col("a.e"), col("b.e")) >= 0.3)
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .localCheckpoint(true)
+    val found = exact
+      .join(asg.select(col("vec_id").as("va"), col("cell").as("ca")), "va")
+      .join(asg.select(col("vec_id").as("vb"), col("cell").as("cb")), "vb")
+      .filter(col("ca") === col("cb"))
+      .select("va", "vb").distinct()
     exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
       .select(col("n_exact"), col("n_found"),

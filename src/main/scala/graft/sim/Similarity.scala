@@ -114,14 +114,44 @@ object Similarity {
     */
   final case class IvfQuantizer(centers: Array[Array[Double]]) {
 
-    /** Cell id + squared distance ranking for one vector. */
-    private[graft] def nearestCells(e: Seq[Double], nprobe: Int): Seq[Int] =
-      centers.zipWithIndex.map { case (c, i) =>
+    /** Cell id + squared distance ranking for one vector.
+      *
+      * Hot path: this runs once per corpus vector per assignment pass,
+      * O(nlist·dims) each — at nlist ≈ √n it IS the assignment cost
+      * (measured r11: the old tuple-allocating sortBy form spent
+      * ~11.6 µs per center distance, 33 s for a 20k × 142-center pass,
+      * and dominated sim_dbscan_scaled's runtime). Primitive-array
+      * top-k insertion instead: copy the boxed row once, then
+      * allocation-free strict-< insertion, which reproduces the old
+      * stable sortBy's (distance, center-id) order exactly — on a tie
+      * the earlier center wins, so probe sets are bit-identical to the
+      * previous implementation and the DuckDB replays
+      * (`ORDER BY d2, cell`) are unaffected.
+      */
+    private[graft] def nearestCells(e: Seq[Double], nprobe: Int): Seq[Int] = {
+      val ea = new Array[Double](e.length)
+      var x = 0
+      while (x < ea.length) { ea(x) = e(x); x += 1 }
+      val k = math.min(nprobe, centers.length)
+      val bestD = Array.fill(k)(Double.PositiveInfinity)
+      val bestI = new Array[Int](k)
+      var i = 0
+      while (i < centers.length) {
+        val c = centers(i)
         var d = 0.0
         var j = 0
-        while (j < e.length) { val t = e(j) - c(j); d += t * t; j += 1 }
-        (d, i)
-      }.sortBy(_._1).take(nprobe).map(_._2).toSeq
+        while (j < ea.length) { val t = ea(j) - c(j); d += t * t; j += 1 }
+        if (d < bestD(k - 1)) {
+          var p = k - 1
+          while (p > 0 && d < bestD(p - 1)) {
+            bestD(p) = bestD(p - 1); bestI(p) = bestI(p - 1); p -= 1
+          }
+          bestD(p) = d; bestI(p) = i
+        }
+        i += 1
+      }
+      bestI.toSeq
+    }
 
     /** Assign each vector to its single nearest cell (inverted-list
       * build: at scale this is the table's partition/bucket layout).
@@ -294,9 +324,16 @@ object Similarity {
     val probeUdf = udf { (v: Seq[Double]) =>
       quantizer.nearestCells(v, probes)
     }
+    // materialize the multi-probe assignment ONCE: it feeds both sides
+    // of the eps self-join AND the noise remainder, and without the
+    // barrier Spark re-evaluates the O(n·nlist·dims) assignment UDF in
+    // every consumer — at nlist ≈ √n the redundant passes dominate the
+    // whole clustering (measured r11: 2×33 s of an 80 s edge job).
+    // Same buildIndex pattern; state is the 4n assignment rows.
     val assigned = embeddings.select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("e"))
       .withColumn("cell", explode(probeUdf(col("e"))))
+      .localCheckpoint(true)
     val a = assigned.select(col("cell"), col("vec_id").as("s"),
       col("e").as("ea"))
     val b = assigned.select(col("cell").as("cb"), col("vec_id").as("t"),
