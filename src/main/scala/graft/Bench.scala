@@ -244,14 +244,19 @@ object Bench {
       // not asserted — DBSCAN's ~p² pair volume at the new p=4 default
       // (plus the p=1/p=2 cost baselines), the drift monitor's
       // integer-µ sums, the probe-curve audit, and both MMR pools
-      "sim_dbscan" -> "embeddings", "sim_dbscan_p1" -> "embeddings",
+      "sim_dbscan_p1" -> "embeddings",
       "sim_dbscan_p2" -> "embeddings", "sim_mmr_topk" -> "embeddings",
       "sim_mmr_ivf" -> "embeddings", "sim_embed_drift" -> "embeddings",
       "sim_ivf_probe_curve" -> "embeddings",
       // the √n-cell variant NEXT TO the pinned-16 row: the sf1 pair
       // (98.6 s pinned vs this) is the measured case for sizing the
       // quantizer with the corpus instead of pinning it
-      "sim_dbscan_scaled" -> "embeddings")
+      "sim_dbscan_scaled" -> "embeddings",
+      // pinned-16 at p=4 LAST: it is the quadratic-by-construction
+      // evidence row (Σ|cell|² ≈ n², 98.6 s isolated at sf1) — if its
+      // 401M-pair eps-graph ever takes down the shared 8 GiB context,
+      // the failure must not erase the rows behind it
+      "sim_dbscan" -> "embeddings")
     // the dev-only SPARK_GRAFT_BENCH_ONLY subset applies here too —
     // before r10 a 5-query dev iteration still paid the full ~20-min
     // sf1 sweep

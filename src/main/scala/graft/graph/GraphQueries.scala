@@ -190,22 +190,36 @@ object GraphQueries extends QueryRegistry {
     val dd = e.select(c("a").as("src"), c("b").as("dst"))
       .union(e.select(c("b").as("src"), c("a").as("dst")))
       .localCheckpoint(true)
+    // Each op's result is a HANDFUL of rows (peel rounds / 10 buckets /
+    // 1-row summaries) — materialize them eagerly IN SEQUENCE so peak
+    // executor state is one structural op at a time, not all five
+    // DAGs co-scheduled inside the final union's single action (the
+    // lazy-union form OOM'd the 8 GiB bench JVM at sf1 once triangles
+    // joined the suite: five ops' shuffle state on a 10× graph is a
+    // sum, the sequential form is a max — and sequencing is the honest
+    // long-lived-engine shape anyway; the shared view is the saving,
+    // not job fusion).
     val kcore = GraphOps.kCoreOnView(dd, 3, 3)
       .select(lit("kcore").as("op"), col("round").cast("long").as("a"),
         col("n_nodes").as("b"), col("n_edges").as("c"))
+      .localCheckpoint(true)
     val lcc = GraphOps.localClusteringOnView(dd)
       .select(lit("lcc").as("op"), col("bucket").as("a"),
         col("n_nodes").as("b"), col("sum_t").as("c"))
+      .localCheckpoint(true)
     val mod = GraphOps.lpaModularityOnView(dd, 2)
       .select(lit("modularity").as("op"), col("n_communities").as("a"),
         col("e_in").as("b"), col("q_ppm").as("c"))
+      .localCheckpoint(true)
     val ast = GraphOps.degreeAssortativityOnView(dd)
       .select(lit("assort").as("op"), col("m").as("a"),
         floor(col("assortativity") * 1000000).cast("long").as("b"),
         lit(0L).as("c"))
+      .localCheckpoint(true)
     val tri = GraphOps.triangleSummaryOnView(dd)
       .select(lit("tri").as("op"), col("n_triangles").as("a"),
         col("n_wedges").as("b"), col("clustering_u").as("c"))
+      .localCheckpoint(true)
     kcore.unionAll(lcc).unionAll(mod).unionAll(ast).unionAll(tri)
   }
 

@@ -3522,6 +3522,43 @@ object PipelineQueries extends QueryRegistry {
     TextAnalysis.bigramLm(docs(s, d))
   }
 
+  // HELD-OUT LM filter (CCNet arrangement, Wenzek et al. 2020): the
+  // bigram model is trained on the deterministic md5-even half and
+  // scores ONLY the odd half, with add-1 smoothing so unseen
+  // transitions keep mass — the self-trained t_bigram_lm scores a
+  // junk cluster as predictable because the junk trained the model;
+  // this one can't. Same exact-integer arithmetic (no ln); the split
+  // is the same '0x'||md5-prefix bucket the cluster-split entry
+  // replays.
+  q("t_lm_heldout",
+    """WITH toks AS (SELECT doc_id,
+      |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |           AS UBIGINT) % 100 % 2 = 0 AS is_ref,
+      |         string_split(text, ' ') AS t
+      |       FROM documents
+      |       WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+      |big AS (SELECT doc_id, is_ref, t[i] AS w1, t[i + 1] AS w2
+      |        FROM toks CROSS JOIN unnest(generate_series(1, len(t) - 1)) AS u(i)),
+      |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      |        FROM big WHERE is_ref GROUP BY 1, 2),
+      |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+      |       FROM big WHERE is_ref GROUP BY 1),
+      |v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) + 1 AS v
+      |      FROM big WHERE is_ref),
+      |scored AS (SELECT b.doc_id,
+      |    ((coalesce(c12.c12, 0) + 1) * 1000000) //
+      |      (coalesce(c1.c1, 0) + v.v) AS s
+      |  FROM big b LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+      |             LEFT JOIN c1 ON b.w1 = c1.w1
+      |             CROSS JOIN v
+      |  WHERE NOT b.is_ref)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |       CAST(sum(s) // count(*) AS BIGINT) AS lm_u
+      |FROM scored GROUP BY 1""") { (s, d) =>
+    TextAnalysis.heldoutBigramLm(docs(s, d),
+      Sampling.hashBucket("doc_id") % 2 === 0)
+  }
+
   /** The curation funnel — the survivor accounting every training-data
     * pipeline publishes: input → language filter → quality gate
     * (≥5 tokens, distinct-token ratio ≥ 0.3) → exact-dedup keepers,

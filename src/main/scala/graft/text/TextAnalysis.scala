@@ -505,6 +505,56 @@ object TextAnalysis {
         expr("sum(s) div count(*)").as("lm_u"))
   }
 
+  /** HELD-OUT bigram-LM filter score — the CCNet-style arrangement
+    * (Wenzek et al. 2020: an LM trained on reference data scores
+    * candidate documents) that [[bigramLm]] deliberately isn't:
+    * there the model is trained on the same corpus it scores, so a
+    * large cluster of near-identical junk scores itself as highly
+    * predictable. Here the model tables (bigram counts `c12`, start
+    * counts `c1`, vocabulary size `V`) are built ONLY from the rows
+    * where `isRef` holds (the caller passes the deterministic md5
+    * half-split, kept at the entry next to its SQL twin), and only
+    * the complement is scored — with add-1 smoothing so unseen
+    * transitions get mass instead of vanishing from the join:
+    * `s = ((c12 + 1) * 1e6) div (c1 + V)`, `V` = distinct ref
+    * successor-vocabulary + 1 (the OOV bucket). All arithmetic is
+    * long division/long sums (commute exactly → bit-identical DuckDB
+    * replay; same no-ln rule as [[bigramLm]]).
+    *
+    * Scale: identical shuffle shape to [[bigramLm]] — two
+    * token-keyed model aggregations (model-sized, not corpus-sized),
+    * LEFT joins back on the scored half with no broadcast hint so AQE
+    * broadcasts the model tables only when they genuinely fit, and
+    * `V` arrives as a one-row broadcast. Per-doc state is one
+    * (sum, count) pair of longs.
+    */
+  def heldoutBigramLm(docs: DataFrame, isRef: Column): DataFrame = {
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("t"),
+        isRef.as("is_ref"))
+      .filter(size(col("t")) >= 2)
+    val big = base.select(col("doc_id"), col("is_ref"), explode(transform(
+        sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("is_ref"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val ref = big.filter(col("is_ref"))
+    val c12 = ref.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = ref.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = ref.agg((countDistinct(col("w2")) + lit(1L)).as("v"))
+    big.filter(!col("is_ref"))
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        expr("((coalesce(c12, 0) + 1) * 1000000) div (coalesce(c1, 0) + v)")
+          .as("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(s) div count(*)").as("lm_u"))
+  }
+
   /** Guaranteed heavy hitters in two bounded passes — the 100 TB shape
     * for "which n-grams exceed frequency f·N":
     *

@@ -79,6 +79,43 @@ class LmResampleSpec extends AnyFunSuite {
     assert(!got.contains(4L) && !got.contains(5L))
   }
 
+  test("heldoutBigramLm: ref-trained model scores only the held-out half") {
+    import spark.implicits._
+    val texts = Seq(
+      2L -> "the cat sat on the mat", // ref (even ids in this spec)
+      4L -> "the cat sat on the hat", // ref
+      1L -> "the cat sat on the mat", // tgt: fully in-model
+      3L -> "mat the on sat cat the", // tgt: same tokens, scrambled
+      5L -> "quux the cat",           // tgt: OOV start token
+      6L -> "one",                    // single token: dropped
+      7L -> null.asInstanceOf[String])
+    val docs = texts.toDF("doc_id", "text")
+    val got = TextAnalysis.heldoutBigramLm(docs, col("doc_id") % 2 === 0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+
+    // brute-force model from the ref half only, add-1 smoothed
+    val refBigrams = texts.collect { case (id, t) if t != null && id % 2 == 0 =>
+      val tk = t.split(" "); tk.zip(tk.tail).toSeq
+    }.flatten
+    val c12 = refBigrams.groupBy(identity).view.mapValues(_.size).toMap
+    val c1 = refBigrams.map(_._1).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val v = refBigrams.map(_._2).distinct.size + 1
+    val expect = texts.collect { case (id, t) if t != null && id % 2 != 0 =>
+      val tk = t.split(" "); id -> tk.zip(tk.tail).toSeq
+    }.filter(_._2.nonEmpty).map { case (id, bs) =>
+      val ss = bs.map(b => (c12.getOrElse(b, 0) + 1).toLong * 1000000L /
+        (c1.getOrElse(b._1, 0) + v))
+      id -> ((bs.length.toLong, ss.sum / bs.length))
+    }.toMap
+    assert(got == expect)
+    // ref/dropped docs never appear in the scored output
+    assert(Seq(2L, 4L, 6L, 7L).forall(!got.contains(_)))
+    // in-model word order outscores the scrambled permutation
+    assert(got(1L)._2 > got(3L)._2)
+  }
+
   test("dsirWeights up-weights target-like raw documents") {
     import spark.implicits._
     // target domain speaks "alpha beta"; raw remainder speaks "zeta eta"
