@@ -91,6 +91,7 @@ object Plans {
     "g_suite_on_view" -> "structural graph suite on ONE shared view (r10; r11 widened to FIVE ops): the copurchase self-join + distinct — the dominant per-call cost of g_kcore/g_local_clustering/g_modularity/g_assortativity/g_triangles standalone — builds ONCE as an eager localCheckpoint that all five ops consume (triangles/local-clustering orient by FILTERING the bidirectional view — one count aggregate, no degree-join rebuild). The final plan shows the checkpointed RESULT scans union'd; the sharing evidence is upstream — one edge-view job instead of five rebuilds — and shows up as the bench row running well under the sum of the standalone rows",
     "sim_mmr_ivf" -> "MMR over the IVF-FED pool (r11, the at-scale path): the corpus-sized stage is the bucketed inverted-list equi join inside ivfTopK (cell is the shuffle key) — NO broadcast crossJoin, no Guards-gated brute scorer anywhere in the plan; the greedy steps are identical to sim_mmr_topk's poolSize-bounded joins. Look for the checkpointed assignment scan feeding both the query and candidate arms, then the bounded greedy chain",
     "sim_dbscan_auto" -> "curve-driven probe pick (r11): three measured curve arms (each a cell-keyed overlap join against the ONE checkpointed exact pair set) reduce to 3 driver rows; the pick is Similarity.curvePick — the same audited knee rule as autoNprobe — and the returned plan is a 1-row LocalRelation; the exact side is the declared Guards-gated audit, sampled at scale",
+    "t_lm_heldout" -> "held-out CCNet-style LM filter (r11): the corpus appears in ONE tokenize+explode pass; the model tables (c12/c1/V, built from the md5-even half only) are model-sized aggregations that join back LEFT with no broadcast hint (AQE sizes them), V rides a one-row broadcast; all arithmetic is long div — look for the absence of any corpus×corpus join and the two map-combined token-keyed exchanges",
     "sim_dbscan_scaled" -> "DBSCAN at the corpus-sized quantizer (r11): nlist = ceil(sqrt(n)) derived from count(*) on BOTH engines — pinned-16 cells at p=4 probes is sum(|cell|^2) ~ n^2 by construction (measured sf1: 401M vs 46M in-cell pairs, 80 s vs 15.5 s); the multi-probe assignment is checkpointed ONCE (it feeds both eps-join sides + the noise remainder) so the O(n*nlist*dims) assignment UDF runs a single pass — the plan shows the eps self-join reading two scans of the SAME checkpointed RDD, never two UDF re-evaluations")
 
   def main(args: Array[String]): Unit = {
