@@ -85,12 +85,13 @@ object Bench {
     "g_suite_on_view", "pipeline_dbest", "ts_dtw_pairs_banded",
     // DBSCAN rides the semdedup cell machinery + the CC rounds.
     // r11: the default moved to the curve-picked p=4 (r10 verdict #2)
-    // — sim_dbscan timings are NOT comparable to r10's p=1 rows; the
-    // p=1 twin keeps the old operating point as the cost baseline,
-    // and the √n-cell variant is the configuration-that-scales twin
-    // (pinned nlist=16 at p=4 is Σ|cell|² ≈ n² — quadratic by
-    // construction; √n cells keep it ≈ n^1.5)
-    "sim_dbscan", "sim_dbscan_p1", "sim_dbscan_scaled",
+    // AND the √n-cell quantizer — sim_dbscan timings are NOT
+    // comparable to r10's p=1/pinned-16 rows; the p=1 twin keeps the
+    // old probe point as the cost baseline, and sim_dbscan_pinned16
+    // keeps the pinned quantizer as the quadratic-trap evidence row
+    // (nlist=16 at p=4 is Σ|cell|² ≈ n² by construction; √n cells
+    // keep it ≈ p²·n^1.5)
+    "sim_dbscan", "sim_dbscan_p1", "sim_dbscan_pinned16",
     // r11 additions: MMR over the IVF-fed pool (the at-scale path,
     // r10 verdict #3) and the suite now containing triangles +
     // local clustering (verdict #4) is timed via g_suite_on_view
@@ -248,15 +249,18 @@ object Bench {
       "sim_dbscan_p2" -> "embeddings", "sim_mmr_topk" -> "embeddings",
       "sim_mmr_ivf" -> "embeddings", "sim_embed_drift" -> "embeddings",
       "sim_ivf_probe_curve" -> "embeddings",
-      // the √n-cell variant NEXT TO the pinned-16 row: the sf1 pair
-      // (98.6 s pinned vs this) is the measured case for sizing the
-      // quantizer with the corpus instead of pinning it
-      "sim_dbscan_scaled" -> "embeddings",
+      // the held-out LM filter's 10× behavior (r11: two model-sized
+      // token aggregations + the scored-half joins — expect ~linear)
+      "t_lm_heldout" -> "documents",
+      // the √n-cell DEFAULT next to the pinned-16 evidence row: the
+      // sf1 pair (95.8 s pinned vs 15.9 s) is the measured case for
+      // sizing the quantizer with the corpus instead of pinning it
+      "sim_dbscan" -> "embeddings",
       // pinned-16 at p=4 LAST: it is the quadratic-by-construction
-      // evidence row (Σ|cell|² ≈ n², 98.6 s isolated at sf1) — if its
+      // evidence row (Σ|cell|² ≈ n², 95.8 s isolated at sf1) — if its
       // 401M-pair eps-graph ever takes down the shared 8 GiB context,
       // the failure must not erase the rows behind it
-      "sim_dbscan" -> "embeddings")
+      "sim_dbscan_pinned16" -> "embeddings")
     // the dev-only SPARK_GRAFT_BENCH_ONLY subset applies here too —
     // before r10 a 5-query dev iteration still paid the full ~20-min
     // sf1 sweep
@@ -303,7 +307,7 @@ object Bench {
     // was JVM co-tenancy from the 14 added bench queries (JIT/code
     // cache/GC state shared across the run), not a code regression
     // (A/B n=3-min at sf0.1, 2026-08-13).
-    val notes = "r11 notes: (1) ATTRIBUTION CLOSED (see ATTRIBUTION_r11.md, raw JSONs target/attrib/, tools/bench_attrib.sh): every r10 >=1.5x round-over-round query rerun in fresh single-query JVMs at HEAD vs the r9 tip under identical conditions — la_bh_fdr/la_cuped/ts_theil_sen/ts_chow_test/dd_threshold_curve_capped/g_pagerank@sf1 are at parity or FASTER than r9 (the 2.4-2.5x bench inflation was 105-query 8-GiB shared-JVM co-tenancy, the r6 lesson at r10 scale); mm_frame_overlap/dd_threshold_curve/dd_minhash_recall/sim_ivf_probe_curve run 1.19-1.27x r9 isolated BY DESIGN — their r9 versions leaked session-lifetime persists that CacheManager silently reused across min-of-3 (r9 timed a warm cache no production call sees); a SPARK_GRAFT_KEEP_BLOCKS=1 A/B shows the between-query hygiene share is only 0.01-0.35s, the rest is the eliminated leak. Zero real regressions; the five r10 weak flags clear. (2) per-query COLD times now durable next to warm (cold_queries at sf0.1 + sf1) so accounting-vs-regression reads from the artifact alone. (3) sim_dbscan default moved to the curve-picked p=4 (r10 verdict #2) — NOT comparable to r10's p=1 row; sim_dbscan_p1 keeps the old operating point and sim_dbscan_p2/sim_dbscan_auto complete the curve. (4) g_suite_on_view now contains triangles + local clustering on the shared view (5 ops, 5th arm 'tri') — compare against the 5-op standalone sum, not r10's 4-op row. History: r10 bench-context absolutions documented in ATTRIBUTION_r11.md; r7's 5 suspect regressions absolved by r8 min-of-3; BENCH_r07 was a crashed-JVM artifact"
+    val notes = "r11 notes: (1) ATTRIBUTION CLOSED (see ATTRIBUTION_r11.md, raw JSONs target/attrib/, tools/bench_attrib.sh): every r10 >=1.5x round-over-round query rerun in fresh single-query JVMs at HEAD vs the r9 tip under identical conditions — la_bh_fdr/la_cuped/ts_theil_sen/ts_chow_test/dd_threshold_curve_capped/g_pagerank@sf1 are at parity or FASTER than r9 (the 2.4-2.5x bench inflation was 105-query 8-GiB shared-JVM co-tenancy, the r6 lesson at r10 scale); mm_frame_overlap/dd_threshold_curve/dd_minhash_recall/sim_ivf_probe_curve run 1.19-1.27x r9 isolated BY DESIGN — their r9 versions leaked session-lifetime persists that CacheManager silently reused across min-of-3 (r9 timed a warm cache no production call sees); a SPARK_GRAFT_KEEP_BLOCKS=1 A/B shows the between-query hygiene share is only 0.01-0.35s, the rest is the eliminated leak. Zero real regressions; the five r10 weak flags clear. (2) per-query COLD times now durable next to warm (cold_queries at sf0.1 + sf1) so accounting-vs-regression reads from the artifact alone. (3) sim_dbscan default moved to the curve-picked p=4 (r10 verdict #2) AND the corpus-sized nlist=ceil(sqrt(n)) quantizer — NOT comparable to r10's p=1/pinned-16 rows; sim_dbscan_p1 keeps the old probe point, sim_dbscan_pinned16 keeps the pinned quantizer as the measured quadratic-trap evidence (95.8s vs 15.9s at sf1), and sim_dbscan_p2/sim_dbscan_auto complete the curve. (4) g_suite_on_view now contains triangles + local clustering on the shared view (5 ops, 5th arm 'tri') — compare against the 5-op standalone sum, not r10's 4-op row. History: r10 bench-context absolutions documented in ATTRIBUTION_r11.md; r7's 5 suspect regressions absolved by r8 min-of-3; BENCH_r07 was a crashed-JVM artifact"
     val json = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"comparable_r2_total":$comparable,"queries":$qs,"cold_queries":$coldQs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","notes":"$notes"$sf1}"""
     println(json)
     // Durable artifact (r9 verdict #5): the driver's BENCH_rN.json only

@@ -86,13 +86,13 @@ object Plans {
     "dd_threshold_curve" -> "Jaccard threshold curve (r9): ONE AllPairs candidate pass at the lowest threshold feeds the exact-decile histogram; integer cross-multiplied buckets, <=6-row cumulative window",
     "mm_frame_overlap" -> "frame-fingerprint near-dup (r9): rolling-hash fingerprints map-local, the posting self-join keys on frame_fp (the LSH band-join contract, df-cap knob for boilerplate frames), overlap arithmetic exact integer ppm",
     "sim_embed_drift" -> "embedding drift monitor (r10): ONE (half, dim) map-combined integer-µ aggregate — post-shuffle state is 2·dims rows; the centroid cosine derives from the exact integer sums, so the drift alert is bit-stable across cluster layouts (FP summation order can never flap it)",
-    "sim_dbscan" -> "DBSCAN (r10): the eps-graph is the ONLY corpus-sized stage and it joins within coarse-quantizer cells (cell is the shuffle key — Σ|cell|² pairs, never n²); degree filter and border attachment reuse the checkpointed edge set; CC runs on the (much smaller) core subgraph with pointer jumping",
+    "sim_dbscan" -> "DBSCAN (r10; r11 default = curve-picked p=4 at the corpus-sized nlist=ceil(sqrt(n)) quantizer): the eps-graph is the ONLY corpus-sized stage and it joins within coarse-quantizer cells (cell is the shuffle key — Σ|cell|² ≈ p²·n^1.5 pairs at √n cells, never n²); the multi-probe assignment is checkpointed ONCE (it feeds both eps-join sides + the noise remainder); degree filter and border attachment reuse the checkpointed edge set; CC runs on the (much smaller) core subgraph with pointer jumping",
     "sim_mmr_topk" -> "MMR re-rank (r10): the corpus appears only in the pool-building scan; every greedy step is a poolSize-bounded join + (query,cand) max-sim aggregate + per-query top-1 window — k steps of bounded work, source-agnostic (swap the brute pool for ivfTopK candidates at scale)",
     "g_suite_on_view" -> "structural graph suite on ONE shared view (r10; r11 widened to FIVE ops): the copurchase self-join + distinct — the dominant per-call cost of g_kcore/g_local_clustering/g_modularity/g_assortativity/g_triangles standalone — builds ONCE as an eager localCheckpoint that all five ops consume (triangles/local-clustering orient by FILTERING the bidirectional view — one count aggregate, no degree-join rebuild). The final plan shows the checkpointed RESULT scans union'd; the sharing evidence is upstream — one edge-view job instead of five rebuilds — and shows up as the bench row running well under the sum of the standalone rows",
     "sim_mmr_ivf" -> "MMR over the IVF-FED pool (r11, the at-scale path): the corpus-sized stage is the bucketed inverted-list equi join inside ivfTopK (cell is the shuffle key) — NO broadcast crossJoin, no Guards-gated brute scorer anywhere in the plan; the greedy steps are identical to sim_mmr_topk's poolSize-bounded joins. Look for the checkpointed assignment scan feeding both the query and candidate arms, then the bounded greedy chain",
     "sim_dbscan_auto" -> "curve-driven probe pick (r11): three measured curve arms (each a cell-keyed overlap join against the ONE checkpointed exact pair set) reduce to 3 driver rows; the pick is Similarity.curvePick — the same audited knee rule as autoNprobe — and the returned plan is a 1-row LocalRelation; the exact side is the declared Guards-gated audit, sampled at scale",
     "t_lm_heldout" -> "held-out CCNet-style LM filter (r11): the corpus appears in ONE tokenize+explode pass; the model tables (c12/c1/V, built from the md5-even half only) are model-sized aggregations that join back LEFT with no broadcast hint (AQE sizes them), V rides a one-row broadcast; all arithmetic is long div — look for the absence of any corpus×corpus join and the two map-combined token-keyed exchanges",
-    "sim_dbscan_scaled" -> "DBSCAN at the corpus-sized quantizer (r11): nlist = ceil(sqrt(n)) derived from count(*) on BOTH engines — pinned-16 cells at p=4 probes is sum(|cell|^2) ~ n^2 by construction (measured sf1: 401M vs 46M in-cell pairs, 80 s vs 15.5 s); the multi-probe assignment is checkpointed ONCE (it feeds both eps-join sides + the noise remainder) so the O(n*nlist*dims) assignment UDF runs a single pass — the plan shows the eps self-join reading two scans of the SAME checkpointed RDD, never two UDF re-evaluations")
+    "sim_dbscan_pinned16" -> "DBSCAN at the PINNED quantizer — the quadratic-trap evidence row (r11; the pre-swap headline): 16 cells at p=4 probes is sum(|cell|^2) ~ n^2 by construction (measured sf1: 401M vs 46M in-cell pairs, 95.8 s vs 15.9 s against the sqrt(n) default); same checkpointed-assignment plan shape as sim_dbscan — the plan shows the eps self-join reading two scans of the SAME checkpointed RDD, never two UDF re-evaluations; the row exists so the pinned-vs-scaled pair stays measured every round")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -1652,26 +1652,37 @@ object PipelineQueries extends QueryRegistry {
   }
 
   // The HEADLINE entry runs at the CURVE-PICKED probe count (r10
-  // verdict #2): `Similarity.curvePick` over the measured
-  // sim_dbscan_recall_curve (20%→48%→90% edge recall at probes
-  // 1/2/4, default 2% slack) lands on p=4, and `sim_dbscan_auto`
-  // below exercises + oracle-checks that pick live; this entry pins
-  // the picked operating point statically so its oracle replays at a
-  // literal probe count. A clustering default that silently misses
-  // 80% of eps-edges (the old p=1) was the first thing a real user
-  // would trip on; p=1/p=2 stay below as the cost-curve baselines
-  // (pair volume grows ~p² — the measured trade, SCALE.md).
-  q("sim_dbscan", dbscanOracleSql(probes = 4)) { (s, d) =>
-    val e = embs(s, d)
-    Similarity.dbscan(Similarity.hashSampledQuantizer(e, nlist = 16), e,
-      minCosine = 0.3, minPts = 2, probes = 4)
+  // verdict #2: `Similarity.curvePick` over the measured
+  // sim_dbscan_recall_curve lands on p=4; `sim_dbscan_auto` below
+  // exercises + oracle-checks that pick live) AND at the
+  // CORPUS-SIZED quantizer, nlist = ⌈√n⌉ derived from count(*) on
+  // BOTH engines (the oracle computes the identical LIMIT from a
+  // scalar subquery over the same table). Both knobs follow the same
+  // principle — the default must not be the configuration a real
+  // user trips on at their scale: p=1 silently missed 80% of
+  // eps-edges (the r10 default), and a PINNED nlist at p=4 is
+  // Σ|cell|² ≈ n² by construction (measured: 95.8 s at sf1 vs
+  // 15.9 s for √n cells — `sim_dbscan_pinned16` below keeps that
+  // evidence row). √n cells keep the pair term ≈ p²·n^1.5; the
+  // measured edge recall AT THIS operating point is published by
+  // `sim_dbscan_scaled_recall`, and p=1/p=2 (pinned-16) remain the
+  // cost-curve baselines consistent with sim_dbscan_recall_curve.
+  q("sim_dbscan", dbscanOracleSql(probes = 4,
+    nlistSql =
+      "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM emb)")) {
+    (s, d) =>
+      val e = embs(s, d)
+      val nlist = math.ceil(math.sqrt(e.count().toDouble)).toInt
+      Similarity.dbscan(Similarity.hashSampledQuantizer(e, nlist), e,
+        minCosine = 0.3, minPts = 2, probes = 4)
   }
 
   // Cost baselines for the probe knob (same oracle builder at p=1 /
-  // p=2, so candidate generation, roles and the CC replay exactly):
-  // the bench times them next to the p=4 default — the
-  // capped-vs-uncapped containment pattern for the recall/pair-volume
-  // trade.
+  // p=2 over the pinned-16 quantizer, so candidate generation, roles
+  // and the CC replay exactly — the operating points
+  // sim_dbscan_recall_curve measures): the bench times them next to
+  // the p=4 rows — the capped-vs-uncapped containment pattern for
+  // the recall/pair-volume trade.
   q("sim_dbscan_p1", dbscanOracleSql(probes = 1)) { (s, d) =>
     val e = embs(s, d)
     Similarity.dbscan(Similarity.hashSampledQuantizer(e, nlist = 16), e,
@@ -1683,29 +1694,23 @@ object PipelineQueries extends QueryRegistry {
       minCosine = 0.3, minPts = 2, probes = 2)
   }
 
-  // The AT-SCALE operating point (r11): nlist pinned at 16 makes the
-  // multi-probe eps-graph effectively QUADRATIC — at p=4 of 16 cells
-  // every cell holds ~n/4 vectors, so Σ|cell|² ≈ n² (measured:
-  // sim_dbscan 5.6 s at sf0.1 → 98.6 s at sf1, 17.5× for 10× data).
-  // The engine's own sizing guidance (Similarity.buildIndex:
-  // nlist ≈ √n keeps Σ|cell|² ≈ n^1.5) is applied HERE as
-  // configuration-that-scales: nlist = ceil(√n) is derived from the
-  // corpus count on BOTH engines (the oracle computes the identical
-  // LIMIT from a scalar subquery over the same table), so a 10× corpus
-  // re-sizes the cells instead of silently going quadratic. The bench
-  // times this next to the pinned-16 row at sf0.1 AND sf1 — the
-  // capped-vs-uncapped pattern, now for quantizer sizing. Recall at a
+  // The QUADRATIC-TRAP evidence row (r11; headline until the swap in
+  // this round): nlist pinned at 16 makes the multi-probe eps-graph
+  // effectively quadratic — at p=4 of 16 cells every cell holds ~n/4
+  // vectors, so Σ|cell|² ≈ n² (measured: 5.6 s at sf0.1 → 95.8 s at
+  // sf1, 17.5× for 10× data, vs 15.9 s for the √n-cell default —
+  // 401M vs 46M in-cell pairs). Kept as a NAMED entry so the bench
+  // keeps timing the pinned-vs-scaled pair at sf0.1 AND sf1: it is
+  // the measured case for sizing the quantizer with the corpus
+  // (Similarity.buildIndex's nlist ≈ √n guidance) instead of pinning
+  // a constant that silently goes quadratic at 10×. Recall at a
   // given p shifts as cells shrink (smaller cells = tighter
-  // neighborhoods); re-run sim_dbscan_recall_curve at the target nlist
-  // when porting the probe pick.
-  q("sim_dbscan_scaled", dbscanOracleSql(probes = 4,
-    nlistSql =
-      "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM emb)")) {
-    (s, d) =>
-      val e = embs(s, d)
-      val nlist = math.ceil(math.sqrt(e.count().toDouble)).toInt
-      Similarity.dbscan(Similarity.hashSampledQuantizer(e, nlist), e,
-        minCosine = 0.3, minPts = 2, probes = 4)
+  // neighborhoods); sim_dbscan_scaled_recall measures the default's
+  // point, sim_dbscan_recall_curve this row's quantizer.
+  q("sim_dbscan_pinned16", dbscanOracleSql(probes = 4)) { (s, d) =>
+    val e = embs(s, d)
+    Similarity.dbscan(Similarity.hashSampledQuantizer(e, nlist = 16), e,
+      minCosine = 0.3, minPts = 2, probes = 4)
   }
 
   /** The probe pick EXERCISED live (r10 verdict #2 + #8): compute the
@@ -1803,12 +1808,13 @@ object PipelineQueries extends QueryRegistry {
   }
 
   /** Honest recall of the cell-bounded eps-graph (the dd_minhash_recall
-    * pattern for sim_dbscan): what fraction of the EXACT eps-pairs
-    * (cosine ≥ τ over all pairs — the guarded brute baseline) survive
-    * the within-cell restriction. This is the published number that
-    * belongs next to sim_dbscan's speed: cross-cell neighbors are the
-    * documented recall trade, and this row measures it instead of
-    * asserting it. Exact integers (pair counts + ppm).
+    * pattern for DBSCAN, at the pinned-16 single-probe point —
+    * `sim_dbscan_p1`'s operating point): what fraction of the EXACT
+    * eps-pairs (cosine ≥ τ over all pairs — the guarded brute
+    * baseline) survive the within-cell restriction. Cross-cell
+    * neighbors are the documented recall trade, and this row measures
+    * it instead of asserting it; the headline default's number is
+    * `sim_dbscan_scaled_recall`. Exact integers (pair counts + ppm).
     */
   q("sim_dbscan_recall",
     """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
@@ -1868,11 +1874,11 @@ object PipelineQueries extends QueryRegistry {
           .as("recall_ppm"))
   }
 
-  /** Recall at the SCALED operating point (r11): `sim_dbscan_scaled`
-    * trades pinned-16 cells for nlist = ⌈√n⌉, which shrinks cells and
-    * therefore shifts edge recall at a given probe budget — this entry
-    * MEASURES the shifted number instead of leaving the
-    * `sim_dbscan_scaled` docstring caveat as prose (the
+  /** Recall at the DEFAULT operating point (r11): the headline
+    * `sim_dbscan` trades pinned-16 cells for nlist = ⌈√n⌉, which
+    * shrinks cells and therefore shifts edge recall at a given probe
+    * budget — this entry MEASURES the shifted number instead of
+    * leaving the headline docstring caveat as prose (the
     * sim_dbscan_recall pattern at the √n quantizer). Same exact
     * brute-force baseline (Guards-gated, audit-only), same ppm
     * integers; DISTINCT on the in-cell pairs because multi-probe
