@@ -93,9 +93,14 @@ object Bench {
     // keep it ≈ p²·n^1.5)
     "sim_dbscan", "sim_dbscan_p1", "sim_dbscan_pinned16",
     // r11 additions: MMR over the IVF-fed pool (the at-scale path,
-    // r10 verdict #3) and the suite now containing triangles +
-    // local clustering (verdict #4) is timed via g_suite_on_view
-    "sim_mmr_topk", "sim_mmr_ivf", "sim_embed_drift")
+    // r10 verdict #3), the suite now containing triangles +
+    // local clustering (verdict #4) timed via g_suite_on_view, the
+    // probe curve re-measured at the default √n quantizer (Guards-
+    // gated exact side, audit-sized like dd_minhash_recall), and the
+    // cross-source contamination matrix (distinct + a fan-out-bounded
+    // gram self-join)
+    "sim_mmr_topk", "sim_mmr_ivf", "sim_embed_drift",
+    "sim_dbscan_scaled_curve", "dd_source_overlap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -252,6 +257,10 @@ object Bench {
       // the held-out LM filter's 10× behavior (r11: two model-sized
       // token aggregations + the scored-half joins — expect ~linear)
       "t_lm_heldout" -> "documents",
+      // cross-source matrix at 10×: the distinct is the corpus-sized
+      // stage; the self-join fan-out is |sources|²-bounded per gram,
+      // so ~linear is the pass bar
+      "dd_source_overlap" -> "documents",
       // the √n-cell DEFAULT next to the pinned-16 evidence row: the
       // sf1 pair (95.8 s pinned vs 15.9 s) is the measured case for
       // sizing the quantizer with the corpus instead of pinning it

@@ -1118,4 +1118,52 @@ object Dedup {
         array_contains(col("eval_md5s"), md5(col(textCol)))
           .cast("int").as("exact"))
   }
+
+  /** Cross-source contamination matrix: for every source pair, the
+    * count of distinct token-n-grams present in BOTH — the corpus-QA
+    * readout that catches one ingest feed republishing another (or an
+    * eval source leaking into a train source) BEFORE doc-level dedup
+    * is asked to clean it up pair by pair. Reported per pair:
+    * `n_shared` (distinct grams in both), each side's distinct-gram
+    * vocabulary (`n_a`/`n_b`), and the overlap coefficient
+    * `n_shared / min(n_a, n_b)` in exact integer ppm (the containment
+    * normalization — robust when one source dwarfs the other).
+    *
+    * Scale shape: grams shuffle as 8-byte xxhash64 keys, never text
+    * (the gramSets contract); the ONLY corpus-sized stage is the
+    * (gram, source) DISTINCT. After it, every gram appears at most
+    * |sources| times, so the self-join's per-key fan-out is bounded by
+    * |sources|² BY CONSTRUCTION — no df cap needed, unlike doc-keyed
+    * posting joins where one boilerplate gram explodes quadratically
+    * in the number of DOCS. Both aggregates are map-combined; the
+    * result is sources²-sized. The deduped gram set feeds three plan
+    * arms (two join sides + the per-source vocabulary count), so it is
+    * eagerly checkpointed once.
+    */
+  def sourceOverlap(docs: DataFrame, n: Int = 3,
+      textCol: String = "text", srcCol: String = "source"): DataFrame = {
+    val grams = docs
+      .select(col(srcCol).as("source"), split(col(textCol), " ").as("toks"))
+      .select(col("source"), explode(expr(
+        s"transform(sequence(1, greatest(size(toks) - ${n - 1}, 1)), " +
+          s"i -> xxhash64(array_join(slice(toks, i, $n), ' ')))")).as("g"))
+      .distinct()
+      .localCheckpoint(true)
+    val perSrc = grams.groupBy("source")
+      .agg(count(lit(1)).as("n_grams"))
+    val shared = grams.as("a")
+      .join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(perSrc.select(col("source").as("source_a"),
+        col("n_grams").as("n_a")), "source_a")
+      .join(perSrc.select(col("source").as("source_b"),
+        col("n_grams").as("n_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        expr("n_shared * 1000000L div least(n_a, n_b)").as("overlap_ppm"))
+  }
 }

@@ -1392,6 +1392,44 @@ object PipelineQueries extends QueryRegistry {
       TextAnalysis.qualityProjection(dd))
   }
 
+  /** Cross-source contamination matrix — see
+    * [[graft.dedup.Dedup.sourceOverlap]]. The oracle groups on the
+    * raw n-gram STRING where Spark shuffles its xxhash64 (the
+    * dd_ngram_jaccard convention: identical distinct-counts barring
+    * 2⁻⁶⁴ collisions); trigram construction replays the same
+    * clamped-slice rule (`l[i:i+2]`, i ≤ max(len−2, 1)) as the Scala
+    * transform. On the committed testdata the planted near-dup
+    * clusters surface as the high-overlap pairs (e.g. sources sharing
+    * a duplicated doc run 2-3× the ~5% background trigram overlap).
+    */
+  q("dd_source_overlap",
+    """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS l
+      |             FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT source,
+      |    array_to_string(l[CAST(i AS BIGINT):CAST(i + 2 AS BIGINT)],
+      |                    ' ') AS g
+      |  FROM toks,
+      |       unnest(generate_series(1, greatest(len(l) - 2, 1))) AS t(i)),
+      |per_src AS (SELECT source, count(*) AS n_grams FROM grams
+      |            GROUP BY 1),
+      |shared AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |         count(*) AS n_shared
+      |  FROM grams a JOIN grams b
+      |    ON a.g = b.g AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT s.source_a, s.source_b,
+      |       CAST(s.n_shared AS BIGINT) AS n_shared,
+      |       CAST(pa.n_grams AS BIGINT) AS n_a,
+      |       CAST(pb.n_grams AS BIGINT) AS n_b,
+      |       CAST(s.n_shared * 1000000 // least(pa.n_grams, pb.n_grams)
+      |            AS BIGINT) AS overlap_ppm
+      |FROM shared s JOIN per_src pa ON pa.source = s.source_a
+      |              JOIN per_src pb ON pb.source = s.source_b""") {
+    (s, d) => Dedup.sourceOverlap(docs(s, d), n = 3)
+  }
+
   /** Intra-doc repeated-window cleanup (k=4): a gram is dup when the
     * identical gram started earlier in the same doc; covered tokens
     * drop, first occurrences survive, text reassembles in order. Same
@@ -1947,6 +1985,94 @@ object PipelineQueries extends QueryRegistry {
       .select(col("n_exact"), col("n_found"),
         expr("n_found * 1000000L div greatest(n_exact, 1L)")
           .as("recall_ppm"))
+  }
+
+  /** The probe curve AT THE DEFAULT QUANTIZER (r11): the headline
+    * `sim_dbscan` pins p=4, a pick `curvePick` made over
+    * `sim_dbscan_recall_curve` — which measures the PINNED-16
+    * quantizer. Since the default's quantizer is now nlist = ⌈√n⌉,
+    * the justification must be re-measured where the default actually
+    * operates: this entry re-runs the same three arms at the √n cells
+    * (testdata: 21.8%→45.4%→83.3% at p=1/2/4 — `curvePick` still
+    * lands on p=4; SimilaritySpec asserts that pick over this curve).
+    * Same Guards-gated exact baseline, DISTINCT in-cell pairs
+    * (multi-probe can find a pair in several shared cells), exact ppm
+    * integers.
+    */
+  q("sim_dbscan_scaled_curve", {
+    val arms = Seq(1, 2, 4).map { p =>
+      s"""SELECT $p AS probes,
+         |  CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+         |  CAST((SELECT count(*) FROM (
+         |     SELECT DISTINCT e.va, e.vb
+         |     FROM exact e
+         |     JOIN asg x ON x.vec_id = e.va AND x.pr <= $p
+         |     JOIN asg y ON y.vec_id = e.vb AND y.pr <= $p
+         |     WHERE x.cell = y.cell)) AS BIGINT) AS n_found""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |            FROM embeddings),
+       |ctr0 AS (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, e
+       |         FROM emb ORDER BY h
+       |         LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+       |                FROM emb)),
+       |ctr AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cell, e AS c
+       |        FROM ctr0),
+       |dst AS (
+       |  SELECT v.vec_id, c.cell,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, 65), i ->
+       |             (v.e[CAST(i AS INT)] - c.c[CAST(i AS INT)]) *
+       |             (v.e[CAST(i AS INT)] - c.c[CAST(i AS INT)]))),
+       |           (a, x) -> a + x) AS d2
+       |  FROM emb v CROSS JOIN ctr c),
+       |asg AS (
+       |  SELECT vec_id, cell, pr
+       |  FROM (SELECT vec_id, cell,
+       |          row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY d2, cell) AS pr
+       |        FROM dst) WHERE pr <= 4),
+       |exact AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb
+       |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+       |  WHERE list_cosine_similarity(a.e, b.e) >= 0.3)
+       |SELECT CAST(probes AS INT) AS probes, n_exact, n_found,
+       |       CAST(n_found * 1000000 // greatest(n_exact, 1) AS BIGINT)
+       |         AS recall_ppm
+       |FROM ($arms)""".stripMargin
+  }) { (s, d) =>
+    val e = embs(s, d)
+    require(graft.Guards.atMost(e, 100000L),
+      "sim_dbscan_scaled_curve's exact side is O(n²); sample at scale")
+    val nlist = math.ceil(math.sqrt(e.count().toDouble)).toInt
+    val quant = Similarity.hashSampledQuantizer(e, nlist)
+    val ee = e.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("e"))
+    val exact = ee.as("a").join(ee.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .filter(Dedup.cosineCol(col("a.e"), col("b.e")) >= 0.3)
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .localCheckpoint(true)
+    val arms = Seq(1, 2, 4).map { p =>
+      val probeUdf = udf { (v: Seq[Double]) => quant.nearestCells(v, p) }
+      val asg = ee.select(col("vec_id"),
+        explode(probeUdf(col("e"))).as("cell"))
+      val found = exact
+        .join(asg.select(col("vec_id").as("va"), col("cell").as("ca")),
+          "va")
+        .join(asg.select(col("vec_id").as("vb"), col("cell").as("cb")),
+          "vb")
+        .filter(col("ca") === col("cb"))
+        .select("va", "vb").distinct()
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
+        .select(lit(p).as("probes"), col("n_exact"), col("n_found"))
+    }
+    arms.reduce(_.unionAll(_))
+      .select(col("probes"), col("n_exact"), col("n_found"),
+        expr("n_found * 1000000L div greatest(n_exact, 1L)")
+          .as("recall_ppm"))
+      .localCheckpoint(true)
   }
 
   /** Embedding-distribution drift monitor: split the corpus into two

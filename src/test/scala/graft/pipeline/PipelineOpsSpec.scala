@@ -1670,6 +1670,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(4L) == (("noise", -1L)))
   }
 
+  test("sourceOverlap: shared duplicated doc dominates the pair matrix, " +
+      "disjoint sources emit no row") {
+    import spark.implicits._
+    // srcA and srcB share one identical doc; srcC has disjoint
+    // vocabulary. Trigrams of "a b c d e" = 3 distinct; each source's
+    // unique 4-token doc adds 2 — so n_a = n_b = 5 and the containment
+    // overlap is 3/5. Pairs sharing nothing must be ABSENT (sparse
+    // matrix), not zero rows.
+    val df = Seq(
+      (1L, "a b c d e", "srcA"), (2L, "x y z w", "srcA"),
+      (3L, "a b c d e", "srcB"), (4L, "p q r s", "srcB"),
+      (5L, "m n o t u", "srcC")).toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlap(df, n = 3).collect()
+    assert(out.length == 1, s"only the (A,B) pair shares grams: " +
+      out.mkString(", "))
+    val r = out.head
+    assert(r.getAs[String]("source_a") == "srcA" &&
+      r.getAs[String]("source_b") == "srcB")
+    assert(r.getAs[Long]("n_shared") == 3L && r.getAs[Long]("n_a") == 5L &&
+      r.getAs[Long]("n_b") == 5L)
+    assert(r.getAs[Long]("overlap_ppm") == 600000L)
+  }
+
+  test("testdata assumption: the curve pick at the DEFAULT (sqrt-n) " +
+      "quantizer equals the headline's pinned p=4") {
+    // sim_dbscan pins probes=4, a choice curvePick made over the
+    // measured recall curve — re-measured HERE at the quantizer the
+    // default actually runs (nlist = ceil(sqrt(n)), the
+    // sim_dbscan_scaled_curve entry) so a testdata regen that shifts
+    // the knee (e.g. denser eps-neighborhoods making p=2 sufficient)
+    // fails THIS spec instead of silently leaving the headline pinned
+    // off-curve. The dd_threshold_curve_capped df-cap spec is the
+    // precedent for pinning a data assumption as a test.
+    val curve = PipelineQueries.queries("sim_dbscan_scaled_curve")(
+        spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getAs[Int]("probes") -> r.getAs[Long]("recall_ppm"))
+      .toSeq.sortBy(_._1)
+    assert(curve.size == 3, s"three arms expected: $curve")
+    assert(Similarity.autoProbes(curve) == 4,
+      s"headline sim_dbscan pins p=4 but the measured default-quantizer " +
+        s"curve picks ${Similarity.autoProbes(curve)}: $curve — re-pin " +
+        "the headline (and its oracle) to the curve-picked value")
+  }
+
   test("mmrTopK spends rank 2 on the diverse candidate, not the near-dup") {
     import spark.implicits._
     // query v0; v1 is the top hit, v2 a near-duplicate of v1 (plain
