@@ -100,7 +100,12 @@ object Bench {
     // cross-source contamination matrix (distinct + a fan-out-bounded
     // gram self-join)
     "sim_mmr_topk", "sim_mmr_ivf", "sim_embed_drift",
-    "sim_dbscan_scaled_curve", "dd_source_overlap")
+    "sim_dbscan_scaled_curve", "dd_source_overlap",
+    // privacy/crawl additions: the k-anonymity audit (two
+    // map-combined aggregations, QI-domain-bounded second pass) and
+    // URL-level dedup (one shuffle on the canonical URL + an
+    // AQE-sized class→member join back)
+    "dq_k_anon", "dd_url_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -295,6 +300,10 @@ object Bench {
       // evidence row (Σ|cell|² ≈ n², 95.8 s isolated at sf1) — if its
       // 401M-pair eps-graph ever takes down the shared 8 GiB context,
       // the failure must not erase the rows behind it
+      // r11 privacy/crawl rows: both should be ~linear-in-data — the
+      // k-anon second pass is QI-domain-bounded and the URL-dedup
+      // join back is class-sized
+      "dq_k_anon" -> "events", "dd_url_dedup" -> "documents",
       "sim_dbscan_pinned16" -> "embeddings")
     // the dev-only SPARK_GRAFT_BENCH_ONLY subset applies here too —
     // before r10 a 5-query dev iteration still paid the full ~20-min

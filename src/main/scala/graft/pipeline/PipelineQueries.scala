@@ -4467,8 +4467,10 @@ object PipelineQueries extends QueryRegistry {
   // from (source, doc_id) — mixed case, two TLDs, query strings and
   // trailing slashes all exercised — with the SAME expression in the
   // oracle. Canonicalization is the fixed regex cascade in
-  // TextAnalysis.canonicalUrl; everything is map-only.
-  q("t_url_canon",
+  // TextAnalysis.canonicalUrl; everything is map-only. The synth +
+  // canon pair is shared (one Scala builder, one SQL fragment) with
+  // dd_url_dedup so the two URL entries cannot drift.
+  private val urlSynthCanonSql: String =
     """WITH u AS (
       |  SELECT doc_id,
       |         'https://www.' || upper(source) ||
@@ -4481,22 +4483,62 @@ object PipelineQueries extends QueryRegistry {
       |             regexp_replace(regexp_replace(regexp_replace(
       |               regexp_replace(lower(url), '^https?://', ''),
       |               '^www\.', ''), '\?.*$', ''), '/$', '') AS url_canon
-      |      FROM u)
-      |SELECT CAST(doc_id AS BIGINT) AS doc_id, url_canon,
-      |       split_part(url_canon, '/', 1) AS domain,
-      |       CAST(split_part(url_canon, '/', 1) IN
-      |         ('src1.com', 'src3.org', 'src4.com') AS INT) AS blocked
-      |FROM c""") { (s, d) =>
+      |      FROM u)""".stripMargin
+
+  private def urlCanonFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val url = concat(lit("https://www."), upper(col("source")),
       when(col("doc_id") % 3 === 0, ".org").otherwise(".com"),
       lit("/p/"), (col("doc_id") % 7).cast("string"),
       when(col("doc_id") % 2 === 0, "?utm_source=x&ref=1")
         .when(col("doc_id") % 5 === 0, "/").otherwise(""))
     docs(s, d).select(col("doc_id"),
-        TextAnalysis.canonicalUrl(url).as("url_canon"))
+      TextAnalysis.canonicalUrl(url).as("url_canon"))
+  }
+
+  q("t_url_canon",
+    urlSynthCanonSql +
+    """
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id, url_canon,
+      |       split_part(url_canon, '/', 1) AS domain,
+      |       CAST(split_part(url_canon, '/', 1) IN
+      |         ('src1.com', 'src3.org', 'src4.com') AS INT) AS blocked
+      |FROM c""".stripMargin) { (s, d) =>
+    urlCanonFrame(s, d)
       .withColumn("domain", TextAnalysis.domainOf(col("url_canon")))
       .withColumn("blocked",
         col("domain").isin("src1.com", "src3.org", "src4.com").cast("int"))
+  }
+
+  // URL-level dedup (the crawl-frontier step BEFORE any text is
+  // fetched, so it must run on the URL alone): canonical-URL
+  // equivalence classes, keeper = min doc_id (a total order → the
+  // pick is deterministic on both engines), everything else in the
+  // class flagged as a URL-dup. One shuffle on the canonical URL;
+  // the class table shrinks to distinct URLs and joins back
+  // AQE-sized. At crawl scale the same plan holds — classes are
+  // host-path-bounded, and a pathological single-URL hotspot is a
+  // count, not a fan-out (the join back is class→members, never
+  // members×members).
+  q("dd_url_dedup",
+    urlSynthCanonSql +
+    """,
+      |g AS (SELECT url_canon, min(doc_id) AS keeper_id,
+      |             count(*) AS class_size
+      |      FROM c GROUP BY 1)
+      |SELECT CAST(c.doc_id AS BIGINT) AS doc_id, c.url_canon,
+      |       CAST(g.keeper_id AS BIGINT) AS keeper_id,
+      |       CAST(g.class_size AS BIGINT) AS class_size,
+      |       CAST(CASE WHEN c.doc_id <> g.keeper_id THEN 1 ELSE 0 END
+      |            AS INT) AS is_url_dup
+      |FROM c JOIN g USING (url_canon)""".stripMargin) { (s, d) =>
+    val c = urlCanonFrame(s, d)
+    val g = c.groupBy("url_canon")
+      .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("class_size"))
+    c.join(g, "url_canon")
+      .select(col("doc_id"), col("url_canon"), col("keeper_id"),
+        col("class_size"),
+        (col("doc_id") =!= col("keeper_id")).cast("int").as("is_url_dup"))
   }
 
   // Benchmark decontamination: flag corpus docs sharing any 8-gram

@@ -2072,6 +2072,56 @@ object LogAnalytics extends QueryRegistry {
         (col("span_days") - col("days")).as("missing_days"))
   }
 
+  /** k-anonymity audit (the privacy gate a dataset clears before
+    * release — Sweeney 2002): rows sharing a quasi-identifier tuple
+    * (event_type, hour-of-day, value kilobucket) form an equivalence
+    * class; a class smaller than k=5 re-identifies its members. Per
+    * event_type: class count, the minimum class size (the table's k),
+    * how many classes and rows sit below the threshold, and the
+    * at-risk share in exact ppm. Two map-combined aggregations — the
+    * class table is bounded by the QI domain (|types|·24·|buckets|),
+    * so the second pass is tiny regardless of corpus size; nothing
+    * here grows with rows beyond the first combine. The value bucket
+    * floors an IEEE division both engines compute identically.
+    */
+  q("dq_k_anon",
+    """WITH qi AS (
+      |  SELECT event_type,
+      |         CAST(extract(hour FROM ts) AS INT) AS hr,
+      |         CAST(floor(value / 1000) AS BIGINT) AS vb
+      |  FROM events),
+      |cls AS (SELECT event_type, hr, vb, count(*) AS k
+      |        FROM qi GROUP BY 1, 2, 3)
+      |SELECT event_type,
+      |       CAST(sum(k) AS BIGINT) AS n_rows,
+      |       CAST(count(*) AS BIGINT) AS n_classes,
+      |       CAST(min(k) AS BIGINT) AS k_min,
+      |       CAST(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_risk_classes,
+      |       CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+      |         AS n_rows_at_risk,
+      |       CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) * 1000000
+      |            // sum(k) AS BIGINT) AS risk_ppm,
+      |       CAST(CASE WHEN min(k) >= 5 THEN 1 ELSE 0 END AS INT)
+      |         AS k5_anonymous
+      |FROM cls GROUP BY event_type""") { (s, d) =>
+    val qi = events(s, d).select(col("event_type"),
+      hour(col("ts")).as("hr"),
+      floor(col("value") / 1000).cast("long").as("vb"))
+    qi.groupBy("event_type", "hr", "vb").agg(count(lit(1)).as("k"))
+      .groupBy("event_type")
+      .agg(sum("k").as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min("k").as("k_min"),
+        sum(when(col("k") < 5, 1L).otherwise(0L)).as("n_risk_classes"),
+        sum(when(col("k") < 5, col("k")).otherwise(0L))
+          .as("n_rows_at_risk"))
+      .select(col("event_type"), col("n_rows"), col("n_classes"),
+        col("k_min"), col("n_risk_classes"), col("n_rows_at_risk"),
+        expr("n_rows_at_risk * 1000000L div n_rows").as("risk_ppm"),
+        (col("k_min") >= 5).cast("int").as("k5_anonymous"))
+  }
+
   /** Top user journeys (full-path analysis): each user's event-type
     * sequence in (sec, event_id) total order joined into a path
     * string, counted corpus-wide, top-20 by (count desc, path) — a
