@@ -93,7 +93,9 @@ object Plans {
     "sim_dbscan_auto" -> "curve-driven probe pick (r11): three measured curve arms (each a cell-keyed overlap join against the ONE checkpointed exact pair set) reduce to 3 driver rows; the pick is Similarity.curvePick — the same audited knee rule as autoNprobe — and the returned plan is a 1-row LocalRelation; the exact side is the declared Guards-gated audit, sampled at scale",
     "t_lm_heldout" -> "held-out CCNet-style LM filter (r11): the corpus appears in ONE tokenize+explode pass; the model tables (c12/c1/V, built from the md5-even half only) are model-sized aggregations that join back LEFT with no broadcast hint (AQE sizes them), V rides a one-row broadcast; all arithmetic is long div — look for the absence of any corpus×corpus join and the two map-combined token-keyed exchanges",
     "dd_source_overlap" -> "cross-source contamination matrix (r11): the ONLY corpus-sized stage is the (gram, source) DISTINCT over 8-byte xxhash64 keys (one eager checkpoint feeding three arms); after it every gram appears at most |sources| times, so the gram self-join's per-key fan-out is |sources|²-bounded BY CONSTRUCTION — the plan shows two scans of the SAME checkpointed RDD joined on g, two map-combined aggregates, and a sources²-sized result; no df cap because the bound is structural, not assumed",
-    "sim_dbscan_pinned16" -> "DBSCAN at the PINNED quantizer — the quadratic-trap evidence row (r11; the pre-swap headline): 16 cells at p=4 probes is sum(|cell|^2) ~ n^2 by construction (measured sf1: 401M vs 46M in-cell pairs, 95.8 s vs 15.9 s against the sqrt(n) default); same checkpointed-assignment plan shape as sim_dbscan — the plan shows the eps self-join reading two scans of the SAME checkpointed RDD, never two UDF re-evaluations; the row exists so the pinned-vs-scaled pair stays measured every round")
+    "sim_dbscan_pinned16" -> "DBSCAN at the PINNED quantizer — the quadratic-trap evidence row (r11; the pre-swap headline): 16 cells at p=4 probes is sum(|cell|^2) ~ n^2 by construction (measured sf1: 401M vs 46M in-cell pairs, 95.8 s vs 15.9 s against the sqrt(n) default); same checkpointed-assignment plan shape as sim_dbscan — the plan shows the eps self-join reading two scans of the SAME checkpointed RDD, never two UDF re-evaluations; the row exists so the pinned-vs-scaled pair stays measured every round",
+    "dq_k_anon" -> "k-anonymity audit (r11): two chained hash aggregations — the QI-class count is map-combined before its one exchange, and the per-type rollup runs on the QI-domain-bounded class table (|types|·24·|buckets| rows, constant in corpus size); no joins, no windows, the events scan reads three columns",
+    "dd_url_dedup" -> "URL-level dedup (r11): one exchange on the canonical URL for the class aggregate (map-combined min/count), then the class→member join back — AQE sizes the class side, the residual is an 8-byte compare; the synth+canon cascade is map-local regex work shared verbatim with t_url_canon")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
