@@ -105,7 +105,10 @@ object Bench {
     // map-combined aggregations, QI-domain-bounded second pass) and
     // URL-level dedup (one shuffle on the canonical URL + an
     // AQE-sized class→member join back)
-    "dq_k_anon", "dd_url_dedup")
+    "dq_k_anon", "dd_url_dedup",
+    // mixture planning + FIM prep: one corpus token pass + model-sized
+    // water-filling; one map-only splitmix/slice/md5 projection
+    "t_unimax_mix", "t_fim_split")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -265,6 +268,9 @@ object Bench {
       // pipelines whose pair volume could hide a superlinear constant
       "g_local_clustering" -> "lineitem", "g_kcore" -> "lineitem",
       "g_modularity" -> "lineitem",
+      // r11: the 5th standalone arm, so the suite-vs-standalone-sum
+      // comparison covers all five ops at sf1 too
+      "g_assortativity" -> "lineitem",
       // capped twin ONLY at sf1: the uncapped form measured 126 s at
       // 10x data (56x its sf0.1 cost — the quadratic the cap removes);
       // re-measure it manually when revisiting, not in every round

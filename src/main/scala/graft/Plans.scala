@@ -95,7 +95,9 @@ object Plans {
     "dd_source_overlap" -> "cross-source contamination matrix (r11): the ONLY corpus-sized stage is the (gram, source) DISTINCT over 8-byte xxhash64 keys (one eager checkpoint feeding three arms); after it every gram appears at most |sources| times, so the gram self-join's per-key fan-out is |sources|²-bounded BY CONSTRUCTION — the plan shows two scans of the SAME checkpointed RDD joined on g, two map-combined aggregates, and a sources²-sized result; no df cap because the bound is structural, not assumed",
     "sim_dbscan_pinned16" -> "DBSCAN at the PINNED quantizer — the quadratic-trap evidence row (r11; the pre-swap headline): 16 cells at p=4 probes is sum(|cell|^2) ~ n^2 by construction (measured sf1: 401M vs 46M in-cell pairs, 95.8 s vs 15.9 s against the sqrt(n) default); same checkpointed-assignment plan shape as sim_dbscan — the plan shows the eps self-join reading two scans of the SAME checkpointed RDD, never two UDF re-evaluations; the row exists so the pinned-vs-scaled pair stays measured every round",
     "dq_k_anon" -> "k-anonymity audit (r11): two chained hash aggregations — the QI-class count is map-combined before its one exchange, and the per-type rollup runs on the QI-domain-bounded class table (|types|·24·|buckets| rows, constant in corpus size); no joins, no windows, the events scan reads three columns",
-    "dd_url_dedup" -> "URL-level dedup (r11): one exchange on the canonical URL for the class aggregate (map-combined min/count), then the class→member join back — AQE sizes the class side, the residual is an 8-byte compare; the synth+canon cascade is map-local regex work shared verbatim with t_url_canon")
+    "dd_url_dedup" -> "URL-level dedup (r11): one exchange on the canonical URL for the class aggregate (map-combined min/count), then the class→member join back — AQE sizes the class side, the residual is an 8-byte compare; the synth+canon cascade is map-local regex work shared verbatim with t_url_canon",
+    "t_unimax_mix" -> "UniMax capped mixture (r11): the corpus appears ONLY in the per-source token aggregate (map-combined before its one exchange); the water-filling closed form — rank window, prefix sum, boundary aggregate — runs entirely on the |sources|-row table with two 1-row broadcasts, so the unpartitioned window is model-sized by construction",
+    "t_fim_split" -> "FIM split prep (r11): map-ONLY — one native splitmix64 projection, two mod-(n+1) cuts, array slice + md5; zero exchanges, fuses into the preceding scan")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

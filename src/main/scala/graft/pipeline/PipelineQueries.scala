@@ -3890,6 +3890,56 @@ object PipelineQueries extends QueryRegistry {
       .select(col("doc_id"), col("source"), col("n_copies"), col("copy"))
   }
 
+  // UniMax capped-mixture allocation (Chung et al. 2023): given a
+  // total token budget B (2.9 epochs of the corpus, ×10-scaled
+  // integers) and a per-source repeat cap (3.2 epochs), assign each
+  // source min(cap_s, waterline) tokens where the waterline w makes
+  // the allocations sum to B — small sources run their full cap,
+  // large ones are leveled at w. The classic water-filling closed
+  // form, fully integer: sort sources ascending by cap, prefix-sum;
+  // source i is capped iff cap_i·(n−i) ≤ B−P_i (the test is monotone
+  // along the sort, so the capped set is a prefix and max(i) is the
+  // boundary); uncapped sources get (B−P_k) div (n−k). The corpus
+  // appears only in the per-source token count (one map-combined
+  // aggregate); everything after runs on the |sources|-row table, so
+  // the unpartitioned rank window is model-sized by construction —
+  // at 100 TB the source list is still a few thousand rows.
+  // epochs_ppm = allocation·10⁶ div tokens is the "how many epochs
+  // does this source actually run" readout the mixture review reads.
+  q("t_unimax_mix",
+    """WITH t AS (SELECT source,
+      |             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS T
+      |           FROM documents GROUP BY 1),
+      |c AS (SELECT source, T, T * 16 // 5 AS cap_tokens FROM t),
+      |b AS (SELECT sum(T) * 29 // 10 AS B, count(*) AS n FROM c),
+      |o AS (SELECT source, T, cap_tokens,
+      |        row_number() OVER (ORDER BY cap_tokens, source) AS i,
+      |        sum(cap_tokens) OVER (ORDER BY cap_tokens, source
+      |          ROWS UNBOUNDED PRECEDING) AS P
+      |      FROM c),
+      |f AS (SELECT o.*, B, n,
+      |        CASE WHEN cap_tokens * (n - i) <= B - P THEN 1 ELSE 0 END
+      |          AS capped
+      |      FROM o, b),
+      |k AS (SELECT coalesce(max(CASE WHEN capped = 1 THEN i END), 0) AS nk,
+      |             coalesce(max(CASE WHEN capped = 1 THEN P END), 0) AS pk
+      |      FROM f),
+      |a AS (SELECT source, T, cap_tokens, capped,
+      |        CASE WHEN capped = 1 THEN cap_tokens
+      |             ELSE (B - pk) // greatest(n - nk, 1) END AS allocation
+      |      FROM f, k)
+      |SELECT source, T AS n_tokens,
+      |       CAST(cap_tokens AS BIGINT) AS cap_tokens,
+      |       CAST(allocation AS BIGINT) AS allocation,
+      |       CAST(capped AS INT) AS capped,
+      |       CAST(allocation * 1000000 // T AS BIGINT) AS epochs_ppm
+      |FROM a""") { (s, d) =>
+    Sampling.unimaxMix(
+      docs(s, d).select(col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("toks")),
+      capNum = 16L, capDen = 5L, budgetNum = 29L, budgetDen = 10L)
+  }
+
   // Per-source unigram Shannon entropy (token-distribution diversity —
   // low entropy flags templated/boilerplate sources before they enter a
   // training mix). H = ln(N) - Σc·ln(c)/N so every addend is map-side
@@ -4613,6 +4663,59 @@ object PipelineQueries extends QueryRegistry {
       nTokens = size(TextAnalysis.tokens(col("text"))), capacity = 512)
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("start_offset"), col("pack_id"), col("offset_in_pack"))
+  }
+
+  /** Fill-in-the-middle split prep (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle"): each
+    * document gets two deterministic cut points over its token array
+    * — prefix `[0,a)`, middle `[a,b)`, suffix `[b,n)` — the PSM
+    * rearrangement step a code/LM pretraining pipeline applies to a
+    * configured fraction of documents. The two draws come from the
+    * LOW and HIGH 32-bit halves of ONE splitmix64(doc_id) mix
+    * (independent enough for span placement, and exactly replayable:
+    * the oracle reruns the same three mixer rounds in HUGEINT mod-2⁶⁴
+    * arithmetic via SplitMix64Sql.mixAliases), each reduced mod n+1,
+    * sorted. `middle_md5` fingerprints the actual extracted span —
+    * the entry verifies the slice, not just the cut arithmetic.
+    * Map-only, zero exchanges; at 100 TB this is a pure projection
+    * pass fused into whatever scan precedes it.
+    */
+  q("t_fim_split",
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |            FROM documents),
+      |h AS (SELECT doc_id, ws, len(ws) AS n,
+      |             CAST(doc_id AS HUGEINT) AS x0
+      |      FROM w),
+      |m AS (SELECT doc_id, ws, n, ${graft.functions.SplitMix64Sql.mixAliases}
+      |      FROM h),
+      |cuts AS (SELECT doc_id, ws, n,
+      |           CAST(least(x4 % 4294967296 % (n + 1),
+      |                      x4 // 4294967296 % (n + 1)) AS BIGINT) AS a,
+      |           CAST(greatest(x4 % 4294967296 % (n + 1),
+      |                         x4 // 4294967296 % (n + 1)) AS BIGINT) AS b
+      |         FROM m)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |       CAST(n AS BIGINT) AS n_tokens,
+      |       CAST(a AS BIGINT) AS cut_a, CAST(b AS BIGINT) AS cut_b,
+      |       CAST(b - a AS BIGINT) AS len_middle,
+      |       md5(coalesce(array_to_string(ws[a + 1:b], ' '), ''))
+      |         AS middle_md5
+      |FROM cuts""") { (s, d) =>
+    val lo = expr("x & 4294967295L")
+    val hi = shiftrightunsigned(col("x"), 32)
+    docs(s, d)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
+      .withColumn("n", size(col("ws")).cast("long"))
+      .withColumn("x",
+        graft.functions.SplitMix64.splitmix64(col("doc_id")))
+      .withColumn("a", least(lo % (col("n") + 1), hi % (col("n") + 1)))
+      .withColumn("b", greatest(lo % (col("n") + 1), hi % (col("n") + 1)))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        col("a").as("cut_a"), col("b").as("cut_b"),
+        (col("b") - col("a")).as("len_middle"),
+        md5(concat_ws(" ",
+          slice(col("ws"), (col("a") + 1).cast("int"),
+            (col("b") - col("a")).cast("int")))).as("middle_md5"))
   }
 
   // Packing-efficiency audit for the concat-then-chunk layout: per

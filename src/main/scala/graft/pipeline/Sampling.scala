@@ -136,6 +136,59 @@ object Sampling {
       .drop("wt", "u48")
   }
 
+  /** UniMax capped-mixture allocation (Chung et al. 2023 "UniMax:
+    * Fairer and More Effective Language Sampling"): distribute a total
+    * token budget B = tokens·budgetNum/budgetDen across sources, each
+    * capped at cap_s = tokens_s·capNum/capDen, via the water-filling
+    * closed form — allocation_s = min(cap_s, w) with w chosen so the
+    * allocations sum to B (up to the < n-token floor remainder).
+    *
+    * Fully integer, so the oracle replays it exactly: sort sources
+    * ascending by cap, prefix-sum; source i is capped iff
+    * cap_i·(n−i) ≤ B−P_i. The test is monotone along the sort (for
+    * j < i, B−P_j − cap_j·(n−j) ≥ B−P_i − cap_i·(n−i) since every
+    * summand removed is ≥ cap_j), so the capped set is a prefix and
+    * max(capped i) is the boundary k; uncapped sources get
+    * w = (B−P_k) div (n−k).
+    *
+    * Scale: the corpus appears only in the caller's per-source token
+    * aggregate; everything here runs on the |sources|-row table, so
+    * the unpartitioned rank window is model-sized by construction
+    * (a few thousand rows at 100 TB, never the corpus).
+    *
+    * @param perSource frame with `source` and per-row `toks` columns
+    *                  (pre-aggregated or raw — summed here either way)
+    */
+  def unimaxMix(perSource: DataFrame, capNum: Long, capDen: Long,
+      budgetNum: Long, budgetDen: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = perSource.groupBy("source").agg(sum("toks").as("T"))
+    val c = t.select(col("source"), col("T"),
+      expr(s"T * ${capNum}L div ${capDen}L").as("cap_tokens"))
+    val b = c.agg(
+      expr(s"sum(T) * ${budgetNum}L div ${budgetDen}L").as("B"),
+      count(lit(1)).as("n"))
+    val w = Window.orderBy(col("cap_tokens"), col("source"))
+    val o = c
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("P", sum("cap_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val f = o.crossJoin(broadcast(b))
+      .withColumn("capped",
+        (col("cap_tokens") * (col("n") - col("i")) <=
+          col("B") - col("P")).cast("int"))
+    val k = f.agg(
+      coalesce(max(when(col("capped") === 1, col("i"))), lit(0L)).as("nk"),
+      coalesce(max(when(col("capped") === 1, col("P"))), lit(0L)).as("pk"))
+    f.crossJoin(broadcast(k))
+      .withColumn("allocation",
+        when(col("capped") === 1, col("cap_tokens"))
+          .otherwise(expr("(B - pk) div greatest(n - nk, 1L)")))
+      .select(col("source"), col("T").as("n_tokens"), col("cap_tokens"),
+        col("allocation"), col("capped"),
+        expr("allocation * 1000000L div T").as("epochs_ppm"))
+  }
+
   /** Token-budget corpus selection: rank documents by a quality key
     * and keep the prefix whose running token total stays within
     * `budget` — "the best N billion tokens" selection step between

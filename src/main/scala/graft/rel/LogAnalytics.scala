@@ -2084,7 +2084,11 @@ object LogAnalytics extends QueryRegistry {
     * here grows with rows beyond the first combine. The value bucket
     * floors an IEEE division both engines compute identically.
     */
-  q("dq_k_anon",
+  /** ONE oracle text for the batch audit and its streaming twin
+    * (`st_k_anon`) — the shared-builder rule, so the two cannot
+    * drift.
+    */
+  val kAnonSql: String =
     """WITH qi AS (
       |  SELECT event_type,
       |         CAST(extract(hour FROM ts) AS INT) AS hr,
@@ -2104,12 +2108,14 @@ object LogAnalytics extends QueryRegistry {
       |            // sum(k) AS BIGINT) AS risk_ppm,
       |       CAST(CASE WHEN min(k) >= 5 THEN 1 ELSE 0 END AS INT)
       |         AS k5_anonymous
-      |FROM cls GROUP BY event_type""") { (s, d) =>
-    val qi = events(s, d).select(col("event_type"),
-      hour(col("ts")).as("hr"),
-      floor(col("value") / 1000).cast("long").as("vb"))
-    qi.groupBy("event_type", "hr", "vb").agg(count(lit(1)).as("k"))
-      .groupBy("event_type")
+      |FROM cls GROUP BY event_type""".stripMargin
+
+  /** The per-type rollup over the QI-class-count table — shared by the
+    * batch audit and the streaming twin's post-pass (the class table
+    * is QI-domain-bounded in both).
+    */
+  def kAnonRollup(cls: DataFrame): DataFrame =
+    cls.groupBy("event_type")
       .agg(sum("k").as("n_rows"),
         count(lit(1)).as("n_classes"),
         min("k").as("k_min"),
@@ -2120,6 +2126,13 @@ object LogAnalytics extends QueryRegistry {
         col("k_min"), col("n_risk_classes"), col("n_rows_at_risk"),
         expr("n_rows_at_risk * 1000000L div n_rows").as("risk_ppm"),
         (col("k_min") >= 5).cast("int").as("k5_anonymous"))
+
+  q("dq_k_anon", kAnonSql) { (s, d) =>
+    val qi = events(s, d).select(col("event_type"),
+      hour(col("ts")).as("hr"),
+      floor(col("value") / 1000).cast("long").as("vb"))
+    kAnonRollup(
+      qi.groupBy("event_type", "hr", "vb").agg(count(lit(1)).as("k")))
   }
 
   /** Top user journeys (full-path analysis): each user's event-type

@@ -596,6 +596,36 @@ object StreamQueries extends QueryRegistry {
     runToCompletion(dqMonitor(eventStream(s, d)), "complete")
   }
 
+  /** Streaming k-anonymity monitor — the streaming twin of
+    * `dq_k_anon` (oracle shared via `LogAnalytics.kAnonSql`, per-type
+    * rollup shared via `LogAnalytics.kAnonRollup`, so the three
+    * readouts cannot drift): the quasi-identifier class counts run as
+    * ONE complete-mode streaming aggregation whose state is bounded by
+    * the QI domain (|types|·24·|value buckets| rows — CONSTANT, never
+    * the corpus) and invariant to micro-batch slicing because counts
+    * commute; the per-type k-min rollup is a batch post-pass over the
+    * class-sized sink (the embed-drift snapshot pattern — the
+    * memory-sink view cannot feed a second aggregation level inside
+    * the stream, and streaming forbids chained aggregations anyway).
+    * The live "did a release slip below k=5" gate a privacy review
+    * keeps next to its DQ monitors.
+    */
+  q("st_k_anon", graft.rel.LogAnalytics.kAnonSql) { (s, d) =>
+    val qi = eventStream(s, d).select(col("event_type"),
+      hour(col("tsu")).as("hr"),
+      floor(col("value") / 1000).cast("long").as("vb"))
+    val sink = runToCompletion(
+      qi.groupBy("event_type", "hr", "vb").agg(count(lit(1)).as("k")),
+      "complete")
+    // QI-domain-bounded snapshot (the embed-drift contract): rebuild a
+    // plain frame so the post-pass can aggregate it
+    import s.implicits._
+    val snap = sink.collect().toSeq
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toDF("event_type", "hr", "vb", "k")
+    graft.rel.LogAnalytics.kAnonRollup(snap)
+  }
+
   /** The st_dq_monitor transform over any events(-shaped) stream. */
   def dqMonitor(ev: DataFrame): DataFrame =
     ev.agg(

@@ -76,4 +76,60 @@ class KAnonUrlDedupSpec extends AnyFunSuite {
       assert(rs.count(_.getAs[Int]("is_url_dup") == 0) == 1)
     }
   }
+
+  test("st_k_anon: streaming replay hash-equals the batch audit") {
+    val batch = LogAnalytics.queries("dq_k_anon")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val stream = graft.streaming.StreamQueries.queries("st_k_anon")(
+      spark, dir).collect().map(_.toSeq).toSet
+    assert(stream == batch)
+  }
+
+  test("t_fim_split: cuts replay splitmix halves; middle_md5 is the " +
+      "real extracted span") {
+    val out = PipelineQueries.queries("t_fim_split")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    Seq(0L, 21L, 7L, 1L).foreach { id =>
+      val toks = s"doc $id body".split(' ')
+      val n = toks.length.toLong
+      val x = graft.functions.SplitMix64.mix(id)
+      val lo = x & 0xffffffffL
+      val hi = x >>> 32
+      val a = math.min(lo % (n + 1), hi % (n + 1))
+      val b = math.max(lo % (n + 1), hi % (n + 1))
+      val mid = toks.slice(a.toInt, b.toInt).mkString(" ")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(mid.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val r = out(id)
+      assert(r.getAs[Long]("cut_a") == a && r.getAs[Long]("cut_b") == b)
+      assert(r.getAs[Long]("len_middle") == b - a)
+      assert(r.getAs[String]("middle_md5") == md)
+    }
+  }
+
+  test("unimaxMix: water-filling caps small sources, levels large ones") {
+    import spark.implicits._
+    // caps (16/5): A=320 B=640 C=3200; budget (29/10 of 1300) = 3770.
+    // A and B run their full cap; C is leveled at w = 3770-960 = 2810.
+    val per = Seq(("A", 100L), ("B", 200L), ("C", 1000L))
+      .toDF("source", "toks")
+    val out = graft.pipeline.Sampling
+      .unimaxMix(per, 16L, 5L, 29L, 10L).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("allocation"), r.getAs[Int]("capped"),
+          r.getAs[Long]("epochs_ppm"))).toMap
+    assert(out("A") == ((320L, 1, 3200000L)))
+    assert(out("B") == ((640L, 1, 3200000L)))
+    assert(out("C") == ((2810L, 0, 2810000L)))
+    // allocations exhaust the budget exactly when the boundary divides
+    assert(out.values.map(_._1).sum == 3770L)
+    // all-capped degenerate case: budget above the cap sum -> every
+    // source runs its cap, no division by the empty uncapped set
+    val all = graft.pipeline.Sampling
+      .unimaxMix(per, 1L, 1L, 5L, 1L).collect()
+      .map(r => (r.getAs[Int]("capped"),
+        r.getAs[Long]("allocation") == r.getAs[Long]("cap_tokens")))
+    assert(all.forall(_ == ((1, true))))
+  }
 }
