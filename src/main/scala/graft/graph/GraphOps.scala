@@ -178,15 +178,23 @@ object GraphOps {
     triangleCountFromOriented(orientedOnView(dd))
 
   private def triangleCountFromOriented(o0: DataFrame): DataFrame = {
+    // o feeds the neighbor-array build AND the probe side — persist,
+    // materialize the 1-row count eagerly, release (the r8-advisory
+    // materializeAndRelease pattern; before r11 this persist leaked
+    // for the session, so every bench repetition stacked another
+    // cached copy of the oriented sf1 edge table)
     val o = o0.persist(StorageLevel.MEMORY_AND_DISK)
     val nb = o.groupBy("src")
       .agg(sort_array(collect_list(col("dst"))).as("ns"))
-    o.join(nb.select(col("src").as("u"), col("ns").as("nu")),
+    val out = o.join(nb.select(col("src").as("u"), col("ns").as("nu")),
         col("src") === col("u"))
       .join(nb.select(col("src").as("v"), col("ns").as("nv")),
         col("dst") === col("v"))
       .agg(coalesce(sum(size(array_intersect(col("nu"), col("nv")))
         .cast("long")), lit(0L)).as("n_triangles"))
+      .localCheckpoint(true)
+    o.unpersist(false)
+    out
   }
 
   def triangleSummary(edges: DataFrame): DataFrame = {
@@ -199,10 +207,15 @@ object GraphOps {
       sum(expr("(dg * (dg - 1L)) div 2L")).as("n_wedges"))
     val edgeAgg = e.agg(count(lit(1)).as("n_edges"))
     val triAgg = triangleCount(e)
-    degAgg.crossJoin(edgeAgg).crossJoin(triAgg)
+    // 1-row result: materialize eagerly so e's persist can release
+    // before returning (it leaked for the session pre-r11)
+    val out = degAgg.crossJoin(edgeAgg).crossJoin(triAgg)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),
         expr("(n_triangles * 30000L) div n_wedges").as("clustering_u"))
+      .localCheckpoint(true)
+    e.unpersist(false)
+    out
   }
 
   /** [[triangleSummary]] from a prebuilt bidirectional view (r10
@@ -217,6 +230,32 @@ object GraphOps {
         sum(expr("(dg * (dg - 1L)) div 2L")).as("n_wedges"))
     val edgeAgg = dd.agg(expr("count(*) div 2L").as("n_edges"))
     val triAgg = triangleCountOnView(dd)
+    degAgg.crossJoin(edgeAgg).crossJoin(triAgg)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        expr("(n_triangles * 30000L) div n_wedges").as("clustering_u"))
+  }
+
+  /** [[triangleSummary]] from a PREBUILT corner set (r11, the suite
+    * mode): when local clustering runs in the same suite, the corner
+    * enumeration — the dominant triangle cost (orientation joins +
+    * neighbor arrays + per-edge intersection) — is paid ONCE and both
+    * consumers read the checkpointed (x, v, w) rows: the count here is
+    * `count(*)` over corners (each triangle appears exactly once, so
+    * it equals the intersect-size sum [[triangleCountOnView]]
+    * computes), the per-node counts come from the exploded corners in
+    * [[localClusteringFromCorners]]. Pre-r11 the suite ran
+    * orientation + neighbor arrays TWICE (once per consumer), which
+    * is exactly what made the 5-op suite slower than the standalone
+    * sum at sf1.
+    */
+  def triangleSummaryFromCorners(dd: DataFrame,
+      corners: DataFrame): DataFrame = {
+    val degAgg = dd.groupBy("src").agg(count(lit(1)).as("dg"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(expr("(dg * (dg - 1L)) div 2L")).as("n_wedges"))
+    val edgeAgg = dd.agg(expr("count(*) div 2L").as("n_edges"))
+    val triAgg = corners.agg(count(lit(1)).as("n_triangles"))
     degAgg.crossJoin(edgeAgg).crossJoin(triAgg)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),
@@ -595,8 +634,17 @@ object GraphOps {
     * corner set inside trianglesOnView is already the materialization
     * boundary.
     */
-  def localClusteringOnView(dd: DataFrame): DataFrame = {
-    val corners = trianglesOnView(dd)
+  def localClusteringOnView(dd: DataFrame): DataFrame =
+    localClusteringFromCorners(dd, trianglesOnView(dd))
+
+  /** [[localClustering]] from a PREBUILT corner set (r11, the suite
+    * mode — see [[triangleSummaryFromCorners]]): the checkpointed
+    * (x, v, w) rows are shared with the triangle-summary arm, so the
+    * suite pays the corner enumeration once for both.
+    */
+  def localClusteringFromCorners(dd: DataFrame,
+      cornersXvw: DataFrame): DataFrame = {
+    val corners = cornersXvw
       .select(explode(array(col("x"), col("v"), col("w"))).as("node"))
     val tc = corners.groupBy("node").agg(count(lit(1)).as("t"))
     dd.groupBy(col("src").as("node")).agg(count(lit(1)).as("dg"))

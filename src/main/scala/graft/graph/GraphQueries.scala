@@ -203,7 +203,16 @@ object GraphQueries extends QueryRegistry {
       .select(lit("kcore").as("op"), col("round").cast("long").as("a"),
         col("n_nodes").as("b"), col("n_edges").as("c"))
       .localCheckpoint(true)
-    val lcc = GraphOps.localClusteringOnView(dd)
+    // r11: the corner enumeration — orientation joins + neighbor
+    // arrays + per-edge intersection, the dominant triangle cost — is
+    // built ONCE (eagerly checkpointed inside trianglesOnView) and
+    // read by BOTH the lcc and tri arms; the pre-r11 suite ran it
+    // twice, which is what made the 5-op suite slower than the
+    // standalone sum at sf1 (two consumers of one materialized set —
+    // the two-action range rule doesn't apply, corners is a frozen
+    // checkpoint)
+    val corners = GraphOps.trianglesOnView(dd)
+    val lcc = GraphOps.localClusteringFromCorners(dd, corners)
       .select(lit("lcc").as("op"), col("bucket").as("a"),
         col("n_nodes").as("b"), col("sum_t").as("c"))
       .localCheckpoint(true)
@@ -216,7 +225,7 @@ object GraphQueries extends QueryRegistry {
         floor(col("assortativity") * 1000000).cast("long").as("b"),
         lit(0L).as("c"))
       .localCheckpoint(true)
-    val tri = GraphOps.triangleSummaryOnView(dd)
+    val tri = GraphOps.triangleSummaryFromCorners(dd, corners)
       .select(lit("tri").as("op"), col("n_triangles").as("a"),
         col("n_wedges").as("b"), col("clustering_u").as("c"))
       .localCheckpoint(true)
