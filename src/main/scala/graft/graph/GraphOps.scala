@@ -236,26 +236,57 @@ object GraphOps {
         expr("(n_triangles * 30000L) div n_wedges").as("clustering_u"))
   }
 
-  /** [[triangleSummary]] from a PREBUILT corner set (r11, the suite
-    * mode): when local clustering runs in the same suite, the corner
-    * enumeration — the dominant triangle cost (orientation joins +
-    * neighbor arrays + per-edge intersection) — is paid ONCE and both
-    * consumers read the checkpointed (x, v, w) rows: the count here is
-    * `count(*)` over corners (each triangle appears exactly once, so
-    * it equals the intersect-size sum [[triangleCountOnView]]
-    * computes), the per-node counts come from the exploded corners in
-    * [[localClusteringFromCorners]]. Pre-r11 the suite ran
-    * orientation + neighbor arrays TWICE (once per consumer), which
-    * is exactly what made the 5-op suite slower than the standalone
-    * sum at sf1.
+  /** Per-node triangle (corner) counts, streamed — the shared
+    * intermediate for suite mode (r11): the corner enumeration
+    * (orientation joins + neighbor arrays + per-edge intersection —
+    * the dominant triangle cost) runs ONCE, and the corners flow
+    * STRAIGHT into a map-combined per-node count. Nothing
+    * triangle-sized is ever stored: the checkpoint holds the
+    * NODE-sized (node, t) table. (A first r11 cut checkpointed the
+    * raw (x, v, w) corner set instead — triangle-sized blocks, which
+    * on the densifying copurchase graph is GBs at sf1 and took down
+    * the shared 8 GiB bench JVM; corner counts carry everything both
+    * suite consumers need at node scale.) n_triangles recovers
+    * exactly as sum(t) div 3 — every triangle has three corners.
     */
-  def triangleSummaryFromCorners(dd: DataFrame,
-      corners: DataFrame): DataFrame = {
+  private def cornerCountsFromOriented(o0: DataFrame): DataFrame = {
+    val o = o0.persist(StorageLevel.MEMORY_AND_DISK)
+    val nb = o.groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("ns"))
+    val tc = o
+      .join(nb.select(col("src").as("u"), col("ns").as("nu")),
+        col("src") === col("u"))
+      .join(nb.select(col("src").as("v2"), col("ns").as("nv")),
+        col("dst") === col("v2"))
+      .select(col("src").as("x"), col("dst").as("v"),
+        explode(array_intersect(col("nu"), col("nv"))).as("w"))
+      .select(explode(array(col("x"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("t"))
+      .localCheckpoint(true)
+    o.unpersist(false)
+    tc
+  }
+
+  /** [[cornerCountsFromOriented]] from a prebuilt bidirectional view. */
+  def cornerCountsOnView(dd: DataFrame): DataFrame =
+    cornerCountsFromOriented(orientedOnView(dd))
+
+  /** [[triangleSummary]] from PREBUILT per-node corner counts (r11,
+    * the suite mode — see [[cornerCountsFromOriented]]): the count is
+    * sum(t) div 3 over the node-sized table, so when local clustering
+    * runs in the same suite the corner enumeration is paid once for
+    * both. Pre-r11 the suite ran orientation + neighbor arrays TWICE
+    * (once per consumer), which is exactly what made the 5-op suite
+    * slower than the standalone sum at sf1.
+    */
+  def triangleSummaryFromCornerCounts(dd: DataFrame,
+      tc: DataFrame): DataFrame = {
     val degAgg = dd.groupBy("src").agg(count(lit(1)).as("dg"))
       .agg(count(lit(1)).as("n_nodes"),
         sum(expr("(dg * (dg - 1L)) div 2L")).as("n_wedges"))
     val edgeAgg = dd.agg(expr("count(*) div 2L").as("n_edges"))
-    val triAgg = corners.agg(count(lit(1)).as("n_triangles"))
+    val triAgg = tc.agg(
+      expr("coalesce(sum(t), 0L) div 3L").as("n_triangles"))
     degAgg.crossJoin(edgeAgg).crossJoin(triAgg)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),
@@ -608,12 +639,14 @@ object GraphOps {
     * graph-sized. Exact ×10⁴ floor integers end to end.
     */
   def localClustering(edges: DataFrame): DataFrame = {
-    // edges feeds three arms (orientation's degree join inside
-    // triangles, plus degrees here) — one materialization
+    // edges feeds three arms (orientation's degree join inside the
+    // corner pass, plus degrees here) — one materialization. The
+    // corner counts come from the STREAMED pass (r11): corners flow
+    // straight into the node-sized count, nothing triangle-sized is
+    // stored (the pre-r11 form checkpointed the raw corner set —
+    // GBs on a dense graph).
     val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    val corners = triangles(e)
-      .select(explode(array(col("x"), col("v"), col("w"))).as("node"))
-    val tc = corners.groupBy("node").agg(count(lit(1)).as("t"))
+    val tc = cornerCountsFromOriented(oriented(e))
     val out = degrees(e).filter(col("dg") >= 2)
       .join(tc, Seq("node"), "left")
       .select(col("node"), col("dg"),
@@ -635,18 +668,15 @@ object GraphOps {
     * boundary.
     */
   def localClusteringOnView(dd: DataFrame): DataFrame =
-    localClusteringFromCorners(dd, trianglesOnView(dd))
+    localClusteringFromCornerCounts(dd, cornerCountsOnView(dd))
 
-  /** [[localClustering]] from a PREBUILT corner set (r11, the suite
-    * mode — see [[triangleSummaryFromCorners]]): the checkpointed
-    * (x, v, w) rows are shared with the triangle-summary arm, so the
-    * suite pays the corner enumeration once for both.
+  /** [[localClustering]] from PREBUILT per-node corner counts (r11,
+    * the suite mode — see [[cornerCountsFromOriented]]): the
+    * node-sized (node, t) table is shared with the triangle-summary
+    * arm, so the suite pays the corner enumeration once for both.
     */
-  def localClusteringFromCorners(dd: DataFrame,
-      cornersXvw: DataFrame): DataFrame = {
-    val corners = cornersXvw
-      .select(explode(array(col("x"), col("v"), col("w"))).as("node"))
-    val tc = corners.groupBy("node").agg(count(lit(1)).as("t"))
+  def localClusteringFromCornerCounts(dd: DataFrame,
+      tc: DataFrame): DataFrame = {
     dd.groupBy(col("src").as("node")).agg(count(lit(1)).as("dg"))
       .filter(col("dg") >= 2)
       .join(tc, Seq("node"), "left")

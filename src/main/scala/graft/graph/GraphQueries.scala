@@ -205,14 +205,14 @@ object GraphQueries extends QueryRegistry {
       .localCheckpoint(true)
     // r11: the corner enumeration — orientation joins + neighbor
     // arrays + per-edge intersection, the dominant triangle cost — is
-    // built ONCE (eagerly checkpointed inside trianglesOnView) and
-    // read by BOTH the lcc and tri arms; the pre-r11 suite ran it
-    // twice, which is what made the 5-op suite slower than the
-    // standalone sum at sf1 (two consumers of one materialized set —
-    // the two-action range rule doesn't apply, corners is a frozen
-    // checkpoint)
-    val corners = GraphOps.trianglesOnView(dd)
-    val lcc = GraphOps.localClusteringFromCorners(dd, corners)
+    // built ONCE and read by BOTH the lcc and tri arms; the pre-r11
+    // suite ran it twice, which is what made the 5-op suite slower
+    // than the standalone sum at sf1. The shared intermediate is the
+    // NODE-sized per-node corner-count table (streamed aggregation —
+    // nothing triangle-sized is stored; two consumers of one frozen
+    // checkpoint, so the two-action range rule doesn't apply)
+    val tc = GraphOps.cornerCountsOnView(dd)
+    val lcc = GraphOps.localClusteringFromCornerCounts(dd, tc)
       .select(lit("lcc").as("op"), col("bucket").as("a"),
         col("n_nodes").as("b"), col("sum_t").as("c"))
       .localCheckpoint(true)
@@ -225,7 +225,7 @@ object GraphQueries extends QueryRegistry {
         floor(col("assortativity") * 1000000).cast("long").as("b"),
         lit(0L).as("c"))
       .localCheckpoint(true)
-    val tri = GraphOps.triangleSummaryFromCorners(dd, corners)
+    val tri = GraphOps.triangleSummaryFromCornerCounts(dd, tc)
       .select(lit("tri").as("op"), col("n_triangles").as("a"),
         col("n_wedges").as("b"), col("clustering_u").as("c"))
       .localCheckpoint(true)

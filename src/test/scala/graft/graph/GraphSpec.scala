@@ -224,6 +224,17 @@ class GraphSpec extends AnyFunSuite {
         r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap)
     assert(GraphOps.triangleSummaryOnView(dd).collect().head.toSeq ==
       GraphOps.triangleSummary(edges).collect().head.toSeq)
+    // the suite's shared corner-count path (r11): both consumers of
+    // ONE prebuilt node-sized count table reproduce their standalone
+    // twins exactly (n_triangles = sum(t) div 3)
+    val tc = GraphOps.cornerCountsOnView(dd)
+    assert(GraphOps.triangleSummaryFromCornerCounts(dd, tc)
+        .collect().head.toSeq ==
+      GraphOps.triangleSummary(edges).collect().head.toSeq)
+    assert(GraphOps.localClusteringFromCornerCounts(dd, tc).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap ==
+      GraphOps.localClustering(edges).collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap)
   }
 
   test("kCore: K4 survives 3-core peeling, its tail does not") {
