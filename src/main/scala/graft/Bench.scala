@@ -107,8 +107,12 @@ object Bench {
     // AQE-sized class→member join back)
     "dq_k_anon", "dd_url_dedup",
     // mixture planning + FIM prep: one corpus token pass + model-sized
-    // water-filling; one map-only splitmix/slice/md5 projection
-    "t_unimax_mix", "t_fim_split")
+    // water-filling; one map-only splitmix/slice/md5 projection;
+    // fertility = one map-combined per-lang aggregate; seqlen curve =
+    // broadcast ×5 of one LONG column + map-combined agg; reweight =
+    // one token-keyed exchange then vocab×domains model math
+    "t_unimax_mix", "t_fim_split", "t_fertility", "t_seqlen_curve",
+    "t_domain_reweight")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

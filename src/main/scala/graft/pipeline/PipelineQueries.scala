@@ -458,6 +458,33 @@ object PipelineQueries extends QueryRegistry {
     docs(s, d).select(col("doc_id"), md5(col("text")).as("fp"))
   }
 
+  // Tokenizer fertility per language: pieces-per-word in exact ppm
+  // (the BPE-ish piece regex over the whitespace word count) — the
+  // per-language cost readout a tokenizer eval reads before allocating
+  // vocabulary (high-fertility languages pay more sequence length per
+  // word). ONE map-combined aggregate; both counts come from the same
+  // shared expressions as t_bpeish_tokens / t_tokens so the three
+  // entries cannot drift.
+  q("t_fertility",
+    s"""WITH f AS (SELECT lang,
+       |             len(regexp_extract_all(text,
+       |               '${TextAnalysis.bpeishPattern}')) AS nb,
+       |             len(string_split(text, ' ')) AS nw
+       |           FROM documents)
+       |SELECT lang, CAST(sum(nw) AS BIGINT) AS n_words,
+       |       CAST(sum(nb) AS BIGINT) AS n_pieces,
+       |       CAST(sum(nb) * 1000000 // sum(nw) AS BIGINT)
+       |         AS fertility_ppm
+       |FROM f GROUP BY lang""") { (s, d) =>
+    docs(s, d).select(col("lang"),
+        TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("nb"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("nw"))
+      .groupBy("lang")
+      .agg(sum("nw").as("n_words"), sum("nb").as("n_pieces"))
+      .select(col("lang"), col("n_words"), col("n_pieces"),
+        expr("n_pieces * 1000000L div n_words").as("fertility_ppm"))
+  }
+
   // Rolling-hash fingerprint via the native Catalyst expression.
   // The native RollingHash expression (h = h·1000003 + byte, Long wrap)
   // reproduced as a mod-2^64 HUGEINT fold over ord() (ASCII corpus:
@@ -3940,6 +3967,84 @@ object PipelineQueries extends QueryRegistry {
       capNum = 16L, capDen = 5L, budgetNum = 29L, budgetDen = 10L)
   }
 
+  /** Excess-loss domain reweighting (the DoReMi update, Xie et al.
+    * 2023, linearized to one exponentiated-gradient step with η=1 so
+    * the arithmetic stays exactly replayable): each domain's excess
+    * per-token loss under the corpus-level unigram reference model vs
+    * its own in-domain model is exactly KL(domain ‖ corpus) — domains
+    * the shared model fits worst get their mixture weight pushed UP.
+    * w_d ∝ share_d · (1 + KL_d), normalized to ppm. A domain
+    * distributed like the corpus keeps its token share; a divergent
+    * one is boosted in proportion to its µ-nat excess.
+    *
+    * Determinism: the per-feature terms c_dw·ln((c_dw·T)/(c_w·T_d))
+    * are IEEE doubles over exact integer casts (both engines perform
+    * the identical mul/div/ln — the [[TextAnalysis.dsirWeights]]
+    * argument), and the µ-nat rounding happens at SLICE level (one
+    * value per domain, magnitude ≫ the engines' 1-ulp ln divergence —
+    * the `t_entropy` argument). KL(d‖corpus) ≥ 0 exactly because both
+    * distributions are empirical, so the update factor stays ≥ 10⁶.
+    *
+    * Scale shape: the corpus appears ONLY in the (lang, token)
+    * map-combined count; everything downstream runs on the
+    * vocab×|domains| model table (the per-token and per-domain totals
+    * derive from IT, not from a second corpus pass), and the final
+    * update arithmetic is |domains| rows. One token-keyed exchange
+    * at any scale.
+    */
+  q("t_domain_reweight",
+    """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+      |             FROM documents),
+      |tc AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c_dw
+      |       FROM tok GROUP BY 1, 2),
+      |wt AS (SELECT w, CAST(sum(c_dw) AS BIGINT) AS c_w FROM tc GROUP BY 1),
+      |dt AS (SELECT lang, CAST(sum(c_dw) AS BIGINT) AS t_d
+      |       FROM tc GROUP BY 1),
+      |tt AS (SELECT CAST(sum(t_d) AS BIGINT) AS t_all FROM dt),
+      |kl AS (SELECT tc.lang,
+      |         sum(CAST(c_dw AS DOUBLE) *
+      |             ln((CAST(c_dw AS DOUBLE) * CAST(t_all AS DOUBLE)) /
+      |                (CAST(c_w AS DOUBLE) * CAST(t_d AS DOUBLE)))) AS s
+      |       FROM tc JOIN wt USING (w) JOIN dt USING (lang) CROSS JOIN tt
+      |       GROUP BY 1),
+      |r AS (SELECT dt.lang, t_d AS n_tokens,
+      |        CAST(t_d * 1000000 // t_all AS BIGINT) AS share_ppm,
+      |        CAST(round(s / t_d * 1000000) AS BIGINT) AS kl_unat
+      |      FROM dt JOIN kl USING (lang) CROSS JOIN tt),
+      |n AS (SELECT lang, n_tokens, share_ppm, kl_unat,
+      |        share_ppm * (1000000 + kl_unat) AS num FROM r)
+      |SELECT lang, n_tokens, share_ppm, kl_unat,
+      |       CAST(num * 1000000 // (SELECT sum(num) FROM n) AS BIGINT)
+      |         AS reweight_ppm
+      |FROM n""") { (s, d) =>
+    val tc = docs(s, d)
+      .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("c_dw"))
+    val wTot = tc.groupBy("w").agg(sum("c_dw").as("c_w"))
+    val dTot = tc.groupBy("lang").agg(sum("c_dw").as("t_d"))
+    val tot = dTot.agg(sum("t_d").as("t_all"))
+    val r = tc.join(wTot, "w").join(broadcast(dTot), "lang")
+      .crossJoin(broadcast(tot))
+      .groupBy("lang")
+      .agg(max("t_d").as("t_d"), max("t_all").as("t_all"),
+        sum(col("c_dw").cast("double") *
+          log((col("c_dw").cast("double") * col("t_all").cast("double")) /
+            (col("c_w").cast("double") * col("t_d").cast("double"))))
+          .as("s"))
+      .select(col("lang"), col("t_d").as("n_tokens"),
+        expr("t_d * 1000000 div t_all").as("share_ppm"),
+        expr("cast(round(s / t_d * 1000000) as bigint)").as("kl_unat"))
+      .withColumn("num",
+        expr("share_ppm * (1000000 + kl_unat)"))
+    // normalizer via an unpartitioned window over the |domains|-row
+    // AGGREGATED frame (model-sized by construction) — a broadcast
+    // self-join would re-run the corpus token pass a second time
+    r.withColumn("den", sum("num").over(Window.partitionBy()))
+      .select(col("lang"), col("n_tokens"), col("share_ppm"),
+        col("kl_unat"),
+        expr("num * 1000000 div den").as("reweight_ppm"))
+  }
+
   // Per-source unigram Shannon entropy (token-distribution diversity —
   // low entropy flags templated/boilerplate sources before they enter a
   // training mix). H = ln(N) - Σc·ln(c)/N so every addend is map-side
@@ -4747,6 +4852,73 @@ object PipelineQueries extends QueryRegistry {
           .as("fill_ppm"),
         expr("n_docs * 1000000 div ((total_tokens + 511) div 512)")
           .as("docs_per_pack_ppm"))
+  }
+
+  /** Sequence-length planning curve: for each candidate max_seq_len
+    * (64/128/256/512/1024), the two costs a context-length decision
+    * trades off — hard-truncation loss (docs clipped, tokens thrown
+    * away, kept share in ppm) vs the chunk-then-pad layout's padding
+    * overhead (each doc split into ceil(n/L) sequences, final chunk
+    * padded; utilization in ppm). The curve is what you read before
+    * fixing max_seq_len: the L where trunc_lost_ppm stops falling
+    * faster than chunk_util_ppm degrades. All integer arithmetic.
+    *
+    * Scale shape: per-doc token count is ONE map-local projection; the
+    * 5-row candidate table is broadcast, so the "cross join" is a
+    * map-side ×5 amplification of a single LONG column (never text),
+    * then one map-combined aggregate to |L| rows. Zero corpus-keyed
+    * shuffles at any scale.
+    */
+  q("t_seqlen_curve",
+    """WITH n AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |           FROM documents),
+      |c AS (SELECT n.n, l.max_len
+      |      FROM n CROSS JOIN (SELECT CAST(unnest([64, 128, 256, 512,
+      |                                1024]) AS BIGINT) AS max_len) l),
+      |a AS (SELECT max_len,
+      |             CAST(count(*) AS BIGINT) AS n_docs,
+      |             CAST(sum(n) AS BIGINT) AS total_tokens,
+      |             CAST(sum(CASE WHEN n > max_len THEN 1 ELSE 0 END)
+      |               AS BIGINT) AS docs_truncated,
+      |             CAST(sum(least(n, max_len)) AS BIGINT) AS kept_trunc,
+      |             CAST(sum(greatest(n - max_len, 0)) AS BIGINT)
+      |               AS lost_trunc,
+      |             CAST(sum((n + max_len - 1) // max_len * max_len - n)
+      |               AS BIGINT) AS chunk_pad_tokens,
+      |             CAST(sum((n + max_len - 1) // max_len) AS BIGINT)
+      |               AS n_chunks
+      |      FROM c GROUP BY max_len)
+      |SELECT max_len, n_docs, total_tokens, docs_truncated, kept_trunc,
+      |       lost_trunc,
+      |       CAST(kept_trunc * 1000000 // total_tokens AS BIGINT)
+      |         AS kept_trunc_ppm,
+      |       chunk_pad_tokens, n_chunks,
+      |       CAST(total_tokens * 1000000 //
+      |            (total_tokens + chunk_pad_tokens) AS BIGINT)
+      |         AS chunk_util_ppm
+      |FROM a""") { (s, d) =>
+    val lens = s.range(0, 1).select(
+      explode(array(Seq(64L, 128L, 256L, 512L, 1024L).map(lit): _*))
+        .as("max_len"))
+    docs(s, d)
+      .select(size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .crossJoin(broadcast(lens))
+      .groupBy("max_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n").as("total_tokens"),
+        sum(when(col("n") > col("max_len"), 1L).otherwise(0L))
+          .as("docs_truncated"),
+        sum(least(col("n"), col("max_len"))).as("kept_trunc"),
+        sum(greatest(col("n") - col("max_len"), lit(0L))).as("lost_trunc"),
+        sum(expr("(n + max_len - 1) div max_len * max_len - n"))
+          .as("chunk_pad_tokens"),
+        sum(expr("(n + max_len - 1) div max_len")).as("n_chunks"))
+      .select(col("max_len"), col("n_docs"), col("total_tokens"),
+        col("docs_truncated"), col("kept_trunc"), col("lost_trunc"),
+        expr("kept_trunc * 1000000 div total_tokens").as("kept_trunc_ppm"),
+        col("chunk_pad_tokens"), col("n_chunks"),
+        expr("total_tokens * 1000000 div (total_tokens + chunk_pad_tokens)")
+          .as("chunk_util_ppm"))
   }
 
   // Seeded stratified sampling (Spark-side reproducible only).

@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the r11 mixture-planning additions, driven through
+  * the REAL registered queries over tiny fixture dirs (not copies of
+  * their logic): the sequence-length planning curve's truncation/
+  * padding accounting and the excess-loss (DoReMi-linearized) domain
+  * reweighting's KL arithmetic.
+  */
+class MixPlanningSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def writeDocs(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("mixplan").toString
+    rows.map { case (id, text, lang) => (id, text, lang, "web", 10L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("t_seqlen_curve: truncation loss and chunk-pad utilization " +
+      "match hand accounting at L=64 and L=256") {
+    // token counts 1, 64, 65, 200 (whitespace tokens)
+    val dir = writeDocs(Seq(
+      (0L, "w", "en"),
+      (1L, Seq.fill(64)("w").mkString(" "), "en"),
+      (2L, Seq.fill(65)("w").mkString(" "), "en"),
+      (3L, Seq.fill(200)("w").mkString(" "), "en")))
+    val out = PipelineQueries.queries("t_seqlen_curve")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val a = out(64L)
+    // docs>64: {65, 200}; kept = 1+64+64+64; lost = 1+136
+    assert(a.getAs[Long]("n_docs") == 4L)
+    assert(a.getAs[Long]("total_tokens") == 330L)
+    assert(a.getAs[Long]("docs_truncated") == 2L)
+    assert(a.getAs[Long]("kept_trunc") == 193L)
+    assert(a.getAs[Long]("lost_trunc") == 137L)
+    assert(a.getAs[Long]("kept_trunc_ppm") == 193L * 1000000L / 330L)
+    // chunks: 1+1+2+4 = 8; pad = 63+0+63+56 = 182
+    assert(a.getAs[Long]("n_chunks") == 8L)
+    assert(a.getAs[Long]("chunk_pad_tokens") == 182L)
+    assert(a.getAs[Long]("chunk_util_ppm") == 330L * 1000000L / 512L)
+    val b = out(256L)
+    // nothing truncated; every doc one chunk, pad to 256 each
+    assert(b.getAs[Long]("docs_truncated") == 0L)
+    assert(b.getAs[Long]("lost_trunc") == 0L)
+    assert(b.getAs[Long]("n_chunks") == 4L)
+    assert(b.getAs[Long]("chunk_pad_tokens") == 255L + 192L + 191L + 56L)
+    assert(b.getAs[Long]("chunk_util_ppm") == 330L * 1000000L / 1024L)
+  }
+
+  test("t_domain_reweight: KL(domain ‖ corpus) in µ-nats and the " +
+      "linearized EG update match an independent replay") {
+    // lang aa: tokens {x:3, y:1}; lang bb: {y:3, z:1}; corpus
+    // {x:3, y:4, z:1}, T=8. KL_aa = (3·ln2 − ln2)/4; KL_bb =
+    // (3·ln1.5 + ln2)/4 — bb diverges more, so its weight must rise
+    // ABOVE its token share while aa's falls below.
+    val dir = writeDocs(Seq(
+      (0L, "x x x y", "aa"),
+      (1L, "y y y z", "bb")))
+    val out = PipelineQueries.queries("t_domain_reweight")(spark, dir)
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    def unat(terms: Seq[(Long, Double)], td: Long): Long = {
+      val s = terms.map { case (c, r) => c.toDouble * math.log(r) }.sum
+      math.round(s / td * 1e6)
+    }
+    val klA = unat(Seq((3L, 3.0 * 8 / (3 * 4)), (1L, 1.0 * 8 / (4 * 4))), 4L)
+    val klB = unat(Seq((3L, 3.0 * 8 / (4 * 4)), (1L, 1.0 * 8 / (1 * 4))), 4L)
+    assert(out("aa").getAs[Long]("kl_unat") == klA)
+    assert(out("bb").getAs[Long]("kl_unat") == klB)
+    assert(out("aa").getAs[Long]("share_ppm") == 500000L)
+    val numA = 500000L * (1000000L + klA)
+    val numB = 500000L * (1000000L + klB)
+    assert(out("aa").getAs[Long]("reweight_ppm") ==
+      numA * 1000000L / (numA + numB))
+    assert(out("bb").getAs[Long]("reweight_ppm") ==
+      numB * 1000000L / (numA + numB))
+    assert(out("bb").getAs[Long]("reweight_ppm") > 500000L)
+    assert(out("aa").getAs[Long]("reweight_ppm") < 500000L)
+    // weights sum to 10⁶ up to the two floor drops
+    val tot = out("aa").getAs[Long]("reweight_ppm") +
+      out("bb").getAs[Long]("reweight_ppm")
+    assert(tot <= 1000000L && tot >= 1000000L - 2L)
+  }
+}
