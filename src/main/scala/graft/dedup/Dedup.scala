@@ -575,9 +575,31 @@ object Dedup {
       minJaccard: Double = 0.5,
       maxDocFreq: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    pairSimsThen(docs, n, minJaccard, maxDocFreq, tNum = 1, tDen = 2) {
+      sims =>
+        sims.groupBy(expr("(n_inter * 10L) div un").as("bucket"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .withColumn("cum_pairs",
+            sum("n_pairs").over(Window.orderBy(col("bucket").desc)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    }
+  }
+
+  /** Exact pair-similarity plumbing shared by [[jaccardThresholdCurve]]
+    * and [[lshPlan]]: AllPairs candidates at `minJaccard` (lossless for
+    * true J ≥ minJaccard), exact intersect/union per pair, then the
+    * integer cross-multiplied gate n_inter·tDen ≥ un·tNum (the rational
+    * form of J ≥ tNum/tDen — no float knife-edge). `f` consumes the
+    * (doc_a, doc_b, n_inter, un) frame while the gram sets stay
+    * persisted; the result is materialized and the persist released
+    * before returning (no session-lived state).
+    */
+  private def pairSimsThen(docs: DataFrame, n: Int, minJaccard: Double,
+      maxDocFreq: Option[Int], tNum: Long, tDen: Long)(
+      f: DataFrame => DataFrame): DataFrame = {
     val sets = gramSets(docs, n, "text", "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val h = jaccardCandidates(sets, minJaccard, maxDocFreq)
+    val sims = jaccardCandidates(sets, minJaccard, maxDocFreq)
       .join(sets.select(col("doc_id").as("doc_a"), col("grams").as("ga"),
         col("n_grams").as("n_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("grams").as("gb"),
@@ -585,14 +607,89 @@ object Dedup {
       .withColumn("n_inter",
         size(array_intersect(col("ga"), col("gb"))).cast("long"))
       .withColumn("un", col("n_a") + col("n_b") - col("n_inter"))
-      .filter(col("n_inter") * 2 >= col("un"))
-      .groupBy(expr("(n_inter * 10L) div un").as("bucket"))
-      .agg(count(lit(1)).as("n_pairs"))
-    materializeAndRelease(
-      h.withColumn("cum_pairs",
-        sum("n_pairs").over(Window.orderBy(col("bucket").desc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))),
-      sets)
+      .filter(col("n_inter") * lit(tDen) >= col("un") * lit(tNum))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("un"))
+    materializeAndRelease(f(sims), sets)
+  }
+
+  /** MinHash-LSH (bands, rows) parameter planner: for every way to
+    * spend a 128-minhash signature budget (r rows/band × b bands,
+    * r·b = 128), integrate the banding S-curve
+    * P(s) = 1 − (1 − sʳ)ᵇ against the corpus's MEASURED pair-similarity
+    * histogram and report the expected false-candidate mass below the
+    * target threshold t = 1/2 and the expected missed-pair mass at or
+    * above it. The standard design step (Leskovec/Rajaraman/Ullman,
+    * MMDS ch. 3) usually done against an assumed similarity
+    * distribution — here it is weighted by what the corpus actually
+    * contains, so a corpus whose near-dup mass hugs the threshold gets
+    * a steeper (higher-r) pick than one with only exact-ish dups.
+    * `chosen = 1` marks the config(s) minimizing fp+fn.
+    *
+    * Determinism: the S-curve is evaluated in FIXED POINT (denominator
+    * 10¹², s from the integer percent bucket), every power via
+    * square-and-floor — (x·y) div 10¹² in DECIMAL — so both engines
+    * replay the identical integer recurrence; no pow(), no doubles.
+    * µ-pair masses are DECIMAL(38,0)-weighted sums floored once at the
+    * end.
+    *
+    * Scope: the histogram covers the pairs AllPairs can measure
+    * losslessly (J ≥ minJaccard = 0.3). Below-band FP mass is excluded
+    * by construction, and negligible for the configs that matter: at
+    * (r=8, b=16), P(0.3) ≈ 16·0.3⁸ ≈ 10⁻³. Scale shape: the pair stage
+    * is the threshold-curve's prefix join (its cost = one run at
+    * minJaccard; `maxDocFreq` is the same production df knob); at
+    * corpus scale a planner runs on a hash-sample of docs — the
+    * histogram is a design-time readout, not a per-run pass. Past the
+    * pair stage everything is ≤100 histogram rows × 6 configs.
+    */
+  def lshPlan(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.3,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val D = 1000000000000L
+    def sq(src: String) =
+      expr(s"cast(cast($src as decimal(20,0)) * $src div ${D}L as bigint)")
+    pairSimsThen(docs, n, minJaccard, maxDocFreq, tNum = 3, tDen = 10) {
+      sims =>
+        val hist = sims
+          .groupBy(expr("(n_inter * 100L) div un").as("s_pct"))
+          .agg(count(lit(1)).as("n_pairs"))
+        val configs = hist.sparkSession.range(0, 1)
+          .select(explode(array(Seq(1, 2, 4, 8, 16, 32).map(lit(_)): _*))
+            .as("r"))
+          .withColumn("b", expr("cast(128 div r as int)"))
+        val g = hist.crossJoin(broadcast(configs))
+          .withColumn("p1", expr("s_pct * 10000000000L"))
+          .withColumn("p2", sq("p1")).withColumn("p4", sq("p2"))
+          .withColumn("p8", sq("p4")).withColumn("p16", sq("p8"))
+          .withColumn("p32", sq("p16"))
+          .withColumn("q1", expr(s"${D}L - (CASE r WHEN 1 THEN p1 " +
+            "WHEN 2 THEN p2 WHEN 4 THEN p4 WHEN 8 THEN p8 " +
+            "WHEN 16 THEN p16 ELSE p32 END)"))
+          .withColumn("q2", sq("q1")).withColumn("q4", sq("q2"))
+          .withColumn("q8", sq("q4")).withColumn("q16", sq("q8"))
+          .withColumn("q32", sq("q16")).withColumn("q64", sq("q32"))
+          .withColumn("q128", sq("q64"))
+          .withColumn("pc", expr(s"${D}L - (CASE b WHEN 4 THEN q4 " +
+            "WHEN 8 THEN q8 WHEN 16 THEN q16 WHEN 32 THEN q32 " +
+            "WHEN 64 THEN q64 ELSE q128 END)"))
+        def mass(cond: String, p: String) =
+          sum(expr(s"CASE WHEN $cond THEN cast(n_pairs as decimal(18,0)) " +
+            s"* ($p) ELSE cast(0 as decimal(18,0)) END"))
+        g.groupBy("r", "b")
+          .agg(sum("n_pairs").as("n_pairs_obs"),
+            mass("s_pct < 50", "pc").as("fpw"),
+            mass("s_pct >= 50", s"${D}L - pc").as("fnw"),
+            mass("s_pct >= 50", "pc").as("cw"))
+          .select(col("r"), col("b"), col("n_pairs_obs"),
+            expr("cast(fpw div 1000000L as bigint)").as("fp_lo_upairs"),
+            expr("cast(fnw div 1000000L as bigint)").as("fn_hi_upairs"),
+            expr("cast(cw div 1000000L as bigint)").as("caught_hi_upairs"))
+          .withColumn("err_upairs",
+            expr("fp_lo_upairs + fn_hi_upairs"))
+          .withColumn("chosen",
+            (col("err_upairs") ===
+              min("err_upairs").over(Window.partitionBy())).cast("int"))
+    }
   }
 
   /** Audit helper for the capped-curve correctness gate's DATA-DEPENDENT

@@ -1214,6 +1214,75 @@ object PipelineQueries extends QueryRegistry {
       maxDocFreq = Some(16))
   }
 
+  // MinHash-LSH (bands, rows) parameter planner — see Dedup.lshPlan:
+  // every r·b = 128 split of the signature budget, the banding S-curve
+  // P(s) = 1-(1-s^r)^b integrated against the MEASURED pair-similarity
+  // histogram (percent buckets over the exact AllPairs set at
+  // J >= 0.3), expected false-candidate and missed-pair masses around
+  // the t = 0.5 target in µ-pairs, chosen = argmin(fp+fn). The S-curve
+  // is fixed-point (denominator 1e12, square-and-floor powers) so the
+  // oracle replays the identical integer recurrence — no pow(), no
+  // doubles anywhere.
+  q("dd_lsh_plan",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |grams AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS g
+      |          FROM toks, unnest(generate_series(1, greatest(len(l) - 2, 1))) AS t(i)),
+      |cnt AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |sel AS (SELECT n_inter,
+      |               ca.n_grams + cb.n_grams - n_inter AS un
+      |        FROM inter
+      |        JOIN cnt ca ON ca.doc_id = doc_a
+      |        JOIN cnt cb ON cb.doc_id = doc_b
+      |        WHERE n_inter * 10 >= (ca.n_grams + cb.n_grams - n_inter) * 3),
+      |h AS (SELECT CAST((n_inter * 100) // un AS BIGINT) AS s_pct,
+      |             CAST(count(*) AS BIGINT) AS n_pairs
+      |      FROM sel GROUP BY 1),
+      |cfg AS (SELECT CAST(unnest([1, 2, 4, 8, 16, 32]) AS INT) AS r),
+      |cfg2 AS (SELECT r, CAST(128 // r AS INT) AS b FROM cfg),
+      |g0 AS (SELECT h.*, cfg2.*, s_pct * 10000000000 AS p1
+      |       FROM h CROSS JOIN cfg2),
+      |g1 AS (SELECT *, (p1::HUGEINT * p1) // 1000000000000 AS p2 FROM g0),
+      |g2 AS (SELECT *, (p2::HUGEINT * p2) // 1000000000000 AS p4 FROM g1),
+      |g3 AS (SELECT *, (p4::HUGEINT * p4) // 1000000000000 AS p8 FROM g2),
+      |g4 AS (SELECT *, (p8::HUGEINT * p8) // 1000000000000 AS p16 FROM g3),
+      |g5 AS (SELECT *, (p16::HUGEINT * p16) // 1000000000000 AS p32 FROM g4),
+      |ga AS (SELECT *, 1000000000000 - (CASE r WHEN 1 THEN p1
+      |         WHEN 2 THEN p2 WHEN 4 THEN p4 WHEN 8 THEN p8
+      |         WHEN 16 THEN p16 ELSE p32 END) AS q1 FROM g5),
+      |gb AS (SELECT *, (q1::HUGEINT * q1) // 1000000000000 AS q2 FROM ga),
+      |gc AS (SELECT *, (q2::HUGEINT * q2) // 1000000000000 AS q4 FROM gb),
+      |gd AS (SELECT *, (q4::HUGEINT * q4) // 1000000000000 AS q8 FROM gc),
+      |ge AS (SELECT *, (q8::HUGEINT * q8) // 1000000000000 AS q16 FROM gd),
+      |gf AS (SELECT *, (q16::HUGEINT * q16) // 1000000000000 AS q32 FROM ge),
+      |gg AS (SELECT *, (q32::HUGEINT * q32) // 1000000000000 AS q64 FROM gf),
+      |gh AS (SELECT *, (q64::HUGEINT * q64) // 1000000000000 AS q128 FROM gg),
+      |gp AS (SELECT *, 1000000000000 - (CASE b WHEN 4 THEN q4
+      |         WHEN 8 THEN q8 WHEN 16 THEN q16 WHEN 32 THEN q32
+      |         WHEN 64 THEN q64 ELSE q128 END) AS pc FROM gh),
+      |a AS (SELECT r, b, CAST(sum(n_pairs) AS BIGINT) AS n_pairs_obs,
+      |        CAST(sum(CASE WHEN s_pct < 50
+      |               THEN n_pairs::HUGEINT * pc ELSE 0 END) // 1000000
+      |          AS BIGINT) AS fp_lo_upairs,
+      |        CAST(sum(CASE WHEN s_pct >= 50
+      |               THEN n_pairs::HUGEINT * (1000000000000 - pc)
+      |               ELSE 0 END) // 1000000 AS BIGINT) AS fn_hi_upairs,
+      |        CAST(sum(CASE WHEN s_pct >= 50
+      |               THEN n_pairs::HUGEINT * pc ELSE 0 END) // 1000000
+      |          AS BIGINT) AS caught_hi_upairs
+      |      FROM gp GROUP BY 1, 2)
+      |SELECT r, b, n_pairs_obs, fp_lo_upairs, fn_hi_upairs,
+      |       caught_hi_upairs,
+      |       CAST(fp_lo_upairs + fn_hi_upairs AS BIGINT) AS err_upairs,
+      |       CAST(CASE WHEN fp_lo_upairs + fn_hi_upairs =
+      |              min(fp_lo_upairs + fn_hi_upairs) OVER ()
+      |            THEN 1 ELSE 0 END AS INT) AS chosen
+      |FROM a""") { (s, d) =>
+    Dedup.lshPlan(docs(s, d), n = 3, minJaccard = 0.3)
+  }
+
   // Per-source dedup impact report: docs/tokens that exact dedup would
   // remove, ppm rate — the post-dedup curation dashboard. Keeper is
   // global min doc_id per text, so cross-source dups charge the

@@ -1785,4 +1785,45 @@ class PipelineOpsSpec extends AnyFunSuite {
           "assumption no longer holds for this testdata")
     }
   }
+
+  test("lshPlan: fixed-point S-curve masses match an independent " +
+      "BigInt replay; steeper configs trade FP for FN") {
+    // one exact-dup pair (s_pct = 100) + one pair at gram Jaccard
+    // 6/14 -> s_pct = 42 (shared 8-token prefix of 12-token docs
+    // gives 6 shared 3-grams of 10 per doc)
+    val a = Seq.tabulate(30)(i => s"a$i").mkString(" ")
+    val c = Seq.tabulate(12)(i => s"c$i")
+    val d = c.take(8) ++ Seq.tabulate(4)(i => s"d$i")
+    val df = docsDf((1L, a), (2L, a),
+      (3L, c.mkString(" ")), (4L, d.mkString(" ")))
+    val out = Dedup.lshPlan(df).collect()
+      .map(r => r.getAs[Int]("r") -> r).toMap
+    assert(out.size == 6)
+    // independent replay of the square-and-floor recurrence
+    val D = BigInt(1000000000000L)
+    def m(x: BigInt, y: BigInt) = x * y / D
+    def powFp(x: BigInt, e: Int): BigInt =
+      Iterator.iterate(x)(v => m(v, v)).drop(
+        (math.log(e) / math.log(2)).round.toInt).next()
+    for ((r, b) <- Seq(1 -> 128, 2 -> 64, 4 -> 32, 8 -> 16, 16 -> 8,
+        32 -> 4)) {
+      val sFp = BigInt(42L) * 10000000000L
+      val pc = D - powFp(D - powFp(sFp, r), b)
+      val row = out(r)
+      assert(row.getAs[Int]("b") == b)
+      assert(row.getAs[Long]("n_pairs_obs") == 2L)
+      // bucket 100 contributes pc = D exactly (fixed point is closed
+      // at the top): fn = 0 and caught = 1e6 from that pair alone
+      assert(row.getAs[Long]("fp_lo_upairs") == (pc / 1000000).toLong)
+      assert(row.getAs[Long]("fn_hi_upairs") == 0L)
+      assert(row.getAs[Long]("caught_hi_upairs") == 1000000L)
+    }
+    // FP mass at s=0.42 strictly decreases as bands get steeper
+    val fps = Seq(1, 2, 4, 8, 16, 32).map(out(_).getAs[Long]("fp_lo_upairs"))
+    assert(fps == fps.sorted.reverse && fps.distinct == fps)
+    // argmin carries the chosen flag (steepest config: no FN anywhere
+    // here, so min total err = min FP = r=32)
+    assert(out(32).getAs[Int]("chosen") == 1)
+    assert(out(1).getAs[Int]("chosen") == 0)
+  }
 }
