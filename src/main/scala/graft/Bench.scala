@@ -116,7 +116,10 @@ object Bench {
     // LSH parameter planner: the threshold-curve pair stage at
     // minJaccard=0.3 (prefix join cost floor), then <=100 hist rows
     // x 6 configs of fixed-point S-curve math
-    "dd_lsh_plan")
+    "dd_lsh_plan",
+    // prototypicality pruning: the kmeans assignment checkpointed
+    // once, cutoffs from a (cell, d2) value-grid cum window
+    "sim_proto_prune")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

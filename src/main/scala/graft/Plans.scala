@@ -97,7 +97,11 @@ object Plans {
     "dq_k_anon" -> "k-anonymity audit (r11): two chained hash aggregations — the QI-class count is map-combined before its one exchange, and the per-type rollup runs on the QI-domain-bounded class table (|types|·24·|buckets| rows, constant in corpus size); no joins, no windows, the events scan reads three columns",
     "dd_url_dedup" -> "URL-level dedup (r11): one exchange on the canonical URL for the class aggregate (map-combined min/count), then the class→member join back — AQE sizes the class side, the residual is an 8-byte compare; the synth+canon cascade is map-local regex work shared verbatim with t_url_canon",
     "t_unimax_mix" -> "UniMax capped mixture (r11): the corpus appears ONLY in the per-source token aggregate (map-combined before its one exchange); the water-filling closed form — rank window, prefix sum, boundary aggregate — runs entirely on the |sources|-row table with two 1-row broadcasts, so the unpartitioned window is model-sized by construction",
-    "t_fim_split" -> "FIM split prep (r11): map-ONLY — one native splitmix64 projection, two mod-(n+1) cuts, array slice + md5; zero exchanges, fuses into the preceding scan")
+    "t_fim_split" -> "FIM split prep (r11): map-ONLY — one native splitmix64 projection, two mod-(n+1) cuts, array slice + md5; zero exchanges, fuses into the preceding scan",
+    "t_domain_reweight" -> "DoReMi-linearized domain reweighting (r11): the corpus appears ONLY in the (lang, token) map-combined count — per-token and per-domain totals derive from that vocab×domains MODEL table (look for the single token-keyed Exchange; everything above it is model-sized joins), and the EG update runs on |domains| rows with the normalizer as an unpartitioned window over the AGGREGATED frame (model-sized by construction, not a corpus sort)",
+    "t_seqlen_curve" -> "sequence-length planning curve (r11): per-doc token count is one LONG column, the 5-row candidate table is BROADCAST — the plan shows BroadcastNestedLoopJoin over a single-column projection (a deliberate map-side ×5 of 8-byte rows, never text) feeding ONE map-combined aggregate; zero corpus-keyed exchanges",
+    "dd_lsh_plan" -> "LSH (bands,rows) planner (r11): the corpus-sized stage is the threshold-curve's AllPairs prefix join at minJaccard=0.3 (its cost floor); the S-curve math — fixed-point square-and-floor powers, DECIMAL(38,0) mass sums — runs on <=100 histogram rows × 6 broadcast configs; look for the histogram aggregate between the pair stage and a tiny BNLJ",
+    "sim_proto_prune" -> "prototypicality pruning (r11): the kmeans assignment is ONE eager checkpoint read by both the (cell,d2) value-grid histogram and the final flag join — no UDF re-evaluation; the per-cell cumulative window runs over the GRID (state = distinct distances per cell, never vectors — the la_quantiles contract), cutoffs broadcast back as a k-row table; look for the checkpoint scan feeding two arms and the absence of any corpus-wide rank sort")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -2779,6 +2779,37 @@ object PipelineQueries extends QueryRegistry {
     Similarity.kmeansSilhouette(embs(s, d), k = 8, iters = 2)
   }
 
+  // Prototypicality pruning (Sorscher et al. 2022) over the SAME
+  // replayed k-means fit: per cell, prune the <=30% of vectors
+  // STRICTLY below the cell's distance cutoff (smallest d2_u whose
+  // cumulative count covers the fraction; ties at the cutoff kept).
+  // The cutoff derives from a (cell, d2_u) value-grid histogram +
+  // grid-sized cumulative window — never a per-vector rank sort.
+  q("sim_proto_prune", kmeansOracleSql + """
+      |, asg AS (SELECT vec_id, cell,
+      |                 CAST(round(round(d2, 6) * 1000000) AS BIGINT)
+      |                   AS d2_u
+      |          FROM (SELECT vec_id, cell, d2,
+      |                       row_number() OVER (PARTITION BY vec_id
+      |                                          ORDER BY d2, cell) AS pr
+      |                FROM dd2) s WHERE pr = 1),
+      |g AS (SELECT cell, d2_u, CAST(count(*) AS BIGINT) AS c
+      |      FROM asg GROUP BY 1, 2),
+      |cm AS (SELECT cell, d2_u,
+      |              sum(c) OVER (PARTITION BY cell ORDER BY d2_u
+      |                ROWS UNBOUNDED PRECEDING) AS cum,
+      |              sum(c) OVER (PARTITION BY cell) AS n
+      |       FROM g),
+      |cut AS (SELECT cell, min(d2_u) AS cutoff FROM cm
+      |        WHERE cum * 10 >= n * 3 GROUP BY cell)
+      |SELECT CAST(vec_id AS BIGINT) AS vec_id,
+      |       CAST(asg.cell AS INT) AS cell, d2_u,
+      |       CAST(CASE WHEN d2_u < cutoff THEN 1 ELSE 0 END AS INT)
+      |         AS pruned
+      |FROM asg JOIN cut ON cut.cell = asg.cell""".stripMargin) { (s, d) =>
+    Similarity.protoPrune(embs(s, d), k = 8, iters = 2)
+  }
+
   // Symmetric int8 embedding quantization (ANN storage compression):
   // floor(x*127/amax) codes, CSV-serialized for the relational compare.
   q("sim_int8_quant",

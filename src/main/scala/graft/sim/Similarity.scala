@@ -982,6 +982,46 @@ object Similarity {
         col("min_s_ppm"), col("max_s_ppm"))
   }
 
+  /** Prototypicality pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws"): on an abundant corpus, the examples CLOSEST to
+    * their cluster centroid — the most prototypical, most redundant
+    * ones — are the right ones to drop; the hard tail carries the
+    * information. Per vector: the [[kmeansAssign]] cell and µ-scaled
+    * centroid distance, plus `pruned = 1` for the fraction
+    * pruneNum/pruneDen of each cell that sits STRICTLY below the
+    * cell's distance cutoff (ties AT the cutoff are kept, so at most
+    * the target fraction prunes — deterministic, no rank lottery).
+    *
+    * Scale shape: the cutoff comes from a (cell, d2_u) VALUE-GRID
+    * histogram (map-combined count) + a per-cell cumulative window
+    * over that grid — state is distinct distance values per cell,
+    * never the corpus (the la_quantiles contract). A per-vector rank
+    * window would sort the whole corpus across k partitions — the
+    * skew trap this form exists to avoid. The assignment is eagerly
+    * checkpointed ONCE because both the histogram and the final join
+    * consume it (the [[dbscan]] lesson: without the barrier the
+    * assignment UDF re-evaluates per consumer).
+    */
+  def protoPrune(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
+      pruneNum: Long = 3, pruneDen: Long = 10): DataFrame = {
+    require(pruneNum >= 0 && pruneDen > 0 && pruneNum <= pruneDen,
+      s"prune fraction out of range: $pruneNum/$pruneDen")
+    val a = kmeansAssign(embeddings, k, iters)
+      .withColumn("d2_u", expr("cast(round(d2 * 1000000) as bigint)"))
+      .select("vec_id", "cell", "d2_u")
+      .localCheckpoint(true)
+    val byCell = Window.partitionBy("cell")
+    val cut = a.groupBy("cell", "d2_u").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(byCell.orderBy("d2_u")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("c").over(byCell))
+      .filter(col("cum") * lit(pruneDen) >= col("n") * lit(pruneNum))
+      .groupBy("cell").agg(min("d2_u").as("cutoff"))
+    a.join(broadcast(cut), "cell")
+      .select(col("vec_id"), col("cell"), col("d2_u"),
+        (col("d2_u") < col("cutoff")).cast("int").as("pruned"))
+  }
+
   /** Symmetric int8 quantization per vector (q = floor(x·127/amax),
     * exact ±127 at the extremes) — the 4x storage compression applied
     * to an ANN corpus before PQ-level budgets are needed. Map-only

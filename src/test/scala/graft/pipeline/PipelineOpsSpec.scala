@@ -1786,6 +1786,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("protoPrune: cutoff = smallest d2 whose cumulative covers the " +
+      "fraction; strictly-below pruned, cutoff ties kept") {
+    import spark.implicits._
+    // k=1 -> the fit converges to the global mean (4.5, 0, 0, 0);
+    // d2 over x = 0..9 is symmetric: {0.25, 2.25, 6.25, 12.25, 20.25}
+    // x2 each. cum at 0.25 is 2 < 3, at 2.25 is 4 >= 3 -> cutoff
+    // 2.25: exactly the two most prototypical vectors (x = 4, 5)
+    // prune; the 2.25 tie pair is AT the cutoff and stays.
+    val df = (0 until 10).map(i =>
+        (i.toLong, Seq(i.toFloat, 0f, 0f, 0f), "l"))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.protoPrune(df, k = 1, iters = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("d2_u"), r.getAs[Int]("pruned"))).toMap
+    assert(out.size == 10)
+    assert(out(4L) == ((250000L, 1)) && out(5L) == ((250000L, 1)))
+    assert(out(3L) == ((2250000L, 0)) && out(6L) == ((2250000L, 0)))
+    assert(out.values.map(_._2).sum == 2) // at most floor(0.3n), never more
+    assert(out(0L)._1 == 20250000L && out(0L)._2 == 0)
+  }
+
   test("lshPlan: fixed-point S-curve masses match an independent " +
       "BigInt replay; steeper configs trade FP for FN") {
     // one exact-dup pair (s_pct = 100) + one pair at gram Jaccard
