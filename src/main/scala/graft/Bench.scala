@@ -119,7 +119,9 @@ object Bench {
     "dd_lsh_plan",
     // prototypicality pruning: the kmeans assignment checkpointed
     // once, cutoffs from a (cell, d2) value-grid cum window
-    "sim_proto_prune")
+    "sim_proto_prune",
+    // memorization-gap audit: the two parent LM passes + a doc join
+    "t_lm_memgap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

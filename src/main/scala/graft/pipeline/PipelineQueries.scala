@@ -7,6 +7,7 @@ import graft.io.Tables
 import graft.multimodal.Multimodal
 import graft.sim.Similarity
 import graft.text.{Search, TextAnalysis}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -3818,6 +3819,69 @@ object PipelineQueries extends QueryRegistry {
       Sampling.hashBucket("doc_id") % 2 === 0)
   }
 
+  /** LM memorization-gap audit: per scored doc, the difference between
+    * its SELF-trained predictability (`t_bigram_lm`'s model — trained
+    * on the whole corpus, the doc included) and its HELD-OUT
+    * predictability (`t_lm_heldout`'s reference model — trained on the
+    * md5-even half only, add-1 smoothed). A large positive gap means
+    * the doc is predictable only because the model saw it — the
+    * duplicated/templated mass an excess-loss-style selection
+    * (Mindermann et al. 2022 motivate the holdout-vs-train loss gap;
+    * Wenzek et al. 2020 the reference-LM arrangement) downweights
+    * first; gap ≈ 0 means the regularity is real. Both scores are the
+    * EXISTING entries' exact-integer µ-scores (one definition each —
+    * this entry only joins and subtracts, so it cannot drift from its
+    * parents).
+    *
+    * Scale shape: two tokenize passes (one per parent model) + the
+    * parents' model-sized count tables; the gap join is doc-keyed.
+    */
+  q("t_lm_memgap",
+    """WITH toks AS (SELECT doc_id,
+      |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |           AS UBIGINT) % 100 % 2 = 0 AS is_ref,
+      |         string_split(text, ' ') AS t
+      |       FROM documents
+      |       WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+      |big AS (SELECT doc_id, is_ref, t[i] AS w1, t[i + 1] AS w2
+      |        FROM toks CROSS JOIN unnest(generate_series(1, len(t) - 1)) AS u(i)),
+      |sc12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      |         FROM big GROUP BY 1, 2),
+      |sc1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+      |        FROM big GROUP BY 1),
+      |self AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |           CAST(sum((sc12.c12 * 1000000) // sc1.c1) // count(*)
+      |             AS BIGINT) AS self_u
+      |         FROM big b JOIN sc12 ON b.w1 = sc12.w1 AND b.w2 = sc12.w2
+      |                    JOIN sc1 ON b.w1 = sc1.w1
+      |         WHERE NOT b.is_ref GROUP BY 1),
+      |hc12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      |         FROM big WHERE is_ref GROUP BY 1, 2),
+      |hc1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+      |        FROM big WHERE is_ref GROUP BY 1),
+      |v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) + 1 AS v
+      |      FROM big WHERE is_ref),
+      |ref AS (SELECT b.doc_id,
+      |          CAST(sum(((coalesce(hc12.c12, 0) + 1) * 1000000) //
+      |                   (coalesce(hc1.c1, 0) + v.v)) // count(*)
+      |            AS BIGINT) AS ref_u
+      |        FROM big b LEFT JOIN hc12 ON b.w1 = hc12.w1 AND b.w2 = hc12.w2
+      |                   LEFT JOIN hc1 ON b.w1 = hc1.w1
+      |                   CROSS JOIN v
+      |        WHERE NOT b.is_ref GROUP BY 1)
+      |SELECT self.doc_id, n_bigrams, self_u, ref_u,
+      |       CAST(self_u - ref_u AS BIGINT) AS gap_u
+      |FROM self JOIN ref ON ref.doc_id = self.doc_id""") { (s, d) =>
+    val self = TextAnalysis.bigramLm(docs(s, d))
+      .select(col("doc_id"), col("n_bigrams"), col("lm_u").as("self_u"))
+    val ref = TextAnalysis.heldoutBigramLm(docs(s, d),
+        Sampling.hashBucket("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lm_u").as("ref_u"))
+    self.join(ref, "doc_id")
+      .select(col("doc_id"), col("n_bigrams"), col("self_u"),
+        col("ref_u"), (col("self_u") - col("ref_u")).as("gap_u"))
+  }
+
   /** The curation funnel — the survivor accounting every training-data
     * pipeline publishes: input → language filter → quality gate
     * (≥5 tokens, distinct-token ratio ≥ 0.3) → exact-dedup keepers,
@@ -4092,9 +4156,14 @@ object PipelineQueries extends QueryRegistry {
     * update arithmetic is |domains| rows. One token-keyed exchange
     * at any scale.
     */
-  q("t_domain_reweight",
-    """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w
-      |             FROM documents),
+  /** Shared oracle builder for the two domain-reweight entries:
+    * `tokCte` supplies the (lang, w) feature rows — raw tokens for the
+    * batch entry, md5-u48 hash buckets for the streaming twin — and
+    * everything downstream (counts, KL, EG update) is this ONE
+    * definition, so the twins cannot drift.
+    */
+  def domainReweightSql(tokCte: String): String =
+    s"""WITH tok AS ($tokCte),
       |tc AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c_dw
       |       FROM tok GROUP BY 1, 2),
       |wt AS (SELECT w, CAST(sum(c_dw) AS BIGINT) AS c_w FROM tc GROUP BY 1),
@@ -4116,10 +4185,14 @@ object PipelineQueries extends QueryRegistry {
       |SELECT lang, n_tokens, share_ppm, kl_unat,
       |       CAST(num * 1000000 // (SELECT sum(num) FROM n) AS BIGINT)
       |         AS reweight_ppm
-      |FROM n""") { (s, d) =>
-    val tc = docs(s, d)
-      .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("w"))
-      .groupBy("lang", "w").agg(count(lit(1)).as("c_dw"))
+      |FROM n""".stripMargin
+
+  /** The model-table→weights math shared by `t_domain_reweight` and
+    * `st_domain_reweight`: takes the (lang, w, c_dw) feature-count
+    * table (vocab×domains — model-sized) and produces the per-domain
+    * KL + EG-update weights. ONE definition for both twins.
+    */
+  def domainReweightFromCounts(tc: DataFrame): DataFrame = {
     val wTot = tc.groupBy("w").agg(sum("c_dw").as("c_w"))
     val dTot = tc.groupBy("lang").agg(sum("c_dw").as("t_d"))
     val tot = dTot.agg(sum("t_d").as("t_all"))
@@ -4138,11 +4211,19 @@ object PipelineQueries extends QueryRegistry {
         expr("share_ppm * (1000000 + kl_unat)"))
     // normalizer via an unpartitioned window over the |domains|-row
     // AGGREGATED frame (model-sized by construction) — a broadcast
-    // self-join would re-run the corpus token pass a second time
+    // self-join would re-run the feature pass a second time
     r.withColumn("den", sum("num").over(Window.partitionBy()))
       .select(col("lang"), col("n_tokens"), col("share_ppm"),
         col("kl_unat"),
         expr("num * 1000000 div den").as("reweight_ppm"))
+  }
+
+  q("t_domain_reweight", domainReweightSql(
+    "SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents")) {
+    (s, d) =>
+    domainReweightFromCounts(docs(s, d)
+      .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("c_dw")))
   }
 
   // Per-source unigram Shannon entropy (token-distribution diversity —

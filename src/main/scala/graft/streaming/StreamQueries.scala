@@ -844,6 +844,49 @@ object StreamQueries extends QueryRegistry {
           .as("n_drifted_dims"))
   }
 
+  /** Streaming domain-reweight monitor — the streaming twin of
+    * `t_domain_reweight` (oracle + downstream math shared via
+    * `PipelineQueries.domainReweightSql` / `domainReweightFromCounts`,
+    * so the twins cannot drift): the live "has the ingest mixture
+    * drifted enough to re-plan domain weights" readout. The stream
+    * carries the feature counts as ONE complete-mode (lang, bucket)
+    * aggregation over md5-u48 HASHED tokens (`dsirBucket`, 4096
+    * buckets) — state is |domains|·4096 rows, BOUNDED regardless of
+    * vocabulary growth (raw tokens would make streaming state
+    * vocabulary-sized, the one thing a long-lived stream must never
+    * hold); the KL/update math is a batch post-pass over the
+    * model-sized sink snapshot (bounded collect, the quantizer-fit
+    * contract — the memory-sink view cannot self-join).
+    *
+    * Bucket-aggregated KL is a LOWER bound on the token-level KL
+    * (data-processing inequality) and equals it while buckets are
+    * collision-free — true of the committed testdata at 4096 and
+    * pinned by spec, so the twin hash-matches the batch entry's
+    * numbers only through its own hashed oracle, never by accident.
+    */
+  q("st_domain_reweight",
+    graft.pipeline.PipelineQueries.domainReweightSql(
+      """SELECT lang,
+        |       CAST(('0x' || substr(md5(w0), 1, 12)) AS UBIGINT) % 4096
+        |         AS w
+        |FROM (SELECT lang, unnest(string_split(text, ' ')) AS w0
+        |      FROM documents WHERE text IS NOT NULL)""".stripMargin)) {
+    (s, d) =>
+    val toks = docStream(s, d).filter(col("text").isNotNull)
+      .select(col("lang"),
+        explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(col("lang"),
+        graft.text.TextAnalysis.dsirBucket(col("tok"), 4096).as("w"))
+    val sink = runToCompletion(
+      toks.groupBy("lang", "w").agg(count(lit(1)).as("c_dw")),
+      "complete")
+    import s.implicits._
+    val snap = sink.collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toDF("lang", "w", "c_dw")
+    graft.pipeline.PipelineQueries.domainReweightFromCounts(snap)
+  }
+
   /** The streaming half of st_psi_drift: complete-mode per-day
     * value-bucket counts — (days × 10) state rows total.
     */

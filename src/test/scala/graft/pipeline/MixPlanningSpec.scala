@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Invariants of the r11 mixture-planning additions, driven through
@@ -90,5 +91,55 @@ class MixPlanningSpec extends AnyFunSuite {
     val tot = out("aa").getAs[Long]("reweight_ppm") +
       out("bb").getAs[Long]("reweight_ppm")
     assert(tot <= 1000000L && tot >= 1000000L - 2L)
+  }
+
+  test("st_domain_reweight: streaming replay equals the batch twin " +
+      "(collision-free md5-u48 hashing at 4096 on the fixture)") {
+    val dir = writeDocs(Seq(
+      (0L, "x x x y", "aa"),
+      (1L, "y y y z", "bb")))
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val st = asMap(graft.streaming.StreamQueries
+      .queries("st_domain_reweight")(spark, dir).collect())
+    val batch = asMap(PipelineQueries
+      .queries("t_domain_reweight")(spark, dir).collect())
+    // bucket counts are isomorphic to token counts while hashing is
+    // collision-free, so KL and the weights agree EXACTLY
+    assert(st == batch)
+  }
+
+  test("t_lm_memgap: a junk clone cluster in the scored half carries a " +
+      "larger self-vs-heldout gap than a genuinely regular doc") {
+    import spark.implicits._
+    // partition candidate ids by the REAL md5 half-split the entry uses
+    val buckets = (0L until 64L).toDF("doc_id")
+      .select(col("doc_id"),
+        (Sampling.hashBucket("doc_id") % 2 === 0).as("is_ref"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val refIds = (0L until 64L).filter(buckets).take(8)
+    val oddIds = (0L until 64L).filterNot(buckets).take(5)
+    val normal = "n0 n1 n2 n3 n4"
+    val junk = "j0 j1 j2 j3 j4"
+    val dir = writeDocs(
+      refIds.map(id => (id, normal, "en")) ++
+        oddIds.take(4).map(id => (id, junk, "en")) ++
+        Seq((oddIds(4), normal, "en")))
+    val out = PipelineQueries.queries("t_lm_memgap")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 5) // only the scored (odd) half appears
+    // junk: every bigram deterministic in the self model -> 1e6;
+    // unseen by the ref model (V = |{n1..n4}|+1 = 5) -> 1e6/5
+    val j = out(oddIds.head)
+    assert(j.getAs[Long]("n_bigrams") == 4L)
+    assert(j.getAs[Long]("self_u") == 1000000L)
+    assert(j.getAs[Long]("ref_u") == 200000L)
+    assert(j.getAs[Long]("gap_u") == 800000L)
+    // normal: deterministic in self too, but the ref model has seen
+    // its bigrams 8 times -> (8+1)*1e6 div (8+5)
+    val n = out(oddIds(4))
+    assert(n.getAs[Long]("self_u") == 1000000L)
+    assert(n.getAs[Long]("ref_u") == 9L * 1000000L / 13L)
+    assert(n.getAs[Long]("gap_u") < j.getAs[Long]("gap_u"))
   }
 }
