@@ -115,8 +115,9 @@ object Bench {
     "t_domain_reweight",
     // LSH parameter planner: the threshold-curve pair stage at
     // minJaccard=0.3 (prefix join cost floor), then <=100 hist rows
-    // x 6 configs of fixed-point S-curve math
-    "dd_lsh_plan",
+    // x 6 configs of fixed-point S-curve math; + the capped twin
+    // (the production df knob — see the sf1 block note)
+    "dd_lsh_plan", "dd_lsh_plan_capped",
     // prototypicality pruning: the kmeans assignment checkpointed
     // once, cutoffs from a (cell, d2) value-grid cum window
     "sim_proto_prune",
@@ -323,6 +324,16 @@ object Bench {
       // k-anon second pass is QI-domain-bounded and the URL-dedup
       // join back is class-sized
       "dq_k_anon" -> "events", "dd_url_dedup" -> "documents",
+      // late-r11 planning ops at 10×: the LSH planner's CAPPED twin
+      // only (the uncapped t=0.3 prefix join measured 112 s isolated
+      // at sf1 — the threshold-curve trap at a lower threshold; the
+      // capped row is the production path), the reweight/memgap token
+      // passes (~linear), proto-prune's grid-window form, and the
+      // two map-only curves
+      "dd_lsh_plan_capped" -> "documents",
+      "t_domain_reweight" -> "documents", "t_lm_memgap" -> "documents",
+      "t_seqlen_curve" -> "documents", "t_fertility" -> "documents",
+      "sim_proto_prune" -> "embeddings",
       "sim_dbscan_pinned16" -> "embeddings")
     // the dev-only SPARK_GRAFT_BENCH_ONLY subset applies here too —
     // before r10 a 5-query dev iteration still paid the full ~20-min

@@ -1224,7 +1224,7 @@ object PipelineQueries extends QueryRegistry {
   // is fixed-point (denominator 1e12, square-and-floor powers) so the
   // oracle replays the identical integer recurrence — no pow(), no
   // doubles anywhere.
-  q("dd_lsh_plan",
+  private val lshPlanSql =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
       |grams AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS g
       |          FROM toks, unnest(generate_series(1, greatest(len(l) - 2, 1))) AS t(i)),
@@ -1280,8 +1280,25 @@ object PipelineQueries extends QueryRegistry {
       |       CAST(CASE WHEN fp_lo_upairs + fn_hi_upairs =
       |              min(fp_lo_upairs + fn_hi_upairs) OVER ()
       |            THEN 1 ELSE 0 END AS INT) AS chosen
-      |FROM a""") { (s, d) =>
+      |FROM a""".stripMargin
+
+  q("dd_lsh_plan", lshPlanSql) { (s, d) =>
     Dedup.lshPlan(docs(s, d), n = 3, minJaccard = 0.3)
+  }
+
+  // Capped planner twin — the production df knob for the t=0.3 prefix
+  // join (the planner's floor threshold makes the prefix 70% of every
+  // doc's grams, so the uncapped pair stage measured 112 s isolated at
+  // sf1 — the dd_threshold_curve quadratic trap at a lower threshold).
+  // The oracle is the SAME uncapped-exact SQL (one val, cannot
+  // diverge): the entry asserts the cap loses NO pair at verify scale
+  // — PINNED by the PipelineOpsSpec testdata-assumption test at
+  // t=0.3 — while the bench rows time capped vs uncapped. At corpus
+  // scale the capped form runs on a hash-sample besides — the planner
+  // is a design-time readout.
+  q("dd_lsh_plan_capped", lshPlanSql) { (s, d) =>
+    Dedup.lshPlan(docs(s, d), n = 3, minJaccard = 0.3,
+      maxDocFreq = Some(16))
   }
 
   // Per-source dedup impact report: docs/tokens that exact dedup would

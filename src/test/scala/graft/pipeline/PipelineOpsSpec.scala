@@ -1783,6 +1783,14 @@ class PipelineOpsSpec extends AnyFunSuite {
         s"$sf: max prefix-gram df $maxDf exceeds the cap 16 — the " +
           "dd_threshold_curve_capped oracle gate's capped==uncapped " +
           "assumption no longer holds for this testdata")
+      // the LSH planner's capped twin runs the prefix at t=0.3 (a
+      // LONGER prefix, so dfs can only be >= the t=0.5 ones) — pin its
+      // assumption separately
+      val maxDf03 = Dedup.maxPrefixDocFreq(docs, n = 3, minJaccard = 0.3)
+      assert(maxDf03 <= 16L,
+        s"$sf: max t=0.3 prefix-gram df $maxDf03 exceeds the cap 16 — " +
+          "the dd_lsh_plan_capped oracle gate's capped==uncapped " +
+          "assumption no longer holds for this testdata")
     }
   }
 
