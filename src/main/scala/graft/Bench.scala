@@ -121,8 +121,10 @@ object Bench {
     // prototypicality pruning: the kmeans assignment checkpointed
     // once, cutoffs from a (cell, d2) value-grid cum window
     "sim_proto_prune",
-    // memorization-gap audit: the two parent LM passes + a doc join
-    "t_lm_memgap")
+    // memorization-gap audit: the two parent LM passes + a doc join;
+    // k-center coreset: k-1 top-1-heap scans of one checkpointed
+    // projection
+    "t_lm_memgap", "sim_kcenter")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -334,6 +336,7 @@ object Bench {
       "t_domain_reweight" -> "documents", "t_lm_memgap" -> "documents",
       "t_seqlen_curve" -> "documents", "t_fertility" -> "documents",
       "sim_proto_prune" -> "embeddings",
+      "sim_kcenter" -> "embeddings",
       "sim_dbscan_pinned16" -> "embeddings")
     // the dev-only SPARK_GRAFT_BENCH_ONLY subset applies here too —
     // before r10 a 5-query dev iteration still paid the full ~20-min

@@ -2797,6 +2797,53 @@ object PipelineQueries extends QueryRegistry {
     Similarity.kmeansSilhouette(embs(s, d), k = 8, iters = 2)
   }
 
+  /** Greedy k-center replayed in DuckDB: a running min-distance table
+    * (md updates by `least` with the distance to each newly-picked
+    * center — mathematically the min over all selected, computed from
+    * identical IEEE folds) and a top-1 pick per step (max md, ties to
+    * the lower vec_id) — the [[graft.sim.Similarity.kCenterSelect]]
+    * greedy unrolled as chained CTEs, the kmeans-oracle pattern.
+    */
+  private val kcenterOracleSql: String = {
+    val (k, dims) = (8, 64)
+    def dist(m: String, c: String): String =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(range(1, ${dims + 1}), i ->
+         |    ($m.e[CAST(i AS INT)] - $c.e[CAST(i AS INT)]) *
+         |    ($m.e[CAST(i AS INT)] - $c.e[CAST(i AS INT)]))),
+         |  (a, x) -> a + x)""".stripMargin
+    val steps = (2 to k).map { i =>
+      val (prev, dcur, pcur) =
+        (if (i == 2) "s1" else s"p$i".dropRight(1) + (i - 1), s"d${i - 1}",
+          s"p$i")
+      val src = if (i == 2) "emb" else s"d${i - 2}"
+      val md =
+        if (i == 2) dist("m", "c")
+        else s"least(m.md, ${dist("m", "c")})"
+      s"""$dcur AS (SELECT m.vec_id, m.e, $md AS md
+         |          FROM $src m CROSS JOIN $prev c),
+         |$pcur AS (SELECT * FROM $dcur ORDER BY md DESC, vec_id LIMIT 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    val sel = (2 to k).map(i =>
+      s"UNION ALL SELECT $i, vec_id, round(md, 6) FROM p$i").mkString("\n")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |             FROM embeddings),
+       |s1 AS (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT 1),
+       |$steps
+       |SELECT CAST(step AS INT) AS step, CAST(vec_id AS BIGINT) AS vec_id,
+       |       CAST(d2_at_selection AS DOUBLE) AS d2_at_selection
+       |FROM (SELECT 1 AS step, vec_id, 0.0 AS d2_at_selection FROM s1
+       |$sel)""".stripMargin
+  }
+
+  // Greedy k-center coreset selection (Gonzalez 1985; Sener & Savarese
+  // 2018) — the coverage leg of the selection suite (MMR = diverse
+  // relevance, protoPrune = redundancy, k-center = space coverage).
+  q("sim_kcenter", kcenterOracleSql) { (s, d) =>
+    Similarity.kCenterSelect(embs(s, d), k = 8)
+  }
+
   // Prototypicality pruning (Sorscher et al. 2022) over the SAME
   // replayed k-means fit: per cell, prune the <=30% of vectors
   // STRICTLY below the cell's distance cutoff (smallest d2_u whose

@@ -982,6 +982,63 @@ object Similarity {
         col("min_s_ppm"), col("max_s_ppm"))
   }
 
+  /** Greedy k-center coreset selection (Gonzalez 1985; the coverage
+    * objective behind core-set active learning, Sener & Savarese
+    * 2018): start from the lowest vec_id and repeatedly add the vector
+    * FARTHEST from the already-selected set (max over candidates of
+    * min-d² to selected, ties to the lower vec_id) — a 2-approximation
+    * of the k-center optimum, and the third leg of the selection
+    * suite: MMR ranks relevance-diverse, protoPrune drops redundant,
+    * k-center COVERS the embedding space with k exemplars.
+    *
+    * Determinism: distances are sequential IEEE folds over the exact
+    * float-to-double casts (the kmeans contract), comparisons agree
+    * cross-engine, ties break on vec_id; the reported d2 rounds to
+    * 1e-6 at OUTPUT only.
+    *
+    * Scale shape: k−1 map-only scans of the ONE eagerly-checkpointed
+    * (vec_id, e) projection (selected centers ride the task closure),
+    * each reduced by a top-1 heap (TakeOrderedAndProject — no global
+    * sort) to a single driver row; driver state is k·dims. At corpus
+    * scale, selection runs after an IVF/sample preselection — the
+    * standard coreset arrangement — so k scans price a pool, not
+    * 100 TB.
+    */
+  def kCenterSelect(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 1, s"k out of range: $k")
+    val base = embeddings
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("e"))
+      .localCheckpoint(true)
+    val first = base.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("e")).head()
+    var selected = Vector((first.getLong(0), first.getSeq[Double](1).toArray))
+    var out = Vector((1, first.getLong(0), 0.0))
+    while (selected.length < k) {
+      val centers = selected.map(_._2)
+      val minD2 = udf { (e: Seq[Double]) =>
+        var best = Double.MaxValue
+        centers.foreach { c =>
+          var d = 0.0
+          var j = 0
+          while (j < e.length) { val t = e(j) - c(j); d += t * t; j += 1 }
+          if (d < best) best = d
+        }
+        best
+      }
+      val pick = base.select(col("vec_id"), col("e"),
+          minD2(col("e")).as("d2"))
+        .orderBy(col("d2").desc, col("vec_id")).limit(1).head()
+      selected :+= ((pick.getLong(0), pick.getSeq[Double](1).toArray))
+      out :+= ((selected.length, pick.getLong(0), pick.getDouble(2)))
+    }
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    out.toDF("step", "vec_id", "d2")
+      .select(col("step"), col("vec_id"),
+        round(col("d2"), 6).as("d2_at_selection"))
+  }
+
   /** Prototypicality pruning (Sorscher et al. 2022, "Beyond neural
     * scaling laws"): on an abundant corpus, the examples CLOSEST to
     * their cluster centroid — the most prototypical, most redundant

@@ -1794,6 +1794,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kCenterSelect: greedy picks the farthest-from-selected point " +
+      "each step, distance ties to the lower vec_id") {
+    import spark.implicits._
+    // 0=(0,0) start; 2=(10,0) and 3=(0,10) both at d2=100 -> tie to 2;
+    // then 3 (min-dist to {0,2} = 100); then 4 (0.04) over 1 (0.01)
+    val df = Seq(
+        (0L, Seq(0f, 0f)), (1L, Seq(0.1f, 0f)), (2L, Seq(10f, 0f)),
+        (3L, Seq(0f, 10f)), (4L, Seq(0.2f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kCenterSelect(df, k = 4).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1) == ((0L, 0.0)))
+    assert(out(2) == ((2L, 100.0)))
+    assert(out(3) == ((3L, 100.0)))
+    assert(out(4)._1 == 4L)
+    assert(math.abs(out(4)._2 - 0.04) < 1e-6)
+  }
+
   test("protoPrune: cutoff = smallest d2 whose cumulative covers the " +
       "fraction; strictly-below pruned, cutoff ties kept") {
     import spark.implicits._
