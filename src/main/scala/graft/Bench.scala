@@ -124,7 +124,9 @@ object Bench {
     // memorization-gap audit: the two parent LM passes + a doc join;
     // k-center coreset: k-1 top-1-heap scans of one checkpointed
     // projection
-    "t_lm_memgap", "sim_kcenter")
+    "t_lm_memgap", "sim_kcenter",
+    // robust outlier audit: one corpus grid aggregate, grid windows
+    "la_mad_outliers")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

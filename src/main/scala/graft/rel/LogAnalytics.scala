@@ -186,6 +186,90 @@ object LogAnalytics extends QueryRegistry {
         round(expr("percentile(vu, 0.95)") / 10000.0, 4).as("p95"))
   }
 
+  /** Robust outlier audit via median/MAD (Hampel's rule, |x − med| >
+    * 3·1.4826·MAD — the robust alternative to z-scores that a single
+    * extreme value cannot poison, since median and MAD both have 50%
+    * breakdown): per event type, the LOWER median and lower-median
+    * absolute deviation on the ×10⁴ integer grid (explicit rule:
+    * smallest grid value whose cumulative count covers half — no
+    * interpolated quantile, so no engine-ulp knife edge anywhere), and
+    * the outlier gate as the integer cross-multiplication
+    * au·10⁴ > 44478·MAD (3·1.4826 = 4.4478 exactly).
+    *
+    * Scale shape: ONE corpus aggregate builds the (type, value) grid;
+    * the median, the deviation grid, the MAD, and the outlier count
+    * all derive from grids (per-type window state = distinct values,
+    * the la_quantiles contract) — the corpus is scanned once. A
+    * >50%-constant type degrades to MAD = 0 (every deviation flags),
+    * the standard MAD degeneracy — a modeling signal, not a bug.
+    */
+  q("la_mad_outliers",
+    """WITH b AS (SELECT event_type,
+      |                  CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vu
+      |           FROM events),
+      |g AS (SELECT event_type, vu, CAST(count(*) AS BIGINT) AS c
+      |      FROM b GROUP BY 1, 2),
+      |cm AS (SELECT event_type, vu, c,
+      |              sum(c) OVER (PARTITION BY event_type ORDER BY vu
+      |                ROWS UNBOUNDED PRECEDING) AS cum,
+      |              sum(c) OVER (PARTITION BY event_type) AS n
+      |       FROM g),
+      |med AS (SELECT event_type, min(vu) AS med_u, max(n) AS n
+      |        FROM cm WHERE cum * 2 >= n GROUP BY 1),
+      |ad AS (SELECT g.event_type, abs(vu - med_u) AS au,
+      |              CAST(sum(c) AS BIGINT) AS c
+      |       FROM g JOIN med ON med.event_type = g.event_type
+      |       GROUP BY 1, 2),
+      |cm2 AS (SELECT event_type, au, c,
+      |               sum(c) OVER (PARTITION BY event_type ORDER BY au
+      |                 ROWS UNBOUNDED PRECEDING) AS cum,
+      |               sum(c) OVER (PARTITION BY event_type) AS n
+      |        FROM ad),
+      |mad AS (SELECT event_type, min(au) AS mad_u
+      |        FROM cm2 WHERE cum * 2 >= n GROUP BY 1)
+      |SELECT ad.event_type, CAST(max(med.n) AS BIGINT) AS n,
+      |       CAST(max(med_u) AS BIGINT) AS med_u,
+      |       CAST(max(mad_u) AS BIGINT) AS mad_u,
+      |       CAST(sum(CASE WHEN au * 10000 > mad_u * 44478 THEN c
+      |                     ELSE 0 END) AS BIGINT) AS n_outliers,
+      |       CAST(sum(CASE WHEN au * 10000 > mad_u * 44478 THEN c
+      |                     ELSE 0 END) * 1000000 // max(med.n) AS BIGINT)
+      |         AS outlier_ppm
+      |FROM ad JOIN med ON med.event_type = ad.event_type
+      |        JOIN mad ON mad.event_type = ad.event_type
+      |GROUP BY 1""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val byType = Window.partitionBy("event_type")
+    val g = events(s, d)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").as("vu"))
+      .groupBy("event_type", "vu").agg(count(lit(1)).as("c"))
+    val cm = g
+      .withColumn("cum", sum("c").over(byType.orderBy("vu")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("c").over(byType))
+    val med = cm.filter(col("cum") * 2 >= col("n"))
+      .groupBy("event_type").agg(min("vu").as("med_u"), max("n").as("n"))
+    val ad = g.join(med, "event_type")
+      .groupBy(col("event_type"), abs(col("vu") - col("med_u")).as("au"))
+      .agg(sum("c").as("c"))
+    val cm2 = ad
+      .withColumn("cum", sum("c").over(byType.orderBy("au")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("c").over(byType))
+    val mad = cm2.filter(col("cum") * 2 >= col("n"))
+      .groupBy("event_type").agg(min("au").as("mad_u"))
+    ad.join(med, "event_type").join(mad, "event_type")
+      .groupBy("event_type")
+      .agg(max("n").as("n"), max("med_u").as("med_u"),
+        max("mad_u").as("mad_u"),
+        sum(when(col("au") * 10000 > col("mad_u") * 44478, col("c"))
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("n"), col("med_u"), col("mad_u"),
+        col("n_outliers"),
+        expr("n_outliers * 1000000 div n").as("outlier_ppm"))
+  }
+
   /** Approximate quantiles with a quantitative error bound, same
     * pattern as the HLL entry: the sketch value itself can't
     * hash-match (KLL/GK internals differ by engine), so the entry

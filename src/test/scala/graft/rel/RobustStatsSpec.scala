@@ -254,4 +254,23 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("hhi_ppm") == 1000000L)
     assert(r.getAs[Long]("eff_users_ppm") == 1000000L)
   }
+
+  test("la_mad_outliers: lower median/MAD on the grid, Hampel gate; " +
+      "the >50%-constant degeneracy flags every deviation") {
+    // type a: {1,1,1,1,100} -> med=1, MAD=0 (degenerate): only the
+    // 100 deviates -> 1 outlier. type b: {1..9} -> med=5, MAD=2
+    // (lower median of {0,1,1,2,2,3,3,4,4}); max deviation 4 <
+    // 4.4478*2 -> none flagged.
+    val rows = Seq.fill(4)(1.0) ++ Seq(100.0)
+    val dir = eventsDir(
+      rows.zipWithIndex.map { case (v, i) =>
+        (i.toLong, base + i * day, 1L, "a", v) } ++
+      (1 to 9).map(i => (10L + i, base + i * day, 1L, "b", i.toDouble)))
+    val out = run("la_mad_outliers", dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("med_u"),
+          r.getAs[Long]("mad_u"), r.getAs[Long]("n_outliers")))).toMap
+    assert(out("a") == ((5L, 10000L, 0L, 1L)))
+    assert(out("b") == ((9L, 50000L, 20000L, 0L)))
+  }
 }
