@@ -126,7 +126,10 @@ object Bench {
     // projection
     "t_lm_memgap", "sim_kcenter",
     // robust outlier audit: one corpus grid aggregate, grid windows
-    "la_mad_outliers")
+    "la_mad_outliers",
+    // binary-quantization tier: map-only bit packing + popcount(xor)
+    // top-k, and its honest recall audit vs exact cosine
+    "sim_binary_topk", "sim_binary_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -339,6 +342,7 @@ object Bench {
       "t_seqlen_curve" -> "documents", "t_fertility" -> "documents",
       "sim_proto_prune" -> "embeddings",
       "sim_kcenter" -> "embeddings",
+      "sim_binary_topk" -> "embeddings",
       "sim_dbscan_pinned16" -> "embeddings")
     // the dev-only SPARK_GRAFT_BENCH_ONLY subset applies here too —
     // before r10 a 5-query dev iteration still paid the full ~20-min

@@ -2648,6 +2648,93 @@ object PipelineQueries extends QueryRegistry {
     Similarity.bruteForceTopK(all.filter(col("vec_id") < 20), all, k = 5)
   }
 
+  /** Shared CTE: sign-bit codes as two 32-bit halves (see
+    * Similarity.signBitCodes — bit 63 would overflow DuckDB's checked
+    * BIGINT shift, so dims 1–32 / 33–64 pack separately).
+    */
+  private val binaryCodesSql =
+    """codes AS (
+      |  SELECT vec_id,
+      |    CAST(sum(CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+      |          THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END) AS BIGINT)
+      |      AS lo,
+      |    CAST(sum(CASE WHEN CAST(embedding[i + 32] AS DOUBLE) > 0
+      |          THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END) AS BIGINT)
+      |      AS hi
+      |  FROM embeddings, unnest(generate_series(1, 32)) AS t(i)
+      |  GROUP BY 1)""".stripMargin
+
+  // Binary-quantized (sign-bit) Hamming top-k — the 256x-compressed
+  // retrieval tier below int8/PQ: codes are map-only bit packing, the
+  // distance is popcount(xor) per 32-bit half. Same query set and
+  // rank convention as sim_cosine_topk.
+  q("sim_binary_topk",
+    s"""WITH $binaryCodesSql,
+      |s AS (SELECT q.vec_id AS query_id, cd.vec_id AS cand_id,
+      |        bit_count(xor(q.lo, cd.lo)) + bit_count(xor(q.hi, cd.hi))
+      |          AS hamming
+      |      FROM codes q JOIN codes cd ON q.vec_id <> cd.vec_id
+      |      WHERE q.vec_id < 20),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY hamming, cand_id) AS rank FROM s)
+      |SELECT CAST(query_id AS BIGINT) AS query_id,
+      |       CAST(cand_id AS BIGINT) AS cand_id,
+      |       CAST(hamming AS INT) AS hamming, CAST(rank AS INT) AS rank
+      |FROM r WHERE rank <= 5""") { (s, d) =>
+    val all = embs(s, d)
+    Similarity.hammingTopK(all.filter(col("vec_id") < 20), all, k = 5)
+  }
+
+  // Recall of the binary tier against exact cosine top-5 — the honest
+  // "what does 256x compression cost" row next to the storage win
+  // (the dd_minhash_recall pattern for the binary codes).
+  q("sim_binary_recall",
+    s"""WITH $binaryCodesSql,
+      |s AS (SELECT q.vec_id AS query_id, cd.vec_id AS cand_id,
+      |        bit_count(xor(q.lo, cd.lo)) + bit_count(xor(q.hi, cd.hi))
+      |          AS hamming
+      |      FROM codes q JOIN codes cd ON q.vec_id <> cd.vec_id
+      |      WHERE q.vec_id < 20),
+      |h AS (SELECT query_id, cand_id FROM (
+      |        SELECT *, row_number() OVER (PARTITION BY query_id
+      |          ORDER BY hamming, cand_id) AS rank FROM s) t
+      |      WHERE rank <= 5),
+      |cs AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                CAST(c.embedding AS DOUBLE[]))
+      |           AS cos_raw
+      |       FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      |       WHERE q.vec_id < 20),
+      |cx AS (SELECT query_id, cand_id FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY query_id
+      |           ORDER BY cos_raw DESC, cand_id) AS rank FROM cs) t
+      |       WHERE rank <= 5),
+      |o AS (SELECT h.query_id, CAST(count(*) AS BIGINT) AS ov
+      |      FROM h JOIN cx ON cx.query_id = h.query_id
+      |                    AND cx.cand_id = h.cand_id
+      |      GROUP BY 1),
+      |qq AS (SELECT DISTINCT query_id FROM h)
+      |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+      |       CAST(sum(coalesce(ov, 0)) AS BIGINT) AS n_overlap,
+      |       CAST(sum(coalesce(ov, 0)) * 1000000 // (count(*) * 5)
+      |         AS BIGINT) AS recall_ppm
+      |FROM qq LEFT JOIN o ON o.query_id = qq.query_id""") { (s, d) =>
+    val all = embs(s, d)
+    val qs = all.filter(col("vec_id") < 20)
+    val ham = Similarity.hammingTopK(qs, all, k = 5)
+      .select(col("query_id"), col("cand_id"))
+    val cos = Similarity.bruteForceTopK(qs, all, k = 5)
+      .select(col("query_id"), col("cand_id"))
+    val o = ham.join(cos, Seq("query_id", "cand_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("ov"))
+    ham.select("query_id").distinct()
+      .join(o, Seq("query_id"), "left")
+      .na.fill(0L, Seq("ov"))
+      .agg(count(lit(1)).as("n_queries"), sum("ov").as("n_overlap"))
+      .select(col("n_queries"), col("n_overlap"),
+        expr("n_overlap * 1000000 div (n_queries * 5)").as("recall_ppm"))
+  }
+
   // Per-label centroid vectors in long format — the IVF coarse-quantizer
   // building block, relational so DuckDB reproduces it element-wise.
   q("sim_label_centroids",

@@ -982,6 +982,49 @@ object Similarity {
         col("min_s_ppm"), col("max_s_ppm"))
   }
 
+  /** 1-bit (sign) binary quantization codes: dims=64 floats pack into
+    * TWO 32-bit halves (lo = dims 1–32, hi = 33–64) — 64-bit codes
+    * would put dim 64 on bit 63, where `1 << 63` overflows signed
+    * BIGINT and DuckDB's checked arithmetic errors; two halves keep
+    * every shift ≤ 31 on both engines. 256× smaller than float32
+    * vectors; Hamming distance = popcount(xor) per half — the
+    * binary-quantization storage tier below int8/PQ.
+    */
+  private def signBitCodes(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      .select(col("vec_id"),
+        expr("aggregate(transform(sequence(1, 32), i -> " +
+          "IF(element_at(e, i) > CAST(0 AS DOUBLE), " +
+          "shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT))), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x)").as("lo"),
+        expr("aggregate(transform(sequence(1, 32), i -> " +
+          "IF(element_at(e, i + 32) > CAST(0 AS DOUBLE), " +
+          "shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT))), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x)").as("hi"))
+
+  /** Hamming top-k over the sign-bit codes: the query side broadcasts
+    * (bounded query set), candidates stay map-local, the per-query
+    * rank is a WindowGroupLimit — the brute cosine entry's plan shape
+    * at 1/256th the bytes per comparison. Codes are map-only column
+    * algebra (codegen'd aggregate/shift — no UDF).
+    */
+  def hammingTopK(queries: DataFrame, corpus: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = signBitCodes(queries).select(col("vec_id").as("query_id"),
+      col("lo").as("qlo"), col("hi").as("qhi"))
+    val c = signBitCodes(corpus).select(col("vec_id").as("cand_id"),
+      col("lo").as("clo"), col("hi").as("chi"))
+    c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        expr("bit_count(qlo ^ clo) + bit_count(qhi ^ chi)").as("hamming"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("hamming"), col("cand_id"))))
+      .filter(col("rank") <= k)
+  }
+
   /** Greedy k-center coreset selection (Gonzalez 1985; the coverage
     * objective behind core-set active learning, Sener & Savarese
     * 2018): start from the lowest vec_id and repeatedly add the vector

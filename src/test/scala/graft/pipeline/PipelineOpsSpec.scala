@@ -1794,6 +1794,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hammingTopK: sign flips count per dimension across BOTH " +
+      "32-bit halves; rank follows flip count") {
+    import spark.implicits._
+    val ones = Seq.fill(64)(1f)
+    def flip(dims: Int*) =
+      dims.foldLeft(ones)((v, d) => v.updated(d - 1, -1f))
+    val df = Seq(
+        (0L, ones), (1L, flip(5)), (2L, flip(1, 2, 64)),
+        (3L, flip(64)), (4L, ones.map(-_)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.hammingTopK(df.filter($"vec_id" === 0L), df, 4)
+      .collect().map(r => r.getAs[Int]("rank") ->
+        ((r.getAs[Long]("cand_id"), r.getAs[Int]("hamming")))).toMap
+    // flips: 1 -> 1, 3 (dim 64 = hi half) -> 1 tie broken by id,
+    // 2 -> 3 (dims 1, 2 in lo + 64 in hi), 4 -> 64
+    assert(out(1) == ((1L, 1)))
+    assert(out(2) == ((3L, 1)))
+    assert(out(3) == ((2L, 3)))
+    assert(out(4) == ((4L, 64)))
+  }
+
   test("kCenterSelect: greedy picks the farthest-from-selected point " +
       "each step, distance ties to the lower vec_id") {
     import spark.implicits._
