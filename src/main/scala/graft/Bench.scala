@@ -129,7 +129,9 @@ object Bench {
     "la_mad_outliers",
     // binary-quantization tier: map-only bit packing + popcount(xor)
     // top-k, and its honest recall audit vs exact cosine
-    "sim_binary_topk", "sim_binary_recall")
+    "sim_binary_topk", "sim_binary_recall",
+    // CCNet terciles: the heldout-LM parent pass + grid cutoffs
+    "t_ccnet_buckets")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -339,6 +341,7 @@ object Bench {
       // two map-only curves
       "dd_lsh_plan_capped" -> "documents",
       "t_domain_reweight" -> "documents", "t_lm_memgap" -> "documents",
+      "t_ccnet_buckets" -> "documents",
       "t_seqlen_curve" -> "documents", "t_fertility" -> "documents",
       "sim_proto_prune" -> "embeddings",
       "sim_kcenter" -> "embeddings",

@@ -3970,6 +3970,85 @@ object PipelineQueries extends QueryRegistry {
       Sampling.hashBucket("doc_id") % 2 === 0)
   }
 
+  /** CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3): the
+    * scored half partitions into terciles of the held-out LM score —
+    * head = most reference-like (highest µ-predictability), tail =
+    * least; the standard "train on head+middle, inspect tail"
+    * quality split. Cutoffs are LOWER-tercile rules on the exact
+    * integer score grid (smallest lm_u whose cumulative count covers
+    * n/3 resp. 2n/3 — the la_mad_outliers convention, no interpolated
+    * percentile, no ulp knife edge); bucket = head iff lm_u ≥ c2,
+    * middle iff ≥ c1, else tail.
+    *
+    * Scale shape: the parent LM pass builds per-doc scores ONCE
+    * (eagerly checkpointed — the grid and the bucket join both read
+    * it); the cutoffs derive from the (lm_u) VALUE GRID (cum window
+    * state = distinct scores, never docs) and broadcast back; output
+    * is ≤3 rows at any corpus size.
+    */
+  q("t_ccnet_buckets",
+    """WITH toks AS (SELECT doc_id,
+      |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |           AS UBIGINT) % 100 % 2 = 0 AS is_ref,
+      |         string_split(text, ' ') AS t
+      |       FROM documents
+      |       WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+      |big AS (SELECT doc_id, is_ref, t[i] AS w1, t[i + 1] AS w2
+      |        FROM toks CROSS JOIN unnest(generate_series(1, len(t) - 1)) AS u(i)),
+      |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      |        FROM big WHERE is_ref GROUP BY 1, 2),
+      |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+      |       FROM big WHERE is_ref GROUP BY 1),
+      |v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) + 1 AS v
+      |      FROM big WHERE is_ref),
+      |sc AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |         CAST(sum(((coalesce(c12.c12, 0) + 1) * 1000000) //
+      |                  (coalesce(c1.c1, 0) + v.v)) // count(*)
+      |           AS BIGINT) AS lm_u
+      |       FROM big b LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+      |                  LEFT JOIN c1 ON b.w1 = c1.w1
+      |                  CROSS JOIN v
+      |       WHERE NOT b.is_ref GROUP BY 1),
+      |g AS (SELECT lm_u, CAST(count(*) AS BIGINT) AS c FROM sc GROUP BY 1),
+      |cm AS (SELECT lm_u, c,
+      |              sum(c) OVER (ORDER BY lm_u ROWS UNBOUNDED PRECEDING)
+      |                AS cum,
+      |              sum(c) OVER () AS n
+      |       FROM g),
+      |cuts AS (SELECT min(CASE WHEN cum * 3 >= n THEN lm_u END) AS cut1,
+      |                min(CASE WHEN cum * 3 >= n * 2 THEN lm_u END) AS cut2
+      |         FROM cm),
+      |bk AS (SELECT CASE WHEN lm_u >= cut2 THEN 'head'
+      |                   WHEN lm_u >= cut1 THEN 'middle'
+      |                   ELSE 'tail' END AS bucket,
+      |              n_bigrams, lm_u
+      |       FROM sc CROSS JOIN cuts)
+      |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+      |       CAST(min(lm_u) AS BIGINT) AS min_lm_u,
+      |       CAST(max(lm_u) AS BIGINT) AS max_lm_u
+      |FROM bk GROUP BY 1""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val sc = TextAnalysis.heldoutBigramLm(docs(s, d),
+        Sampling.hashBucket("doc_id") % 2 === 0)
+      .localCheckpoint(true)
+    val cm = sc.groupBy("lm_u").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(Window.orderBy("lm_u")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("c").over(Window.partitionBy()))
+    val cuts = cm.agg(
+      min(when(col("cum") * 3 >= col("n"), col("lm_u"))).as("cut1"),
+      min(when(col("cum") * 3 >= col("n") * 2, col("lm_u"))).as("cut2"))
+    sc.crossJoin(broadcast(cuts))
+      .select(when(col("lm_u") >= col("cut2"), "head")
+        .when(col("lm_u") >= col("cut1"), "middle")
+        .otherwise("tail").as("bucket"),
+        col("n_bigrams"), col("lm_u"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_bigrams").as("n_bigrams"),
+        min("lm_u").as("min_lm_u"), max("lm_u").as("max_lm_u"))
+  }
+
   /** LM memorization-gap audit: per scored doc, the difference between
     * its SELF-trained predictability (`t_bigram_lm`'s model — trained
     * on the whole corpus, the doc included) and its HELD-OUT

@@ -109,6 +109,55 @@ class MixPlanningSpec extends AnyFunSuite {
     assert(st == batch)
   }
 
+  test("t_ccnet_buckets: lower-tercile cutoffs replayed independently; " +
+      "junk lands in tail, the reference-like doc in head") {
+    import spark.implicits._
+    val buckets = (0L until 64L).toDF("doc_id")
+      .select(col("doc_id"),
+        (Sampling.hashBucket("doc_id") % 2 === 0).as("is_ref"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val refIds = (0L until 64L).filter(buckets).take(6)
+    val oddIds = (0L until 64L).filterNot(buckets).take(6)
+    val normal = "n0 n1 n2 n3 n4"
+    // scored docs mix ref-known and OOV bigrams in varying shares so
+    // the six scores spread
+    val scoredTexts = Seq(normal, "n0 n1 n2 n3 j0", "n0 n1 n2 j0 j1",
+      "n0 n1 j0 j1 j2", "n0 j0 j1 j2 j3", "j0 j1 j2 j3 j4")
+    val dir = writeDocs(refIds.map(id => (id, normal, "en")) ++
+      oddIds.zip(scoredTexts).map { case (id, t) => (id, t, "en") })
+    // independent replay of the tercile rule over the REAL scores
+    val sc = graft.text.TextAnalysis.heldoutBigramLm(
+        graft.io.Tables.load(spark, dir, "documents"),
+        Sampling.hashBucket("doc_id") % 2 === 0)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_bigrams"), r.getAs[Long]("lm_u")))
+    val sorted = sc.map(_._3).sorted
+    val n = sorted.length
+    def cut(num: Int) = sorted(
+      sorted.indices.find(i => (i + 1) * 3 >= n * num).get)
+    val (c1, c2) = (cut(1), cut(2))
+    def bucketOf(u: Long) =
+      if (u >= c2) "head" else if (u >= c1) "middle" else "tail"
+    val expected = sc.groupBy(t => bucketOf(t._3)).map { case (b, xs) =>
+      b -> ((xs.length.toLong, xs.map(_._2).sum, xs.map(_._3).min,
+        xs.map(_._3).max))
+    }
+    val out = PipelineQueries.queries("t_ccnet_buckets")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == expected)
+    // the ref-identical doc carries the maximum score -> head. (No
+    // claim about WHICH junk mix lands lowest: add-1 smoothing scores
+    // an all-OOV bigram 1e6/V, HIGHER than a known-start unseen
+    // transition's 1e6/(c1+V) — the ordering is about denominators,
+    // not junk share.)
+    val byId = sc.map(t => t._1 -> t._3).toMap
+    assert(byId(oddIds.head) == sorted.last)
+    assert(bucketOf(byId(oddIds.head)) == "head")
+    // buckets are ordered by construction AND non-degenerate here
+    assert(expected.keySet == Set("head", "middle", "tail"))
+  }
+
   test("t_lm_memgap: a junk clone cluster in the scored half carries a " +
       "larger self-vs-heldout gap than a genuinely regular doc") {
     import spark.implicits._
