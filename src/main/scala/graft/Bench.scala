@@ -130,8 +130,9 @@ object Bench {
     // binary-quantization tier: map-only bit packing + popcount(xor)
     // top-k, and its honest recall audit vs exact cosine
     "sim_binary_topk", "sim_binary_recall",
-    // CCNet terciles: the heldout-LM parent pass + grid cutoffs
-    "t_ccnet_buckets")
+    // CCNet terciles: the heldout-LM parent pass + grid cutoffs;
+    // Benford audit: one (type, digit) map-combined count
+    "t_ccnet_buckets", "dq_benford")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

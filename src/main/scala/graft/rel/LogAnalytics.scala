@@ -186,6 +186,81 @@ object LogAnalytics extends QueryRegistry {
         round(expr("percentile(vu, 0.95)") / 10000.0, 4).as("p95"))
   }
 
+  /** Benford first-digit audit (Newcomb 1881 / Benford 1938; the
+    * classic fabricated-numbers screen — organic multiplicative data
+    * leads with digit d at probability log₁₀(1+1/d), manufactured
+    * values don't): per event type, the observed first-significant-
+    * digit distribution of the ×10⁴ integer view vs the Benford
+    * expectation (the nine log₁₀ constants hardcoded in ppm — no
+    * engine log anywhere), plus a χ²-shaped divergence
+    * Σ (obs_ppm − exp_ppm)² div exp_ppm per type. The first digit
+    * comes from INTEGER-to-string truncation (identical formatting on
+    * both engines), never floor(log₁₀(v)) — which knife-edges at
+    * exact powers of ten.
+    *
+    * Scale shape: one map-combined (type, digit) count — ≤ 9 rows per
+    * type after the single exchange; the divergence is a per-type
+    * window over those 9 rows. Zeros carry no leading digit and are
+    * excluded (reported implicitly via n vs the type's row count
+    * elsewhere). The synthetic testdata is uniform, not Benford —
+    * the audit publishes the distance, it does not assert conformity.
+    */
+  q("dq_benford",
+    """WITH b AS (SELECT event_type,
+      |                  CAST(substr(CAST(CAST(floor(abs(value) * 10000
+      |                    + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+      |                    AS d
+      |           FROM events
+      |           WHERE CAST(floor(abs(value) * 10000 + 0.5) AS BIGINT)
+      |                 > 0),
+      |e AS (SELECT CAST(unnest([1,2,3,4,5,6,7,8,9]) AS INT) AS d,
+      |             CAST(unnest([301030, 176091, 124939, 96910, 79181,
+      |                          66947, 57992, 51153, 45757]) AS BIGINT)
+      |               AS exp_ppm),
+      |o AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS c
+      |      FROM b GROUP BY 1, 2),
+      |ty AS (SELECT DISTINCT event_type FROM o),
+      |g AS (SELECT ty.event_type, e.d, e.exp_ppm, coalesce(o.c, 0) AS c
+      |      FROM ty CROSS JOIN e
+      |      LEFT JOIN o ON o.event_type = ty.event_type AND o.d = e.d),
+      |p AS (SELECT event_type, d, c, exp_ppm,
+      |             CAST(c * 1000000 //
+      |               sum(c) OVER (PARTITION BY event_type) AS BIGINT)
+      |               AS obs_ppm
+      |      FROM g)
+      |SELECT event_type, d, CAST(c AS BIGINT) AS n_obs, obs_ppm, exp_ppm,
+      |       CAST(sum((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)
+      |              // exp_ppm) OVER (PARTITION BY event_type)
+      |         AS BIGINT) AS benford_div_u
+      |FROM p""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val exp = s.range(0, 1).select(explode(array(
+        Seq((1, 301030L), (2, 176091L), (3, 124939L), (4, 96910L),
+          (5, 79181L), (6, 66947L), (7, 57992L), (8, 51153L),
+          (9, 45757L)).map { case (dg, p) =>
+          struct(lit(dg).as("d"), lit(p).as("exp_ppm")) }: _*)).as("x"))
+      .select(col("x.d").as("d"), col("x.exp_ppm").as("exp_ppm"))
+    val o = events(s, d)
+      .select(col("event_type"),
+        expr("CAST(floor(abs(value) * 10000 + 0.5) AS BIGINT)").as("vu"))
+      .filter(col("vu") > 0)
+      .select(col("event_type"),
+        substring(col("vu").cast("string"), 1, 1).cast("int").as("d"))
+      .groupBy("event_type", "d").agg(count(lit(1)).as("c"))
+    val ty = o.select("event_type").distinct()
+    val byType = Window.partitionBy("event_type")
+    ty.crossJoin(broadcast(exp))
+      .join(o, Seq("event_type", "d"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("obs_ppm",
+        expr("c * 1000000 div sum(c) over (partition by event_type)"))
+      .select(col("event_type"), col("d"), col("c").as("n_obs"),
+        col("obs_ppm"), col("exp_ppm"))
+      .withColumn("benford_div_u",
+        sum(expr("(obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) div exp_ppm"))
+          .over(byType))
+  }
+
   /** Robust outlier audit via median/MAD (Hampel's rule, |x − med| >
     * 3·1.4826·MAD — the robust alternative to z-scores that a single
     * extreme value cannot poison, since median and MAD both have 50%

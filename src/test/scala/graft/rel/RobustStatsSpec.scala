@@ -255,6 +255,33 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("eff_users_ppm") == 1000000L)
   }
 
+  test("dq_benford: integer-string first digits, zeros excluded, " +
+      "divergence replayed for an all-ones type") {
+    // type a: every value leads with digit 1 (0.0001 -> vu=1,
+    // 1.5 -> 15000, 19999 stays digit 1); zero excluded. type b:
+    // digits 2 and 9.
+    val dir = eventsDir(Seq(
+      (0L, base, 1L, "a", 0.0001), (1L, base + 1, 1L, "a", 1.5),
+      (2L, base + 2, 1L, "a", 19999.0), (3L, base + 3, 1L, "a", 0.0),
+      (4L, base + 4, 1L, "b", 0.0025), (5L, base + 5, 1L, "b", 900.0)))
+    val out = run("dq_benford", dir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Int]("d")) ->
+        ((r.getAs[Long]("n_obs"), r.getAs[Long]("obs_ppm"),
+          r.getAs[Long]("benford_div_u")))).toMap
+    assert(out.size == 18) // 2 types x 9 digits, zero row dropped
+    val exp = Map(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L,
+      8 -> 51153L, 9 -> 45757L)
+    assert(out(("a", 1))._1 == 3L && out(("a", 1))._2 == 1000000L)
+    assert(out(("a", 2))._1 == 0L)
+    assert(out(("b", 2))._1 == 1L && out(("b", 2))._2 == 500000L)
+    assert(out(("b", 9))._1 == 1L)
+    // all-mass-on-1 divergence: (1e6-e1)^2 div e1 + sum of the rest
+    val expectedDiv = (1000000L - exp(1)) * (1000000L - exp(1)) / exp(1) +
+      (2 to 9).map(exp(_)).sum
+    assert(out(("a", 1))._3 == expectedDiv)
+  }
+
   test("la_mad_outliers: lower median/MAD on the grid, Hampel gate; " +
       "the >50%-constant degeneracy flags every deviation") {
     // type a: {1,1,1,1,100} -> med=1, MAD=0 (degenerate): only the
