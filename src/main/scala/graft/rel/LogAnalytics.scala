@@ -205,7 +205,10 @@ object LogAnalytics extends QueryRegistry {
     * elsewhere). The synthetic testdata is uniform, not Benford —
     * the audit publishes the distance, it does not assert conformity.
     */
-  q("dq_benford",
+  /** Shared oracle for `dq_benford` and its streaming twin
+    * `st_benford` — one definition, the twins cannot drift.
+    */
+  val benfordSql: String =
     """WITH b AS (SELECT event_type,
       |                  CAST(substr(CAST(CAST(floor(abs(value) * 10000
       |                    + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS INT)
@@ -232,21 +235,28 @@ object LogAnalytics extends QueryRegistry {
       |       CAST(sum((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)
       |              // exp_ppm) OVER (PARTITION BY event_type)
       |         AS BIGINT) AS benford_div_u
-      |FROM p""") { (s, d) =>
+      |FROM p""".stripMargin
+
+  /** First-significant-digit column of the ×10⁴ integer view (shared
+    * by the batch entry and the streaming twin's map stage).
+    */
+  def benfordDigit: org.apache.spark.sql.Column =
+    substring(expr("CAST(floor(abs(value) * 10000 + 0.5) AS BIGINT)")
+      .cast("string"), 1, 1).cast("int")
+
+  /** The post-count Benford math shared by `dq_benford` and
+    * `st_benford`: takes the (event_type, d, c) observed-digit counts
+    * (types×9-bounded — the streaming twin's complete-mode state) and
+    * joins the hardcoded expectation + the divergence window.
+    */
+  def benfordRollup(o: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val exp = s.range(0, 1).select(explode(array(
+    val exp = o.sparkSession.range(0, 1).select(explode(array(
         Seq((1, 301030L), (2, 176091L), (3, 124939L), (4, 96910L),
           (5, 79181L), (6, 66947L), (7, 57992L), (8, 51153L),
           (9, 45757L)).map { case (dg, p) =>
           struct(lit(dg).as("d"), lit(p).as("exp_ppm")) }: _*)).as("x"))
       .select(col("x.d").as("d"), col("x.exp_ppm").as("exp_ppm"))
-    val o = events(s, d)
-      .select(col("event_type"),
-        expr("CAST(floor(abs(value) * 10000 + 0.5) AS BIGINT)").as("vu"))
-      .filter(col("vu") > 0)
-      .select(col("event_type"),
-        substring(col("vu").cast("string"), 1, 1).cast("int").as("d"))
-      .groupBy("event_type", "d").agg(count(lit(1)).as("c"))
     val ty = o.select("event_type").distinct()
     val byType = Window.partitionBy("event_type")
     ty.crossJoin(broadcast(exp))
@@ -259,6 +269,13 @@ object LogAnalytics extends QueryRegistry {
       .withColumn("benford_div_u",
         sum(expr("(obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) div exp_ppm"))
           .over(byType))
+  }
+
+  q("dq_benford", benfordSql) { (s, d) =>
+    benfordRollup(events(s, d)
+      .filter(expr("CAST(floor(abs(value) * 10000 + 0.5) AS BIGINT) > 0"))
+      .select(col("event_type"), benfordDigit.as("d"))
+      .groupBy("event_type", "d").agg(count(lit(1)).as("c")))
   }
 
   /** Robust outlier audit via median/MAD (Hampel's rule, |x − med| >

@@ -844,6 +844,30 @@ object StreamQueries extends QueryRegistry {
           .as("n_drifted_dims"))
   }
 
+  /** Streaming Benford monitor — the streaming twin of `dq_benford`
+    * (oracle + post-count math shared via `LogAnalytics.benfordSql` /
+    * `benfordRollup`, so the twins cannot drift): the live
+    * fabricated-feed screen next to the DQ monitors. Digit extraction
+    * is map-local integer-to-string truncation; the stream carries ONE
+    * complete-mode (type, digit) count — state ≤ types×9 rows, STRICTLY
+    * bounded and invariant to micro-batch slicing (counts commute);
+    * the expectation join + divergence window run as a batch post-pass
+    * over the bounded sink snapshot.
+    */
+  q("st_benford", graft.rel.LogAnalytics.benfordSql) { (s, d) =>
+    val o = eventStream(s, d)
+      .filter(expr("CAST(floor(abs(value) * 10000 + 0.5) AS BIGINT) > 0"))
+      .select(col("event_type"),
+        graft.rel.LogAnalytics.benfordDigit.as("d"))
+      .groupBy("event_type", "d").agg(count(lit(1)).as("c"))
+    val sink = runToCompletion(o, "complete")
+    import s.implicits._
+    val snap = sink.collect().toSeq
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .toDF("event_type", "d", "c")
+    graft.rel.LogAnalytics.benfordRollup(snap)
+  }
+
   /** Streaming domain-reweight monitor — the streaming twin of
     * `t_domain_reweight` (oracle + downstream math shared via
     * `PipelineQueries.domainReweightSql` / `domainReweightFromCounts`,

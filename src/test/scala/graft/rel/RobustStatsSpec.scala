@@ -282,6 +282,19 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(out(("a", 1))._3 == expectedDiv)
   }
 
+  test("st_benford: streaming replay equals the batch audit row for row") {
+    val dir = eventsDir(Seq(
+      (0L, base, 1L, "a", 0.0001), (1L, base + 1, 1L, "a", 1.5),
+      (2L, base + 2, 1L, "a", 19999.0), (3L, base + 3, 1L, "a", 0.0),
+      (4L, base + 4, 1L, "b", 0.0025), (5L, base + 5, 1L, "b", 900.0)))
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getInt(1)) -> r.toSeq.drop(2)).toMap
+    val st = asMap(graft.streaming.StreamQueries
+      .queries("st_benford")(spark, dir).collect())
+    val batch = asMap(run("dq_benford", dir).collect())
+    assert(st == batch && st.size == 18)
+  }
+
   test("la_mad_outliers: lower median/MAD on the grid, Hampel gate; " +
       "the >50%-constant degeneracy flags every deviation") {
     // type a: {1,1,1,1,100} -> med=1, MAD=0 (degenerate): only the
