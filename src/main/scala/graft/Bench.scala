@@ -132,7 +132,9 @@ object Bench {
     "sim_binary_topk", "sim_binary_recall",
     // CCNet terciles: the heldout-LM parent pass + grid cutoffs;
     // Benford audit: one (type, digit) map-combined count
-    "t_ccnet_buckets", "dq_benford")
+    "t_ccnet_buckets", "dq_benford",
+    // PQ distortion audit: map-only scoring + one m-row aggregate
+    "sim_pq_distortion")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

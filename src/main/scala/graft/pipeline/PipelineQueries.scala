@@ -3651,6 +3651,40 @@ object PipelineQueries extends QueryRegistry {
     Similarity.pqAdcTopK(cb, e.filter(col("vec_id") < 20), e, k = 5)
   }
 
+  // PQ distortion audit over the SAME replayed codebook: per subspace,
+  // mean/max squared error to the assigned codeword — the under-fitted-
+  // subspace readout (Jégou et al. 2011). The oracle reuses the
+  // assignment CTEs and keeps the r=1 row's d2.
+  q("sim_pq_distortion",
+    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |            FROM embeddings),
+      |ctr0 AS (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, e
+      |         FROM emb ORDER BY h LIMIT 16),
+      |ctr AS (SELECT row_number() OVER (ORDER BY h) - 1 AS c, e AS ce
+      |        FROM ctr0),
+      |asg AS (
+      |  SELECT v.vec_id, s.s, c.c,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(1, 9), i ->
+      |        (v.e[CAST(s.s * 8 + i AS INT)] - c.ce[CAST(s.s * 8 + i AS INT)]) *
+      |        (v.e[CAST(s.s * 8 + i AS INT)] - c.ce[CAST(s.s * 8 + i AS INT)]))),
+      |      (a, x) -> a + x) AS d2
+      |  FROM emb v
+      |  CROSS JOIN unnest(generate_series(0, 7)) AS s(s)
+      |  CROSS JOIN ctr c),
+      |best AS (SELECT vec_id, s, d2 FROM (
+      |    SELECT vec_id, s, d2,
+      |           row_number() OVER (PARTITION BY vec_id, s
+      |                              ORDER BY d2, c) AS r
+      |    FROM asg) t WHERE r = 1)
+      |SELECT CAST(s AS INT) AS s, CAST(count(*) AS BIGINT) AS n_vecs,
+      |       round(avg(d2), 6) AS mean_d2, round(max(d2), 6) AS max_d2
+      |FROM best GROUP BY s""") { (s, d) =>
+    val e = embs(s, d)
+    Similarity.pqDistortion(
+      Similarity.hashSampledPqCodebook(e, m = 8, ksub = 16), e)
+  }
+
   /** IVF-PQ top-k reproduced in DuckDB: both quantizers re-derived from
     * the table (the 16 smallest-md5 vectors serve as IVF centers AND,
     * sub-sliced, as the PQ codebook — the same hash-sampling the

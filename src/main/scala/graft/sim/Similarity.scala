@@ -615,6 +615,33 @@ object Similarity {
       codes
     }
 
+    /** Per-subspace minimum squared distance to the assigned codeword —
+      * the quantization error behind [[Similarity.pqDistortion]]. Same
+      * loop as [[encodeOne]] (strict-< keeps the ORDER BY d2, c tie
+      * rule), returning the error instead of the code.
+      */
+    private[sim] def quantizationError(e: Seq[Double]): Array[Double] = {
+      val errs = new Array[Double](m)
+      var s = 0
+      while (s < m) {
+        var best = Double.MaxValue
+        var c = 0
+        while (c < centers(s).length) {
+          val ctr = centers(s)(c)
+          var d2 = 0.0
+          var j = 0
+          while (j < dsub) {
+            val t = e(s * dsub + j) - ctr(j); d2 += t * t; j += 1
+          }
+          if (d2 < best) best = d2
+          c += 1
+        }
+        errs(s) = best
+        s += 1
+      }
+      errs
+    }
+
     /** Asymmetric (ADC) squared distance: raw query sub-vectors vs the
       * candidate's code centroids. Per-subspace d2 is a sequential
       * left fold over dims, accumulated subspace-ascending — exactly
@@ -659,6 +686,27 @@ object Similarity {
     val dsub = dims / m
     PqCodebook(dsub, Array.tabulate(m, sampled.length)((s, c) =>
       sampled(c).slice(s * dsub, (s + 1) * dsub)))
+  }
+
+  /** PQ codebook distortion audit: per subspace, the mean and max
+    * squared quantization error (distance from each vector's sub-slice
+    * to its ASSIGNED codeword) — the number that tells you which
+    * subspace's codebook is under-fitted BEFORE recall degrades
+    * downstream (Jégou et al. 2011 tune PQ by exactly this figure).
+    * Map-only scoring (codebook rides the task closure) + one m-row
+    * aggregate; means round to 1e-6 at SLICE level (m rows — the
+    * t_entropy argument), max is comparison-based and exact.
+    */
+  def pqDistortion(codebook: PqCodebook,
+      embeddings: DataFrame): DataFrame = {
+    val errs = udf { (e: Seq[Double]) => codebook.quantizationError(e) }
+    embeddings
+      .select(transform(col("embedding"), _.cast("double")).as("e"))
+      .select(posexplode(errs(col("e"))).as(Seq("s", "d2")))
+      .groupBy("s")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg("d2"), 6).as("mean_d2"),
+        round(max("d2"), 6).as("max_d2"))
   }
 
   /** PQ-encode a corpus: (vec_id, codes[m]). At scale this is the

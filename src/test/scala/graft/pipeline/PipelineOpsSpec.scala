@@ -1794,6 +1794,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pqDistortion: per-subspace error to the ASSIGNED (nearest) " +
+      "codeword, exact on planted geometry") {
+    import spark.implicits._
+    // m=2 subspaces of dsub=2; vector (1,1,5,5): subspace 0 assigns to
+    // (0,0) at d2=2 (not (10,10) at 162); subspace 1 assigns to (5,5)
+    // at d2=0
+    val cb = Similarity.PqCodebook(2, Array(
+      Array(Array(0.0, 0.0), Array(10.0, 10.0)),
+      Array(Array(0.0, 0.0), Array(5.0, 5.0))))
+    val df = Seq((0L, Seq(1f, 1f, 5f, 5f))).toDF("vec_id", "embedding")
+    val out = Similarity.pqDistortion(cb, df).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getAs[Double]("mean_d2"), r.getAs[Double]("max_d2")))).toMap
+    assert(out(0) == ((2.0, 2.0)))
+    assert(out(1) == ((0.0, 0.0)))
+  }
+
   test("hammingTopK: sign flips count per dimension across BOTH " +
       "32-bit halves; rank follows flip count") {
     import spark.implicits._
