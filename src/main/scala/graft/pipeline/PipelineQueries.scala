@@ -5314,7 +5314,10 @@ object PipelineQueries extends QueryRegistry {
     * then one map-combined aggregate to |L| rows. Zero corpus-keyed
     * shuffles at any scale.
     */
-  q("t_seqlen_curve",
+  /** Shared oracle for `t_seqlen_curve` and its streaming twin
+    * `st_seqlen_curve` — one definition, the twins cannot drift.
+    */
+  val seqlenCurveSql: String =
     """WITH n AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
       |           FROM documents),
       |c AS (SELECT n.n, l.max_len
@@ -5341,11 +5344,22 @@ object PipelineQueries extends QueryRegistry {
       |       CAST(total_tokens * 1000000 //
       |            (total_tokens + chunk_pad_tokens) AS BIGINT)
       |         AS chunk_util_ppm
-      |FROM a""") { (s, d) =>
-    val lens = s.range(0, 1).select(
+      |FROM a""".stripMargin
+
+  /** The per-candidate accounting shared by `t_seqlen_curve` and its
+    * streaming twin: takes any (batch OR streaming) docs-shaped frame,
+    * amplifies the per-doc token count ×|L| against the broadcast
+    * candidate table, and reduces map-combined to |L| rows of raw
+    * sums. The ppm derivations live in [[seqlenDerive]] so the
+    * streaming twin can run them as a post-pass (a streaming agg
+    * cannot chain a second projection-with-division safely inside
+    * complete mode restarts — and needn't: the sink IS the raw sums).
+    */
+  def seqlenSums(docsDf: DataFrame): DataFrame = {
+    val lens = docsDf.sparkSession.range(0, 1).select(
       explode(array(Seq(64L, 128L, 256L, 512L, 1024L).map(lit): _*))
         .as("max_len"))
-    docs(s, d)
+    docsDf
       .select(size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
       .crossJoin(broadcast(lens))
       .groupBy("max_len")
@@ -5358,12 +5372,19 @@ object PipelineQueries extends QueryRegistry {
         sum(expr("(n + max_len - 1) div max_len * max_len - n"))
           .as("chunk_pad_tokens"),
         sum(expr("(n + max_len - 1) div max_len")).as("n_chunks"))
-      .select(col("max_len"), col("n_docs"), col("total_tokens"),
-        col("docs_truncated"), col("kept_trunc"), col("lost_trunc"),
-        expr("kept_trunc * 1000000 div total_tokens").as("kept_trunc_ppm"),
-        col("chunk_pad_tokens"), col("n_chunks"),
-        expr("total_tokens * 1000000 div (total_tokens + chunk_pad_tokens)")
-          .as("chunk_util_ppm"))
+  }
+
+  /** ppm derivations over [[seqlenSums]]' |L|-row output. */
+  def seqlenDerive(sums: DataFrame): DataFrame =
+    sums.select(col("max_len"), col("n_docs"), col("total_tokens"),
+      col("docs_truncated"), col("kept_trunc"), col("lost_trunc"),
+      expr("kept_trunc * 1000000 div total_tokens").as("kept_trunc_ppm"),
+      col("chunk_pad_tokens"), col("n_chunks"),
+      expr("total_tokens * 1000000 div (total_tokens + chunk_pad_tokens)")
+        .as("chunk_util_ppm"))
+
+  q("t_seqlen_curve", seqlenCurveSql) { (s, d) =>
+    seqlenDerive(seqlenSums(docs(s, d)))
   }
 
   // Seeded stratified sampling (Spark-side reproducible only).

@@ -844,6 +844,24 @@ object StreamQueries extends QueryRegistry {
           .as("n_drifted_dims"))
   }
 
+  /** Streaming sequence-length planning curve — the twin of
+    * `t_seqlen_curve` (oracle + both math stages shared via
+    * `PipelineQueries.seqlenCurveSql`/`seqlenSums`/`seqlenDerive`):
+    * the live "is the incoming feed's length profile still compatible
+    * with the configured max_seq_len" readout. The stream-static
+    * broadcast cross join amplifies ONE per-doc LONG ×5 map-side, the
+    * complete-mode aggregate holds |L| = 5 rows of commuting integer
+    * sums — constant state, invariant to micro-batch slicing — and
+    * the ppm derivations run as a batch post-pass over the 5-row sink.
+    */
+  q("st_seqlen_curve", graft.pipeline.PipelineQueries.seqlenCurveSql) {
+    (s, d) =>
+    val sink = runToCompletion(
+      graft.pipeline.PipelineQueries.seqlenSums(docStream(s, d)),
+      "complete")
+    graft.pipeline.PipelineQueries.seqlenDerive(sink)
+  }
+
   /** Streaming Benford monitor — the streaming twin of `dq_benford`
     * (oracle + post-count math shared via `LogAnalytics.benfordSql` /
     * `benfordRollup`, so the twins cannot drift): the live

@@ -93,6 +93,21 @@ class MixPlanningSpec extends AnyFunSuite {
     assert(tot <= 1000000L && tot >= 1000000L - 2L)
   }
 
+  test("st_seqlen_curve: streaming replay equals the batch curve") {
+    val dir = writeDocs(Seq(
+      (0L, "w", "en"),
+      (1L, Seq.fill(64)("w").mkString(" "), "en"),
+      (2L, Seq.fill(65)("w").mkString(" "), "en"),
+      (3L, Seq.fill(200)("w").mkString(" "), "en")))
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val st = asMap(graft.streaming.StreamQueries
+      .queries("st_seqlen_curve")(spark, dir).collect())
+    val batch = asMap(PipelineQueries
+      .queries("t_seqlen_curve")(spark, dir).collect())
+    assert(st == batch && st.size == 5)
+  }
+
   test("st_domain_reweight: streaming replay equals the batch twin " +
       "(collision-free md5-u48 hashing at 4096 on the fixture)") {
     val dir = writeDocs(Seq(
