@@ -403,5 +403,5 @@ object Bench {
   // was JVM co-tenancy from the 14 added bench queries (JIT/code
   // cache/GC state shared across the run), not a code regression
   // (A/B n=3-min at sf0.1, 2026-08-13).
-  private val benchNotes = "r11 notes: (1) ATTRIBUTION CLOSED (see ATTRIBUTION_r11.md, raw JSONs target/attrib/, tools/bench_attrib.sh): every r10 >=1.5x round-over-round query rerun in fresh single-query JVMs at HEAD vs the r9 tip under identical conditions — la_bh_fdr/la_cuped/ts_theil_sen/ts_chow_test/dd_threshold_curve_capped/g_pagerank@sf1 are at parity or FASTER than r9 (the 2.4-2.5x bench inflation was 105-query 8-GiB shared-JVM co-tenancy, the r6 lesson at r10 scale); mm_frame_overlap/dd_threshold_curve/dd_minhash_recall/sim_ivf_probe_curve run 1.19-1.27x r9 isolated BY DESIGN — their r9 versions leaked session-lifetime persists that CacheManager silently reused across min-of-3 (r9 timed a warm cache no production call sees); a SPARK_GRAFT_KEEP_BLOCKS=1 A/B shows the between-query hygiene share is only 0.01-0.35s, the rest is the eliminated leak. Zero real regressions; the five r10 weak flags clear. (2) per-query COLD times now durable next to warm (cold_queries at sf0.1 + sf1) so accounting-vs-regression reads from the artifact alone. (3) sim_dbscan default moved to the curve-picked p=4 (r10 verdict #2) AND the corpus-sized nlist=ceil(sqrt(n)) quantizer — NOT comparable to r10's p=1/pinned-16 rows; sim_dbscan_p1 keeps the old probe point, sim_dbscan_pinned16 keeps the pinned quantizer as the measured quadratic-trap evidence (95.8s vs 15.9s at sf1), and sim_dbscan_p2/sim_dbscan_auto complete the curve. (4) g_suite_on_view now contains triangles + local clustering on the shared view (5 ops, 5th arm 'tri') — compare against the 5-op standalone sum, not r10's 4-op row. (5) late-r11: the suite's tri+lcc arms now share ONE corner enumeration, and the shared intermediate is the NODE-sized per-node corner-count table streamed straight out of the corner pass (a first cut checkpointed the raw triangle-sized (x,v,w) corner set, whose GB-scale blocks OOM'd the shared bench JVM's sf1 block — corner counts carry everything both consumers need, n_triangles = sum(t) div 3); AND triangleSummary/triangleCountFromOriented's session-lifetime persist leak is fixed, which RAISES g_triangles to its honest per-call cost (isolated sf0.1 2.6 -> 6.6s, sf1 10.9 -> 21.4s): the old min-of-3 was reusing the leaked cached oriented table across repetitions via CacheManager plan-dedup — the same leak->honest conversion ATTRIBUTION_r11.md documents for mm_frame_overlap et al. With honest triangles the 5-op suite beats the 5-op standalone sum at both scales (corner-set-cut evidence: 18.5/83.9s vs ~27/~93s; this artifact's own suite rows are the corner-count numbers). History: r10 bench-context absolutions documented in ATTRIBUTION_r11.md; r7's 5 suspect regressions absolved by r8 min-of-3; BENCH_r07 was a crashed-JVM artifact"
+  private val benchNotes = "r11 notes: (1) ATTRIBUTION CLOSED (see ATTRIBUTION_r11.md, raw JSONs target/attrib/, tools/bench_attrib.sh): every r10 >=1.5x round-over-round query rerun in fresh single-query JVMs at HEAD vs the r9 tip under identical conditions — la_bh_fdr/la_cuped/ts_theil_sen/ts_chow_test/dd_threshold_curve_capped/g_pagerank@sf1 are at parity or FASTER than r9 (the 2.4-2.5x bench inflation was 105-query 8-GiB shared-JVM co-tenancy, the r6 lesson at r10 scale); mm_frame_overlap/dd_threshold_curve/dd_minhash_recall/sim_ivf_probe_curve run 1.19-1.27x r9 isolated BY DESIGN — their r9 versions leaked session-lifetime persists that CacheManager silently reused across min-of-3 (r9 timed a warm cache no production call sees); a SPARK_GRAFT_KEEP_BLOCKS=1 A/B shows the between-query hygiene share is only 0.01-0.35s, the rest is the eliminated leak. Zero real regressions; the five r10 weak flags clear. (2) per-query COLD times now durable next to warm (cold_queries at sf0.1 + sf1) so accounting-vs-regression reads from the artifact alone. (3) sim_dbscan default moved to the curve-picked p=4 (r10 verdict #2) AND the corpus-sized nlist=ceil(sqrt(n)) quantizer — NOT comparable to r10's p=1/pinned-16 rows; sim_dbscan_p1 keeps the old probe point, sim_dbscan_pinned16 keeps the pinned quantizer as the measured quadratic-trap evidence (95.8s vs 15.9s at sf1), and sim_dbscan_p2/sim_dbscan_auto complete the curve. (4) g_suite_on_view now contains triangles + local clustering on the shared view (5 ops, 5th arm 'tri') — compare against the 5-op standalone sum, not r10's 4-op row. (5) late-r11: the suite's tri+lcc arms now share ONE corner enumeration, and the shared intermediate is the NODE-sized per-node corner-count table streamed straight out of the corner pass (a first cut checkpointed the raw triangle-sized (x,v,w) corner set, whose GB-scale blocks OOM'd the shared bench JVM's sf1 block — corner counts carry everything both consumers need, n_triangles = sum(t) div 3); AND triangleSummary/triangleCountFromOriented's session-lifetime persist leak is fixed, which RAISES g_triangles to its honest per-call cost (isolated sf0.1 2.6 -> 6.6s, sf1 10.9 -> 21.4s): the old min-of-3 was reusing the leaked cached oriented table across repetitions via CacheManager plan-dedup — the same leak->honest conversion ATTRIBUTION_r11.md documents for mm_frame_overlap et al. With honest triangles the 5-op suite beats the 5-op standalone sum at both scales (corner-set-cut evidence: 18.5/83.9s vs ~27/~93s; this artifact's own suite rows are the corner-count numbers). (6) the committed target/bench_full.json (129 sf0.1 + 48 sf1 rows, zero failures) was generated before the last late-r11 entries landed (sim_pq_distortion and the st_* twins, which are never benched) - the driver's BENCH_r11 run covers the full headline; isolated sf0.1 sanity for the stragglers: t_ccnet_buckets 1.04s, dq_benford 0.42s, sim_pq_distortion 0.34s. History: r10 bench-context absolutions documented in ATTRIBUTION_r11.md; r7's 5 suspect regressions absolved by r8 min-of-3; BENCH_r07 was a crashed-JVM artifact"
 }
