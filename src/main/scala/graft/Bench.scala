@@ -134,7 +134,23 @@ object Bench {
     // Benford audit: one (type, digit) map-combined count
     "t_ccnet_buckets", "dq_benford",
     // PQ distortion audit: map-only scoring + one m-row aggregate
-    "sim_pq_distortion")
+    "sim_pq_distortion",
+    // r12: two streaming twins (r11 verdict #7 — the st_ family had
+    // never appeared in a bench artifact, so AvailableNow micro-batch
+    // overhead was unmeasured; read each next to its batch twin:
+    // dd_incremental / sim_embed_drift)
+    "st_incremental_dedup", "st_embed_drift",
+    // r12: the hash-sampled recall audit (r11 verdict #4 — the first
+    // measured-recall entry with an executable path at ANY scale: the
+    // exact side runs on a deterministic md5-threshold sample, frac
+    // 1/4, so its pair volume is (n/4)² instead of n²) and the
+    // k-center coreset over the same sampled pool (r11 verdict #5 —
+    // the preselection arrangement the kCenterSelect docstring
+    // promises, exercised)
+    "sim_dbscan_sampled_recall", "sim_kcenter_sampled",
+    // the same md5-threshold lever applied to the dedup family's
+    // audit: exact truth AND LSH candidates both on the 50% sample (duplicate families are sparser than cosine neighbors)
+    "dd_minhash_recall_sampled")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -179,6 +195,48 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
 
+    // r12 (r11 verdict #6): round-over-round attribution baked into the
+    // artifact. The PREVIOUS committed artifact (if any) is read before
+    // the pending-write below clobbers it; every warm time is ratioed
+    // against its previous-round slot and the >=1.5x movers land in a
+    // "suspects" field — so each round's attribution pass starts from
+    // the artifact instead of a manual diff (ATTRIBUTION_r11 was
+    // manual). Parsing is a name:number scan of the known flat maps
+    // (no JSON library in the unmanaged classpath); sub-0.2s rows are
+    // excluded because shared-JVM co-tenancy alone moves them 2.4-2.5x
+    // (the r6/r10 lesson) — a sub-0.2s "regression" is never worth a
+    // fresh-JVM A/B.
+    def parseMap(json: String, from: Int): Map[String, Double] =
+      if (from < 0) Map.empty
+      else {
+        val start = json.indexOf("{", from)
+        val end = json.indexOf("}", start)
+        if (start < 0 || end < 0) Map.empty
+        else "\"([A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r
+          .findAllMatchIn(json.substring(start + 1, end))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    val (prev01, prevSf1): (Map[String, Double], Map[String, Double]) =
+      try {
+        val p = java.nio.file.Paths.get("target/bench_full.json")
+        if (java.nio.file.Files.exists(p)) {
+          val j = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          val sf1At = j.indexOf("\"sf1\":{")
+          (parseMap(j, j.indexOf("\"queries\":")),
+            if (sf1At < 0) Map.empty
+            else parseMap(j, j.indexOf("\"queries\":", sf1At)))
+        } else (Map.empty, Map.empty)
+      } catch { case _: Throwable => (Map.empty, Map.empty) }
+    def suspectRows(now: Seq[(String, Double)], prevM: Map[String, Double],
+        sf: String): Seq[String] =
+      now.flatMap { case (n, v) =>
+        prevM.get(n).collect {
+          case p if p > 0 && v >= 1.5 * p && v >= 0.2 =>
+            s"""{"name":"$n","sf":"$sf","prev":$p,"now":$v,"ratio":${
+              math.round(v / p * 100.0) / 100.0}}"""
+        }
+      }
+
     // r11 (r10 verdict #1): the cold pass records PER-QUERY times, not
     // just the total — round-over-round shifts were unattributable
     // ("honest-cold accounting vs real regression") while only the
@@ -207,6 +265,7 @@ object Bench {
     // contention (GC, page cache, co-tenant load) that single or paired
     // samples still inherit (r3 showed ±20-30% swings on sub-second
     // queries at min-of-2).
+    val coldByName = coldRuns.toMap
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       def once(): Double = {
@@ -221,9 +280,15 @@ object Bench {
         dropLeftoverBlocks()
         dt
       }
-      val times = Iterator.continually(once()).take(3)
+      // r12 (r11 verdict #1b): min-of-3 precision matters for
+      // sub-second queries (±20-30% host noise), not for 10s+ jobs
+      // where the same noise is proportionally tiny — queries whose
+      // COLD run exceeded 10s take 2 warm reps instead of 3, trimming
+      // the suite back inside the driver's wall-clock window.
+      val reps = if (coldByName.getOrElse(name, 0.0) > 10.0) 2 else 3
+      val times = Iterator.continually(once()).take(reps)
         .takeWhile(_ >= 0).toSeq
-      name -> (if (times.length < 3) -1.0 else times.min)
+      name -> (if (times.length < reps) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -251,13 +316,24 @@ object Bench {
             s"[bench] bench_full.json write failed: ${e.getMessage}")
         }
       }
-    def artifactJson(sf1Part: String): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"comparable_r2_total":$comparable,"queries":$qs,"cold_queries":$coldQs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","notes":"$benchNotes"$sf1Part}"""
+    // r12: the artifact carries its own round-over-round attribution
+    // ("suspects", r11 verdict #6) — recomputed at every incremental
+    // write from whatever sf1 rows exist so far.
+    def artifactJson(sf1Part: String,
+        sf1Now: Seq[(String, Double)] = Nil): String = {
+      val sus = (suspectRows(results, prev01, "sf0.1") ++
+        suspectRows(sf1Now, prevSf1, "sf1")).mkString("[", ",", "]")
+      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"comparable_r2_total":$comparable,"queries":$qs,"cold_queries":$coldQs,"failed":${failed.mkString("[", ",", "]")},"suspects":$sus,"sf":"$sfDir","notes":"$benchNotes"$sf1Part}"""
+    }
     // r11 lesson, codified: the sf1 block once OOM'd the JVM (exit 52)
     // and the artifact — queued to be written only at the very end —
     // was lost along with every completed sf0.1 row. Persist the
-    // sf0.1-complete artifact BEFORE entering the sf1 block; the final
-    // write below overwrites it with the sf1 rows attached.
+    // sf0.1-complete artifact BEFORE entering the sf1 block; each sf1
+    // row then rewrites the artifact as it completes (r12 — BENCH_r11
+    // was a timeout kill DURING an sf1 row, and the rows before it
+    // survived only because of the early write; now every completed
+    // row is durable the moment it lands, and the in-flight query's
+    // name is visible in "sf1_running").
     writeArtifact(artifactJson(""","sf1":"pending""""))
 
     // sf1 stretch section (SCALE.md validation): if the deterministic
@@ -280,7 +356,6 @@ object Bench {
     val sf1Needs: Seq[(String, String)] = Seq(
       "dd_span_dedup" -> "documents", "dd_minhash_lsh" -> "documents",
       "sim_ivfpq_topk" -> "embeddings",
-      "dd_ngram_containment" -> "documents",
       "dd_ngram_containment_capped" -> "documents",
       "g_pagerank" -> "lineitem", "g_triangles" -> "lineitem",
       "g_lift" -> "lineitem",
@@ -349,47 +424,93 @@ object Bench {
       "sim_proto_prune" -> "embeddings",
       "sim_kcenter" -> "embeddings",
       "sim_binary_topk" -> "embeddings",
+      // r12: the hash-sampled recall audit at 10× (r11 verdict #4 —
+      // the exact side is (n·frac)² by construction, so this row CAN
+      // run at any scale; its number is the evidence), the sampled
+      // k-center pool (verdict #5), and the two streaming twins
+      // (verdict #7 — AvailableNow overhead at 10×)
+      "sim_dbscan_sampled_recall" -> "embeddings",
+      "sim_kcenter_sampled" -> "embeddings",
+      "dd_minhash_recall_sampled" -> "documents",
+      "st_incremental_dedup" -> "documents",
+      "st_embed_drift" -> "embeddings")
+    // r12 (r11 verdict #1a): the two DECLARED-quadratic evidence rows
+    // burned ~10 min of the sf1 block every round (pinned16: 146s cold
+    // + 80s warm; uncapped containment: 315s cold + 127s warm in the
+    // stressed shared JVM) and are what pushed the driver-pace run
+    // past its wall-clock window (BENCH_r11 rc=124). The quadratic-trap
+    // case is PROVEN — measured isolated sf1 evidence is committed in
+    // SCALE.md (95.8s vs 15.9s; 112s uncapped) — and does not need
+    // re-measuring four-executions-deep every round. Both rows keep
+    // their sf0.1 headline slots; the sf1 rows run only under
+    // SPARK_GRAFT_EVIDENCE=1 (never set by the driver).
+    val sf1EvidenceRows: Seq[(String, String)] = Seq(
+      "dd_ngram_containment" -> "documents",
       "sim_dbscan_pinned16" -> "embeddings")
+    val sf1All = sf1Needs ++
+      (if (sys.env.get("SPARK_GRAFT_EVIDENCE").contains("1"))
+        sf1EvidenceRows else Nil)
     // the dev-only SPARK_GRAFT_BENCH_ONLY subset applies here too —
     // before r10 a 5-query dev iteration still paid the full ~20-min
     // sf1 sweep
-    val sf1Names = sf1Needs.collect { case (n, t)
+    val sf1Names = sf1All.collect { case (n, t)
       if java.nio.file.Files.exists(
         java.nio.file.Paths.get(sf1Dir, s"$t.parquet")) => n }
       .filter(n => sys.env.get("SPARK_GRAFT_BENCH_ONLY")
         .forall(_.split(',').toSet.contains(n)))
+    // (name, cold, warm); a failed run records NO number — the name
+    // goes in the block's "failed" list instead (r11 verdict #4 minor:
+    // a -1.0 sentinel inside the queries map silently corrupts any
+    // downstream sum over it).
+    val acc = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Double, Double)]
+    def sf1WarmRows: Seq[(String, Double)] =
+      acc.collect { case (n, _, v) if v >= 0 => (n, v) }.toSeq
     val sf1 =
       if (sf1Names.nonEmpty) {
-        val runs = sf1Names
-          .map { name =>
-            val fn = SparkEntry.queries(name)
-            def once(): Double = {
-              val t0 = System.nanoTime()
-              try { fn(spark, sf1Dir).write.mode("overwrite")
-                .format("noop").save() }
-              catch { case e: Throwable =>
-                System.err.println(s"[bench-sf1] $name failed: ${e.getMessage}")
-                dropLeftoverBlocks()
-                return -1.0
-              }
-              val dt = (System.nanoTime() - t0) / 1e9
+        def sf1Json(running: Option[String]): String = {
+          val w = acc.collect { case (n, _, v) if v >= 0 =>
+            "\"" + n + "\":" + v }.mkString("{", ",", "}")
+          val c = acc.collect { case (n, v, _) if v >= 0 =>
+            "\"" + n + "\":" + v }.mkString("{", ",", "}")
+          val fl = acc.collect { case (n, cd, wm) if cd < 0 || wm < 0 =>
+            "\"" + n + "\"" }.mkString("[", ",", "]")
+          val run = running.map(n => s""","running":"$n"""").getOrElse("")
+          s""","sf1":{"dir":"$sf1Dir","queries":$w,"cold_queries":$c,"failed":$fl$run}"""
+        }
+        for (name <- sf1Names) {
+          // durable BEFORE the row starts: a wall-clock kill mid-query
+          // loses only the in-flight row, and names it
+          writeArtifact(artifactJson(sf1Json(Some(name)), sf1WarmRows))
+          val fn = SparkEntry.queries(name)
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            try { fn(spark, sf1Dir).write.mode("overwrite")
+              .format("noop").save() }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench-sf1] $name failed: ${e.getMessage}")
               dropLeftoverBlocks()
-              dt
+              return -1.0
             }
-            val times = Iterator.continually(once()).take(3)
-              .takeWhile(_ >= 0).toSeq
-            // (name, cold = first run, warm = min of the rest)
-            (name,
-              if (times.isEmpty) -1.0 else times.head,
-              if (times.length < 3) -1.0 else times.drop(1).min)
+            val dt = (System.nanoTime() - t0) / 1e9
+            dropLeftoverBlocks()
+            dt
           }
-        val w = runs.map { case (n, _, v) => "\"" + n + "\":" + v }
-          .mkString("{", ",", "}")
-        val c = runs.map { case (n, v, _) => "\"" + n + "\":" + v }
-          .mkString("{", ",", "}")
-        s""","sf1":{"dir":"$sf1Dir","queries":$w,"cold_queries":$c}"""
+          val cold = once()
+          if (cold < 0) acc += ((name, -1.0, -1.0))
+          else {
+            // r12 (r11 verdict #1b): >10s-cold queries take ONE warm
+            // rep — min-of-2 warm precision is for sub-second rows
+            val reps = if (cold > 10.0) 1 else 2
+            val warms = Iterator.continually(once()).take(reps)
+              .takeWhile(_ >= 0).toSeq
+            acc += ((name, cold,
+              if (warms.length < reps) -1.0 else warms.min))
+          }
+        }
+        sf1Json(None)
       } else ""
-    val json = artifactJson(sf1)
+    val json = artifactJson(sf1, sf1WarmRows)
     println(json)
     writeArtifact(json)
     spark.stop()
@@ -403,5 +524,5 @@ object Bench {
   // was JVM co-tenancy from the 14 added bench queries (JIT/code
   // cache/GC state shared across the run), not a code regression
   // (A/B n=3-min at sf0.1, 2026-08-13).
-  private val benchNotes = "r11 notes: (1) ATTRIBUTION CLOSED (see ATTRIBUTION_r11.md, raw JSONs target/attrib/, tools/bench_attrib.sh): every r10 >=1.5x round-over-round query rerun in fresh single-query JVMs at HEAD vs the r9 tip under identical conditions — la_bh_fdr/la_cuped/ts_theil_sen/ts_chow_test/dd_threshold_curve_capped/g_pagerank@sf1 are at parity or FASTER than r9 (the 2.4-2.5x bench inflation was 105-query 8-GiB shared-JVM co-tenancy, the r6 lesson at r10 scale); mm_frame_overlap/dd_threshold_curve/dd_minhash_recall/sim_ivf_probe_curve run 1.19-1.27x r9 isolated BY DESIGN — their r9 versions leaked session-lifetime persists that CacheManager silently reused across min-of-3 (r9 timed a warm cache no production call sees); a SPARK_GRAFT_KEEP_BLOCKS=1 A/B shows the between-query hygiene share is only 0.01-0.35s, the rest is the eliminated leak. Zero real regressions; the five r10 weak flags clear. (2) per-query COLD times now durable next to warm (cold_queries at sf0.1 + sf1) so accounting-vs-regression reads from the artifact alone. (3) sim_dbscan default moved to the curve-picked p=4 (r10 verdict #2) AND the corpus-sized nlist=ceil(sqrt(n)) quantizer — NOT comparable to r10's p=1/pinned-16 rows; sim_dbscan_p1 keeps the old probe point, sim_dbscan_pinned16 keeps the pinned quantizer as the measured quadratic-trap evidence (95.8s vs 15.9s at sf1), and sim_dbscan_p2/sim_dbscan_auto complete the curve. (4) g_suite_on_view now contains triangles + local clustering on the shared view (5 ops, 5th arm 'tri') — compare against the 5-op standalone sum, not r10's 4-op row. (5) late-r11: the suite's tri+lcc arms now share ONE corner enumeration, and the shared intermediate is the NODE-sized per-node corner-count table streamed straight out of the corner pass (a first cut checkpointed the raw triangle-sized (x,v,w) corner set, whose GB-scale blocks OOM'd the shared bench JVM's sf1 block — corner counts carry everything both consumers need, n_triangles = sum(t) div 3); AND triangleSummary/triangleCountFromOriented's session-lifetime persist leak is fixed, which RAISES g_triangles to its honest per-call cost (isolated sf0.1 2.6 -> 6.6s, sf1 10.9 -> 21.4s): the old min-of-3 was reusing the leaked cached oriented table across repetitions via CacheManager plan-dedup — the same leak->honest conversion ATTRIBUTION_r11.md documents for mm_frame_overlap et al. With honest triangles the 5-op suite beats the 5-op standalone sum at both scales (corner-set-cut evidence: 18.5/83.9s vs ~27/~93s; this artifact's own suite rows are the corner-count numbers). (6) the committed target/bench_full.json (129 sf0.1 + 48 sf1 rows, zero failures) was generated before the last late-r11 entries landed (sim_pq_distortion and the st_* twins, which are never benched) - the driver's BENCH_r11 run covers the full headline; isolated sf0.1 sanity for the stragglers: t_ccnet_buckets 1.04s, dq_benford 0.42s, sim_pq_distortion 0.34s. History: r10 bench-context absolutions documented in ATTRIBUTION_r11.md; r7's 5 suspect regressions absolved by r8 min-of-3; BENCH_r07 was a crashed-JVM artifact"
+  private val benchNotes = "r12 notes: (1) SUITE REFIT TO THE DRIVER WINDOW (r11 verdict #1 — BENCH_r11 died rc=124 mid-sf1): the two declared-quadratic evidence rows (sim_dbscan_pinned16, uncapped dd_ngram_containment — ~10 min of the sf1 block across 3-4 executions each) moved behind SPARK_GRAFT_EVIDENCE=1 and out of the default sf1 sweep (their sf0.1 headline rows remain; their isolated sf1 evidence is committed in SCALE.md: 95.8s-vs-15.9s pinned16, 112s uncapped planner join), warm reps drop to 2 (sf0.1) / 1 (sf1) for queries whose cold run exceeds 10s, and every completed sf1 row now rewrites target/bench_full.json the moment it lands with the in-flight row named in sf1.running — a timeout kill can no longer erase completed rows or hide WHERE it struck. (2) failed runs no longer write a -1.0 sentinel into any queries map — the name goes in the block's failed list (r11 verdict #4 minor). (3) round-over-round attribution is now IN the artifact: suspects lists every >=1.5x warm mover vs the previous committed artifact (>=0.2s floor — sub-0.2s rows move 2.4-2.5x on shared-JVM co-tenancy alone; r11 verdict #6), so the attribution pass starts from the artifact. (4) NOT COMPARABLE r11->r12 for >10s-cold rows: their warm figure is now min-of-2 at sf0.1 / the single warm rep at sf1 — expect small upward noise on multi-second rows, which suspects absorbs via the 1.5x threshold. (5) two st_ streaming twins benched for the first time (st_incremental_dedup, st_embed_drift — read against dd_incremental / sim_embed_drift for the AvailableNow micro-batch overhead; r11 verdict #7) plus the two new sampled-pool rows (sim_dbscan_sampled_recall, sim_kcenter_sampled — the md5-threshold frac=1/4 sample makes the exact recall side (n/4)^2, the first measured-recall row executable at ANY scale; r11 verdicts #4/#5). History — r11 notes: (1) ATTRIBUTION CLOSED (see ATTRIBUTION_r11.md, raw JSONs target/attrib/, tools/bench_attrib.sh): every r10 >=1.5x round-over-round query rerun in fresh single-query JVMs at HEAD vs the r9 tip under identical conditions — la_bh_fdr/la_cuped/ts_theil_sen/ts_chow_test/dd_threshold_curve_capped/g_pagerank@sf1 are at parity or FASTER than r9 (the 2.4-2.5x bench inflation was 105-query 8-GiB shared-JVM co-tenancy, the r6 lesson at r10 scale); mm_frame_overlap/dd_threshold_curve/dd_minhash_recall/sim_ivf_probe_curve run 1.19-1.27x r9 isolated BY DESIGN — their r9 versions leaked session-lifetime persists that CacheManager silently reused across min-of-3 (r9 timed a warm cache no production call sees); a SPARK_GRAFT_KEEP_BLOCKS=1 A/B shows the between-query hygiene share is only 0.01-0.35s, the rest is the eliminated leak. Zero real regressions; the five r10 weak flags clear. (2) per-query COLD times now durable next to warm (cold_queries at sf0.1 + sf1) so accounting-vs-regression reads from the artifact alone. (3) sim_dbscan default moved to the curve-picked p=4 (r10 verdict #2) AND the corpus-sized nlist=ceil(sqrt(n)) quantizer — NOT comparable to r10's p=1/pinned-16 rows; sim_dbscan_p1 keeps the old probe point, sim_dbscan_pinned16 keeps the pinned quantizer as the measured quadratic-trap evidence (95.8s vs 15.9s at sf1), and sim_dbscan_p2/sim_dbscan_auto complete the curve. (4) g_suite_on_view now contains triangles + local clustering on the shared view (5 ops, 5th arm 'tri') — compare against the 5-op standalone sum, not r10's 4-op row. (5) late-r11: the suite's tri+lcc arms now share ONE corner enumeration, and the shared intermediate is the NODE-sized per-node corner-count table streamed straight out of the corner pass (a first cut checkpointed the raw triangle-sized (x,v,w) corner set, whose GB-scale blocks OOM'd the shared bench JVM's sf1 block — corner counts carry everything both consumers need, n_triangles = sum(t) div 3); AND triangleSummary/triangleCountFromOriented's session-lifetime persist leak is fixed, which RAISES g_triangles to its honest per-call cost (isolated sf0.1 2.6 -> 6.6s, sf1 10.9 -> 21.4s): the old min-of-3 was reusing the leaked cached oriented table across repetitions via CacheManager plan-dedup — the same leak->honest conversion ATTRIBUTION_r11.md documents for mm_frame_overlap et al. With honest triangles the 5-op suite beats the 5-op standalone sum at both scales (corner-set-cut evidence: 18.5/83.9s vs ~27/~93s; this artifact's own suite rows are the corner-count numbers). (6) the committed target/bench_full.json (129 sf0.1 + 48 sf1 rows, zero failures) was generated before the last late-r11 entries landed (sim_pq_distortion and the st_* twins, which are never benched) - the driver's BENCH_r11 run covers the full headline; isolated sf0.1 sanity for the stragglers: t_ccnet_buckets 1.04s, dq_benford 0.42s, sim_pq_distortion 0.34s. History: r10 bench-context absolutions documented in ATTRIBUTION_r11.md; r7's 5 suspect regressions absolved by r8 min-of-3; BENCH_r07 was a crashed-JVM artifact"
 }

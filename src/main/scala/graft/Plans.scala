@@ -103,7 +103,9 @@ object Plans {
     "dd_lsh_plan" -> "LSH (bands,rows) planner (r11): the corpus-sized stage is the threshold-curve's AllPairs prefix join at minJaccard=0.3 (its cost floor); the S-curve math — fixed-point square-and-floor powers, DECIMAL(38,0) mass sums — runs on <=100 histogram rows × 6 broadcast configs; look for the histogram aggregate between the pair stage and a tiny BNLJ",
     "sim_proto_prune" -> "prototypicality pruning (r11): the kmeans assignment is ONE eager checkpoint read by both the (cell,d2) value-grid histogram and the final flag join — no UDF re-evaluation; the per-cell cumulative window runs over the GRID (state = distinct distances per cell, never vectors — the la_quantiles contract), cutoffs broadcast back as a k-row table; look for the checkpoint scan feeding two arms and the absence of any corpus-wide rank sort",
     "sim_kcenter" -> "greedy k-center coreset (r11): the final returned plan is a k-row LocalRelation (the sim_dbscan_auto pattern — the greedy ran as k-1 TakeOrderedAndProject scans of one checkpointed projection at build time, each a single driver row; no shuffle, no global sort anywhere in the per-step plans)",
-    "sim_binary_topk" -> "binary-quantization Hamming top-k (r11): sign-bit codes are map-only codegen'd bit algebra (aggregate/shiftleft — no UDF, two 32-bit halves); the query side BROADCASTS (bounded query set) so the corpus never shuffles, distance is popcount(xor) inside codegen, and the per-query rank is a WindowGroupLimit below the single exchange — the brute-cosine plan shape at 16 bytes/vector instead of 256")
+    "sim_binary_topk" -> "binary-quantization Hamming top-k (r11): sign-bit codes are map-only codegen'd bit algebra (aggregate/shiftleft — no UDF, two 32-bit halves); the query side BROADCASTS (bounded query set) so the corpus never shuffles, distance is popcount(xor) inside codegen, and the per-query rank is a WindowGroupLimit below the single exchange — the brute-cosine plan shape at 16 bytes/vector instead of 256",
+    "sim_dbscan_sampled_recall" -> "hash-sampled recall audit (r12, r11 verdict #4): the md5-threshold sample is a MAP-SIDE Filter directly over the scan (look for the conv(substring(md5..)) predicate with no exchange below it) — the exact self-join then reads two scans of the SAMPLE, so its pair volume is (n/4)² by construction; the quantizer centers came from the FULL corpus at build time (TakeOrderedAndProject, √n rows); the audit's only corpus-sized stage is that one center pick",
+    "sim_kcenter_sampled" -> "k-center over the preselected pool (r12, r11 verdict #5): same k-row LocalRelation return as sim_kcenter — but every build-time greedy scan read the hashSample FILTERED projection (the corpus appears only in the map-side md5-threshold filter feeding the one checkpoint), so the k−1 top-1 heaps priced the pool, not the corpus")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -928,6 +928,52 @@ object PipelineQueries extends QueryRegistry {
           .as("precision_ppm"))
   }
 
+  /** The MinHash-LSH recall/precision audit on the deterministic
+    * md5-threshold sample (r12 — the [[graft.pipeline.Sampling
+    * .hashSample]] lever from `sim_dbscan_sampled_recall`, applied to
+    * the DEDUP family's audit so the pattern is a standing tool, not a
+    * one-off): both the exact 3-gram Jaccard truth and the LSH
+    * candidate generation run on the SAME pct=50 sample, so the
+    * truth side's pair stage prices a quarter of the pair volume and
+    * the audit has an executable path at any scale (pct=50 rather
+    * than the embeddings audits' 25 because duplicate FAMILIES are
+    * rarer than loose-τ cosine neighbors — 25% keeps 0 of the sf0.01
+    * corpus's 25 truth pairs, 50% keeps 9; pick pct per signal
+    * density, the row reports the sampled counts so vacuity is
+    * visible). Unbiased for pair recall AND precision: a pair enters
+    * either side iff both endpoints survive the sample (uniform over
+    * pairs), and its signatures/band keys/gram sets — the detection
+    * indicators — are pure functions of the two docs. The oracle is
+    * the UNSAMPLED twin's full HUGEINT chain with every corpus read
+    * routed through the identical md5 filter (one textual
+    * substitution point, so the twins cannot drift); sums coalesce to
+    * 0 so an empty sample degrades to zeros, not NULLs.
+    */
+  q("dd_minhash_recall_sampled",
+    minhashRecallOracleSql.replace("FROM documents",
+      "FROM (SELECT * FROM documents WHERE CAST(('0x' || " +
+        "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) " +
+        "% 100 < 50)")) { (s, d) =>
+    val dc = graft.pipeline.Sampling.hashSample(docs(s, d), "doc_id", 50)
+    val truth = Dedup.ngramJaccardPairs(dc, n = 3, minJaccard = 0.5)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
+    val found = Dedup.minhashCandidates(dc, minEstJaccard = 0.5)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("f"))
+    truth.join(found, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(coalesce(sum(coalesce(col("t"), lit(0L))), lit(0L))
+          .as("n_truth"),
+        coalesce(sum(coalesce(col("f"), lit(0L))), lit(0L)).as("n_cand"),
+        coalesce(sum(coalesce(col("t"), lit(0L)) *
+          coalesce(col("f"), lit(0L))), lit(0L)).as("n_hit"))
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        when(col("n_truth") === 0, lit(null).cast("long"))
+          .otherwise(expr("n_hit * 1000000L div n_truth"))
+          .as("recall_ppm"),
+        when(col("n_cand") === 0, lit(null).cast("long"))
+          .otherwise(expr("n_hit * 1000000L div n_cand"))
+          .as("precision_ppm"))
+  }
+
   /** Incremental NEAR-dup ingest oracle (r9): the full minhash
     * machinery (same HUGEINT folds and constants as
     * [[minhashOracleSql]] — generated from the same
@@ -2101,6 +2147,99 @@ object PipelineQueries extends QueryRegistry {
           .as("recall_ppm"))
   }
 
+  /** The recall audit WITH AN EXECUTABLE PATH AT ANY SCALE (r11
+    * verdict #4): every other measured-recall entry Guards-gates its
+    * O(n²) exact baseline to ≤100k rows, so the curve-driven-defaults
+    * discipline — this repo's standing contract — had no path at
+    * production scale. This twin measures the SAME number
+    * (eps-graph edge recall of the default √n-cell, p=4 DBSCAN
+    * operating point) on a deterministic md5-threshold sample
+    * ([[graft.pipeline.Sampling.hashSample]], pct=25): the exact side
+    * prices (n/4)² pairs instead of n², a pure map-side filter both
+    * engines replay from the same hex digest. The quantizer still fits
+    * on the FULL corpus (centers = √n lowest-md5 vectors — the
+    * production assignment under audit; fitting on the sample would
+    * audit a different operating point), only the audited pair
+    * population is sampled. Unbiased: a pair survives iff both
+    * endpoints do (uniform over pairs) and its detection indicator —
+    * do its own two assignments share a cell — is untouched by the
+    * sampling. The Guards gate applies to the SAMPLE, so the entry
+    * runs green at sf1 (the bench row is the evidence) and the pct
+    * knob extends the audit to any corpus. n_sample is reported so
+    * the binomial confidence of recall_ppm is readable from the row
+    * (stderr ≈ √(r(1−r)/n_exact); SCALE.md).
+    */
+  q("sim_dbscan_sampled_recall",
+    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |            FROM embeddings),
+      |samp AS (SELECT vec_id, e FROM emb
+      |         WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+      |                 1, 8)) AS UBIGINT) % 100 < 25),
+      |ctr0 AS (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, e
+      |         FROM emb ORDER BY h
+      |         LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+      |                FROM emb)),
+      |ctr AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cell, e AS c
+      |        FROM ctr0),
+      |dst AS (
+      |  SELECT v.vec_id, c.cell,
+      |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list_transform(range(1, 65), i ->
+      |             (v.e[CAST(i AS INT)] - c.c[CAST(i AS INT)]) *
+      |             (v.e[CAST(i AS INT)] - c.c[CAST(i AS INT)]))),
+      |           (a, x) -> a + x) AS d2
+      |  FROM samp v CROSS JOIN ctr c),
+      |asg AS (
+      |  SELECT vec_id, cell
+      |  FROM (SELECT vec_id, cell,
+      |          row_number() OVER (PARTITION BY vec_id
+      |                             ORDER BY d2, cell) AS pr
+      |        FROM dst) WHERE pr <= 4),
+      |exact AS (
+      |  SELECT a.vec_id AS va, b.vec_id AS vb
+      |  FROM samp a JOIN samp b ON a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.e, b.e) >= 0.3),
+      |incell AS (
+      |  SELECT DISTINCT e.va, e.vb
+      |  FROM exact e JOIN asg x ON x.vec_id = e.va
+      |               JOIN asg y ON y.vec_id = e.vb
+      |  WHERE x.cell = y.cell)
+      |SELECT CAST((SELECT count(*) FROM samp) AS BIGINT) AS n_sample,
+      |       CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+      |       CAST((SELECT count(*) FROM incell) AS BIGINT) AS n_found,
+      |       CAST((SELECT count(*) FROM incell) * 1000000 //
+      |            greatest((SELECT count(*) FROM exact), 1) AS BIGINT)
+      |         AS recall_ppm""") { (s, d) =>
+    val e = embs(s, d)
+    val nlist = math.ceil(math.sqrt(e.count().toDouble)).toInt
+    val quant = Similarity.hashSampledQuantizer(e, nlist)
+    val samp = graft.pipeline.Sampling.hashSample(e, "vec_id", 25)
+    require(graft.Guards.atMost(samp, 100000L),
+      "sim_dbscan_sampled_recall's exact side is O(sample²); lower " +
+        "the sample pct at this scale")
+    val probeUdf = udf { (v: Seq[Double]) => quant.nearestCells(v, 4) }
+    val ee = samp.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("e"))
+    val asg = ee.select(col("vec_id"),
+      explode(probeUdf(col("e"))).as("cell"))
+    val exact = ee.as("a").join(ee.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .filter(Dedup.cosineCol(col("a.e"), col("b.e")) >= 0.3)
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .localCheckpoint(true)
+    val found = exact
+      .join(asg.select(col("vec_id").as("va"), col("cell").as("ca")), "va")
+      .join(asg.select(col("vec_id").as("vb"), col("cell").as("cb")), "vb")
+      .filter(col("ca") === col("cb"))
+      .select("va", "vb").distinct()
+    samp.agg(count(lit(1)).as("n_sample"))
+      .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
+      .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
+      .select(col("n_sample"), col("n_exact"), col("n_found"),
+        expr("n_found * 1000000L div greatest(n_exact, 1L)")
+          .as("recall_ppm"))
+  }
+
   /** The probe curve AT THE DEFAULT QUANTIZER (r11): the headline
     * `sim_dbscan` pins p=4, a pick `curvePick` made over
     * `sim_dbscan_recall_curve` — which measures the PINNED-16
@@ -2891,7 +3030,7 @@ object PipelineQueries extends QueryRegistry {
     * the lower vec_id) — the [[graft.sim.Similarity.kCenterSelect]]
     * greedy unrolled as chained CTEs, the kmeans-oracle pattern.
     */
-  private val kcenterOracleSql: String = {
+  private def kcenterOracleSqlFrom(embSrc: String): String = {
     val (k, dims) = (8, 64)
     def dist(m: String, c: String): String =
       s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -2914,8 +3053,7 @@ object PipelineQueries extends QueryRegistry {
     }.mkString(",\n")
     val sel = (2 to k).map(i =>
       s"UNION ALL SELECT $i, vec_id, round(md, 6) FROM p$i").mkString("\n")
-    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-       |             FROM embeddings),
+    s"""WITH emb AS ($embSrc),
        |s1 AS (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT 1),
        |$steps
        |SELECT CAST(step AS INT) AS step, CAST(vec_id AS BIGINT) AS vec_id,
@@ -2924,11 +3062,39 @@ object PipelineQueries extends QueryRegistry {
        |$sel)""".stripMargin
   }
 
+  private val kcenterOracleSql: String = kcenterOracleSqlFrom(
+    """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |             FROM embeddings""".stripMargin)
+
   // Greedy k-center coreset selection (Gonzalez 1985; Sener & Savarese
   // 2018) — the coverage leg of the selection suite (MMR = diverse
   // relevance, protoPrune = redundancy, k-center = space coverage).
   q("sim_kcenter", kcenterOracleSql) { (s, d) =>
     Similarity.kCenterSelect(embs(s, d), k = 8)
+  }
+
+  /** K-center over a PRESELECTED pool (r11 verdict #5): the
+    * [[graft.sim.Similarity.kCenterSelect]] docstring promises
+    * "selection runs after an IVF/sample preselection — the standard
+    * coreset arrangement", and this entry exercises that arrangement
+    * instead of leaving it documented-but-dormant (the state MMR was
+    * in at r10). The pool is the deterministic md5-threshold sample
+    * ([[graft.pipeline.Sampling.hashSample]], pct=25 — the same
+    * preselection the sampled recall audit uses, replayed by the
+    * oracle from the same hex digest); the k−1 greedy scans then
+    * price the POOL, not the corpus — at 100 TB the corpus appears
+    * only in the one map-side filter stage (PLANS.md). The oracle
+    * replays preselection + greedy: the unrolled-CTE greedy over the
+    * identically-filtered emb source.
+    */
+  q("sim_kcenter_sampled", kcenterOracleSqlFrom(
+    """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |             FROM embeddings
+      |             WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+      |                     1, 8)) AS UBIGINT) % 100 < 25""".stripMargin)) {
+    (s, d) =>
+    Similarity.kCenterSelect(
+      graft.pipeline.Sampling.hashSample(embs(s, d), "vec_id", 25), k = 8)
   }
 
   // Prototypicality pruning (Sorscher et al. 2022) over the SAME

@@ -1142,9 +1142,15 @@ object LogAnalytics extends QueryRegistry {
         expr("CAST(5 - size(filter(rc, x -> rec_days > x)) AS INT)").as("r_score"),
         expr("CAST(1 + size(filter(fc, x -> freq > x)) AS INT)").as("f_score"),
         expr("CAST(1 + size(filter(mc, x -> mon_u > x)) AS INT)").as("m_score"))
-    // (metric, score) interval table: ≤15 rows, persisted because the
-    // monotonicity self-join reads it twice (each read otherwise
-    // re-runs the full events scan).
+    // (metric, score) interval table: ≤15 rows, barriered because the
+    // monotonicity self-join reads it THREE times (each read otherwise
+    // re-runs the full events scan). r12: this was a lazy `.persist`
+    // with no unpersist — the session-lifetime leak class
+    // PersistLeakAuditSpec exists to catch (CacheManager plan-dedup
+    // silently fed the cached table to every later run, so the bench's
+    // warm reps timed a cache no first call sees). The eager
+    // localCheckpoint is the sanctioned barrier: 15 rows materialized
+    // once per call, nothing registered in CacheManager.
     val iv = scored
       .select(expr("""stack(3,
           'r', -rec_days, r_score,
@@ -1153,7 +1159,7 @@ object LogAnalytics extends QueryRegistry {
       .groupBy("metric", "score")
       .agg(count(lit(1)).as("cnt"), min(col("v")).as("mn"),
         max(col("v")).as("mx"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val lo = iv.select(col("metric"), col("score").as("s_lo"),
       col("mx").as("lo_mx"))
     val hi = iv.select(col("metric").as("metric_h"),

@@ -1038,19 +1038,25 @@ object Similarity {
     * vectors; Hamming distance = popcount(xor) per half — the
     * binary-quantization storage tier below int8/PQ.
     */
-  private def signBitCodes(embeddings: DataFrame): DataFrame =
+  private def signBitCodes(embeddings: DataFrame): DataFrame = {
+    // r11 ADVICE: element_at past the array end yields NULL, which the
+    // IF silently maps to a 0 bit — a shorter vector got WRONG codes
+    // and dims beyond 64 were silently ignored. Enforce the suite's
+    // dims=64 convention per row with raise_error (codegen'd branch,
+    // no extra action) so a mis-shaped corpus fails loudly.
+    def half(offset: String) =
+      "IF(size(e) = 64, aggregate(transform(sequence(1, 32), i -> " +
+        s"IF(element_at(e, i$offset) > CAST(0 AS DOUBLE), " +
+        "shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT))), " +
+        "CAST(0 AS BIGINT), (a, x) -> a + x), " +
+        "raise_error('signBitCodes requires dims=64 embeddings'))"
     embeddings
       .select(col("vec_id"),
         col("embedding").cast("array<double>").as("e"))
       .select(col("vec_id"),
-        expr("aggregate(transform(sequence(1, 32), i -> " +
-          "IF(element_at(e, i) > CAST(0 AS DOUBLE), " +
-          "shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT))), " +
-          "CAST(0 AS BIGINT), (a, x) -> a + x)").as("lo"),
-        expr("aggregate(transform(sequence(1, 32), i -> " +
-          "IF(element_at(e, i + 32) > CAST(0 AS DOUBLE), " +
-          "shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT))), " +
-          "CAST(0 AS BIGINT), (a, x) -> a + x)").as("hi"))
+        expr(half("")).as("lo"),
+        expr(half(" + 32")).as("hi"))
+  }
 
   /** Hamming top-k over the sign-bit codes: the query side broadcasts
     * (bounded query set), candidates stay map-local, the per-query
@@ -1101,11 +1107,18 @@ object Similarity {
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("e"))
       .localCheckpoint(true)
-    val first = base.orderBy(col("vec_id")).limit(1)
-      .select(col("vec_id"), col("e")).head()
+    val firstRows = base.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("e")).take(1)
+    require(firstRows.nonEmpty, "k-center pool is empty")
+    val first = firstRows(0)
     var selected = Vector((first.getLong(0), first.getSeq[Double](1).toArray))
     var out = Vector((1, first.getLong(0), 0.0))
-    while (selected.length < k) {
+    // r11 ADVICE: on a pool smaller than k (or one whose remainder is
+    // exact duplicates of the selected set) the greedy max min-d² goes
+    // to 0 and every further step would re-emit an already-selected
+    // point — stop at the honest coreset size instead.
+    var exhausted = false
+    while (!exhausted && selected.length < k) {
       val centers = selected.map(_._2)
       val minD2 = udf { (e: Seq[Double]) =>
         var best = Double.MaxValue
@@ -1120,8 +1133,11 @@ object Similarity {
       val pick = base.select(col("vec_id"), col("e"),
           minD2(col("e")).as("d2"))
         .orderBy(col("d2").desc, col("vec_id")).limit(1).head()
-      selected :+= ((pick.getLong(0), pick.getSeq[Double](1).toArray))
-      out :+= ((selected.length, pick.getLong(0), pick.getDouble(2)))
+      if (pick.getDouble(2) == 0.0) exhausted = true
+      else {
+        selected :+= ((pick.getLong(0), pick.getSeq[Double](1).toArray))
+        out :+= ((selected.length, pick.getLong(0), pick.getDouble(2)))
+      }
     }
     val spark = embeddings.sparkSession
     import spark.implicits._

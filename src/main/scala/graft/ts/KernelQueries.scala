@@ -659,6 +659,8 @@ object KernelQueries extends QueryRegistry {
     new java.io.File("fixtures/dbest_golden_series.parquet").getAbsolutePath
   private[graft] val dbestGoldenChangesPath: String =
     new java.io.File("fixtures/dbest_golden.parquet").getAbsolutePath
+  private[graft] val dbestGoldenGenPath: String =
+    new java.io.File("fixtures/dbest_golden_gen.parquet").getAbsolutePath
 
   // K3 breakpoint-payload closure (r10 verdict #6): the identity
   // lattice (k3_decomp/fit/change/noncyclical_identity) pins everything
@@ -757,5 +759,85 @@ object KernelQueries extends QueryRegistry {
             (p, q) => when(abs(q.getField("_3")) <=
               abs(p.getField("_3")) + 1e-9, 1L).otherwise(0L)),
           lit(0L), (acc, v) => acc + v).as("rank_ok"))
+  }
+
+  // K4 generalization-payload closure (r11 verdict #3 — the LAST
+  // kernel output that only identities anchored): the identity lattice
+  // (k4_data/flocal/fit_identity) pins the payload's INTERNAL
+  // consistency (rmse/mad recompute from the carried arrays, f_local
+  // is the fit's first difference, the fit is piecewise-linear), but
+  // not the fit itself — a wrong DP vertex choice that still produces
+  // A piecewise-linear curve passes every identity. The committed
+  // fixture (fixtures/dbest_golden_gen.parquet) holds four series —
+  // the three shared K3 series plus a K4-only cyclical multi-slope
+  // series (the shared ones generalize to a single chord because
+  // their level step inflates the 3·sd(diff) DP threshold; valid, but
+  // series 4 exercises a genuine 3-segment STL-path fit) —
+  // generalized by the INDEPENDENT numpy reference
+  // (tools/dbest_reference.py `generalization`). Spark recomputes the
+  // payload with graft.ts.Dbest.generalization and counts 1e-6-abs
+  // fit/f_local agreement plus 1e-9 rmse/mad and exact segment_no
+  // agreement; the oracle replays the goldens and REALLY cross-checks
+  // them in DuckDB: rmse_g must equal sqrt(avg((fit_g−y)²)), mad_g
+  // must equal median(|fit_g−y|), flocal_g must be fit_g's first
+  // difference with a zero anchor — so a fixture-generation bug fails
+  // the oracle side while an engine regression (vertex choice, plFit
+  // interpolation, stats) fails the Spark side.
+  q("k4_dbest_golden",
+    s"""WITH g AS (
+       |  SELECT * FROM read_parquet('$dbestGoldenGenPath')),
+       |d AS (
+       |  SELECT series_id, idx, y, fit_g, flocal_g, rmse_g, mad_g,
+       |         segment_no_g,
+       |         lag(fit_g) OVER (PARTITION BY series_id ORDER BY idx)
+       |           AS fit_prev
+       |  FROM g)
+       |SELECT CAST(series_id AS INT) AS series_id,
+       |       CAST(count(*) AS BIGINT) AS n_points,
+       |       CAST(count(*) AS BIGINT) AS fit_match,
+       |       CAST(sum(CASE WHEN (idx = 0 AND flocal_g = 0) OR
+       |                          abs(flocal_g - (fit_g - fit_prev)) <= 1e-9
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS flocal_match,
+       |       CAST(CASE WHEN abs(any_value(rmse_g) -
+       |              sqrt(avg((fit_g - y) * (fit_g - y)))) <= 1e-9
+       |            THEN 1 ELSE 0 END AS INT) AS rmse_ok,
+       |       CAST(CASE WHEN abs(any_value(mad_g) -
+       |              median(abs(fit_g - y))) <= 1e-9
+       |            THEN 1 ELSE 0 END AS INT) AS mad_ok,
+       |       CAST(1 AS INT) AS segno_ok
+       |FROM d GROUP BY series_id""".stripMargin) { (s, d) =>
+    val fx = s.read.parquet(dbestGoldenGenPath)
+    val gen = udf { (dataType: String, seas: Int, ys: Seq[Double]) =>
+      val r = Dbest.generalization(ys.toArray,
+        Dbest.Params(dataType = dataType, seasonality = seas))
+      (r.segmentNo, r.rmse, r.mad, r.fit.toSeq, r.fLocal.toSeq)
+    }
+    def matches(computed: org.apache.spark.sql.Column,
+        golden: org.apache.spark.sql.Column) =
+      aggregate(
+        zip_with(computed, golden,
+          (a, b) => when(abs(a - b) <= 1e-6, 1L).otherwise(0L)),
+        lit(0L), (acc, v) => acc + v)
+    fx.groupBy(col("series_id"), col("data_type"), col("seasonality"),
+        col("segment_no_g"), col("rmse_g"), col("mad_g"))
+      .agg(sort_array(collect_list(struct(col("idx"), col("y"),
+        col("fit_g"), col("flocal_g")))).as("rows"))
+      .select(col("series_id"), col("data_type"), col("seasonality"),
+        col("segment_no_g"), col("rmse_g"), col("mad_g"),
+        transform(col("rows"), r => r.getField("y")).as("ys"),
+        transform(col("rows"), r => r.getField("fit_g")).as("fg"),
+        transform(col("rows"), r => r.getField("flocal_g")).as("flg"))
+      .withColumn("gen", gen(col("data_type"), col("seasonality"),
+        col("ys")))
+      .select(col("series_id"),
+        size(col("ys")).cast("long").as("n_points"),
+        matches(col("gen._4"), col("fg")).as("fit_match"),
+        matches(col("gen._5"), col("flg")).as("flocal_match"),
+        when(abs(col("gen._2") - col("rmse_g")) <= 1e-9, 1)
+          .otherwise(0).cast("int").as("rmse_ok"),
+        when(abs(col("gen._3") - col("mad_g")) <= 1e-9, 1)
+          .otherwise(0).cast("int").as("mad_ok"),
+        when(col("gen._1") === col("segment_no_g"), 1)
+          .otherwise(0).cast("int").as("segno_ok"))
   }
 }

@@ -1,5 +1,6 @@
 #!/usr/bin/env python3
-"""Independent DBEST change-detection reference for k3_dbest_golden.
+"""Independent DBEST change-detection reference for k3_dbest_golden
+and (r12) generalization reference for k4_dbest_golden.
 
 An INDEPENDENT numpy implementation of the DBEST change-detection
 pipeline (Jamali, Jonsson, Eklundh, Ardo & Seaquist 2015, "Detecting
@@ -42,10 +43,21 @@ shared spec-level choices):
     abrupt segments inherit 1, shorter gradual segments -1.
   - report: top breakpointsNo segments by (|change| desc, start asc).
 
+Generalization (k4_dbest_golden, r12 — the DBEST "Generalization"
+mode, calculations/dbest.py:385-394 semantics as SURVEY K4 pins them):
+same trend extraction, Douglas-Peucker at the default 3*sd(diff)
+threshold, turning-point reduction with NO forced level-shift keeps,
+piecewise-linear fit through the vertices; payload = the fit series,
+f_local (first difference of the fit, zero anchor at index 0),
+RMSE = sqrt(mean((fit - y)^2)) and MAD = median(|fit - y|) against
+the RAW series, segment_no = len(vertices) - 1.
+
 Run from the repo root: python3 tools/dbest_reference.py
 Writes fixtures/dbest_golden_series.parquet (per-index y + expected
-piecewise-linear fit + params) and fixtures/dbest_golden.parquet
-(expected ranked changes); both committed (FIXTURES.md).
+piecewise-linear fit + params), fixtures/dbest_golden.parquet
+(expected ranked changes) and fixtures/dbest_golden_gen.parquet
+(expected generalization payload per index + per-series stats); all
+committed (FIXTURES.md).
 """
 import math
 import numpy as np
@@ -255,6 +267,26 @@ def change_detection(y, data_type, seasonality, first, second, dur,
     return trend, fit, ranked
 
 
+def generalization(y, data_type, seasonality):
+    """DBEST Generalization mode: trend -> DP vertices at the default
+    threshold -> turning-point reduction (no level-shift keeps) ->
+    piecewise-linear fit; stats against the RAW series."""
+    y = np.asarray(y, dtype=float)
+    if data_type == "cyclical" and len(y) >= 2 * seasonality:
+        trend, _, _ = decompose(y, seasonality)
+    else:
+        trend = y.copy()
+    thr = default_distance(trend)
+    vertices = turning_points(trend, generalize(trend, thr), set())
+    fit = pl_fit(trend, vertices)
+    res = fit - y
+    rmse = math.sqrt(float((res * res).sum()) / max(len(y), 1))
+    mad = float(np.median(np.abs(res)))
+    f_local = np.zeros(len(y))
+    f_local[1:] = np.diff(fit)
+    return len(vertices) - 1, rmse, mad, fit, f_local
+
+
 # ---- fixture series (deterministic; no RNG) ------------------------
 def series():
     t120 = np.arange(120, dtype=float)
@@ -282,6 +314,24 @@ def series():
             (3, "non-cyclical", 12, 0.1, 0.2, 10, 3, 0.05, s3)]
 
 
+def gen_extra_series():
+    """K4-only fixture series (r12): the shared K3 series 1/3 carry a
+    level step that inflates the DP threshold (3*sd(diff)) and
+    generalize to a single chord — valid, but they exercise little of
+    the piecewise fit. This one is cyclical with three gentle slope
+    regimes and NO step, so the STL-trend path AND a multi-segment
+    DP/turning-point fit are both exercised. K4-only so the committed
+    K3 fixtures stay byte-identical."""
+    t96 = np.arange(96, dtype=float)
+    s4 = (np.sin(2 * np.pi * t96 / 12) * 0.8 +
+          np.where(t96 < 32, 0.05 * t96,
+                   np.where(t96 < 64, 1.6 - 0.03 * (t96 - 32),
+                            0.64 + 0.07 * (t96 - 64))) +
+          0.02 * np.sin(t96 * 0.8317))
+    #      (sid, dtype,    seas, y)
+    return [(4, "cyclical", 12, s4)]
+
+
 def main():
     ser_rows = {k: [] for k in
                 ("series_id", "idx", "y", "fit_g", "data_type",
@@ -290,6 +340,10 @@ def main():
     chg_rows = {k: [] for k in
                 ("series_id", "rank", "start_g", "end_g", "change_g",
                  "change_type_g", "significance_g")}
+    gen_rows = {k: [] for k in
+                ("series_id", "idx", "y", "fit_g", "flocal_g",
+                 "data_type", "seasonality", "segment_no_g",
+                 "rmse_g", "mad_g")}
     for (sid, dtype, seas, first, second, dur, bp, alpha, y) in series():
         trend, fit, ranked = change_detection(
             y, dtype, seas, first, second, dur, bp, alpha)
@@ -316,6 +370,35 @@ def main():
             chg_rows["significance_g"].append(sg)
         print(f"series {sid}: n={len(y)} vertices->changes "
               f"{[(a, b, round(ch, 4), ty, sg) for a, b, ch, ty, sg in ranked]}")
+        seg_no, rmse, mad, gfit, flocal = generalization(y, dtype, seas)
+        for i in range(len(y)):
+            gen_rows["series_id"].append(sid)
+            gen_rows["idx"].append(i)
+            gen_rows["y"].append(float(y[i]))
+            gen_rows["fit_g"].append(float(gfit[i]))
+            gen_rows["flocal_g"].append(float(flocal[i]))
+            gen_rows["data_type"].append(dtype)
+            gen_rows["seasonality"].append(seas)
+            gen_rows["segment_no_g"].append(seg_no)
+            gen_rows["rmse_g"].append(rmse)
+            gen_rows["mad_g"].append(mad)
+        print(f"series {sid} generalization: segments={seg_no} "
+              f"rmse={rmse:.6f} mad={mad:.6f}")
+    for (sid, dtype, seas, y) in gen_extra_series():
+        seg_no, rmse, mad, gfit, flocal = generalization(y, dtype, seas)
+        for i in range(len(y)):
+            gen_rows["series_id"].append(sid)
+            gen_rows["idx"].append(i)
+            gen_rows["y"].append(float(y[i]))
+            gen_rows["fit_g"].append(float(gfit[i]))
+            gen_rows["flocal_g"].append(float(flocal[i]))
+            gen_rows["data_type"].append(dtype)
+            gen_rows["seasonality"].append(seas)
+            gen_rows["segment_no_g"].append(seg_no)
+            gen_rows["rmse_g"].append(rmse)
+            gen_rows["mad_g"].append(mad)
+        print(f"series {sid} generalization (K4-only): segments={seg_no} "
+              f"rmse={rmse:.6f} mad={mad:.6f}")
 
     schema_s = pa.schema([
         ("series_id", pa.int32()), ("idx", pa.int32()),
@@ -329,12 +412,21 @@ def main():
         ("start_g", pa.int32()), ("end_g", pa.int32()),
         ("change_g", pa.float64()), ("change_type_g", pa.int32()),
         ("significance_g", pa.int32())])
+    schema_g = pa.schema([
+        ("series_id", pa.int32()), ("idx", pa.int32()),
+        ("y", pa.float64()), ("fit_g", pa.float64()),
+        ("flocal_g", pa.float64()), ("data_type", pa.string()),
+        ("seasonality", pa.int32()), ("segment_no_g", pa.int32()),
+        ("rmse_g", pa.float64()), ("mad_g", pa.float64())])
     pq.write_table(pa.table(ser_rows, schema=schema_s),
                    "fixtures/dbest_golden_series.parquet")
     pq.write_table(pa.table(chg_rows, schema=schema_c),
                    "fixtures/dbest_golden.parquet")
-    print("wrote fixtures/dbest_golden_series.parquet and "
-          "fixtures/dbest_golden.parquet")
+    pq.write_table(pa.table(gen_rows, schema=schema_g),
+                   "fixtures/dbest_golden_gen.parquet")
+    print("wrote fixtures/dbest_golden_series.parquet, "
+          "fixtures/dbest_golden.parquet and "
+          "fixtures/dbest_golden_gen.parquet")
 
 
 if __name__ == "__main__":
