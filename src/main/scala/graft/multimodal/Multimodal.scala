@@ -129,6 +129,60 @@ object Multimodal {
     out
   }
 
+  /** Byte-level payload TRIAGE (r12) — the step a media pipeline runs
+    * BEFORE any decode is attempted: per payload, the byte histogram's
+    * summary statistics flag corrupt, truncated, mislabeled or
+    * degenerate blobs without touching a codec. Everything is exact
+    * integer arithmetic so the report is engine-replayable:
+    *
+    *   - n_bytes, n_distinct_bytes — a payload claiming to be
+    *     compressed media with 6 distinct bytes is garbage;
+    *   - top_byte / top_count (ties to the LOWER byte value — total
+    *     order) — a dominant 0x00 means padding/truncation;
+    *   - printable_ppm — share of bytes in [32, 126]; the text-vs-
+    *     binary verdict threshold (a "jpeg" that is 99% printable is
+    *     mislabeled HTML);
+    *   - simpson_u = Σ c² over the histogram — the collision mass, an
+    *     exact-integer diversity proxy (compressed/encrypted payloads
+    *     score near-uniform LOW, repetitive/degenerate ones HIGH) that
+    *     needs no ln() and therefore no cross-engine libm hazard.
+    *
+    * Production extension (docstring contract, same plan shape): a
+    * broadcast magic-byte table joined on the first-4-bytes prefix
+    * adds format sniffing; the histogram pass is unchanged.
+    *
+    * Shape at scale: ONE explode of the payload bytes into a
+    * (doc, byte)-keyed count — map-side combined into ≤256 rows per
+    * doc — then a doc-keyed aggregate over that bounded histogram.
+    * No UDF: the byte explode is codegen'd transform/sequence/ascii
+    * column algebra (payloads here are the ASCII text bytes, so
+    * `ascii(substring)` IS the byte value — the winnow oracle's
+    * proven ord() convention; a raw-binary corpus would swap in
+    * `get_byte`-style indexing with the same two-aggregate shape).
+    */
+  def byteTriage(media: DataFrame): DataFrame = {
+    val hist = media
+      .select(col("doc_id"), col("payload").cast("string").as("t"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(t)), i -> ascii(substring(t, i, 1)))"))
+        .as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    hist.groupBy("doc_id").agg(
+      sum("c").as("n_bytes"),
+      count(lit(1)).cast("long").as("n_distinct_bytes"),
+      max(struct(col("c"), (-col("b")).as("nb"))).as("top"),
+      sum(col("c") * col("c")).as("simpson_u"),
+      sum(when(col("b").between(32, 126), col("c")).otherwise(0L))
+        .as("printable"))
+      .select(col("doc_id"), col("n_bytes"), col("n_distinct_bytes"),
+        (-col("top.nb")).cast("int").as("top_byte"),
+        col("top.c").as("top_count"),
+        expr("printable * 1000000L div n_bytes").as("printable_ppm"),
+        col("simpson_u"),
+        when(expr("printable * 1000000L div n_bytes") >= 950000L,
+          "text").otherwise("binary").as("verdict"))
+  }
+
   /** Resize plumbing: target dimensions + exact scale factors from the
     * decoded dims. A codec-backed implementation would resample pixels
     * per partition; the plan shape (dims in, scales + target out) is

@@ -6088,6 +6088,42 @@ object PipelineQueries extends QueryRegistry {
       Multimodal.extractFeatures(s, Multimodal.payloads(s, d)), 64, 64)
   }
 
+  // Byte-level payload triage (r12): the pre-decode gate of the media
+  // family — histogram summary stats (distinct bytes, dominant byte
+  // with lower-value tiebreak, printable share, Σc² Simpson collision
+  // mass) flag corrupt/degenerate/mislabeled payloads with exact
+  // integers only; the oracle replays the ord()-explode histogram and
+  // the same struct-max tiebreak relationally.
+  q("mm_byte_triage",
+    """WITH b AS (
+      |  SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) AS byte
+      |  FROM documents,
+      |       unnest(generate_series(1, length(text))) AS u(i)),
+      |h AS (SELECT doc_id, byte, CAST(count(*) AS BIGINT) AS c
+      |      FROM b GROUP BY 1, 2),
+      |top AS (SELECT doc_id, byte AS top_byte, c AS top_count
+      |        FROM (SELECT doc_id, byte, c,
+      |                row_number() OVER (PARTITION BY doc_id
+      |                                   ORDER BY c DESC, byte) AS rn
+      |              FROM h) WHERE rn = 1),
+      |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bytes,
+      |               CAST(count(*) AS BIGINT) AS n_distinct_bytes,
+      |               CAST(sum(c * c) AS BIGINT) AS simpson_u,
+      |               CAST(sum(CASE WHEN byte BETWEEN 32 AND 126
+      |                             THEN c ELSE 0 END) AS BIGINT) AS pr
+      |        FROM h GROUP BY doc_id)
+      |SELECT CAST(a.doc_id AS BIGINT) AS doc_id, a.n_bytes,
+      |       a.n_distinct_bytes,
+      |       CAST(t.top_byte AS INT) AS top_byte, t.top_count,
+      |       CAST(a.pr * 1000000 // a.n_bytes AS BIGINT)
+      |         AS printable_ppm,
+      |       a.simpson_u,
+      |       CASE WHEN a.pr * 1000000 // a.n_bytes >= 950000
+      |            THEN 'text' ELSE 'binary' END AS verdict
+      |FROM agg a JOIN top t ON t.doc_id = a.doc_id""") { (s, d) =>
+    Multimodal.byteTriage(Multimodal.payloads(s, d))
+  }
+
   // Per-source data card: the one-stop corpus report a curator
   // publishes with a release — volume, token mass, mean length,
   // language mix (count + deterministic top language + its share),

@@ -241,6 +241,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("frame_fp")).toSeq == expected)
   }
 
+  test("byte triage: histogram stats, tiebreak, and verdict on planted payloads") {
+    import spark.implicits._
+    // doc 1: "aaab" — top byte 'a'(97)x3, 2 distinct, simpson 9+1=10,
+    //   all printable -> text
+    // doc 2: "abab" — 'a' and 'b' tie at 2; tiebreak to the LOWER byte
+    //   value (97); simpson 4+4=8
+    // doc 3: 6 newlines + "ab" — printable 2/8 = 250000 ppm -> binary
+    val media = Seq((1L, "aaab"), (2L, "abab"), (3L, "\n\n\n\n\n\nab"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        lit("text/fake").as("media_type"),
+        octet_length(col("text").cast("binary")).as("n_bytes"))
+    val out = Multimodal.byteTriage(media).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_bytes") == 4L &&
+      d1.getAs[Long]("n_distinct_bytes") == 2L)
+    assert(d1.getAs[Int]("top_byte") == 97 &&
+      d1.getAs[Long]("top_count") == 3L)
+    assert(d1.getAs[Long]("simpson_u") == 10L)
+    assert(d1.getAs[String]("verdict") == "text")
+    val d2 = out(2L)
+    assert(d2.getAs[Int]("top_byte") == 97 &&
+      d2.getAs[Long]("top_count") == 2L)
+    assert(d2.getAs[Long]("simpson_u") == 8L)
+    val d3 = out(3L)
+    assert(d3.getAs[Long]("printable_ppm") == 250000L)
+    assert(d3.getAs[Int]("top_byte") == 10 &&
+      d3.getAs[Long]("top_count") == 6L)
+    assert(d3.getAs[String]("verdict") == "binary")
+  }
+
   test("sequence packing invariants on randomized shards") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
