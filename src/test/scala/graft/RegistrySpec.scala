@@ -25,6 +25,21 @@ class RegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("every bench name — headline and sf1 — is a registered query") {
+    // r12: a typo in Bench.headline/sf1Needs used to surface only as a
+    // burned 40-minute bench run recording a failed row; now it's a
+    // red test at build time. sf1 gating tables must also be real.
+    val qs = SparkEntry.queries.keySet
+    val tables = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    Bench.headline.foreach(n =>
+      assert(qs.contains(n), s"bench headline names unknown query: $n"))
+    (Bench.sf1Needs ++ Bench.sf1EvidenceRows).foreach { case (n, t) =>
+      assert(qs.contains(n), s"sf1 block names unknown query: $n")
+      assert(tables.contains(t), s"sf1 row $n gates on unknown table: $t")
+    }
+  }
+
   test("duplicate registration is rejected") {
     object Dup extends QueryRegistry {
       q("dup_x", "SELECT 1") { (_, _) => null }
