@@ -1675,6 +1675,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out("test")._1 == 1L && out("test")._2 == 1L, s"$out")
   }
 
+  test("hashSample: nesting, layout-invariance, and split consistency") {
+    import spark.implicits._
+    val ids = spark.range(0, 2000).selectExpr("id AS doc_id")
+    def sample(pct: Int, parts: Int) =
+      Sampling.hashSample(ids.repartition(parts), "doc_id", pct)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s10 = sample(10, 4)
+    val s25 = sample(25, 4)
+    val s50 = sample(50, 4)
+    // monotone nesting: raising pct only ADDS rows — the property that
+    // lets a cheap pilot sample extend to a bigger audit sample
+    // without re-selecting (same md5 bucket, higher threshold)
+    assert(s10.subsetOf(s25) && s25.subsetOf(s50))
+    // membership is a pure function of the id — partition layout and
+    // row order must not matter (the cross-engine determinism claim)
+    assert(sample(25, 1) == s25 && sample(25, 13) == s25)
+    // consistency with hashSplit: pct and trainPct read the same
+    // bucket, so sample(80) IS the train side of an 80/20 split
+    val train = Sampling.hashSplit(ids, "doc_id", 80)
+      .filter(col("split") === "train")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sample(80, 4) == train)
+    // rough mass sanity: md5 buckets spread ids near-uniformly
+    assert(s25.size > 400 && s25.size < 600, s"25% of 2000 -> ${s25.size}")
+  }
+
   test("dbscan: arc chain -> two cores merge to one cluster, endpoints " +
       "border, orthogonal outlier noise") {
     import spark.implicits._
