@@ -2240,6 +2240,61 @@ object PipelineQueries extends QueryRegistry {
           .as("recall_ppm"))
   }
 
+  // Embedding-level cross-split contamination (r12): the semantic leg
+  // of the decontamination family — eval-half vectors with a
+  // train-half near-duplicate at cosine >= 0.4, candidates from the
+  // cell-bucketed assignment (the dbscan machinery), per flagged eval
+  // its best train neighbor + candidate count. The oracle replays the
+  // md5-parity split, the √n/p=4 assignment, the cell join and the
+  // per-eval rank exactly.
+  q("sim_split_leakage",
+    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |            FROM embeddings),
+      |ctr0 AS (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, e
+      |         FROM emb ORDER BY h
+      |         LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+      |                FROM emb)),
+      |ctr AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cell, e AS c
+      |        FROM ctr0),
+      |dst AS (
+      |  SELECT v.vec_id, c.cell,
+      |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list_transform(range(1, 65), i ->
+      |             (v.e[CAST(i AS INT)] - c.c[CAST(i AS INT)]) *
+      |             (v.e[CAST(i AS INT)] - c.c[CAST(i AS INT)]))),
+      |           (a, x) -> a + x) AS d2
+      |  FROM emb v CROSS JOIN ctr c),
+      |asg AS (
+      |  SELECT vec_id, cell
+      |  FROM (SELECT vec_id, cell,
+      |          row_number() OVER (PARTITION BY vec_id
+      |                             ORDER BY d2, cell) AS pr
+      |        FROM dst) WHERE pr <= 4),
+      |sd AS (SELECT vec_id, e,
+      |         (CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+      |            1, 8)) AS UBIGINT) % 100) % 2 AS side
+      |       FROM emb),
+      |cand AS (SELECT DISTINCT t.vec_id AS train_id, v.vec_id AS eval_id
+      |         FROM asg a JOIN asg b ON a.cell = b.cell
+      |         JOIN sd t ON t.vec_id = a.vec_id AND t.side = 0
+      |         JOIN sd v ON v.vec_id = b.vec_id AND v.side = 1),
+      |sc AS (SELECT c.eval_id, c.train_id,
+      |         list_cosine_similarity(t.e, v.e) AS cos
+      |       FROM cand c JOIN sd t ON t.vec_id = c.train_id
+      |                   JOIN sd v ON v.vec_id = c.eval_id
+      |       WHERE list_cosine_similarity(t.e, v.e) >= 0.4),
+      |rk AS (SELECT eval_id, train_id, cos,
+      |         row_number() OVER (PARTITION BY eval_id
+      |                            ORDER BY cos DESC, train_id) AS rn,
+      |         count(*) OVER (PARTITION BY eval_id) AS n_cands
+      |       FROM sc)
+      |SELECT CAST(eval_id AS BIGINT) AS eval_id,
+      |       CAST(train_id AS BIGINT) AS train_id,
+      |       round(cos, 6) AS cos, CAST(n_cands AS BIGINT) AS n_cands
+      |FROM rk WHERE rn = 1""") { (s, d) =>
+    Similarity.crossSplitLeakage(embs(s, d), minCos = 0.4, nprobe = 4)
+  }
+
   /** The probe curve AT THE DEFAULT QUANTIZER (r11): the headline
     * `sim_dbscan` pins p=4, a pick `curvePick` made over
     * `sim_dbscan_recall_curve` — which measures the PINNED-16

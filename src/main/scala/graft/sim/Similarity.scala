@@ -413,6 +413,61 @@ object Similarity {
     mmrGreedy(pool, k)
   }
 
+  /** Embedding-level cross-split contamination audit (r12) — the
+    * SEMANTIC leg of the decontamination family: exact membership is
+    * the bloom gate (`st_bloom_decontam`), shared n-grams are
+    * `t_split_leakage`, and this catches the eval example that is a
+    * PARAPHRASE or near-duplicate of a training example — the leak
+    * neither of those sees, and the one that actually inflates evals
+    * (Yang et al. 2023, "Rethinking benchmark and contamination...").
+    *
+    * Split: the corpus's own md5-even/odd halves (the
+    * `t_lm_heldout`/`t_split_leakage` convention — `hashBucket % 2`,
+    * replayed identically in DuckDB). Candidates: the [[dbscan]]
+    * machinery — one multi-probe assignment pass at the √n-cell
+    * quantizer (eagerly checkpointed, it feeds both split sides), a
+    * cell-keyed train×eval join, exact cosine ≥ minCos on candidates
+    * only. Per flagged eval vector: its BEST train neighbor (max
+    * cosine, ties to the lower train id) and the candidate count.
+    *
+    * Recall caveat (the semdedup posture): candidates are limited to
+    * pairs sharing a probed cell, so recall follows the MEASURED
+    * dbscan curve (`sim_dbscan_scaled_recall`: 83% at p=4 for ≥0.3
+    * pairs on testdata — higher for the tighter threshold here, since
+    * closer pairs co-cell more often). An audit that must be
+    * exhaustive at small scale composes with [[bruteForceTopK]];
+    * at 100 TB the cell-bounded form is the runnable one.
+    */
+  def crossSplitLeakage(embeddings: DataFrame, minCos: Double = 0.4,
+      nprobe: Int = 4): DataFrame = {
+    val nlist = math.ceil(math.sqrt(embeddings.count().toDouble)).toInt
+    val quant = hashSampledQuantizer(embeddings, nlist)
+    val probeUdf = udf { (v: Seq[Double]) => quant.nearestCells(v, nprobe) }
+    val asg = embeddings.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("e"),
+        (graft.pipeline.Sampling.hashBucket("vec_id") % 2).as("side"))
+      .select(col("vec_id"), col("e"), col("side"),
+        explode(probeUdf(col("e"))).as("cell"))
+      .localCheckpoint(true)
+    val tr = asg.filter(col("side") === 0)
+      .select(col("cell"), col("vec_id").as("train_id"), col("e").as("et"))
+    val ev = asg.filter(col("side") === 1)
+      .select(col("cell"), col("vec_id").as("eval_id"), col("e").as("ee"))
+    val scored = tr.join(ev, "cell")
+      .select(col("eval_id"), col("train_id"),
+        cosineCol(col("et"), col("ee")).as("cos"))
+      .distinct() // multi-probe co-cells; cos is bit-identical per pair
+      .filter(col("cos") >= minCos)
+    val byEval = Window.partitionBy("eval_id")
+    scored
+      .withColumn("rn", row_number().over(
+        byEval.orderBy(col("cos").desc, col("train_id"))))
+      .withColumn("n_cands", count(lit(1)).over(byEval))
+      .filter(col("rn") === 1)
+      .select(col("eval_id"), col("train_id"),
+        round(col("cos"), 6).as("cos"), col("n_cands"))
+  }
+
   /** MMR with the pool fed from the IVF index (r10 verdict #3 — the
     * AT-SCALE path the [[mmrTopK]] docstring promises): candidate
     * generation is [[ivfTopK]]'s bucketed inverted-list join (the

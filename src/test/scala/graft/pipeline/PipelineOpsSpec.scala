@@ -1701,6 +1701,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(s25.size > 400 && s25.size < 600, s"25% of 2000 -> ${s25.size}")
   }
 
+  test("cross-split leakage: planted eval near-dups flag with their best " +
+      "train neighbor; orthogonal eval stays clean") {
+    import graft.sim.Similarity
+    import spark.implicits._
+    // md5-bucket parity of the ids: 0,1 -> train (side 0); 2,4,5 ->
+    // eval (side 1). Geometry: evals 2 and 5 point near train 0's +x
+    // axis (cos ~0.9994 / ~0.9397); eval 4 is orthogonal to both
+    // trains. nprobe = nlist(=ceil(sqrt(5))=3) so every cross pair is
+    // a candidate — the spec pins SEMANTICS (split, threshold, best
+    // pick, n_cands); recall of the cell bound is the dbscan curve's
+    // job.
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9994f, 0.0349f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (5L, Array(0.94f, 0.342f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.crossSplitLeakage(df, minCos = 0.4, nprobe = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(out.keySet == Set(2L, 5L), s"flagged set: ${out.keySet}")
+    val (t2, c2, n2) = out(2L)
+    assert(t2 == 0L && c2 > 0.99 && n2 == 1L, s"eval 2: ${out(2L)}")
+    val (t5, c5, n5) = out(5L)
+    assert(t5 == 0L && c5 > 0.93 && c5 < 0.95 && n5 == 1L,
+      s"eval 5: ${out(5L)}")
+  }
+
   test("dbscan: arc chain -> two cores merge to one cluster, endpoints " +
       "border, orthogonal outlier noise") {
     import spark.implicits._
