@@ -154,7 +154,10 @@ object Bench {
     // byte-level payload triage: one codegen'd byte explode into a
     // map-combined (doc, byte) count + the <=256-row/doc rollup — the
     // dq_benford cost class
-    "mm_byte_triage")
+    "mm_byte_triage",
+    // semantic cross-split contamination: one multi-probe assignment
+    // pass + a cell-keyed train×eval join — the dd_semdedup cost class
+    "sim_split_leakage")
 
   /** sf1 stretch rows: (query name, gating input table). Object-level
     * (r12) so RegistrySpec can assert every bench name — headline and
@@ -240,6 +243,9 @@ object Bench {
     "sim_dbscan_sampled_recall" -> "embeddings",
     "sim_kcenter_sampled" -> "embeddings",
     "dd_minhash_recall_sampled" -> "documents",
+    // semantic cross-split contamination at 10×: the dd_semdedup cost
+    // class (one assignment pass + cell-keyed train×eval join)
+    "sim_split_leakage" -> "embeddings",
     "st_incremental_dedup" -> "documents",
     "st_embed_drift" -> "embeddings")
   // r12 (r11 verdict #1a): the two DECLARED-quadratic evidence rows
