@@ -163,6 +163,14 @@ object Multimodal {
   def byteTriage(media: DataFrame): DataFrame = {
     val hist = media
       .select(col("doc_id"), col("payload").cast("string").as("t"))
+      // empty payloads drop BEFORE the explode (r12 ADVICE): Spark's
+      // sequence(1, 0) is [1, 0] (step defaults to -1 when start >
+      // stop), which would fabricate two b=0 rows for a zero-length
+      // blob while the oracle's generate_series(1, 0) is empty —
+      // matching the oracle's row-drop semantics keeps the latent
+      // divergence out, and a triage gate has nothing to say about a
+      // payload with no bytes anyway (upstream length checks own it)
+      .filter(length(col("t")) > 0)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, length(t)), i -> ascii(substring(t, i, 1)))"))
         .as("b"))

@@ -3101,9 +3101,16 @@ object PipelineQueries extends QueryRegistry {
       val md =
         if (i == 2) dist("m", "c")
         else s"least(m.md, ${dist("m", "c")})"
+      // md > 0 mirrors kCenterSelect's exhaustion stop (r12 ADVICE):
+      // when the greedy max min-d² hits 0 (pool smaller than k, or
+      // all-duplicate remainder) the Spark side stops emitting — here
+      // the filter empties p$i, and the chained CROSS JOINs propagate
+      // the emptiness to every later step, so both sides report the
+      // same honest coreset size
       s"""$dcur AS (SELECT m.vec_id, m.e, $md AS md
          |          FROM $src m CROSS JOIN $prev c),
-         |$pcur AS (SELECT * FROM $dcur ORDER BY md DESC, vec_id LIMIT 1)"""
+         |$pcur AS (SELECT * FROM $dcur WHERE md > 0
+         |          ORDER BY md DESC, vec_id LIMIT 1)"""
         .stripMargin
     }.mkString(",\n")
     val sel = (2 to k).map(i =>

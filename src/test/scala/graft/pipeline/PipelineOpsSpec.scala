@@ -273,6 +273,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(d3.getAs[String]("verdict") == "binary")
   }
 
+  test("byte triage drops empty payloads (oracle row-drop semantics)") {
+    import spark.implicits._
+    // r12 ADVICE: sequence(1, 0) in Spark is [1, 0] (negative default
+    // step), which used to fabricate two b=0 rows for an empty blob —
+    // the DuckDB oracle's generate_series(1, 0) is empty and drops the
+    // doc. Empty/truncated blobs are exactly what triage targets, so
+    // the row-drop must match.
+    val media = Seq((1L, ""), (2L, "ok"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        lit("text/fake").as("media_type"),
+        octet_length(col("text").cast("binary")).as("n_bytes"))
+    val out = Multimodal.byteTriage(media).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L),
+      "empty payload must not fabricate a histogram row")
+    assert(out.head.getAs[Long]("n_bytes") == 2L)
+  }
+
   test("sequence packing invariants on randomized shards") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
