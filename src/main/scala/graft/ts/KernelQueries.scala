@@ -768,11 +768,14 @@ object KernelQueries extends QueryRegistry {
   // is the fit's first difference, the fit is piecewise-linear), but
   // not the fit itself — a wrong DP vertex choice that still produces
   // A piecewise-linear curve passes every identity. The committed
-  // fixture (fixtures/dbest_golden_gen.parquet) holds four series —
-  // the three shared K3 series plus a K4-only cyclical multi-slope
-  // series (the shared ones generalize to a single chord because
-  // their level step inflates the 3·sd(diff) DP threshold; valid, but
-  // series 4 exercises a genuine 3-segment STL-path fit) —
+  // fixture (fixtures/dbest_golden_gen.parquet) holds five series —
+  // the three shared K3 series plus two K4-only multi-slope series:
+  // 4 cyclical (a genuine 3-segment STL-path fit; shared series 1/3
+  // generalize to a single chord because their level step inflates
+  // the 3·sd(diff) DP threshold) and 5 NON-cyclical (r13, r12 verdict
+  // #3: a genuine 4-segment fit through the raw-trend branch — the
+  // mode the reference crashes on, calculations/dbest.py:94-95 — so
+  // both generalization branches are golden-pinned) —
   // generalized by the INDEPENDENT numpy reference
   // (tools/dbest_reference.py `generalization`). Spark recomputes the
   // payload with graft.ts.Dbest.generalization and counts 1e-6-abs

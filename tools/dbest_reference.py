@@ -328,8 +328,22 @@ def gen_extra_series():
                    np.where(t96 < 64, 1.6 - 0.03 * (t96 - 32),
                             0.64 + 0.07 * (t96 - 64))) +
           0.02 * np.sin(t96 * 0.8317))
-    #      (sid, dtype,    seas, y)
-    return [(4, "cyclical", 12, s4)]
+    # 5 (r13): NON-CYCLICAL K4-only series — the generalization branch
+    # that skips STL and fits the RAW series directly (the mode the
+    # reference crashes on, calculations/dbest.py:94-95 / Appendix
+    # A.4). Shared series 2/3 are also non-cyclical, but this one is
+    # built FOR the branch: four slope regimes and no level step, so
+    # the 3*sd(diff) DP threshold stays tight and the fixture pins a
+    # genuine multi-segment raw-branch fit (not a single chord).
+    t72 = np.arange(72, dtype=float)
+    s5 = (np.where(t72 < 18, 0.06 * t72,
+          np.where(t72 < 36, 1.08 - 0.04 * (t72 - 18),
+          np.where(t72 < 54, 0.36 + 0.09 * (t72 - 36),
+                   1.98 - 0.02 * (t72 - 54)))) +
+          0.008 * np.sin(t72 * 1.2937))
+    #      (sid, dtype,        seas, y)
+    return [(4, "cyclical", 12, s4),
+            (5, "non-cyclical", 12, s5)]
 
 
 def main():
