@@ -138,7 +138,12 @@ object KernelQueries extends QueryRegistry {
   // SQL twin); the path is identity-anchored by the green
   // oracle-checked k3_decomp_identity / k3_fit_identity /
   // k3_change_identity entries, which pin the SAME composite, series
-  // assembly, eligibility gate, and decomposition at the SAME params.
+  // assembly, eligibility gate, and decomposition at the SAME params —
+  // and (r13) the WHOLE path including kernel + first-change decode +
+  // region stats is golden-anchored end to end by the green
+  // pipeline_dbest_decode / pipeline_dbest_decode_stats entries, which
+  // run this exact production pipeline over fixture-built observations
+  // against the independent numpy reference's expected rows.
   qNoOracle("pipeline_dbest") { (s, d) =>
     val obs = TrendPipeline.eventsAsObservations(s, d)
     val changes = TrendPipeline.dbestChange(s, obs,
@@ -842,5 +847,113 @@ object KernelQueries extends QueryRegistry {
           .otherwise(0).cast("int").as("mad_ok"),
         when(col("gen._1") === col("segment_no_g"), 1)
           .otherwise(0).cast("int").as("segno_ok"))
+  }
+
+  /** The golden fixture replayed as OBSERVATIONS through the PRODUCTION
+    * polygon path (r13, r12 verdict #2): one observation per (series,
+    * idx) with a fractional pixel coordinate (so the reference's
+    * geometry rounding is genuinely exercised) and a 6-hour time grid,
+    * so [[TrendPipeline.dbestChange]]'s scan → F1/F2 filter →
+    * composite → series assembly → kernel → first-change decode all
+    * run for real — not a UDF shortcut around the pipeline.
+    */
+  private def goldenObservations(s: org.apache.spark.sql.SparkSession) =
+    s.read.parquet(dbestGoldenSeriesPath).select(
+      concat_ws("_", col("series_id"), col("idx")).as("id"),
+      (col("series_id") + lit(0.12345678)).as("longitude"),
+      lit(0.7654321).as("latitude"),
+      timestamp_seconds(lit(1704067200L) + col("idx").cast("long") * 21600L)
+        .as("time"),
+      col("y").as("value"))
+
+  /** One [[TrendPipeline.dbestChange]] run per golden param group
+    * (the fixture's series carry different data_type/duration, and the
+    * polygon path takes ONE param set per query — exactly how the
+    * reference dispatches one form submission per AOI), unioned. The
+    * bbox picks each series' pixel, so F2 filtering is live too.
+    */
+  private def goldenDecode(
+      s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    val obs = goldenObservations(s)
+    def kp(dataType: String, dur: Int) = Dbest.Params(
+      dataType = dataType, seasonality = 12, breakpointsNo = 3,
+      firstLevelShift = 0.1, secondLevelShift = 0.2, duration = dur,
+      alpha = 0.05)
+    Seq((1, kp("cyclical", 12)), (2, kp("non-cyclical", 12)),
+        (3, kp("non-cyclical", 10)))
+      .map { case (sid, params) =>
+        TrendPipeline.dbestChange(s, obs,
+          TrendPipeline.DbestPipelineParams(
+            startDate = "2024-01-01", endDate = "2026-01-01",
+            bbox = Some((sid + 0.1, sid + 0.2, 0.0, 1.0)),
+            threshold = -1e18, kernel = params),
+          composite = TrendPipeline.timeBucketComposite(_, 21600))
+      }.reduce(_ union _)
+  }
+
+  // The pipeline_dbest DECODE block, ORACLE-CHECKED against the golden
+  // fixture (r12 verdict #2 — the end-to-end DBEST journey's summary
+  // surface had no oracle-checkable projection): the reference's
+  // polygon decode (`calculations/dbest.py:126-143`) keeps the FIRST
+  // (top-ranked) change per pixel and emits rounded geometry + int
+  // segment fields. Spark runs the PRODUCTION path over fixture-built
+  // observations (goldenDecode); DuckDB replays the committed golden
+  // rank-1 rows (independent numpy reference) with the same decode
+  // arithmetic — so a regression anywhere in scan → filter →
+  // composite → assembly → kernel → first-change decode hash-fails,
+  // and so would a fixture-generation bug (the two sides share no
+  // code).
+  q("pipeline_dbest_decode",
+    s"""WITH g AS (SELECT * FROM read_parquet('$dbestGoldenChangesPath')
+       |           WHERE rank = 1)
+       |SELECT round(CAST(series_id AS DOUBLE) + CAST(0.12345678 AS DOUBLE),
+       |             4) AS lon_r,
+       |       round(CAST(0.7654321 AS DOUBLE), 4) AS lat_r,
+       |       breakpoint_no_g AS breakpoint_no,
+       |       segment_no_g AS segment_no,
+       |       start_g AS start, end_g - start_g AS duration,
+       |       end_g AS "end", round(change_g, 4) AS change,
+       |       change_type_g AS change_type,
+       |       significance_g AS significance
+       |FROM g""".stripMargin) { (s, d) =>
+    goldenDecode(s).select(
+      round(col("longitude"), 4).as("lon_r"),
+      round(col("latitude"), 4).as("lat_r"),
+      col("breakpoint_no"), col("segment_no"), col("start"),
+      col("duration"), col("end"),
+      round(col("change"), 4).as("change"),
+      col("change_type"), col("significance"))
+  }
+
+  // The pipeline_dbest STATS block over the same golden decode,
+  // ORACLE-CHECKED: [[TrendPipeline.dbestStatistics]] (the A4/A5-style
+  // region summary the reference's polygon map legend is built from)
+  // computed by the engine over the production decode vs DuckDB's
+  // independent replay over the golden rank-1 rows. Together with
+  // pipeline_dbest_decode this closes the last unanchored block of the
+  // pipeline_dbest journey: its payload entry stays rows-only only
+  // because the EVENTS-table changes have no independent twin — every
+  // stage and both summary surfaces now do.
+  q("pipeline_dbest_decode_stats",
+    s"""WITH g AS (SELECT * FROM read_parquet('$dbestGoldenChangesPath')
+       |           WHERE rank = 1)
+       |SELECT CAST(count(*) AS BIGINT) AS n_pixels,
+       |       CAST(sum(CASE WHEN start_g >= 0 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_with_change,
+       |       CAST(sum(CASE WHEN change_type_g = 1 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_abrupt,
+       |       CAST(sum(CASE WHEN start_g >= 0 AND change_type_g = 0
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_nonabrupt,
+       |       CAST(sum(CASE WHEN significance_g = 1 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_significant,
+       |       CAST(sum(breakpoint_no_g) AS BIGINT) AS n_breakpoints_total,
+       |       CAST(round(sum(CASE WHEN start_g >= 0
+       |                          THEN floor(abs(change_g) * 10000 + 0.5)
+       |                          ELSE 0 END) /
+       |                  greatest(sum(CASE WHEN start_g >= 0 THEN 1
+       |                               ELSE 0 END), 1), 0) AS BIGINT)
+       |         AS mean_abs_change_u
+       |FROM g""".stripMargin) { (s, d) =>
+    TrendPipeline.dbestStatistics(goldenDecode(s))
   }
 }

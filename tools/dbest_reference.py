@@ -264,7 +264,12 @@ def change_detection(y, data_type, seasonality, first, second, dur,
         segs.append((a, b, float(trend[b] - trend[a]),
                      1 if is_ab else 0, sig))
     ranked = sorted(segs, key=lambda c: (-abs(c[2]), c[0]))[:max(bp_no, 0)]
-    return trend, fit, ranked
+    # r13: the per-series summary ints the polygon decode carries
+    # (graft.ts.Dbest.Result semantics: breakpointNo = interior vertex
+    # count capped by the segment count; segmentNo = all consecutive
+    # vertex pairs, BEFORE the top-N ranking cut)
+    bp_actual = min(len(vertices) - 2, max(len(segs), 0))
+    return trend, fit, ranked, bp_actual, len(segs)
 
 
 def generalization(y, data_type, seasonality):
@@ -353,13 +358,14 @@ def main():
                  "breakpoints_no", "alpha")}
     chg_rows = {k: [] for k in
                 ("series_id", "rank", "start_g", "end_g", "change_g",
-                 "change_type_g", "significance_g")}
+                 "change_type_g", "significance_g",
+                 "breakpoint_no_g", "segment_no_g")}
     gen_rows = {k: [] for k in
                 ("series_id", "idx", "y", "fit_g", "flocal_g",
                  "data_type", "seasonality", "segment_no_g",
                  "rmse_g", "mad_g")}
     for (sid, dtype, seas, first, second, dur, bp, alpha, y) in series():
-        trend, fit, ranked = change_detection(
+        trend, fit, ranked, bp_actual, seg_no = change_detection(
             y, dtype, seas, first, second, dur, bp, alpha)
         assert ranked, f"series {sid} produced no changes"
         for i in range(len(y)):
@@ -382,6 +388,8 @@ def main():
             chg_rows["change_g"].append(ch)
             chg_rows["change_type_g"].append(ty)
             chg_rows["significance_g"].append(sg)
+            chg_rows["breakpoint_no_g"].append(bp_actual)
+            chg_rows["segment_no_g"].append(seg_no)
         print(f"series {sid}: n={len(y)} vertices->changes "
               f"{[(a, b, round(ch, 4), ty, sg) for a, b, ch, ty, sg in ranked]}")
         seg_no, rmse, mad, gfit, flocal = generalization(y, dtype, seas)
@@ -425,7 +433,8 @@ def main():
         ("series_id", pa.int32()), ("rank", pa.int32()),
         ("start_g", pa.int32()), ("end_g", pa.int32()),
         ("change_g", pa.float64()), ("change_type_g", pa.int32()),
-        ("significance_g", pa.int32())])
+        ("significance_g", pa.int32()),
+        ("breakpoint_no_g", pa.int32()), ("segment_no_g", pa.int32())])
     schema_g = pa.schema([
         ("series_id", pa.int32()), ("idx", pa.int32()),
         ("y", pa.float64()), ("fit_g", pa.float64()),
