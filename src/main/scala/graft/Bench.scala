@@ -140,6 +140,12 @@ object Bench {
     // overhead was unmeasured; read each next to its batch twin:
     // dd_incremental / sim_embed_drift)
     "st_incremental_dedup", "st_embed_drift",
+    // r13 (r12 verdict #7 — rotate 2-3 never-benched st_ twins per
+    // round): two STATEFUL-heavier twins to test the constant-~1s
+    // AvailableNow-overhead hypothesis beyond r12's pair — read
+    // st_session_window against la_sessionize and st_psi_drift against
+    // the day-grid PSI shape
+    "st_session_window", "st_psi_drift",
     // r12: the hash-sampled recall audit (r11 verdict #4 — the first
     // measured-recall entry with an executable path at ANY scale: the
     // exact side runs on a deterministic md5-threshold sample, frac
@@ -155,6 +161,13 @@ object Bench {
     // map-combined (doc, byte) count + the <=256-row/doc rollup — the
     // dq_benford cost class
     "mm_byte_triage",
+    // r13: the bounded-state twin (one TypedImperativeAggregate pass,
+    // one row per payload through the plan instead of one per byte) —
+    // read the PAIR as the explode-vs-aggregate price (r12 verdict
+    // #4); and the magic-byte sniff (triage + a broadcast prefix join
+    // + a doc-keyed join back — the byteTriage docstring's production
+    // extension, realized; r12 verdict #5)
+    "mm_byte_triage_agg", "mm_format_sniff",
     // semantic cross-split contamination: one multi-probe assignment
     // pass + a cell-keyed train×eval join — the dd_semdedup cost class
     "sim_split_leakage")
@@ -247,7 +260,11 @@ object Bench {
     // class (one assignment pass + cell-keyed train×eval join)
     "sim_split_leakage" -> "embeddings",
     "st_incremental_dedup" -> "documents",
-    "st_embed_drift" -> "embeddings")
+    "st_embed_drift" -> "embeddings",
+    // r13: the stateful-heavier streaming twins at 10× (session-window
+    // state and the day×bucket PSI grid both grow with data, unlike
+    // r12's pair whose state was dedup-key/centroid-sized)
+    "st_session_window" -> "events", "st_psi_drift" -> "events")
   // r12 (r11 verdict #1a): the two DECLARED-quadratic evidence rows
   // burned ~10 min of the sf1 block every round (pinned16: 146s cold
   // + 80s warm; uncapped containment: 315s cold + 127s warm in the

@@ -107,7 +107,9 @@ object Plans {
     "sim_dbscan_sampled_recall" -> "hash-sampled recall audit (r12, r11 verdict #4): the md5-threshold sample is a MAP-SIDE Filter directly over the scan (look for the conv(substring(md5..)) predicate with no exchange below it) — the exact self-join then reads two scans of the SAMPLE, so its pair volume is (n/4)² by construction; the quantizer centers came from the FULL corpus at build time (TakeOrderedAndProject, √n rows); the audit's only corpus-sized stage is that one center pick",
     "sim_kcenter_sampled" -> "k-center over the preselected pool (r12, r11 verdict #5): same k-row LocalRelation return as sim_kcenter — but every build-time greedy scan read the hashSample FILTERED projection (the corpus appears only in the map-side md5-threshold filter feeding the one checkpoint), so the k−1 top-1 heaps priced the pool, not the corpus",
     "mm_byte_triage" -> "pre-decode payload triage (r12): ONE Generate (the codegen'd byte explode) into a (doc, byte) hash aggregate with map-side partial combine — the byte-grain stage shows partial+final HashAggregate around its Exchange — then the doc-keyed rollup (SortAggregate pair: the struct-max tiebreak is not hash-aggregable) over the ≤256-row/doc histogram; the second exchange moves histogram rows, never bytes; no UDF, one corpus pass",
-    "sim_split_leakage" -> "semantic cross-split contamination (r12): the assignment checkpoint is scanned TWICE (train filter / eval filter — look for two Scan ExistingRDD arms meeting at one cell-keyed join), exact cosine evaluates only on cell candidates, and the per-eval rank is a bounded window above the join — train×eval brute force appears nowhere")
+    "sim_split_leakage" -> "semantic cross-split contamination (r12): the assignment checkpoint is scanned TWICE (train filter / eval filter — look for two Scan ExistingRDD arms meeting at one cell-keyed join), exact cosine evaluates only on cell candidates, and the per-eval rank is a bounded window above the join — train×eval brute force appears nowhere",
+    "mm_byte_triage_agg" -> "bounded-state triage twin (r13, r12 verdict #4): ONE ObjectHashAggregate pair (partial+final around the doc-keyed Exchange) running graft.functions.ByteTriageAgg — NO Generate anywhere: the per-byte explode is gone, one row per payload flows through the plan and the aggregate buffer holds the 256-slot histogram; compare against mm_byte_triage's Generate + two-aggregate shape",
+    "mm_format_sniff" -> "magic-byte format sniff (r13, r12 verdict #5): the prefix arm is a BroadcastHashJoin against the 13-row magic table over a map-only substring projection (the corpus never shuffles on content), joined doc-keyed back to the triage histogram rollup; look for exactly one broadcast exchange (the magic table) and the triage sub-plan unchanged beneath it")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

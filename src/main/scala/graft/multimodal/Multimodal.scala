@@ -147,9 +147,10 @@ object Multimodal {
     *     score near-uniform LOW, repetitive/degenerate ones HIGH) that
     *     needs no ln() and therefore no cross-engine libm hazard.
     *
-    * Production extension (docstring contract, same plan shape): a
-    * broadcast magic-byte table joined on the first-4-bytes prefix
-    * adds format sniffing; the histogram pass is unchanged.
+    * Format sniffing rides this histogram in [[formatSniff]] (r13 —
+    * the extension this docstring used to only promise): a broadcast
+    * magic-byte table joined on the first-4-bytes prefix, histogram
+    * verdict as the fallback.
     *
     * Shape at scale: ONE explode of the payload bytes into a
     * (doc, byte)-keyed count — map-side combined into ≤256 rows per
@@ -159,6 +160,15 @@ object Multimodal {
     * `ascii(substring)` IS the byte value — the winnow oracle's
     * proven ord() convention; a raw-binary corpus would swap in
     * `get_byte`-style indexing with the same two-aggregate shape).
+    *
+    * Posture note (r12 verdict #4): the explode emits one INTERNAL row
+    * per payload byte before the partial aggregate collapses it —
+    * correct and codegen'd, but 10⁶ rows/doc at MB-scale media
+    * payloads. [[byteTriageAgg]] is the bounded-state twin for that
+    * regime (one row per payload through the plan, 256-slot aggregate
+    * buffer); the bench A/B mm_byte_triage vs mm_byte_triage_agg
+    * prices the two forms, and ByteTriageAggSpec-grade frame equality
+    * is spec-pinned so either can serve any caller.
     */
   def byteTriage(media: DataFrame): DataFrame = {
     val hist = media
@@ -189,6 +199,66 @@ object Multimodal {
         col("simpson_u"),
         when(expr("printable * 1000000L div n_bytes") >= 950000L,
           "text").otherwise("binary").as("verdict"))
+  }
+
+  /** [[byteTriage]]'s bounded-state twin (r12 verdict #4): identical
+    * output, but the per-byte row explode is replaced by ONE
+    * [[graft.functions.ByteTriageAgg]] pass — each payload folds into
+    * a 256-slot count array inside the aggregate buffer, so row
+    * traffic through the plan is one row per payload (not one per
+    * byte: 10⁶/doc at MB-scale media) and the doc-keyed exchange moves
+    * a single summary struct. The cost is leaving pure column algebra
+    * for a typed aggregate; the bench A/B (mm_byte_triage vs
+    * mm_byte_triage_agg) prices the tradeoff, and ByteTriageAggSpec
+    * pins frame equality against the explode form.
+    */
+  def byteTriageAgg(media: DataFrame): DataFrame =
+    media.select(col("doc_id"), col("payload").cast("string").as("t"))
+      .filter(length(col("t")) > 0) // oracle row-drop semantics
+      .groupBy("doc_id")
+      .agg(graft.functions.ByteTriageAgg.byte_triage(col("t")).as("s"))
+      .select(col("doc_id"), col("s.n_bytes"), col("s.n_distinct_bytes"),
+        col("s.top_byte"), col("s.top_count"), col("s.printable_ppm"),
+        col("s.simpson_u"), col("s.verdict"))
+
+  /** Format sniffing by MAGIC-BYTE prefix (r12 verdict #5 — the
+    * production extension [[byteTriage]]'s docstring promised): a
+    * broadcast (first-4-bytes prefix → format) table joined against
+    * each payload's prefix, with the triage verdict as the fallback —
+    * so the output verdict ladder is jpeg/png/gif/pdf/zip/… for
+    * recognized containers, then text/binary from the histogram for
+    * everything else. Pure column algebra + one broadcast hash join +
+    * one doc-keyed join back to the histogram summary; the corpus
+    * never shuffles on content.
+    */
+  val magicTable: Seq[(String, String)] = Seq(
+    "\u0089PNG" -> "png",
+    "\u00ff\u00d8\u00ff\u00e0" -> "jpeg", // JFIF
+    "\u00ff\u00d8\u00ff\u00e1" -> "jpeg", // EXIF
+    "GIF8" -> "gif",
+    "%PDF" -> "pdf",
+    "PK\u0003\u0004" -> "zip",
+    "Rar!" -> "rar",
+    "OggS" -> "ogg",
+    "fLaC" -> "flac",
+    "RIFF" -> "riff", // wav/avi container
+    "<!DO" -> "html",
+    "<htm" -> "html",
+    "<?xm" -> "xml")
+
+  def formatSniff(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val magic = broadcast(magicTable.toDF("prefix4", "sniffed_fmt"))
+    val pre = media.select(col("doc_id"),
+      substring(col("payload").cast("string"), 1, 4).as("prefix4"))
+    byteTriage(media)
+      .join(pre.join(magic, Seq("prefix4"), "left")
+        .select(col("doc_id"), col("prefix4"), col("sniffed_fmt")), "doc_id")
+      .select(col("doc_id"), col("prefix4"),
+        coalesce(col("sniffed_fmt"), lit("none")).as("sniffed"),
+        col("verdict"),
+        coalesce(col("sniffed_fmt"), col("verdict")).as("format"))
   }
 
   /** Resize plumbing: target dimensions + exact scale factors from the

@@ -6150,13 +6150,13 @@ object PipelineQueries extends QueryRegistry {
       Multimodal.extractFeatures(s, Multimodal.payloads(s, d)), 64, 64)
   }
 
-  // Byte-level payload triage (r12): the pre-decode gate of the media
-  // family — histogram summary stats (distinct bytes, dominant byte
-  // with lower-value tiebreak, printable share, Σc² Simpson collision
-  // mass) flag corrupt/degenerate/mislabeled payloads with exact
-  // integers only; the oracle replays the ord()-explode histogram and
-  // the same struct-max tiebreak relationally.
-  q("mm_byte_triage",
+  /** Shared DuckDB replay of the byte-histogram triage: the
+    * ord()-explode histogram + the same struct-max tiebreak,
+    * relationally — ONE oracle text for both the explode form and its
+    * bounded-aggregate twin, so the two Spark implementations are
+    * pinned to the same external truth (and to each other).
+    */
+  private val byteTriageOracleSql: String =
     """WITH b AS (
       |  SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) AS byte
       |  FROM documents,
@@ -6182,8 +6182,65 @@ object PipelineQueries extends QueryRegistry {
       |       a.simpson_u,
       |       CASE WHEN a.pr * 1000000 // a.n_bytes >= 950000
       |            THEN 'text' ELSE 'binary' END AS verdict
-      |FROM agg a JOIN top t ON t.doc_id = a.doc_id""") { (s, d) =>
+      |FROM agg a JOIN top t ON t.doc_id = a.doc_id""".stripMargin
+
+  // Byte-level payload triage (r12): the pre-decode gate of the media
+  // family — histogram summary stats (distinct bytes, dominant byte
+  // with lower-value tiebreak, printable share, Σc² Simpson collision
+  // mass) flag corrupt/degenerate/mislabeled payloads with exact
+  // integers only.
+  q("mm_byte_triage", byteTriageOracleSql) { (s, d) =>
     Multimodal.byteTriage(Multimodal.payloads(s, d))
+  }
+
+  // The bounded-state twin (r13, r12 verdict #4): the SAME summary via
+  // graft.functions.ByteTriageAgg — one row per payload through the
+  // plan instead of one per byte (10⁶/doc at MB-scale media), 256-slot
+  // aggregate state. Shares the explode form's oracle VERBATIM, so the
+  // two implementations are pinned to one truth; the bench A/B
+  // (mm_byte_triage vs mm_byte_triage_agg) prices explode-vs-aggregate.
+  q("mm_byte_triage_agg", byteTriageOracleSql) { (s, d) =>
+    Multimodal.byteTriageAgg(Multimodal.payloads(s, d))
+  }
+
+  // Magic-byte format sniffing (r13, r12 verdict #5 — the production
+  // extension byteTriage's docstring promised, realized): broadcast
+  // (first-4-bytes prefix -> format) table joined on each payload's
+  // prefix, triage verdict as the fallback. The oracle replays the
+  // SAME magic table as a CASE chain generated from the one Scala
+  // source of truth (chr() per code point — no literal-escaping
+  // hazard), so table drift between engine and oracle is impossible.
+  // The corpus is prose, so every corpus row exercises the miss->
+  // fallback path at scale; the hit path is spec-pinned on planted
+  // PNG/PDF/HTML payloads (PipelineOpsSpec).
+  q("mm_format_sniff", {
+    val chain = Multimodal.magicTable.map { case (prefix, fmt) =>
+      val lit = prefix.map(c => s"chr(${c.toInt})").mkString(" || ")
+      s"WHEN prefix4 = $lit THEN '$fmt'"
+    }.mkString("\n      |             ")
+    s"""WITH b AS (
+      |  SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) AS byte
+      |  FROM documents,
+      |       unnest(generate_series(1, length(text))) AS u(i)),
+      |h AS (SELECT doc_id, byte, CAST(count(*) AS BIGINT) AS c
+      |      FROM b GROUP BY 1, 2),
+      |v AS (SELECT doc_id,
+      |             CASE WHEN sum(CASE WHEN byte BETWEEN 32 AND 126
+      |                                THEN c ELSE 0 END) * 1000000
+      |                       // sum(c) >= 950000
+      |                  THEN 'text' ELSE 'binary' END AS verdict
+      |      FROM h GROUP BY doc_id),
+      |p AS (SELECT doc_id, prefix4,
+      |             CASE $chain
+      |             END AS sf
+      |      FROM (SELECT doc_id, substr(text, 1, 4) AS prefix4
+      |            FROM documents))
+      |SELECT CAST(v.doc_id AS BIGINT) AS doc_id, p.prefix4,
+      |       coalesce(p.sf, 'none') AS sniffed, v.verdict,
+      |       coalesce(p.sf, v.verdict) AS format
+      |FROM v JOIN p ON p.doc_id = v.doc_id""".stripMargin
+  }) { (s, d) =>
+    Multimodal.formatSniff(Multimodal.payloads(s, d))
   }
 
   // Per-source data card: the one-stop corpus report a curator

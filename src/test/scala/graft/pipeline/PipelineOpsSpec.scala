@@ -291,6 +291,57 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("n_bytes") == 2L)
   }
 
+  test("byte triage aggregate twin equals the explode form row for row") {
+    import spark.implicits._
+    // r13 (r12 verdict #4): the TypedImperativeAggregate twin must be
+    // output-identical to the explode form — same stats, same
+    // lower-byte tiebreak, same verdict — including on ties, empty
+    // payloads (dropped), non-ASCII code points (overflow map) and a
+    // long repetitive payload (the shape the aggregate exists for).
+    val media = Seq(
+      (1L, "aaab"), (2L, "abab"), (3L, "\n\n\n\n\n\nab"), (4L, ""),
+      (5L, "café résumé कख"), // é ×3 + CJK-range
+      (6L, "xy" * 5000))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        lit("text/fake").as("media_type"),
+        octet_length(col("text").cast("binary")).as("n_bytes"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.toSeq.toList).sortBy(_.head.toString).toList
+    val explodeForm = canon(Multimodal.byteTriage(media))
+    val aggForm = canon(Multimodal.byteTriageAgg(media))
+    assert(explodeForm == aggForm)
+    assert(explodeForm.map(_.head) == Seq(1L, 2L, 3L, 5L, 6L))
+  }
+
+  test("format sniff: magic-byte hits override, misses fall back to verdict") {
+    import spark.implicits._
+    val png = 137.toChar + "PNG" + "\r\n" + 26.toChar + "\n....binaryish" + 1.toChar + 2.toChar + 3.toChar
+    val media = Seq(
+      (1L, png),                        // magic hit on a binary payload
+      (2L, "%PDF-1.7 lots of text here that is printable"),
+      (3L, "<!DOCTYPE html><p>hello</p>"),
+      (4L, "just a plain prose document with no magic at all"),
+      (5L, "" + 1.toChar + 2.toChar + 3.toChar + 4.toChar + " unrecognized binary prefix"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        lit("media/fake").as("media_type"),
+        octet_length(col("text").cast("binary")).as("n_bytes"))
+    val out = Multimodal.formatSniff(media).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("sniffed") == "png" &&
+      out(1L).getAs[String]("format") == "png")
+    assert(out(2L).getAs[String]("format") == "pdf")
+    assert(out(3L).getAs[String]("format") == "html")
+    // miss -> histogram fallback: prose is text, control-prefixed is
+    // whatever the printable share says
+    assert(out(4L).getAs[String]("sniffed") == "none" &&
+      out(4L).getAs[String]("format") == "text")
+    assert(out(5L).getAs[String]("sniffed") == "none" &&
+      out(5L).getAs[String]("format") ==
+        out(5L).getAs[String]("verdict"))
+  }
+
   test("sequence packing invariants on randomized shards") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
