@@ -1,0 +1,120 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Adversarial-scale dedup evidence run (r12 verdict #8): the dedup
+  * family's skew guards (`maxBucket` on LSH buckets, `maxDocFreq` on
+  * containment grams) are code-verified and spec-verified — this main
+  * makes them MEASURED-UNDER-ADVERSARY. It builds a skewed corpus at
+  * sf0.1 size from the real documents table plus two planted attacks:
+  *
+  *   - a VIRAL NEAR-DUP FAMILY at 5% of the corpus — one template with
+  *     a tiny per-doc tail edit, so most LSH bands put all ~250 docs
+  *     in ONE bucket (the "press release syndicated everywhere" shape
+  *     that makes uncapped bucket joins quadratic);
+  *   - BOILERPLATE INJECTION on 10% of docs — one shared sentence, so
+  *     its 3-grams carry df ≈ n/10 (the "subscribe to our newsletter"
+  *     shape that makes uncapped gram joins quadratic).
+  *
+  * Each guard is then timed against its uncapped twin on the SAME
+  * frozen input, with pair counts. Run once per revisit (not in the
+  * bench sweep — the uncapped arms are deliberate traps):
+  *
+  *   sbt "runMain graft.AdversarialDedup"   # sf0.1 by default
+  *
+  * Results are committed in SCALE.md ("adversarial skew" rows). The
+  * structural assertion: capped candidate volume stays under the
+  * n·bands·maxBucket envelope however hot the plants get, because a
+  * bucket either fits under the cap (≤ maxBucket−1 partners per doc
+  * per band) or leaves candidate generation entirely.
+  */
+object AdversarialDedup {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = graft.io.Tables.configure(SparkSession.builder()
+        .master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val docs = graft.io.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    val n = docs.count()
+    val famSize = n / 20 // the 5% viral family
+    val template = "breaking update the quick brown fox jumped over " +
+      "the lazy dog while markets rallied and the committee convened " +
+      "to review the quarterly results in detail before publishing " +
+      "the final report to subscribers worldwide"
+    val family = spark.range(famSize).select(
+      (col("id") + 10000000L).as("doc_id"),
+      concat(lit(template + " revision "), col("id")).as("text"))
+    val boiler = " subscribe to our newsletter for more updates and " +
+      "follow us on social media for breaking news alerts every day"
+    val adv = docs.withColumn("text",
+        when(col("doc_id") % 10 === 0, concat(col("text"), lit(boiler)))
+          .otherwise(col("text")))
+      .unionByName(family)
+      .localCheckpoint(true) // freeze: every arm reads identical data
+
+    // between-arm hygiene must NOT drop the frozen input's checkpoint
+    // blocks — protect every RDD persisted so far (the adv checkpoint),
+    // release only what each arm leaves behind
+    val protectedIds = spark.sparkContext.getPersistentRDDs.keySet
+    def timed(label: String)(f: => Long): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val c = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => protectedIds.contains(id) }
+        .values.foreach(_.unpersist(blocking = false))
+      System.err.println(f"[adv] $label: $c rows in $dt%.2f s")
+      (c, dt)
+    }
+
+    // hot-structure profile: the planted family's hottest LSH bucket
+    // and the boilerplate grams' max df, so the SCALE.md row shows the
+    // adversary actually landed
+    val hotBucket = Dedup.bandTable(Dedup.signatures(adv))
+      .groupBy("band", "bucket").agg(count(lit(1)).as("k"))
+      .agg(max("k")).head().getLong(0)
+
+    val (capPairs, capT) = timed("minhash capped (maxBucket=64)") {
+      Dedup.minhashCandidates(adv).count()
+    }
+    val (unPairs, unT) = timed("minhash UNCAPPED") {
+      Dedup.minhashCandidates(adv, maxBucket = Int.MaxValue).count()
+    }
+    val (gCapPairs, gCapT) = timed("containment df-capped (64)") {
+      Dedup.ngramContainmentPairs(adv, maxDocFreq = Some(64)).count()
+    }
+    val (gUnPairs, gUnT) = timed("containment UNCAPPED") {
+      Dedup.ngramContainmentPairs(adv).count()
+    }
+
+    // structural envelope: a doc in a surviving bucket meets at most
+    // maxBucket-1 partners per band
+    val envelope = (n + famSize) * 8L * 64L
+    assert(capPairs <= envelope,
+      s"capped pair count $capPairs exceeds the structural envelope $envelope")
+
+    val json = s"""{"corpus":${n + famSize},"family":$famSize,""" +
+      s""""hottest_bucket":$hotBucket,""" +
+      s""""minhash_capped":{"pairs":$capPairs,"sec":$capT},""" +
+      s""""minhash_uncapped":{"pairs":$unPairs,"sec":$unT},""" +
+      s""""containment_capped":{"pairs":$gCapPairs,"sec":$gCapT},""" +
+      s""""containment_uncapped":{"pairs":$gUnPairs,"sec":$gUnT},""" +
+      s""""sf":"$sfDir"}"""
+    println(json)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/adversarial_dedup.json"),
+      json.getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    spark.stop()
+  }
+}
