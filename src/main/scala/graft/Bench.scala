@@ -168,6 +168,11 @@ object Bench {
     // + a doc-keyed join back — the byteTriage docstring's production
     // extension, realized; r12 verdict #5)
     "mm_byte_triage_agg", "mm_format_sniff",
+    // late-r13: the streaming triage gate — only expressible via the
+    // bounded aggregate (the explode form's chained aggregations
+    // don't stream); read against mm_byte_triage_agg for the
+    // AvailableNow overhead on a doc-keyed complete-mode aggregate
+    "st_byte_triage",
     // semantic cross-split contamination: one multi-probe assignment
     // pass + a cell-keyed train×eval join — the dd_semdedup cost class
     "sim_split_leakage")

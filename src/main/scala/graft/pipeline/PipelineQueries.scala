@@ -6156,7 +6156,7 @@ object PipelineQueries extends QueryRegistry {
     * bounded-aggregate twin, so the two Spark implementations are
     * pinned to the same external truth (and to each other).
     */
-  private val byteTriageOracleSql: String =
+  private[graft] val byteTriageOracleSql: String =
     """WITH b AS (
       |  SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) AS byte
       |  FROM documents,

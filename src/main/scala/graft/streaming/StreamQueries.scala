@@ -350,6 +350,35 @@ object StreamQueries extends QueryRegistry {
       "append")
   }
 
+  /** Streaming byte-triage ingest gate (r13) — the pre-decode payload
+    * gate run ON the live ingest stream instead of post-hoc: per doc,
+    * the full histogram summary ([[graft.multimodal.Multimodal]]
+    * semantics) via ONE [[graft.functions.ByteTriageAgg]] in complete
+    * mode. This twin is only EXPRESSIBLE because the bounded-state
+    * aggregate exists: the batch explode form is two chained
+    * aggregations ((doc, byte) count, then the doc rollup), which
+    * Structured Streaming rejects — the 256-slot aggregate collapses
+    * them into one stateful operator whose per-doc state is the
+    * histogram buffer. Shares the batch pair's DuckDB oracle VERBATIM
+    * (one truth, three consumers: explode, aggregate, stream).
+    * Chunked payloads would arrive as multiple rows per doc and fold
+    * into the same buffer — the update/merge path the frame-equality
+    * spec pins.
+    */
+  q("st_byte_triage",
+    graft.pipeline.PipelineQueries.byteTriageOracleSql) { (s, d) =>
+    runToCompletion(
+      docStream(s, d)
+        .select(col("doc_id"), col("text").as("t"))
+        .filter(length(col("t")) > 0) // oracle row-drop semantics
+        .groupBy("doc_id")
+        .agg(graft.functions.ByteTriageAgg.byte_triage(col("t")).as("s"))
+        .select(col("doc_id"), col("s.n_bytes"), col("s.n_distinct_bytes"),
+          col("s.top_byte"), col("s.top_count"), col("s.printable_ppm"),
+          col("s.simpson_u"), col("s.verdict")),
+      "complete")
+  }
+
   /** Streaming NEAR-dup gate — the streaming twin of
     * [[graft.dedup.Dedup.incrementalNearDup]]'s corpus arm: incoming
     * docs sign map-side (stateless UDF), their band keys join the

@@ -301,8 +301,13 @@ class PipelineOpsSpec extends AnyFunSuite {
     val media = Seq(
       (1L, "aaab"), (2L, "abab"), (3L, "\n\n\n\n\n\nab"), (4L, ""),
       (5L, "café résumé कख"), // é ×3 + CJK-range
-      (6L, "xy" * 5000))
+      (6L, "xy" * 5000),
+      // CHUNKED payload: three rows, one doc — the multi-row
+      // update/merge path a chunked media store feeds the aggregate
+      // (the explode form unions the rows' bytes the same way)
+      (7L, "chunk-one "), (7L, "chunk-two "), (7L, "chunk-three"))
       .toDF("doc_id", "text")
+      .repartition(4, col("text")) // chunks land in DIFFERENT tasks -> genuine buffer merge
       .select(col("doc_id"), col("text").cast("binary").as("payload"),
         lit("text/fake").as("media_type"),
         octet_length(col("text").cast("binary")).as("n_bytes"))
@@ -311,7 +316,9 @@ class PipelineOpsSpec extends AnyFunSuite {
     val explodeForm = canon(Multimodal.byteTriage(media))
     val aggForm = canon(Multimodal.byteTriageAgg(media))
     assert(explodeForm == aggForm)
-    assert(explodeForm.map(_.head) == Seq(1L, 2L, 3L, 5L, 6L))
+    assert(explodeForm.map(_.head) == Seq(1L, 2L, 3L, 5L, 6L, 7L))
+    // the chunked doc's histogram spans all three chunks
+    assert(explodeForm.last(1) == 31L) // n_bytes = 10 + 10 + 11
   }
 
   test("format sniff: magic-byte hits override, misses fall back to verdict") {
