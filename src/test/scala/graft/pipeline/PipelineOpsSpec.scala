@@ -2012,6 +2012,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(out(4)._2 - 0.04) < 1e-6)
   }
 
+  test("kCenterSelect stops at the honest coreset size on an exhausted pool") {
+    import spark.implicits._
+    // 10 vectors, only 3 DISTINCT points: once all three are selected
+    // the greedy max min-d² is 0 and no further step may re-emit a
+    // selected point (r11 ADVICE). The unrolled-CTE oracle mirrors the
+    // stop with its md > 0 step filter (r12 ADVICE — verified against
+    // DuckDB on this exact pool shape: 3 rows, steps (0, 2, 1)·64d²).
+    val df = (0L until 10L).map(i =>
+        (i, Seq.fill(64)((i % 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kCenterSelect(df, k = 8).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 3, s"expected 3 honest steps, got ${out.length}")
+    // step 1: lowest vec_id (0); step 2: farthest = value 2 (d²=4·64),
+    // lowest id with it is 2; step 3: value 1 (d²=1·64), lowest id 1
+    assert(out.toSeq == Seq((1, 0L, 0.0), (2, 2L, 256.0), (3, 1L, 64.0)))
+  }
+
   test("protoPrune: cutoff = smallest d2 whose cumulative covers the " +
       "fraction; strictly-below pruned, cutoff ties kept") {
     import spark.implicits._
