@@ -398,15 +398,16 @@ object Bench {
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
       // drain stdout on a daemon thread (one small JSON line, but the
-      // pipe must not back up) and cap the child at 20 min so a wedged
-      // child cannot eat the driver's wall-clock window
+      // pipe must not back up) and cap the child at 10 min so a wedged
+      // child cannot eat the driver's wall-clock window (children are
+      // only spawned for <=60s rows, so 10 min is ample)
       val buf = new java.io.ByteArrayOutputStream()
       val drain = new Thread(() =>
         try proc.getInputStream.transferTo(buf)
         catch { case _: Throwable => () })
       drain.setDaemon(true)
       drain.start()
-      if (!proc.waitFor(20, java.util.concurrent.TimeUnit.MINUTES))
+      if (!proc.waitFor(10, java.util.concurrent.TimeUnit.MINUTES))
         proc.destroyForcibly()
       drain.join(5000)
       val out = buf.toString("UTF-8")
@@ -766,7 +767,14 @@ object Bench {
         (if (canSpawn)
           (suspectData(results, prev01, "sf0.1") ++
             suspectData(sf1WarmRows, prevSf1, "sf1"))
-            .filter { case (n, sf, p, _) => unadjudicated(n, sf, p) }
+            // rows above 60s shared are too expensive to isolate inside
+            // the driver's wall-clock window (a child is JVM start +
+            // cold + 2 warm ≈ 4× the query) — they stay
+            // needs-attribution in the artifact and get a manual
+            // SPARK_GRAFT_ISOLATE run instead; the committed ledger
+            // already covers the expensive graph rows
+            .filter { case (n, sf, p, v) =>
+              unadjudicated(n, sf, p) && v <= 60.0 }
             .sortBy { case (_, _, p, v) => -(v / p) }.take(3)
         else Nil) ++ forced
       for ((n, sf, _, _) <- pending) {
