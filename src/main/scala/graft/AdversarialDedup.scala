@@ -90,6 +90,34 @@ object AdversarialDedup {
     val (unPairs, unT) = timed("minhash UNCAPPED") {
       Dedup.minhashCandidates(adv, maxBucket = Int.MaxValue).count()
     }
+    // star mode (r13): hot buckets contribute hub->member edges — the
+    // viral family must come back CONNECTED for the CC keeper pass at
+    // ~linear volume, not k²/2. Members' tail edits scatter them over
+    // several buckets per band, so there are multiple hubs; what
+    // matters is that the hub edges make the family ONE component —
+    // verified by a driver-side union-find over the (bounded)
+    // family-touching pair set.
+    var starFamEdges = 0L
+    var famComponents = -1
+    val (starPairs, starT) = timed("minhash capped + HOT-BUCKET STAR") {
+      val p = Dedup.minhashCandidates(adv, hotBucketStar = true)
+        .localCheckpoint(true)
+      val fam = p.filter(col("doc_b") >= 10000000L ||
+          col("doc_a") >= 10000000L)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      starFamEdges = fam.length.toLong
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p0 = parent.getOrElseUpdate(x, x)
+        if (p0 == x) x else { val r = find(p0); parent(x) = r; r }
+      }
+      fam.foreach { case (a, b) => parent(find(a)) = find(b) }
+      famComponents = (10000000L until 10000000L + famSize)
+        .map(id => if (parent.contains(id)) find(id) else id)
+        .distinct.size
+      p.count()
+    }
     val (gCapPairs, gCapT) = timed("containment df-capped (64)") {
       Dedup.ngramContainmentPairs(adv, maxDocFreq = Some(64)).count()
     }
@@ -103,9 +131,15 @@ object AdversarialDedup {
     assert(capPairs <= envelope,
       s"capped pair count $capPairs exceeds the structural envelope $envelope")
 
+    // star mode's contract: the family collapses to ONE component at
+    // near-linear edge volume (vs k²/2 uncapped, vs INVISIBLE capped)
+    assert(famComponents == 1,
+      s"star mode must reconnect the family into one component: got $famComponents")
+
     val json = s"""{"corpus":${n + famSize},"family":$famSize,""" +
       s""""hottest_bucket":$hotBucket,""" +
       s""""minhash_capped":{"pairs":$capPairs,"sec":$capT},""" +
+      s""""minhash_star":{"pairs":$starPairs,"sec":$starT,"family_edges":$starFamEdges,"family_components":$famComponents},""" +
       s""""minhash_uncapped":{"pairs":$unPairs,"sec":$unT},""" +
       s""""containment_capped":{"pairs":$gCapPairs,"sec":$gCapT},""" +
       s""""containment_uncapped":{"pairs":$gUnPairs,"sec":$gUnT},""" +

@@ -173,6 +173,11 @@ object Bench {
     // don't stream); read against mm_byte_triage_agg for the
     // AvailableNow overhead on a doc-keyed complete-mode aggregate
     "st_byte_triage",
+    // late-r13: star-mode LSH (hot buckets emit hub edges instead of
+    // vanishing — the viral-family recall fix); identical work to
+    // dd_minhash_lsh on this corpus plus the hub aggregate, so read
+    // the PAIR as the star arm's overhead in the benign regime
+    "dd_minhash_lsh_star",
     // semantic cross-split contamination: one multi-probe assignment
     // pass + a cell-keyed train×eval join — the dd_semdedup cost class
     "sim_split_leakage")

@@ -233,10 +233,27 @@ object Dedup {
     aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / numHashes
 
+  /** @param hotBucketStar how oversized (> maxBucket) buckets join
+    *   candidate generation: `false` (default) excludes them entirely
+    *   — the degenerate-content guard, with the documented recall
+    *   trade that a VIRAL NEAR-DUP FAMILY (one press release
+    *   syndicated k times: every band bucket holds all k members)
+    *   vanishes from candidates, and exact/URL dedup cannot catch it
+    *   because the copies are near, not equal. `true` adds STAR edges
+    *   for hot buckets — every member pairs with the bucket's MINIMUM
+    *   doc_id only — so each hot bucket contributes k−1 rows instead
+    *   of k(k−1)/2: the family stays CONNECTED (one hub) for the
+    *   connected-components keeper pass at strictly linear volume,
+    *   and est-Jaccard verification still gates every star edge.
+    *   Measured under the planted adversary (SCALE.md r13): drop =
+    *   258 pairs with the 250-family invisible; star = the family
+    *   fully connected for ~249 extra verified edges; uncapped =
+    *   31,383 pairs (k²/2).
+    */
   def minhashCandidates(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", numHashes: Int = 32, bands: Int = 8,
       shingleK: Int = 3, seed: Long = 42L, minEstJaccard: Double = 0.5,
-      maxBucket: Int = 64): DataFrame = {
+      maxBucket: Int = 64, hotBucketStar: Boolean = false): DataFrame = {
     // materialize-once: the signature projection (32 permutations ×
     // all shingles per doc) feeds THREE plan arms — banding + both
     // sides of the per-pair signature fetch. CacheManager dedupes by
@@ -249,13 +266,26 @@ object Dedup {
       .filter(col("__n").between(2, maxBucket))
       .select("band", "bucket")
     val inBucket = banded.join(smallBuckets, Seq("band", "bucket"))
-    val pairs = inBucket.as("ba")
+    val fullPairs = inBucket.as("ba")
       .join(inBucket.as("bb"),
         col("ba.band") === col("bb.band") &&
           col("ba.bucket") === col("bb.bucket") &&
           col("ba.doc_id") < col("bb.doc_id"))
       .select(col("ba.doc_id").as("doc_a"), col("bb.doc_id").as("doc_b"))
-      .distinct()
+    val pairs = (if (!hotBucketStar) fullPairs
+      else {
+        // hub = bucket-min doc_id; every other member pairs with the
+        // hub only (doc_id > hub, so (doc_a, doc_b) stays ordered) —
+        // k−1 rows per hot bucket, never k²
+        val hubs = banded.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("__n"), min("doc_id").as("hub"))
+          .filter(col("__n") > maxBucket)
+          .select("band", "bucket", "hub")
+        fullPairs.unionByName(
+          banded.join(hubs, Seq("band", "bucket"))
+            .filter(col("doc_id") > col("hub"))
+            .select(col("hub").as("doc_a"), col("doc_id").as("doc_b")))
+      }).distinct()
     materializeAndRelease(pairs
       .join(signed.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
         "doc_a")

@@ -854,6 +854,53 @@ object PipelineQueries extends QueryRegistry {
         round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
+  /** The star-mode oracle (r13): the SAME HUGEINT minhash/banding CTEs
+    * spliced up to the pair stage, then hot buckets (> 64) contribute
+    * hub→member star edges (hub = bucket-min doc_id) unioned with the
+    * capped full-pair set — the viral-family answer measured in
+    * SCALE.md: connectivity for the CC keeper pass at k−1 rows per
+    * hot bucket instead of exclusion (recall hole) or k²/2 (trap).
+    */
+  private val minhashStarOracleSql: String = {
+    val cut = minhashOracleSql.indexOf("pairs AS (")
+    require(cut >= 0, "minhashStarOracleSql splice anchor " +
+      "\"pairs AS (\" not found in minhashOracleSql — the pair CTE was " +
+      "reworded; update the anchor here to match")
+    val tail = minhashOracleSql.indexOf("SELECT CAST(doc_a AS BIGINT)")
+    require(tail >= 0, "minhashStarOracleSql final-SELECT anchor missing")
+    val ctes = minhashOracleSql.substring(0, cut).trim
+    val finalSel = minhashOracleSql.substring(tail)
+    s"""$ctes pairs0 AS (
+       |  SELECT p.doc_id AS doc_a, q.doc_id AS doc_b, p.sig AS sa, q.sig AS sb
+       |  FROM banded p
+       |  JOIN banded q ON p.band = q.band AND p.bucket = q.bucket AND p.doc_id < q.doc_id
+       |  JOIN ok_buckets ob ON ob.band = p.band AND ob.bucket = p.bucket),
+       |hot AS (
+       |  SELECT band, bucket, min(doc_id) AS hub FROM banded
+       |  GROUP BY band, bucket HAVING count(*) > 64),
+       |star AS (
+       |  SELECT h.hub AS doc_a, b.doc_id AS doc_b, hb.sig AS sa, b.sig AS sb
+       |  FROM banded b
+       |  JOIN hot h ON h.band = b.band AND h.bucket = b.bucket AND b.doc_id > h.hub
+       |  JOIN banded hb ON hb.band = h.band AND hb.bucket = h.bucket AND hb.doc_id = h.hub),
+       |pairs AS (
+       |  SELECT DISTINCT doc_a, doc_b, sa, sb FROM
+       |    (SELECT * FROM pairs0 UNION ALL SELECT * FROM star))
+       |$finalSel""".stripMargin
+  }
+
+  // Star-mode MinHash-LSH (r13): identical to dd_minhash_lsh on this
+  // corpus unless a bucket exceeds the cap — the testdata has none, so
+  // the entry pins "star mode changes NOTHING in the benign regime"
+  // (the adversarial regime is measured in graft.AdversarialDedup /
+  // SCALE.md, and DedupSpec plants a hot family to prove connectivity).
+  q("dd_minhash_lsh_star", minhashStarOracleSql) { (s, d) =>
+    Dedup.minhashCandidates(docs(s, d), minEstJaccard = 0.5,
+        hotBucketStar = true)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
   /** Recall/precision audit of the MinHash-LSH candidate pairs
     * against the EXACT 3-gram Jaccard ground truth at the same 0.5
     * threshold — the honest sketch-quality metric that belongs next

@@ -60,6 +60,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!pairs.exists(r => r.getAs[Long]("doc_b") == 3L))
   }
 
+  test("minhash star mode: a viral family over the bucket cap stays " +
+      "connected via hub edges; drop mode loses it entirely") {
+    // 6 identical docs (every band bucket holds all 6) + 1 unrelated;
+    // maxBucket = 2 makes the family's buckets HOT. Drop mode: zero
+    // candidates — the documented recall hole the adversarial run
+    // measured (exact dedup can't catch NEAR dups). Star mode: every
+    // member pairs with the bucket-min hub (doc 1) — exactly the 5
+    // hub edges, so connected components collapse the family at k−1
+    // volume, never k².
+    val fam = Seq.tabulate(40)(i => s"t$i").mkString(" ")
+    val df = docsDf((1L, fam), (2L, fam), (3L, fam), (4L, fam),
+      (5L, fam), (6L, fam), (7L, Seq.tabulate(40)(i => s"u$i").mkString(" ")))
+    val drop = Dedup.minhashCandidates(df, minEstJaccard = 0.5,
+      maxBucket = 2).collect()
+    assert(drop.isEmpty, s"drop mode must exclude hot buckets: ${drop.toSeq}")
+    val star = Dedup.minhashCandidates(df, minEstJaccard = 0.5,
+      maxBucket = 2, hotBucketStar = true).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).sorted
+    assert(star.toSeq == (2L to 6L).map(b => (1L, b)),
+      s"expected the 5 hub edges, got ${star.toSeq}")
+  }
+
   test("simhash: identical → hamming 0; near-dup small; far large") {
     val base = Seq.tabulate(60)(i => s"w$i")
     val near = base.updated(5, "x")
