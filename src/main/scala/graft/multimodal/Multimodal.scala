@@ -213,7 +213,18 @@ object Multimodal {
     * pins frame equality against the explode form.
     */
   def byteTriageAgg(media: DataFrame): DataFrame =
-    media.select(col("doc_id"), col("payload").cast("string").as("t"))
+    byteTriageSummary(media.select(col("doc_id"),
+      col("payload").cast("string").as("t")))
+
+  /** The (doc_id, t)-frame → triage-summary block shared by the batch
+    * aggregate form and the streaming twin (`st_byte_triage`) — ONE
+    * projection for every ByteTriageAgg consumer, so the "one truth,
+    * three consumers" contract can't drift through a hand-copied
+    * select list. Works on batch and streaming frames alike (select/
+    * filter/one aggregation).
+    */
+  def byteTriageSummary(docsT: DataFrame): DataFrame =
+    docsT
       .filter(length(col("t")) > 0) // oracle row-drop semantics
       .groupBy("doc_id")
       .agg(graft.functions.ByteTriageAgg.byte_triage(col("t")).as("s"))
@@ -223,13 +234,22 @@ object Multimodal {
 
   /** Format sniffing by MAGIC-BYTE prefix (r12 verdict #5 — the
     * production extension [[byteTriage]]'s docstring promised): a
-    * broadcast (first-4-bytes prefix → format) table joined against
+    * broadcast (first-4-BYTES prefix → format) table joined against
     * each payload's prefix, with the triage verdict as the fallback —
     * so the output verdict ladder is jpeg/png/gif/pdf/zip/… for
     * recognized containers, then text/binary from the histogram for
     * everything else. Pure column algebra + one broadcast hash join +
     * one doc-keyed join back to the histogram summary; the corpus
     * never shuffles on content.
+    *
+    * The comparison is BYTE-level (r13 self-review): the payload's
+    * first four RAW bytes hex-encoded against the magic table's hex
+    * form — a cast-to-string comparison would UTF-8-mangle every
+    * magic byte above 0x7F (raw 0x89 is not the encoding of U+0089),
+    * so PNG/JPEG magics would never match a real binary payload. The
+    * table itself stays readable char-valued Scala (each char < 256 =
+    * one byte); [[formatSniff]] and the DuckDB oracle both derive the
+    * hex compare from it, so the three forms cannot drift.
     */
   val magicTable: Seq[(String, String)] = Seq(
     "\u0089PNG" -> "png",
@@ -246,16 +266,28 @@ object Multimodal {
     "<htm" -> "html",
     "<?xm" -> "xml")
 
+  /** The magic table in first-4-bytes HEX form — the join/CASE key
+    * both engines actually compare on.
+    */
+  def magicHexTable: Seq[(String, String)] =
+    magicTable.map { case (p, f) =>
+      (p.map(c => f"${c.toInt}%02X").mkString, f)
+    }
+
   def formatSniff(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    val magic = broadcast(magicTable.toDF("prefix4", "sniffed_fmt"))
+    val magic = broadcast(magicHexTable.toDF("prefix_hex", "sniffed_fmt"))
+    // substring on BinaryType slices BYTES; hex() of <=4 bytes is the
+    // <=8-char uppercase key (identical to DuckDB's
+    // substring(hex(encode(text)), 1, 8) on the oracle side)
     val pre = media.select(col("doc_id"),
-      substring(col("payload").cast("string"), 1, 4).as("prefix4"))
+      hex(expr("substring(payload, 1, 4)")).as("prefix_hex"))
     byteTriage(media)
-      .join(pre.join(magic, Seq("prefix4"), "left")
-        .select(col("doc_id"), col("prefix4"), col("sniffed_fmt")), "doc_id")
-      .select(col("doc_id"), col("prefix4"),
+      .join(pre.join(magic, Seq("prefix_hex"), "left")
+        .select(col("doc_id"), col("prefix_hex"), col("sniffed_fmt")),
+        "doc_id")
+      .select(col("doc_id"), col("prefix_hex"),
         coalesce(col("sniffed_fmt"), lit("none")).as("sniffed"),
         col("verdict"),
         coalesce(col("sniffed_fmt"), col("verdict")).as("format"))

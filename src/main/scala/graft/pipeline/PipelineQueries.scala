@@ -6252,18 +6252,19 @@ object PipelineQueries extends QueryRegistry {
 
   // Magic-byte format sniffing (r13, r12 verdict #5 — the production
   // extension byteTriage's docstring promised, realized): broadcast
-  // (first-4-bytes prefix -> format) table joined on each payload's
-  // prefix, triage verdict as the fallback. The oracle replays the
-  // SAME magic table as a CASE chain generated from the one Scala
-  // source of truth (chr() per code point — no literal-escaping
-  // hazard), so table drift between engine and oracle is impossible.
-  // The corpus is prose, so every corpus row exercises the miss->
-  // fallback path at scale; the hit path is spec-pinned on planted
-  // PNG/PDF/HTML payloads (PipelineOpsSpec).
+  // (first-4-BYTES prefix -> format) table joined on each payload's
+  // hex-encoded prefix, triage verdict as the fallback. BYTE-level on
+  // purpose (r13 self-review): a char-level compare would UTF-8-mangle
+  // every magic byte above 0x7F, so PNG/JPEG could never match a real
+  // binary payload. The oracle replays the SAME magic table as a hex
+  // CASE chain generated from the one Scala source of truth
+  // (Multimodal.magicHexTable), so table drift between engine and
+  // oracle is impossible. The corpus is prose, so every corpus row
+  // exercises the miss->fallback path at scale; the raw-byte hit path
+  // is spec-pinned on planted PNG/PDF/HTML payloads (PipelineOpsSpec).
   q("mm_format_sniff", {
-    val chain = Multimodal.magicTable.map { case (prefix, fmt) =>
-      val lit = prefix.map(c => s"chr(${c.toInt})").mkString(" || ")
-      s"WHEN prefix4 = $lit THEN '$fmt'"
+    val chain = Multimodal.magicHexTable.map { case (hexp, fmt) =>
+      s"WHEN prefix_hex = '$hexp' THEN '$fmt'"
     }.mkString("\n      |             ")
     s"""WITH b AS (
       |  SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) AS byte
@@ -6277,12 +6278,13 @@ object PipelineQueries extends QueryRegistry {
       |                       // sum(c) >= 950000
       |                  THEN 'text' ELSE 'binary' END AS verdict
       |      FROM h GROUP BY doc_id),
-      |p AS (SELECT doc_id, prefix4,
+      |p AS (SELECT doc_id, prefix_hex,
       |             CASE $chain
       |             END AS sf
-      |      FROM (SELECT doc_id, substr(text, 1, 4) AS prefix4
+      |      FROM (SELECT doc_id,
+      |              substring(hex(encode(text)), 1, 8) AS prefix_hex
       |            FROM documents))
-      |SELECT CAST(v.doc_id AS BIGINT) AS doc_id, p.prefix4,
+      |SELECT CAST(v.doc_id AS BIGINT) AS doc_id, p.prefix_hex,
       |       coalesce(p.sf, 'none') AS sniffed, v.verdict,
       |       coalesce(p.sf, v.verdict) AS format
       |FROM v JOIN p ON p.doc_id = v.doc_id""".stripMargin

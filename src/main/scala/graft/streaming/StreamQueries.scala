@@ -368,14 +368,8 @@ object StreamQueries extends QueryRegistry {
   q("st_byte_triage",
     graft.pipeline.PipelineQueries.byteTriageOracleSql) { (s, d) =>
     runToCompletion(
-      docStream(s, d)
-        .select(col("doc_id"), col("text").as("t"))
-        .filter(length(col("t")) > 0) // oracle row-drop semantics
-        .groupBy("doc_id")
-        .agg(graft.functions.ByteTriageAgg.byte_triage(col("t")).as("s"))
-        .select(col("doc_id"), col("s.n_bytes"), col("s.n_distinct_bytes"),
-          col("s.top_byte"), col("s.top_count"), col("s.printable_ppm"),
-          col("s.simpson_u"), col("s.verdict")),
+      graft.multimodal.Multimodal.byteTriageSummary(
+        docStream(s, d).select(col("doc_id"), col("text").as("t"))),
       "complete")
   }
 

@@ -345,21 +345,35 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   test("format sniff: magic-byte hits override, misses fall back to verdict") {
     import spark.implicits._
-    val png = 137.toChar + "PNG" + "\r\n" + 26.toChar + "\n....binaryish" + 1.toChar + 2.toChar + 3.toChar
-    val media = Seq(
-      (1L, png),                        // magic hit on a binary payload
-      (2L, "%PDF-1.7 lots of text here that is printable"),
-      (3L, "<!DOCTYPE html><p>hello</p>"),
-      (4L, "just a plain prose document with no magic at all"),
-      (5L, "" + 1.toChar + 2.toChar + 3.toChar + 4.toChar + " unrecognized binary prefix"))
-      .toDF("doc_id", "text")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+    // RAW-byte payloads (not string round-trips): the PNG/JPEG magics
+    // carry bytes > 0x7F that a cast-to-string comparison would
+    // UTF-8-mangle — the sniff must match the genuine binary form
+    // (r13 self-review fix: the compare is byte-level hex)
+    val pngBytes = Array[Byte](0x89.toByte, 'P', 'N', 'G',
+      0x0D, 0x0A, 0x1A, 0x0A) ++
+      "....binaryish".getBytes("UTF-8") ++ Array[Byte](1, 2, 3)
+    val jpegBytes = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte,
+      0xE0.toByte, 0, 16) ++ "JFIF".getBytes("UTF-8") ++
+      Array[Byte](0, 1, 2, 3, 4)
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      1L -> pngBytes, // genuine binary magic hit
+      6L -> jpegBytes, // second >0x7F magic (JFIF variant)
+      2L -> "%PDF-1.7 lots of text here that is printable".getBytes("UTF-8"),
+      3L -> "<!DOCTYPE html><p>hello</p>".getBytes("UTF-8"),
+      4L -> "just a plain prose document with no magic at all".getBytes("UTF-8"),
+      5L -> (Array[Byte](1, 2, 3, 4) ++
+        " unrecognized binary prefix".getBytes("UTF-8")))
+    val media = rows.toDF("doc_id", "payload")
+      .select(col("doc_id"), col("payload"),
         lit("media/fake").as("media_type"),
-        octet_length(col("text").cast("binary")).as("n_bytes"))
+        octet_length(col("payload")).as("n_bytes"))
     val out = Multimodal.formatSniff(media).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
     assert(out(1L).getAs[String]("sniffed") == "png" &&
       out(1L).getAs[String]("format") == "png")
+    assert(out(1L).getAs[String]("prefix_hex") == "89504E47")
+    assert(out(6L).getAs[String]("sniffed") == "jpeg" &&
+      out(6L).getAs[String]("format") == "jpeg")
     assert(out(2L).getAs[String]("format") == "pdf")
     assert(out(3L).getAs[String]("format") == "html")
     // miss -> histogram fallback: prose is text, control-prefixed is
