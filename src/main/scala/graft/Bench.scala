@@ -173,6 +173,16 @@ object Bench {
     // don't stream); read against mm_byte_triage_agg for the
     // AvailableNow overhead on a doc-keyed complete-mode aggregate
     "st_byte_triage",
+    // r13 rotation cont'd (r12 verdict #7): three more never-benched
+    // st_ twins chosen for STRUCTURALLY different state shapes —
+    // st_incremental_neardup (MinHash band state, the heaviest
+    // flatMapGroupsWithState twin; read against dd_incremental_neardup),
+    // st_outer_join (stream-stream left outer join: watermark-bounded
+    // JOIN state, a shape no prior bench row exercises), and
+    // st_frequent_ngrams (high-cardinality complete-mode aggregate —
+    // ngram-keyed state grows with vocabulary, read against the
+    // dq_benford cost class)
+    "st_incremental_neardup", "st_outer_join", "st_frequent_ngrams",
     // late-r13: star-mode LSH (hot buckets emit hub edges instead of
     // vanishing — the viral-family recall fix); identical work to
     // dd_minhash_lsh on this corpus plus the hub aggregate, so read
@@ -274,7 +284,13 @@ object Bench {
     // r13: the stateful-heavier streaming twins at 10× (session-window
     // state and the day×bucket PSI grid both grow with data, unlike
     // r12's pair whose state was dedup-key/centroid-sized)
-    "st_session_window" -> "events", "st_psi_drift" -> "events")
+    "st_session_window" -> "events", "st_psi_drift" -> "events",
+    // r13 rotation cont'd: MinHash band state and stream-stream join
+    // state at 10× (st_frequent_ngrams stays sf0.1-only this round —
+    // its complete-mode state is vocabulary-sized, so measure the
+    // sf0.1 shape before paying for it in the shared sf1 block)
+    "st_incremental_neardup" -> "documents",
+    "st_outer_join" -> "events")
   // r12 (r11 verdict #1a): the two DECLARED-quadratic evidence rows
   // burned ~10 min of the sf1 block every round (pinned16: 146s cold
   // + 80s warm; uncapped containment: 315s cold + 127s warm in the

@@ -367,11 +367,13 @@ object GraphOps {
   /** K-hop reachability (the BFS frontier audit): cumulative count of
     * nodes within i hops of the seed set (nodes divisible by
     * `seedMod`), for i = 0..k, plus the reached share of the graph in
-    * ppm. Each hop is one node-keyed join + distinct — the standard
-    * BFS-as-joins shape that holds at any scale because frontier state
-    * lives in the shuffle, never on the driver. Every hop's reached
-    * set persists LAZILY (each feeds both the next hop and its own
-    * count aggregate — without the persist the union-of-counts job
+    * ppm. Each hop is one FRONTIER-keyed join + distinct + anti-join —
+    * the standard BFS-as-joins shape that holds at any scale because
+    * frontier state lives in the shuffle, never on the driver, and
+    * the join input SHRINKS as reach saturates (see the r13 note in
+    * [[kHopReachOnView]]). Every hop's frontier and cumulative set
+    * persist LAZILY (each feeds both the next hop and its own count
+    * aggregate — without the persist the union-of-counts job
     * recomputes hop i's chain k−i times); the final result is k+1
     * rows, eagerly checkpointed, and all persists release before
     * returning (no session-lifetime cache leak).
@@ -402,20 +404,47 @@ object GraphOps {
     val tot = nodes.agg(count(lit(1)).as("n_nodes"))
     var reached = nodes.filter(col("node") % seedMod === 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // FRONTIER BFS (r13): each hop expands only the nodes first
+    // reached on the PREVIOUS hop, not the whole cumulative set. The
+    // reachable set is identical (a node at distance d is reached by
+    // expanding a distance-(d−1) node, and re-expanding older nodes
+    // only regenerates already-reached neighbors), so the hop counts
+    // and the recursive-CTE oracle are unchanged — but the dominant
+    // edge⋈frontier join output shrinks with the frontier instead of
+    // growing with the reach: once reach saturates (the common case
+    // past 2–3 hops on a connected copurchase graph), the old form
+    // re-distinct'ed an edges-sized expansion per hop, while the
+    // frontier form's join output collapses toward zero. The per-hop
+    // edge SCAN is unchanged (dd is read once per hop either way), so
+    // the win is the distinct's input volume, not the join probe:
+    // measured at sf0.1 in alternating fresh-single-query-JVM A/B
+    // (target/attrib/r13_khop_frontier_ab.json), warm 11.4–12.9 s →
+    // 7.5–10.3 s and cold 23–27 s → 18–20 s (~1.3–1.5×). At 100 TB
+    // the gap widens: the saved distinct is the EDGES-sized shuffle,
+    // the costs that remain are node-bounded. The per-hop anti-join
+    // that separates "new this hop" from "seen" runs on node-sized
+    // inputs only.
+    var frontier = reached
     var cached: Seq[DataFrame] = Seq(nodes, reached)
     var hops: Seq[DataFrame] = Seq(
       reached.agg(count(lit(1)).as("n_reached"))
         .select(lit(0).as("hop"), col("n_reached")))
     for (i <- 1 to k) {
-      val next = reached
-        .union(dd.join(reached, dd("src") === reached("node"))
-          .select(col("dst").as("node")))
-        .distinct()
+      // distinct BEFORE the anti-join: the raw expansion is
+      // edge-degree-sized, the distinct output is node-bounded
+      val newFrontier = dd.join(frontier, dd("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(reached, Seq("node"), "left_anti")
         .persist(StorageLevel.MEMORY_AND_DISK)
-      cached = cached :+ next
+      // disjoint by construction (anti-join), both sides distinct —
+      // the union IS the distinct cumulative reach, no re-dedup
+      val next = reached.union(newFrontier)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      cached = cached :+ newFrontier :+ next
       hops = hops :+ next.agg(count(lit(1)).as("n_reached"))
         .select(lit(i).as("hop"), col("n_reached"))
       reached = next
+      frontier = newFrontier
     }
     val result = hops.reduce(_.union(_))
       .crossJoin(tot)
