@@ -1,0 +1,147 @@
+package graft
+
+import graft.graph.GraphOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Adversarial-skew GRAPH evidence run (the dedup-family pattern from
+  * [[AdversarialDedup]], applied to the triangle machinery): the
+  * degree-ordered orientation's out-degree bound is code-verified and
+  * docstring-claimed (`triangles`: "orientation caps each array at
+  * O(√m)") — this main makes it MEASURED-UNDER-ADVERSARY. It plants a
+  * HUB — one node connected to half the graph, the "every customer
+  * bought the bestseller" shape that makes wedge-based triangle
+  * counting quadratic at the hub (C(h, 2) wedges) — into the real
+  * sf0.1 copurchase graph, and times four arms on frozen inputs:
+  *
+  *   - ORIENTED base / ORIENTED hub: the production per-edge
+  *     out-neighborhood intersection ([[GraphOps.triangleCountOnView]]).
+  *     Orientation points every hub edge TOWARD the max-degree hub, so
+  *     the hub's out-degree is 0 and its neighbors gain +1 each — the
+  *     hub adds ~h probe rows, never C(h, 2) of anything.
+  *   - WEDGE base / WEDGE hub: the naive wedge enumeration + closing-
+  *     edge join (what the r9 rewrite removed). Σ C(deg, 2) wedges;
+  *     the hub alone contributes C(h, 2) ≈ 50M more at h ≈ 10k.
+  *
+  * Structural assertions in the run: the two hub arms agree on the
+  * exact triangle count; the hub's out-degree is 0; max out-degree
+  * stays ≤ √(2m) (the classical bound: all out-neighbors of v have
+  * degree ≥ deg(v), so outdeg(v) ≤ min(deg(v), 2m/deg(v))).
+  *
+  * Run once per revisit (NOT in the bench sweep — the wedge arms are
+  * deliberate traps):
+  *
+  *   sbt "runMain graft.AdversarialGraph"   # sf0.1 by default
+  *
+  * Results are committed in SCALE.md ("adversarial hub" rows), raw
+  * JSON in target/adversarial_graph.json.
+  */
+object AdversarialGraph {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = graft.io.Tables.configure(SparkSession.builder()
+        .master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val li = graft.io.Tables.load(spark, sfDir, "lineitem")
+    // canonical a < b undirected edge set, frozen
+    val base = GraphOps.copurchaseEdges(li).localCheckpoint(true)
+    val hubId = 99999999L
+    // hub adjacent to every even node — ~half the graph; hub id above
+    // every part key so the (degree, id) tie-break can't save a test
+    // that the degree order alone should win
+    val hubEdges = base.select(col("a").as("node"))
+      .union(base.select(col("b")))
+      .distinct().filter(col("node") % 2 === 0)
+      .select(col("node").as("a"), lit(hubId).as("b"))
+    val hub = base.unionByName(hubEdges).localCheckpoint(true)
+
+    val protectedIds = spark.sparkContext.getPersistentRDDs.keySet
+    def timed(label: String)(f: => Long): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val c = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => protectedIds.contains(id) }
+        .values.foreach(_.unpersist(blocking = false))
+      System.err.println(f"[advg] $label: $c in $dt%.2f s")
+      (c, dt)
+    }
+
+    def bidi(e: DataFrame): DataFrame =
+      e.select(col("a").as("src"), col("b").as("dst"))
+        .union(e.select(col("b").as("src"), col("a").as("dst")))
+
+    // the naive arm the r9 rewrite removed: enumerate every wedge
+    // (apex, v < w) from the bidirectional view, then join the
+    // canonical edge set to find the closing edge; each triangle
+    // closes at exactly 3 apexes
+    def wedgeCount(e: DataFrame): Long = {
+      val dd = bidi(e)
+      val closed = dd.as("p").join(dd.as("q"),
+          col("p.src") === col("q.src") && col("p.dst") < col("q.dst"))
+        .select(col("p.dst").as("a"), col("q.dst").as("b"))
+        .join(e, Seq("a", "b"))
+        .count()
+      closed / 3
+    }
+
+    // adversary profile: hub degree, wedge volumes, orientation bound
+    val m = hub.count()
+    val hubDeg = hubEdges.count()
+    val wedgesAtHub = hubDeg * (hubDeg - 1) / 2
+
+    val (triOBase, tOBase) = timed("oriented base") {
+      GraphOps.triangleCountOnView(bidi(base)).head().getLong(0)
+    }
+    val (triOHub, tOHub) = timed("oriented hub") {
+      GraphOps.triangleCountOnView(bidi(hub)).head().getLong(0)
+    }
+    val (triWBase, tWBase) = timed("wedge-join base") { wedgeCount(base) }
+    val (triWHub, tWHub) = timed("wedge-join hub") { wedgeCount(hub) }
+
+    // max out-degree under the (degree, id) orientation, hub graph:
+    // replays orientedOnView's filter (that method is private)
+    val dd = bidi(hub)
+    val deg = dd.groupBy("src").agg(count(lit(1)).as("dg"))
+    val outdeg = dd
+      .join(deg.select(col("src"), col("dg").as("dsrc")), "src")
+      .join(deg.select(col("src").as("dst"), col("dg").as("ddst")), "dst")
+      .filter(col("dsrc") < col("ddst") ||
+        (col("dsrc") === col("ddst") && col("src") < col("dst")))
+      .groupBy("src").agg(count(lit(1)).as("od"))
+    val maxOut = outdeg.agg(max("od")).head().getLong(0)
+    val hubOut = outdeg.filter(col("src") === hubId)
+      .agg(coalesce(max("od"), lit(0L))).head().getLong(0)
+    val bound = math.sqrt(2.0 * m).toLong + 1
+
+    assert(triOHub == triWHub,
+      s"arms disagree on the hub graph: oriented $triOHub vs wedge $triWHub")
+    assert(triOBase == triWBase,
+      s"arms disagree on the base graph: oriented $triOBase vs wedge $triWBase")
+    assert(hubOut == 0L,
+      s"max-degree hub must have out-degree 0, got $hubOut")
+    assert(maxOut <= bound,
+      s"orientation bound violated: max outdeg $maxOut > sqrt(2m)+1 = $bound")
+
+    val json = s"""{"edges_base":${m - hubDeg},"hub_degree":$hubDeg,""" +
+      s""""wedges_at_hub":$wedgesAtHub,"max_outdeg":$maxOut,""" +
+      s""""outdeg_bound":$bound,"hub_outdeg":$hubOut,""" +
+      s""""oriented_base":{"triangles":$triOBase,"sec":$tOBase},""" +
+      s""""oriented_hub":{"triangles":$triOHub,"sec":$tOHub},""" +
+      s""""wedge_base":{"triangles":$triWBase,"sec":$tWBase},""" +
+      s""""wedge_hub":{"triangles":$triWHub,"sec":$tWHub},""" +
+      s""""sf":"$sfDir"}"""
+    println(json)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/adversarial_graph.json"),
+      json.getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    spark.stop()
+  }
+}

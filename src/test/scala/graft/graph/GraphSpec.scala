@@ -193,6 +193,21 @@ class GraphSpec extends AnyFunSuite {
     assert(rows(3) == ((4L, 571428L)))
   }
 
+  test("kHopReach: saturated reach holds steady once the frontier " +
+      "goes empty") {
+    import spark.implicits._
+    // star around the seed: everything reached at hop 1, so hops 2-3
+    // run the frontier-BFS loop with an EMPTY frontier (r13 rewrite) —
+    // counts must hold at full reach, not drop or duplicate
+    val edges = Seq((100L, 1L), (100L, 2L)).toDF("a", "b")
+    val rows = GraphOps.kHopReach(edges, 100L, 3).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows(0) == ((1L, 333333L)))
+    assert(rows(1) == ((3L, 1000000L)))
+    assert(rows(2) == ((3L, 1000000L)))
+    assert(rows(3) == ((3L, 1000000L)))
+  }
+
   test("localClustering: triangle + pendant gives buckets 10 and 3") {
     import spark.implicits._
     // triangle {1,2,3} + pendant edge 3-4: lcc(1)=lcc(2)=1 (bucket 10),
