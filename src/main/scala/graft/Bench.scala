@@ -183,6 +183,12 @@ object Bench {
     // ngram-keyed state grows with vocabulary, read against the
     // dq_benford cost class)
     "st_incremental_neardup", "st_outer_join", "st_frequent_ngrams",
+    // late-r13: the BOUNDED-state counterpoint — read st_frequent_ngrams
+    // (vocabulary-sized complete-mode state) against st_countmin_sketch
+    // (d×w = 1024 counter rows whatever the corpus size); the sketch is
+    // the one you run on the 100 TB firehose, the exact gram count is
+    // the one you run bounded-corpus
+    "st_countmin_sketch",
     // late-r13: star-mode LSH (hot buckets emit hub edges instead of
     // vanishing — the viral-family recall fix); identical work to
     // dd_minhash_lsh on this corpus plus the hub aggregate, so read
@@ -290,7 +296,10 @@ object Bench {
     // its complete-mode state is vocabulary-sized, so measure the
     // sf0.1 shape before paying for it in the shared sf1 block)
     "st_incremental_neardup" -> "documents",
-    "st_outer_join" -> "events")
+    "st_outer_join" -> "events",
+    // the bounded-state sketch at 10×: state stays 1024 rows while the
+    // token volume grows — the flat-state claim gets its measured point
+    "st_countmin_sketch" -> "documents")
   // r12 (r11 verdict #1a): the two DECLARED-quadratic evidence rows
   // burned ~10 min of the sf1 block every round (pinned16: 146s cold
   // + 80s warm; uncapped containment: 315s cold + 127s warm in the

@@ -97,4 +97,23 @@ object CountMin {
        |       CAST(est_count - exact_cnt AS BIGINT) AS overcount
        |FROM exact e JOIN est USING (tok)""".stripMargin
   }
+
+  /** DuckDB oracle for [[sketch]] itself — the (r, bucket, c) counter
+    * table rebuilt brute-force from the token stream with the same md5
+    * bucketing. Used by the STREAMING twin (`st_countmin_sketch`),
+    * whose output is the sketch, not the estimates: the probe join is
+    * a second aggregation and doesn't stream, the sketch build does.
+    */
+  def sketchOracleSql(d: Int = 4, w: Int = 256): String = {
+    val rows = (0 until d).mkString("[", ", ", "]")
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |rb AS (
+       |  SELECT r, CAST(CAST(('0x' || substr(md5(concat(CAST(r AS VARCHAR),
+       |      ':', tok)), 1, 8)) AS UBIGINT) % $w AS BIGINT) AS bucket
+       |  FROM tok, unnest($rows) AS u(r))
+       |SELECT CAST(r AS INT) AS r, bucket,
+       |       CAST(count(*) AS BIGINT) AS c
+       |FROM rb GROUP BY 1, 2""".stripMargin
+  }
 }

@@ -321,6 +321,24 @@ object StreamQueries extends QueryRegistry {
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minSupport)
 
+  /** Streaming count-min sketch — the BOUNDED-state answer to
+    * [[frequentNgrams]]'s honest scaling limit: st_frequent_ngrams's
+    * complete-mode state is the full gram vocabulary (grows with the
+    * corpus), while here the sketch IS the stream state — d×w = 1024
+    * counter rows whatever the corpus size. One aggregation, so it
+    * streams; counters are order-independent sums, so micro-batch
+    * boundaries can't change the result and the batch oracle replays
+    * it exactly. Point estimates stay a batch-side probe against this
+    * table ([[graft.functions.CountMin.estimates]] / `t_countmin`) —
+    * the probe's second aggregation doesn't stream, the build does.
+    */
+  q("st_countmin_sketch",
+    graft.functions.CountMin.sketchOracleSql(d = 4, w = 256)) { (s, d) =>
+    runToCompletion(
+      graft.functions.CountMin.sketch(docStream(s, d), d = 4, w = 256),
+      "complete")
+  }
+
   /** Streaming INCREMENTAL ingest dedup — the streaming twin of
     * [[graft.dedup.Dedup.incrementalDedup]]: the incoming doc stream is
     * anti-joined against the STATIC standing-corpus digest table

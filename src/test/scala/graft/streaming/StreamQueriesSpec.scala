@@ -272,4 +272,26 @@ class StreamQueriesSpec extends AnyFunSuite {
       "big data simple" -> 40L, "data simple for" -> 40L,
       "simple for all" -> 40L))
   }
+
+  test("streaming count-min sketch merges to the batch sketch across " +
+      "micro-batches") {
+    val stream = StreamQueries.docStream(spark, docsDir,
+      Map("maxFilesPerTrigger" -> "1"))
+    val (got, batches) = run(
+      graft.functions.CountMin.sketch(stream, d = 4, w = 256),
+      "complete", "mb_cms")
+    assert(batches >= 4)
+    val expected = graft.functions.CountMin
+      .sketch(spark.read.parquet(s"$docsDir/documents.parquet"),
+        d = 4, w = 256)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val out = got.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // counter sums are order-independent, so the multi-batch stream
+    // state must equal the batch sketch EXACTLY, counter for counter
+    assert(out == expected)
+    // bounded-state contract: never more than d*w counter rows
+    assert(out.size <= 4 * 256)
+  }
 }
