@@ -214,6 +214,10 @@ object Bench {
     // r9 curation-eval additions with a plausible hidden constant:
     // g_lpa's per-round join fan-in and t_ndcg's dual corpus pass
     "g_lpa" -> "lineitem", "t_ndcg" -> "documents",
+    // late-r13: the frontier-BFS rewrite's 10× point (isolated: warm
+    // 7.55 s sf0.1 → 14.75 s sf1 — the copurchase build dominates and
+    // the per-hop distinct is now frontier-sized, so 10× data ≈ 2×)
+    "g_khop" -> "lineitem",
     // r9 second sweep: structural-graph ops (corner enumeration /
     // peel rounds / membership join) and the two posting-join
     // pipelines whose pair volume could hide a superlinear constant
