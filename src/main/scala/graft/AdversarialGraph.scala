@@ -51,14 +51,22 @@ object AdversarialGraph {
     val li = graft.io.Tables.load(spark, sfDir, "lineitem")
     // canonical a < b undirected edge set, frozen
     val base = GraphOps.copurchaseEdges(li).localCheckpoint(true)
-    val hubId = 99999999L
-    // hub adjacent to every even node — ~half the graph; hub id above
-    // every part key so the (degree, id) tie-break can't save a test
-    // that the degree order alone should win
+    // hub id BELOW every part key (this dataset's part keys are
+    // 0..19999, so -1 — NOT 0, which IS a real node and would merge
+    // the hub with it: a first cut used 0 and the arms-agree assertion
+    // caught the duplicate-edge graph it produced). Orientation points
+    // toward the HIGHER (degree, id), so with a minimal id any degree
+    // TIE would orient hub -> neighbor and the hubOut == 0 assertion
+    // can only pass on strict degree dominance — the tie-break cannot
+    // mask a degree-order failure. (An id above every part key would
+    // prove nothing: ties would also point at the hub.)
+    val hubId = -1L
+    // hub adjacent to every even node — ~half the graph; canonical
+    // a < b form keeps the closing-edge lookup key consistent
     val hubEdges = base.select(col("a").as("node"))
       .union(base.select(col("b")))
       .distinct().filter(col("node") % 2 === 0)
-      .select(col("node").as("a"), lit(hubId).as("b"))
+      .select(lit(hubId).as("a"), col("node").as("b"))
     val hub = base.unionByName(hubEdges).localCheckpoint(true)
 
     val protectedIds = spark.sparkContext.getPersistentRDDs.keySet
@@ -141,7 +149,8 @@ object AdversarialGraph {
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("target/adversarial_graph.json"),
       json.getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    catch { case e: Throwable => System.err.println(
+      s"[advg] evidence write failed (stdout line above is authoritative): $e") }
     spark.stop()
   }
 }

@@ -580,22 +580,24 @@ object Bench {
           // SHARED value can be page-cache-DEFLATED — the r12 g_lpa
           // direction — so w >= 1.5*p would cry regression when the
           // isolated truth never moved). WITHOUT a ledger entry the
-          // rerun cannot adjudicate direction at all: comparing fresh-
-          // isolated (pays its own first-touch I/O) against prev
-          // SHARED mislabels deflated baselines as regressions —
-          // measured late-r13 when the first sweep under this
-          // machinery cried "regression" on sim_ivf_recall /
-          // t_domain_reweight and a prev-tip worktree isolation showed
-          // the isolated truth IDENTICAL (1.24 vs 1.23 s; ATTRIBUTION
-          // _r13 §8). In that case the honest class is
-          // "no-isolated-baseline": the measured value still lands in
-          // the artifact AND seeds the ledger, so the NEXT sweep
-          // adjudicates finally; anything still >=1.5x vs the seeded
-          // isolated value then is a true regression call.
+          // prev-SHARED comparison is ONE-SIDED: isolated runs are
+          // biased HIGH (they pay first-touch I/O the shared sweep
+          // amortizes), so w < 1.5*p stays a CONCLUSIVE context proof
+          // — but w >= 1.5*p cannot distinguish a regression from a
+          // page-cache-DEFLATED prev baseline. Measured late-r13 when
+          // the first sweep under this machinery cried "regression" on
+          // sim_ivf_recall / t_domain_reweight and a prev-tip worktree
+          // isolation showed the isolated truth IDENTICAL (1.24 vs
+          // 1.23 s; ATTRIBUTION_r13 §8). The unadjudicable direction
+          // reports "no-isolated-baseline": the measured value still
+          // lands in the artifact AND seeds the ledger, so the NEXT
+          // sweep adjudicates finally; anything still >=1.5x vs the
+          // seeded isolated value then is a true regression call.
           val cls = ledger.get(key) match {
             case Some((l, _)) =>
               if (w < 1.5 * l) "context" else "regression"
-            case None => "no-isolated-baseline"
+            case None =>
+              if (w < 1.5 * p) "context" else "no-isolated-baseline"
           }
           s""""isolated":$w,"isolated_src":"rerun@$tip","class":"$cls""""
         case None => ledger.get(key) match {

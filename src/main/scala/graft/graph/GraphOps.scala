@@ -437,10 +437,15 @@ object GraphOps {
         .join(reached, Seq("node"), "left_anti")
         .persist(StorageLevel.MEMORY_AND_DISK)
       // disjoint by construction (anti-join), both sides distinct —
-      // the union IS the distinct cumulative reach, no re-dedup
+      // the union IS the distinct cumulative reach, no re-dedup. NOT
+      // persisted: both inputs already are (seed set + every hop's
+      // newFrontier), so reading the union chain is a concatenation of
+      // cached node-sized partitions — caching it again would store a
+      // full extra copy of the cumulative reach per hop for zero saved
+      // recompute (cache bloat the shared bench JVM has historically
+      // paid for, r10 exit-52 class)
       val next = reached.union(newFrontier)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      cached = cached :+ newFrontier :+ next
+      cached = cached :+ newFrontier
       hops = hops :+ next.agg(count(lit(1)).as("n_reached"))
         .select(lit(i).as("hop"), col("n_reached"))
       reached = next

@@ -196,9 +196,11 @@ class GraphSpec extends AnyFunSuite {
   test("kHopReach: saturated reach holds steady once the frontier " +
       "goes empty") {
     import spark.implicits._
-    // star around the seed: everything reached at hop 1, so hops 2-3
-    // run the frontier-BFS loop with an EMPTY frontier (r13 rewrite) —
-    // counts must hold at full reach, not drop or duplicate
+    // star around the seed: everything reached at hop 1, so hop 2's
+    // expansion anti-joins away entirely (its frontier {1,2} yields an
+    // empty newFrontier) and hop 3 runs the frontier-BFS loop (r13
+    // rewrite) from a genuinely EMPTY frontier — counts must hold at
+    // full reach through both shapes, not drop or duplicate
     val edges = Seq((100L, 1L), (100L, 2L)).toDF("a", "b")
     val rows = GraphOps.kHopReach(edges, 100L, 3).collect()
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
