@@ -253,6 +253,18 @@ object GraphOps {
     val o = o0.persist(StorageLevel.MEMORY_AND_DISK)
     val nb = o.groupBy("src")
       .agg(sort_array(collect_list(col("dst"))).as("ns"))
+    // Measured negative result (late r13), kept on record so nobody
+    // retries it: a single-explode variant emitting 2 + |∩| struct
+    // contributions per edge — (x, size(∩)), (v, size(∩)), one (w, 1)
+    // per triangle, i.e. 2E + T agg rows instead of this form's 4T —
+    // LOST in back-to-back fresh-JVM isolation: g_local_clustering
+    // warm 9.25 s variant vs 8.71 s this form at sf0.1 (≈ parity) and
+    // 26.0 vs 19.7 s at sf1 (1.32× SLOWER where it was supposed to
+    // win; an initial 1.7× sf0.1 reading was against a days-old
+    // ledger seed — machine-state drift, not code). The 3× row cut is
+    // more than cancelled by per-row concat/transform ARRAY-OF-STRUCT
+    // construction, while the chained plain explodes below stay
+    // inside whole-stage codegen with zero per-row allocation.
     val tc = o
       .join(nb.select(col("src").as("u"), col("ns").as("nu")),
         col("src") === col("u"))
