@@ -571,51 +571,9 @@ object Bench {
     val ledger = parseLedger()
     val tip = gitTip()
     val rerun = scala.collection.mutable.Map.empty[String, Double]
-    def ledgerNote(n: String, sf: String, p: Double): String = {
-      val key = s"$n@$sf"
-      rerun.get(key) match {
-        case Some(w) =>
-          // a FRESH rerun is judged against the best prior ISOLATED
-          // baseline when one exists (r13 self-review: the previous
-          // SHARED value can be page-cache-DEFLATED — the r12 g_lpa
-          // direction — so w >= 1.5*p would cry regression when the
-          // isolated truth never moved). WITHOUT a ledger entry the
-          // prev-SHARED comparison is ONE-SIDED: isolated runs are
-          // biased HIGH (they pay first-touch I/O the shared sweep
-          // amortizes), so w < 1.5*p stays a CONCLUSIVE context proof
-          // — but w >= 1.5*p cannot distinguish a regression from a
-          // page-cache-DEFLATED prev baseline. Measured late-r13 when
-          // the first sweep under this machinery cried "regression" on
-          // sim_ivf_recall / t_domain_reweight and a prev-tip worktree
-          // isolation showed the isolated truth IDENTICAL (1.24 vs
-          // 1.23 s; ATTRIBUTION_r13 §8). The unadjudicable direction
-          // reports "no-isolated-baseline": the measured value still
-          // lands in the artifact AND seeds the ledger, so the NEXT
-          // sweep adjudicates finally; anything still >=1.5x vs the
-          // seeded isolated value then is a true regression call.
-          val cls = ledger.get(key) match {
-            case Some((l, _)) =>
-              if (w < 1.5 * l) "context" else "regression"
-            case None =>
-              if (w < 1.5 * p) "context" else "no-isolated-baseline"
-          }
-          s""""isolated":$w,"isolated_src":"rerun@$tip","class":"$cls""""
-        case None => ledger.get(key) match {
-          case Some((l, t)) =>
-            // a ledger absolution is only FINAL when measured at the
-            // current tip; an older-tip entry still classifies (the
-            // isolated truth rarely moves without the query's code
-            // moving) but is labeled stale and stays eligible for a
-            // child rerun, so a regression introduced after the
-            // measurement cannot hide behind it (r13 self-review)
-            val cls =
-              if (l >= 1.5 * p) "needs-attribution"
-              else if (t == tip) "context" else "context-stale-ledger"
-            s""""isolated":$l,"isolated_src":"ledger@$t","class":"$cls""""
-          case None => """"class":"needs-attribution""""
-        }
-      }
-    }
+    def ledgerNote(n: String, sf: String, p: Double): String =
+      classifySuspect(rerun.get(s"$n@$sf"),
+        ledger.get(s"$n@$sf"), tip, p)
     def suspectRows(now: Seq[(String, Double)], prevM: Map[String, Double],
         sf: String): Seq[String] =
       suspectData(now, prevM, sf).map { case (n, s, p, v) =>
@@ -882,6 +840,58 @@ object Bench {
     * protocol the ledger records, so auto-updating keeps it current
     * without a manual step).
     */
+  /** Pure suspect classification — the JSON fragment appended to a
+    * suspects row. Extracted (late r13) so every branch is unit-
+    * testable instead of exercised only when a live sweep happens to
+    * produce the right suspect shape. Semantics:
+    *
+    *   - fresh child rerun + ledger entry: the rerun is judged against
+    *     the best prior ISOLATED baseline — `context` under 1.5×,
+    *     `regression` at or over (the one case a regression call is
+    *     ever made). The previous SHARED value is never the yardstick
+    *     here: it can be page-cache-DEFLATED (the r12 g_lpa
+    *     direction), which would cry regression when the isolated
+    *     truth never moved.
+    *   - fresh child rerun, NO ledger entry: the prev-SHARED
+    *     comparison is ONE-SIDED. Isolated runs are biased HIGH (they
+    *     pay first-touch I/O the shared sweep amortizes), so
+    *     w < 1.5·prev stays a CONCLUSIVE `context` proof — but
+    *     w ≥ 1.5·prev cannot distinguish a regression from a deflated
+    *     baseline (measured late-r13: sim_ivf_recall's isolated truth
+    *     was 1.24 s at BOTH tips while its shared slots read
+    *     0.63 → 1.23; ATTRIBUTION_r13 §8) and reports
+    *     `no-isolated-baseline`; the measured value seeds the ledger
+    *     so the NEXT sweep adjudicates finally.
+    *   - no rerun + ledger entry: a ledger absolution is FINAL
+    *     (`context`) only at the current tip; an older-tip entry still
+    *     classifies (`context-stale-ledger`) but stays child-rerun-
+    *     eligible so a post-measurement regression can't hide behind
+    *     it; a ledger value that is ITSELF ≥1.5× the prev shared
+    *     value proves nothing → `needs-attribution`.
+    *   - neither: `needs-attribution`.
+    */
+  private[graft] def classifySuspect(rerunWarm: Option[Double],
+      ledgerEntry: Option[(Double, String)], tip: String,
+      prevShared: Double): String =
+    rerunWarm match {
+      case Some(w) =>
+        val cls = ledgerEntry match {
+          case Some((l, _)) =>
+            if (w < 1.5 * l) "context" else "regression"
+          case None =>
+            if (w < 1.5 * prevShared) "context" else "no-isolated-baseline"
+        }
+        s""""isolated":$w,"isolated_src":"rerun@$tip","class":"$cls""""
+      case None => ledgerEntry match {
+        case Some((l, t)) =>
+          val cls =
+            if (l >= 1.5 * prevShared) "needs-attribution"
+            else if (t == tip) "context" else "context-stale-ledger"
+          s""""isolated":$l,"isolated_src":"ledger@$t","class":"$cls""""
+        case None => """"class":"needs-attribution""""
+      }
+    }
+
   private def writeLedger(ledger: Map[String, (Double, String)],
       fresh: Map[String, Double], tip: String): Unit =
     try {

@@ -40,6 +40,39 @@ class RegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("suspect classification covers every branch with the honest " +
+      "labels") {
+    def cls(s: String): String =
+      """"class":"([a-z-]+)"""".r.findFirstMatchIn(s).get.group(1)
+    // fresh rerun + ledger: the isolated baseline adjudicates both ways
+    assert(cls(Bench.classifySuspect(Some(1.0), Some((0.9, "aaa")),
+      "tip", 0.4)) == "context")
+    assert(cls(Bench.classifySuspect(Some(1.5), Some((0.9, "aaa")),
+      "tip", 0.4)) == "regression")
+    // fresh rerun, no ledger: under 1.5x prev-shared is conclusive
+    // (isolated bias is HIGH), at/over is UNadjudicable — never call
+    // regression against a possibly page-cache-deflated shared value
+    assert(cls(Bench.classifySuspect(Some(0.5), None, "tip", 0.4))
+      == "context")
+    assert(cls(Bench.classifySuspect(Some(1.2), None, "tip", 0.4))
+      == "no-isolated-baseline")
+    // ledger only: FINAL at the current tip, provisional when stale,
+    // proves nothing when the ledger value itself is a >=1.5x mover
+    assert(cls(Bench.classifySuspect(None, Some((0.5, "tip")), "tip",
+      0.4)) == "context")
+    assert(cls(Bench.classifySuspect(None, Some((0.5, "old")), "tip",
+      0.4)) == "context-stale-ledger")
+    assert(cls(Bench.classifySuspect(None, Some((0.9, "tip")), "tip",
+      0.4)) == "needs-attribution")
+    // nothing known at all
+    assert(cls(Bench.classifySuspect(None, None, "tip", 0.4))
+      == "needs-attribution")
+    // the rerun value and its source label land in the fragment
+    val frag = Bench.classifySuspect(Some(1.2), None, "abc123", 0.4)
+    assert(frag.contains("\"isolated\":1.2") &&
+      frag.contains("\"isolated_src\":\"rerun@abc123\""))
+  }
+
   test("duplicate registration is rejected") {
     object Dup extends QueryRegistry {
       q("dup_x", "SELECT 1") { (_, _) => null }
