@@ -185,6 +185,36 @@ object Multimodal {
         "transform(sequence(1, length(t)), i -> ascii(substring(t, i, 1)))"))
         .as("b"))
       .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    triageRollup(hist)
+  }
+
+  /** [[byteTriage]]'s RAW-BINARY sibling: the identical two-aggregate
+    * shape, but byte values come from per-byte hex decode
+    * (`conv(hex(substring(payload, i, 1)), 16, 10)` — still codegen'd
+    * column algebra, no UDF) instead of `ascii` over a string cast.
+    * This is the form the byteTriage docstring promises for a
+    * raw-binary corpus: a string cast UTF-8-mangles every byte above
+    * 0x7F (U+FFFD replacement), so a PNG/JPEG payload's histogram —
+    * and therefore its text/binary verdict — would be wrong under
+    * [[byteTriage]]. Used by [[formatSniffBytes]] and exercised
+    * oracle-checked over the committed binary-magic fixture
+    * (`mm_format_sniff_magic`).
+    */
+  def byteTriageBytes(media: DataFrame): DataFrame = {
+    val hist = media
+      .filter(expr("octet_length(payload)") > 0)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, octet_length(payload)),
+          |  i -> CAST(conv(hex(substring(payload, i, 1)), 16, 10)
+          |            AS INT))""".stripMargin)).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    triageRollup(hist)
+  }
+
+  /** The (doc, byte)→count histogram → per-doc summary rollup shared
+    * by the char-valued and raw-binary triage forms.
+    */
+  private def triageRollup(hist: DataFrame): DataFrame =
     hist.groupBy("doc_id").agg(
       sum("c").as("n_bytes"),
       count(lit(1)).cast("long").as("n_distinct_bytes"),
@@ -199,7 +229,6 @@ object Multimodal {
         col("simpson_u"),
         when(expr("printable * 1000000L div n_bytes") >= 950000L,
           "text").otherwise("binary").as("verdict"))
-  }
 
   /** [[byteTriage]]'s bounded-state twin (r12 verdict #4): identical
     * output, but the per-byte row explode is replaced by ONE
@@ -274,7 +303,18 @@ object Multimodal {
       (p.map(c => f"${c.toInt}%02X").mkString, f)
     }
 
-  def formatSniff(media: DataFrame): DataFrame = {
+  def formatSniff(media: DataFrame): DataFrame =
+    sniffWith(media, byteTriage(media))
+
+  /** [[formatSniff]] with the byte-exact histogram fallback — the
+    * form a RAW-BINARY corpus routes through (the char-cast triage
+    * would mangle >0x7F bytes and misjudge the printable share; the
+    * prefix join is byte-level in both forms).
+    */
+  def formatSniffBytes(media: DataFrame): DataFrame =
+    sniffWith(media, byteTriageBytes(media))
+
+  private def sniffWith(media: DataFrame, triage: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     val magic = broadcast(magicHexTable.toDF("prefix_hex", "sniffed_fmt"))
@@ -283,7 +323,7 @@ object Multimodal {
     // substring(hex(encode(text)), 1, 8) on the oracle side)
     val pre = media.select(col("doc_id"),
       hex(expr("substring(payload, 1, 4)")).as("prefix_hex"))
-    byteTriage(media)
+    triage
       .join(pre.join(magic, Seq("prefix_hex"), "left")
         .select(col("doc_id"), col("prefix_hex"), col("sniffed_fmt")),
         "doc_id")

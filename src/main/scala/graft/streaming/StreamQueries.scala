@@ -339,6 +339,43 @@ object StreamQueries extends QueryRegistry {
       "complete")
   }
 
+  /** Streaming GUARANTEED heavy hitters — the third leg of the
+    * frequency routing rule (SCALE.md), now fully executable in the
+    * streaming layer: exact gram counts (`st_frequent_ngrams`) when
+    * the vocabulary fits complete-mode state, the count-min sketch
+    * (`st_countmin_sketch`) for point estimates on the firehose, and
+    * THIS — Misra–Gries as the ENTIRE stream state (k = 20,000
+    * counters whatever the vocabulary or corpus size) when the
+    * deliverable is the guaranteed-above-threshold item set. One
+    * global [[graft.functions.MisraGriesAgg]] in complete mode is the
+    * streaming build (a single stateful aggregation, so it streams;
+    * the `TypedImperativeAggregate` buffer serializes into the state
+    * store exactly as `st_byte_triage`'s does); the exact recount of
+    * the ≤k candidates is a batch-side probe
+    * ([[graft.text.TextAnalysis.heavyHitterRecount]] — the
+    * `st_countmin_sketch` build/probe split). The MG candidate SET
+    * varies with micro-batch slicing at the non-heavy margins, but
+    * every item of frequency > N/(k+1) is present under ANY merge
+    * order, so the recount output equals the exact HAVING answer and
+    * the batch twin's oracle (`t_heavy_hitters`) transfers VERBATIM.
+    */
+  q("st_heavy_hitters",
+    graft.pipeline.PipelineQueries.heavyHittersOracleSql) { (s, d) =>
+    import graft.text.TextAnalysis
+    TextAnalysis.requireMgGuarantee(20000, 3L, 59582L)
+    def grams(df: DataFrame): DataFrame = df.select(
+      explode(TextAnalysis.ngramsCol(
+        TextAnalysis.tokens(col("text")), 3)).as("gram"))
+    val cands = runToCompletion(
+      grams(docStream(s, d))
+        .agg(graft.functions.MisraGries.misra_gries(col("gram"), 20000)
+          .as("cands")),
+      "complete")
+      .select(explode(col("cands")).as("gram"))
+    TextAnalysis.heavyHitterRecount(
+      grams(Tables.load(s, d, "documents")), cands, 3L, 59582L)
+  }
+
   /** Streaming INCREMENTAL ingest dedup — the streaming twin of
     * [[graft.dedup.Dedup.incrementalDedup]]: the incoming doc stream is
     * anti-joined against the STATIC standing-corpus digest table

@@ -575,22 +575,46 @@ object TextAnalysis {
   def guaranteedHeavyHitters(docs: DataFrame, n: Int = 3,
       fracNum: Long = 3L, fracDen: Long = 59582L,
       k: Int = 20000): DataFrame = {
-    require(fracNum > 0 && fracDen > 0, "threshold fraction must be positive")
-    require((k + 1).toLong * fracNum > fracDen,
-      s"MG capacity $k cannot guarantee hitters at $fracNum/$fracDen: " +
-        s"need k+1 > fracDen/fracNum = ${fracDen / fracNum}")
+    requireMgGuarantee(k, fracNum, fracDen)
     val grams = docs.select(
       explode(ngramsCol(tokens(col("text")), n)).as("gram"))
     val cands = grams
       .agg(graft.functions.MisraGries.misra_gries(col("gram"), k)
         .as("cands"))
       .select(explode(col("cands")).as("gram"))
+    heavyHitterRecount(grams, cands, fracNum, fracDen)
+  }
+
+  /** Pass 2 of [[guaranteedHeavyHitters]], exposed standalone so the
+    * STREAMING candidate build (`st_heavy_hitters` — the MG aggregate
+    * as bounded stream state) can share it verbatim: exact recount of
+    * only the candidate grams (broadcast semi join — the candidate
+    * set is ≤ k rows by construction) and the integer threshold gate.
+    * Given a candidate set containing every item of frequency
+    * > N/(k+1) — which ANY MG summary guarantees regardless of merge
+    * order — the output EQUALS the exact `HAVING cnt·fracDen ≥
+    * N·fracNum` answer, which is why one oracle serves the batch,
+    * streaming, and any future incremental build.
+    */
+  def heavyHitterRecount(grams: DataFrame, cands: DataFrame,
+      fracNum: Long, fracDen: Long): DataFrame = {
     val total = grams.agg(count(lit(1)).as("n_total"))
     grams.join(broadcast(cands), Seq("gram"), "left_semi")
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(total))
       .filter(col("cnt") * fracDen >= col("n_total") * fracNum)
       .select(col("gram"), col("cnt"))
+  }
+
+  /** The [[guaranteedHeavyHitters]] soundness condition, shared with
+    * the streaming twin: MG with k counters guarantees presence only
+    * above N/(k+1), so the recount threshold fraction must exceed it.
+    */
+  def requireMgGuarantee(k: Int, fracNum: Long, fracDen: Long): Unit = {
+    require(fracNum > 0 && fracDen > 0, "threshold fraction must be positive")
+    require((k + 1).toLong * fracNum > fracDen,
+      s"MG capacity $k cannot guarantee hitters at $fracNum/$fracDen: " +
+        s"need k+1 > fracDen/fracNum = ${fracDen / fracNum}")
   }
 
   /** Sliding-window document chunking with overlap — the context-window

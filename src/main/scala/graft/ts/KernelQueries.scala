@@ -872,8 +872,19 @@ object KernelQueries extends QueryRegistry {
     * reference dispatches one form submission per AOI), unioned. The
     * bbox picks each series' pixel, so F2 filtering is live too.
     */
-  private def goldenDecode(
-      s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+  /** One production-pipeline run per golden param group, unioned —
+    * the fixture's series carry different data_type/duration and the
+    * polygon path takes ONE param set per query (exactly how the
+    * reference dispatches one form submission per AOI); the bbox
+    * picks each series' pixel, so F2 filtering is live too. `run`
+    * selects WHICH decode surface executes (first-change / ranked /
+    * full payload), so all three K3 payload projections replay the
+    * same fixtures through the same dispatch.
+    */
+  private def goldenRuns(s: org.apache.spark.sql.SparkSession,
+      run: (org.apache.spark.sql.DataFrame,
+        TrendPipeline.DbestPipelineParams) =>
+        org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val obs = goldenObservations(s)
     def kp(dataType: String, dur: Int) = Dbest.Params(
       dataType = dataType, seasonality = 12, breakpointsNo = 3,
@@ -882,14 +893,17 @@ object KernelQueries extends QueryRegistry {
     Seq((1, kp("cyclical", 12)), (2, kp("non-cyclical", 12)),
         (3, kp("non-cyclical", 10)))
       .map { case (sid, params) =>
-        TrendPipeline.dbestChange(s, obs,
-          TrendPipeline.DbestPipelineParams(
-            startDate = "2024-01-01", endDate = "2026-01-01",
-            bbox = Some((sid + 0.1, sid + 0.2, 0.0, 1.0)),
-            threshold = -1e18, kernel = params),
-          composite = TrendPipeline.timeBucketComposite(_, 21600))
+        run(obs, TrendPipeline.DbestPipelineParams(
+          startDate = "2024-01-01", endDate = "2026-01-01",
+          bbox = Some((sid + 0.1, sid + 0.2, 0.0, 1.0)),
+          threshold = -1e18, kernel = params))
       }.reduce(_ union _)
   }
+
+  private def goldenDecode(
+      s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
+    goldenRuns(s, (obs, p) => TrendPipeline.dbestChange(s, obs, p,
+      composite = TrendPipeline.timeBucketComposite(_, 21600)))
 
   // The pipeline_dbest DECODE block, ORACLE-CHECKED against the golden
   // fixture (r12 verdict #2 — the end-to-end DBEST journey's summary
@@ -955,5 +969,88 @@ object KernelQueries extends QueryRegistry {
        |         AS mean_abs_change_u
        |FROM g""".stripMargin) { (s, d) =>
     TrendPipeline.dbestStatistics(goldenDecode(s))
+  }
+
+  // K3 payload golden closure (r13 verdict #3 — shrink no_oracle by
+  // the exact pattern that closed pipeline_dbest_decode): each of the
+  // three K3 payload projections (first-change row, ranked-change
+  // explode, full point payload) replays the committed golden
+  // fixtures through its PRODUCTION function, hash-matched against
+  // DuckDB's independent replay of the numpy reference's expected
+  // rows. The events-table k3_dbest_* rows stay rows-only by
+  // necessity (ANSI SQL cannot run DBEST on live data), but every
+  // projection those rows ship now has a green same-code twin.
+
+  // (a) the k3_dbest_change projection: user/series keying + the
+  // first-change fields, vs the golden rank-1 rows.
+  q("k3_dbest_change_golden",
+    s"""WITH g AS (SELECT * FROM read_parquet('$dbestGoldenChangesPath')
+       |           WHERE rank = 1)
+       |SELECT CAST(series_id AS BIGINT) AS series_id,
+       |       breakpoint_no_g AS breakpoint_no,
+       |       segment_no_g AS segment_no,
+       |       start_g AS start, end_g - start_g AS duration,
+       |       end_g AS "end", round(change_g, 4) AS change,
+       |       change_type_g AS change_type,
+       |       significance_g AS significance
+       |FROM g""".stripMargin) { (s, d) =>
+    goldenDecode(s).select(
+      col("longitude").cast("long").as("series_id"),
+      col("breakpoint_no"), col("segment_no"), col("start"),
+      col("duration"), col("end"), round(col("change"), 4).as("change"),
+      col("change_type"), col("significance"))
+  }
+
+  // (b) the k3_dbest_changes_all projection: the |change|-ranked
+  // multi-change explode (`calculations/dbest.py:311-331`), vs ALL
+  // golden ranks — anchors the rank numbering, the explode, and the
+  // per-rank field decode that (a)'s single row cannot see.
+  q("k3_dbest_changes_all_golden",
+    s"""SELECT CAST(series_id AS BIGINT) AS series_id,
+       |       breakpoint_no_g AS breakpoint_no,
+       |       segment_no_g AS segment_no, rank,
+       |       start_g AS start, end_g - start_g AS duration,
+       |       end_g AS "end", round(change_g, 4) AS change,
+       |       change_type_g AS change_type,
+       |       significance_g AS significance
+       |FROM read_parquet('$dbestGoldenChangesPath')""".stripMargin) {
+    (s, d) =>
+    goldenRuns(s, (obs, p) => TrendPipeline.dbestChangesAll(s, obs, p,
+        composite = TrendPipeline.timeBucketComposite(_, 21600)))
+      .select(col("longitude").cast("long").as("series_id"),
+        col("breakpoint_no"), col("segment_no"), col("rank"),
+        col("start"), col("duration"), col("end"),
+        round(col("change"), 4).as("change"),
+        col("change_type"), col("significance"))
+  }
+
+  // (c) the k3_dbest_point_decode payload arrays, LONG-FORM: the
+  // array cells explode to (series, idx) rows with plain DOUBLE
+  // columns — the driver's canonicalizer hashes doubles at 9 s.f. but
+  // cannot sort array cells, and JSON-string equality would hang on
+  // Jackson-vs-DuckDB float rendering. data must replay the composite
+  // input (the fixture's y — one observation per bucket, so the mean
+  // is exact), fit must match the independent numpy fit to the same
+  // 4-decimal quantum the change fields use (k3_dbest_golden already
+  // proves ≤1e-6 abs agreement), and the decomposition arrays must
+  // rebuild data exactly (additive_ok — the identity the kernel
+  // guarantees in BOTH the cyclical and raw-trend branches).
+  q("k3_dbest_point_decode_golden",
+    s"""SELECT CAST(series_id AS BIGINT) AS series_id,
+       |       idx, round(y, 4) AS data_r, round(fit_g, 4) AS fit_r,
+       |       CAST(1 AS BIGINT) AS additive_ok
+       |FROM read_parquet('$dbestGoldenSeriesPath')""".stripMargin) {
+    (s, d) =>
+    goldenRuns(s, (obs, p) => TrendPipeline.dbestPointDecode(s, obs, p,
+        composite = TrendPipeline.timeBucketComposite(_, 21600)))
+      .select(col("longitude").cast("long").as("series_id"),
+        posexplode(arrays_zip(col("fit"), col("data"), col("trend"),
+          col("seasonal"), col("remainder"))))
+      .select(col("series_id"), col("pos").cast("int").as("idx"),
+        round(col("col.data"), 4).as("data_r"),
+        round(col("col.fit"), 4).as("fit_r"),
+        when(abs(col("col.trend") + col("col.seasonal") +
+          col("col.remainder") - col("col.data")) <= lit(1e-9), 1L)
+          .otherwise(0L).as("additive_ok"))
   }
 }
