@@ -70,9 +70,12 @@ object AdversarialDedup {
       val t0 = System.nanoTime()
       val c = f
       val dt = (System.nanoTime() - t0) / 1e9
+      // blocking for the same reason as AdversarialGraph (r13 ADVICE):
+      // per-arm timings must not inherit the previous arm's
+      // still-evicting cache blocks; the wait itself is untimed
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => protectedIds.contains(id) }
-        .values.foreach(_.unpersist(blocking = false))
+        .values.foreach(_.unpersist(blocking = true))
       System.err.println(f"[adv] $label: $c rows in $dt%.2f s")
       (c, dt)
     }

@@ -74,9 +74,14 @@ object AdversarialGraph {
       val t0 = System.nanoTime()
       val c = f
       val dt = (System.nanoTime() - t0) / 1e9
+      // blocking — a later arm must start with the earlier arm's
+      // cached blocks actually GONE from executor memory, or its
+      // timing inherits leftover cache pressure (r13 ADVICE: the
+      // wedge-base arm showed 36-80s cross-run noise with async
+      // release; the eviction wait is OUTSIDE the timed region)
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => protectedIds.contains(id) }
-        .values.foreach(_.unpersist(blocking = false))
+        .values.foreach(_.unpersist(blocking = true))
       System.err.println(f"[advg] $label: $c in $dt%.2f s")
       (c, dt)
     }

@@ -196,7 +196,13 @@ object Bench {
     "dd_minhash_lsh_star",
     // semantic cross-split contamination: one multi-probe assignment
     // pass + a cell-keyed train×eval join — the dd_semdedup cost class
-    "sim_split_leakage")
+    "sim_split_leakage",
+    // r14 (r13 verdict #4): the bounded-VOCABULARY streaming top-k —
+    // Misra-Gries as the entire stream state (20k counters whatever
+    // the vocabulary) + a batch recount probe; read the TRIO
+    // st_frequent_ngrams / st_countmin_sketch / st_heavy_hitters as
+    // the executable frequency routing rule
+    "st_heavy_hitters")
 
   /** sf1 stretch rows: (query name, gating input table). Object-level
     * (r12) so RegistrySpec can assert every bench name — headline and
@@ -303,7 +309,11 @@ object Bench {
     "st_outer_join" -> "events",
     // the bounded-state sketch at 10×: state stays 1024 rows while the
     // token volume grows — the flat-state claim gets its measured point
-    "st_countmin_sketch" -> "documents")
+    "st_countmin_sketch" -> "documents",
+    // r14: the MG twin at 10× — state stays ≤20k counters while the
+    // gram volume grows 10×; the recount probe is corpus-sized but
+    // map-combined (the t_heavy_hitters cost class)
+    "st_heavy_hitters" -> "documents")
   // r12 (r11 verdict #1a): the two DECLARED-quadratic evidence rows
   // burned ~10 min of the sf1 block every round (pinned16: 146s cold
   // + 80s warm; uncapped containment: 315s cold + 127s warm in the
@@ -330,16 +340,63 @@ object Bench {
     */
   val ledgerPath = "tools/isolated_ledger.json"
 
-  private def parseLedger(): Map[String, (Double, String)] =
+  /** One committed isolated-truth row. `round`/`date` stamp WHEN the
+    * measurement was taken (r13 verdict #5 — the §11 lesson is that
+    * identical code drifted 5.49→8.71 s isolated across days, so an
+    * old entry can mis-classify near the 1.5× line in BOTH
+    * directions; the sweep refreshes stale entries it relies on).
+    * `seeded=true` marks a value recorded by a `no-isolated-baseline`
+    * child rerun (r13 ADVICE): if that rerun happened to measure a
+    * regression introduced at its own tip, the regressed value IS the
+    * recorded truth and every later sweep would absolve the row — so
+    * seeded entries issue only provisional (`context-seeded`)
+    * absolutions until a prev-tip worktree A/B
+    * (tools/bench_attrib.sh, the ATTRIBUTION_r13 §8 protocol)
+    * confirms the value and the flag is removed by hand.
+    */
+  private[graft] case class LedgerEntry(warm: Double, tip: String,
+      round: Option[Int] = None, date: Option[String] = None,
+      seeded: Boolean = false)
+
+  private[graft] def parseLedgerJson(j: String): Map[String, LedgerEntry] =
+    """"([A-Za-z0-9_]+@sf[0-9.]+)":\{([^}]*)\}""".r.findAllMatchIn(j)
+      .flatMap { m =>
+        val body = m.group(2)
+        def num(k: String) =
+          ("\"" + k + "\":(-?[0-9][0-9.eE+-]*)").r
+            .findFirstMatchIn(body).map(_.group(1))
+        def str(k: String) =
+          ("\"" + k + "\":\"([^\"]*)\"").r
+            .findFirstMatchIn(body).map(_.group(1))
+        num("warm").map(w => m.group(1) -> LedgerEntry(w.toDouble,
+          str("tip").getOrElse("unknown"), num("round").map(_.toInt),
+          str("date"), body.contains("\"seeded\":true")))
+      }.toMap
+
+  private def parseLedger(): Map[String, LedgerEntry] =
     try {
       val p = java.nio.file.Paths.get(ledgerPath)
       if (!java.nio.file.Files.exists(p)) Map.empty
-      else
-        """"([A-Za-z0-9_]+@sf[0-9.]+)":\{"warm":([0-9.]+),"tip":"([^"]*)"\}""".r
-          .findAllMatchIn(
-            new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
-          .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3))).toMap
+      else parseLedgerJson(
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
     } catch { case _: Throwable => Map.empty }
+
+  /** Current build round, inferred from the driver's committed
+    * BENCH_r{N}.json series (max N + 1) so nothing needs a manual
+    * bump. Used only to stamp ledger entries and pick stale ones for
+    * refresh — a wrong value degrades staleness detection, nothing
+    * else.
+    */
+  private[graft] def roundFromBenchFiles(names: Seq[String]): Int =
+    names.flatMap("""^BENCH_r0*([0-9]+)\.json$""".r.findFirstMatchIn(_)
+      .map(_.group(1).toInt)).maxOption.map(_ + 1).getOrElse(0)
+
+  private def currentRound(): Int =
+    try {
+      val fs = Option(new java.io.File(".").listFiles())
+        .map(_.toSeq.map(_.getName)).getOrElse(Nil)
+      roundFromBenchFiles(fs)
+    } catch { case _: Throwable => 0 }
 
   /** Short git tip without shelling out (no JGit in the classpath). */
   private def gitTip(): String =
@@ -364,6 +421,85 @@ object Bench {
         }
       sha.take(7)
     } catch { case _: Throwable => "unknown" }
+
+  /** Repo-relative paths whose change could alter EVERY query's
+    * semantics or cost: the session/loader config, the shared native
+    * expression library, the registration plumbing, and the sf1 data
+    * generator. Bench.scala itself is deliberately NOT here — it
+    * changes every round (notes, process machinery) and its edits are
+    * measurement process, not query code; a Bench-level change that
+    * altered timings would move MANY rows at once, which no
+    * single-suspect absolution can hide.
+    */
+  private[graft] val globalQueryDeps: Seq[String] = Seq(
+    "build.sbt",
+    "src/main/scala/graft/io/",
+    "src/main/scala/graft/functions/",
+    "src/main/scala/graft/model/",
+    "src/main/scala/graft/Guards.scala",
+    "src/main/scala/graft/QueryRegistry.scala",
+    "src/main/scala/graft/SparkEntry.scala",
+    "src/main/scala/graft/GenScale.scala")
+
+  /** name → the source paths that can affect it (r13 verdict #1: the
+    * cheapest suspect evidence there is — whether the flagged query's
+    * code changed at all). Registry membership is checked at runtime
+    * (auto-correct as queries move); the per-registry path sets are
+    * the registry file's own package plus every graft package it
+    * calls into (verified against its imports/FQN references —
+    * deliberately OVER-inclusive: a false "changed" only costs a
+    * child rerun, a false "unchanged" would absolve a real
+    * regression). Unknown names fall back to the whole source tree
+    * (never absolved unless nothing changed).
+    */
+  private[graft] def ownedPaths(name: String): Seq[String] = {
+    val src = "src/main/scala/graft/"
+    val pipelineDeps = Seq(s"${src}pipeline/", s"${src}dedup/",
+      s"${src}sim/", s"${src}text/", s"${src}multimodal/",
+      s"${src}sources/")
+    val byRegistry: Seq[(Set[String], Seq[String])] = Seq(
+      graft.rel.RelQueries.queries.keySet ->
+        Seq(s"${src}rel/", s"${src}plans/"),
+      graft.rel.SqlQueries.queries.keySet ->
+        Seq(s"${src}rel/", s"${src}plans/"),
+      graft.rel.LogAnalytics.queries.keySet -> Seq(s"${src}rel/"),
+      graft.ts.KernelQueries.queries.keySet ->
+        Seq(s"${src}ts/", s"${src}pipeline/"),
+      graft.pipeline.PipelineQueries.queries.keySet -> pipelineDeps,
+      graft.graph.GraphQueries.queries.keySet -> Seq(s"${src}graph/"),
+      // streaming twins wrap the batch transforms by FQN reference
+      graft.streaming.StreamQueries.queries.keySet ->
+        (Seq(s"${src}streaming/") ++ pipelineDeps))
+    globalQueryDeps ++ byRegistry.collectFirst {
+      case (names, paths) if names(name) => paths
+    }.getOrElse(Seq(src))
+  }
+
+  /** Files changed between the previous artifact's tip and the
+    * CURRENT WORKING TREE (committed + uncommitted + untracked — a
+    * dirty-tree sweep must not absolve code it is actually running).
+    * None when git or the prev tip is unavailable → no absolution.
+    */
+  private def gitChangedFiles(prevTip: String): Option[Set[String]] =
+    try {
+      if (prevTip.isEmpty || prevTip == "unknown") None
+      else {
+        def run(cmd: String*): Option[Seq[String]] = {
+          val pb = new ProcessBuilder(cmd: _*)
+          pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+          val proc = pb.start()
+          val out = new String(proc.getInputStream.readAllBytes, "UTF-8")
+          if (!proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS) ||
+              proc.exitValue() != 0) { proc.destroyForcibly(); None }
+          else Some(out.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq)
+        }
+        for {
+          committed <- run("git", "diff", "--name-only", prevTip)
+          untracked <- run("git", "ls-files", "--others",
+            "--exclude-standard")
+        } yield (committed ++ untracked).toSet
+      }
+    } catch { case _: Throwable => None }
 
   /** Dedicated single-query isolation mode (child protocol): runs ONE
     * query at ONE scale in this fresh JVM — cold + min-of-2 warm — and
@@ -535,27 +671,51 @@ object Bench {
           .findAllMatchIn(json.substring(start + 1, end))
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
-    val (prev01, prevSf1): (Map[String, Double], Map[String, Double]) =
+    val (prev01, prevSf1, prevTip): (Map[String, Double],
+        Map[String, Double], String) =
       try {
         val p = java.nio.file.Paths.get("target/bench_full.json")
         if (java.nio.file.Files.exists(p)) {
           val j = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
           val sf1At = j.indexOf("\"sf1\":{")
+          // the artifact records its own measurement tip from r14 on;
+          // older artifacts fall back to the commit that last touched
+          // the committed copy (one driver round-commit later than the
+          // measurement — an over-inclusive diff base, which can only
+          // withhold an absolution, never fabricate one)
+          val recordedTip = """"tip":"([0-9a-f]{4,40})"""".r
+            .findFirstMatchIn(j).map(_.group(1)).getOrElse {
+              val pb = new ProcessBuilder("git", "log", "-1",
+                "--format=%h", "--", "target/bench_full.json")
+              val proc = pb.start()
+              val out = new String(proc.getInputStream.readAllBytes,
+                "UTF-8").trim
+              if (proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
+                  && proc.exitValue() == 0 && out.nonEmpty) out
+              else "unknown"
+            }
           (parseMap(j, j.indexOf("\"queries\":")),
             if (sf1At < 0) Map.empty
-            else parseMap(j, j.indexOf("\"queries\":", sf1At)))
-        } else (Map.empty, Map.empty)
-      } catch { case _: Throwable => (Map.empty, Map.empty) }
+            else parseMap(j, j.indexOf("\"queries\":", sf1At)),
+            recordedTip)
+        } else (Map.empty, Map.empty, "unknown")
+      } catch { case _: Throwable => (Map.empty, Map.empty, "unknown") }
     def suspectData(now: Seq[(String, Double)], prevM: Map[String, Double],
-        sf: String): Seq[(String, String, Double, Double)] =
+        sf: String): Seq[(String, String, Double, Double)] = {
+      // BOTH endpoints must clear the co-tenancy noise floor: 0.2s at
+      // sf0.1 (r12 ADVICE — a 0.08s row drifting to 0.21s on
+      // shared-JVM noise is not a mover worth a fresh-JVM A/B) and
+      // 2.0s at sf1 (r13 verdict #2 — the shared sf1 block's
+      // multi-second co-tenancy makes 0.39→0.77s wobbles routine;
+      // every r13 sub-2s sf1 suspect was noise on untouched code)
+      val floor = if (sf == "sf1") 2.0 else 0.2
       now.flatMap { case (n, v) =>
         prevM.get(n).collect {
-          // BOTH endpoints must clear the 0.2s co-tenancy noise floor
-          // (r12 ADVICE: a 0.08s row drifting to 0.21s on shared-JVM
-          // noise is not a mover worth a fresh-JVM A/B)
-          case p if p >= 0.2 && v >= 1.5 * p && v >= 0.2 => (n, sf, p, v)
+          case p if p >= floor && v >= 1.5 * p && v >= floor =>
+            (n, sf, p, v)
         }
       }
+    }
 
     // r13 (r12 verdict #1): every suspect row self-adjudicates against
     // the committed isolated-truth ledger (tools/isolated_ledger.json)
@@ -570,10 +730,22 @@ object Bench {
     // isolated baseline contradicts the move (stale-or-missing ledger).
     val ledger = parseLedger()
     val tip = gitTip()
+    val round = currentRound()
+    // r14 (r13 verdict #1): one git diff against the previous
+    // artifact's tip, computed once — each suspect then intersects the
+    // changed set with its owned paths. None (git/prev-tip
+    // unavailable) disables absolution, never enables it.
+    val changedFiles: Option[Set[String]] = gitChangedFiles(prevTip)
+    def ownedChanged(n: String): Option[Seq[String]] =
+      changedFiles.map { ch =>
+        val owned = ownedPaths(n)
+        ch.filter(f => owned.exists(p => f == p || f.startsWith(p)))
+          .toSeq.sorted
+      }
     val rerun = scala.collection.mutable.Map.empty[String, Double]
     def ledgerNote(n: String, sf: String, p: Double): String =
       classifySuspect(rerun.get(s"$n@$sf"),
-        ledger.get(s"$n@$sf"), tip, p)
+        ledger.get(s"$n@$sf"), tip, p, ownedChanged(n))
     def suspectRows(now: Seq[(String, Double)], prevM: Map[String, Double],
         sf: String): Seq[String] =
       suspectData(now, prevM, sf).map { case (n, s, p, v) =>
@@ -634,18 +806,43 @@ object Bench {
         .takeWhile(_ >= 0).toSeq
       name -> (if (times.length < reps) -1.0 else times.min)
     }
+    // r14 (r13 verdict #2): a warm figure ABOVE its own cold run is
+    // physically backwards — the warm reps were co-tenancy-destroyed
+    // (r13's t_dsir_weights@sf1 read warm 59.45 vs cold 12.11 against
+    // an isolated truth of 8.8 — a reader summing warm times saw 7×
+    // phantom cost). Such rows ship min(cold, warm) in the queries
+    // map and are named with their ORIGINAL warm value in the
+    // per-block "warm_gt_cold" annotation, so no downstream sum sees
+    // the phantom and no reader mistakes the substitution for a
+    // measurement.
+    def substituteInversions(rows: Seq[(String, Double)],
+        coldOf: Map[String, Double])
+        : (Seq[(String, Double)], Seq[(String, Double)]) = {
+      val inverted = rows.collect { case (n, v)
+        if v >= 0 && coldOf.getOrElse(n, 0.0) > 0 &&
+          v > coldOf(n) => (n, v) }
+      (rows.map { case (n, v) =>
+        if (inverted.exists(_._1 == n)) (n, coldOf(n)) else (n, v) },
+        inverted)
+    }
+    def wgcJson(inverted: Seq[(String, Double)]): String =
+      inverted.map { case (n, v) => "\"" + n + "\":" + v }
+        .mkString("{", ",", "}")
+    val (adjusted, wgc01) = substituteInversions(results, coldByName)
     // failed rows (v = -1) stay OUT of the queries map at sf0.1 too —
     // their names land in "failed" — so no downstream sum over either
     // block's map is corruptible by a sentinel (r12 ADVICE: only the
     // sf1 block implemented this before)
-    val qs = results.collect { case (k, v) if v >= 0 =>
+    val qs = adjusted.collect { case (k, v) if v >= 0 =>
       "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val failed = adjusted.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val total = adjusted.map(_._2).filter(_ >= 0).sum
     // the headline list grows each round, so "value" is not comparable
     // across rounds; this is the sum over the frozen r2-era 23 names
-    // (the first 23 of `headline`) — read THIS for round-over-round
-    val comparable = results.take(23).map(_._2).filter(_ >= 0).sum
+    // (the first 23 of `headline`) — read THIS for round-over-round.
+    // BASELINE.md ("The one honest cross-round total") names the 23
+    // and records the recent values.
+    val comparable = adjusted.take(23).map(_._2).filter(_ >= 0).sum
 
     // Durable artifact (r9 verdict #5): the driver's BENCH_rN.json only
     // preserves a 2000-char stdout tail, which loses the per-query map.
@@ -669,9 +866,9 @@ object Bench {
     // write from whatever sf1 rows exist so far.
     def artifactJson(sf1Part: String,
         sf1Now: Seq[(String, Double)] = Nil): String = {
-      val sus = (suspectRows(results, prev01, "sf0.1") ++
+      val sus = (suspectRows(adjusted, prev01, "sf0.1") ++
         suspectRows(sf1Now, prevSf1, "sf1")).mkString("[", ",", "]")
-      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"comparable_r2_total":$comparable,"queries":$qs,"cold_queries":$coldQs,"failed":${failed.mkString("[", ",", "]")},"suspects":$sus,"sf":"$sfDir","notes":"$benchNotes"$sf1Part}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","tip":"$tip","round":$round,"cold_total":$coldTotal,"comparable_r2_total":$comparable,"queries":$qs,"cold_queries":$coldQs,"failed":${failed.mkString("[", ",", "]")},"warm_gt_cold":${wgcJson(wgc01)},"suspects":$sus,"sf":"$sfDir","notes":"$benchNotes"$sf1Part}"""
     }
     // r11 lesson, codified: the sf1 block once OOM'd the JVM (exit 52)
     // and the artifact — queued to be written only at the very end —
@@ -718,19 +915,26 @@ object Bench {
     // downstream sum over it).
     val acc = scala.collection.mutable.ArrayBuffer
       .empty[(String, Double, Double)]
-    def sf1WarmRows: Seq[(String, Double)] =
-      acc.collect { case (n, _, v) if v >= 0 => (n, v) }.toSeq
+    // warm>cold inversion substitution applies to the sf1 block too —
+    // it is where the r13 case actually occurred (1-2 warm reps in
+    // the late, co-tenancy-stressed end of the sweep)
+    def sf1Adjusted: (Seq[(String, Double)], Seq[(String, Double)]) =
+      substituteInversions(
+        acc.collect { case (n, _, v) if v >= 0 => (n, v) }.toSeq,
+        acc.collect { case (n, c, _) if c >= 0 => (n, c) }.toMap)
+    def sf1WarmRows: Seq[(String, Double)] = sf1Adjusted._1
     val sf1 =
       if (sf1Names.nonEmpty) {
         def sf1Json(running: Option[String]): String = {
-          val w = acc.collect { case (n, _, v) if v >= 0 =>
-            "\"" + n + "\":" + v }.mkString("{", ",", "}")
+          val (adj, inv) = sf1Adjusted
+          val w = adj.map { case (n, v) => "\"" + n + "\":" + v }
+            .mkString("{", ",", "}")
           val c = acc.collect { case (n, v, _) if v >= 0 =>
             "\"" + n + "\":" + v }.mkString("{", ",", "}")
           val fl = acc.collect { case (n, cd, wm) if cd < 0 || wm < 0 =>
             "\"" + n + "\"" }.mkString("[", ",", "]")
           val run = running.map(n => s""","running":"$n"""").getOrElse("")
-          s""","sf1":{"dir":"$sf1Dir","queries":$w,"cold_queries":$c,"failed":$fl$run}"""
+          s""","sf1":{"dir":"$sf1Dir","queries":$w,"cold_queries":$c,"failed":$fl,"warm_gt_cold":${wgcJson(inv)}$run}"""
         }
         for (name <- sf1Names) {
           // durable BEFORE the row starts: a wall-clock kill mid-query
@@ -777,15 +981,22 @@ object Bench {
     // (and its stdout line) carries a verdict for every suspect.
     // SPARK_GRAFT_NO_RERUN=1 skips (dev); BENCH_ONLY runs never spawn.
     def unadjudicated(n: String, sf: String, p: Double): Boolean =
-      ledger.get(s"$n@$sf") match {
+      // code-unchanged suspects are FINAL (classifySuspect absolves
+      // them from the git diff alone) — never spend a child on one
+      !ownedChanged(n).contains(Nil) && (ledger.get(s"$n@$sf") match {
+        // seeded (provisional) entries are also excluded: a same-tip
+        // rerun judged against a provisional value cannot settle
+        // provenance — only the prev-tip worktree A/B protocol can;
+        // the row classifies context-seeded until then
+        case Some(le) if le.seeded => false
         // a ledger entry only settles a suspect when it was measured
         // at the CURRENT tip; stale entries classify provisionally
         // ("context-stale-ledger") but stay rerun-eligible so a
         // post-measurement regression can't hide behind them — the
         // child's fresh number then re-stamps the ledger at this tip
-        case Some((l, t)) => t != tip || l >= 1.5 * p
+        case Some(le) => le.tip != tip || le.warm >= 1.5 * p
         case None => true
-      }
+      })
     // children (and ledger updates) only on OFFICIAL-scale runs: a dev
     // smoke at sf0.001 must neither burn child minutes nor write
     // small-scale warm times into the committed sf0.1 ledger (the
@@ -802,7 +1013,7 @@ object Bench {
     if (canSpawn || forced.nonEmpty) {
       val pending =
         (if (canSpawn)
-          (suspectData(results, prev01, "sf0.1") ++
+          (suspectData(adjusted, prev01, "sf0.1") ++
             suspectData(sf1WarmRows, prevSf1, "sf1"))
             // rows above 60s shared are too expensive to isolate inside
             // the driver's wall-clock window (a child is JVM start +
@@ -812,12 +1023,33 @@ object Bench {
             // already covers the expensive graph rows
             .filter { case (n, sf, p, v) =>
               unadjudicated(n, sf, p) && v <= 60.0 }
-            .sortBy { case (_, _, p, v) => -(v / p) }.take(3)
+            // child-budget priority (r13 verdict #5): possible
+            // regressions first (no isolated baseline at all), then
+            // REFRESH of ledger entries ≥2 rounds stale that a context
+            // absolution would otherwise lean on (isolated truth
+            // drifts with machine state across days — §11), then the
+            // rest; ratio breaks ties within a class
+            .sortBy { case (n, sf, p, v) =>
+              val pri = ledger.get(s"$n@$sf") match {
+                case None => 0
+                case Some(le) if le.round.forall(_ <= round - 2) => 1
+                case _ => 2
+              }
+              (pri, -(v / p))
+            }.take(3)
         else Nil) ++ forced
-      for ((n, sf, _, _) <- pending) {
+      val seededKeys = scala.collection.mutable.Set.empty[String]
+      for ((n, sf, p, _) <- pending) {
         System.err.println(
           s"[bench] adjudicating suspect $n@$sf in a fresh child JVM")
-        childIsolate(n, sf).foreach(w => rerun(s"$n@$sf") = w)
+        childIsolate(n, sf).foreach { w =>
+          rerun(s"$n@$sf") = w
+          // a measurement with no prior isolated baseline that can't
+          // conclusively absolve (w >= 1.5x prev-shared, the
+          // no-isolated-baseline class) enters the ledger PROVISIONAL
+          if (!ledger.contains(s"$n@$sf") && p > 0 && w >= 1.5 * p)
+            seededKeys += s"$n@$sf"
+        }
       }
       // forced (dev) reruns never touch the committed ledger — they
       // may run at any scale/label and would write mislabeled entries
@@ -826,7 +1058,7 @@ object Bench {
       val persistable = rerun.toMap.filterNot { case (k, _) =>
         forcedKeys.contains(k) }
       if (persistable.nonEmpty && canSpawn)
-        writeLedger(ledger, persistable, tip)
+        writeLedger(ledger, persistable, tip, round, seededKeys.toSet)
     }
 
     val json = artifactJson(sf1, sf1WarmRows)
@@ -835,11 +1067,6 @@ object Bench {
     if (failed.nonEmpty) sys.exit(2)
   }
 
-  /** Merge fresh child-rerun isolated times into the committed ledger
-    * (sorted keys — stable diffs; the bench's own measurements ARE the
-    * protocol the ledger records, so auto-updating keeps it current
-    * without a manual step).
-    */
   /** Pure suspect classification — the JSON fragment appended to a
     * suspects row. Extracted (late r13) so every branch is unit-
     * testable instead of exercised only when a live sweep happens to
@@ -862,45 +1089,93 @@ object Bench {
     *     0.63 → 1.23; ATTRIBUTION_r13 §8) and reports
     *     `no-isolated-baseline`; the measured value seeds the ledger
     *     so the NEXT sweep adjudicates finally.
+    *   - no rerun, code UNCHANGED (`changedFiles == Some(Nil)`: git
+    *     proved none of the query's owned paths moved between the
+    *     previous artifact's tip and the current working tree): the
+    *     move cannot be code whatever the ledger says →
+    *     `context-code-unchanged`, FINAL, no child JVM spent (r13
+    *     verdict #1 — the cheapest evidence there is, and the one
+    *     that settles the wobble majority).
     *   - no rerun + ledger entry: a ledger absolution is FINAL
-    *     (`context`) only at the current tip; an older-tip entry still
+    *     (`context`) only at the current tip AND unseeded; a SEEDED
+    *     entry (recorded by a no-isolated-baseline rerun — r13
+    *     ADVICE) is provisional (`context-seeded`) until a prev-tip
+    *     worktree A/B clears the flag; an older-tip entry still
     *     classifies (`context-stale-ledger`) but stays child-rerun-
     *     eligible so a post-measurement regression can't hide behind
     *     it; a ledger value that is ITSELF ≥1.5× the prev shared
     *     value proves nothing → `needs-attribution`.
-    *   - neither: `needs-attribution`.
+    *   - neither: `needs-attribution`, naming the changed owned files
+    *     when git could list them (so the artifact says WHY the row
+    *     could not self-absolve).
     */
   private[graft] def classifySuspect(rerunWarm: Option[Double],
-      ledgerEntry: Option[(Double, String)], tip: String,
-      prevShared: Double): String =
+      ledgerEntry: Option[LedgerEntry], tip: String,
+      prevShared: Double,
+      changedFiles: Option[Seq[String]] = None): String = {
+    val filesJson = changedFiles match {
+      case Some(fs) if fs.nonEmpty =>
+        s""","changed_files":[${fs.map("\"" + _ + "\"").mkString(",")}]"""
+      case _ => ""
+    }
     rerunWarm match {
       case Some(w) =>
         val cls = ledgerEntry match {
-          case Some((l, _)) =>
-            if (w < 1.5 * l) "context" else "regression"
+          case Some(le) =>
+            if (w >= 1.5 * le.warm) "regression"
+            else if (le.seeded) "context-seeded" else "context"
           case None =>
             if (w < 1.5 * prevShared) "context" else "no-isolated-baseline"
         }
-        s""""isolated":$w,"isolated_src":"rerun@$tip","class":"$cls""""
+        s""""isolated":$w,"isolated_src":"rerun@$tip","class":"$cls"""" +
+          filesJson
+      case None if changedFiles.contains(Nil) =>
+        ledgerEntry match {
+          case Some(le) =>
+            s""""isolated":${le.warm},"isolated_src":"ledger@${le.tip
+              }","class":"context-code-unchanged""""
+          case None => """"class":"context-code-unchanged""""
+        }
       case None => ledgerEntry match {
-        case Some((l, t)) =>
+        case Some(le) =>
           val cls =
-            if (l >= 1.5 * prevShared) "needs-attribution"
-            else if (t == tip) "context" else "context-stale-ledger"
-          s""""isolated":$l,"isolated_src":"ledger@$t","class":"$cls""""
-        case None => """"class":"needs-attribution""""
+            if (le.warm >= 1.5 * prevShared) "needs-attribution"
+            else if (le.seeded) "context-seeded"
+            else if (le.tip == tip) "context" else "context-stale-ledger"
+          s""""isolated":${le.warm},"isolated_src":"ledger@${le.tip
+            }","class":"$cls"""" + filesJson
+        case None => """"class":"needs-attribution"""" + filesJson
       }
     }
+  }
 
-  private def writeLedger(ledger: Map[String, (Double, String)],
-      fresh: Map[String, Double], tip: String): Unit =
+  /** Merge fresh child-rerun isolated times into the committed ledger.
+    * Fresh entries are stamped with the current round + date (r13
+    * verdict #5 — staleness is now computable) and carry
+    * `seeded:true` when the rerun had no prior isolated baseline to
+    * judge against (r13 ADVICE — provisional until a prev-tip
+    * worktree A/B confirms; a rerun judged against an already-seeded
+    * entry stays seeded, since "consistent with a provisional value"
+    * proves nothing about provenance).
+    */
+  private def writeLedger(ledger: Map[String, LedgerEntry],
+      fresh: Map[String, Double], tip: String, round: Int,
+      seededKeys: Set[String]): Unit =
     try {
-      val merged = (ledger ++ fresh.map { case (k, w) => k -> (w, tip) })
-        .toSeq.sortBy(_._1)
-      val body = merged.map { case (k, (w, t)) =>
-        s""""$k":{"warm":$w,"tip":"$t"}""" }.mkString(",\n  ")
+      val today = java.time.LocalDate.now().toString
+      val merged = (ledger ++ fresh.map { case (k, w) =>
+        k -> LedgerEntry(w, tip, Some(round), Some(today),
+          seeded = seededKeys.contains(k) ||
+            ledger.get(k).exists(_.seeded))
+      }).toSeq.sortBy(_._1)
+      val body = merged.map { case (k, e) =>
+        val extra = e.round.map(r => s""","round":$r""").getOrElse("") +
+          e.date.map(d => s""","date":"$d"""").getOrElse("") +
+          (if (e.seeded) ""","seeded":true""" else "")
+        s""""$k":{"warm":${e.warm},"tip":"${e.tip}"$extra}"""
+      }.mkString(",\n  ")
       java.nio.file.Files.write(java.nio.file.Paths.get(ledgerPath),
-        ("{\"comment\":\"per-query isolated warm truth: fresh single-query JVM, cold + min-of-2 warm (graft.Bench SPARK_GRAFT_ISOLATE protocol). Seeded from the r12 judge + ATTRIBUTION_r12 fresh-JVM runs; auto-updated by the sweep's child reruns.\",\n \"entries\":{\n  "
+        ("{\"comment\":\"per-query isolated warm truth: fresh single-query JVM, cold + min-of-2 warm (graft.Bench SPARK_GRAFT_ISOLATE protocol). Seeded from the r12 judge + ATTRIBUTION_r12 fresh-JVM runs; auto-updated by the sweep's child reruns. round/date stamp when the value was measured (entries older than 2 rounds are refresh-eligible); seeded:true = recorded by a no-isolated-baseline rerun, provisional until a prev-tip worktree A/B (tools/bench_attrib.sh) confirms and the flag is removed.\",\n \"entries\":{\n  "
           + body + "\n}}\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ledger write failed: ${e.getMessage}")
@@ -913,5 +1188,5 @@ object Bench {
   // was JVM co-tenancy from the 14 added bench queries (JIT/code
   // cache/GC state shared across the run), not a code regression
   // (A/B n=3-min at sf0.1, 2026-08-13).
-  private val benchNotes = "r13 notes: (1) SELF-ADJUDICATING SUSPECTS (r12 verdict #1 — two rounds running, the official artifact's 2-8x shared-run movers needed an out-of-band judge rerun to be absolved): every suspects row now carries its committed isolated-truth ledger value (tools/isolated_ledger.json: name@sf -> fresh-single-query-JVM warm + the git tip it was measured at; seeded from the r12 judge/ATTRIBUTION_r12 isolation runs) and an auto-classification — context (the isolated truth is NOT itself a >=1.5x mover vs the previous artifact: co-tenancy inflation or a previously-deflated baseline, not code), needs-attribution (no current isolated baseline), or regression/context from a FRESH rerun: after the sweep the parent SparkContext stops and the worst <=3 unadjudicated suspects rerun in sequential fresh child JVMs (the new SPARK_GRAFT_ISOLATE=name@sf single-query mode — same protocol as tools/bench_attrib.sh), their measured warm folded into the FINAL artifact and auto-merged into the ledger. Official sf0.1 runs only; SPARK_GRAFT_NO_RERUN=1 skips. Refinements from the r13 self-review: a ledger absolution is FINAL only when its recorded tip equals the current tip — older entries still classify (labeled context-stale-ledger) but stay child-rerun-eligible, so a regression introduced after the measurement cannot hide behind a stale baseline; fresh child verdicts compare against the LEDGER's isolated value when one exists (the previous SHARED value can be page-cache-deflated — the r12 g_lpa direction — and would otherwise produce false regression calls); forced dev reruns (SPARK_GRAFT_FORCE_RERUN) never write the ledger. (2) r12-ADVICE fixes: failed sf0.1 rows no longer write a -1.0 sentinel into the top-level queries map (name lands in failed, matching the sf1 block), and suspects require BOTH endpoints >= 0.2s. (3) two more streaming twins benched (st_session_window, st_psi_drift — STATEFUL-heavier probes of the constant-~1s AvailableNow-overhead hypothesis than r12's pair; session state and the day-by-bucket PSI grid grow with data). (4) new headline rows mm_byte_triage_agg + mm_format_sniff: read the mm_byte_triage/mm_byte_triage_agg PAIR as the explode-vs-bounded-aggregate price (r12 verdict #4) and mm_format_sniff as triage + one broadcast prefix join (verdict #5). mm_byte_triage itself is benched for the FIRST time this round (added after the committed r12 artifact) — its row is new, not a mover. (5) sim_split_leakage's sf1 row lands in the default sweep this round (the r12 sf1Needs edit misfired and was fixed post-run; RegistrySpec now asserts every bench name resolves). (6) late-r13: g_khop drops to ~0.7x its prior cost BY CODE — kHopReachOnView is frontier BFS now (per-hop distinct input falls from edges-sized to frontier-degree-sized; values identical, alternating fresh-JVM A/B in target/attrib/r13_khop_frontier_ab.json: warm 11.4-12.9 -> 7.5-10.3s) — an improvement, not a mover; ledger refreshed at the rewrite tip. Three more never-benched st_ twins rotate in (st_incremental_neardup / st_outer_join / st_frequent_ngrams — MinHash band state, stream-stream join state, vocabulary-sized complete-mode state; first two also at sf1), so their first rows are new, not movers; st_countmin_sketch joins as the BOUNDED-state counterpoint (sf0.1+sf1). (7) classifier refinement from this round's first self-adjudicating sweep: a child rerun with NO ledger entry now reports class no-isolated-baseline instead of regression/context — the fresh-isolated-vs-prev-SHARED comparison mislabeled three deflated baselines as regressions (sim_ivf_recall 0.63 shared prev vs 1.24 isolated at the SAME prev tip; prev-tip worktree evidence in ATTRIBUTION_r13 §8, raw JSONs target/attrib/r13_suspect_ab.json); the measured value still seeds the ledger so the NEXT sweep adjudicates finally. History — r12 notes: (1) SUITE REFIT TO THE DRIVER WINDOW (r11 verdict #1 — BENCH_r11 died rc=124 mid-sf1): the two declared-quadratic evidence rows (sim_dbscan_pinned16, uncapped dd_ngram_containment — ~10 min of the sf1 block across 3-4 executions each) moved behind SPARK_GRAFT_EVIDENCE=1 and out of the default sf1 sweep (their sf0.1 headline rows remain; their isolated sf1 evidence is committed in SCALE.md: 95.8s-vs-15.9s pinned16, 112s uncapped planner join), warm reps drop to 2 (sf0.1) / 1 (sf1) for queries whose cold run exceeds 10s, and every completed sf1 row now rewrites target/bench_full.json the moment it lands with the in-flight row named in sf1.running — a timeout kill can no longer erase completed rows or hide WHERE it struck. (2) failed runs no longer write a -1.0 sentinel into any queries map — the name goes in the block's failed list (r11 verdict #4 minor). (3) round-over-round attribution is now IN the artifact: suspects lists every >=1.5x warm mover vs the previous committed artifact (>=0.2s floor — sub-0.2s rows move 2.4-2.5x on shared-JVM co-tenancy alone; r11 verdict #6), so the attribution pass starts from the artifact. (4) NOT COMPARABLE r11->r12 for >10s-cold rows: their warm figure is now min-of-2 at sf0.1 / the single warm rep at sf1 — expect small upward noise on multi-second rows, which suspects absorbs via the 1.5x threshold. (5) two st_ streaming twins benched for the first time (st_incremental_dedup, st_embed_drift — read against dd_incremental / sim_embed_drift for the AvailableNow micro-batch overhead; r11 verdict #7) plus three new sampled-pool rows (sim_dbscan_sampled_recall, sim_kcenter_sampled, dd_minhash_recall_sampled — the md5-threshold sample makes the exact audit side (pct·n)^2, the first measured-recall rows executable at ANY scale; r11 verdicts #4/#5). (6) la_rfm_approx rises to its honest per-call cost this round — PersistLeakAuditSpec (new, verdict #8) caught its interval-table persist leaking across repetitions (the g_triangles class); isolated A/B 0.91s leaky vs 1.21s honest at sf0.1, pre-declared in ATTRIBUTION_r12.md. (7) g_lpa@sf1 attributed (verdict #2): HEAD 12.73s vs r10-tip 13.52s in fresh-JVM isolation — no regression; the r10 artifact's 8.30s was page-cache/JIT DEflation in the shared run (the inverse co-tenancy direction; multi-second lineitem-scan rows can read low when they run late in the big sweep). History — r11 notes: (1) ATTRIBUTION CLOSED (see ATTRIBUTION_r11.md, raw JSONs target/attrib/, tools/bench_attrib.sh): every r10 >=1.5x round-over-round query rerun in fresh single-query JVMs at HEAD vs the r9 tip under identical conditions — la_bh_fdr/la_cuped/ts_theil_sen/ts_chow_test/dd_threshold_curve_capped/g_pagerank@sf1 are at parity or FASTER than r9 (the 2.4-2.5x bench inflation was 105-query 8-GiB shared-JVM co-tenancy, the r6 lesson at r10 scale); mm_frame_overlap/dd_threshold_curve/dd_minhash_recall/sim_ivf_probe_curve run 1.19-1.27x r9 isolated BY DESIGN — their r9 versions leaked session-lifetime persists that CacheManager silently reused across min-of-3 (r9 timed a warm cache no production call sees); a SPARK_GRAFT_KEEP_BLOCKS=1 A/B shows the between-query hygiene share is only 0.01-0.35s, the rest is the eliminated leak. Zero real regressions; the five r10 weak flags clear. (2) per-query COLD times now durable next to warm (cold_queries at sf0.1 + sf1) so accounting-vs-regression reads from the artifact alone. (3) sim_dbscan default moved to the curve-picked p=4 (r10 verdict #2) AND the corpus-sized nlist=ceil(sqrt(n)) quantizer — NOT comparable to r10's p=1/pinned-16 rows; sim_dbscan_p1 keeps the old probe point, sim_dbscan_pinned16 keeps the pinned quantizer as the measured quadratic-trap evidence (95.8s vs 15.9s at sf1), and sim_dbscan_p2/sim_dbscan_auto complete the curve. (4) g_suite_on_view now contains triangles + local clustering on the shared view (5 ops, 5th arm 'tri') — compare against the 5-op standalone sum, not r10's 4-op row. (5) late-r11: the suite's tri+lcc arms now share ONE corner enumeration, and the shared intermediate is the NODE-sized per-node corner-count table streamed straight out of the corner pass (a first cut checkpointed the raw triangle-sized (x,v,w) corner set, whose GB-scale blocks OOM'd the shared bench JVM's sf1 block — corner counts carry everything both consumers need, n_triangles = sum(t) div 3); AND triangleSummary/triangleCountFromOriented's session-lifetime persist leak is fixed, which RAISES g_triangles to its honest per-call cost (isolated sf0.1 2.6 -> 6.6s, sf1 10.9 -> 21.4s): the old min-of-3 was reusing the leaked cached oriented table across repetitions via CacheManager plan-dedup — the same leak->honest conversion ATTRIBUTION_r11.md documents for mm_frame_overlap et al. With honest triangles the 5-op suite beats the 5-op standalone sum at both scales (corner-set-cut evidence: 18.5/83.9s vs ~27/~93s; this artifact's own suite rows are the corner-count numbers). (6) the committed target/bench_full.json (129 sf0.1 + 48 sf1 rows, zero failures) was generated before the last late-r11 entries landed (sim_pq_distortion and the st_* twins, which are never benched) - the driver's BENCH_r11 run covers the full headline; isolated sf0.1 sanity for the stragglers: t_ccnet_buckets 1.04s, dq_benford 0.42s, sim_pq_distortion 0.34s. History: r10 bench-context absolutions documented in ATTRIBUTION_r11.md; r7's 5 suspect regressions absolved by r8 min-of-3; BENCH_r07 was a crashed-JVM artifact"
+  private val benchNotes = "r14 notes: (1) CODE-UNCHANGED ABSOLUTION (r13 verdict #1 — the last reason a judge rerun existed): the artifact now records its own measurement tip, and every suspect first intersects `git diff --name-only <prev-artifact-tip>` (plus untracked files) with the query's owned source paths (registry-membership-derived, deliberately over-inclusive; global deps: build.sbt, io/, functions/, model/, Guards, QueryRegistry, SparkEntry, GenScale). No owned file changed -> class context-code-unchanged, FINAL, no child JVM spent — settling exactly the six rows that shipped needs-attribution in r13. Rows that DO name changed files carry them in changed_files so the artifact says why it could not self-absolve. (2) SCALE-AWARE SUSPECT FLOOR + WARM>COLD GUARD (r13 verdict #2): sf1 suspects now require BOTH endpoints >= 2.0s (every r13 sub-2s sf1 suspect was shared-block noise on untouched code; sf0.1 keeps 0.2s), and any row whose warm exceeds its own cold (physically backwards — co-tenancy-destroyed warm reps, the t_dsir_weights@sf1 59.45-vs-12.11 case) ships min(cold,warm) in the queries map with its original warm in the block's warm_gt_cold annotation. (3) LEDGER ROUND/DATE STAMPS + SEEDED FLAG (r13 verdict #5 + ADVICE): ledger entries now record the round and date they were measured (existing entries back-stamped from their tips); the child-budget priority is possible-regressions first, then refresh of >=2-round-stale entries a context absolution would lean on; entries seeded by a no-isolated-baseline rerun carry seeded:true and issue only provisional context-seeded absolutions (excluded from further child reruns — only a prev-tip worktree A/B can settle provenance and clear the flag). History — r13 notes: (1) SELF-ADJUDICATING SUSPECTS (r12 verdict #1 — two rounds running, the official artifact's 2-8x shared-run movers needed an out-of-band judge rerun to be absolved): every suspects row now carries its committed isolated-truth ledger value (tools/isolated_ledger.json: name@sf -> fresh-single-query-JVM warm + the git tip it was measured at; seeded from the r12 judge/ATTRIBUTION_r12 isolation runs) and an auto-classification — context (the isolated truth is NOT itself a >=1.5x mover vs the previous artifact: co-tenancy inflation or a previously-deflated baseline, not code), needs-attribution (no current isolated baseline), or regression/context from a FRESH rerun: after the sweep the parent SparkContext stops and the worst <=3 unadjudicated suspects rerun in sequential fresh child JVMs (the new SPARK_GRAFT_ISOLATE=name@sf single-query mode — same protocol as tools/bench_attrib.sh), their measured warm folded into the FINAL artifact and auto-merged into the ledger. Official sf0.1 runs only; SPARK_GRAFT_NO_RERUN=1 skips. Refinements from the r13 self-review: a ledger absolution is FINAL only when its recorded tip equals the current tip — older entries still classify (labeled context-stale-ledger) but stay child-rerun-eligible, so a regression introduced after the measurement cannot hide behind a stale baseline; fresh child verdicts compare against the LEDGER's isolated value when one exists (the previous SHARED value can be page-cache-deflated — the r12 g_lpa direction — and would otherwise produce false regression calls); forced dev reruns (SPARK_GRAFT_FORCE_RERUN) never write the ledger. (2) r12-ADVICE fixes: failed sf0.1 rows no longer write a -1.0 sentinel into the top-level queries map (name lands in failed, matching the sf1 block), and suspects require BOTH endpoints >= 0.2s. (3) two more streaming twins benched (st_session_window, st_psi_drift — STATEFUL-heavier probes of the constant-~1s AvailableNow-overhead hypothesis than r12's pair; session state and the day-by-bucket PSI grid grow with data). (4) new headline rows mm_byte_triage_agg + mm_format_sniff: read the mm_byte_triage/mm_byte_triage_agg PAIR as the explode-vs-bounded-aggregate price (r12 verdict #4) and mm_format_sniff as triage + one broadcast prefix join (verdict #5). mm_byte_triage itself is benched for the FIRST time this round (added after the committed r12 artifact) — its row is new, not a mover. (5) sim_split_leakage's sf1 row lands in the default sweep this round (the r12 sf1Needs edit misfired and was fixed post-run; RegistrySpec now asserts every bench name resolves). (6) late-r13: g_khop drops to ~0.7x its prior cost BY CODE — kHopReachOnView is frontier BFS now (per-hop distinct input falls from edges-sized to frontier-degree-sized; values identical, alternating fresh-JVM A/B in target/attrib/r13_khop_frontier_ab.json: warm 11.4-12.9 -> 7.5-10.3s) — an improvement, not a mover; ledger refreshed at the rewrite tip. Three more never-benched st_ twins rotate in (st_incremental_neardup / st_outer_join / st_frequent_ngrams — MinHash band state, stream-stream join state, vocabulary-sized complete-mode state; first two also at sf1), so their first rows are new, not movers; st_countmin_sketch joins as the BOUNDED-state counterpoint (sf0.1+sf1). (7) classifier refinement from this round's first self-adjudicating sweep: a child rerun with NO ledger entry now reports class no-isolated-baseline instead of regression/context — the fresh-isolated-vs-prev-SHARED comparison mislabeled three deflated baselines as regressions (sim_ivf_recall 0.63 shared prev vs 1.24 isolated at the SAME prev tip; prev-tip worktree evidence in ATTRIBUTION_r13 §8, raw JSONs target/attrib/r13_suspect_ab.json); the measured value still seeds the ledger so the NEXT sweep adjudicates finally. History — r12 notes: (1) SUITE REFIT TO THE DRIVER WINDOW (r11 verdict #1 — BENCH_r11 died rc=124 mid-sf1): the two declared-quadratic evidence rows (sim_dbscan_pinned16, uncapped dd_ngram_containment — ~10 min of the sf1 block across 3-4 executions each) moved behind SPARK_GRAFT_EVIDENCE=1 and out of the default sf1 sweep (their sf0.1 headline rows remain; their isolated sf1 evidence is committed in SCALE.md: 95.8s-vs-15.9s pinned16, 112s uncapped planner join), warm reps drop to 2 (sf0.1) / 1 (sf1) for queries whose cold run exceeds 10s, and every completed sf1 row now rewrites target/bench_full.json the moment it lands with the in-flight row named in sf1.running — a timeout kill can no longer erase completed rows or hide WHERE it struck. (2) failed runs no longer write a -1.0 sentinel into any queries map — the name goes in the block's failed list (r11 verdict #4 minor). (3) round-over-round attribution is now IN the artifact: suspects lists every >=1.5x warm mover vs the previous committed artifact (>=0.2s floor — sub-0.2s rows move 2.4-2.5x on shared-JVM co-tenancy alone; r11 verdict #6), so the attribution pass starts from the artifact. (4) NOT COMPARABLE r11->r12 for >10s-cold rows: their warm figure is now min-of-2 at sf0.1 / the single warm rep at sf1 — expect small upward noise on multi-second rows, which suspects absorbs via the 1.5x threshold. (5) two st_ streaming twins benched for the first time (st_incremental_dedup, st_embed_drift — read against dd_incremental / sim_embed_drift for the AvailableNow micro-batch overhead; r11 verdict #7) plus three new sampled-pool rows (sim_dbscan_sampled_recall, sim_kcenter_sampled, dd_minhash_recall_sampled — the md5-threshold sample makes the exact audit side (pct·n)^2, the first measured-recall rows executable at ANY scale; r11 verdicts #4/#5). (6) la_rfm_approx rises to its honest per-call cost this round — PersistLeakAuditSpec (new, verdict #8) caught its interval-table persist leaking across repetitions (the g_triangles class); isolated A/B 0.91s leaky vs 1.21s honest at sf0.1, pre-declared in ATTRIBUTION_r12.md. (7) g_lpa@sf1 attributed (verdict #2): HEAD 12.73s vs r10-tip 13.52s in fresh-JVM isolation — no regression; the r10 artifact's 8.30s was page-cache/JIT DEflation in the shared run (the inverse co-tenancy direction; multi-second lineitem-scan rows can read low when they run late in the big sweep). History — r11 notes: (1) ATTRIBUTION CLOSED (see ATTRIBUTION_r11.md, raw JSONs target/attrib/, tools/bench_attrib.sh): every r10 >=1.5x round-over-round query rerun in fresh single-query JVMs at HEAD vs the r9 tip under identical conditions — la_bh_fdr/la_cuped/ts_theil_sen/ts_chow_test/dd_threshold_curve_capped/g_pagerank@sf1 are at parity or FASTER than r9 (the 2.4-2.5x bench inflation was 105-query 8-GiB shared-JVM co-tenancy, the r6 lesson at r10 scale); mm_frame_overlap/dd_threshold_curve/dd_minhash_recall/sim_ivf_probe_curve run 1.19-1.27x r9 isolated BY DESIGN — their r9 versions leaked session-lifetime persists that CacheManager silently reused across min-of-3 (r9 timed a warm cache no production call sees); a SPARK_GRAFT_KEEP_BLOCKS=1 A/B shows the between-query hygiene share is only 0.01-0.35s, the rest is the eliminated leak. Zero real regressions; the five r10 weak flags clear. (2) per-query COLD times now durable next to warm (cold_queries at sf0.1 + sf1) so accounting-vs-regression reads from the artifact alone. (3) sim_dbscan default moved to the curve-picked p=4 (r10 verdict #2) AND the corpus-sized nlist=ceil(sqrt(n)) quantizer — NOT comparable to r10's p=1/pinned-16 rows; sim_dbscan_p1 keeps the old probe point, sim_dbscan_pinned16 keeps the pinned quantizer as the measured quadratic-trap evidence (95.8s vs 15.9s at sf1), and sim_dbscan_p2/sim_dbscan_auto complete the curve. (4) g_suite_on_view now contains triangles + local clustering on the shared view (5 ops, 5th arm 'tri') — compare against the 5-op standalone sum, not r10's 4-op row. (5) late-r11: the suite's tri+lcc arms now share ONE corner enumeration, and the shared intermediate is the NODE-sized per-node corner-count table streamed straight out of the corner pass (a first cut checkpointed the raw triangle-sized (x,v,w) corner set, whose GB-scale blocks OOM'd the shared bench JVM's sf1 block — corner counts carry everything both consumers need, n_triangles = sum(t) div 3); AND triangleSummary/triangleCountFromOriented's session-lifetime persist leak is fixed, which RAISES g_triangles to its honest per-call cost (isolated sf0.1 2.6 -> 6.6s, sf1 10.9 -> 21.4s): the old min-of-3 was reusing the leaked cached oriented table across repetitions via CacheManager plan-dedup — the same leak->honest conversion ATTRIBUTION_r11.md documents for mm_frame_overlap et al. With honest triangles the 5-op suite beats the 5-op standalone sum at both scales (corner-set-cut evidence: 18.5/83.9s vs ~27/~93s; this artifact's own suite rows are the corner-count numbers). (6) the committed target/bench_full.json (129 sf0.1 + 48 sf1 rows, zero failures) was generated before the last late-r11 entries landed (sim_pq_distortion and the st_* twins, which are never benched) - the driver's BENCH_r11 run covers the full headline; isolated sf0.1 sanity for the stragglers: t_ccnet_buckets 1.04s, dq_benford 0.42s, sim_pq_distortion 0.34s. History: r10 bench-context absolutions documented in ATTRIBUTION_r11.md; r7's 5 suspect regressions absolved by r8 min-of-3; BENCH_r07 was a crashed-JVM artifact"
 }

@@ -42,12 +42,14 @@ class RegistrySpec extends AnyFunSuite {
 
   test("suspect classification covers every branch with the honest " +
       "labels") {
+    def le(w: Double, t: String, seeded: Boolean = false) =
+      Some(Bench.LedgerEntry(w, t, seeded = seeded))
     def cls(s: String): String =
       """"class":"([a-z-]+)"""".r.findFirstMatchIn(s).get.group(1)
     // fresh rerun + ledger: the isolated baseline adjudicates both ways
-    assert(cls(Bench.classifySuspect(Some(1.0), Some((0.9, "aaa")),
+    assert(cls(Bench.classifySuspect(Some(1.0), le(0.9, "aaa"),
       "tip", 0.4)) == "context")
-    assert(cls(Bench.classifySuspect(Some(1.5), Some((0.9, "aaa")),
+    assert(cls(Bench.classifySuspect(Some(1.5), le(0.9, "aaa"),
       "tip", 0.4)) == "regression")
     // fresh rerun, no ledger: under 1.5x prev-shared is conclusive
     // (isolated bias is HIGH), at/over is UNadjudicable — never call
@@ -58,11 +60,11 @@ class RegistrySpec extends AnyFunSuite {
       == "no-isolated-baseline")
     // ledger only: FINAL at the current tip, provisional when stale,
     // proves nothing when the ledger value itself is a >=1.5x mover
-    assert(cls(Bench.classifySuspect(None, Some((0.5, "tip")), "tip",
+    assert(cls(Bench.classifySuspect(None, le(0.5, "tip"), "tip",
       0.4)) == "context")
-    assert(cls(Bench.classifySuspect(None, Some((0.5, "old")), "tip",
+    assert(cls(Bench.classifySuspect(None, le(0.5, "old"), "tip",
       0.4)) == "context-stale-ledger")
-    assert(cls(Bench.classifySuspect(None, Some((0.9, "tip")), "tip",
+    assert(cls(Bench.classifySuspect(None, le(0.9, "tip"), "tip",
       0.4)) == "needs-attribution")
     // nothing known at all
     assert(cls(Bench.classifySuspect(None, None, "tip", 0.4))
@@ -71,6 +73,93 @@ class RegistrySpec extends AnyFunSuite {
     val frag = Bench.classifySuspect(Some(1.2), None, "abc123", 0.4)
     assert(frag.contains("\"isolated\":1.2") &&
       frag.contains("\"isolated_src\":\"rerun@abc123\""))
+  }
+
+  test("code-unchanged evidence absolves finally; changed files are " +
+      "named; seeded entries stay provisional") {
+    def le(w: Double, t: String, seeded: Boolean = false) =
+      Some(Bench.LedgerEntry(w, t, seeded = seeded))
+    def cls(s: String): String =
+      """"class":"([a-z-]+)"""".r.findFirstMatchIn(s).get.group(1)
+    // r13 verdict #1: git proving the owned paths untouched between
+    // the compared tips settles the row whatever the ledger says —
+    // with or without a ledger value to report alongside
+    assert(cls(Bench.classifySuspect(None, None, "tip", 0.4,
+      Some(Nil))) == "context-code-unchanged")
+    assert(cls(Bench.classifySuspect(None, le(0.9, "old"), "tip", 0.4,
+      Some(Nil))) == "context-code-unchanged")
+    // ...but a fresh rerun outranks it (only forced/dev paths can
+    // produce this combination; the sweep never spawns for absolved
+    // rows) and an UNKNOWN diff (None) absolves nothing
+    assert(cls(Bench.classifySuspect(Some(1.5), le(0.9, "a"), "tip",
+      0.4, Some(Nil))) == "regression")
+    assert(cls(Bench.classifySuspect(None, None, "tip", 0.4, None))
+      == "needs-attribution")
+    // changed owned files are NAMED so the artifact says why the row
+    // could not self-absolve
+    val frag = Bench.classifySuspect(None, None, "tip", 0.4,
+      Some(Seq("src/main/scala/graft/graph/GraphOps.scala")))
+    assert(cls(frag) == "needs-attribution" &&
+      frag.contains("\"changed_files\":[\"src/main/scala/graft/graph/GraphOps.scala\"]"))
+    // r13 ADVICE: a seeded (no-isolated-baseline-recorded) ledger
+    // value issues only provisional absolutions, current tip or not —
+    // a regression recorded AS the baseline must not self-absolve
+    assert(cls(Bench.classifySuspect(None, le(0.5, "tip",
+      seeded = true), "tip", 0.4)) == "context-seeded")
+    assert(cls(Bench.classifySuspect(Some(0.55), le(0.5, "old",
+      seeded = true), "tip", 0.4)) == "context-seeded")
+    // a seeded value >= 1.5x prev-shared still proves nothing
+    assert(cls(Bench.classifySuspect(None, le(0.9, "tip",
+      seeded = true), "tip", 0.4)) == "needs-attribution")
+  }
+
+  test("ledger JSON round-trips optional round/date/seeded fields") {
+    val j = """{"entries":{
+      "a_q@sf0.1":{"warm":1.5,"tip":"abc1234"},
+      "b_q@sf1":{"warm":12.25,"tip":"def5678","round":13},
+      "c_q@sf0.1":{"warm":0.8,"tip":"aaa0000","round":14,"date":"2026-08-16","seeded":true}}}"""
+    val m = Bench.parseLedgerJson(j)
+    assert(m("a_q@sf0.1") == Bench.LedgerEntry(1.5, "abc1234"))
+    assert(m("b_q@sf1") == Bench.LedgerEntry(12.25, "def5678", Some(13)))
+    assert(m("c_q@sf0.1") == Bench.LedgerEntry(0.8, "aaa0000", Some(14),
+      Some("2026-08-16"), seeded = true))
+    // the committed ledger parses and every entry carries a round
+    val committed = Bench.parseLedgerJson(new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("tools/isolated_ledger.json")), "UTF-8"))
+    assert(committed.nonEmpty)
+    committed.foreach { case (k, e) =>
+      assert(e.round.nonEmpty, s"ledger entry without a round stamp: $k")
+      assert(e.warm > 0 && e.tip.length >= 7, s"degenerate entry: $k")
+    }
+  }
+
+  test("round inference reads the driver's BENCH_r series") {
+    assert(Bench.roundFromBenchFiles(Seq("BENCH_r01.json",
+      "BENCH_r13.json", "CORRECTNESS_r13.json", "notes.md")) == 14)
+    assert(Bench.roundFromBenchFiles(Nil) == 0)
+  }
+
+  test("every bench name maps to owned paths that exist") {
+    // the code-unchanged absolution is only sound if the owned-path
+    // table stays truthful: every path must exist in the repo (a
+    // renamed package would silently turn the table into a
+    // never-matches filter = absolve-everything), and every bench
+    // name must resolve to a REGISTRY-specific set, not the
+    // whole-tree fallback
+    val allNames = Bench.headline ++
+      (Bench.sf1Needs ++ Bench.sf1EvidenceRows).map(_._1)
+    allNames.foreach { n =>
+      val paths = Bench.ownedPaths(n)
+      assert(!paths.contains("src/main/scala/graft/"),
+        s"bench query $n fell through to the whole-tree fallback")
+      paths.foreach(p => assert(
+        java.nio.file.Files.exists(java.nio.file.Paths.get(p)),
+        s"owned path for $n does not exist: $p"))
+    }
+    // unknown names get the conservative whole-tree fallback
+    assert(Bench.ownedPaths("no_such_query")
+      .contains("src/main/scala/graft/"))
   }
 
   test("duplicate registration is rejected") {
