@@ -110,7 +110,8 @@ object Plans {
     "sim_split_leakage" -> "semantic cross-split contamination (r12): the assignment checkpoint is scanned TWICE (train filter / eval filter — look for two Scan ExistingRDD arms meeting at one cell-keyed join), exact cosine evaluates only on cell candidates, and the per-eval rank is a bounded window above the join — train×eval brute force appears nowhere",
     "mm_byte_triage_agg" -> "bounded-state triage twin (r13, r12 verdict #4): ONE ObjectHashAggregate pair (partial+final around the doc-keyed Exchange) running graft.functions.ByteTriageAgg — NO Generate anywhere: the per-byte explode is gone, one row per payload flows through the plan and the aggregate buffer holds the 256-slot histogram; compare against mm_byte_triage's Generate + two-aggregate shape",
     "mm_format_sniff" -> "magic-byte format sniff (r13, r12 verdict #5): the prefix arm is a BroadcastHashJoin against the 13-row magic table over a map-only substring projection (the corpus never shuffles on content), joined doc-keyed back to the triage histogram rollup; look for exactly one broadcast exchange (the magic table) and the triage sub-plan unchanged beneath it",
-    "dd_minhash_lsh_star" -> "star-mode MinHash-LSH (late r13): the viral-family fix — alongside the capped (band,bucket) self-join, hot buckets (> maxBucket) feed a hub aggregate (min doc_id + count) whose members join back as hub->member rows; look for the SAME one band-key exchange feeding both the small-bucket pair join and the hub arm, the union below the distinct, and NO pair join over the hot population (k-1 star rows per hot bucket by construction — the signature fetch and est filter sit above the union, shared with the plain form)")
+    "dd_minhash_lsh_star" -> "star-mode MinHash-LSH (late r13): the viral-family fix — alongside the capped (band,bucket) self-join, hot buckets (> maxBucket) feed a hub aggregate (min doc_id + count) whose members join back as hub->member rows; look for the SAME one band-key exchange feeding both the small-bucket pair join and the hub arm, the union below the distinct, and NO pair join over the hot population (k-1 star rows per hot bucket by construction — the signature fetch and est filter sit above the union, shared with the plain form)",
+    "st_heavy_hitters" -> "streaming guaranteed heavy hitters (r14, r13 verdict #4): the printed plan is the batch RECOUNT probe — a BroadcastHashJoin LeftSemi of the corpus gram explode against the <=k MG candidates (exploded from the memory sink the streaming build wrote), one map-combined gram aggregate, and a 1-row total broadcast for the threshold gate; the streaming build itself ran one global ObjectHashAggregate (MisraGriesAgg — k counters of state) to completion before this plan exists. Look for: the semi join BROADCAST on the candidate side (never the corpus), and no second corpus-wide exchange")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -385,6 +385,26 @@ class PipelineOpsSpec extends AnyFunSuite {
         out(5L).getAs[String]("verdict"))
   }
 
+  test("byte-exact triage counts true bytes where the char cast " +
+      "mangles >0x7F payloads") {
+    import spark.implicits._
+    // three invalid-UTF-8 bytes + "abc": the raw form must see 6
+    // distinct byte values and a 50% printable share (binary verdict);
+    // the char-cast form collapses all three high bytes to U+FFFD
+    val payload = Array[Byte](0x89.toByte, 0xFF.toByte, 0x80.toByte) ++
+      "abc".getBytes("UTF-8")
+    val media = Seq((1L, payload)).toDF("doc_id", "payload")
+    val r = Multimodal.byteTriageBytes(media).collect().head
+    assert(r.getAs[Long]("n_bytes") == 6L)
+    assert(r.getAs[Long]("n_distinct_bytes") == 6L)
+    assert(r.getAs[String]("verdict") == "binary")
+    val c = Multimodal.byteTriage(media).collect().head
+    assert(c.getAs[Long]("n_distinct_bytes") == 4L,
+      "char cast should collapse the three invalid bytes to one " +
+        "replacement char — if this starts matching the raw form, " +
+        "the byteTriageBytes variant is redundant")
+  }
+
   test("sequence packing invariants on randomized shards") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

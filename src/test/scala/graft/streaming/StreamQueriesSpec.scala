@@ -294,4 +294,42 @@ class StreamQueriesSpec extends AnyFunSuite {
     // bounded-state contract: never more than d*w counter rows
     assert(out.size <= 4 * 256)
   }
+
+  test("streaming Misra-Gries heavy hitters: multi-batch candidate " +
+      "build recounts to the exact batch answer at 10-counter state") {
+    import org.apache.spark.sql.functions._
+    import graft.text.TextAnalysis
+    // k = 10 against a 125-gram vocabulary forces REAL decrement/merge
+    // traffic in the MG buffer (unlike the driver entry's k = 20000,
+    // which at testdata scale never evicts) — the candidate SET after
+    // 4 interleaved micro-batches is merge-order-dependent at the
+    // margins, but the recount gate must still land on the exact
+    // HAVING answer: the 5 shared trigrams, count 40 each
+    // (N = 320 grams, threshold 1/10 → cnt ≥ 32; MG at k = 10
+    // guarantees presence above N/(k+1) = 29.1)
+    val stream = StreamQueries.docStream(spark, docsDir,
+      Map("maxFilesPerTrigger" -> "1"))
+    def grams(df: DataFrame): DataFrame = df.select(
+      explode(TextAnalysis.ngramsCol(
+        TextAnalysis.tokens(col("text")), 3)).as("gram"))
+    val (cands, batches) = run(
+      grams(stream).agg(graft.functions.MisraGries
+        .misra_gries(col("gram"), 10).as("cands")),
+      "complete", "mb_mg")
+    assert(batches >= 4)
+    val candG = cands.select(explode(col("cands")).as("gram"))
+    // bounded-state contract: the ENTIRE stream state was ≤ k counters
+    assert(candG.count() <= 10)
+    val batchDocs = spark.read.parquet(s"$docsDir/documents.parquet")
+    val got = TextAnalysis.heavyHitterRecount(
+      grams(batchDocs), candG, 1L, 10L)
+    // equals the all-batch composition AND the known exact answer
+    val expected = TextAnalysis.guaranteedHeavyHitters(batchDocs,
+      n = 3, fracNum = 1L, fracDen = 10L, k = 10)
+    assert(rowSet(got) == rowSet(expected))
+    val m = got.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("spark makes big" -> 40L, "makes big data" -> 40L,
+      "big data simple" -> 40L, "data simple for" -> 40L,
+      "simple for all" -> 40L))
+  }
 }
