@@ -792,6 +792,17 @@ object KernelQueries extends QueryRegistry {
   // the oracle side while an engine regression (vertex choice, plFit
   // interpolation, stats) fails the Spark side.
   q("k4_dbest_golden",
+    // segno_ok is RECOMPUTED oracle-side since r14 (r13 "what's wrong"
+    // #4 kept it on record as a constant): the generalized fit is
+    // piecewise-LINEAR with knots exactly at the DP vertices, so the
+    // segment count is 1 + the number of slope changes in the golden
+    // fit — DuckDB derives per-step slopes with lag() and counts
+    // |Δslope| > 1e-6 breaks (planted slopes differ by construction;
+    // float noise inside a chord is ≤1e-9). A fixture-generation bug
+    // in segment_no_g now fails the ORACLE side too; fit_match alone
+    // remains a count(*) constant oracle-side by documented necessity
+    // (the DP vertex CHOICE is what ANSI SQL cannot reproduce — the
+    // Spark side cross-checks it against the independent numpy fit).
     s"""WITH g AS (
        |  SELECT * FROM read_parquet('$dbestGoldenGenPath')),
        |d AS (
@@ -799,8 +810,24 @@ object KernelQueries extends QueryRegistry {
        |         segment_no_g,
        |         lag(fit_g) OVER (PARTITION BY series_id ORDER BY idx)
        |           AS fit_prev
-       |  FROM g)
-       |SELECT CAST(series_id AS INT) AS series_id,
+       |  FROM g),
+       |sl AS (
+       |  SELECT series_id, idx,
+       |         fit_g - lag(fit_g) OVER (PARTITION BY series_id
+       |                                  ORDER BY idx) AS s
+       |  FROM g),
+       |seg AS (
+       |  SELECT series_id,
+       |         1 + sum(CASE WHEN sprev IS NOT NULL AND
+       |                           abs(s - sprev) > 1e-6
+       |                 THEN 1 ELSE 0 END) AS nseg
+       |  FROM (SELECT series_id, s,
+       |               lag(s) OVER (PARTITION BY series_id
+       |                            ORDER BY idx) AS sprev
+       |        FROM sl WHERE s IS NOT NULL)
+       |  GROUP BY series_id),
+       |m AS (
+       |  SELECT series_id,
        |       CAST(count(*) AS BIGINT) AS n_points,
        |       CAST(count(*) AS BIGINT) AS fit_match,
        |       CAST(sum(CASE WHEN (idx = 0 AND flocal_g = 0) OR
@@ -812,8 +839,14 @@ object KernelQueries extends QueryRegistry {
        |       CAST(CASE WHEN abs(any_value(mad_g) -
        |              median(abs(fit_g - y))) <= 1e-9
        |            THEN 1 ELSE 0 END AS INT) AS mad_ok,
-       |       CAST(1 AS INT) AS segno_ok
-       |FROM d GROUP BY series_id""".stripMargin) { (s, d) =>
+       |       any_value(segment_no_g) AS sg
+       |  FROM d GROUP BY series_id)
+       |SELECT CAST(m.series_id AS INT) AS series_id, m.n_points,
+       |       m.fit_match, m.flocal_match, m.rmse_ok, m.mad_ok,
+       |       CAST(CASE WHEN seg.nseg = m.sg THEN 1 ELSE 0 END AS INT)
+       |         AS segno_ok
+       |FROM m JOIN seg ON seg.series_id = m.series_id""".stripMargin) {
+    (s, d) =>
     val fx = s.read.parquet(dbestGoldenGenPath)
     val gen = udf { (dataType: String, seas: Int, ys: Seq[Double]) =>
       val r = Dbest.generalization(ys.toArray,
@@ -1052,5 +1085,40 @@ object KernelQueries extends QueryRegistry {
         when(abs(col("col.trend") + col("col.seasonal") +
           col("col.remainder") - col("col.data")) <= lit(1e-9), 1L)
           .otherwise(0L).as("additive_ok"))
+  }
+
+  // The k5_stl_components projection replayed on the STL golden
+  // fixture (r14 — the K3 twins' pattern applied to the last kernel
+  // payload): the PRODUCTION TrendPipeline.stlComponents path (scan →
+  // composite → series assembly → Stl.decompose → explode) over
+  // fixture-built observations, hash-matched per (series, idx, value)
+  // against DuckDB's replay of the independent numpy reference's
+  // component values. Covers the two fixture series whose params are
+  // the production defaults (period 12, outer 0 — 240 points); the
+  // outer=1 robustness series stays pinned by k5_stl_golden's direct
+  // kernel call, which parameterizes outer explicitly.
+  q("k5_stl_components_golden",
+    s"""SELECT CAST(series_id AS BIGINT) AS series_id, idx,
+       |       round(trend_g, 4) AS trend,
+       |       round(seasonal_g, 4) AS seasonal,
+       |       round(remainder_g, 4) AS remainder
+       |FROM read_parquet('$stlGoldenPath')
+       |WHERE outer_iters = 0""".stripMargin) { (s, d) =>
+    val obs = s.read.parquet(stlGoldenPath)
+      .filter(col("outer_iters") === 0)
+      .select(
+        concat_ws("_", col("series_id"), col("idx")).as("id"),
+        (col("series_id") + lit(0.12345678)).as("longitude"),
+        lit(0.7654321).as("latitude"),
+        timestamp_seconds(lit(1704067200L) +
+          col("idx").cast("long") * 21600L).as("time"),
+        col("y").as("value"))
+    TrendPipeline.stlComponents(s, obs, period = 12,
+        composite = TrendPipeline.timeBucketComposite(_, 21600))
+      .select(col("longitude").cast("long").as("series_id"),
+        col("idx"),
+        round(col("trend"), 4).as("trend"),
+        round(col("seasonal"), 4).as("seasonal"),
+        round(col("remainder"), 4).as("remainder"))
   }
 }
