@@ -139,7 +139,12 @@ object AdversarialAnn {
       val row = brute.join(ivf, Seq("query_id", "cand_id"), "left")
         .agg(sum(coalesce(col("hit"), lit(0))).as("h"),
           count(lit(1)).as("n")).head()
-      val r = row.getLong(0) * 1000000L / row.getLong(1)
+      // a corpus whose vec_id space doesn't start at 0 yields an empty
+      // query subset — report the degenerate -1 instead of dividing
+      // by zero after the expensive arms already ran
+      val r =
+        if (row.isNullAt(1) || row.getLong(1) == 0L) -1L
+        else row.getLong(0) * 1000000L / row.getLong(1)
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => protectedIds.contains(id) }
         .values.foreach(_.unpersist(blocking = true))
@@ -151,23 +156,27 @@ object AdversarialAnn {
     // DBSCAN at the curve-picked default (τ=0.3, minPts=2, p=4): the
     // defense arm must RECOVER the planted clump as one dense cluster;
     // the trap arm pays the (0.3n)² eps-graph for the same answer
-    var clumpClusters = -1L
-    var clumpLargest = -1L
     val (_, tDbStale) = timed("dbscan stale quantizer") {
       Similarity.dbscan(stale, adv, minCosine = 0.3, minPts = 2,
         probes = 4).count()
     }
+    // IDENTICAL work in both timed arms (a first cut folded the
+    // clump-recovery audit aggregation into the refit arm, inflating
+    // the defense's dbscan_sec against the trap's); the audit then
+    // runs UNTIMED on a fresh call — dbscan is deterministic, and
+    // timed()'s between-arm unpersist would have dropped any
+    // checkpoint blocks carried out of the block anyway
     val (_, tDbRefit) = timed("dbscan refit quantizer") {
-      val cl = Similarity.dbscan(refit, adv, minCosine = 0.3, minPts = 2,
-          probes = 4).localCheckpoint(true)
-      val byCluster = cl.filter(col("vec_id") >= 10000000L &&
-          col("cluster") =!= -1L)
-        .groupBy("cluster").agg(count(lit(1)).as("k"))
-        .agg(count(lit(1)).as("nc"), max("k").as("mx")).head()
-      clumpClusters = byCluster.getLong(0)
-      clumpLargest = byCluster.getLong(1)
-      cl.count()
+      Similarity.dbscan(refit, adv, minCosine = 0.3, minPts = 2,
+        probes = 4).count()
     }
+    val byCluster = Similarity.dbscan(refit, adv, minCosine = 0.3,
+        minPts = 2, probes = 4)
+      .filter(col("vec_id") >= 10000000L && col("cluster") =!= -1L)
+      .groupBy("cluster").agg(count(lit(1)).as("k"))
+      .agg(count(lit(1)).as("nc"), max("k").as("mx")).head()
+    val clumpClusters = byCluster.getLong(0)
+    val clumpLargest = byCluster.getLong(1)
 
     // the structural envelope the defense must hold: data-sampled
     // centers split the mode, so max occupancy stays near n/nlist

@@ -435,6 +435,9 @@ object Bench {
     "build.sbt",
     "src/main/scala/graft/io/",
     "src/main/scala/graft/functions/",
+    // functions/ calls into text/ (CountMin tokenizes via
+    // TextAnalysis), so text is a TRANSITIVE global dep
+    "src/main/scala/graft/text/",
     "src/main/scala/graft/model/",
     "src/main/scala/graft/Guards.scala",
     "src/main/scala/graft/QueryRegistry.scala",
@@ -445,35 +448,74 @@ object Bench {
     * cheapest suspect evidence there is — whether the flagged query's
     * code changed at all). Registry membership is checked at runtime
     * (auto-correct as queries move); the per-registry path sets are
-    * the registry file's own package plus every graft package it
-    * calls into (verified against its imports/FQN references —
-    * deliberately OVER-inclusive: a false "changed" only costs a
-    * child rerun, a false "unchanged" would absolve a real
-    * regression). Unknown names fall back to the whole source tree
-    * (never absolved unless nothing changed).
+    * the TRANSITIVE CLOSURE of the package reference graph from the
+    * registry's own package (a first cut used only direct imports and
+    * missed fully-qualified calls — e.g. PipelineQueries →
+    * rel.OlsFit, KernelQueries → api.GraftEngine — which would have
+    * let the FINAL code-unchanged absolution hide a real regression;
+    * RegistrySpec now recomputes the closure from the sources and
+    * fails the build if any set goes under-inclusive). The honest
+    * closure makes the kernel/pipeline/streaming families own almost
+    * every module — absolution for them fires only in rounds that
+    * touch nothing they reach, which is exactly when it is sound.
+    * Unknown names fall back to the whole source tree (never absolved
+    * unless nothing changed).
     */
   private[graft] def ownedPaths(name: String): Seq[String] = {
     val src = "src/main/scala/graft/"
-    val pipelineDeps = Seq(s"${src}pipeline/", s"${src}dedup/",
-      s"${src}sim/", s"${src}text/", s"${src}multimodal/",
-      s"${src}sources/")
+    // rel → plans (AsOfJoinExec); text/functions/io via globals
+    val relDeps = Seq(s"${src}rel/", s"${src}plans/")
+    // the broadly-coupled families: pipeline → {dedup, sim, multimodal,
+    // rel, ts(TrendPipeline), ...}, ts → {api, pipeline}, api →
+    // {pipeline, plans, ts}, sim ↔ dedup ↔ pipeline — the closure is
+    // every module except graph/ and streaming/. sources/ is included
+    // by hand: the DSv2 source is looked up by its STRING name
+    // ("observation-collection"), which no reference scan can see.
+    val wideDeps = Seq(s"${src}pipeline/", s"${src}dedup/",
+      s"${src}sim/", s"${src}multimodal/", s"${src}ts/",
+      s"${src}rel/", s"${src}plans/", s"${src}api/", s"${src}sources/")
     val byRegistry: Seq[(Set[String], Seq[String])] = Seq(
-      graft.rel.RelQueries.queries.keySet ->
-        Seq(s"${src}rel/", s"${src}plans/"),
-      graft.rel.SqlQueries.queries.keySet ->
-        Seq(s"${src}rel/", s"${src}plans/"),
-      graft.rel.LogAnalytics.queries.keySet -> Seq(s"${src}rel/"),
-      graft.ts.KernelQueries.queries.keySet ->
-        Seq(s"${src}ts/", s"${src}pipeline/"),
-      graft.pipeline.PipelineQueries.queries.keySet -> pipelineDeps,
+      graft.rel.RelQueries.queries.keySet -> relDeps,
+      graft.rel.SqlQueries.queries.keySet -> relDeps,
+      graft.rel.LogAnalytics.queries.keySet -> relDeps,
+      graft.ts.KernelQueries.queries.keySet -> wideDeps,
+      graft.pipeline.PipelineQueries.queries.keySet -> wideDeps,
       graft.graph.GraphQueries.queries.keySet -> Seq(s"${src}graph/"),
-      // streaming twins wrap the batch transforms by FQN reference
       graft.streaming.StreamQueries.queries.keySet ->
-        (Seq(s"${src}streaming/") ++ pipelineDeps))
+        (s"${src}streaming/" +: wideDeps))
     globalQueryDeps ++ byRegistry.collectFirst {
       case (names, paths) if names(name) => paths
     }.getOrElse(Seq(src))
   }
+
+  /** One guarded git invocation: stdout drained on a daemon thread
+    * (so the 30 s cap actually fires on a wedged child — a blocking
+    * readAllBytes BEFORE waitFor would hang the whole sweep on a
+    * stale index.lock or a credential prompt), hard timeout +
+    * destroyForcibly, None on any failure. Shared by the
+    * changed-files diff and the prev-artifact-tip fallback.
+    */
+  private def runGit(cmd: String*): Option[Seq[String]] =
+    try {
+      val pb = new ProcessBuilder(("git" +: cmd): _*)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val proc = pb.start()
+      val buf = new java.io.ByteArrayOutputStream()
+      val drain = new Thread(() =>
+        try proc.getInputStream.transferTo(buf)
+        catch { case _: Throwable => () })
+      drain.setDaemon(true)
+      drain.start()
+      if (!proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)) {
+        proc.destroyForcibly()
+        None
+      } else if (proc.exitValue() != 0) None
+      else {
+        drain.join(5000)
+        Some(buf.toString("UTF-8").linesIterator
+          .map(_.trim).filter(_.nonEmpty).toSeq)
+      }
+    } catch { case _: Throwable => None }
 
   /** Files changed between the previous artifact's tip and the
     * CURRENT WORKING TREE (committed + uncommitted + untracked — a
@@ -481,25 +523,11 @@ object Bench {
     * None when git or the prev tip is unavailable → no absolution.
     */
   private def gitChangedFiles(prevTip: String): Option[Set[String]] =
-    try {
-      if (prevTip.isEmpty || prevTip == "unknown") None
-      else {
-        def run(cmd: String*): Option[Seq[String]] = {
-          val pb = new ProcessBuilder(cmd: _*)
-          pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-          val proc = pb.start()
-          val out = new String(proc.getInputStream.readAllBytes, "UTF-8")
-          if (!proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS) ||
-              proc.exitValue() != 0) { proc.destroyForcibly(); None }
-          else Some(out.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq)
-        }
-        for {
-          committed <- run("git", "diff", "--name-only", prevTip)
-          untracked <- run("git", "ls-files", "--others",
-            "--exclude-standard")
-        } yield (committed ++ untracked).toSet
-      }
-    } catch { case _: Throwable => None }
+    if (prevTip.isEmpty || prevTip == "unknown") None
+    else for {
+      committed <- runGit("diff", "--name-only", prevTip)
+      untracked <- runGit("ls-files", "--others", "--exclude-standard")
+    } yield (committed ++ untracked).toSet
 
   /** Dedicated single-query isolation mode (child protocol): runs ONE
     * query at ONE scale in this fresh JVM — cold + min-of-2 warm — and
@@ -682,18 +710,16 @@ object Bench {
           // older artifacts fall back to the commit that last touched
           // the committed copy (one driver round-commit later than the
           // measurement — an over-inclusive diff base, which can only
-          // withhold an absolution, never fabricate one)
+          // withhold an absolution, never fabricate one). The fallback
+          // degrades to "unknown" on ITS OWN — a git failure here must
+          // not take the already-parsed prev maps down with it (the
+          // suspects machinery would then silently report an empty
+          // list, which readers are told means "no movers").
           val recordedTip = """"tip":"([0-9a-f]{4,40})"""".r
-            .findFirstMatchIn(j).map(_.group(1)).getOrElse {
-              val pb = new ProcessBuilder("git", "log", "-1",
-                "--format=%h", "--", "target/bench_full.json")
-              val proc = pb.start()
-              val out = new String(proc.getInputStream.readAllBytes,
-                "UTF-8").trim
-              if (proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
-                  && proc.exitValue() == 0 && out.nonEmpty) out
-              else "unknown"
-            }
+            .findFirstMatchIn(j).map(_.group(1)).getOrElse(
+              runGit("log", "-1", "--format=%h", "--",
+                "target/bench_full.json")
+                .flatMap(_.headOption).getOrElse("unknown"))
           (parseMap(j, j.indexOf("\"queries\":")),
             if (sf1At < 0) Map.empty
             else parseMap(j, j.indexOf("\"queries\":", sf1At)),

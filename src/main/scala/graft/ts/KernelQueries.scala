@@ -843,9 +843,9 @@ object KernelQueries extends QueryRegistry {
        |  FROM d GROUP BY series_id)
        |SELECT CAST(m.series_id AS INT) AS series_id, m.n_points,
        |       m.fit_match, m.flocal_match, m.rmse_ok, m.mad_ok,
-       |       CAST(CASE WHEN seg.nseg = m.sg THEN 1 ELSE 0 END AS INT)
-       |         AS segno_ok
-       |FROM m JOIN seg ON seg.series_id = m.series_id""".stripMargin) {
+       |       CAST(CASE WHEN seg.nseg IS NOT NULL AND seg.nseg = m.sg
+       |            THEN 1 ELSE 0 END AS INT) AS segno_ok
+       |FROM m LEFT JOIN seg ON seg.series_id = m.series_id""".stripMargin) {
     (s, d) =>
     val fx = s.read.parquet(dbestGoldenGenPath)
     val gen = udf { (dataType: String, seas: Int, ys: Seq[Double]) =>

@@ -162,6 +162,71 @@ class RegistrySpec extends AnyFunSuite {
       .contains("src/main/scala/graft/"))
   }
 
+  test("owned paths are a transitive closure of the code-level " +
+      "reference graph") {
+    // The code-unchanged absolution is FINAL and skips the child-JVM
+    // recheck, so an under-inclusive owned set silently absolves a
+    // real regression forever (review finding, r14: a first-cut table
+    // built from IMPORT statements missed fully-qualified calls —
+    // PipelineQueries → rel.OlsFit, KernelQueries → api.GraftEngine).
+    // This test recomputes the reference graph FROM THE SOURCES
+    // (non-comment lines, imports and FQNs alike) and asserts every
+    // package/root-class a query's owned files reference is itself
+    // owned — each owned set closed under direct references IS the
+    // transitive closure. New cross-module calls fail the build here
+    // instead of corrupting next round's artifact.
+    import java.nio.file.{Files, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    val srcRoot = Paths.get("src/main/scala/graft")
+    val pkgs = Set("rel", "ts", "pipeline", "graph", "streaming",
+      "dedup", "sim", "text", "multimodal", "sources", "plans", "io",
+      "functions", "api", "model")
+    val pkgRef = ("""graft\.(""" + pkgs.mkString("|") + """)\b""").r
+    val rootRef = """graft\.([A-Z]\w*)""".r
+    def codeLines(p: Path): Seq[String] =
+      new String(Files.readAllBytes(p), "UTF-8").linesIterator
+        .map(_.trim).filterNot(l => l.startsWith("*") ||
+          l.startsWith("//") || l.startsWith("/*")).toSeq
+    def scalaFiles(dir: Path): Seq[Path] =
+      if (!Files.exists(dir)) Nil
+      else Files.walk(dir).iterator.asScala
+        .filter(_.toString.endsWith(".scala")).toSeq
+    val allNames = (Bench.headline ++
+      (Bench.sf1Needs ++ Bench.sf1EvidenceRows).map(_._1)).distinct
+    // few distinct owned sets — check each once, not per name
+    allNames.groupBy(Bench.ownedPaths).foreach { case (owned, names) =>
+      val ownedPkgs = owned.collect {
+        case p if p.endsWith("/") && p.startsWith("src/main/scala/graft/")
+          => p.stripPrefix("src/main/scala/graft/").stripSuffix("/")
+      }.toSet
+      val ownedRoot = owned.collect {
+        case p if p.endsWith(".scala") =>
+          p.stripPrefix("src/main/scala/graft/").stripSuffix(".scala")
+      }.toSet
+      // SparkEntry is owned (its edits block absolution) but NOT
+      // traversed: it is the aggregation point whose references ARE
+      // the registry list — following them would make every query own
+      // every module via registration plumbing instead of via its own
+      // call graph
+      val files = ownedPkgs.toSeq.map(srcRoot.resolve).flatMap(scalaFiles) ++
+        ownedRoot.toSeq.filterNot(_ == "SparkEntry")
+          .map(f => srcRoot.resolve(f + ".scala"))
+          .filter(Files.exists(_))
+      val lines = files.flatMap(codeLines)
+      val missingPkgs = lines.flatMap(l =>
+        pkgRef.findAllMatchIn(l).map(_.group(1))).toSet -- ownedPkgs
+      assert(missingPkgs.isEmpty,
+        s"owned paths for ${names.take(3).mkString(",")}… miss " +
+          s"code-referenced packages $missingPkgs — a change there " +
+          "could regress the query yet be absolved code-unchanged")
+      val missingRoot = lines.flatMap(l =>
+        rootRef.findAllMatchIn(l).map(_.group(1))).toSet -- ownedRoot
+      assert(missingRoot.isEmpty,
+        s"owned paths for ${names.take(3).mkString(",")}… miss " +
+          s"root-level classes $missingRoot")
+    }
+  }
+
   test("duplicate registration is rejected") {
     object Dup extends QueryRegistry {
       q("dup_x", "SELECT 1") { (_, _) => null }
