@@ -313,7 +313,12 @@ object Bench {
     // r14: the MG twin at 10× — state stays ≤20k counters while the
     // gram volume grows 10×; the recount probe is corpus-sized but
     // map-combined (the t_heavy_hitters cost class)
-    "st_heavy_hitters" -> "documents")
+    "st_heavy_hitters" -> "documents",
+    // r14: the bounded-state triage aggregate at 10× — the PRODUCTION
+    // default of the explode/aggregate pair (one row per payload
+    // through the plan, 256-slot buffer); its 10× point closes the
+    // multimodal sf1 story next to mm_frame_overlap
+    "mm_byte_triage_agg" -> "documents")
   // r12 (r11 verdict #1a): the two DECLARED-quadratic evidence rows
   // burned ~10 min of the sf1 block every round (pinned16: 146s cold
   // + 80s warm; uncapped containment: 315s cold + 127s warm in the
