@@ -75,6 +75,23 @@ class RegistrySpec extends AnyFunSuite {
       frag.contains("\"isolated_src\":\"rerun@abc123\""))
   }
 
+  test("suspect floors: absolute per scale, with the sf1 relative " +
+      "escape hatch") {
+    // sf0.1: plain 0.2s floor + 1.5x
+    assert(Bench.isSuspect("sf0.1", 0.4, 0.61))
+    assert(!Bench.isSuspect("sf0.1", 0.08, 0.21)) // r12 ADVICE case
+    assert(!Bench.isSuspect("sf0.1", 0.4, 0.55))  // under 1.5x
+    // sf1: the 2.0s floor suppresses the r13 wobble class...
+    assert(!Bench.isSuspect("sf1", 0.39, 0.77))   // 1.97x, sub-2s
+    assert(!Bench.isSuspect("sf1", 1.47, 2.19))   // one endpoint under
+    assert(Bench.isSuspect("sf1", 2.0, 3.1))
+    // ...but cannot hide a LARGE regression on a small row: >=3x
+    // landing at >=1s is flagged even below the floor
+    assert(Bench.isSuspect("sf1", 0.5, 1.9))
+    assert(!Bench.isSuspect("sf1", 0.5, 0.9))     // small and <3x
+    assert(!Bench.isSuspect("sf1", 0.1, 0.9))     // prev under 0.2s
+  }
+
   test("code-unchanged evidence absolves finally; changed files are " +
       "named; seeded entries stay provisional") {
     def le(w: Double, t: String, seeded: Boolean = false) =
