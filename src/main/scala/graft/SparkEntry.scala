@@ -15,7 +15,12 @@ object SparkEntry {
     graft.rel.SqlQueries,
     graft.rel.LogAnalytics,
     graft.ts.KernelQueries,
-    graft.pipeline.PipelineQueries,
+    // the four family registries the PipelineQueries monolith split
+    // into (r14 verdict #6) — same query names, file-grain ownership
+    graft.pipeline.TextQueries,
+    graft.pipeline.DedupQueries,
+    graft.pipeline.SimQueries,
+    graft.pipeline.MediaSourceQueries,
     graft.graph.GraphQueries,
     graft.streaming.StreamQueries)
 
@@ -43,4 +48,26 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     registries.flatMap(_.oracleSql).toMap
+
+  /** live rows-only query → its oracle-checked same-code golden twin
+    * (r14 verdict #7). Validated here so a typo'd twin name or an
+    * anchor on an already-oracled row fails the build, not the read:
+    * with these anchors the DECLARED no-oracle set shrinks to exactly
+    * the documented-necessity rows (pipeline_dbest journey composite,
+    * zlib t_compress_ratio, Spark-seeded t_stratified_sample) — a
+    * RegistrySpec test pins that set.
+    */
+  def goldenAnchored: Map[String, String] = {
+    val qs = queries
+    val oracles = oracleSql
+    val m = registries.flatMap(_.goldenAnchors).toMap
+    m.foreach { case (live, twin) =>
+      require(qs.contains(live), s"golden anchor on unknown query: $live")
+      require(!oracles.contains(live),
+        s"golden anchor on an already-oracled query: $live")
+      require(oracles.contains(twin),
+        s"golden twin missing or not oracle-checked: $twin (for $live)")
+    }
+    m
+  }
 }

@@ -238,7 +238,7 @@ object StreamQueries extends QueryRegistry {
     * counts per source), invariant to micro-batch slicing because the
     * cell sums commute.
     */
-  q("st_gate_kappa", graft.pipeline.PipelineQueries.gateKappaSql) {
+  q("st_gate_kappa", graft.pipeline.TextQueries.gateKappaSql) {
     (s, d) =>
       runToCompletion(
         graft.text.TextAnalysis.gateKappa(docStream(s, d)), "complete")
@@ -360,7 +360,7 @@ object StreamQueries extends QueryRegistry {
     * the batch twin's oracle (`t_heavy_hitters`) transfers VERBATIM.
     */
   q("st_heavy_hitters",
-    graft.pipeline.PipelineQueries.heavyHittersOracleSql) { (s, d) =>
+    graft.pipeline.TextQueries.heavyHittersOracleSql) { (s, d) =>
     import graft.text.TextAnalysis
     TextAnalysis.requireMgGuarantee(20000, 3L, 59582L)
     def grams(df: DataFrame): DataFrame = df.select(
@@ -421,7 +421,7 @@ object StreamQueries extends QueryRegistry {
     * spec pins.
     */
   q("st_byte_triage",
-    graft.pipeline.PipelineQueries.byteTriageOracleSql) { (s, d) =>
+    graft.pipeline.MediaSourceQueries.byteTriageOracleSql) { (s, d) =>
     runToCompletion(
       graft.multimodal.Multimodal.byteTriageSummary(
         docStream(s, d).select(col("doc_id"), col("text").as("t"))),
@@ -880,7 +880,7 @@ object StreamQueries extends QueryRegistry {
     * count is deliberately kept because it avoids carrying vec_id
     * through the (half, dim) state at corpus scale.
     */
-  q("st_embed_drift", graft.pipeline.PipelineQueries.embedDriftSql) {
+  q("st_embed_drift", graft.pipeline.SimQueries.embedDriftSql) {
     (s, d) =>
     val dec = "decimal(38,0)"
     val ex = embStream(s, d)
@@ -924,7 +924,7 @@ object StreamQueries extends QueryRegistry {
 
   /** Streaming sequence-length planning curve — the twin of
     * `t_seqlen_curve` (oracle + both math stages shared via
-    * `PipelineQueries.seqlenCurveSql`/`seqlenSums`/`seqlenDerive`):
+    * `TextQueries.seqlenCurveSql`/`seqlenSums`/`seqlenDerive`):
     * the live "is the incoming feed's length profile still compatible
     * with the configured max_seq_len" readout. The stream-static
     * broadcast cross join amplifies ONE per-doc LONG ×5 map-side, the
@@ -932,12 +932,12 @@ object StreamQueries extends QueryRegistry {
     * sums — constant state, invariant to micro-batch slicing — and
     * the ppm derivations run as a batch post-pass over the 5-row sink.
     */
-  q("st_seqlen_curve", graft.pipeline.PipelineQueries.seqlenCurveSql) {
+  q("st_seqlen_curve", graft.pipeline.TextQueries.seqlenCurveSql) {
     (s, d) =>
     val sink = runToCompletion(
-      graft.pipeline.PipelineQueries.seqlenSums(docStream(s, d)),
+      graft.pipeline.TextQueries.seqlenSums(docStream(s, d)),
       "complete")
-    graft.pipeline.PipelineQueries.seqlenDerive(sink)
+    graft.pipeline.TextQueries.seqlenDerive(sink)
   }
 
   /** Streaming Benford monitor — the streaming twin of `dq_benford`
@@ -966,7 +966,7 @@ object StreamQueries extends QueryRegistry {
 
   /** Streaming domain-reweight monitor — the streaming twin of
     * `t_domain_reweight` (oracle + downstream math shared via
-    * `PipelineQueries.domainReweightSql` / `domainReweightFromCounts`,
+    * `TextQueries.domainReweightSql` / `domainReweightFromCounts`,
     * so the twins cannot drift): the live "has the ingest mixture
     * drifted enough to re-plan domain weights" readout. The stream
     * carries the feature counts as ONE complete-mode (lang, bucket)
@@ -985,7 +985,7 @@ object StreamQueries extends QueryRegistry {
     * numbers only through its own hashed oracle, never by accident.
     */
   q("st_domain_reweight",
-    graft.pipeline.PipelineQueries.domainReweightSql(
+    graft.pipeline.TextQueries.domainReweightSql(
       """SELECT lang,
         |       CAST(('0x' || substr(md5(w0), 1, 12)) AS UBIGINT) % 4096
         |         AS w
@@ -1004,7 +1004,7 @@ object StreamQueries extends QueryRegistry {
     val snap = sink.collect().toSeq
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .toDF("lang", "w", "c_dw")
-    graft.pipeline.PipelineQueries.domainReweightFromCounts(snap)
+    graft.pipeline.TextQueries.domainReweightFromCounts(snap)
   }
 
   /** The streaming half of st_psi_drift: complete-mode per-day

@@ -92,6 +92,46 @@ class RegistrySpec extends AnyFunSuite {
     assert(!Bench.isSuspect("sf1", 0.1, 0.9))     // prev under 0.2s
   }
 
+  test("golden anchors shrink the declared no-oracle set to " +
+      "documented necessity") {
+    // r14 verdict #7: every kernel payload row now names the
+    // oracle-checked same-code golden twin that anchors it (validated
+    // in SparkEntry.goldenAnchored — unknown twin or anchored-yet-
+    // oracled row fails there), and the RESIDUAL rows-only set is
+    // pinned to exactly the documented-necessity rows: the
+    // pipeline_dbest journey composite (anchored piecewise by the
+    // green decode/stats entries), zlib compression, and the
+    // Spark-seeded sample.
+    val anchors = SparkEntry.goldenAnchored
+    assert(anchors == Map(
+      "k3_dbest_change" -> "k3_dbest_change_golden",
+      "k3_dbest_changes_all" -> "k3_dbest_changes_all_golden",
+      "k3_dbest_point_decode" -> "k3_dbest_point_decode_golden",
+      "k4_dbest_generalization" -> "k4_dbest_golden",
+      "k5_stl_components" -> "k5_stl_components_golden"))
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle -- anchors.keySet ==
+      Set("pipeline_dbest", "t_compress_ratio", "t_stratified_sample"))
+  }
+
+  test("child budget: seconds-at-stake ordering, scaled to 8") {
+    // r14 verdict #1: the r14 sweep spent its 3 children on the three
+    // SMALLEST movers (0.86/1.35/3.9 s) because the old ordering keyed
+    // on class-then-ratio; the 17 s and 16 s rows shipped unexamined.
+    // Rows are (name, sf, prev, now) — stake = now − prev.
+    val pool = Seq(
+      ("small_big_ratio", "sf0.1", 0.2, 0.9),   // 4.5x, 0.7 s at stake
+      ("big_small_ratio", "sf1", 10.0, 17.0),   // 1.7x, 7.0 s at stake
+      ("mid", "sf1", 2.0, 5.0))                 // 3.0 s at stake
+    assert(Bench.childPriority(pool).map(_._1) ==
+      Seq("big_small_ratio", "mid", "small_big_ratio"))
+    // budget scales to 8, not 3
+    val many = (1 to 12).map(i => (s"q$i", "sf0.1", 1.0, 1.0 + i))
+    val picked = Bench.childPriority(many)
+    assert(picked.length == 8)
+    assert(picked.head._1 == "q12" && picked.last._1 == "q5")
+  }
+
   test("code-unchanged evidence absolves finally; changed files are " +
       "named; seeded entries stay provisional") {
     def le(w: Double, t: String, seeded: Boolean = false) =
@@ -200,10 +240,15 @@ class RegistrySpec extends AnyFunSuite {
       "functions", "api", "model")
     val pkgRef = ("""graft\.(""" + pkgs.mkString("|") + """)\b""").r
     val rootRef = """graft\.([A-Z]\w*)""".r
+    val pipeClsRef = """graft\.pipeline\.([A-Z]\w*)""".r
     def codeLines(p: Path): Seq[String] =
       new String(Files.readAllBytes(p), "UTF-8").linesIterator
         .map(_.trim).filterNot(l => l.startsWith("*") ||
-          l.startsWith("//") || l.startsWith("/*")).toSeq
+          l.startsWith("//") || l.startsWith("/*") ||
+          // a file's own `package graft.pipeline` declaration is not a
+          // dependency on the pipeline package (file-grain ownership,
+          // r14 verdict #6)
+          l.startsWith("package ")).toSeq
     def scalaFiles(dir: Path): Seq[Path] =
       if (!Files.exists(dir)) Nil
       else Files.walk(dir).iterator.asScala
@@ -230,8 +275,30 @@ class RegistrySpec extends AnyFunSuite {
           .map(f => srcRoot.resolve(f + ".scala"))
           .filter(Files.exists(_))
       val lines = files.flatMap(codeLines)
+      // file-grain pipeline ownership (r14 verdict #6): a
+      // graft.pipeline reference is satisfied either by owning the
+      // whole pipeline/ dir (the ts/streaming closure) or by owning
+      // every pipeline/<Class>.scala the code names — an FQN the scan
+      // CAN resolve, unlike a bare package ref
+      val ownsPipelineDir = ownedPkgs.contains("pipeline")
+      val pipeClsRefs = lines.flatMap(l =>
+        pipeClsRef.findAllMatchIn(l).map(_.group(1))).toSet
+      val missingPipeCls =
+        if (ownsPipelineDir) Set.empty[String]
+        else pipeClsRefs -- ownedRoot.collect {
+          case r if r.startsWith("pipeline/") =>
+            r.stripPrefix("pipeline/")
+        }
+      assert(missingPipeCls.isEmpty,
+        s"owned paths for ${names.take(3).mkString(",")}… miss " +
+          s"pipeline classes $missingPipeCls referenced by FQN")
       val missingPkgs = lines.flatMap(l =>
-        pkgRef.findAllMatchIn(l).map(_.group(1))).toSet -- ownedPkgs
+        pkgRef.findAllMatchIn(l).map(_.group(1))).toSet --
+        ownedPkgs --
+        // pipeline refs settled at class grain above
+        (if (ownsPipelineDir) Set.empty[String]
+         else if (missingPipeCls.isEmpty) Set("pipeline")
+         else Set.empty[String])
       assert(missingPkgs.isEmpty,
         s"owned paths for ${names.take(3).mkString(",")}… miss " +
           s"code-referenced packages $missingPkgs — a change there " +
@@ -241,6 +308,30 @@ class RegistrySpec extends AnyFunSuite {
       assert(missingRoot.isEmpty,
         s"owned paths for ${names.take(3).mkString(",")}… miss " +
           s"root-level classes $missingRoot")
+      // same-package bare references are invisible to the graft.X
+      // scans: for owned pipeline FILES, any OTHER pipeline class
+      // named in the code must itself be owned (file-grain honesty —
+      // `Sampling.hashBucket` carries no `graft.` prefix)
+      if (!ownsPipelineDir) {
+        val pipeDir = srcRoot.resolve("pipeline")
+        val allPipeCls = scalaFiles(pipeDir).map(
+          _.getFileName.toString.stripSuffix(".scala")).toSet
+        val ownedPipeCls = ownedRoot.collect {
+          case r if r.startsWith("pipeline/") =>
+            r.stripPrefix("pipeline/")
+        }
+        val ownedPipeFiles = files.filter(
+          _.toString.contains("/pipeline/"))
+        if (ownedPipeFiles.nonEmpty) {
+          val bareRefs = ownedPipeFiles.flatMap(codeLines).flatMap(l =>
+            (allPipeCls -- ownedPipeCls).filter(c =>
+              ("""\b""" + c + """\b""").r.findFirstIn(l).isDefined))
+            .toSet
+          assert(bareRefs.isEmpty,
+            s"owned paths for ${names.take(3).mkString(",")}… miss " +
+              s"same-package pipeline classes $bareRefs")
+        }
+      }
     }
   }
 

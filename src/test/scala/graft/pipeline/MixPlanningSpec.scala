@@ -36,7 +36,7 @@ class MixPlanningSpec extends AnyFunSuite {
       (1L, Seq.fill(64)("w").mkString(" "), "en"),
       (2L, Seq.fill(65)("w").mkString(" "), "en"),
       (3L, Seq.fill(200)("w").mkString(" "), "en")))
-    val out = PipelineQueries.queries("t_seqlen_curve")(spark, dir)
+    val out = TextQueries.queries("t_seqlen_curve")(spark, dir)
       .collect().map(r => r.getLong(0) -> r).toMap
     val a = out(64L)
     // docs>64: {65, 200}; kept = 1+64+64+64; lost = 1+136
@@ -68,7 +68,7 @@ class MixPlanningSpec extends AnyFunSuite {
     val dir = writeDocs(Seq(
       (0L, "x x x y", "aa"),
       (1L, "y y y z", "bb")))
-    val out = PipelineQueries.queries("t_domain_reweight")(spark, dir)
+    val out = TextQueries.queries("t_domain_reweight")(spark, dir)
       .collect().map(r => r.getAs[String]("lang") -> r).toMap
     def unat(terms: Seq[(Long, Double)], td: Long): Long = {
       val s = terms.map { case (c, r) => c.toDouble * math.log(r) }.sum
@@ -103,8 +103,7 @@ class MixPlanningSpec extends AnyFunSuite {
       rows.map(r => r.getLong(0) -> r.toSeq.tail).toMap
     val st = asMap(graft.streaming.StreamQueries
       .queries("st_seqlen_curve")(spark, dir).collect())
-    val batch = asMap(PipelineQueries
-      .queries("t_seqlen_curve")(spark, dir).collect())
+    val batch = asMap(TextQueries.queries("t_seqlen_curve")(spark, dir).collect())
     assert(st == batch && st.size == 5)
   }
 
@@ -117,8 +116,7 @@ class MixPlanningSpec extends AnyFunSuite {
       rows.map(r => r.getString(0) -> r.toSeq.tail).toMap
     val st = asMap(graft.streaming.StreamQueries
       .queries("st_domain_reweight")(spark, dir).collect())
-    val batch = asMap(PipelineQueries
-      .queries("t_domain_reweight")(spark, dir).collect())
+    val batch = asMap(TextQueries.queries("t_domain_reweight")(spark, dir).collect())
     // bucket counts are isomorphic to token counts while hashing is
     // collision-free, so KL and the weights agree EXACTLY
     assert(st == batch)
@@ -157,7 +155,7 @@ class MixPlanningSpec extends AnyFunSuite {
       b -> ((xs.length.toLong, xs.map(_._2).sum, xs.map(_._3).min,
         xs.map(_._3).max))
     }
-    val out = PipelineQueries.queries("t_ccnet_buckets")(spark, dir)
+    val out = TextQueries.queries("t_ccnet_buckets")(spark, dir)
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     assert(out == expected)
@@ -189,7 +187,7 @@ class MixPlanningSpec extends AnyFunSuite {
       refIds.map(id => (id, normal, "en")) ++
         oddIds.take(4).map(id => (id, junk, "en")) ++
         Seq((oddIds(4), normal, "en")))
-    val out = PipelineQueries.queries("t_lm_memgap")(spark, dir)
+    val out = TextQueries.queries("t_lm_memgap")(spark, dir)
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
     assert(out.size == 5) // only the scored (odd) half appears
     // junk: every bigram deterministic in the self model -> 1e6;

@@ -512,6 +512,46 @@ class PipelineOpsSpec extends AnyFunSuite {
       maxCorpusRows = 1000).count() > 0)
   }
 
+  test("IVF cell cap: grid shard binds on a hot cell, results identical") {
+    import spark.implicits._
+    // a planted hot cell (the stale-quantizer shape): 120 near-identical
+    // vectors land in one cell under any quantizer; 40 spread vectors
+    // populate the rest. cap=32 must shard the hot cell into >=4 shards
+    // while leaving every result bit-identical to the unsharded join —
+    // the grid shard is a partitioning of the same pair space.
+    val rnd = new scala.util.Random(7)
+    val base = Array.tabulate(8)(_.toFloat)
+    val hot = (0 until 120).map(i =>
+      (i.toLong, base.map(x => x + rnd.nextGaussian().toFloat * 1e-4f).toSeq, 0))
+    val spread = (0 until 40).map(i =>
+      ((1000 + i).toLong,
+        Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat * 5).toSeq, 0))
+    val df = (hot ++ spread).toDF("vec_id", "embedding", "label")
+    // STALE layout: centers sampled from the spread-only corpus (the
+    // clump arrived after the fit), so the whole clump lands on its
+    // one nearest old center — data-sampled centers from the FULL
+    // corpus would split it, which is the defense, not the trap
+    val quant = Similarity.hashSampledQuantizer(
+      spread.toDF("vec_id", "embedding", "label"), nlist = 6)
+    val idx = Similarity.buildIndex(quant, df)
+    val over = Similarity.oversizedCells(idx.assigned, 32)
+    assert(over.nonEmpty && over.values.max >= 4, s"cap did not bind: $over")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+    val capped = Similarity.ivfTopK(quant, df, k = 3, nprobe = 2,
+      cellCap = 32).collect().map(key).toSet
+    val un = Similarity.ivfTopK(quant, df, k = 3, nprobe = 2,
+      cellCap = Int.MaxValue).collect().map(key).toSet
+    assert(capped == un)
+    def dkey(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getLong(2))
+    val dc = Similarity.dbscan(quant, df, minCosine = 0.5, minPts = 2,
+      probes = 2, cellCap = 32).collect().map(dkey).toSet
+    val du = Similarity.dbscan(quant, df, minCosine = 0.5, minPts = 2,
+      probes = 2, cellCap = Int.MaxValue).collect().map(dkey).toSet
+    assert(dc == du)
+  }
+
   test("IVF quantizer fits once and is reused across query sets") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
@@ -1627,7 +1667,7 @@ class PipelineOpsSpec extends AnyFunSuite {
         rnd.nextFloat(), rnd.nextFloat()), i % 2)
     }.toDF("vec_id", "embedding", "label")
       .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
-    val rows = PipelineQueries.queries("sim_ivf_probe_curve")(spark, dir)
+    val rows = SimQueries.queries("sim_ivf_probe_curve")(spark, dir)
       .collect().sortBy(_.getAs[Int]("nprobe"))
     assert(rows.map(_.getAs[Int]("nprobe")).toSeq == Seq(1, 2, 4, 8))
     assert(rows.forall(_.getAs[Long]("n_queries") == 20L))
@@ -1693,7 +1733,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map { case (id, t) => (id, t, "en", "s", t.length) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.parquet(s"$dir/documents.parquet")
-    val r = PipelineQueries.queries("dd_minhash_recall")(spark, dir)
+    val r = DedupQueries.queries("dd_minhash_recall")(spark, dir)
       .collect().head
     assert(r.getAs[Long]("n_truth") == 1L)
     assert(r.getAs[Long]("n_hit") == 1L)
@@ -1717,7 +1757,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map { case (id, t, lang) => (id, t, lang, "s1", t.length) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.parquet(s"$dir/documents.parquet")
-    val rows = PipelineQueries.queries("t_quality_calibration")(spark, dir)
+    val rows = TextQueries.queries("t_quality_calibration")(spark, dir)
       .collect().map(r => r.getAs[Int]("bin") ->
         ((r.getAs[Long]("n_pos"), r.getAs[Long]("pos_ppm"),
           r.getAs[Long]("bin_score_u"), r.getAs[Long]("brier_e8")))).toMap
@@ -1761,7 +1801,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding", "label")
     val dir = java.nio.file.Files.createTempDirectory("edrift").toString
     fixture.coalesce(1).write.parquet(s"$dir/embeddings.parquet")
-    val r = PipelineQueries.queries("sim_embed_drift")(spark, dir)
+    val r = SimQueries.queries("sim_embed_drift")(spark, dir)
       .collect()(0)
     assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
     assert(r.getAs[Long]("max_dmean_u") == 200000L)
@@ -1796,7 +1836,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(buckets(0L) == "train" && buckets(8L) == "test",
       "fixture ids must straddle at doc level for the test to bite")
-    val out = PipelineQueries.queries("t_cluster_split")(spark, dir)
+    val out = TextQueries.queries("t_cluster_split")(spark, dir)
       .collect()
       .map(r => r.getAs[String]("split") ->
         (r.getAs[Long]("n_docs"), r.getAs[Long]("n_clusters"),
@@ -1921,7 +1961,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     // fails THIS spec instead of silently leaving the headline pinned
     // off-curve. The dd_threshold_curve_capped df-cap spec is the
     // precedent for pinning a data assumption as a test.
-    val curve = PipelineQueries.queries("sim_dbscan_scaled_curve")(
+    val curve = SimQueries.queries("sim_dbscan_scaled_curve")(
         spark, "/root/testdata/sf0.001")
       .collect()
       .map(r => r.getAs[Int]("probes") -> r.getAs[Long]("recall_ppm"))

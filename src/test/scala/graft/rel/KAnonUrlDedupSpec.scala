@@ -1,8 +1,8 @@
 package graft.rel
 
-import graft.pipeline.PipelineQueries
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.{DedupQueries, TextQueries}
 
 /** Invariants of the r11 privacy/crawl additions, driven through the
   * REAL registered queries over a tiny fixture dir (not a copy of
@@ -61,7 +61,7 @@ class KAnonUrlDedupSpec extends AnyFunSuite {
   }
 
   test("dd_url_dedup: canonical-URL classes keep exactly min doc_id") {
-    val rows = PipelineQueries.queries("dd_url_dedup")(spark, dir)
+    val rows = DedupQueries.queries("dd_url_dedup")(spark, dir)
       .collect()
     val byId = rows.map(r => r.getAs[Long]("doc_id") ->
       (r.getAs[Long]("keeper_id"), r.getAs[Long]("class_size"),
@@ -87,7 +87,7 @@ class KAnonUrlDedupSpec extends AnyFunSuite {
 
   test("t_fim_split: cuts replay splitmix halves; middle_md5 is the " +
       "real extracted span") {
-    val out = PipelineQueries.queries("t_fim_split")(spark, dir)
+    val out = TextQueries.queries("t_fim_split")(spark, dir)
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
     Seq(0L, 21L, 7L, 1L).foreach { id =>
       val toks = s"doc $id body".split(' ')

@@ -1,7 +1,6 @@
 package graft.rel
 
 import graft.dedup.Dedup
-import graft.pipeline.PipelineQueries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -43,7 +42,7 @@ class SketchStatsSpec extends AnyFunSuite {
   }
 
   private def run(name: String, dir: String): DataFrame =
-    (LogAnalytics.queries ++ PipelineQueries.queries)(name)(spark, dir)
+    graft.SparkEntry.queries(name)(spark, dir)
 
   test("dd_kmv_overlap: exact small sets give the true Jaccard") {
     // 3-token docs produce exactly ONE shingle each; k=128 >> distinct,

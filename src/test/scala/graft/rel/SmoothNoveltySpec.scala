@@ -1,6 +1,5 @@
 package graft.rel
 
-import graft.pipeline.PipelineQueries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -32,7 +31,7 @@ class SmoothNoveltySpec extends AnyFunSuite {
   }
 
   private def run(name: String, dir: String): DataFrame =
-    (LogAnalytics.queries ++ PipelineQueries.queries)(name)(spark, dir)
+    graft.SparkEntry.queries(name)(spark, dir)
 
   test("ts_ewma: s1 = x1, st = (3s + x) div 4, exact integers") {
     // one event per day: 4.0, 0.0, 8.0 -> xu 40000, 0, 80000

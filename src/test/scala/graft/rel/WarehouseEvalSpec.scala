@@ -1,6 +1,5 @@
 package graft.rel
 
-import graft.pipeline.PipelineQueries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -53,8 +52,7 @@ class WarehouseEvalSpec extends AnyFunSuite {
   }
 
   private def run(name: String): DataFrame = {
-    val all = LogAnalytics.queries ++ RelQueries.queries ++
-      PipelineQueries.queries
+    val all = graft.SparkEntry.queries
     all(name)(spark, dir)
   }
 
