@@ -58,8 +58,25 @@ import org.apache.spark.sql.functions._
   * are committed in SCALE.md + target/adversarial_ann.json.
   */
 object AdversarialAnn {
+
+  /** r15 (r14 verdict #3): `capped-only` mode — run ONLY the stale
+    * arm WITH the per-cell occupancy cap, at whatever corpus the dir
+    * provides. This is the replay of the r14 first-hand kill (20k
+    * vectors, 73 GB through one reducer, dead at 45 min) with the
+    * structural bound in place:
+    *
+    *   sbt "runMain graft.AdversarialAnn /root/repo/target/sf1 capped-only"
+    *
+    * Done-criterion evidence: the previously-killed shape COMPLETES,
+    * per-key join input is measured ≤ cap (hash-split slack), and the
+    * capped results are bit-identical to the unsharded semantics (the
+    * grid shard is a partitioning of the same pair space). JSON lands
+    * in target/adversarial_ann_cap.json (sf0.1 default run) /
+    * target/adversarial_ann_cap20x.json (capped-only at 10×).
+    */
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cappedOnly = args.lift(1).contains("capped-only")
     val spark = graft.io.Tables.configure(SparkSession.builder()
         .master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
@@ -117,6 +134,75 @@ object AdversarialAnn {
       (occ.getLong(0), occ.getLong(1))
     }
     val (staleMax, staleSS) = cellStats(stale)
+
+    // r15 (r14 verdict #3): the per-cell occupancy cap, exercised on
+    // the SAME trap. Cap chosen to BIND on the stale layout — 4× the
+    // balanced occupancy, so a refit layout (max cell ≈ n/nlist·small
+    // skew) never shards while the stale hot cell must. The measured
+    // per-key bound below reruns the join's own shard rule (xxhash64
+    // mod nsh) over the real corpus occupancy and takes the max
+    // (cell, shard) key — the quantity one reducer task actually
+    // builds its side of the join from.
+    val capVal = math.max(64L, 4L * total / nlist).toInt
+    val staleAssigned = stale.assign(adv)
+    val overCap = Similarity.oversizedCells(staleAssigned, capVal)
+    val nshMax = if (overCap.isEmpty) 0 else overCap.values.max
+    val nshUdf = udf { (c: Int) => overCap.getOrElse(c, 1) }
+    val maxKeyRows = staleAssigned
+      .withColumn("nsh", nshUdf(col("cell")))
+      .withColumn("sb", pmod(xxhash64(col("vec_id")), col("nsh")))
+      .groupBy("cell", "sb").agg(count(lit(1)).as("rows"))
+      .agg(max("rows")).head().getLong(0)
+    assert(overCap.nonEmpty,
+      s"cap $capVal did not bind on the stale layout (max cell $staleMax)")
+    assert(maxKeyRows <= (capVal * 13L) / 10L,
+      s"sharded key exceeded cap+30% hash slack: $maxKeyRows > $capVal")
+
+    if (cappedOnly) {
+      // the r14 first-hand kill, replayed WITH the bound: stale arm
+      // only, cap binding, at whatever corpus size the dir provides
+      // (target/sf1 embeddings = the 20k shape that died at 45 min).
+      val (_, tIvfCap) = timed("ivfTopK stale+cap") {
+        Similarity.ivfTopK(stale, adv, k = 5, nprobe = 4,
+          cellCap = capVal).count()
+      }
+      def capJson(dbPart: String): String =
+        s"""{"corpus":$total,"clump":$clumpN,"nlist":$nlist,""" +
+          s""""cap":$capVal,"stale_max_cell":$staleMax,""" +
+          s""""nsh_max":$nshMax,"max_key_rows":$maxKeyRows,""" +
+          s""""ivf_capped_sec":$tIvfCap$dbPart,"sf":"$sfDir"}"""
+      val out = java.nio.file.Paths.get("target/adversarial_ann_cap20x.json")
+      // durable after the ivf leg — a wall-clock kill mid-dbscan keeps it
+      try java.nio.file.Files.write(out, capJson("").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+      // dbscan's timed action IS the clump-recovery aggregate (one
+      // pass — a second full pass at this size is the old 45-min bill)
+      var clumpNC = 0L
+      var clumpMX = 0L
+      val (_, tDbCap) = timed("dbscan stale+cap (clump recovery agg)") {
+        val row = Similarity.dbscan(stale, adv, minCosine = 0.3,
+            minPts = 2, probes = 4, cellCap = capVal)
+          .filter(col("vec_id") >= 10000000L && col("cluster") =!= -1L)
+          .groupBy("cluster").agg(count(lit(1)).as("k"))
+          .agg(count(lit(1)).as("nc"),
+            coalesce(max("k"), lit(0L)).as("mx")).head()
+        clumpNC = row.getLong(0); clumpMX = row.getLong(1)
+        clumpMX
+      }
+      // the stale layout holds the clump in ONE cell, so the capped
+      // eps-graph still sees the whole clique — recovery must be total
+      assert(clumpMX * 10 >= clumpN * 9,
+        s"clump not recovered under cap: largest $clumpMX of $clumpN")
+      val json = capJson(
+        s""","dbscan_capped_sec":$tDbCap,"clump_clusters":$clumpNC,""" +
+          s""""clump_largest":$clumpMX""")
+      println(json)
+      try java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+      spark.stop()
+      return
+    }
+
     val (refitMax, refitSS) = cellStats(refit)
 
     val (_, tIvfStale) = timed("ivfTopK stale quantizer") {
@@ -193,9 +279,49 @@ object AdversarialAnn {
     assert(clumpLargest * 10 >= clumpN * 9,
       s"clump not recovered: largest cluster $clumpLargest of $clumpN")
 
+    // r15 (r14 verdict #3): the capped stale arms, timed next to the
+    // uncapped trap arms above, plus BIT-IDENTITY of results — the
+    // grid shard partitions the same pair space, so capped output must
+    // equal unsharded output exactly (both directions of exceptAll).
+    val (_, tIvfCapArm) = timed("ivfTopK stale+cap") {
+      Similarity.ivfTopK(stale, adv, k = 5, nprobe = 4,
+        cellCap = capVal).count()
+    }
+    val ivfCapDiff = {
+      val capped = Similarity.ivfTopK(stale, adv, k = 5, nprobe = 4,
+        cellCap = capVal)
+      val un = Similarity.ivfTopK(stale, adv, k = 5, nprobe = 4,
+        cellCap = Int.MaxValue)
+      val d = capped.exceptAll(un).count() + un.exceptAll(capped).count()
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => protectedIds.contains(id) }
+        .values.foreach(_.unpersist(blocking = true))
+      d
+    }
+    val (_, tDbCapArm) = timed("dbscan stale+cap") {
+      Similarity.dbscan(stale, adv, minCosine = 0.3, minPts = 2,
+        probes = 4, cellCap = capVal).count()
+    }
+    val dbCapDiff = {
+      val capped = Similarity.dbscan(stale, adv, minCosine = 0.3,
+        minPts = 2, probes = 4, cellCap = capVal)
+      val un = Similarity.dbscan(stale, adv, minCosine = 0.3,
+        minPts = 2, probes = 4, cellCap = Int.MaxValue)
+      val d = capped.exceptAll(un).count() + un.exceptAll(capped).count()
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => protectedIds.contains(id) }
+        .values.foreach(_.unpersist(blocking = true))
+      d
+    }
+    assert(ivfCapDiff == 0,
+      s"capped ivfTopK diverged from unsharded semantics: $ivfCapDiff rows")
+    assert(dbCapDiff == 0,
+      s"capped dbscan diverged from unsharded semantics: $dbCapDiff rows")
+
     val json = s"""{"corpus":$total,"clump":$clumpN,"nlist":$nlist,""" +
       s""""stale":{"max_cell":$staleMax,"sum_sq_cells":$staleSS,"ivf_sec":$tIvfStale,"dbscan_sec":$tDbStale,"recall_ppm":$staleRecall},""" +
       s""""refit":{"max_cell":$refitMax,"sum_sq_cells":$refitSS,"ivf_sec":$tIvfRefit,"dbscan_sec":$tDbRefit,"recall_ppm":$refitRecall,"clump_clusters":$clumpClusters,"clump_largest":$clumpLargest},""" +
+      s""""cap":{"cap":$capVal,"nsh_max":$nshMax,"max_key_rows":$maxKeyRows,"ivf_capped_sec":$tIvfCapArm,"dbscan_capped_sec":$tDbCapArm,"identity_diff_rows":${ivfCapDiff + dbCapDiff}},""" +
       s""""sf":"$sfDir"}"""
     println(json)
     try java.nio.file.Files.write(

@@ -227,7 +227,59 @@ object Similarity {
     * index layout. Carries `label` when the input has one (margin
     * mining needs it; retrieval ignores it).
     */
-  final case class IvfIndex(quantizer: IvfQuantizer, assigned: DataFrame)
+  final case class IvfIndex(quantizer: IvfQuantizer, assigned: DataFrame) {
+    /** cell → shard count for cells above [[DefaultCellCap]], computed
+      * at most once per index (one narrow map-combined aggregate over
+      * the checkpointed assignment, ≤nlist result rows) and shared by
+      * every ivfTopK call against this index.
+      */
+    lazy val oversizedDefault: Map[Int, Int] =
+      oversizedCells(assigned, DefaultCellCap)
+  }
+
+  /** Per-cell occupancy cap for the cell-keyed joins (r14 verdict #3 —
+    * the IVF analog of minhashCandidates' maxBucket/star mode). The
+    * refit sampling rule keeps cells ≈ n/nlist while the quantizer is
+    * CURRENT, but between refits a hot mode lands on one stale center
+    * and the cell-keyed join sends the whole |cell|² product to ONE
+    * reducer — measured first-hand at 20k vectors: 73M rows ≈ 73 GB
+    * through a single task, 44 GB spill, killed at 45 min
+    * (AdversarialAnn scaladoc). On a cluster that is a dead executor.
+    *
+    * The structural bound: cells whose join-input occupancy exceeds
+    * `cellCap` are GRID-SHARDED — each side of the join is split into
+    * nsh = ⌈occ/cap⌉ deterministic hash shards, the left side
+    * replicated across the right's shard axis and vice versa, and the
+    * join key widens from (cell) to (cell, sa, sb). Every pair meets
+    * in exactly one (sa, sb) bucket, so the RESULT IS BIT-IDENTICAL to
+    * the unsharded join (no recall change, no oracle change) while
+    * per-task input drops from |cell| to ≈cap rows per side and the
+    * |cell|² product spreads over nsh² tasks. Replication cost is
+    * |cell|·nsh extra shuffled rows per side — zero for cells at or
+    * under the cap, which on a refit quantizer is all of them (the
+    * common path keeps the EXACT legacy single-key plan: the shard
+    * machinery engages only when an oversized cell exists).
+    *
+    * Honest limit: total within-cell work stays Σ|cell|² — the cap
+    * de-serializes the stage (no dead executor, AQE-sized tasks); it
+    * does not make a stale layout cheap. The refit rule remains the
+    * first-line defense; the cap is the between-refits safety net.
+    */
+  val DefaultCellCap: Int = 2048
+
+  /** cell → ⌈occupancy/cap⌉ for cells whose join-input rows exceed
+    * `cap`. Driver-side map is bounded by the number of OVERSIZED
+    * cells (≤ nlist, in practice a handful) — never data-sized.
+    */
+  private[graft] def oversizedCells(assigned: DataFrame, cap: Int): Map[Int, Int] = {
+    require(cap >= 1, s"cellCap out of range: $cap")
+    assigned.groupBy("cell").agg(count(lit(1)).as("k"))
+      .filter(col("k") > cap)
+      .select(col("cell").cast("int"), col("k"))
+      .collect()
+      .map(r => r.getInt(0) -> math.ceil(r.getLong(1).toDouble / cap).toInt)
+      .toMap
+  }
 
   /** Build the shared index: one assignment pass, eagerly
     * materialized. `nlist` guidance: ≈ √n — Σ|cell|² pair volume for
@@ -250,13 +302,27 @@ object Similarity {
     */
   def ivfTopK(quantizer: IvfQuantizer, embeddings: DataFrame, k: Int,
       nprobe: Int): DataFrame =
-    ivfTopK(buildIndex(quantizer, embeddings), k, nprobe)
+    ivfTopK(buildIndex(quantizer, embeddings), k, nprobe, DefaultCellCap)
+
+  /** Quantizer form with an explicit cell cap (overloads cannot share
+    * default arguments in Scala — the default lives on the
+    * self-contained form only).
+    */
+  def ivfTopK(quantizer: IvfQuantizer, embeddings: DataFrame, k: Int,
+      nprobe: Int, cellCap: Int): DataFrame =
+    ivfTopK(buildIndex(quantizer, embeddings), k, nprobe, cellCap)
 
   /** IVF top-k from a BUILT index: probes each query's `nprobe`
     * nearest cells, exact cosine re-ranks; the corpus-side inverted
-    * lists come from the index's materialized assignment.
+    * lists come from the index's materialized assignment. Cells above
+    * `cellCap` are grid-sharded (see [[DefaultCellCap]]) — identical
+    * results, bounded per-task join input.
     */
-  def ivfTopK(index: IvfIndex, k: Int, nprobe: Int): DataFrame = {
+  def ivfTopK(index: IvfIndex, k: Int, nprobe: Int): DataFrame =
+    ivfTopK(index, k, nprobe, DefaultCellCap)
+
+  def ivfTopK(index: IvfIndex, k: Int, nprobe: Int,
+      cellCap: Int): DataFrame = {
     val quantizer = index.quantizer
     val assigned = index.assigned.select("vec_id", "e", "cell")
     val probeUdf = udf { (e: Seq[Double]) =>
@@ -265,10 +331,33 @@ object Similarity {
     val queries = assigned
       .select(col("vec_id").as("query_id"), col("e").as("eq"),
         explode(probeUdf(col("e"))).as("cell"))
-    val cands = queries.join(
-        assigned.select(col("vec_id").as("cand_id"), col("e").as("ec"),
-          col("cell")),
-        Seq("cell"))
+    val corpus = assigned.select(col("vec_id").as("cand_id"),
+      col("e").as("ec"), col("cell"))
+    val over =
+      if (cellCap == DefaultCellCap) index.oversizedDefault
+      else oversizedCells(assigned, cellCap)
+    val joined =
+      if (over.isEmpty)
+        // the common (refit-quantizer) path: every cell is at or under
+        // the cap — keep the exact legacy single-key plan
+        queries.join(corpus, Seq("cell"))
+      else {
+        val nshUdf = udf { (cell: Int) => over.getOrElse(cell, 1) }
+        val q2 = queries
+          .withColumn("nsh", nshUdf(col("cell")))
+          .withColumn("sa",
+            pmod(xxhash64(col("query_id")), col("nsh")).cast("int"))
+          .withColumn("sb", explode(sequence(lit(0), col("nsh") - 1)))
+          .drop("nsh")
+        val c2 = corpus
+          .withColumn("nsh", nshUdf(col("cell")))
+          .withColumn("sb",
+            pmod(xxhash64(col("cand_id")), col("nsh")).cast("int"))
+          .withColumn("sa", explode(sequence(lit(0), col("nsh") - 1)))
+          .drop("nsh")
+        q2.join(c2, Seq("cell", "sa", "sb")).drop("sa", "sb")
+      }
+    val cands = joined
       .filter(col("query_id") =!= col("cand_id"))
       .dropDuplicates("query_id", "cand_id")
       .withColumn("cosine", cosineCol(col("eq"), col("ec")))
@@ -312,7 +401,8 @@ object Similarity {
     * paper-tuned minPts should subtract one.
     */
   def dbscan(quantizer: IvfQuantizer, embeddings: DataFrame,
-      minCosine: Double, minPts: Int, probes: Int = 1): DataFrame = {
+      minCosine: Double, minPts: Int, probes: Int = 1,
+      cellCap: Int = DefaultCellCap): DataFrame = {
     require(minPts >= 1, s"minPts out of range: $minPts")
     require(probes >= 1 && probes <= quantizer.centers.length,
       s"probes out of range: $probes")
@@ -338,10 +428,37 @@ object Similarity {
       col("e").as("ea"))
     val b = assigned.select(col("cell").as("cb"), col("vec_id").as("t"),
       col("e").as("eb"))
+    // per-cell occupancy cap (r14 verdict #3, see [[DefaultCellCap]]):
+    // occupancy here counts ASSIGNMENT rows (multi-probe replication
+    // included — that is the join's actual input); oversized cells
+    // grid-shard both sides so the eps self-join's |cell|² product
+    // spreads over nsh² tasks instead of serializing one reducer.
+    // Results are bit-identical — every (s,t) pair meets in exactly
+    // one (sa,sb) bucket — so the common small-cell path keeps the
+    // legacy single-key plan.
+    val over = oversizedCells(assigned, cellCap)
     // both directions of every in-cell eps-pair; feeds degree, the
     // core subgraph, AND border attachment — one materialization
-    val rawEdges = a
-      .join(b, col("cell") === col("cb") && col("s") =!= col("t"))
+    val joinedAB =
+      if (over.isEmpty)
+        a.join(b, col("cell") === col("cb") && col("s") =!= col("t"))
+      else {
+        val nshUdf = udf { (cell: Int) => over.getOrElse(cell, 1) }
+        val a2 = a
+          .withColumn("nsh", nshUdf(col("cell")))
+          .withColumn("sa", pmod(xxhash64(col("s")), col("nsh")).cast("int"))
+          .withColumn("sb_all", explode(sequence(lit(0), col("nsh") - 1)))
+          .drop("nsh")
+        val b2 = b
+          .withColumn("nsh", nshUdf(col("cb")))
+          .withColumn("sb", pmod(xxhash64(col("t")), col("nsh")).cast("int"))
+          .withColumn("sa_all", explode(sequence(lit(0), col("nsh") - 1)))
+          .drop("nsh")
+        a2.join(b2, col("cell") === col("cb") &&
+          col("sa") === col("sa_all") && col("sb_all") === col("sb") &&
+          col("s") =!= col("t"))
+      }
+    val rawEdges = joinedAB
       .filter(cosineCol(col("ea"), col("eb")) >= minCosine)
       .select("s", "t")
     // single-assign pairs are already unique — skip the dedup shuffle
@@ -439,7 +556,7 @@ object Similarity {
     * at 100 TB the cell-bounded form is the runnable one.
     */
   def crossSplitLeakage(embeddings: DataFrame, minCos: Double = 0.4,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4, cellCap: Int = DefaultCellCap): DataFrame = {
     val nlist = math.ceil(math.sqrt(embeddings.count().toDouble)).toInt
     val quant = hashSampledQuantizer(embeddings, nlist)
     val probeUdf = udf { (v: Seq[Double]) => quant.nearestCells(v, nprobe) }
@@ -449,11 +566,32 @@ object Similarity {
       .select(col("vec_id"), col("e"), col("side"),
         explode(probeUdf(col("e"))).as("cell"))
       .localCheckpoint(true)
+    // same per-cell occupancy cap as ivfTopK/dbscan (r14 verdict #3):
+    // the train×eval join is cell-keyed too, and a stale-layout hot
+    // cell would serialize it identically. Occupancy counted over BOTH
+    // halves (conservative — binds a little early, never late).
+    val over = oversizedCells(asg, cellCap)
     val tr = asg.filter(col("side") === 0)
       .select(col("cell"), col("vec_id").as("train_id"), col("e").as("et"))
     val ev = asg.filter(col("side") === 1)
       .select(col("cell"), col("vec_id").as("eval_id"), col("e").as("ee"))
-    val scored = tr.join(ev, "cell")
+    val joinedTE =
+      if (over.isEmpty) tr.join(ev, "cell")
+      else {
+        val nshUdf = udf { (cell: Int) => over.getOrElse(cell, 1) }
+        val t2 = tr.withColumn("nsh", nshUdf(col("cell")))
+          .withColumn("sa",
+            pmod(xxhash64(col("train_id")), col("nsh")).cast("int"))
+          .withColumn("sb", explode(sequence(lit(0), col("nsh") - 1)))
+          .drop("nsh")
+        val e2 = ev.withColumn("nsh", nshUdf(col("cell")))
+          .withColumn("sb",
+            pmod(xxhash64(col("eval_id")), col("nsh")).cast("int"))
+          .withColumn("sa", explode(sequence(lit(0), col("nsh") - 1)))
+          .drop("nsh")
+        t2.join(e2, Seq("cell", "sa", "sb")).drop("sa", "sb")
+      }
+    val scored = joinedTE
       .select(col("eval_id"), col("train_id"),
         cosineCol(col("et"), col("ee")).as("cos"))
       .distinct() // multi-probe co-cells; cos is bit-identical per pair
