@@ -32,8 +32,30 @@ trait QueryRegistry {
     reg(name) = (fn, None)
   }
 
+  private val anchors = mutable.LinkedHashMap.empty[String, String]
+
+  /** Declare a rows-only query whose payload is formally ANCHORED by a
+    * named golden twin (r14 verdict #7): the live-data row itself
+    * cannot be SQL-oracled (ANSI SQL cannot run the kernel on live
+    * data), but every projection it ships is replayed verbatim by
+    * `twin` — an oracle-checked query that runs the SAME production
+    * code over a committed golden fixture with independently computed
+    * expected rows. The declaration is validated at aggregation time
+    * ([[SparkEntry.goldenAnchored]]): the twin must exist and be
+    * oracle-checked, the live row must not be. The driver still
+    * records the live row as rows-only; the anchor makes the
+    * "documented-necessity" claim executable instead of prose.
+    */
+  protected def qGoldenAnchored(name: String, twin: String)(fn: Q): Unit = {
+    require(!reg.contains(name), s"duplicate query registration: $name")
+    reg(name) = (fn, None)
+    anchors(name) = twin
+  }
+
   def queries: Map[String, Q] = reg.map { case (k, (f, _)) => k -> f }.toMap
 
   def oracleSql: Map[String, String] =
     reg.collect { case (k, (_, Some(s))) => k -> s }.toMap
+
+  def goldenAnchors: Map[String, String] = anchors.toMap
 }

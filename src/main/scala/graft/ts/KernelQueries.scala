@@ -179,7 +179,7 @@ object KernelQueries extends QueryRegistry {
   // K3: DBEST change detection per user over the 6-hour composite
   // (seasonality 4 = daily cycle; series length stays in the
   // reference's monthly envelope across scale factors).
-  qNoOracle("k3_dbest_change") { (s, d) =>
+  qGoldenAnchored("k3_dbest_change", "k3_dbest_change_golden") { (s, d) =>
     val obs = TrendPipeline.eventsAsObservations(s, d)
     TrendPipeline.dbestChange(s, obs,
       TrendPipeline.DbestPipelineParams(
@@ -197,7 +197,7 @@ object KernelQueries extends QueryRegistry {
   // K3 multi-change point decode (`calculations/dbest.py:311-331`): all
   // top-N ranked changes per series, exploded — rank 1 reproduces the
   // k3_dbest_change row.
-  qNoOracle("k3_dbest_changes_all") { (s, d) =>
+  qGoldenAnchored("k3_dbest_changes_all", "k3_dbest_changes_all_golden") { (s, d) =>
     val obs = TrendPipeline.eventsAsObservations(s, d)
     TrendPipeline.dbestChangesAll(s, obs,
       TrendPipeline.DbestPipelineParams(
@@ -218,7 +218,7 @@ object KernelQueries extends QueryRegistry {
   // the driver's pandas canonicalizer sorts rows before hashing and
   // cannot sort numpy-array cells (r3 red entry); the engine API
   // (TrendPipeline.dbestPointDecode) stays array-typed.
-  qNoOracle("k3_dbest_point_decode") { (s, d) =>
+  qGoldenAnchored("k3_dbest_point_decode", "k3_dbest_point_decode_golden") { (s, d) =>
     val obs = TrendPipeline.eventsAsObservations(s, d)
     TrendPipeline.dbestPointDecode(s, obs,
       TrendPipeline.DbestPipelineParams(
@@ -505,7 +505,7 @@ object KernelQueries extends QueryRegistry {
   // series (fit / data / f_local "trend local change", decode slot 8 at
   // `calculations/dbest.py:385-394`), JSON-serialized for the driver's
   // relational compare.
-  qNoOracle("k4_dbest_generalization") { (s, d) =>
+  qGoldenAnchored("k4_dbest_generalization", "k4_dbest_golden") { (s, d) =>
     val obs = TrendPipeline.eventsAsObservations(s, d)
     TrendPipeline.dbestGeneralization(s, obs,
       TrendPipeline.DbestPipelineParams(
@@ -522,7 +522,7 @@ object KernelQueries extends QueryRegistry {
   }
 
   // K5: STL decomposition components, exploded one row per bucket.
-  qNoOracle("k5_stl_components") { (s, d) =>
+  qGoldenAnchored("k5_stl_components", "k5_stl_components_golden") { (s, d) =>
     val obs = TrendPipeline.eventsAsObservations(s, d)
     TrendPipeline.stlComponents(s, obs, period = 4,
       composite = TrendPipeline.timeBucketComposite(_, 21600))
