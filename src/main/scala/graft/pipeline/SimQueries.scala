@@ -1769,12 +1769,17 @@ object SimQueries extends QueryRegistry {
   }) { (s, d) =>
     val e = embs(s, d)
     val quant = Similarity.hashSampledQuantizer(e, nlist = 16)
+    // ONE shared index across the four probe arms (r15): the per-arm
+    // quantizer form rebuilt the assignment — and, since the cell-cap
+    // landed, re-ran the occupancy aggregate — four times for four
+    // probe budgets over the SAME corpus layout
+    val index = Similarity.buildIndex(quant, e)
     val brute = Similarity.bruteForceTopK(e.filter(col("vec_id") < 20),
         e, k = 5)
       .select("query_id", "cand_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val arms = Seq(1, 2, 4, 8).map { p =>
-      val ivf = Similarity.ivfTopK(quant, e, k = 5, nprobe = p)
+      val ivf = Similarity.ivfTopK(index, k = 5, nprobe = p)
         .filter(col("query_id") < 20)
         .select(col("query_id"), col("cand_id"), lit(1L).as("hit"))
       brute.join(ivf, Seq("query_id", "cand_id"), "left")
@@ -1828,12 +1833,15 @@ object SimQueries extends QueryRegistry {
     import s.implicits._
     val e = embs(s, d)
     val quant = Similarity.hashSampledQuantizer(e, nlist = 16)
+    // one shared index across the probe arms (r15 — same reuse as
+    // sim_ivf_probe_curve)
+    val index = Similarity.buildIndex(quant, e)
     val brute = Similarity.bruteForceTopK(e.filter(col("vec_id") < 20),
         e, k = 5)
       .select("query_id", "cand_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val curve: Seq[(Int, Long)] = Seq(1, 2, 4, 8).map { p =>
-      val ivf = Similarity.ivfTopK(quant, e, k = 5, nprobe = p)
+      val ivf = Similarity.ivfTopK(index, k = 5, nprobe = p)
         .filter(col("query_id") < 20)
         .select(col("query_id"), col("cand_id"), lit(1L).as("hit"))
       val r = brute.join(ivf, Seq("query_id", "cand_id"), "left")

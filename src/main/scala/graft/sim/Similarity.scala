@@ -264,8 +264,17 @@ object Similarity {
     * de-serializes the stage (no dead executor, AQE-sized tasks); it
     * does not make a stale layout cheap. The refit rule remains the
     * first-line defense; the cap is the between-refits safety net.
+    *
+    * Default sizing (measured, r15): 4096 bounds per-task pairs at
+    * ≈16.8M — seconds of cosine work at embedding dims — while NOT
+    * binding on the suite's deliberate pinned-16 quantizer baselines
+    * at sf1 (mean cell ≈2.5k rows): a first cut at 2048 engaged the
+    * shard path on sim_dbscan_p2/sim_mmr_ivf@sf1 and cost them
+    * 1.47–1.54× (isolated A/B) for protection those benign rows do
+    * not need. A genuinely hot cell (the 8.7k-row stale-arm clump,
+    * any production mode collapse) still shards.
     */
-  val DefaultCellCap: Int = 2048
+  val DefaultCellCap: Int = 4096
 
   /** cell → ⌈occupancy/cap⌉ for cells whose join-input rows exceed
     * `cap`. Driver-side map is bounded by the number of OVERSIZED
