@@ -651,6 +651,37 @@ object Bench {
     * same conditions as a manual tools/bench_attrib.sh run.
     */
   private def childIsolate(name: String, sf: String): Option[Double] =
+    parseNum("warm", childIsolateRaw(name, sf))
+
+  /** Pull a numeric field out of a child's one-line JSON output. */
+  private[graft] def parseNum(field: String, out: String): Option[Double] =
+    ("\"" + field + "\":(-?[0-9][0-9.eE+-]*)").r
+      .findFirstMatchIn(out).map(_.group(1).toDouble)
+
+  /** Verdict record for a failed row's fresh-child retry (r15 — the
+    * closing sweep's `g_suite_on_view` OOM'd late in the shared 8 GiB
+    * sf1 block but ran clean isolated at the same tip, and that
+    * adjudication lived in prose + a side jsonl; now the artifact
+    * carries it). Classes: `isolated-pass` — the child completed, so
+    * the shared-sweep failure was resource pressure, not code (the
+    * child's cold/warm/load ride along); `isolated-failure` — the
+    * child failed too: real breakage; `no-verdict` — the child gave
+    * no usable output (spawn failure or the 10-min cap killed it).
+    */
+  private[graft] def failedRetryRecord(raw: String): String =
+    parseNum("warm", raw) match {
+      case Some(w) =>
+        val cold = parseNum("cold", raw).getOrElse(-1.0)
+        val load = parseNum("load", raw).getOrElse(-1.0)
+        s"""{"class":"isolated-pass","cold":$cold,"warm":$w,"load":$load}"""
+      case None if raw.contains("\"error\":") =>
+        val err = """"error":"([^"]*)"""".r.findFirstMatchIn(raw)
+          .map(_.group(1)).getOrElse("")
+        s"""{"class":"isolated-failure","error":"$err"}"""
+      case None => """{"class":"no-verdict"}"""
+    }
+
+  private def childIsolateRaw(name: String, sf: String): String =
     try {
       import scala.jdk.CollectionConverters._
       val javaBin = new java.io.File(new java.io.File(
@@ -685,11 +716,10 @@ object Bench {
         java.nio.file.Files.write(java.nio.file.Paths.get(
           s"target/attrib/auto_${name}_$sf.json"), out.getBytes("UTF-8"))
       } catch { case _: Throwable => () }
-      """"warm":(-?[0-9][0-9.eE+-]*)""".r.findFirstMatchIn(out)
-        .map(_.group(1).toDouble)
+      out
     } catch { case e: Throwable =>
       System.err.println(s"[bench] child isolate $name@$sf failed: ${e.getMessage}")
-      None
+      ""
     }
 
   def main(args: Array[String]): Unit = {
@@ -704,6 +734,14 @@ object Bench {
     val headline = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(f => this.headline.filter(f.split(',').toSet))
       .getOrElse(this.headline)
+    // dev-only failure injection (the FORCE_RERUN convention applied
+    // to the r15 failed-row retry path): named sf0.1 rows record a
+    // failure without running, so the retry machinery can be
+    // exercised end-to-end at any scale without waiting for a real
+    // late-sweep OOM. Never set by the driver; fake-fail retries
+    // never touch the ledger.
+    val fakeFail = sys.env.get("SPARK_GRAFT_FAKE_FAIL").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty).toSet
     val spark = graft.io.Tables.configure(SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
@@ -821,6 +859,10 @@ object Bench {
           .toSeq.sorted
       }
     val rerun = scala.collection.mutable.Map.empty[String, Double]
+    // name@sf -> failedRetryRecord verdict JSON for rows that failed
+    // in the shared sweep and were retried in a fresh child (r15)
+    val retryVerdicts =
+      scala.collection.mutable.LinkedHashMap.empty[String, String]
     def ledgerNote(n: String, sf: String, p: Double): String =
       classifySuspect(rerun.get(s"$n@$sf"),
         ledger.get(s"$n@$sf"), tip, p, ownedChanged(n))
@@ -867,6 +909,7 @@ object Bench {
       loadAt(name) = loadAvg()
       val fn = SparkEntry.queries(name)
       def once(): Double = {
+        if (fakeFail.contains(name)) return -1.0
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
         catch { case e: Throwable =>
@@ -917,7 +960,8 @@ object Bench {
     // sf1 block implemented this before)
     val qs = adjusted.collect { case (k, v) if v >= 0 =>
       "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val failed = adjusted.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val failed01 = adjusted.collect { case (k, v) if v < 0 => k }
+    val failed = failed01.map("\"" + _ + "\"")
     val total = adjusted.map(_._2).filter(_ >= 0).sum
     // the headline list grows each round, so "value" is not comparable
     // across rounds; this is the sum over the frozen r2-era 23 names
@@ -952,7 +996,13 @@ object Bench {
         suspectRows(sf1Now, prevSf1, "sf1")).mkString("[", ",", "]")
       val loadQs = loadAt.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","tip":"$tip","round":$round,"cold_total":$coldTotal,"comparable_r2_total":$comparable,"queries":$qs,"cold_queries":$coldQs,"load_queries":$loadQs,"failed":${failed.mkString("[", ",", "]")},"warm_gt_cold":${wgcJson(wgc01)},"suspects":$sus,"sf":"$sfDir","notes":"$benchNotes"$sf1Part}"""
+      // failed-row retry verdicts (r15): rendered at call time, so the
+      // final artifact write after the retry loop picks them up
+      val retryPart =
+        if (retryVerdicts.isEmpty) ""
+        else retryVerdicts.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString(""","failed_retry":{""", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","tip":"$tip","round":$round,"cold_total":$coldTotal,"comparable_r2_total":$comparable,"queries":$qs,"cold_queries":$coldQs,"load_queries":$loadQs,"failed":${failed.mkString("[", ",", "]")},"warm_gt_cold":${wgcJson(wgc01)}$retryPart,"suspects":$sus,"sf":"$sfDir","notes":"$benchNotes"$sf1Part}"""
     }
     // r11 lesson, codified: the sf1 block once OOM'd the JVM (exit 52)
     // and the artifact — queued to be written only at the very end —
@@ -1027,6 +1077,17 @@ object Bench {
           // durable BEFORE the row starts: a wall-clock kill mid-query
           // loses only the in-flight row, and names it
           writeArtifact(artifactJson(sf1Json(Some(name)), sf1WarmRows))
+          // late-sweep memory hygiene (r15 — the closing sweep's
+          // g_suite_on_view hit UNABLE_TO_ACQUIRE_MEMORY 50+ min into
+          // the shared 8 GiB JVM yet ran clean isolated at the same
+          // tip): dropLeftoverBlocks unpersists ASYNC and
+          // ContextCleaner's broadcast/shuffle cleanup rides GC
+          // reference processing, so a long sweep accumulates dead
+          // blocks that contend with the next row's execution memory.
+          // One explicit GC before each row's COLD pass drains the
+          // backlog (~0.1 s against multi-second sf1 rows); never
+          // between warm reps — per-row methodology is unchanged.
+          System.gc()
           sf1Loads(name) = loadAvg()
           val fn = SparkEntry.queries(name)
           def once(): Double = {
@@ -1098,7 +1159,7 @@ object Bench {
     val forced = sys.env.get("SPARK_GRAFT_FORCE_RERUN").toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.contains("@"))
       .map { f => val (n, s) = f.span(_ != '@'); (n, s.drop(1), 0.0, 0.0) }
-    if (canSpawn || forced.nonEmpty) {
+    if (canSpawn || forced.nonEmpty || fakeFail.nonEmpty) {
       val pending =
         (if (canSpawn)
           childPriority((suspectData(adjusted, prev01, "sf0.1") ++
@@ -1125,6 +1186,37 @@ object Bench {
             seededKeys += s"$n@$sf"
         }
       }
+      // r15: FAILED rows self-adjudicate too — the r15 closing sweep's
+      // g_suite_on_view OOM'd late in the shared 8 GiB sf1 block yet
+      // ran clean isolated at the same tip, and that verdict lived
+      // only in prose + a side jsonl. Each failed row (either scale)
+      // now retries ONCE in a fresh child JVM here, after the parent
+      // context stopped — the same single-tenant conditions as a
+      // suspect child — and the artifact carries the verdict in
+      // "failed_retry" (isolated-pass / isolated-failure / no-verdict).
+      // The name STAYS in the block's "failed" list: the shared-sweep
+      // failure happened and the queries map holds no number for it;
+      // the retry adjudicates cause, it does not substitute a row.
+      // Capped at 4 children: failures are rare (zero in most rounds)
+      // and each child is bounded by the 10-min cap.
+      val failedRows: Seq[(String, String)] =
+        failed01.map((_, "sf0.1")) ++
+          acc.collect { case (n, cd, wm) if cd < 0 || wm < 0 =>
+            (n, "sf1") }.toSeq
+      if (canSpawn || fakeFail.nonEmpty)
+        for ((n, sf) <- failedRows.take(4)) {
+          System.err.println(
+            s"[bench] retrying failed row $n@$sf in a fresh child JVM")
+          val raw = childIsolateRaw(n, sf)
+          retryVerdicts(s"$n@$sf") = failedRetryRecord(raw)
+          // a completed retry is a genuine same-tip isolated
+          // measurement (the ledger-backfill protocol) — stamp it so
+          // next round's sweep adjudicates this row from the ledger.
+          // Official runs only: a fake-fail dev exercise may run at
+          // any scale and must not write mislabeled ledger entries.
+          if (canSpawn)
+            parseNum("warm", raw).foreach(w => rerun(s"$n@$sf") = w)
+        }
       // forced (dev) reruns never touch the committed ledger — they
       // may run at any scale/label and would write mislabeled entries
       // (r13 self-review); only sweep-selected suspects persist
@@ -1138,7 +1230,12 @@ object Bench {
     val json = artifactJson(sf1, sf1WarmRows)
     println(json)
     writeArtifact(json)
-    if (failed.nonEmpty) sys.exit(2)
+    // exit 2 only for sf0.1 failures the retry could not absolve: an
+    // isolated-pass verdict means the code runs (shared-sweep resource
+    // pressure), and the artifact already names the row in "failed"
+    // with its verdict in "failed_retry"
+    if (failed01.exists(n => !retryVerdicts.get(s"$n@sf0.1")
+        .exists(_.contains("\"isolated-pass\"")))) sys.exit(2)
   }
 
   /** Child-rerun selection from the unadjudicated suspect pool (r14
@@ -1302,5 +1399,5 @@ object Bench {
   // was JVM co-tenancy from the 14 added bench queries (JIT/code
   // cache/GC state shared across the run), not a code regression
   // (A/B n=3-min at sf0.1, 2026-08-13).
-  private val benchNotes = "r15 notes: (0) ROTATION: three never-benched st_ twins join the headline (st_click_attribution / st_bloom_decontam / st_k_anon — per-user ordered attribution state, broadcast-bloom map-only gate, chained QI-bounded aggregations; first rows are NEW, not movers; sf0.1-only this round per the measure-the-shape-first convention). (1) LEDGER BACKFILL (r14 verdict #1): tools/isolated_ledger.json now carries a fresh-JVM isolated baseline for EVERY headline row above the suspect floor (173 rows backfilled at the clean r15 base tip cfbf825 via tools/ledger_backfill.sh — raw lines in target/attrib/r15_ledger_backfill.jsonl), so suspects self-adjudicate from the ledger even in rounds that touch wide-ownership files where the git leg is correctly useless (r14 shipped 11 needs-attribution rows for exactly this gap). (2) CHILD BUDGET: scales to 8 (was 3) and orders by SECONDS AT STAKE (now-prev, largest first) instead of class-then-ratio — the r14 children went to 0.86/1.35/3.9s rows while 17s and 16s movers shipped unexamined. (3) PER-ROW EXTERNAL LOAD (r14 verdict #4): 1-min /proc/loadavg sampled before each query's warm reps, shipped as load_queries in both blocks and load in isolated-mode lines — the r14 sweep ran under a co-tenant harness (55 min vs r13's 39) and the only record was prose; a reader can now discount rows measured under external load from the artifact alone. (4) the three r14 seeded ledger entries (t_temp_mix@sf0.1, sim_embed_drift@sf1, sim_mmr_ivf@sf1) cleared via the prev-tip worktree A/B protocol (alternating fresh JVMs, 5b49537 vs cfbf825: parity all three, raw in target/attrib/r15_seeded_ab.jsonl) — flags removed, values re-stamped round 15. (5) IVF PER-CELL OCCUPANCY CAP (r14 verdict #3): ivfTopK/dbscan/crossSplitLeakage cell joins grid-shard cells above cellCap=4096 (bit-identical results, per-task input bounded — Similarity.DefaultCellCap scaladoc; a first cut at 2048 bound on the pinned-16 sf1 baselines at 1.47-1.54x measured cost and was re-sized from that A/B, ATTRIBUTION_r15 par.6); no default-path plan change on refit-quantizer corpora. sim_ivf_probe_curve/sim_auto_nprobe now build ONE shared IVF index across their four probe arms (was four assignment passes) — parity at sf0.1 by alternating prev-tip A/B, 15.66->5.82s isolated at sf1: an improvement, not a mover. History — r14 notes: (1) CODE-UNCHANGED ABSOLUTION (r13 verdict #1 — the last reason a judge rerun existed): the artifact now records its own measurement tip, and every suspect first intersects `git diff --name-only <prev-artifact-tip>` (plus untracked files) with the query's owned source paths (registry-membership-derived, deliberately over-inclusive; global deps: build.sbt, io/, functions/, model/, Guards, QueryRegistry, SparkEntry, GenScale). No owned file changed -> class context-code-unchanged, FINAL, no child JVM spent — settling exactly the six rows that shipped needs-attribution in r13. Rows that DO name changed files carry them in changed_files so the artifact says why it could not self-absolve. (2) SCALE-AWARE SUSPECT FLOOR + WARM>COLD GUARD (r13 verdict #2): sf1 suspects now require BOTH endpoints >= 2.0s (every r13 sub-2s sf1 suspect was shared-block noise on untouched code; sf0.1 keeps 0.2s) with a RELATIVE escape hatch so the floor can't hide a big regression on a small row (>=3x landing at >=1s is flagged even below the floor — the verdict's 'or a relative band'), and any row whose warm exceeds its own cold (physically backwards — co-tenancy-destroyed warm reps, the t_dsir_weights@sf1 59.45-vs-12.11 case) ships min(cold,warm) in the queries map with its original warm in the block's warm_gt_cold annotation. (3) LEDGER ROUND/DATE STAMPS + SEEDED FLAG (r13 verdict #5 + ADVICE): ledger entries now record the round and date they were measured (existing entries back-stamped from their tips); the child-budget priority is possible-regressions first, then refresh of >=2-round-stale entries a context absolution would lean on; entries seeded by a no-isolated-baseline rerun carry seeded:true and issue only provisional context-seeded absolutions (excluded from further child reruns — only a prev-tip worktree A/B can settle provenance and clear the flag). History — r13 notes: (1) SELF-ADJUDICATING SUSPECTS (r12 verdict #1 — two rounds running, the official artifact's 2-8x shared-run movers needed an out-of-band judge rerun to be absolved): every suspects row now carries its committed isolated-truth ledger value (tools/isolated_ledger.json: name@sf -> fresh-single-query-JVM warm + the git tip it was measured at; seeded from the r12 judge/ATTRIBUTION_r12 isolation runs) and an auto-classification — context (the isolated truth is NOT itself a >=1.5x mover vs the previous artifact: co-tenancy inflation or a previously-deflated baseline, not code), needs-attribution (no current isolated baseline), or regression/context from a FRESH rerun: after the sweep the parent SparkContext stops and the worst <=3 unadjudicated suspects rerun in sequential fresh child JVMs (the new SPARK_GRAFT_ISOLATE=name@sf single-query mode — same protocol as tools/bench_attrib.sh), their measured warm folded into the FINAL artifact and auto-merged into the ledger. Official sf0.1 runs only; SPARK_GRAFT_NO_RERUN=1 skips. Refinements from the r13 self-review: a ledger absolution is FINAL only when its recorded tip equals the current tip — older entries still classify (labeled context-stale-ledger) but stay child-rerun-eligible, so a regression introduced after the measurement cannot hide behind a stale baseline; fresh child verdicts compare against the LEDGER's isolated value when one exists (the previous SHARED value can be page-cache-deflated — the r12 g_lpa direction — and would otherwise produce false regression calls); forced dev reruns (SPARK_GRAFT_FORCE_RERUN) never write the ledger. (2) r12-ADVICE fixes: failed sf0.1 rows no longer write a -1.0 sentinel into the top-level queries map (name lands in failed, matching the sf1 block), and suspects require BOTH endpoints >= 0.2s. (3) two more streaming twins benched (st_session_window, st_psi_drift — STATEFUL-heavier probes of the constant-~1s AvailableNow-overhead hypothesis than r12's pair; session state and the day-by-bucket PSI grid grow with data). (4) new headline rows mm_byte_triage_agg + mm_format_sniff: read the mm_byte_triage/mm_byte_triage_agg PAIR as the explode-vs-bounded-aggregate price (r12 verdict #4) and mm_format_sniff as triage + one broadcast prefix join (verdict #5). mm_byte_triage itself is benched for the FIRST time this round (added after the committed r12 artifact) — its row is new, not a mover. (5) sim_split_leakage's sf1 row lands in the default sweep this round (the r12 sf1Needs edit misfired and was fixed post-run; RegistrySpec now asserts every bench name resolves). (6) late-r13: g_khop drops to ~0.7x its prior cost BY CODE — kHopReachOnView is frontier BFS now (per-hop distinct input falls from edges-sized to frontier-degree-sized; values identical, alternating fresh-JVM A/B in target/attrib/r13_khop_frontier_ab.json: warm 11.4-12.9 -> 7.5-10.3s) — an improvement, not a mover; ledger refreshed at the rewrite tip. Three more never-benched st_ twins rotate in (st_incremental_neardup / st_outer_join / st_frequent_ngrams — MinHash band state, stream-stream join state, vocabulary-sized complete-mode state; first two also at sf1), so their first rows are new, not movers; st_countmin_sketch joins as the BOUNDED-state counterpoint (sf0.1+sf1). (7) classifier refinement from this round's first self-adjudicating sweep: a child rerun with NO ledger entry now reports class no-isolated-baseline instead of regression/context — the fresh-isolated-vs-prev-SHARED comparison mislabeled three deflated baselines as regressions (sim_ivf_recall 0.63 shared prev vs 1.24 isolated at the SAME prev tip; prev-tip worktree evidence in ATTRIBUTION_r13 §8, raw JSONs target/attrib/r13_suspect_ab.json); the measured value still seeds the ledger so the NEXT sweep adjudicates finally. History — r12 notes: (1) SUITE REFIT TO THE DRIVER WINDOW (r11 verdict #1 — BENCH_r11 died rc=124 mid-sf1): the two declared-quadratic evidence rows (sim_dbscan_pinned16, uncapped dd_ngram_containment — ~10 min of the sf1 block across 3-4 executions each) moved behind SPARK_GRAFT_EVIDENCE=1 and out of the default sf1 sweep (their sf0.1 headline rows remain; their isolated sf1 evidence is committed in SCALE.md: 95.8s-vs-15.9s pinned16, 112s uncapped planner join), warm reps drop to 2 (sf0.1) / 1 (sf1) for queries whose cold run exceeds 10s, and every completed sf1 row now rewrites target/bench_full.json the moment it lands with the in-flight row named in sf1.running — a timeout kill can no longer erase completed rows or hide WHERE it struck. (2) failed runs no longer write a -1.0 sentinel into any queries map — the name goes in the block's failed list (r11 verdict #4 minor). (3) round-over-round attribution is now IN the artifact: suspects lists every >=1.5x warm mover vs the previous committed artifact (>=0.2s floor — sub-0.2s rows move 2.4-2.5x on shared-JVM co-tenancy alone; r11 verdict #6), so the attribution pass starts from the artifact. (4) NOT COMPARABLE r11->r12 for >10s-cold rows: their warm figure is now min-of-2 at sf0.1 / the single warm rep at sf1 — expect small upward noise on multi-second rows, which suspects absorbs via the 1.5x threshold. (5) two st_ streaming twins benched for the first time (st_incremental_dedup, st_embed_drift — read against dd_incremental / sim_embed_drift for the AvailableNow micro-batch overhead; r11 verdict #7) plus three new sampled-pool rows (sim_dbscan_sampled_recall, sim_kcenter_sampled, dd_minhash_recall_sampled — the md5-threshold sample makes the exact audit side (pct·n)^2, the first measured-recall rows executable at ANY scale; r11 verdicts #4/#5). (6) la_rfm_approx rises to its honest per-call cost this round — PersistLeakAuditSpec (new, verdict #8) caught its interval-table persist leaking across repetitions (the g_triangles class); isolated A/B 0.91s leaky vs 1.21s honest at sf0.1, pre-declared in ATTRIBUTION_r12.md. (7) g_lpa@sf1 attributed (verdict #2): HEAD 12.73s vs r10-tip 13.52s in fresh-JVM isolation — no regression; the r10 artifact's 8.30s was page-cache/JIT DEflation in the shared run (the inverse co-tenancy direction; multi-second lineitem-scan rows can read low when they run late in the big sweep). History — r11 notes: (1) ATTRIBUTION CLOSED (see ATTRIBUTION_r11.md, raw JSONs target/attrib/, tools/bench_attrib.sh): every r10 >=1.5x round-over-round query rerun in fresh single-query JVMs at HEAD vs the r9 tip under identical conditions — la_bh_fdr/la_cuped/ts_theil_sen/ts_chow_test/dd_threshold_curve_capped/g_pagerank@sf1 are at parity or FASTER than r9 (the 2.4-2.5x bench inflation was 105-query 8-GiB shared-JVM co-tenancy, the r6 lesson at r10 scale); mm_frame_overlap/dd_threshold_curve/dd_minhash_recall/sim_ivf_probe_curve run 1.19-1.27x r9 isolated BY DESIGN — their r9 versions leaked session-lifetime persists that CacheManager silently reused across min-of-3 (r9 timed a warm cache no production call sees); a SPARK_GRAFT_KEEP_BLOCKS=1 A/B shows the between-query hygiene share is only 0.01-0.35s, the rest is the eliminated leak. Zero real regressions; the five r10 weak flags clear. (2) per-query COLD times now durable next to warm (cold_queries at sf0.1 + sf1) so accounting-vs-regression reads from the artifact alone. (3) sim_dbscan default moved to the curve-picked p=4 (r10 verdict #2) AND the corpus-sized nlist=ceil(sqrt(n)) quantizer — NOT comparable to r10's p=1/pinned-16 rows; sim_dbscan_p1 keeps the old probe point, sim_dbscan_pinned16 keeps the pinned quantizer as the measured quadratic-trap evidence (95.8s vs 15.9s at sf1), and sim_dbscan_p2/sim_dbscan_auto complete the curve. (4) g_suite_on_view now contains triangles + local clustering on the shared view (5 ops, 5th arm 'tri') — compare against the 5-op standalone sum, not r10's 4-op row. (5) late-r11: the suite's tri+lcc arms now share ONE corner enumeration, and the shared intermediate is the NODE-sized per-node corner-count table streamed straight out of the corner pass (a first cut checkpointed the raw triangle-sized (x,v,w) corner set, whose GB-scale blocks OOM'd the shared bench JVM's sf1 block — corner counts carry everything both consumers need, n_triangles = sum(t) div 3); AND triangleSummary/triangleCountFromOriented's session-lifetime persist leak is fixed, which RAISES g_triangles to its honest per-call cost (isolated sf0.1 2.6 -> 6.6s, sf1 10.9 -> 21.4s): the old min-of-3 was reusing the leaked cached oriented table across repetitions via CacheManager plan-dedup — the same leak->honest conversion ATTRIBUTION_r11.md documents for mm_frame_overlap et al. With honest triangles the 5-op suite beats the 5-op standalone sum at both scales (corner-set-cut evidence: 18.5/83.9s vs ~27/~93s; this artifact's own suite rows are the corner-count numbers). (6) the committed target/bench_full.json (129 sf0.1 + 48 sf1 rows, zero failures) was generated before the last late-r11 entries landed (sim_pq_distortion and the st_* twins, which are never benched) - the driver's BENCH_r11 run covers the full headline; isolated sf0.1 sanity for the stragglers: t_ccnet_buckets 1.04s, dq_benford 0.42s, sim_pq_distortion 0.34s. History: r10 bench-context absolutions documented in ATTRIBUTION_r11.md; r7's 5 suspect regressions absolved by r8 min-of-3; BENCH_r07 was a crashed-JVM artifact"
+  private val benchNotes = "r15 notes: (0) ROTATION: three never-benched st_ twins join the headline (st_click_attribution / st_bloom_decontam / st_k_anon — per-user ordered attribution state, broadcast-bloom map-only gate, chained QI-bounded aggregations; first rows are NEW, not movers; sf0.1-only this round per the measure-the-shape-first convention). (1) LEDGER BACKFILL (r14 verdict #1): tools/isolated_ledger.json now carries a fresh-JVM isolated baseline for EVERY headline row above the suspect floor (173 rows backfilled at the clean r15 base tip cfbf825 via tools/ledger_backfill.sh — raw lines in target/attrib/r15_ledger_backfill.jsonl), so suspects self-adjudicate from the ledger even in rounds that touch wide-ownership files where the git leg is correctly useless (r14 shipped 11 needs-attribution rows for exactly this gap). (2) CHILD BUDGET: scales to 8 (was 3) and orders by SECONDS AT STAKE (now-prev, largest first) instead of class-then-ratio — the r14 children went to 0.86/1.35/3.9s rows while 17s and 16s movers shipped unexamined. (3) PER-ROW EXTERNAL LOAD (r14 verdict #4): 1-min /proc/loadavg sampled before each query's warm reps, shipped as load_queries in both blocks and load in isolated-mode lines — the r14 sweep ran under a co-tenant harness (55 min vs r13's 39) and the only record was prose; a reader can now discount rows measured under external load from the artifact alone. (4) the three r14 seeded ledger entries (t_temp_mix@sf0.1, sim_embed_drift@sf1, sim_mmr_ivf@sf1) cleared via the prev-tip worktree A/B protocol (alternating fresh JVMs, 5b49537 vs cfbf825: parity all three, raw in target/attrib/r15_seeded_ab.jsonl) — flags removed, values re-stamped round 15. (5) IVF PER-CELL OCCUPANCY CAP (r14 verdict #3): ivfTopK/dbscan/crossSplitLeakage cell joins grid-shard cells above cellCap=4096 (bit-identical results, per-task input bounded — Similarity.DefaultCellCap scaladoc; a first cut at 2048 bound on the pinned-16 sf1 baselines at 1.47-1.54x measured cost and was re-sized from that A/B, ATTRIBUTION_r15 par.6); no default-path plan change on refit-quantizer corpora. sim_ivf_probe_curve/sim_auto_nprobe now build ONE shared IVF index across their four probe arms (was four assignment passes) — parity at sf0.1 by alternating prev-tip A/B, 15.66->5.82s isolated at sf1: an improvement, not a mover. (6) FAILED ROWS SELF-ADJUDICATE (late r15 — the closing sweep's g_suite_on_view OOM'd in the shared 8 GiB sf1 block yet ran clean isolated at the same tip, and that verdict lived only in prose): each failed row now retries ONCE in a fresh child JVM after the parent context stops; the artifact's failed_retry object carries the verdict per name@sf (isolated-pass = shared-sweep resource pressure, not code, with the child's cold/warm/load; isolated-failure = real breakage; no-verdict = child spawn/10-min kill), the name STAYS in failed (the retry adjudicates cause, it does not substitute a row), a completed retry re-stamps the ledger, and exit code 2 is reserved for sf0.1 failures the retry could not absolve. History — r14 notes: (1) CODE-UNCHANGED ABSOLUTION (r13 verdict #1 — the last reason a judge rerun existed): the artifact now records its own measurement tip, and every suspect first intersects `git diff --name-only <prev-artifact-tip>` (plus untracked files) with the query's owned source paths (registry-membership-derived, deliberately over-inclusive; global deps: build.sbt, io/, functions/, model/, Guards, QueryRegistry, SparkEntry, GenScale). No owned file changed -> class context-code-unchanged, FINAL, no child JVM spent — settling exactly the six rows that shipped needs-attribution in r13. Rows that DO name changed files carry them in changed_files so the artifact says why it could not self-absolve. (2) SCALE-AWARE SUSPECT FLOOR + WARM>COLD GUARD (r13 verdict #2): sf1 suspects now require BOTH endpoints >= 2.0s (every r13 sub-2s sf1 suspect was shared-block noise on untouched code; sf0.1 keeps 0.2s) with a RELATIVE escape hatch so the floor can't hide a big regression on a small row (>=3x landing at >=1s is flagged even below the floor — the verdict's 'or a relative band'), and any row whose warm exceeds its own cold (physically backwards — co-tenancy-destroyed warm reps, the t_dsir_weights@sf1 59.45-vs-12.11 case) ships min(cold,warm) in the queries map with its original warm in the block's warm_gt_cold annotation. (3) LEDGER ROUND/DATE STAMPS + SEEDED FLAG (r13 verdict #5 + ADVICE): ledger entries now record the round and date they were measured (existing entries back-stamped from their tips); the child-budget priority is possible-regressions first, then refresh of >=2-round-stale entries a context absolution would lean on; entries seeded by a no-isolated-baseline rerun carry seeded:true and issue only provisional context-seeded absolutions (excluded from further child reruns — only a prev-tip worktree A/B can settle provenance and clear the flag). History — r13 notes: (1) SELF-ADJUDICATING SUSPECTS (r12 verdict #1 — two rounds running, the official artifact's 2-8x shared-run movers needed an out-of-band judge rerun to be absolved): every suspects row now carries its committed isolated-truth ledger value (tools/isolated_ledger.json: name@sf -> fresh-single-query-JVM warm + the git tip it was measured at; seeded from the r12 judge/ATTRIBUTION_r12 isolation runs) and an auto-classification — context (the isolated truth is NOT itself a >=1.5x mover vs the previous artifact: co-tenancy inflation or a previously-deflated baseline, not code), needs-attribution (no current isolated baseline), or regression/context from a FRESH rerun: after the sweep the parent SparkContext stops and the worst <=3 unadjudicated suspects rerun in sequential fresh child JVMs (the new SPARK_GRAFT_ISOLATE=name@sf single-query mode — same protocol as tools/bench_attrib.sh), their measured warm folded into the FINAL artifact and auto-merged into the ledger. Official sf0.1 runs only; SPARK_GRAFT_NO_RERUN=1 skips. Refinements from the r13 self-review: a ledger absolution is FINAL only when its recorded tip equals the current tip — older entries still classify (labeled context-stale-ledger) but stay child-rerun-eligible, so a regression introduced after the measurement cannot hide behind a stale baseline; fresh child verdicts compare against the LEDGER's isolated value when one exists (the previous SHARED value can be page-cache-deflated — the r12 g_lpa direction — and would otherwise produce false regression calls); forced dev reruns (SPARK_GRAFT_FORCE_RERUN) never write the ledger. (2) r12-ADVICE fixes: failed sf0.1 rows no longer write a -1.0 sentinel into the top-level queries map (name lands in failed, matching the sf1 block), and suspects require BOTH endpoints >= 0.2s. (3) two more streaming twins benched (st_session_window, st_psi_drift — STATEFUL-heavier probes of the constant-~1s AvailableNow-overhead hypothesis than r12's pair; session state and the day-by-bucket PSI grid grow with data). (4) new headline rows mm_byte_triage_agg + mm_format_sniff: read the mm_byte_triage/mm_byte_triage_agg PAIR as the explode-vs-bounded-aggregate price (r12 verdict #4) and mm_format_sniff as triage + one broadcast prefix join (verdict #5). mm_byte_triage itself is benched for the FIRST time this round (added after the committed r12 artifact) — its row is new, not a mover. (5) sim_split_leakage's sf1 row lands in the default sweep this round (the r12 sf1Needs edit misfired and was fixed post-run; RegistrySpec now asserts every bench name resolves). (6) late-r13: g_khop drops to ~0.7x its prior cost BY CODE — kHopReachOnView is frontier BFS now (per-hop distinct input falls from edges-sized to frontier-degree-sized; values identical, alternating fresh-JVM A/B in target/attrib/r13_khop_frontier_ab.json: warm 11.4-12.9 -> 7.5-10.3s) — an improvement, not a mover; ledger refreshed at the rewrite tip. Three more never-benched st_ twins rotate in (st_incremental_neardup / st_outer_join / st_frequent_ngrams — MinHash band state, stream-stream join state, vocabulary-sized complete-mode state; first two also at sf1), so their first rows are new, not movers; st_countmin_sketch joins as the BOUNDED-state counterpoint (sf0.1+sf1). (7) classifier refinement from this round's first self-adjudicating sweep: a child rerun with NO ledger entry now reports class no-isolated-baseline instead of regression/context — the fresh-isolated-vs-prev-SHARED comparison mislabeled three deflated baselines as regressions (sim_ivf_recall 0.63 shared prev vs 1.24 isolated at the SAME prev tip; prev-tip worktree evidence in ATTRIBUTION_r13 §8, raw JSONs target/attrib/r13_suspect_ab.json); the measured value still seeds the ledger so the NEXT sweep adjudicates finally. History — r12 notes: (1) SUITE REFIT TO THE DRIVER WINDOW (r11 verdict #1 — BENCH_r11 died rc=124 mid-sf1): the two declared-quadratic evidence rows (sim_dbscan_pinned16, uncapped dd_ngram_containment — ~10 min of the sf1 block across 3-4 executions each) moved behind SPARK_GRAFT_EVIDENCE=1 and out of the default sf1 sweep (their sf0.1 headline rows remain; their isolated sf1 evidence is committed in SCALE.md: 95.8s-vs-15.9s pinned16, 112s uncapped planner join), warm reps drop to 2 (sf0.1) / 1 (sf1) for queries whose cold run exceeds 10s, and every completed sf1 row now rewrites target/bench_full.json the moment it lands with the in-flight row named in sf1.running — a timeout kill can no longer erase completed rows or hide WHERE it struck. (2) failed runs no longer write a -1.0 sentinel into any queries map — the name goes in the block's failed list (r11 verdict #4 minor). (3) round-over-round attribution is now IN the artifact: suspects lists every >=1.5x warm mover vs the previous committed artifact (>=0.2s floor — sub-0.2s rows move 2.4-2.5x on shared-JVM co-tenancy alone; r11 verdict #6), so the attribution pass starts from the artifact. (4) NOT COMPARABLE r11->r12 for >10s-cold rows: their warm figure is now min-of-2 at sf0.1 / the single warm rep at sf1 — expect small upward noise on multi-second rows, which suspects absorbs via the 1.5x threshold. (5) two st_ streaming twins benched for the first time (st_incremental_dedup, st_embed_drift — read against dd_incremental / sim_embed_drift for the AvailableNow micro-batch overhead; r11 verdict #7) plus three new sampled-pool rows (sim_dbscan_sampled_recall, sim_kcenter_sampled, dd_minhash_recall_sampled — the md5-threshold sample makes the exact audit side (pct·n)^2, the first measured-recall rows executable at ANY scale; r11 verdicts #4/#5). (6) la_rfm_approx rises to its honest per-call cost this round — PersistLeakAuditSpec (new, verdict #8) caught its interval-table persist leaking across repetitions (the g_triangles class); isolated A/B 0.91s leaky vs 1.21s honest at sf0.1, pre-declared in ATTRIBUTION_r12.md. (7) g_lpa@sf1 attributed (verdict #2): HEAD 12.73s vs r10-tip 13.52s in fresh-JVM isolation — no regression; the r10 artifact's 8.30s was page-cache/JIT DEflation in the shared run (the inverse co-tenancy direction; multi-second lineitem-scan rows can read low when they run late in the big sweep). History — r11 notes: (1) ATTRIBUTION CLOSED (see ATTRIBUTION_r11.md, raw JSONs target/attrib/, tools/bench_attrib.sh): every r10 >=1.5x round-over-round query rerun in fresh single-query JVMs at HEAD vs the r9 tip under identical conditions — la_bh_fdr/la_cuped/ts_theil_sen/ts_chow_test/dd_threshold_curve_capped/g_pagerank@sf1 are at parity or FASTER than r9 (the 2.4-2.5x bench inflation was 105-query 8-GiB shared-JVM co-tenancy, the r6 lesson at r10 scale); mm_frame_overlap/dd_threshold_curve/dd_minhash_recall/sim_ivf_probe_curve run 1.19-1.27x r9 isolated BY DESIGN — their r9 versions leaked session-lifetime persists that CacheManager silently reused across min-of-3 (r9 timed a warm cache no production call sees); a SPARK_GRAFT_KEEP_BLOCKS=1 A/B shows the between-query hygiene share is only 0.01-0.35s, the rest is the eliminated leak. Zero real regressions; the five r10 weak flags clear. (2) per-query COLD times now durable next to warm (cold_queries at sf0.1 + sf1) so accounting-vs-regression reads from the artifact alone. (3) sim_dbscan default moved to the curve-picked p=4 (r10 verdict #2) AND the corpus-sized nlist=ceil(sqrt(n)) quantizer — NOT comparable to r10's p=1/pinned-16 rows; sim_dbscan_p1 keeps the old probe point, sim_dbscan_pinned16 keeps the pinned quantizer as the measured quadratic-trap evidence (95.8s vs 15.9s at sf1), and sim_dbscan_p2/sim_dbscan_auto complete the curve. (4) g_suite_on_view now contains triangles + local clustering on the shared view (5 ops, 5th arm 'tri') — compare against the 5-op standalone sum, not r10's 4-op row. (5) late-r11: the suite's tri+lcc arms now share ONE corner enumeration, and the shared intermediate is the NODE-sized per-node corner-count table streamed straight out of the corner pass (a first cut checkpointed the raw triangle-sized (x,v,w) corner set, whose GB-scale blocks OOM'd the shared bench JVM's sf1 block — corner counts carry everything both consumers need, n_triangles = sum(t) div 3); AND triangleSummary/triangleCountFromOriented's session-lifetime persist leak is fixed, which RAISES g_triangles to its honest per-call cost (isolated sf0.1 2.6 -> 6.6s, sf1 10.9 -> 21.4s): the old min-of-3 was reusing the leaked cached oriented table across repetitions via CacheManager plan-dedup — the same leak->honest conversion ATTRIBUTION_r11.md documents for mm_frame_overlap et al. With honest triangles the 5-op suite beats the 5-op standalone sum at both scales (corner-set-cut evidence: 18.5/83.9s vs ~27/~93s; this artifact's own suite rows are the corner-count numbers). (6) the committed target/bench_full.json (129 sf0.1 + 48 sf1 rows, zero failures) was generated before the last late-r11 entries landed (sim_pq_distortion and the st_* twins, which are never benched) - the driver's BENCH_r11 run covers the full headline; isolated sf0.1 sanity for the stragglers: t_ccnet_buckets 1.04s, dq_benford 0.42s, sim_pq_distortion 0.34s. History: r10 bench-context absolutions documented in ATTRIBUTION_r11.md; r7's 5 suspect regressions absolved by r8 min-of-3; BENCH_r07 was a crashed-JVM artifact"
 }

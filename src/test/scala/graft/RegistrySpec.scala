@@ -132,6 +132,29 @@ class RegistrySpec extends AnyFunSuite {
     assert(picked.head._1 == "q12" && picked.last._1 == "q5")
   }
 
+  test("failed-row retry verdicts: pass, failure, and no-verdict " +
+      "branches with the child's numbers threaded through") {
+    // r15: a shared-sweep failure (the g_suite_on_view late-sweep OOM
+    // class) retries once in a fresh child; the artifact's verdict is
+    // this record. A completed child absolves (resource pressure, not
+    // code); a failing child is real breakage; silence is no verdict.
+    val pass = Bench.failedRetryRecord(
+      """{"isolated":"g_suite_on_view","sf":"sf1","dir":"d","cold":90.1,"warm":73.06,"load":0.8,"tip":"abc"}""")
+    assert(pass.contains("\"class\":\"isolated-pass\"") &&
+      pass.contains("\"warm\":73.06") && pass.contains("\"cold\":90.1") &&
+      pass.contains("\"load\":0.8"))
+    val fail = Bench.failedRetryRecord(
+      """{"isolated":"q","sf":"sf1","error":"UNABLE_TO_ACQUIRE_MEMORY x"}""")
+    assert(fail.contains("\"class\":\"isolated-failure\"") &&
+      fail.contains("UNABLE_TO_ACQUIRE_MEMORY"))
+    // spawn failure / 10-min kill: empty or truncated child output
+    assert(Bench.failedRetryRecord("")
+      .contains("\"class\":\"no-verdict\""))
+    // parseNum is the single field reader both paths share
+    assert(Bench.parseNum("warm", pass).contains(73.06))
+    assert(Bench.parseNum("warm", fail).isEmpty)
+  }
+
   test("code-unchanged evidence absolves finally; changed files are " +
       "named; seeded entries stay provisional") {
     def le(w: Double, t: String, seeded: Boolean = false) =
