@@ -132,6 +132,24 @@ class RegistrySpec extends AnyFunSuite {
     assert(picked.head._1 == "q12" && picked.last._1 == "q5")
   }
 
+  test("the committed ledger parses with Bench's regex reader") {
+    // Bench.parseLedgerJson matches `"name@sf":{...}` with NO space
+    // after the colon — a ledger rewritten by a pretty-printer (e.g.
+    // json.dump(indent=...)) would silently read as EMPTY and every
+    // suspect would lose its isolated baseline. Pin that the file on
+    // disk stays in the parseable form, whatever tool last wrote it
+    // (Bench.writeLedger or tools/ledger_merge.py).
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("tools/isolated_ledger.json")), "UTF-8")
+    val entries = Bench.parseLedgerJson(text)
+    assert(entries.size > 150,
+      s"ledger parsed to ${entries.size} entries — reader/format drift")
+    entries.foreach { case (k, e) =>
+      assert(e.warm > 0, s"non-positive warm for $k")
+      assert(e.tip.nonEmpty && e.tip != "unknown", s"no tip for $k")
+    }
+  }
+
   test("failed-row retry verdicts: pass, failure, and no-verdict " +
       "branches with the child's numbers threaded through") {
     // r15: a shared-sweep failure (the g_suite_on_view late-sweep OOM
