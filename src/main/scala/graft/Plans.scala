@@ -78,9 +78,9 @@ object Plans {
     "t_quality_auc" -> "ROC AUC (r9): la_mannwhitney's bounded-grid rank-sum shape on documents — per-source score-grid counts, cum window over the grid (state = score domain, not docs), one DECIMAL(38,0) reduce; no per-doc rank window anywhere",
     "t_ndcg" -> "nDCG (r9): two BM25 corpus passes with the stats row broadcast back, retrieved and ideal sides both cut by TakeOrderedAndProject heaps; the rank windows run over <= max(cutoff) rows; per-rank gains round to integer µ-units so the cutoff sums are order-free",
     "g_khop" -> "FRONTIER BFS (r13; r9 shape): per hop ONE edges-probe join against only the nodes FIRST reached last hop (AQE broadcasts the frontier while it fits), a frontier-degree-sized distinct, and a node-sized anti-join vs the seen set — the per-hop distinct no longer scales with cumulative reach (A/B: warm 11.4-12.9 -> 7.5-10.3s at sf0.1); lazy per-hop persists fold all counts into a single job; steady-state callers amortize the dominant copurchase build via kHopReachOnView",
-    "g_lpa" -> "label propagation (r9): per round one edge-label join + (node,label) map-combined count + per-node top-1 window whose state is bounded by degree; deterministic ties -> the chained SQL oracle replays every round bit for bit",
+    "g_lpa" -> "label propagation (r9; r15 layout): per round one edge-label join + (node,label) map-combined count + per-node top-1 window whose state is bounded by degree; deterministic ties -> the chained SQL oracle replays every round bit for bit; the standing edge view is hash(src)-partitioned at build, so past the broadcast regime each round's shuffle-join moves ONLY the node-sized label table — the edge table never re-exchanges",
     "g_local_clustering" -> "local clustering histogram (r9): corner counts ride the degree-ordered triangle enumeration (orientation caps out-neighborhoods at O(sqrt m)); after the corner count everything is the 11-bucket rollup — nothing graph-sized downstream",
-    "g_modularity" -> "LPA modularity (r9): e_in is ONE edge-sized membership equi join with a map-combined count; d_c sums are community-sized; the Q quotient is a single-row DECIMAL reduce — the partition-quality score costs one extra join over g_lpa",
+    "g_modularity" -> "LPA modularity (r9; r15 layout): e_in is ONE edge-sized membership equi join with a map-combined count; d_c sums are community-sized; the Q quotient is a single-row DECIMAL reduce — the partition-quality score costs one extra join over g_lpa; the src-keyed half of the membership join and the degree aggregate reuse the hash(src) view layout",
     "la_kruskal_dunn" -> "Kruskal-Wallis/Dunn ranks (r9): state after the first exchange is the x10^4 VALUE GRID, not the corpus; the global-grid cumsum is the one single-partition window (domain-bounded by construction); per-group z-rows avoid any cross-group float sum",
     "dd_minhash_recall" -> "LSH recall audit (r9): both arms are the EXISTING bounded pipelines (banded minhash, prefix-filtered exact Jaccard); the audit itself is one full-outer pair join + a single-row count aggregate",
     "dd_threshold_curve" -> "Jaccard threshold curve (r9): ONE AllPairs candidate pass at the lowest threshold feeds the exact-decile histogram; integer cross-multiplied buckets, <=6-row cumulative window",

@@ -311,13 +311,24 @@ object GraphOps {
     * equally over neighbors with floor division. Returns
     * (node, rank_u) for every node of degree >= 1.
     */
-  def pageRank(edges: DataFrame, iters: Int): DataFrame =
-    // one-shot convenience: build the standing view, iterate, and let
-    // the ContextCleaner free the checkpoint blocks when the view is
-    // GC'd (r8 advisory: the old session-lifetime persist leaked — and
-    // silently made repeated calls reuse the cache; a long-lived
-    // engine gets that reuse EXPLICITLY by keeping the edgeView)
-    pageRankOnView(edgeView(edges), iters)
+  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    // one-shot convenience (r15 layout): the hash(src)-persisted view
+    // gives every iteration's src-keyed rank join the cached layout
+    // (see [[partitionedView]]); the deg join is node-sized (broadcast
+    // while it fits, and a src-keyed shuffle join beyond — either way
+    // the joined view keeps the streamed side's hash(src)
+    // partitioning). Both persists release before returning — the
+    // result is eagerly checkpointed by pageRankOnView (r8 advisory:
+    // the old session-lifetime persist leaked; a long-lived engine
+    // gets explicit reuse by keeping its own view instead).
+    val dd = partitionedView(edges)
+    val deg = dd.groupBy("src").agg(count(lit(1)).as("deg"))
+    val view = dd.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    val result = pageRankOnView(view, iters)
+    view.unpersist(false)
+    dd.unpersist(false)
+    result
+  }
 
   /** PageRank against a prebuilt [[edgeView]] — the steady-state mode:
     * the edge/degree build (the dominant per-call cost; it includes the
@@ -391,9 +402,7 @@ object GraphOps {
     * returning (no session-lifetime cache leak).
     */
   def kHopReach(edges: DataFrame, seedMod: Long, k: Int): DataFrame = {
-    val dd = edges.select(col("a").as("src"), col("b").as("dst"))
-      .union(edges.select(col("b").as("src"), col("a").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dd = partitionedView(edges)
     val result = kHopReachOnView(dd, seedMod, k)
     dd.unpersist(false)
     result
@@ -485,9 +494,7 @@ object GraphOps {
     * the result, all persists released).
     */
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
-    val dd = edges.select(col("a").as("src"), col("b").as("dst"))
-      .union(edges.select(col("b").as("src"), col("a").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dd = partitionedView(edges)
     val result = labelPropagationOnView(dd, iters)
     dd.unpersist(false)
     result
@@ -540,9 +547,7 @@ object GraphOps {
     * four consumers and released on return.
     */
   def lpaModularity(edges: DataFrame, iters: Int): DataFrame = {
-    val dd = edges.select(col("a").as("src"), col("b").as("dst"))
-      .union(edges.select(col("b").as("src"), col("a").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dd = partitionedView(edges)
     val out = lpaModularityOnView(dd, iters)
     dd.unpersist(false)
     out
@@ -592,8 +597,49 @@ object GraphOps {
     val dir = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
     val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
+    // NOTE deliberately NOT repartitioned: a checkpoint's LogicalRDD
+    // does not carry outputPartitioning into downstream planning (the
+    // r15 GraphViewAB run pins this — the src-keyed join above a
+    // checkpointed repartition still plans its exchange), so a
+    // repartition here would be pure build cost. Callers who want the
+    // layout-reuse posture hold a PERSISTED view ([[partitionedView]]).
     dir.join(deg, "src").localCheckpoint(true)
   }
+
+  /** Bidirectional (src, dst) edge table hash-partitioned on `src` and
+    * PERSISTED — the one-shot builders' standing view (r15). The
+    * explicit layout is the 100-TB posture: every iterative consumer's
+    * heavy access is src-keyed (the per-round rank/label joins, the
+    * degree aggregates and distinct-node builds, k-core's peel filter,
+    * the membership joins), and once the node table outgrows the
+    * broadcast threshold those joins fall back to shuffle joins that
+    * would otherwise re-exchange the EDGE table every round/consumer.
+    * Partitioned once, the cached InMemoryTableScan reports the
+    * hash(src) layout to the planner, so the src-keyed side plans NO
+    * exchange — per iteration only the node-sized table moves; edges
+    * stay put. The persist (not localCheckpoint) is load-bearing:
+    * a checkpoint's LogicalRDD DROPS outputPartitioning, planning the
+    * edge-side exchange anyway and turning the repartition into dead
+    * build cost (both facts measured — `graft.GraphViewAB` asserts
+    * the persist form plans zero src-exchanges above the cache and
+    * times the per-round difference in a forced-shuffle-join regime).
+    * In the small-graph broadcast regime the upfront shuffle is the
+    * only cost, and the sf0.1/sf1 prev-tip A/B reads at-or-below the
+    * old shape on every wrapper row (the src-keyed distinct/groupBy
+    * elisions pay for it). Callers own the lifecycle (persist here,
+    * unpersist in the wrapper after their result checkpoints).
+    */
+  private def partitionedView(edges: DataFrame): DataFrame =
+    edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src"))
+      // sorted within partitions: the cached ORDERING propagates like
+      // the partitioning, so a sort-merge consumer skips the edge-side
+      // sort too — the bucketed-and-sorted-table posture (measured
+      // with the exchange skip in GraphViewAB: 4.16 → 2.89 s/round at
+      // 24M edges, forced-shuffle regime)
+      .sortWithinPartitions("src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** Neighborhood Jaccard per edge (the link-prediction/co-citation
     * similarity primitive): common = triangles through the edge,
@@ -752,9 +798,7 @@ object GraphOps {
     // the degree aggregate AND both sides of the membership join —
     // unpersisted, the copurchase self-join re-ran three times
     // (r9 bench: 4.8 s, dominated by the rebuilds)
-    val dd = edges.select(col("a").as("src"), col("b").as("dst"))
-      .union(edges.select(col("b").as("src"), col("a").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dd = partitionedView(edges)
     val out = degreeAssortativityOnView(dd)
     dd.unpersist(false)
     out
@@ -805,9 +849,7 @@ object GraphOps {
     // the round-1 degree aggregate and both keep-joins all read the
     // initial (self-join-derived) edge table — one materialization
     // instead of three rebuilds (r9 bench: 7.7 s, rebuild-dominated)
-    val dd0 = edges.select(col("a").as("src"), col("b").as("dst"))
-      .union(edges.select(col("b").as("src"), col("a").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dd0 = partitionedView(edges)
     val out = kCoreOnView(dd0, k, rounds)
     dd0.unpersist(false)
     out

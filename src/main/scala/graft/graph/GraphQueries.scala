@@ -187,9 +187,20 @@ object GraphQueries extends QueryRegistry {
     // (r10 verdict #4 — triangles and local clustering no longer
     // rebuild orientation from the undirected form).
     val e = GraphOps.copurchaseEdges(li(s, d)).localCheckpoint(true)
+    // hash(src) layout on the shared view (r15): every suite arm's
+    // heavy access is src-keyed (peel aggregates, LPA rounds,
+    // membership/degree joins, distinct-node builds). PERSIST, not
+    // localCheckpoint: only the InMemoryTableScan boundary carries the
+    // layout into downstream planning (a checkpoint's LogicalRDD drops
+    // it — measured, see GraphOps.partitionedView), so the persist
+    // form is what lets each src-keyed consumer skip its edge-side
+    // exchange. Released after the arms materialize (each arm is
+    // eagerly checkpointed below, so nothing re-reads dd afterwards).
     val dd = e.select(c("a").as("src"), c("b").as("dst"))
       .union(e.select(c("b").as("src"), c("a").as("dst")))
-      .localCheckpoint(true)
+      .repartition(c("src"))
+      .sortWithinPartitions("src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Each op's result is a HANDFUL of rows (peel rounds / 10 buckets /
     // 1-row summaries) — materialize them eagerly IN SEQUENCE so peak
     // executor state is one structural op at a time, not all five
@@ -229,7 +240,9 @@ object GraphQueries extends QueryRegistry {
       .select(lit("tri").as("op"), col("n_triangles").as("a"),
         col("n_wedges").as("b"), col("clustering_u").as("c"))
       .localCheckpoint(true)
-    kcore.unionAll(lcc).unionAll(mod).unionAll(ast).unionAll(tri)
+    val out = kcore.unionAll(lcc).unionAll(mod).unionAll(ast).unionAll(tri)
+    dd.unpersist(false)
+    out
   }
 
   /** Market-basket association rules: ppm-integer support/confidence/
