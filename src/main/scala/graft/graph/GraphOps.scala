@@ -38,17 +38,74 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraphOps {
 
+  /** Per-order distinct part baskets: (l_orderkey, ps) with ps the
+    * SORTED distinct part array. One map-combined aggregate — the
+    * basket-local replacement (r15 opt, guide §2.4) for the old
+    * distinct-pairs SELF-JOIN: `collect_set` folds the per-order
+    * distinct in the same exchange, and all pair expansion after it is
+    * map-local. Baskets are small by construction (≤7 lineitems/order
+    * in TPC-H-shaped data; the Σ C(|basket|,2) bound in the scaladoc
+    * above), so the array row is bytes, never a skew hazard.
+    */
+  private def baskets(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+
+  /** All a<b part pairs per order — one row per (order, pair), pairs
+    * deduped WITHIN the order (the set fold), not across orders.
+    * Map-local off [[baskets]]: posexplode + a sorted-suffix slice, so
+    * the only exchange below is the basket aggregate itself.
+    */
+  private def basketPairs(lineitem: DataFrame): DataFrame =
+    baskets(lineitem)
+      .select(col("ps"), posexplode(col("ps")))
+      .select(col("col").as("a"),
+        explode(slice(col("ps"), col("pos") + lit(2),
+          size(col("ps")) - col("pos") - lit(1))).as("b"))
+
+  /** BOTH directions of every within-order pair — (src, dst), src≠dst,
+    * deduped within the order, duplicated across orders (deduped by the
+    * caller's aggregate). Map-local off [[baskets]].
+    */
+  private def basketPairsBothDirs(lineitem: DataFrame): DataFrame =
+    baskets(lineitem)
+      .select(explode(col("ps")).as("src"), col("ps"))
+      .select(col("src"),
+        explode(array_remove(col("ps"), col("src"))).as("dst"))
+
   /** Undirected co-purchase edges: unordered part pairs appearing in
     * the same order, canonicalized to a < b, deduped corpus-wide.
+    *
+    * r15 opt (guide §2.4 — remove shuffles outright): built from the
+    * per-order basket aggregate + map-local pair expansion instead of
+    * the distinct-pairs self-join. The old form cost FOUR exchanges
+    * (distinct (ok,pk); re-exchange of both self-join arms on ok;
+    * distinct (a,b)); this form costs TWO (the basket aggregate; the
+    * pair distinct). The emitted pair set is identical — `collect_set`
+    * IS the per-order distinct, the sorted-suffix expansion IS the
+    * a<b canonicalization — so every oracle replays unchanged.
     */
-  def copurchaseEdges(lineitem: DataFrame): DataFrame = {
-    val lp = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
-    lp.as("x").join(lp.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-      .distinct()
-  }
+  def copurchaseEdges(lineitem: DataFrame): DataFrame =
+    basketPairs(lineitem).distinct()
+
+  /** The standing hash(src)-partitioned bidirectional view built
+    * STRAIGHT from lineitem (r15 opt): basket aggregate → map-local
+    * both-direction pair expansion → ONE repartition(src) → an
+    * exchange-FREE (src, dst) dedup aggregate (hash(src) partitioning
+    * satisfies the (src, dst) clustering requirement, so the planner
+    * adds no second exchange) → local sort → persist. Two exchanges
+    * end to end, where copurchaseEdges + [[partitionedView]] paid
+    * three on top of the self-join (basket agg; pair distinct;
+    * repartition). View contents and layout are identical to
+    * partitionedView(copurchaseEdges(li)) — callers own the lifecycle
+    * exactly as before.
+    */
+  def copurchaseView(lineitem: DataFrame): DataFrame =
+    basketPairsBothDirs(lineitem)
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
+      .sortWithinPartitions("src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** (node, dg) for every endpoint of the undirected edge set. */
   def degrees(edges: DataFrame): DataFrame =
@@ -59,6 +116,23 @@ object GraphOps {
   /** Degree histogram: how many nodes have each degree. */
   def degreeHistogram(edges: DataFrame): DataFrame =
     degrees(edges).groupBy(col("dg").cast("long").as("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+
+  /** [[degreeHistogram]] straight from lineitem (r15 opt): basket
+    * aggregate → both-direction pairs → one repartition(src) — the
+    * (src,dst) dedup AND the per-src degree count both reuse that
+    * layout (no further exchange; hash(src) satisfies both clustering
+    * requirements) → the bounded histogram regroup. No persist: one
+    * pass, one consumer. Identical values to the edges form (degree of
+    * a node = its distinct neighbors = its dedup'd out-rows in the
+    * bidirectional view).
+    */
+  def degreeHistogramFromLineitem(lineitem: DataFrame): DataFrame =
+    basketPairsBothDirs(lineitem)
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
+      .groupBy("src").agg(count(lit(1)).as("dg"))
+      .groupBy(col("dg").cast("long").as("degree"))
       .agg(count(lit(1)).as("n_nodes"))
 
   /** Triangle corners (x, v, w) via degree-ordered orientation; each
@@ -197,6 +271,19 @@ object GraphOps {
     out
   }
 
+  /** [[triangleSummary]] straight from lineitem (r15 opt): the shared
+    * bidirectional view comes from [[copurchaseView]] (two exchanges)
+    * and all three arms run OnView against it; the 1-row result is
+    * checkpointed BEFORE the view releases (degAgg/edgeAgg read it
+    * lazily). Same values as the undirected-edges form.
+    */
+  def triangleSummaryFromLineitem(lineitem: DataFrame): DataFrame = {
+    val dd = copurchaseView(lineitem)
+    val out = triangleSummaryOnView(dd).localCheckpoint(true)
+    dd.unpersist(false)
+    out
+  }
+
   def triangleSummary(edges: DataFrame): DataFrame = {
     // edges feeds four arms (degree agg, edge count, and both uses
     // inside the count) — one materialization instead of four
@@ -311,17 +398,28 @@ object GraphOps {
     * equally over neighbors with floor division. Returns
     * (node, rank_u) for every node of degree >= 1.
     */
-  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
-    // one-shot convenience (r15 layout): the hash(src)-persisted view
-    // gives every iteration's src-keyed rank join the cached layout
-    // (see [[partitionedView]]); the deg join is node-sized (broadcast
-    // while it fits, and a src-keyed shuffle join beyond — either way
-    // the joined view keeps the streamed side's hash(src)
-    // partitioning). Both persists release before returning — the
-    // result is eagerly checkpointed by pageRankOnView (r8 advisory:
-    // the old session-lifetime persist leaked; a long-lived engine
-    // gets explicit reuse by keeping its own view instead).
-    val dd = partitionedView(edges)
+  def pageRank(edges: DataFrame, iters: Int): DataFrame =
+    pageRankOnDd(partitionedView(edges), iters)
+
+  /** [[pageRank]] straight from lineitem (r15 opt): the standing view
+    * comes from [[copurchaseView]] — basket aggregate + map-local pair
+    * expansion, two exchanges — instead of the self-join-derived
+    * copurchaseEdges + partitionedView chain (five). Same values.
+    */
+  def pageRankFromLineitem(lineitem: DataFrame, iters: Int): DataFrame =
+    pageRankOnDd(copurchaseView(lineitem), iters)
+
+  /** One-shot body over an OWNED persisted view (r15 layout): the
+    * hash(src)-persisted view gives every iteration's src-keyed rank
+    * join the cached layout (see [[partitionedView]]); the deg join is
+    * node-sized (broadcast while it fits, and a src-keyed shuffle join
+    * beyond — either way the joined view keeps the streamed side's
+    * hash(src) partitioning). Both persists release before returning —
+    * the result is eagerly checkpointed by pageRankOnView (r8
+    * advisory: the old session-lifetime persist leaked; a long-lived
+    * engine gets explicit reuse by keeping its own view instead).
+    */
+  private def pageRankOnDd(dd: DataFrame, iters: Int): DataFrame = {
     val deg = dd.groupBy("src").agg(count(lit(1)).as("deg"))
     val view = dd.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     val result = pageRankOnView(view, iters)
@@ -403,6 +501,15 @@ object GraphOps {
     */
   def kHopReach(edges: DataFrame, seedMod: Long, k: Int): DataFrame = {
     val dd = partitionedView(edges)
+    val result = kHopReachOnView(dd, seedMod, k)
+    dd.unpersist(false)
+    result
+  }
+
+  /** [[kHopReach]] straight from lineitem — see [[copurchaseView]]. */
+  def kHopReachFromLineitem(lineitem: DataFrame, seedMod: Long,
+      k: Int): DataFrame = {
+    val dd = copurchaseView(lineitem)
     val result = kHopReachOnView(dd, seedMod, k)
     dd.unpersist(false)
     result
@@ -500,6 +607,17 @@ object GraphOps {
     result
   }
 
+  /** [[labelPropagation]] straight from lineitem — see
+    * [[copurchaseView]].
+    */
+  def labelPropagationFromLineitem(lineitem: DataFrame,
+      iters: Int): DataFrame = {
+    val dd = copurchaseView(lineitem)
+    val result = labelPropagationOnView(dd, iters)
+    dd.unpersist(false)
+    result
+  }
+
   /** [[labelPropagation]] against a prebuilt bidirectional edge table
     * (e.g. [[edgeView]]) — the amortized steady-state mode, same
     * posture as [[pageRankOnView]] / [[kHopReachOnView]].
@@ -548,6 +666,17 @@ object GraphOps {
     */
   def lpaModularity(edges: DataFrame, iters: Int): DataFrame = {
     val dd = partitionedView(edges)
+    val out = lpaModularityOnView(dd, iters)
+    dd.unpersist(false)
+    out
+  }
+
+  /** [[lpaModularity]] straight from lineitem — see
+    * [[copurchaseView]].
+    */
+  def lpaModularityFromLineitem(lineitem: DataFrame,
+      iters: Int): DataFrame = {
+    val dd = copurchaseView(lineitem)
     val out = lpaModularityOnView(dd, iters)
     dd.unpersist(false)
     out
@@ -647,6 +776,40 @@ object GraphOps {
     * integer; top-k by (jaccard_u desc, a, b) — a total order, so the
     * cut is deterministic.
     */
+  /** [[edgeJaccard]] straight from lineitem (r15 opt): corners ride
+    * [[trianglesOnView]] over one [[copurchaseView]] (the orientation
+    * degree aggregate reuses the hash(src) layout), degrees are one
+    * exchange-free count over the same view, and the k-row result is
+    * checkpointed before the view releases.
+    */
+  def edgeJaccardFromLineitem(lineitem: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 10000, s"k out of range: $k")
+    val dd = copurchaseView(lineitem)
+    val tri = trianglesOnView(dd)
+    val pairs = tri.select(explode(array(
+        struct(least(col("x"), col("v")).as("a"),
+          greatest(col("x"), col("v")).as("b")),
+        struct(least(col("x"), col("w")).as("a"),
+          greatest(col("x"), col("w")).as("b")),
+        struct(least(col("v"), col("w")).as("a"),
+          greatest(col("v"), col("w")).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val common = pairs.groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+    val deg = dd.groupBy("src").agg(count(lit(1)).as("dg"))
+      .select(col("src").as("node"), col("dg"))
+    val out = common
+      .join(deg.select(col("node").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("dg").as("db")), "b")
+      .select(col("a"), col("b"), col("n_common"),
+        expr("(n_common * 10000L) div (da + db - n_common)")
+          .as("jaccard_u"))
+      .orderBy(col("jaccard_u").desc, col("a"), col("b"))
+      .limit(k)
+      .localCheckpoint(true)
+    dd.unpersist(false)
+    out
+  }
+
   def edgeJaccard(edges: DataFrame, k: Int): DataFrame = {
     require(k >= 1 && k <= 10000, s"k out of range: $k")
     val tri = triangles(edges)
@@ -730,6 +893,17 @@ object GraphOps {
     * rollup output is 11 rows, so nothing after the corner count is
     * graph-sized. Exact ×10⁴ floor integers end to end.
     */
+  /** [[localClustering]] straight from lineitem (r15 opt) — the
+    * [[triangleSummaryFromLineitem]] pattern: OnView arms over one
+    * [[copurchaseView]], 11-row result checkpointed before release.
+    */
+  def localClusteringFromLineitem(lineitem: DataFrame): DataFrame = {
+    val dd = copurchaseView(lineitem)
+    val out = localClusteringOnView(dd).localCheckpoint(true)
+    dd.unpersist(false)
+    out
+  }
+
   def localClustering(edges: DataFrame): DataFrame = {
     // edges feeds three arms (orientation's degree join inside the
     // corner pass, plus degrees here) — one materialization. The
@@ -804,6 +978,16 @@ object GraphOps {
     out
   }
 
+  /** [[degreeAssortativity]] straight from lineitem — see
+    * [[copurchaseView]].
+    */
+  def degreeAssortativityFromLineitem(lineitem: DataFrame): DataFrame = {
+    val dd = copurchaseView(lineitem)
+    val out = degreeAssortativityOnView(dd)
+    dd.unpersist(false)
+    out
+  }
+
   /** [[degreeAssortativity]] against a prebuilt bidirectional
     * (src, dst) edge table — caller owns `dd`'s lifecycle (r10, the
     * suite-sharing mode).
@@ -855,6 +1039,15 @@ object GraphOps {
     out
   }
 
+  /** [[kCore]] straight from lineitem — see [[copurchaseView]]. */
+  def kCoreFromLineitem(lineitem: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    val dd0 = copurchaseView(lineitem)
+    val out = kCoreOnView(dd0, k, rounds)
+    dd0.unpersist(false)
+    out
+  }
+
   /** [[kCore]] against a prebuilt bidirectional (src, dst) edge table
     * — caller owns `dd0`'s lifecycle (r10, the suite-sharing mode).
     */
@@ -898,16 +1091,21 @@ object GraphOps {
     */
   def basketLift(lineitem: DataFrame, minSupport: Long, k: Int): DataFrame = {
     require(k >= 1 && k <= 10000, s"k out of range: $k")
-    val lp = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
-    val pc = lp.as("x").join(lp.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-      .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+    // r15 opt (guide §2.4): all three statistics derive from the ONE
+    // basket aggregate (collect_set folds the per-order distinct) —
+    // pair counts from the map-local a<b expansion, item counts from a
+    // basket explode, the basket total from a 1-row count. The old
+    // form paid the distinct-pairs self-join plus separate lp
+    // aggregates; the identical exchanges below are planner-deduped
+    // (ReusedExchange), so lineitem is scanned and shuffled once.
+    val bk = baskets(lineitem)
+    val pc = basketPairs(lineitem)
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minSupport)
-    val ic = lp.groupBy(col("l_partkey").as("p")).agg(count(lit(1)).as("n_p"))
-    val total = lp.select(col("l_orderkey")).distinct()
-      .agg(count(lit(1)).as("n_baskets"))
+    val ic = bk.select(explode(col("ps")).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+    val total = bk.agg(count(lit(1)).as("n_baskets"))
     pc.join(ic.select(col("p").as("a"), col("n_p").as("n_a")), "a")
       .join(ic.select(col("p").as("b"), col("n_p").as("n_b")), "b")
       .crossJoin(broadcast(total))

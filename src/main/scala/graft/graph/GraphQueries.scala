@@ -30,7 +30,7 @@ object GraphQueries extends QueryRegistry {
       |deg AS (SELECT node, count(*) AS dg FROM d GROUP BY 1)
       |SELECT CAST(dg AS BIGINT) AS degree, CAST(count(*) AS BIGINT) AS n_nodes
       |FROM deg GROUP BY 1""") { (s, d) =>
-    GraphOps.degreeHistogram(GraphOps.copurchaseEdges(li(s, d)))
+    GraphOps.degreeHistogramFromLineitem(li(s, d))
   }
 
   /** Whole-graph triangle summary oracle — shared by the standalone
@@ -52,7 +52,7 @@ object GraphQueries extends QueryRegistry {
       |FROM nn, m, t""".stripMargin
 
   q("g_triangles", triSql) { (s, d) =>
-    GraphOps.triangleSummary(GraphOps.copurchaseEdges(li(s, d)))
+    GraphOps.triangleSummaryFromLineitem(li(s, d))
   }
 
   q("g_jaccard",
@@ -72,11 +72,11 @@ object GraphQueries extends QueryRegistry {
       |            AS BIGINT) AS jaccard_u
       |FROM cm JOIN deg da ON cm.a = da.node JOIN deg db ON cm.b = db.node
       |ORDER BY jaccard_u DESC, cm.a, cm.b LIMIT 100""") { (s, d) =>
-    GraphOps.edgeJaccard(GraphOps.copurchaseEdges(li(s, d)), 100)
+    GraphOps.edgeJaccardFromLineitem(li(s, d), 100)
   }
 
   q("g_pagerank", pageRankSql(5)) { (s, d) =>
-    GraphOps.pageRank(GraphOps.copurchaseEdges(li(s, d)), 5)
+    GraphOps.pageRankFromLineitem(li(s, d), 5)
   }
 
   /** Local clustering coefficient decile histogram — see
@@ -105,7 +105,7 @@ object GraphQueries extends QueryRegistry {
       |FROM l GROUP BY 1""".stripMargin
 
   q("g_local_clustering", lccSql) { (s, d) =>
-    GraphOps.localClustering(GraphOps.copurchaseEdges(li(s, d)))
+    GraphOps.localClusteringFromLineitem(li(s, d))
   }
 
   /** Capped 3-round 3-core peeling — see [[GraphOps.kCore]]; the
@@ -113,7 +113,7 @@ object GraphQueries extends QueryRegistry {
     * round, the fixed-k g_khop pattern.
     */
   q("g_kcore", kCoreSql(3, 3)) { (s, d) =>
-    GraphOps.kCore(GraphOps.copurchaseEdges(li(s, d)), 3, 3)
+    GraphOps.kCoreFromLineitem(li(s, d), 3, 3)
   }
 
   /** Degree assortativity — see [[GraphOps.degreeAssortativity]]; the
@@ -142,7 +142,7 @@ object GraphQueries extends QueryRegistry {
       |FROM s""".stripMargin
 
   q("g_assortativity", assortSql) { (s, d) =>
-    GraphOps.degreeAssortativity(GraphOps.copurchaseEdges(li(s, d)))
+    GraphOps.degreeAssortativityFromLineitem(li(s, d))
   }
 
   /** The structural suite on ONE shared prebuilt edge view (r9 verdict
@@ -179,28 +179,21 @@ object GraphQueries extends QueryRegistry {
        |SELECT 'tri' AS op, n_triangles AS a, n_wedges AS b,
        |       clustering_u AS c
        |FROM ($triSql)""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.functions.{col => c}
-    // ONE shared materialization chain for the whole suite: the
-    // undirected copurchase edge set (self-join + distinct — the
-    // dominant build) and its bidirectional (src, dst) form, each
-    // built ONCE; since r11 ALL FIVE consumers run OnView against dd
-    // (r10 verdict #4 — triangles and local clustering no longer
-    // rebuild orientation from the undirected form).
-    val e = GraphOps.copurchaseEdges(li(s, d)).localCheckpoint(true)
-    // hash(src) layout on the shared view (r15): every suite arm's
-    // heavy access is src-keyed (peel aggregates, LPA rounds,
-    // membership/degree joins, distinct-node builds). PERSIST, not
-    // localCheckpoint: only the InMemoryTableScan boundary carries the
-    // layout into downstream planning (a checkpoint's LogicalRDD drops
-    // it — measured, see GraphOps.partitionedView), so the persist
-    // form is what lets each src-keyed consumer skip its edge-side
-    // exchange. Released after the arms materialize (each arm is
-    // eagerly checkpointed below, so nothing re-reads dd afterwards).
-    val dd = e.select(c("a").as("src"), c("b").as("dst"))
-      .union(e.select(c("b").as("src"), c("a").as("dst")))
-      .repartition(c("src"))
-      .sortWithinPartitions("src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE shared materialization chain for the whole suite — since r11
+    // ALL FIVE consumers run OnView against dd (r10 verdict #4), and
+    // since the r15 optimization round the hash(src)-partitioned,
+    // sorted, PERSISTED view builds STRAIGHT from lineitem
+    // (GraphOps.copurchaseView: basket aggregate + map-local pair
+    // expansion + one repartition — two exchanges, replacing the
+    // copurchase self-join + checkpoint + union + repartition chain).
+    // PERSIST, not localCheckpoint: only the InMemoryTableScan
+    // boundary carries the layout into downstream planning (a
+    // checkpoint's LogicalRDD drops it — measured, see
+    // GraphOps.partitionedView), so the persist form is what lets each
+    // src-keyed consumer skip its edge-side exchange. Released after
+    // the arms materialize (each arm is eagerly checkpointed below, so
+    // nothing re-reads dd afterwards).
+    val dd = GraphOps.copurchaseView(li(s, d))
     // Each op's result is a HANDFUL of rows (peel rounds / 10 buckets /
     // 1-row summaries) — materialize them eagerly IN SEQUENCE so peak
     // executor state is one structural op at a time, not all five
@@ -285,7 +278,7 @@ object GraphQueries extends QueryRegistry {
     * replays the engine's frontier expansion bit for bit).
     */
   q("g_khop", kHopSql(3, 100)) { (s, d) =>
-    GraphOps.kHopReach(GraphOps.copurchaseEdges(li(s, d)), 100L, 3)
+    GraphOps.kHopReachFromLineitem(li(s, d), 100L, 3)
   }
 
   /** Deterministic synchronous label propagation, 2 rounds: per-node
@@ -293,7 +286,7 @@ object GraphQueries extends QueryRegistry {
     * smallest). The oracle chains one count+top-1 CTE pair per round.
     */
   q("g_lpa", lpaSql(2)) { (s, d) =>
-    GraphOps.labelPropagation(GraphOps.copurchaseEdges(li(s, d)), 2)
+    GraphOps.labelPropagationFromLineitem(li(s, d), 2)
   }
 
   /** Modularity of the 2-round LPA partition — see
@@ -302,7 +295,7 @@ object GraphQueries extends QueryRegistry {
     * cannot drift) then the exact integer Q arithmetic.
     */
   q("g_modularity", modularitySql(2)) { (s, d) =>
-    GraphOps.lpaModularity(GraphOps.copurchaseEdges(li(s, d)), 2)
+    GraphOps.lpaModularityFromLineitem(li(s, d), 2)
   }
 
   q("g_hits", hitsSql(2)) { (s, d) =>
