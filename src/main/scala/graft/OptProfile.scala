@@ -80,6 +80,24 @@ object OptProfile {
         .select("s", "t").distinct().localCheckpoint(true)
     }
     println(s"[profile] edge rows: ${edges.count()}")
+    val core = time("core degree filter (noop)") {
+      val c = edges.groupBy("s").agg(count(lit(1)).as("nn"))
+        .filter(col("nn") >= 4).select(col("s").as("vec_id"))
+        .localCheckpoint(true)
+      println(s"[profile] core rows: ${c.count()}")
+      c
+    }
+    val ce = time("core-core edge restrict (checkpoint)") {
+      edges.join(core.select(col("vec_id").as("s")), Seq("s"))
+        .join(core.select(col("vec_id").as("t")), Seq("t"))
+        .select(col("s").as("doc_a"), col("t").as("doc_b"))
+        .localCheckpoint(true)
+    }
+    val clab = time("connected components (core subgraph)") {
+      graft.dedup.Dedup.connectedComponents(core, ce, idCol = "vec_id")
+        .localCheckpoint(true)
+    }
+    println(s"[profile] core labels: ${clab.count()}")
     time("full dbscan (declared shape)") {
       Similarity.dbscan(quant, emb, minCosine = 0.4, minPts = 4,
           probes = 4)

@@ -1015,6 +1015,21 @@ object Dedup {
       .distinct()
       .withColumn("lbl", col("v"))
       .localCheckpoint()
+    // Convergence via the exact label-sum invariant (r15 opt, guide
+    // §2.4): every step is per-vertex NON-INCREASING — neighborMin is
+    // least(lbl, min neighbor lbl) and the pointer jump replaces lbl=u
+    // with label(u) ≤ u — and both steps preserve the vertex set, so
+    // jumped == labels ⟺ sum(lbl) unchanged. The old check was
+    // `jumped.except(labels).isEmpty`: a full (v,lbl)-keyed DISTINCT
+    // exchange of both node tables per round, replacing it with one
+    // map-combined single-row aggregate over the already-checkpointed
+    // round result. DECIMAL(38,0) keeps the sum exact at any node
+    // count (a double sum could miss a small label drop at scale).
+    def lblSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("lbl").cast("decimal(38,0)"))).collect()(0)
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var curSum = lblSum(labels)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -1036,7 +1051,9 @@ object Dedup {
         .select(col("x.v").as("v"),
           coalesce(col("y.lbl"), col("x.lbl")).as("lbl"))
         .localCheckpoint()
-      converged = jumped.except(labels).isEmpty
+      val newSum = lblSum(jumped)
+      converged = newSum.compareTo(curSum) == 0
+      curSum = newSum
       labels = jumped
       it += 1
     }

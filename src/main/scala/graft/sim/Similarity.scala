@@ -162,6 +162,7 @@ object Similarity {
           transform(col("embedding"), _.cast("double")).as("e"))
         .withColumn("cell", cellUdf(col("e")))
     }
+
   }
 
   /** Deterministic coarse quantizer: centers are the `nlist` corpus
@@ -429,6 +430,15 @@ object Similarity {
     // every consumer — at nlist ≈ √n the redundant passes dominate the
     // whole clustering (measured r11: 2×33 s of an 80 s edge job).
     // Same buildIndex pattern; state is the 4n assignment rows.
+    // (r15 opt note — measured NEGATIVE result, kept on record so
+    // nobody retries it: carrying the vector column as array<float>
+    // through the eps-pair rows (4 B/dim instead of 8; cosine widens
+    // per element, bit-identical) LOST in alternating fresh-JVM A/B —
+    // dd_semdedup@sf1 4.3→6.5 s (1.48–1.64×), sim_dbscan_p2@sf1
+    // 1.09–1.31× — with PLAN-IDENTICAL physical plans both arms: the
+    // within-cell cosine loop is CPU-bound on cache-resident rows, so
+    // the per-element f2d conversion costs more than the halved row
+    // bytes save. Raw: target/attrib/r15opt_simcc_ab{,2}.jsonl.)
     val assigned = embeddings.select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("e"))
       .withColumn("cell", explode(probeUdf(col("e"))))
@@ -475,7 +485,14 @@ object Similarity {
       .localCheckpoint(true)
     val core = edges.groupBy("s").agg(count(lit(1)).as("nn"))
       .filter(col("nn") >= minPts).select(col("s").as("vec_id"))
+    // one direction only (r15 opt): `edges` holds BOTH orders of every
+    // eps pair, and connectedComponents unions the swap itself — the
+    // old both-order feed made every undirected edge appear FOUR times
+    // in the CC rounds' join input. s<t halves every CC round's
+    // edge⋈label join and neighbor-min aggregate; min-labels are
+    // duplicate-insensitive, so the labeling is identical.
     val ce = edges
+      .filter(col("s") < col("t"))
       .join(core.select(col("vec_id").as("s")), Seq("s"))
       .join(core.select(col("vec_id").as("t")), Seq("t"))
       .select(col("s").as("doc_a"), col("t").as("doc_b"))

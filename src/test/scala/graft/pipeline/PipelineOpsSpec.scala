@@ -675,6 +675,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("connected components: sum-invariant convergence is exact on " +
+      "mixed non-contiguous components") {
+    // r15 opt: convergence is now the exact DECIMAL label-sum compare
+    // (labels are per-vertex non-increasing, so equal sums == fixed
+    // point). Non-contiguous ids + components of different diameters
+    // force several rounds with different per-round sum drops; the
+    // result must still be the exact min-id labeling.
+    import spark.implicits._
+    val verts = Seq(100L, 7L, 903L, 55L, 21L, 4000L, 8L).toDF("doc_id")
+    val pairs = Seq((903L, 55L), (55L, 100L), (100L, 21L), // chain, min 21
+      (4000L, 8L)) // pair, min 8
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(verts, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(903L -> 21L, 55L -> 21L, 100L -> 21L, 21L -> 21L,
+      4000L -> 8L, 8L -> 8L, 7L -> 7L))
+  }
+
   test("cluster dedup: a 64-node path resolves to one keeper") {
     import spark.implicits._
     // worst-case topology for plain propagation (diameter 63): pointer
