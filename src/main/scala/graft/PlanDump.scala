@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import java.nio.file.{Files, Paths}
 
 /** Dev tool (r15 optimization round): dumps `explain("formatted")` for a
@@ -38,6 +39,11 @@ object PlanDump {
       name match {
         case "_copurchase_edges" =>
           Some(graft.graph.GraphOps.copurchaseEdges(li))
+        case "_lpa_round" =>
+          // one synchronous LPA round over the standing view — the
+          // stage g_lpa/g_modularity's checkpointed results hide
+          Some(graft.graph.GraphOps.lpaRoundPlan(
+            graft.graph.GraphOps.copurchaseView(li)))
         case _ => None
       }
     }

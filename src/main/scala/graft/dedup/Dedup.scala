@@ -1032,6 +1032,18 @@ object Dedup {
     var curSum = lblSum(labels)
     var converged = false
     var it = 0
+    // (r15 opt continuation — measured NEGATIVE result, kept on record
+    // so nobody retries it: replacing neighborMin's eager checkpoint
+    // with a lazy persist that the jump's checkpoint materializes "in
+    // one job" LOST in alternating fresh-JVM A/B — sim_dbscan 1.11×,
+    // dd_keeper_quality 1.14×, dd_cluster_components 1.25×, consistent
+    // across reps; raw target/attrib/r15opt2_ab_sf01.jsonl. Mechanism:
+    // cache population is not synchronized, so the self-join's two
+    // concurrent scans RACE and recompute the whole neighbor-min
+    // subplan instead of deduping it — the eager checkpoint's extra
+    // job is cheaper than the duplicated compute plus cache-write
+    // overhead. The two-checkpoint round below is the measured-best
+    // shape.)
     while (!converged && it < maxIter) {
       // neighbor min: label(v) <- min(label(v), min_{(u,v) in E} label(u))
       val nbrMin = edges.join(labels, edges("src") === labels("v"))
@@ -1060,6 +1072,7 @@ object Dedup {
     edges.unpersist()
     labels.select(col("v").as(idCol), col("lbl").as("cluster_id"))
   }
+
 
   /** Resolve documents into duplicate clusters and mark the canonical
     * keeper (smallest doc_id) per cluster: the destructive-dedup

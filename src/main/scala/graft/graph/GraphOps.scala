@@ -107,6 +107,19 @@ object GraphOps {
       .sortWithinPartitions("src")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+  /** Per-src degree over a bidirectional (src, dst) view — the ONE
+    * node-degree aggregate every structural consumer needs (r15 opt,
+    * guide §2.4: two operations keyed the same way share one pass).
+    * Exchange-free over a hash(src)-partitioned view; suite-style
+    * callers persist the node-sized result once and thread it through
+    * every OnView arm via the `degOpt` parameters below instead of
+    * re-aggregating the edge table per consumer (six scans → one at
+    * suite scope). Values are definitionally identical to each arm's
+    * own aggregate — same groupBy, same count.
+    */
+  def viewDegrees(dd: DataFrame): DataFrame =
+    dd.groupBy("src").agg(count(lit(1)).as("dg"))
+
   /** (node, dg) for every endpoint of the undirected edge set. */
   def degrees(edges: DataFrame): DataFrame =
     edges.select(col("a").as("node"))
@@ -168,8 +181,9 @@ object GraphOps {
     * identical to [[triangles]] — the (degree, id) orientation is a
     * property of the graph, not of the input form.
     */
-  def trianglesOnView(dd: DataFrame): DataFrame =
-    trianglesFromOriented(orientedOnView(dd))
+  def trianglesOnView(dd: DataFrame,
+      degOpt: Option[DataFrame] = None): DataFrame =
+    trianglesFromOriented(orientedOnView(dd, degOpt))
 
   /** The shared corner enumeration over ANY oriented (src, dst) edge
     * set: out-neighbor arrays, per-edge intersection, exploded
@@ -200,8 +214,9 @@ object GraphOps {
     * form. Degrees are one count aggregate over the view (each
     * neighbor appears once per direction).
     */
-  private def orientedOnView(dd: DataFrame): DataFrame = {
-    val deg = dd.groupBy("src").agg(count(lit(1)).as("dg"))
+  private def orientedOnView(dd: DataFrame,
+      degOpt: Option[DataFrame] = None): DataFrame = {
+    val deg = degOpt.getOrElse(viewDegrees(dd))
     dd.join(deg.select(col("src"), col("dg").as("dsrc")), "src")
       .join(deg.select(col("src").as("dst"), col("dg").as("ddst")),
         "dst")
@@ -248,8 +263,9 @@ object GraphOps {
   /** [[triangleCount]] from a prebuilt bidirectional view — see
     * [[trianglesOnView]].
     */
-  def triangleCountOnView(dd: DataFrame): DataFrame =
-    triangleCountFromOriented(orientedOnView(dd))
+  def triangleCountOnView(dd: DataFrame,
+      degOpt: Option[DataFrame] = None): DataFrame =
+    triangleCountFromOriented(orientedOnView(dd, degOpt))
 
   private def triangleCountFromOriented(o0: DataFrame): DataFrame = {
     // o feeds the neighbor-array build AND the probe side — persist,
@@ -279,7 +295,13 @@ object GraphOps {
     */
   def triangleSummaryFromLineitem(lineitem: DataFrame): DataFrame = {
     val dd = copurchaseView(lineitem)
-    val out = triangleSummaryOnView(dd).localCheckpoint(true)
+    // one persisted node-sized degree table feeds the orientation
+    // joins, the wedge aggregate AND the edge count (r15 opt — was
+    // three independent edge-view aggregations in one plan, which the
+    // planner cannot dedupe across join arms)
+    val deg = viewDegrees(dd).persist(StorageLevel.MEMORY_AND_DISK)
+    val out = triangleSummaryOnView(dd, Some(deg)).localCheckpoint(true)
+    deg.unpersist(false)
     dd.unpersist(false)
     out
   }
@@ -311,12 +333,16 @@ object GraphOps {
     * [[triangleCountOnView]] — nothing rebuilds the copurchase
     * self-join.
     */
-  def triangleSummaryOnView(dd: DataFrame): DataFrame = {
-    val degAgg = dd.groupBy("src").agg(count(lit(1)).as("dg"))
+  def triangleSummaryOnView(dd: DataFrame,
+      degOpt: Option[DataFrame] = None): DataFrame = {
+    val deg = degOpt.getOrElse(viewDegrees(dd))
+    val degAgg = deg
       .agg(count(lit(1)).as("n_nodes"),
         sum(expr("(dg * (dg - 1L)) div 2L")).as("n_wedges"))
-    val edgeAgg = dd.agg(expr("count(*) div 2L").as("n_edges"))
-    val triAgg = triangleCountOnView(dd)
+    // Σ dg div 2 == count(*) div 2 over the bidirectional view —
+    // node-sized read instead of an edge-view scan (r15 opt)
+    val edgeAgg = deg.agg(expr("sum(dg) div 2L").as("n_edges"))
+    val triAgg = triangleCountOnView(dd, degOpt)
     degAgg.crossJoin(edgeAgg).crossJoin(triAgg)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),
@@ -367,8 +393,9 @@ object GraphOps {
   }
 
   /** [[cornerCountsFromOriented]] from a prebuilt bidirectional view. */
-  def cornerCountsOnView(dd: DataFrame): DataFrame =
-    cornerCountsFromOriented(orientedOnView(dd))
+  def cornerCountsOnView(dd: DataFrame,
+      degOpt: Option[DataFrame] = None): DataFrame =
+    cornerCountsFromOriented(orientedOnView(dd, degOpt))
 
   /** [[triangleSummary]] from PREBUILT per-node corner counts (r11,
     * the suite mode — see [[cornerCountsFromOriented]]): the count is
@@ -379,11 +406,15 @@ object GraphOps {
     * slower than the standalone sum at sf1.
     */
   def triangleSummaryFromCornerCounts(dd: DataFrame,
-      tc: DataFrame): DataFrame = {
-    val degAgg = dd.groupBy("src").agg(count(lit(1)).as("dg"))
+      tc: DataFrame, degOpt: Option[DataFrame] = None): DataFrame = {
+    val deg = degOpt.getOrElse(viewDegrees(dd))
+    val degAgg = deg
       .agg(count(lit(1)).as("n_nodes"),
         sum(expr("(dg * (dg - 1L)) div 2L")).as("n_wedges"))
-    val edgeAgg = dd.agg(expr("count(*) div 2L").as("n_edges"))
+    // n_edges = Σ dg div 2 — definitionally count(*) over dd div 2,
+    // read off the node-sized degree table instead of a third full
+    // edge-view scan (r15 opt)
+    val edgeAgg = deg.agg(expr("sum(dg) div 2L").as("n_edges"))
     val triAgg = tc.agg(
       expr("coalesce(sum(t), 0L) div 3L").as("n_triangles"))
     degAgg.crossJoin(edgeAgg).crossJoin(triAgg)
@@ -422,7 +453,11 @@ object GraphOps {
   private def pageRankOnDd(dd: DataFrame, iters: Int): DataFrame = {
     val deg = dd.groupBy("src").agg(count(lit(1)).as("deg"))
     val view = dd.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    val result = pageRankOnView(view, iters)
+    // the node table IS the degree table's key column (groupBy output
+    // is distinct by construction) — hand it to the loop instead of a
+    // separate distinct over the joined view (r15 opt)
+    val result = pageRankOnView(view, iters,
+      Some(deg.select(col("src").as("node"))))
     view.unpersist(false)
     dd.unpersist(false)
     result
@@ -435,8 +470,13 @@ object GraphOps {
   def pageRankOnView(out: DataFrame, iters: Int,
       nodes: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
+    // LAZY persist of the node table (r15 opt): it anchors the initial
+    // ranks AND every iteration's left join — unpersisted, each
+    // iteration's job re-ran the distinct/degree aggregate that
+    // produced it. Node-sized; released with the other caches below.
     val nodeTable = nodes.getOrElse(
-      out.select(col("src").as("node")).distinct())
+        out.select(col("src").as("node")).distinct())
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = nodeTable.withColumn("r", lit(1000000000L))
     // every iteration's (nodes-sized) cache is kept until the final
     // checkpoint — unpersisting mid-loop would let the final job
@@ -481,6 +521,7 @@ object GraphOps {
     // accumulated cached blocks until LRU eviction (r8 advisory).
     val result = ranks.select(col("node"), col("r").as("rank_u"))
       .localCheckpoint(true)
+    nodeTable.unpersist(false)
     cached.foreach(_.unpersist(false))
     result
   }
@@ -622,22 +663,20 @@ object GraphOps {
     * (e.g. [[edgeView]]) — the amortized steady-state mode, same
     * posture as [[pageRankOnView]] / [[kHopReachOnView]].
     */
-  def labelPropagationOnView(dd: DataFrame, iters: Int): DataFrame = {
+  def labelPropagationOnView(dd: DataFrame, iters: Int,
+      nodesOpt: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
-    import org.apache.spark.sql.expressions.Window
-    var lbl = dd.select(col("src").as("node")).distinct()
+    // a caller holding the shared degree table passes its (distinct by
+    // construction) node column instead of paying a fresh distinct
+    // over the edge view (r15 opt)
+    var lbl = nodesOpt
+      .getOrElse(dd.select(col("src").as("node")).distinct())
       .select(col("node"), col("node").as("lbl"))
     // the caller owns dd's lifecycle (it may be a shared edgeView) —
     // only per-round materializations are tracked for release here
     var cached: Seq[DataFrame] = Nil
     for (i <- 1 to iters) {
-      val counts = dd.join(lbl, dd("src") === lbl("node"))
-        .select(col("dst").as("n2"), col("lbl").as("l2"))
-        .groupBy("n2", "l2").agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy("n2").orderBy(col("c").desc, col("l2"))
-      lbl = counts.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("n2").as("node"), col("l2").as("lbl"))
+      lbl = lpaRound(dd, lbl)
       if (i < iters) {
         val mat = lbl.persist(StorageLevel.MEMORY_AND_DISK)
         cached = cached :+ mat
@@ -649,6 +688,37 @@ object GraphOps {
     cached.foreach(_.unpersist(false))
     result
   }
+
+  /** One synchronous LPA round: neighbor-label counts, then the
+    * (count desc, label asc) top-1 per node — as a MAX-STRUCT
+    * aggregate, not a row_number window (r15 opt): (n2, l2) is unique
+    * after the count, so max(struct(c, -l2)) picks exactly the
+    * window's (c desc, l2 asc) head. Honest plan accounting
+    * (plans/r15/_lpa_round_{before,after}.txt): the window form was
+    * ALREADY map-side-limited (Spark 4 pushes the rank≤1 cut below
+    * the exchange as WindowGroupLimit), and struct-max plans as a
+    * SortAggregate pair, so per-partition sorts remain — what this
+    * removes is the final Window operator + rank projection and one
+    * WindowGroupLimit pass. Measured 0.89–0.96× on g_lpa/g_modularity
+    * at both scales (alternating fresh-JVM A/B). Labels are vertex
+    * ids ≥ 0, so the negation cannot overflow. Extracted so
+    * PlanDump's `_lpa_round` pseudo-name can expose the round plan
+    * the checkpointed g_lpa result hides.
+    */
+  private[graft] def lpaRound(dd: DataFrame, lbl: DataFrame): DataFrame =
+    dd.join(lbl, dd("src") === lbl("node"))
+      .select(col("dst").as("n2"), col("lbl").as("l2"))
+      .groupBy("n2", "l2").agg(count(lit(1)).as("c"))
+      .groupBy(col("n2"))
+      .agg(max(struct(col("c"), (-col("l2")).as("nl"))).as("m"))
+      .select(col("n2").as("node"), (-col("m.nl")).as("lbl"))
+
+  /** Round-1 LPA frame over the standing view, lazily — the plan-dump
+    * hook (`_lpa_round`); nothing executes here.
+    */
+  private[graft] def lpaRoundPlan(dd: DataFrame): DataFrame =
+    lpaRound(dd, dd.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")))
 
   /** Newman modularity of the [[labelPropagation]] communities —
     * Q = e_in/2m − Σ_c (d_c/2m)², the "did the partition actually find
@@ -677,7 +747,11 @@ object GraphOps {
   def lpaModularityFromLineitem(lineitem: DataFrame,
       iters: Int): DataFrame = {
     val dd = copurchaseView(lineitem)
-    val out = lpaModularityOnView(dd, iters)
+    // shared degree table: LPA's node init and the d_c membership join
+    // read ONE persisted aggregate (r15 opt)
+    val deg = viewDegrees(dd).persist(StorageLevel.MEMORY_AND_DISK)
+    val out = lpaModularityOnView(dd, iters, Some(deg))
+    deg.unpersist(false)
     dd.unpersist(false)
     out
   }
@@ -687,10 +761,12 @@ object GraphOps {
     * lifecycle, so a suite sharing one materialized view pays the
     * copurchase build + union ONCE across every structural op.
     */
-  def lpaModularityOnView(dd: DataFrame, iters: Int): DataFrame = {
+  def lpaModularityOnView(dd: DataFrame, iters: Int,
+      degOpt: Option[DataFrame] = None): DataFrame = {
     val dec = "decimal(38,0)"
-    val lbl = labelPropagationOnView(dd, iters)
-    val deg = dd.groupBy("src").agg(count(lit(1)).as("dg"))
+    val lbl = labelPropagationOnView(dd, iters,
+      degOpt.map(_.select(col("src").as("node"))))
+    val deg = degOpt.getOrElse(viewDegrees(dd))
     val dc = deg.join(lbl, deg("src") === lbl("node"))
       .groupBy("community").agg(sum("dg").as("d_c"))
     val s = dc.agg(count(lit(1)).as("n_communities"),
@@ -785,7 +861,10 @@ object GraphOps {
   def edgeJaccardFromLineitem(lineitem: DataFrame, k: Int): DataFrame = {
     require(k >= 1 && k <= 10000, s"k out of range: $k")
     val dd = copurchaseView(lineitem)
-    val tri = trianglesOnView(dd)
+    // shared degree table: the orientation inside the corner pass and
+    // the da/db joins read ONE persisted aggregate (r15 opt)
+    val degShared = viewDegrees(dd).persist(StorageLevel.MEMORY_AND_DISK)
+    val tri = trianglesOnView(dd, Some(degShared))
     val pairs = tri.select(explode(array(
         struct(least(col("x"), col("v")).as("a"),
           greatest(col("x"), col("v")).as("b")),
@@ -795,8 +874,7 @@ object GraphOps {
           greatest(col("v"), col("w")).as("b")))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
     val common = pairs.groupBy("a", "b").agg(count(lit(1)).as("n_common"))
-    val deg = dd.groupBy("src").agg(count(lit(1)).as("dg"))
-      .select(col("src").as("node"), col("dg"))
+    val deg = degShared.select(col("src").as("node"), col("dg"))
     val out = common
       .join(deg.select(col("node").as("a"), col("dg").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("dg").as("db")), "b")
@@ -806,6 +884,7 @@ object GraphOps {
       .orderBy(col("jaccard_u").desc, col("a"), col("b"))
       .limit(k)
       .localCheckpoint(true)
+    degShared.unpersist(false)
     dd.unpersist(false)
     out
   }
@@ -899,7 +978,11 @@ object GraphOps {
     */
   def localClusteringFromLineitem(lineitem: DataFrame): DataFrame = {
     val dd = copurchaseView(lineitem)
-    val out = localClusteringOnView(dd).localCheckpoint(true)
+    // shared degree table: orientation + the lcc degree join read ONE
+    // persisted node-sized aggregate (r15 opt)
+    val deg = viewDegrees(dd).persist(StorageLevel.MEMORY_AND_DISK)
+    val out = localClusteringOnView(dd, Some(deg)).localCheckpoint(true)
+    deg.unpersist(false)
     dd.unpersist(false)
     out
   }
@@ -933,8 +1016,10 @@ object GraphOps {
     * corner set inside trianglesOnView is already the materialization
     * boundary.
     */
-  def localClusteringOnView(dd: DataFrame): DataFrame =
-    localClusteringFromCornerCounts(dd, cornerCountsOnView(dd))
+  def localClusteringOnView(dd: DataFrame,
+      degOpt: Option[DataFrame] = None): DataFrame =
+    localClusteringFromCornerCounts(dd, cornerCountsOnView(dd, degOpt),
+      degOpt)
 
   /** [[localClustering]] from PREBUILT per-node corner counts (r11,
     * the suite mode — see [[cornerCountsFromOriented]]): the
@@ -942,8 +1027,9 @@ object GraphOps {
     * arm, so the suite pays the corner enumeration once for both.
     */
   def localClusteringFromCornerCounts(dd: DataFrame,
-      tc: DataFrame): DataFrame = {
-    dd.groupBy(col("src").as("node")).agg(count(lit(1)).as("dg"))
+      tc: DataFrame, degOpt: Option[DataFrame] = None): DataFrame = {
+    degOpt.getOrElse(viewDegrees(dd))
+      .select(col("src").as("node"), col("dg"))
       .filter(col("dg") >= 2)
       .join(tc, Seq("node"), "left")
       .select(col("node"), col("dg"),
@@ -992,9 +1078,10 @@ object GraphOps {
     * (src, dst) edge table — caller owns `dd`'s lifecycle (r10, the
     * suite-sharing mode).
     */
-  def degreeAssortativityOnView(dd: DataFrame): DataFrame = {
+  def degreeAssortativityOnView(dd: DataFrame,
+      degOpt: Option[DataFrame] = None): DataFrame = {
     val dec = "decimal(38,0)"
-    val deg = dd.groupBy("src").agg(count(lit(1)).as("dg"))
+    val deg = degOpt.getOrElse(viewDegrees(dd))
       .select(col("src").as("node"), col("dg"))
     val ed = dd
       .join(deg.select(col("node").as("src"), col("dg").as("dx")), "src")
@@ -1051,14 +1138,20 @@ object GraphOps {
   /** [[kCore]] against a prebuilt bidirectional (src, dst) edge table
     * — caller owns `dd0`'s lifecycle (r10, the suite-sharing mode).
     */
-  def kCoreOnView(dd0: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kCoreOnView(dd0: DataFrame, k: Int, rounds: Int,
+      degOpt: Option[DataFrame] = None): DataFrame = {
     require(k >= 2 && k <= 1000, s"k out of range: $k")
     require(rounds >= 1 && rounds <= 20, s"rounds out of range: $rounds")
     var dd = dd0
     var cached: Seq[DataFrame] = Nil
     var stats: Seq[DataFrame] = Nil
     for (i <- 1 to rounds) {
-      val keep = dd.groupBy("src").agg(count(lit(1)).as("c"))
+      // round 1's degree aggregate IS the shared suite degree table
+      // when the caller holds one (r15 opt) — later rounds re-count
+      // over the shrunk survivor views as before
+      val keep = (if (i == 1 && degOpt.isDefined)
+          degOpt.get.select(col("src"), col("dg").as("c"))
+        else dd.groupBy("src").agg(count(lit(1)).as("c")))
         .filter(col("c") >= k).select(col("src").as("node"))
       val next = dd
         .join(keep.select(col("node").as("src")), "src")

@@ -194,6 +194,16 @@ object GraphQueries extends QueryRegistry {
     // the arms materialize (each arm is eagerly checkpointed below, so
     // nothing re-reads dd afterwards).
     val dd = GraphOps.copurchaseView(li(s, d))
+    // ONE persisted node-sized degree table for the whole suite (r15
+    // opt, guide §2.4): kcore round 1, the corner pass's orientation,
+    // lcc's degree join, modularity's d_c join + LPA node init,
+    // assortativity's dx/dy joins and the tri arm's wedge/edge counts
+    // all read it — six independent full edge-view aggregations
+    // collapse to one (each was exchange-free over the cached view,
+    // but still a full E-row scan + hash agg per arm).
+    val deg = GraphOps.viewDegrees(dd)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val degOpt = Some(deg)
     // Each op's result is a HANDFUL of rows (peel rounds / 10 buckets /
     // 1-row summaries) — materialize them eagerly IN SEQUENCE so peak
     // executor state is one structural op at a time, not all five
@@ -203,7 +213,7 @@ object GraphQueries extends QueryRegistry {
     // sum, the sequential form is a max — and sequencing is the honest
     // long-lived-engine shape anyway; the shared view is the saving,
     // not job fusion).
-    val kcore = GraphOps.kCoreOnView(dd, 3, 3)
+    val kcore = GraphOps.kCoreOnView(dd, 3, 3, degOpt)
       .select(lit("kcore").as("op"), col("round").cast("long").as("a"),
         col("n_nodes").as("b"), col("n_edges").as("c"))
       .localCheckpoint(true)
@@ -215,25 +225,26 @@ object GraphQueries extends QueryRegistry {
     // NODE-sized per-node corner-count table (streamed aggregation —
     // nothing triangle-sized is stored; two consumers of one frozen
     // checkpoint, so the two-action range rule doesn't apply)
-    val tc = GraphOps.cornerCountsOnView(dd)
-    val lcc = GraphOps.localClusteringFromCornerCounts(dd, tc)
+    val tc = GraphOps.cornerCountsOnView(dd, degOpt)
+    val lcc = GraphOps.localClusteringFromCornerCounts(dd, tc, degOpt)
       .select(lit("lcc").as("op"), col("bucket").as("a"),
         col("n_nodes").as("b"), col("sum_t").as("c"))
       .localCheckpoint(true)
-    val mod = GraphOps.lpaModularityOnView(dd, 2)
+    val mod = GraphOps.lpaModularityOnView(dd, 2, degOpt)
       .select(lit("modularity").as("op"), col("n_communities").as("a"),
         col("e_in").as("b"), col("q_ppm").as("c"))
       .localCheckpoint(true)
-    val ast = GraphOps.degreeAssortativityOnView(dd)
+    val ast = GraphOps.degreeAssortativityOnView(dd, degOpt)
       .select(lit("assort").as("op"), col("m").as("a"),
         floor(col("assortativity") * 1000000).cast("long").as("b"),
         lit(0L).as("c"))
       .localCheckpoint(true)
-    val tri = GraphOps.triangleSummaryFromCornerCounts(dd, tc)
+    val tri = GraphOps.triangleSummaryFromCornerCounts(dd, tc, degOpt)
       .select(lit("tri").as("op"), col("n_triangles").as("a"),
         col("n_wedges").as("b"), col("clustering_u").as("c"))
       .localCheckpoint(true)
     val out = kcore.unionAll(lcc).unionAll(mod).unionAll(ast).unionAll(tri)
+    deg.unpersist(false)
     dd.unpersist(false)
     out
   }

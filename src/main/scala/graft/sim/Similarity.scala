@@ -367,10 +367,21 @@ object Similarity {
           .drop("nsh")
         q2.join(c2, Seq("cell", "sa", "sb")).drop("sa", "sb")
       }
+    // (query, cand) pairs are UNIQUE by construction — the corpus side
+    // is single-assign (one cell per cand) and nearestCells returns
+    // distinct probe cells, so a pair meets in at most one cell (and in
+    // the sharded path in exactly one (sa, sb) bucket). The legacy
+    // dropDuplicates("query_id","cand_id") here was therefore a no-op
+    // dedup whose exchange carried BOTH dims-long double arrays per
+    // pair row — the fattest shuffle of the whole retrieval plan (r15
+    // opt, guide §2.3: shuffle keys and scores, not payloads; the
+    // dbscan eps-join has skipped the same no-op since r14). Cosine is
+    // computed map-side straight off the join, so the only pair-sized
+    // exchange left is the window's, over (query_id, cand_id, cosine).
     val cands = joined
       .filter(col("query_id") =!= col("cand_id"))
-      .dropDuplicates("query_id", "cand_id")
       .withColumn("cosine", cosineCol(col("eq"), col("ec")))
+      .select("query_id", "cand_id", "cosine")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("cand_id"))
     cands.withColumn("rank", row_number().over(w))
