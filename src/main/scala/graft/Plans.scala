@@ -69,7 +69,7 @@ object Plans {
     "pipeline_polytrend" -> "the reference's end-to-end user journey as ONE plan (r9): F1 temporal filter pushed to the parquet scan, composite groupBy is exchange #1, F4 quality gate + K1 kernel + min ride exchange #2 as a single aggregation, stats collapse to a 1-row final agg — zero extra exchanges between stages",
     "la_gini" -> "gini concentration (r9 single-action form): RANGE exchange tiles the ascending order, cumsum window PARTITIONED by spark_partition_id, and ONE numParts-row groupBy(pid) collect closes the global prefix sum — offsets and sums from the same job, so RangePartitioner sampling drift between jobs cannot skew the result",
     "dd_incremental_neardup" -> "incremental NEAR-dup ingest (r9): the corpus contributes 256-byte signatures only (band keys re-derive map-side, no text pass, no corpus re-read); candidates are per-side-capped (band,bucket) equi joins — batch x corpus and batch x batch — and only surviving pairs fetch signatures for the dyadic agreement verify; per-ingest cost O(batch), never O(corpus)",
-    "sim_index_pipeline" -> "shared IVF index composite (r9): ONE eagerly-materialized cell assignment (localCheckpoint — GC-freed, not a session persist) feeds BOTH the retrieval probe join and the within-cell margin pairs — one less full embedding pass per consumer; look for the checkpoint scan reused by both arms",
+    "sim_index_pipeline" -> "shared IVF index composite (r9; r15 opt): ONE eagerly-materialized cell assignment (localCheckpoint — GC-freed, not a session persist) feeds BOTH the retrieval probe join and the within-cell margin pairs — one less full embedding pass per consumer; look for the checkpoint scan reused by both arms. r15: ivfTopK's legacy dropDuplicates was a provable no-op (single-assign corpus × distinct probe cells — a pair meets in at most one cell) and its exchange carried both dims-long arrays per pair row; cosine now computes map-side and only (query_id, cand_id, cosine) reaches the top-k window exchange (plans/r15/sim_ivf_topk_*: 8→6 Exchange; the old shape OOM'd the 8 GiB fresh JVM at sf1, the new one runs it)",
     "t_cdc_chunks" -> "content-defined chunking (r9): boundary flags are a map-local transform (native codegen'd rolling_hash per window — no UDF); chunk ids ride ONE doc-keyed cumsum window and assembly the doc-keyed sorted collect (spanDedup's exchange contract, state bounded by one doc's length); chunk fingerprints are md5 — chunk-level dedup joins carry 16-byte keys",
     "t_dsir_weights" -> "DSIR importance weights (r9): feature counts map-combined with state <= hashBuckets; the bucket-bounded µ-nat LLR table BROADCASTS to the exploded token stream (corpus text never shuffles); per-doc scores reduce map-side as exact BIGINT sums — two token exchanges total, both model-bounded or doc-keyed",
     "t_winnow" -> "winnowing fingerprints (r9): gram hashes map-local; rightmost-minimal selection is max(struct(-h, p)) over the w-row sliding frame of ONE doc-keyed sort — a single Exchange, and the distinct + per-doc summary aggregations reuse its partitioning (no second exchange until the tiny ng join)",
@@ -78,7 +78,7 @@ object Plans {
     "t_quality_auc" -> "ROC AUC (r9): la_mannwhitney's bounded-grid rank-sum shape on documents — per-source score-grid counts, cum window over the grid (state = score domain, not docs), one DECIMAL(38,0) reduce; no per-doc rank window anywhere",
     "t_ndcg" -> "nDCG (r9): two BM25 corpus passes with the stats row broadcast back, retrieved and ideal sides both cut by TakeOrderedAndProject heaps; the rank windows run over <= max(cutoff) rows; per-rank gains round to integer µ-units so the cutoff sums are order-free",
     "g_khop" -> "FRONTIER BFS (r13; r9 shape): per hop ONE edges-probe join against only the nodes FIRST reached last hop (AQE broadcasts the frontier while it fits), a frontier-degree-sized distinct, and a node-sized anti-join vs the seen set — the per-hop distinct no longer scales with cumulative reach (A/B: warm 11.4-12.9 -> 7.5-10.3s at sf0.1); lazy per-hop persists fold all counts into a single job; steady-state callers amortize the dominant copurchase build via kHopReachOnView",
-    "g_lpa" -> "label propagation (r9; r15 layout): per round one edge-label join + (node,label) map-combined count + per-node top-1 window whose state is bounded by degree; deterministic ties -> the chained SQL oracle replays every round bit for bit; the standing edge view is hash(src)-partitioned at build, so past the broadcast regime each round's shuffle-join moves ONLY the node-sized label table — the edge table never re-exchanges",
+    "g_lpa" -> "label propagation (r9; r15 layout + opt): per round one edge-label join + (node,label) map-combined count + per-node top-1 as a max(struct(c,-l2)) SortAggregate pair (r15 continuation — replaces the row_number window; identical head, removes the Window operator and one WindowGroupLimit pass, plans/r15/_lpa_round_*); deterministic ties -> the chained SQL oracle replays every round bit for bit; the standing edge view is hash(src)-partitioned at build, so past the broadcast regime each round's shuffle-join moves ONLY the node-sized label table — the edge table never re-exchanges",
     "g_local_clustering" -> "local clustering histogram (r9): corner counts ride the degree-ordered triangle enumeration (orientation caps out-neighborhoods at O(sqrt m)); after the corner count everything is the 11-bucket rollup — nothing graph-sized downstream",
     "g_modularity" -> "LPA modularity (r9; r15 layout): e_in is ONE edge-sized membership equi join with a map-combined count; d_c sums are community-sized; the Q quotient is a single-row DECIMAL reduce — the partition-quality score costs one extra join over g_lpa; the src-keyed half of the membership join and the degree aggregate reuse the hash(src) view layout",
     "la_kruskal_dunn" -> "Kruskal-Wallis/Dunn ranks (r9): state after the first exchange is the x10^4 VALUE GRID, not the corpus; the global-grid cumsum is the one single-partition window (domain-bounded by construction); per-group z-rows avoid any cross-group float sum",
@@ -88,7 +88,7 @@ object Plans {
     "sim_embed_drift" -> "embedding drift monitor (r10): ONE (half, dim) map-combined integer-µ aggregate — post-shuffle state is 2·dims rows; the centroid cosine derives from the exact integer sums, so the drift alert is bit-stable across cluster layouts (FP summation order can never flap it)",
     "sim_dbscan" -> "DBSCAN (r10; r11 default = curve-picked p=4 at the corpus-sized nlist=ceil(sqrt(n)) quantizer): the eps-graph is the ONLY corpus-sized stage and it joins within coarse-quantizer cells (cell is the shuffle key — Σ|cell|² ≈ p²·n^1.5 pairs at √n cells, never n²); the multi-probe assignment is checkpointed ONCE (it feeds both eps-join sides + the noise remainder); degree filter and border attachment reuse the checkpointed edge set; CC runs on the (much smaller) core subgraph with pointer jumping",
     "sim_mmr_topk" -> "MMR re-rank (r10): the corpus appears only in the pool-building scan; every greedy step is a poolSize-bounded join + (query,cand) max-sim aggregate + per-query top-1 window — k steps of bounded work, source-agnostic (swap the brute pool for ivfTopK candidates at scale)",
-    "g_suite_on_view" -> "structural graph suite on ONE shared view (r10; r11 widened to FIVE ops): the copurchase self-join + distinct — the dominant per-call cost of g_kcore/g_local_clustering/g_modularity/g_assortativity/g_triangles standalone — builds ONCE as an eager localCheckpoint that all five ops consume (triangles/local-clustering orient by FILTERING the bidirectional view — one count aggregate, no degree-join rebuild). The final plan shows the checkpointed RESULT scans union'd; the sharing evidence is upstream — one edge-view job instead of five rebuilds — and shows up as the bench row running well under the sum of the standalone rows",
+    "g_suite_on_view" -> "structural graph suite on ONE shared view (r10; r11 widened to FIVE ops): the copurchase self-join + distinct — the dominant per-call cost of g_kcore/g_local_clustering/g_modularity/g_assortativity/g_triangles standalone — builds ONCE as an eager localCheckpoint that all five ops consume (triangles/local-clustering orient by FILTERING the bidirectional view — one count aggregate, no degree-join rebuild). The final plan shows the checkpointed RESULT scans union'd; the sharing evidence is upstream — one edge-view job instead of five rebuilds — and shows up as the bench row running well under the sum of the standalone rows. r15 continuation: the arms additionally share ONE persisted node-degree table (viewDegrees + degOpt — kcore round 1, orientation, lcc, modularity d_c + LPA node init, assortativity, tri wedge/edge counts all read it; six edge-view aggregations collapse to one) — suite 60.4→41.8 s isolated at sf1 (0.69×)",
     "sim_mmr_ivf" -> "MMR over the IVF-FED pool (r11, the at-scale path): the corpus-sized stage is the bucketed inverted-list equi join inside ivfTopK (cell is the shuffle key) — NO broadcast crossJoin, no Guards-gated brute scorer anywhere in the plan; the greedy steps are identical to sim_mmr_topk's poolSize-bounded joins. Look for the checkpointed assignment scan feeding both the query and candidate arms, then the bounded greedy chain",
     "sim_dbscan_auto" -> "curve-driven probe pick (r11): three measured curve arms (each a cell-keyed overlap join against the ONE checkpointed exact pair set) reduce to 3 driver rows; the pick is Similarity.curvePick — the same audited knee rule as autoNprobe — and the returned plan is a 1-row LocalRelation; the exact side is the declared Guards-gated audit, sampled at scale",
     "t_lm_heldout" -> "held-out CCNet-style LM filter (r11): the corpus appears in ONE tokenize+explode pass; the model tables (c12/c1/V, built from the md5-even half only) are model-sized aggregations that join back LEFT with no broadcast hint (AQE sizes them), V rides a one-row broadcast; all arithmetic is long div — look for the absence of any corpus×corpus join and the two map-combined token-keyed exchanges",
