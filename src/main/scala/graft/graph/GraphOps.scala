@@ -195,6 +195,12 @@ object GraphOps {
     val o = o0.persist(StorageLevel.MEMORY_AND_DISK)
     val nb = o.groupBy("src")
       .agg(sort_array(collect_list(col("dst"))).as("ns"))
+      // eager checkpoint (r15 continuation experiment): nb feeds BOTH
+      // probe joins below; the exchange under it was already planner-
+      // reused, but the heavy final collect_list+sort_array aggregate
+      // ran once per reference — materializing nb runs it once and the
+      // two probes scan stored node-sized blocks (freed when GC'd)
+      .localCheckpoint(true)
     val out = o
       .join(nb.select(col("src").as("u"), col("ns").as("nu")),
         col("src") === col("u"))
@@ -276,6 +282,12 @@ object GraphOps {
     val o = o0.persist(StorageLevel.MEMORY_AND_DISK)
     val nb = o.groupBy("src")
       .agg(sort_array(collect_list(col("dst"))).as("ns"))
+      // eager checkpoint (r15 continuation experiment): nb feeds BOTH
+      // probe joins below; the exchange under it was already planner-
+      // reused, but the heavy final collect_list+sort_array aggregate
+      // ran once per reference — materializing nb runs it once and the
+      // two probes scan stored node-sized blocks (freed when GC'd)
+      .localCheckpoint(true)
     val out = o.join(nb.select(col("src").as("u"), col("ns").as("nu")),
         col("src") === col("u"))
       .join(nb.select(col("src").as("v"), col("ns").as("nv")),
@@ -366,6 +378,12 @@ object GraphOps {
     val o = o0.persist(StorageLevel.MEMORY_AND_DISK)
     val nb = o.groupBy("src")
       .agg(sort_array(collect_list(col("dst"))).as("ns"))
+      // eager checkpoint (r15 continuation experiment): nb feeds BOTH
+      // probe joins below; the exchange under it was already planner-
+      // reused, but the heavy final collect_list+sort_array aggregate
+      // ran once per reference — materializing nb runs it once and the
+      // two probes scan stored node-sized blocks (freed when GC'd)
+      .localCheckpoint(true)
     // Measured negative result (late r13), kept on record so nobody
     // retries it: a single-explode variant emitting 2 + |∩| struct
     // contributions per edge — (x, size(∩)), (v, size(∩)), one (w, 1)
